@@ -1,0 +1,450 @@
+"""Operator factory: '+proj=...' strings -> vectorized Operation objects.
+
+Mirrors the reference's construction path (proj_create ->
+pj_create_internal -> locate_constructor, src/init.cpp:422-533,993) and the
+pipeline driver (src/pipeline.cpp:110-455) including +inv, +omit_fwd /
++omit_inv step flags and the push/pop coordinate stacks
+(src/pipeline.cpp:111-145).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+
+from proj_ray.ellipsoid import ELLPS_TABLE, Ellipsoid
+from proj_ray.ops.base import (
+    Common,
+    Coords,
+    Operation,
+    UNITS_RADIANS,
+)
+from proj_ray.params import ParamSet, parse_single, split_pipeline
+
+_REGISTRY: dict[str, type[Operation]] = {}
+
+
+def register(cls: type[Operation], *names: str) -> None:
+    for nm in names or (cls.name,):
+        _REGISTRY[nm] = cls
+
+
+def registry() -> dict[str, type[Operation]]:
+    _ensure_registered()
+    return dict(_REGISTRY)
+
+
+class StandalonePush(Operation):
+    """`+proj=push` outside a pipeline: nothing ever pops, so identity."""
+
+    name = "push"
+    left = "whatever"
+    right = "whatever"
+
+    def _fwd(self, x, y, z, t):
+        return x, y, z, t
+
+    def _inv(self, x, y, z, t):
+        return x, y, z, t
+
+
+class StandalonePop(StandalonePush):
+    name = "pop"
+
+
+_registered = False
+
+
+def _ensure_registered() -> None:
+    global _registered
+    if _registered:
+        return
+    _registered = True
+    from proj_ray.ops import projections as pr
+    from proj_ray.ops import transforms as tr
+
+    register(pr.LongLat, "longlat", "latlong", "lonlat", "latlon")
+    register(pr.Merc)
+    register(pr.WebMerc)
+    register(pr.Tmerc)
+    register(pr.Etmerc)
+    register(pr.Utm)
+    register(pr.Lcc)
+    register(tr.Cart)
+    register(tr.Geocent)
+    register(tr.Helmert)
+    register(tr.Molobadekas)
+    register(tr.Molodensky)
+    register(tr.Affine)
+    register(tr.Geogoffset)
+    register(tr.Vertoffset)
+    register(tr.Axisswap)
+    register(tr.Unitconvert)
+    register(tr.Noop)
+    register(tr.SetCoord, "set")
+    register(tr.Geoc)
+    register(tr.Topocentric)
+    register(StandalonePush, "push")
+    register(StandalonePop, "pop")
+    # second wave (registered lazily if the module exists)
+    try:
+        from proj_ray.ops import projections2 as pr2
+
+        pr2.register_all(register)
+    except ImportError:
+        pass
+    try:
+        from proj_ray.ops import gridshift as gs
+
+        gs.register_all(register)
+    except ImportError:
+        pass
+    try:
+        from proj_ray.ops import geodesic_ops as go
+
+        go.register_all(register)
+    except ImportError:
+        pass
+
+
+def _build_ellipsoid(ps: ParamSet, proj_name: str) -> Ellipsoid:
+    """Ellipsoid resolution order follows pj_init: R > ellps/a&co; default
+    GRS80 (src/init.cpp:362)."""
+    if ps.has("R"):
+        return Ellipsoid(a=ps.f("R"), es=0.0)
+    a = None
+    if ps.has("a"):
+        a = ps.f("a")
+    es_spec: tuple[str, float] | None = None
+    for key in ("rf", "f", "es", "e", "b"):
+        if ps.has(key):
+            es_spec = (key, ps.f(key))
+            break
+    if ps.has("ellps") and (a is None or es_spec is None):
+        name = ps.s("ellps")
+        if name not in ELLPS_TABLE:
+            raise ValueError(f"unknown ellipsoid {name}")
+        ea, ekind, ev = ELLPS_TABLE[name]
+        base = Ellipsoid.from_a_and(ea, ekind, ev)
+        if a is None:
+            a = base.a
+        if es_spec is None:
+            es_spec = ("es", base.es)
+    if a is None and es_spec is None:
+        # reference defaults to GRS80 via proj_def.dat unless +no_defs
+        if ps.flag("no_defs"):
+            raise ValueError("no ellipsoid specified with +no_defs")
+        ea, ekind, ev = ELLPS_TABLE["GRS80"]
+        return Ellipsoid.from_a_and(ea, ekind, ev)
+    if a is None:
+        a = ELLPS_TABLE["GRS80"][0]
+    if es_spec is None:
+        es_spec = ("es", 0.0)
+    kind, v = es_spec
+    ell = Ellipsoid.from_a_and(a, kind, v)
+    # sphericalization switches (+R_A authalic, +R_V, +R_a mean, +R_g, +R_h,
+    # +R_lat_a / +R_lat_g mean radii at a latitude, +R_C conformal sphere)
+    import math
+
+    if ps.has("R_lat_a") or ps.has("R_lat_g"):
+        key = "R_lat_a" if ps.has("R_lat_a") else "R_lat_g"
+        phi = ps.r(key)
+        if abs(phi) > math.pi / 2:
+            raise ValueError(f"invalid {key}: |lat| should be <= 90")
+        t = 1 - ell.es * math.sin(phi) ** 2
+        if t == 0:
+            raise ValueError("invalid eccentricity")
+        if key == "R_lat_a":  # arithmetic mean (M+N)/2 (ell_set.cpp:431)
+            R = ell.a * (1 - ell.es + t) / (2 * t * math.sqrt(t))
+        else:  # geometric mean sqrt(M*N)
+            R = ell.a * math.sqrt(1 - ell.es) / t
+        if not (R > 0 and math.isfinite(R)):
+            raise ValueError(f"invalid {key} radius")
+        return Ellipsoid(a=R, es=0.0)
+    if ps.flag("R_C"):
+        # conformal-sphere radius "at phi0" — but the reference computes it
+        # before lat_0 is parsed, so effectively at the equator
+        # (ell_set.cpp:443-451 with P->phi0 still 0)
+        R = ell.a * math.sqrt(1 - ell.es)
+        return Ellipsoid(a=R, es=0.0)
+    if ps.flag("R_A"):
+        ra = a * (1.0 - ell.es * (1.0 / 6 + ell.es * (17.0 / 360 + ell.es * 67.0 / 3024)))
+        return Ellipsoid(a=ra, es=0.0)
+    if ps.flag("R_V"):
+        rv = a * (1.0 - ell.es * (1.0 / 6 + ell.es * (5.0 / 72 + ell.es * 55.0 / 1296)))
+        return Ellipsoid(a=rv, es=0.0)
+    if ps.flag("R_a"):
+        return Ellipsoid(a=0.5 * (a + ell.b), es=0.0)
+    if ps.flag("R_g"):
+        import math
+
+        return Ellipsoid(a=math.sqrt(a * ell.b), es=0.0)
+    if ps.flag("R_h"):
+        return Ellipsoid(a=2 * a * ell.b / (a + ell.b), es=0.0)
+    return ell
+
+
+# legacy +datum= table (src/datums.cpp:40-62)
+DATUMS: dict[str, tuple[str, str]] = {
+    "WGS84": ("towgs84=0,0,0", "WGS84"),
+    "GGRS87": ("towgs84=-199.87,74.79,246.62", "GRS80"),
+    "NAD83": ("towgs84=0,0,0", "GRS80"),
+    "NAD27": ("nadgrids=@conus,@alaska,@ntv2_0.gsb,@ntv1_can.dat", "clrk66"),
+    "potsdam": ("nadgrids=@BETA2007.gsb", "bessel"),
+    "carthage": ("towgs84=-263.0,6.0,431.0", "clrk80ign"),
+    "hermannskogel":
+        ("towgs84=577.326,90.129,463.919,5.137,1.474,5.297,2.4232", "bessel"),
+    "ire65":
+        ("towgs84=482.530,-130.596,564.557,-1.042,-0.214,-0.631,8.15",
+         "mod_airy"),
+    "nzgd49": ("towgs84=59.47,-5.04,187.44,0.47,-0.1,1.024,-4.5993", "intl"),
+    "OSGB36":
+        ("towgs84=446.448,-125.157,542.060,0.1502,0.2470,0.8421,-20.4894",
+         "airy"),
+}
+
+
+def _expand_datum(kv: dict) -> dict:
+    if "datum" not in kv:
+        return kv
+    name = str(kv["datum"])
+    if name not in DATUMS:
+        raise ValueError(f"unknown datum {name}")
+    defn, ellps = DATUMS[name]
+    out = dict(kv)
+    k, v = defn.split("=", 1)
+    out.setdefault(k, v)
+    out.setdefault("ellps", ellps)
+    return out
+
+
+def _cs2cs_emulation(op: Operation, kv: dict, ps: ParamSet) -> None:
+    """Attach legacy cs2cs helpers (axis/towgs84/nadgrids/geoidgrids) to the
+    op's Common, mirroring cs2cs_emulation_setup (src/4D_api.cpp:836-993)."""
+    from proj_ray.ops.transforms import Cart, Helmert
+    from proj_ray.ellipsoid import Ellipsoid
+
+    P = op.P
+    do_cart = False
+    if "nadgrids" in kv and str(kv["nadgrids"]):
+        sub = _create_single({"proj": "hgridshift",
+                              "grids": str(kv["nadgrids"])})
+        P.hgridshift = sub
+    if "geoidgrids" in kv and str(kv["geoidgrids"]):
+        sub = _create_single({"proj": "vgridshift",
+                              "grids": str(kv["geoidgrids"])})
+        P.vgridshift = sub
+    if P.hgridshift is None and "towgs84" in kv and \
+            not isinstance(op, Helmert):
+        vals = [float(v) for v in str(kv["towgs84"]).split(",")]
+        vals += [0.0] * (7 - len(vals))
+        if all(v == 0.0 for v in vals):
+            wgs = Ellipsoid.named("WGS84")
+            if not (abs(P.ell.a - wgs.a) < 1e-8
+                    and abs(P.ell.es - wgs.es) < 1e-15):
+                do_cart = True
+        else:
+            hps = ParamSet({"exact": True, "towgs84": str(kv["towgs84"]),
+                            "convention": "position_vector"})
+            P.helmert = Helmert(Common(P.ell, hps), hps)
+    if P.helmert is not None or do_cart:
+        cps = ParamSet({})
+        P.cart = Cart(Common(P.ell, cps), cps)
+        wps = ParamSet({})
+        P.cart_wgs84 = Cart(Common(Ellipsoid.named("WGS84"), wps), wps)
+
+
+def _create_single(kv: dict) -> Operation:
+    _ensure_registered()
+    if "init" in kv:
+        raise NotImplementedError(
+            "operator not implemented: init-file resolution")
+    kv = _expand_datum(kv)
+    ps = ParamSet(kv)
+    name = ps.s("proj")
+    if not name:
+        raise ValueError("missing +proj")
+    if name not in _REGISTRY:
+        raise NotImplementedError(f"operator not implemented: {name}")
+    cls = _REGISTRY[name]
+    ell = _build_ellipsoid(ps, name)
+    common = Common(ell, ps)
+    op = cls(common, ps)
+    _cs2cs_emulation(op, kv, ps)
+    return op
+
+
+class PipelineStep:
+    def __init__(self, op: Operation, inv: bool, omit_fwd: bool,
+                 omit_inv: bool):
+        self.op = op
+        self.inv = inv
+        self.omit_fwd = omit_fwd
+        self.omit_inv = omit_inv
+
+
+class PushPop(Operation):
+    """Save/restore coordinate components on per-pipeline stacks
+    (src/pipeline.cpp:111-145). Instantiated only inside Pipeline."""
+
+    name = "push"
+    left = "whatever"
+    right = "whatever"
+
+    def __init__(self, kind: str, ps: ParamSet, pipeline: "Pipeline"):
+        self.kind = kind
+        self.mask = [ps.flag(f"v_{i}") for i in (1, 2, 3, 4)]
+        self.pipeline = pipeline
+
+    def apply(self, c: Coords, direction: str) -> Coords:
+        # push in fwd == pop in inv and vice versa
+        effective = self.kind if direction == "fwd" else (
+            "pop" if self.kind == "push" else "push")
+        out = list(c)
+        for i in range(4):
+            if not self.mask[i]:
+                continue
+            stack = self.pipeline.stacks[i]
+            if effective == "push":
+                stack.append(np.array(out[i], copy=True))
+            elif stack:
+                out[i] = stack.pop()
+        return tuple(out)  # type: ignore[return-value]
+
+
+class Pipeline(Operation):
+    """Ordered step list; inverse runs steps in reverse with flipped
+    directions (src/pipeline.cpp:163-193). WHATEVER-units steps inherit
+    units from neighbours (src/pipeline.cpp:571-629) and adjacent steps'
+    units must match."""
+
+    name = "pipeline"
+
+    def __init__(self, defn: str, globals_kv: dict, steps_kv: list[dict]):
+        self.defn = defn
+        self.steps: list[PipelineStep] = []
+        self.stacks: list[list[np.ndarray]] = [[], [], [], []]
+        if any(k in ("proj", "o_proj") for k in globals_kv):
+            raise ValueError(
+                "pipeline: proj= operator before first step not allowed")
+        if not steps_kv:
+            raise ValueError("pipeline has no steps")
+        for kv in steps_kv:
+            ps = ParamSet(kv)
+            pname = ps.s("proj")
+            if pname == "pipeline":
+                raise ValueError("pipeline: nested pipelines not allowed")
+            inv_flag = ps.flag("inv")
+            omit_fwd = ps.flag("omit_fwd")
+            omit_inv = ps.flag("omit_inv")
+            kv2 = {k: v for k, v in kv.items()
+                   if k not in ("inv", "omit_fwd", "omit_inv")}
+            if pname in ("push", "pop"):
+                op: Operation = PushPop(pname, ps, self)
+            else:
+                op = _create_single(kv2)
+            self.steps.append(PipelineStep(op, inv_flag, omit_fwd, omit_inv))
+
+        from proj_ray.ops.base import UNITS_CLASSIC, UNITS_PROJECTED
+
+        def _mapu(u: str) -> str:
+            # pj_left/pj_right map CLASSIC to PROJECTED (src/internal.cpp:50)
+            return UNITS_PROJECTED if u == UNITS_CLASSIC else u
+
+        def eff_left(st: PipelineStep) -> str:
+            return _mapu(st.op.right if st.inv else st.op.left)
+
+        def eff_right(st: PipelineStep) -> str:
+            return _mapu(st.op.left if st.inv else st.op.right)
+
+        from proj_ray.ops.base import UNITS_WHATEVER
+
+        n = len(self.steps)
+        for i in range(n - 2, -1, -1):
+            st = self.steps[i]
+            if st.op.left == UNITS_WHATEVER and st.op.right == UNITS_WHATEVER:
+                rl = eff_left(self.steps[i + 1])
+                rr = eff_right(self.steps[i + 1])
+                if rl != rr or rl != UNITS_WHATEVER:
+                    st.op.left = rl
+                    st.op.right = rl
+        for i in range(1, n):
+            st = self.steps[i]
+            if st.op.left == UNITS_WHATEVER and st.op.right == UNITS_WHATEVER:
+                ll = eff_left(self.steps[i - 1])
+                lr = eff_right(self.steps[i - 1])
+                if ll != lr or lr != UNITS_WHATEVER:
+                    st.op.left = lr
+                    st.op.right = lr
+        for i in range(n - 1):
+            cur = eff_right(self.steps[i])
+            nxt = eff_left(self.steps[i + 1])
+            if cur == UNITS_WHATEVER or nxt == UNITS_WHATEVER:
+                continue
+            if cur != nxt:
+                raise ValueError(
+                    f"pipeline: mismatched units between step {i + 1} and "
+                    f"{i + 2}")
+        self.left = eff_left(self.steps[0])
+        self.right = eff_right(self.steps[-1])
+
+    def fwd(self, c: Coords) -> Coords:
+        self.stacks = [[], [], [], []]
+        for st in self.steps:
+            if isinstance(st.op, PushPop):
+                if not st.omit_fwd:
+                    c = st.op.apply(c, "fwd")
+                continue
+            if st.omit_fwd:
+                continue
+            c = st.op.inv(c) if st.inv else st.op.fwd(c)
+        return c
+
+    def inv(self, c: Coords) -> Coords:
+        self.stacks = [[], [], [], []]
+        for st in reversed(self.steps):
+            if isinstance(st.op, PushPop):
+                if not st.omit_inv:
+                    c = st.op.apply(c, "inv")
+                continue
+            if st.omit_inv:
+                continue
+            c = st.op.fwd(c) if st.inv else st.op.inv(c)
+        return c
+
+    @property
+    def has_inverse(self) -> bool:
+        for st in self.steps:
+            if isinstance(st.op, PushPop) or st.omit_inv or st.inv:
+                continue
+            if not st.op.has_inverse:
+                return False
+        return True
+
+
+def create_operation(defn: str) -> Operation:
+    """Build an Operation (single or pipeline) from a +proj string."""
+    _ensure_registered()
+    pipe = split_pipeline(defn)
+    if pipe is not None:
+        g, steps = pipe
+        return Pipeline(defn, g, steps)
+    return _create_single(parse_single(defn))
+
+
+def transform(op: Operation | str, direction: str, x, y, z=None, t=None,
+              ) -> Coords:
+    """Apply op to coordinate arrays. direction: 'fwd' | 'inv'.
+
+    Angular inputs/outputs are radians (like proj_trans); callers that work
+    in degrees convert at the edge.
+    """
+    if isinstance(op, str):
+        op = create_operation(op)
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = np.zeros_like(x) if z is None else np.asarray(z, dtype=np.float64)
+    t = np.full_like(x, np.inf) if t is None else np.asarray(t, dtype=np.float64)
+    c = (x, y, z, t)
+    return op.fwd(c) if direction in ("fwd", "forward") else op.inv(c)
