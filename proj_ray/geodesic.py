@@ -1,0 +1,419 @@
+"""Vectorized geodesic computations on the ellipsoid (Karney's algorithm).
+
+NumPy re-derivation of the direct and inverse geodesic problems following
+C. F. F. Karney, "Algorithms for geodesics", J. Geodesy 87, 43-55 (2013)
+— the same published algorithm the reference imports as Karney's C library
+(src/geodesic.c, 6th-order series, GEODESIC_ORDER at src/geodesic.c:34-46;
+API geod_init/geod_direct/geod_inverse at src/geodesic.h:145,183,271).
+
+This implementation is batch-first: all inputs are ndarrays, the Newton
+iteration of the inverse problem runs with an active mask. Accuracy target:
+round-trip agreement with the direct problem at sub-millimeter level for
+non-near-antipodal pairs; near-antipodal pairs fall back to extra plain
+iterations (no exact Helmert-function treatment), which keeps errors below
+~1 m in that measure-zero regime — adequate for kNN distance ranking and
+conformance distance metrics. Azimuths in degrees like the reference API.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GEOD_ORD = 6
+
+
+class Geodesic:
+    def __init__(self, a: float = 6378137.0, f: float = 1 / 298.257223563):
+        self.a = a
+        self.f = f
+        self.f1 = 1 - f
+        self.e2 = f * (2 - f)
+        self.ep2 = self.e2 / (1 - self.e2)
+        self.n = f / (2 - f)
+        self.b = a * self.f1
+        n = self.n
+        # A3 coefficients (Karney eq. 24, order 6)
+        self.A3x = np.array([
+            1.0,
+            -(1.0 / 2 - n / 2),
+            -(1.0 / 4 + n / 8 - 3 * n * n / 8),
+            -(1.0 / 16 + 3 * n / 16 + n * n / 16),
+            -(3.0 / 64 + n / 32),
+            -3.0 / 128,
+        ])
+        # C3 coefficients (Karney eq. 25, order 6), ascending in eps,
+        # C3[l] = eps^l * polynomial(C3x[l-1], eps)
+        n2 = n * n
+        self.C3x = [
+            np.array([(1 - n) / 4, (1 - n2) / 8, (3 + 3 * n - n2) / 64,
+                      (5 + 2 * n) / 128, 3.0 / 128]),
+            np.array([(2 - 3 * n + n2) / 32, (3 - 2 * n - 3 * n2) / 64,
+                      (3 + n) / 128, 5.0 / 256]),
+            np.array([(5 - 9 * n + 5 * n2) / 192, (9 - 10 * n) / 384,
+                      7.0 / 512]),
+            np.array([(7 - 14 * n) / 512, 7.0 / 512]),
+            np.array([21.0 / 2560]),
+        ]
+
+    # ---- series helpers (Karney eqs. 15-21) ------------------------------
+    @staticmethod
+    def _A1m1(eps):
+        coeff = (1.0 / 4, 1.0 / 64, 1.0 / 256)
+        e2 = eps * eps
+        t = e2 * (coeff[0] + e2 * (coeff[1] + e2 * coeff[2]))
+        return (t + eps) / (1 - eps)
+
+    @staticmethod
+    def _C1(eps):
+        e = eps
+        e2 = eps * eps
+        return [
+            e * (-1.0 / 2 + e2 * (3.0 / 16 - e2 / 32)),
+            e2 * (-1.0 / 16 + e2 * (1.0 / 32 - 9.0 * e2 / 2048)),
+            e * e2 * (-1.0 / 48 + e2 * 3.0 / 256),
+            e2 * e2 * (-5.0 / 512 + e2 * 3.0 / 512),
+            e * e2 * e2 * (-7.0 / 1280),
+            e2 * e2 * e2 * (-7.0 / 2048),
+        ]
+
+    @staticmethod
+    def _C1p(eps):
+        e = eps
+        e2 = eps * eps
+        return [
+            e * (1.0 / 2 + e2 * (-9.0 / 32 + e2 * 205.0 / 1536)),
+            e2 * (5.0 / 16 + e2 * (-37.0 / 96 + e2 * 1335.0 / 4096)),
+            e * e2 * (29.0 / 96 + e2 * (-75.0 / 128)),
+            e2 * e2 * (539.0 / 1536 + e2 * (-2391.0 / 2560)),
+            e * e2 * e2 * (3467.0 / 7680),
+            e2 * e2 * e2 * (38081.0 / 61440),
+        ]
+
+    @staticmethod
+    def _A2m1(eps):
+        coeff = (-3.0 / 4, -7.0 / 64, -11.0 / 256)
+        e2 = eps * eps
+        t = e2 * (coeff[0] + e2 * (coeff[1] + e2 * coeff[2]))
+        return (t - eps) / (1 + eps)
+
+    @staticmethod
+    def _C2(eps):
+        e = eps
+        e2 = eps * eps
+        return [
+            e * (1.0 / 2 + e2 * (1.0 / 16 + e2 / 32)),
+            e2 * (3.0 / 16 + e2 * (1.0 / 32 + 35.0 * e2 / 2048)),
+            e * e2 * (5.0 / 48 + e2 * 5.0 / 256),
+            e2 * e2 * (35.0 / 512 + e2 * 7.0 / 512),
+            e * e2 * e2 * (63.0 / 1280),
+            e2 * e2 * e2 * (77.0 / 2048),
+        ]
+
+    def _A3f(self, eps):
+        v = np.zeros_like(eps)
+        for c in self.A3x[::-1]:
+            v = v * eps + c
+        return v
+
+    def _C3f(self, eps):
+        out = []
+        mult = np.ones_like(eps)
+        for l in range(5):
+            mult = mult * eps
+            poly = np.zeros_like(eps)
+            for c in self.C3x[l][::-1]:
+                poly = poly * eps + c
+            out.append(mult * poly)
+        return out
+
+    @staticmethod
+    def _sin_cos_series(sinp: bool, sinx, cosx, c):
+        """Clenshaw sum of c[k]*sin((2k+2)x) (sinp) else cos((2k+1)x)."""
+        ar = 2 * (cosx - sinx) * (cosx + sinx)
+        y0 = np.zeros_like(sinx)
+        y1 = np.zeros_like(sinx)
+        for ck in c[::-1]:
+            y0, y1 = ar * y0 - y1 + ck, y0
+        if sinp:
+            return 2 * sinx * cosx * y0
+        return cosx * (y0 - y1)
+
+    # ---- direct problem --------------------------------------------------
+    def direct(self, lat1, lon1, azi1, s12):
+        """Returns (lat2, lon2, azi2), degrees."""
+        lat1 = np.asarray(lat1, dtype=np.float64)
+        lon1 = np.asarray(lon1, dtype=np.float64)
+        azi1 = np.asarray(azi1, dtype=np.float64)
+        s12 = np.asarray(s12, dtype=np.float64)
+        f1 = self.f1
+        phi1 = np.radians(lat1)
+        alp1 = np.radians(azi1)
+        salp1 = np.sin(alp1)
+        calp1 = np.cos(alp1)
+        sbet1 = f1 * np.sin(phi1)
+        cbet1 = np.maximum(np.cos(phi1), 1e-12)
+        norm = np.hypot(sbet1, cbet1)
+        sbet1 = sbet1 / norm
+        cbet1 = cbet1 / norm
+        # alp0: azimuth at equator crossing
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        ssig1 = sbet1
+        somg1 = salp0 * sbet1
+        csig1 = comg1 = np.where((sbet1 != 0) | (calp1 != 0),
+                                 cbet1 * calp1, 1.0)
+        norm = np.hypot(ssig1, csig1)
+        ssig1 = ssig1 / norm
+        csig1 = csig1 / norm
+        k2 = calp0 * calp0 * self.ep2
+        eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+        A1 = 1 + self._A1m1(eps)
+        C1 = self._C1(eps)
+        B11 = self._sin_cos_series(True, ssig1, csig1, C1)
+        s = np.sin(B11)
+        c = np.cos(B11)
+        stau1 = ssig1 * c + csig1 * s
+        ctau1 = csig1 * c - ssig1 * s
+        tau12 = s12 / (self.b * A1)
+        s = np.sin(tau12)
+        c = np.cos(tau12)
+        C1p = self._C1p(eps)
+        B12 = -self._sin_cos_series(
+            True, stau1 * c + ctau1 * s, ctau1 * c - stau1 * s, C1p)
+        sig12 = tau12 - (B12 - B11)
+        ssig12 = np.sin(sig12)
+        csig12 = np.cos(sig12)
+        ssig2 = ssig1 * csig12 + csig1 * ssig12
+        csig2 = csig1 * csig12 - ssig1 * ssig12
+        sbet2 = calp0 * ssig2
+        cbet2 = np.hypot(salp0, calp0 * csig2)
+        salp2 = salp0
+        calp2 = calp0 * csig2
+        somg2 = salp0 * ssig2
+        comg2 = csig2
+        omg12 = np.arctan2(somg2 * comg1 - comg2 * somg1,
+                           comg2 * comg1 + somg2 * somg1)
+        A3 = self._A3f(eps)
+        C3 = self._C3f(eps)
+        B31 = self._sin_cos_series(True, ssig1, csig1, C3)
+        B32 = self._sin_cos_series(True, ssig2, csig2, C3)
+        lam12 = omg12 - self.f * salp0 * A3 * (sig12 + (B32 - B31))
+        lat2 = np.degrees(np.arctan2(sbet2, f1 * cbet2))
+        lon2 = lon1 + np.degrees(lam12)
+        lon2 = (lon2 + 180) % 360 - 180
+        azi2 = np.degrees(np.arctan2(salp2, calp2))
+        return lat2, lon2, azi2
+
+    # ---- inverse problem -------------------------------------------------
+    def inverse(self, lat1, lon1, lat2, lon2):
+        """Returns (s12 meters, azi1 deg, azi2 deg).
+
+        Canonical arrangement per Karney section 5: points swapped so
+        |bet1| >= |bet2|, signs set so bet1 <= 0, longitudes so
+        0 <= lam12 <= pi; azimuths unswapped at the end.
+        """
+        lat1 = np.asarray(lat1, dtype=np.float64).ravel()
+        lon1 = np.asarray(lon1, dtype=np.float64).ravel()
+        lat2 = np.asarray(lat2, dtype=np.float64).ravel()
+        lon2 = np.asarray(lon2, dtype=np.float64).ravel()
+        f1 = self.f1
+        lon12 = (lon2 - lon1 + 180) % 360 - 180
+        lonsign = np.where(lon12 >= 0, 1.0, -1.0)
+        lon12a = np.abs(lon12)
+        phi1 = np.radians(lat1)
+        phi2 = np.radians(lat2)
+
+        def _beta(phi):
+            sb = f1 * np.sin(phi)
+            cb = np.cos(phi)
+            cb = np.where(np.abs(cb) < 1e-15, 1e-15, cb)
+            n = np.hypot(sb, cb)
+            return sb / n, cb / n
+
+        sbet1, cbet1 = _beta(phi1)
+        sbet2, cbet2 = _beta(phi2)
+        swapp = np.abs(sbet1) < np.abs(sbet2)
+        sb1 = np.where(swapp, sbet2, sbet1)
+        cb1 = np.where(swapp, cbet2, cbet1)
+        sb2 = np.where(swapp, sbet1, sbet2)
+        cb2 = np.where(swapp, cbet1, cbet2)
+        # swapping the endpoints reverses the longitude direction
+        lonsign = np.where(swapp, -lonsign, lonsign)
+        latsign = np.where(sb1 <= 0, 1.0, -1.0)
+        sb1 = sb1 * latsign
+        sb2 = sb2 * latsign
+        lam12 = np.radians(lon12a)
+
+        # start guess: spherical great-circle azimuth on reduced latitudes
+        sl, cl = np.sin(lam12), np.cos(lam12)
+        salp1 = cb2 * sl
+        calp1 = sb2 * cb1 - cb2 * sb1 * cl
+        nz = np.hypot(salp1, calp1)
+        nz = np.where(nz == 0, 1.0, nz)
+        salp1, calp1 = salp1 / nz, calp1 / nz
+        # near-antipodal: bias the guess off the stationary point
+        anti = (lam12 > np.pi * (1 - 3 * self.f)) & (np.abs(sb1 + sb2) < 0.1)
+        salp1 = np.where(anti & (salp1 < 1e-6), 1e-3, salp1)
+        calp1 = np.where(anti, -np.sqrt(np.maximum(1 - salp1**2, 0.0)),
+                         calp1)
+
+        shape = salp1.shape
+        salp1_f = salp1.copy()
+        calp1_f = calp1.copy()
+        sig12_f = np.zeros(shape)
+        eps_f = np.zeros(shape)
+        ssig1_f = np.zeros(shape)
+        csig1_f = np.ones(shape)
+        ssig2_f = np.zeros(shape)
+        csig2_f = np.ones(shape)
+        salp2_f = np.zeros(shape)
+        calp2_f = np.ones(shape)
+
+        active = np.ones(shape, dtype=bool)
+        for _it in range(50):
+            if not active.any():
+                break
+            (v, dv, sig12, ssig1, csig1, ssig2, csig2, eps,
+             salp2, calp2) = self._lambda12(
+                sb1, cb1, sb2, cb2, salp1, calp1, lam12)
+            upd = active
+            sig12_f = np.where(upd, sig12, sig12_f)
+            eps_f = np.where(upd, eps, eps_f)
+            ssig1_f = np.where(upd, ssig1, ssig1_f)
+            csig1_f = np.where(upd, csig1, csig1_f)
+            ssig2_f = np.where(upd, ssig2, ssig2_f)
+            csig2_f = np.where(upd, csig2, csig2_f)
+            salp1_f = np.where(upd, salp1, salp1_f)
+            calp1_f = np.where(upd, calp1, calp1_f)
+            salp2_f = np.where(upd, salp2, salp2_f)
+            calp2_f = np.where(upd, calp2, calp2_f)
+            conv = np.abs(v) < 1e-13
+            active = active & ~conv
+            if not active.any():
+                break
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dalp1 = np.where(np.abs(dv) > 1e-16, -v / dv,
+                                 np.where(v > 0, -0.1, 0.1))
+            dalp1 = np.clip(dalp1, -0.5, 0.5)
+            alp1 = np.arctan2(salp1, calp1) + np.where(active, dalp1, 0.0)
+            # keep alp1 in (0, pi): geodesic goes eastward after canonical
+            alp1 = np.clip(alp1, 1e-12, np.pi - 1e-12)
+            salp1 = np.sin(alp1)
+            calp1 = np.cos(alp1)
+
+        A1 = 1 + self._A1m1(eps_f)
+        C1 = self._C1(eps_f)
+        B11 = self._sin_cos_series(True, ssig1_f, csig1_f, C1)
+        B12 = self._sin_cos_series(True, ssig2_f, csig2_f, C1)
+        s12 = self.b * A1 * (sig12_f + (B12 - B11))
+
+        # equatorial special case: both on equator, short enough arc
+        equat = (sb1 == 0) & (sb2 == 0) & (lam12 <= np.pi * (1 - self.f))
+        s12 = np.where(equat, self.a * lam12, s12)
+        salp1_f = np.where(equat, 1.0, salp1_f)
+        calp1_f = np.where(equat, 0.0, calp1_f)
+        salp2_f = np.where(equat, 1.0, salp2_f)
+        calp2_f = np.where(equat, 0.0, calp2_f)
+
+        # undo canonicalization: swap azimuths back, apply signs
+        # (GeographicLib: salp *= swapp*lonsign, calp *= swapp*latsign)
+        swsign = np.where(swapp, -1.0, 1.0)
+        sa1 = np.where(swapp, salp2_f, salp1_f) * swsign * lonsign
+        ca1 = np.where(swapp, calp2_f, calp1_f) * swsign * latsign
+        sa2 = np.where(swapp, salp1_f, salp2_f) * swsign * lonsign
+        ca2 = np.where(swapp, calp1_f, calp2_f) * swsign * latsign
+        azi1 = np.degrees(np.arctan2(sa1, ca1))
+        azi2 = np.degrees(np.arctan2(sa2, ca2))
+        same = (lon12a < 1e-13) & (np.abs(phi1 - phi2) < 1e-13)
+        s12 = np.where(same, 0.0, s12)
+        return s12, azi1, azi2
+
+    def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1, lam12):
+        """Karney's Lambda12(alp1) and its derivative; canonical inputs
+        (bet1 <= 0, |bet1| >= |bet2|, 0 <= lam12 <= pi)."""
+        calp1 = np.where((sbet1 == 0) & (calp1 == 0), -1e-15, calp1)
+        salp0 = salp1 * cbet1
+        calp0 = np.hypot(calp1, salp1 * sbet1)
+        ssig1 = sbet1
+        somg1 = salp0 * sbet1
+        csig1 = comg1 = cbet1 * calp1
+        n1 = np.hypot(ssig1, csig1)
+        n1 = np.where(n1 == 0, 1.0, n1)
+        ssig1n = ssig1 / n1
+        csig1n = csig1 / n1
+
+        # alp2: salp2*cbet2 = salp0; robust calp2 (Karney eq. 45 remark)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            salp2 = np.where(cbet2 != cbet1, salp0 / cbet2, salp1)
+            inner = np.where(
+                cbet1 < -sbet1,
+                (cbet2 - cbet1) * (cbet1 + cbet2),
+                (sbet1 - sbet2) * (sbet1 + sbet2))
+            calp2 = np.where(
+                (cbet2 != cbet1) | (np.abs(sbet2) != -sbet1),
+                np.sqrt(np.maximum(
+                    (calp1 * cbet1) ** 2 + inner, 0.0)) / cbet2,
+                np.abs(calp1))
+        ssig2 = sbet2
+        somg2 = salp0 * sbet2
+        csig2 = comg2 = cbet2 * calp2
+        n2 = np.hypot(ssig2, csig2)
+        n2 = np.where(n2 == 0, 1.0, n2)
+        ssig2n = ssig2 / n2
+        csig2n = csig2 / n2
+
+        sig12 = np.arctan2(
+            np.maximum(csig1n * ssig2n - ssig1n * csig2n, 0.0),
+            csig1n * csig2n + ssig1n * ssig2n)
+        somg12 = np.maximum(comg1 * somg2 - somg1 * comg2, 0.0)
+        comg12 = comg1 * comg2 + somg1 * somg2
+        omg12 = np.arctan2(somg12, comg12)
+
+        k2 = calp0 * calp0 * self.ep2
+        eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+        A3 = self._A3f(eps)
+        C3 = self._C3f(eps)
+        B31 = self._sin_cos_series(True, ssig1n, csig1n, C3)
+        B32 = self._sin_cos_series(True, ssig2n, csig2n, C3)
+        domg12 = -self.f * salp0 * A3 * (sig12 + (B32 - B31))
+        v = (omg12 + domg12) - lam12
+
+        # derivative via reduced length m12 (Karney eq. 38)
+        A1 = 1 + self._A1m1(eps)
+        A2 = 1 + self._A2m1(eps)
+        C1 = self._C1(eps)
+        C2 = self._C2(eps)
+        B11 = self._sin_cos_series(True, ssig1n, csig1n, C1)
+        B12 = self._sin_cos_series(True, ssig2n, csig2n, C1)
+        B21 = self._sin_cos_series(True, ssig1n, csig1n, C2)
+        B22 = self._sin_cos_series(True, ssig2n, csig2n, C2)
+        J12 = (A1 - A2) * sig12 + (A1 * (B12 - B11) - A2 * (B22 - B21))
+        dn1 = np.sqrt(1 + self.ep2 * sbet1 * sbet1)
+        dn2 = np.sqrt(1 + self.ep2 * sbet2 * sbet2)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # reduced length / b (dimensionless, Karney eq. 38 / Lengths)
+            m12b = (dn2 * (csig1n * ssig2n)
+                    - dn1 * (ssig1n * csig2n)
+                    - csig1n * csig2n * J12)
+            dv = np.where(
+                np.abs(calp2) > 1e-12,
+                m12b * self.f1 / (calp2 * cbet2),
+                -2 * self.f1 * dn1 / np.where(sbet1 == 0, -1e-12, sbet1))
+        return (v, dv, sig12, ssig1n, csig1n, ssig2n, csig2n, eps,
+                salp2, calp2)
+
+
+WGS84_GEOD = Geodesic()
+
+
+def geod_inverse(lat1, lon1, lat2, lon2, a=6378137.0,
+                 f=1 / 298.257223563):
+    g = WGS84_GEOD if (a, f) == (WGS84_GEOD.a, WGS84_GEOD.f) else \
+        Geodesic(a, f)
+    return g.inverse(lat1, lon1, lat2, lon2)
+
+
+def geod_direct(lat1, lon1, azi1, s12, a=6378137.0, f=1 / 298.257223563):
+    g = WGS84_GEOD if (a, f) == (WGS84_GEOD.a, WGS84_GEOD.f) else \
+        Geodesic(a, f)
+    return g.direct(lat1, lon1, azi1, s12)
