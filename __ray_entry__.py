@@ -1,16 +1,17 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the proj_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship geospatial pipeline (synth images table ->
+webmerc cells -> z/x/y tiles -> point-in-polygon join -> per-tile
+aggregate). `queries()` exposes each operator family over the driver's
+parquet tables; `oracle_sql()` gives the DuckDB-checkable equivalents
+(identical column names, floats rounded identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Geotags for the geo queries are derived from doc_id with pure integer
+arithmetic so both NumPy and DuckDB produce bit-identical values:
+  lon = (doc_id*61803 % 360000)/1000 - 180
+  lat = (doc_id*75487 % 170000)/1000 - 85
+
+Ray is initialised by the driver; nothing here calls ray.init().
 """
 
 from __future__ import annotations
@@ -18,27 +19,626 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+_GEO_SQL = ("SELECT doc_id, (doc_id*61803 % 360000)/1000.0 - 180.0 AS lon, "
+            "(doc_id*75487 % 170000)/1000.0 - 85.0 AS lat FROM documents")
+
+# 16 deterministic rectangles, bounds offset by .0005 so lattice points
+# never sit on an edge (engine PIP strictness == SQL strict inequality)
+_RECTS = [(j, -180.0 + j * 22.0 + 0.0005, -60.0 + (j % 8) * 15.0 + 0.0005,
+           18.0, 12.0) for j in range(16)]
+_RECT_SQL = ("SELECT j AS rect_id, -180.0 + j*22.0 + 0.0005 AS x0, "
+             "-60.0 + (j % 8)*15.0 + 0.0005 AS y0, 18.0 AS w, 12.0 AS h "
+             "FROM range(16) t(j)")
+
+
+def _read(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _docs_geo(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {
+            "doc_id": i,
+            "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+            "lat": (i * 75487 % 170000) / 1000.0 - 85.0,
+        }
+
+    return ds.map_batches(add_geo, batch_format="numpy")
+
+
+# --------------------------------------------------------------- queries --
+
+
+def _q01_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+         "l_discount"])
+
+    # exact integer aggregation: per-row scaled cents, summed as int64 —
+    # associative, so distributed and single-threaded sums agree exactly
+    def cents(b: dict) -> dict:
+        b["qty_c"] = np.rint(b["l_quantity"] * 100).astype(np.int64)
+        b["base_c"] = np.rint(b["l_extendedprice"] * 100).astype(np.int64)
+        b["disc_c"] = np.rint(b["l_extendedprice"] * (1 - b["l_discount"])
+                              * 10000).astype(np.int64)
+        return b
+
+    out = (ds.map_batches(cents, batch_format="numpy")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                        Sum("base_c", alias_name="sum_base_c"),
+                        Sum("disc_c", alias_name="sum_disc_c"),
+                        Count(alias_name="count_order"))
+             .to_pandas())
+    out["sum_qty"] = out["sum_qty_c"] / 100.0
+    out["sum_base_price"] = out["sum_base_c"] / 100.0
+    out["sum_disc_price"] = out["sum_disc_c"] / 10000.0
+    out["avg_qty"] = (out["sum_qty_c"] // out["count_order"]).astype("int64")
+    _ = Mean
+    return out[["l_returnflag", "l_linestatus", "sum_qty",
+                "sum_base_price", "sum_disc_price", "avg_qty",
+                "count_order"]]
+
+
+_Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice*100, 0) AS BIGINT)) / 100.0
+         AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice*(1 - l_discount)*10000, 0) AS BIGINT))
+         / 10000.0 AS sum_disc_price,
+       SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) // COUNT(*)
+         AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q02_order_status(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "orders")
+
+    def cents(b: dict) -> dict:
+        return {"o_orderstatus": b["o_orderstatus"],
+                "tp_c": np.rint(np.asarray(b["o_totalprice"]) * 100
+                                ).astype(np.int64)}
+
+    out = (ds.map_batches(cents, batch_format="numpy")
+             .groupby("o_orderstatus")
+             .aggregate(Count(alias_name="n_orders"),
+                        Sum("tp_c", alias_name="tp_sum"))
+             .to_pandas())
+    out["total"] = out["tp_sum"] / 100.0
+    return out[["o_orderstatus", "n_orders", "total"]]
+
+
+_Q02_SQL = ("SELECT o_orderstatus, COUNT(*) AS n_orders, "
+            "SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) / 100.0 "
+            "AS total FROM orders GROUP BY o_orderstatus")
+
+
+def _q03_top_customers(sf_dir: str):
+    """Broadcast-join orders to customer names, top 10 by revenue."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name"]).to_pandas()
+    name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
+    ds = _read(sf_dir, "orders")
+
+    def cents(b: dict) -> dict:
+        return {"o_custkey": b["o_custkey"],
+                "tp_c": np.rint(np.asarray(b["o_totalprice"]) * 100
+                                ).astype(np.int64)}
+
+    agg = (ds.map_batches(cents, batch_format="numpy")
+           .groupby("o_custkey")
+           .aggregate(Sum("tp_c", alias_name="rev_c"))
+           .to_pandas())
+    agg["c_name"] = agg["o_custkey"].map(name_of)
+    agg["revenue"] = agg["rev_c"] / 100.0
+    agg = agg.sort_values(["revenue", "o_custkey"],
+                          ascending=[False, True]).head(10)
+    return agg[["o_custkey", "c_name", "revenue"]].reset_index(drop=True)
+
+
+_Q03_SQL = """
+SELECT o_custkey, c_name,
+       SUM(CAST(ROUND(o_totalprice*100, 0) AS BIGINT)) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY o_custkey, c_name
+ORDER BY revenue DESC, o_custkey LIMIT 10
+"""
+
+
+def _q04_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events")
+
+    def scaled(b: dict) -> dict:
+        return {"event_type": b["event_type"],
+                "v_c": np.rint(np.asarray(b["value"]) * 10000
+                               ).astype(np.int64)}
+
+    out = (ds.map_batches(scaled, batch_format="numpy")
+             .groupby("event_type")
+             .aggregate(Count(alias_name="n"),
+                        Sum("v_c", alias_name="v_sum")).to_pandas())
+    out["sum_value"] = out["v_sum"] / 10000.0
+    return out[["event_type", "n", "sum_value"]]
+
+
+_Q04_SQL = ("SELECT event_type, COUNT(*) AS n, "
+            "SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) / 10000.0 "
+            "AS sum_value FROM events GROUP BY event_type")
+
+
+def _q05_webmerc(sf_dir: str):
+    from proj_ray.stages import reproject
+
+    ds = reproject(_docs_geo(sf_dir), "+proj=webmerc +ellps=WGS84",
+                   out_x="x", out_y="y")
+
+    def rnd(b: dict) -> dict:
+        return {"doc_id": b["doc_id"], "x": np.round(b["x"], 4),
+                "y": np.round(b["y"], 4)}
+
+    return ds.map_batches(rnd, batch_format="numpy")
+
+
+_Q05_SQL = f"""
+WITH geo AS ({_GEO_SQL})
+SELECT doc_id,
+       ROUND(6378137.0 * radians(lon), 4) AS x,
+       ROUND(6378137.0 * ln(tan(pi()/4 + radians(lat)/2)), 4) AS y
+FROM geo
+"""
+
+
+def _q06_tiles(sf_dir: str):
+    from proj_ray.stages import with_tiles
+
+    ds = with_tiles(_docs_geo(sf_dir), zoom=8)
+
+    def pick(b: dict) -> dict:
+        return {"doc_id": b["doc_id"], "tile_x": b["tile_x"],
+                "tile_y": b["tile_y"]}
+
+    return ds.map_batches(pick, batch_format="numpy")
+
+
+_Q06_SQL = f"""
+WITH geo AS ({_GEO_SQL})
+SELECT doc_id,
+  CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0 * 256), 0), 255) AS BIGINT)
+    AS tile_x,
+  CAST(LEAST(GREATEST(floor((1 - ln(tan(pi()/4 + radians(lat)/2))/pi())/2
+    * 256), 0), 255) AS BIGINT) AS tile_y
+FROM geo
+"""
+
+
+def _q07_tile_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    return (with_tiles(_docs_geo(sf_dir), zoom=5)
+            .groupby(["tile_x", "tile_y"])
+            .aggregate(Count(alias_name="n")))
+
+
+_Q07_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (SELECT
+  CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0 * 32), 0), 31) AS BIGINT)
+    AS tile_x,
+  CAST(LEAST(GREATEST(floor((1 - ln(tan(pi()/4 + radians(lat)/2))/pi())/2
+    * 32), 0), 31) AS BIGINT) AS tile_y
+ FROM geo)
+SELECT tile_x, tile_y, COUNT(*) AS n FROM t GROUP BY tile_x, tile_y
+"""
+
+
+def _q08_grid_cells(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from proj_ray.cells import grid_cell
+
+    def cellify(b: dict) -> dict:
+        return {"cell": grid_cell(b["lon"], b["lat"], 1.0)}
+
+    return (_docs_geo(sf_dir)
+            .map_batches(cellify, batch_format="numpy")
+            .groupby("cell").aggregate(Count(alias_name="n")))
+
+
+_Q08_SQL = f"""
+WITH geo AS ({_GEO_SQL})
+SELECT CAST(floor(lon + 180.0) * 180 + floor(lat + 90.0) AS BIGINT) AS cell,
+       COUNT(*) AS n
+FROM geo GROUP BY 1
+"""
+
+
+def _q09_pip_rect(sf_dir: str):
+    from proj_ray.join import PolygonIndex
+    from proj_ray.stages import spatial_join
+
+    ids = [r[0] for r in _RECTS]
+    rx = [np.array([x0, x0 + w, x0 + w, x0]) for _, x0, y0, w, h in _RECTS]
+    ry = [np.array([y0, y0, y0 + h, y0 + h]) for _, x0, y0, w, h in _RECTS]
+    idx = PolygonIndex(ids, rx, ry)
+    out = spatial_join(_docs_geo(sf_dir), idx, how="inner")
+
+    def pick(b):
+        return b[["doc_id", "poly_id"]].rename(
+            columns={"poly_id": "rect_id"})
+
+    return out.map_batches(pick, batch_format="pandas")
+
+
+_Q09_SQL = f"""
+WITH geo AS ({_GEO_SQL}), rects AS ({_RECT_SQL})
+SELECT doc_id, rect_id
+FROM geo JOIN rects
+  ON lon > x0 AND lon < x0 + w AND lat > y0 AND lat < y0 + h
+"""
+
+
+def _q10_knn(sf_dir: str):
+    from proj_ray.stages import knn_brute
+
+    geo = _docs_geo(sf_dir)
+    qrows = sorted(geo.filter(lambda r: r["doc_id"] < 5).take(5),
+                   key=lambda r: r["doc_id"])
+    res = knn_brute(geo, [r["lon"] for r in qrows],
+                    [r["lat"] for r in qrows], k=5, id_col="doc_id",
+                    geodesic=False)
+    res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    res["qid"] = res["qid"].astype("int64")
+    res["neighbor_id"] = res["neighbor_id"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return res[["qid", "neighbor_id", "rank"]]
+
+
+_Q10_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+m AS (SELECT doc_id, 6378137.0*radians(lon) AS x,
+             6378137.0*ln(tan(pi()/4 + radians(lat)/2)) AS y FROM geo),
+q AS (SELECT * FROM m WHERE doc_id < 5),
+d AS (SELECT q.doc_id AS qid, m.doc_id AS neighbor_id,
+             (q.x-m.x)*(q.x-m.x) + (q.y-m.y)*(q.y-m.y) AS d2
+      FROM q CROSS JOIN m),
+r AS (SELECT qid, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY d2, neighbor_id) AS rank
+      FROM d)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def _q11_dedup_exact(sf_dir: str):
+    from proj_ray.functions.dedup import dedup_exact
+
+    return dedup_exact(_read(sf_dir, "documents"), "text", "doc_id")
+
+
+_Q11_SQL = "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def _q12_token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from proj_ray.functions.text import simple_token_count
+
+    ds = _read(sf_dir, "documents")
+
+    def feats(b: dict) -> dict:
+        return {"lang": b["lang"],
+                "n_chars": np.asarray(b["n_chars"], dtype=np.int64),
+                "n_tokens": simple_token_count(b["text"])}
+
+    out = (ds.map_batches(feats, batch_format="numpy")
+             .groupby("lang")
+             .aggregate(Count(alias_name="n_docs"),
+                        Sum("n_chars", alias_name="sum_chars"),
+                        Sum("n_tokens", alias_name="sum_tokens"))
+             .to_pandas())
+    return out
+
+
+_Q12_SQL = """
+SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
+       SUM(CASE WHEN length(text) > 0
+           THEN length(text) - length(replace(text, ' ', '')) + 1
+           ELSE 0 END) AS sum_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def _q13_part_brand(sf_dir: str):
+    """Broadcast small side (part) into the lineitem scan, pre-aggregate
+    per batch, then a tiny groupby — no shuffle of lineitem rows."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _read(sf_dir, "part").select_columns(
+        ["p_partkey", "p_brand"]).to_pandas()
+    keys = part["p_partkey"].to_numpy()
+    brands = part["p_brand"].to_numpy()
+    lookup = np.empty(int(keys.max()) + 1, dtype=object)
+    lookup[keys] = brands
+    ref = ray.put(lookup)
+
+    def tag(b: dict) -> dict:
+        lk = ray.get(ref)
+        brand = lk[np.asarray(b["l_partkey"], dtype=np.int64)]
+        import pandas as pd
+
+        df = pd.DataFrame({
+            "p_brand": brand,
+            "qty_c": np.rint(np.asarray(b["l_quantity"]) * 100
+                             ).astype(np.int64)})
+        g = df.groupby("p_brand", as_index=False).agg(
+            partial_qty=("qty_c", "sum"),
+            partial_n=("qty_c", "size"))
+        return {"p_brand": g["p_brand"].to_numpy(),
+                "partial_qty": g["partial_qty"].to_numpy(dtype=np.int64),
+                "partial_n": g["partial_n"].to_numpy(dtype=np.int64)}
+
+    out = (_read(sf_dir, "lineitem")
+           .select_columns(["l_partkey", "l_quantity"])
+           .map_batches(tag, batch_format="numpy")
+           .groupby("p_brand")
+           .aggregate(Sum("partial_qty", alias_name="qty_sum"),
+                      Sum("partial_n", alias_name="n_items"))
+           .to_pandas())
+    out["sum_qty"] = out["qty_sum"] / 100.0
+    return out[["p_brand", "sum_qty", "n_items"]]
+
+
+_Q13_SQL = """
+SELECT p_brand,
+       SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) / 100.0 AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def _q14_ann(sf_dir: str):
+    from proj_ray.functions.ann import ann_brute
+
+    ds = _read(sf_dir, "embeddings")
+    qrows = sorted(ds.filter(lambda r: r["vec_id"] < 5).take(5),
+                   key=lambda r: r["vec_id"])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    res = ann_brute(ds, Q, k=5)
+    res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    res["qid"] = res["qid"].astype("int64")
+    res["neighbor_id"] = res["neighbor_id"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return res[["qid", "neighbor_id", "rank"]]
+
+
+_Q14_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+           WHERE vec_id < 5),
+d AS (SELECT q.qid, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding, e.embedding) AS cos
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT qid, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM d)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def _q15_region_nation(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    rn = dict(zip(region["r_regionkey"], region["r_name"]))
+    nation["r_name"] = nation["n_regionkey"].map(rn)
+    import ray.data as rd
+
+    cust = _read(sf_dir, "customer")
+    nmap = dict(zip(nation["n_nationkey"], nation["r_name"]))
+
+    def tag(b: dict) -> dict:
+        import pandas as pd
+
+        r = pd.Series(np.asarray(b["c_nationkey"])).map(nmap)
+        return {"r_name": r.to_numpy()}
+
+    return (cust.map_batches(tag, batch_format="numpy")
+                .groupby("r_name").aggregate(Count(alias_name="n_cust")))
+
+
+_Q15_SQL = """
+SELECT r_name, COUNT(*) AS n_cust
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- rows-only queries (no SQL equivalent; verified in pytest instead) ----
+
+
+def _q16_utm(sf_dir: str):
+    from proj_ray.stages import reproject
+
+    ds = reproject(_docs_geo(sf_dir), "+proj=utm +zone=31 +ellps=WGS84",
+                   out_x="utm_x", out_y="utm_y")
+
+    def pick(b: dict) -> dict:
+        return {"doc_id": b["doc_id"], "utm_x": b["utm_x"],
+                "utm_y": b["utm_y"]}
+
+    return ds.map_batches(pick, batch_format="numpy")
+
+
+def _q17_geodesic(sf_dir: str):
+    from proj_ray.geodesic import WGS84_GEOD
+
+    def dist(b: dict) -> dict:
+        lat = np.clip(b["lat"], -89.9, 89.9)
+        s, a1, _ = WGS84_GEOD.inverse(
+            np.zeros_like(lat), np.zeros_like(lat), lat, b["lon"])
+        return {"doc_id": b["doc_id"], "dist_m": s, "azi": a1}
+
+    return _docs_geo(sf_dir).map_batches(dist, batch_format="numpy")
+
+
+def _q18_text_quality(sf_dir: str):
+    from proj_ray.functions.text import text_stats
+
+    out = text_stats(_read(sf_dir, "documents"))
+    return out.select_columns(["doc_id", "n_tokens", "quality",
+                               "lang_guess", "fingerprint"])
+
+
+def _q19_minhash_pairs(sf_dir: str):
+    from proj_ray.functions.dedup import dedup_minhash_lsh
+
+    return dedup_minhash_lsh(_read(sf_dir, "documents"), "text", "doc_id",
+                             threshold=0.6)
+
+
+def _q20_simhash(sf_dir: str):
+    from proj_ray.functions.dedup import simhash64
+
+    def sh(b: dict) -> dict:
+        return {"doc_id": b["doc_id"],
+                "simhash": simhash64([str(t) for t in b["text"]])}
+
+    return _read(sf_dir, "documents").map_batches(
+        sh, batch_format="numpy", batch_size=2048)
+
+
+def _q21_images_tiles(sf_dir: str):
+    """Flagship slice over the synthetic images table: cells + tiles +
+    per-tile counts (rows scale with sf via documents row count)."""
+    from ray.data.aggregate import Count
+
+    from proj_ray.images import images_dataset
+    from proj_ray.stages import with_cells, with_tiles
+
+    n = _read(sf_dir, "documents").count() * 4
+    ds = images_dataset(n, parallelism=8)
+    ds = with_cells(ds, level=7)
+    ds = with_tiles(ds, zoom=7)
+    return (ds.groupby(["tile_z", "tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n_images")))
+
+
+def _q22_images_join(sf_dir: str):
+    from proj_ray.images import images_dataset
+    from proj_ray.join import PolygonIndex
+    from proj_ray.stages import spatial_join
+
+    ids = [r[0] for r in _RECTS]
+    rx = [np.array([x0, x0 + w, x0 + w, x0]) for _, x0, y0, w, h in _RECTS]
+    ry = [np.array([y0, y0, y0 + h, y0 + h]) for _, x0, y0, w, h in _RECTS]
+    idx = PolygonIndex(ids, rx, ry)
+    n = _read(sf_dir, "documents").count() * 2
+    out = spatial_join(images_dataset(n, parallelism=8), idx, how="inner")
+
+    def pick(b):
+        return b[["image_id", "poly_id", "lon", "lat"]]
+
+    return out.map_batches(pick, batch_format="pandas")
+
+
+def _q23_ivf(sf_dir: str):
+    from proj_ray.functions.ann import ann_ivf
+
+    ds = _read(sf_dir, "embeddings")
+    qrows = sorted(ds.filter(lambda r: r["vec_id"] < 5).take(5),
+                   key=lambda r: r["vec_id"])
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    return ann_ivf(ds, Q, k=5, nprobe=8)
+
+
+def _q24_dedup_images(sf_dir: str):
+    from proj_ray.functions.dedup import dedup_exact
+
+    from proj_ray.images import images_dataset
+
+    n = _read(sf_dir, "documents").count()
+    return dedup_exact(images_dataset(n, parallelism=8), "phash",
+                       "image_id")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
+    return _q21_images_tiles("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _q01_pricing,
+        "q02_order_status": _q02_order_status,
+        "q03_top_customers": _q03_top_customers,
+        "q04_events_by_type": _q04_events_by_type,
+        "q05_webmerc": _q05_webmerc,
+        "q06_tiles": _q06_tiles,
+        "q07_tile_counts": _q07_tile_counts,
+        "q08_grid_cells": _q08_grid_cells,
+        "q09_pip_rect_join": _q09_pip_rect,
+        "q10_knn": _q10_knn,
+        "q11_dedup_exact": _q11_dedup_exact,
+        "q12_token_stats": _q12_token_stats,
+        "q13_part_brand": _q13_part_brand,
+        "q14_ann_cosine": _q14_ann,
+        "q15_region_nation": _q15_region_nation,
+        "q16_utm": _q16_utm,
+        "q17_geodesic": _q17_geodesic,
+        "q18_text_quality": _q18_text_quality,
+        "q19_minhash_pairs": _q19_minhash_pairs,
+        "q20_simhash": _q20_simhash,
+        "q21_images_tiles": _q21_images_tiles,
+        "q22_images_join": _q22_images_join,
+        "q23_ann_ivf": _q23_ivf,
+        "q24_dedup_images": _q24_dedup_images,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": _Q01_SQL,
+        "q02_order_status": _Q02_SQL,
+        "q03_top_customers": _Q03_SQL,
+        "q04_events_by_type": _Q04_SQL,
+        "q05_webmerc": _Q05_SQL,
+        "q06_tiles": _Q06_SQL,
+        "q07_tile_counts": _Q07_SQL,
+        "q08_grid_cells": _Q08_SQL,
+        "q09_pip_rect_join": _Q09_SQL,
+        "q10_knn": _Q10_SQL,
+        "q11_dedup_exact": _Q11_SQL,
+        "q12_token_stats": _Q12_SQL,
+        "q13_part_brand": _Q13_SQL,
+        "q14_ann_cosine": _Q14_SQL,
+        "q15_region_nation": _Q15_SQL,
+    }

@@ -1,0 +1,198 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "headline_rows": R, "headline_rows_per_s": T}
+
+--scaling: runs the headline spatial pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency (speedup / cpu-ratio).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_tag(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def geotag_dataset(n_rows: int, parallelism: int = 64):
+    """Geotagged rows without pixel payloads: the spatial-bench input
+    (arithmetic-only synthesis, embarrassingly parallel)."""
+    import ray.data as rd
+
+    from proj_ray.images import geotags
+
+    shard = max(1, n_rows // parallelism)
+    items = [{"start": s, "count": min(shard, n_rows - s)}
+             for s in range(0, n_rows, shard)]
+
+    def gen(batch: dict) -> dict:
+        outs = {"image_id": [], "lon": [], "lat": []}
+        for s, c in zip(batch["start"], batch["count"]):
+            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
+            lon, lat = geotags(idx)
+            outs["image_id"].append(idx)
+            outs["lon"].append(lon)
+            outs["lat"].append(lat)
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    return rd.from_items(items).map_batches(gen, batch_format="numpy")
+
+
+def headline_spatial(n_rows: int) -> int:
+    """The north-star pipeline: geotags -> webmerc cells -> z/x/y tiles ->
+    PIP join against a broadcast polygon index -> per-tile aggregate."""
+    from ray.data.aggregate import Count
+
+    from proj_ray.join import PolygonIndex
+    from proj_ray.stages import spatial_join, with_cells, with_tiles
+
+    import __ray_entry__ as E
+
+    ds = geotag_dataset(n_rows)
+    ds = with_cells(ds, level=10)
+    ds = with_tiles(ds, zoom=10)
+    ids = [r[0] for r in E._RECTS]
+    rx = [np.array([x0, x0 + w, x0 + w, x0])
+          for _, x0, y0, w, h in E._RECTS]
+    ry = [np.array([y0, y0, y0 + h, y0 + h])
+          for _, x0, y0, w, h in E._RECTS]
+    idx = PolygonIndex(ids, rx, ry)
+    joined = spatial_join(ds, idx, how="inner", concurrency=(2, 8))
+    agg = (joined.groupby(["tile_x", "tile_y"])
+                 .aggregate(Count(alias_name="n")))
+    total = 0
+    for b in agg.iter_batches(batch_format="numpy"):
+        total += int(b["n"].sum())
+    return total
+
+
+def run_suite(sf_dir: str) -> dict:
+    import __ray_entry__ as E
+
+    import ray.data as rd
+
+    lineitem_rows = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet").count()
+    n_headline = lineitem_rows * 4
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    matched = timed("headline_spatial", lambda: headline_spatial(n_headline))
+
+    def consume(ds):
+        if hasattr(ds, "iter_batches"):
+            n = 0
+            for b in ds.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(ds)
+
+    timed("q01_pricing_summary", lambda: consume(E._q01_pricing(sf_dir)))
+    timed("q05_webmerc", lambda: consume(E._q05_webmerc(sf_dir)))
+    timed("q07_tile_counts", lambda: consume(E._q07_tile_counts(sf_dir)))
+    timed("q09_pip_rect_join", lambda: consume(E._q09_pip_rect(sf_dir)))
+    timed("q10_knn", lambda: consume(E._q10_knn(sf_dir)))
+    timed("q11_dedup_exact", lambda: consume(E._q11_dedup_exact(sf_dir)))
+    timed("q14_ann_cosine", lambda: consume(E._q14_ann(sf_dir)))
+    timed("q16_utm", lambda: consume(E._q16_utm(sf_dir)))
+    timed("q18_text_quality", lambda: consume(E._q18_text_quality(sf_dir)))
+    timed("q24_dedup_images_small", lambda: consume(
+        E._q24_dedup_images(sf_dir.replace("sf0.1", "sf0.01"))
+        if "sf0.1" in sf_dir else E._q24_dedup_images(sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "spatial-join+tile-assignment suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_tag(sf_dir),
+        "num_cpus": NUM_CPUS,
+        "headline_rows": n_headline,
+        "headline_matched_rows": matched,
+        "headline_rows_per_s": round(
+            n_headline / timings["headline_spatial"], 1),
+    }
+
+
+def run_headline_once(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    lineitem_rows = rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+    n = lineitem_rows * 4
+    t0 = time.time()
+    matched = headline_spatial(n)
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "rows": n, "matched": matched,
+            "sec": round(dt, 3), "rows_per_s": round(n / dt, 1)}
+
+
+def main() -> None:
+    if "--headline-once" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--headline-once") + 1])
+        print(json.dumps(run_headline_once(SF_DIR, cpus)))
+        return
+    if "--scaling" in sys.argv:
+        results = []
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--headline-once", str(cpus)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        lo, hi = results
+        speedup = lo["sec"] / hi["sec"]
+        eff = speedup / (hi["num_cpus"] / lo["num_cpus"])
+        print(json.dumps({
+            "metric": "headline spatial pipeline scaling 8->32 cpus",
+            "value": round(eff, 3),
+            "unit": "efficiency",
+            "runs": results,
+            "speedup": round(speedup, 3),
+            "sf": _sf_tag(SF_DIR),
+        }))
+        return
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    result = run_suite(SF_DIR)
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

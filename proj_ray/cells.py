@@ -1,0 +1,179 @@
+"""Cell indexing: the shuffle key of the engine.
+
+Two schemes, both vectorized uint64 kernels:
+
+- `cell_id` / `cell_to_xyz` — quadtree cells on the Web-Mercator plane
+  with Morton (Z-order) interleaving, S2-style: a cell id encodes
+  (level, tx, ty) of the webmerc z/x/y tile pyramid. Spatial locality of
+  the id ordering keeps groupby/shuffle partitions geographically
+  coherent (cf. the reference's own cell projections s2/qsc/healpix/isea,
+  src/projections/s2.cpp:33-85, as precedent for cell-gridding the
+  sphere; the webmerc math is merc.cpp:76-84).
+- `grid_cell` — trivial equal-angle lon/lat grid id (SQL-expressible,
+  used for DuckDB oracle cross-checks).
+
+Skew handling (`salt_cells`) splits hot cells into `salt` sub-keys, the
+explicit remedy for Zipfian geotag clusters before a groupby.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WEBMERC_A = 6378137.0
+MAX_LEVEL = 29  # 2 * 29 + 5 bits level < 64
+
+_B = [
+    0x5555555555555555,
+    0x3333333333333333,
+    0x0F0F0F0F0F0F0F0F,
+    0x00FF00FF00FF00FF,
+    0x0000FFFF0000FFFF,
+]
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 32 bits of x to even bit positions (Morton)."""
+    x = x.astype(np.uint64)
+    x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+    x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+    return x
+
+
+def _compact1by1(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64) & np.uint64(0x5555555555555555)
+    x = (x | (x >> np.uint64(1))) & np.uint64(0x3333333333333333)
+    x = (x | (x >> np.uint64(2))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x >> np.uint64(4))) & np.uint64(0x00FF00FF00FF00FF)
+    x = (x | (x >> np.uint64(8))) & np.uint64(0x0000FFFF0000FFFF)
+    x = (x | (x >> np.uint64(16))) & np.uint64(0x00000000FFFFFFFF)
+    return x
+
+
+def lonlat_to_webmerc(lon_deg: np.ndarray, lat_deg: np.ndarray):
+    """Spherical web-mercator forward (EPSG:3857; merc.cpp:76-84)."""
+    lam = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    phi = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        x = WEBMERC_A * lam
+        y = WEBMERC_A * np.arcsinh(np.tan(phi))
+    return x, y
+
+
+def webmerc_to_lonlat(x: np.ndarray, y: np.ndarray):
+    lon = np.degrees(np.asarray(x, dtype=np.float64) / WEBMERC_A)
+    lat = np.degrees(np.arctan(np.sinh(
+        np.asarray(y, dtype=np.float64) / WEBMERC_A)))
+    return lon, lat
+
+
+def tile_xy(x_merc: np.ndarray, y_merc: np.ndarray, level: int):
+    """Webmerc plane -> integer tile (tx, ty) at `level` (y down)."""
+    n = np.uint64(1) << np.uint64(level)
+    world = 2 * np.pi * WEBMERC_A
+    fx = (np.asarray(x_merc, dtype=np.float64) + np.pi * WEBMERC_A) / world
+    fy = (np.pi * WEBMERC_A - np.asarray(y_merc, dtype=np.float64)) / world
+    nn = int(n)
+    tx = np.clip(np.floor(fx * nn), 0, nn - 1)
+    ty = np.clip(np.floor(fy * nn), 0, nn - 1)
+    bad = ~(np.isfinite(fx) & np.isfinite(fy))
+    tx = np.where(bad, 0, tx).astype(np.int64)
+    ty = np.where(bad, 0, ty).astype(np.int64)
+    return tx, ty, bad
+
+
+def cell_id(lon_deg, lat_deg, level: int) -> np.ndarray:
+    """Encode (level, morton(tx, ty)) into an int64 cell id.
+
+    Layout: bits [5 + 2*level) = morton code, low 5 bits = level.
+    Invalid coordinates map to cell id -1.
+    """
+    if not (0 <= level <= MAX_LEVEL):
+        raise ValueError(f"level must be in [0, {MAX_LEVEL}]")
+    lat_arr = np.asarray(lat_deg, dtype=np.float64)
+    lon_arr = np.asarray(lon_deg, dtype=np.float64)
+    invalid = (~np.isfinite(lat_arr) | ~np.isfinite(lon_arr)
+               | (np.abs(lat_arr) > 90.0))
+    x, y = lonlat_to_webmerc(lon_arr, lat_arr)
+    tx, ty, bad = tile_xy(x, y, level)
+    bad = bad | invalid
+    m = (_part1by1(tx.astype(np.uint64))
+         | (_part1by1(ty.astype(np.uint64)) << np.uint64(1)))
+    cid = ((m << np.uint64(5)) | np.uint64(level)).astype(np.int64)
+    return np.where(bad, np.int64(-1), cid)
+
+
+def cell_to_tile(cell: np.ndarray):
+    """Decode cell id -> (level, tx, ty)."""
+    c = np.asarray(cell).astype(np.uint64)
+    level = (c & np.uint64(31)).astype(np.int64)
+    m = c >> np.uint64(5)
+    tx = _compact1by1(m).astype(np.int64)
+    ty = _compact1by1(m >> np.uint64(1)).astype(np.int64)
+    return level, tx, ty
+
+
+def cell_parent(cell: np.ndarray, parent_level: int) -> np.ndarray:
+    level, tx, ty = cell_to_tile(cell)
+    shift = (level - parent_level).astype(np.int64)
+    txp = (tx >> shift).astype(np.uint64)
+    typ = (ty >> shift).astype(np.uint64)
+    m = _part1by1(txp) | (_part1by1(typ) << np.uint64(1))
+    return ((m << np.uint64(5)) | np.uint64(parent_level)).astype(np.int64)
+
+
+def cell_neighbors(cell: np.ndarray, include_self: bool = True) -> np.ndarray:
+    """The 3x3 ring of a cell (clamped at pyramid edges, wrapped in x).
+
+    Returns shape (n, 9) (or (n, 8)) of int64 ids; duplicates possible at
+    edges — callers dedup per row if needed.
+    """
+    level, tx, ty = cell_to_tile(cell)
+    n = (np.int64(1) << level)
+    out = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if not include_self and dx == 0 and dy == 0:
+                continue
+            nx = (tx + dx) % n  # wrap around antimeridian
+            ny = np.clip(ty + dy, 0, n - 1)
+            m = (_part1by1(nx.astype(np.uint64))
+                 | (_part1by1(ny.astype(np.uint64)) << np.uint64(1)))
+            out.append(((m << np.uint64(5))
+                        | level.astype(np.uint64)).astype(np.int64))
+    return np.stack(out, axis=1)
+
+
+def grid_cell(lon_deg, lat_deg, res_deg: float = 1.0) -> np.ndarray:
+    """Equal-angle grid id = row-major index over a res_deg lon/lat grid.
+
+    Deliberately simple so a DuckDB oracle can reproduce it:
+      cell = floor((lon+180)/res) * ceil(180/res) + floor((lat+90)/res)
+    """
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    nlat = int(np.ceil(180.0 / res_deg))
+    ix = np.floor((lon + 180.0) / res_deg)
+    iy = np.floor((lat + 90.0) / res_deg)
+    return (ix * nlat + iy).astype(np.int64)
+
+
+def salt_cells(cell: np.ndarray, row_key: np.ndarray,
+               hot_cells: set | dict, salt: int) -> np.ndarray:
+    """Split hot cells into `salt` sub-keys: salted = cell * salt + h.
+
+    `hot_cells` comes from a census pass (groupby(cell).count() above a
+    threshold); `row_key` is any stable per-row integer (e.g. a hash of
+    image_id) so the split is deterministic. Non-hot cells get sub-key 0,
+    so `salted // salt` always recovers the original cell.
+    """
+    cell = np.asarray(cell, dtype=np.int64)
+    rk = np.asarray(row_key, dtype=np.int64)
+    if not hot_cells:
+        return cell * np.int64(salt)
+    hot = np.isin(cell, np.fromiter(hot_cells, dtype=np.int64))
+    sub = np.where(hot, np.abs(rk) % salt, 0)
+    return cell * np.int64(salt) + sub

@@ -1,0 +1,299 @@
+"""Deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes:
+  - exact: hash-partition on the key (groupby) + per-group min — the
+    shuffle moves only (key, id) pairs after a projection.
+  - MinHash-LSH: per-batch signature computation (vectorized), band
+    buckets as the groupby key (shingle -> minhash -> band -> bucket
+    groupby), candidate pairs verified with exact Jaccard inside
+    map_groups. No all-pairs comparison ever happens.
+  - SimHash: 64-bit signatures, near-dup = hamming distance <= t within
+    bucket groups keyed by bit-band.
+  - embedding cosine: LSH random-hyperplane buckets then exact cosine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+
+def _stable_u64(strings) -> np.ndarray:
+    """Deterministic 64-bit hash per string (blake2b, process-stable)."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = np.frombuffer(
+            hashlib.blake2b(str(s).encode(), digest_size=8).digest(),
+            dtype=np.uint64)[0]
+    return out
+
+
+# ------------------------------------------------------------- exact ------
+
+
+def dedup_exact(ds, key_col: str, id_col: str):
+    """Keep exactly one row (min id) per duplicate group of `key_col`.
+
+    Pattern: project to (key, id) -> groupby(key).min(id) -> the winner
+    set is small; callers can semi-join it back to fetch full rows.
+    Returns a Dataset of (key_col, id_col) winners.
+    """
+    from ray.data.aggregate import Min
+
+    return (ds.select_columns([key_col, id_col])
+              .groupby(key_col)
+              .aggregate(Min(id_col, alias_name=id_col)))
+
+
+def dedup_exact_rows(ds, key_col: str, id_col: str):
+    """Full-row variant: per-group first row by id (map_groups)."""
+
+    def first(g):
+        return g.sort_values(id_col).head(1)
+
+    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------- shingling -----
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    b = text.encode("utf-8", errors="ignore")
+    if len(b) <= k:
+        return np.array([hash(b) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+    # rolling window hashes, vectorized over byte windows
+    arr = np.frombuffer(b, dtype=np.uint8)
+    n = len(arr) - k + 1
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+    mult = np.array([31 ** (k - 1 - j) for j in range(k)], dtype=np.uint64)
+    return (windows.astype(np.uint64) * mult[None, :]).sum(axis=1)[:n]
+
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+class MinHasher:
+    """Per-actor state: the (a, b) permutation tables, built once."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5,
+                 bands: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, (1 << 61) - 1, size=num_perm,
+                              dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, size=num_perm,
+                              dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        # (num_perm, n_shingles) permuted hash, take min
+        with np.errstate(over="ignore"):
+            h = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        return h.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray) -> list[int]:
+        keys = []
+        for bi in range(self.bands):
+            chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
+            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8,
+                                     salt=bi.to_bytes(8, "little")).digest()
+            keys.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFF)
+        return keys
+
+
+def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
+    sa = set(_shingles(a, k).tolist())
+    sb = set(_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def dedup_minhash_lsh(ds, text_col: str, id_col: str,
+                      threshold: float = 0.7, num_perm: int = 64,
+                      bands: int = 16, concurrency=(2, 8)):
+    """Near-duplicate pairs via MinHash LSH.
+
+    Stages: actor-pool signatures -> flat_map to (band_key, id, text-ref)
+    -> groupby(band_key) -> within-bucket exact n-gram Jaccard verify ->
+    distinct pairs. Returns a Dataset of {id_a, id_b, jaccard}.
+    """
+
+    class Signer:
+        def __init__(self):
+            self.mh = MinHasher(num_perm=num_perm, bands=bands)
+
+        def __call__(self, batch):
+            import pandas as pd
+
+            rows = []
+            for tid, text in zip(batch[id_col], batch[text_col]):
+                sig = self.mh.signature(str(text))
+                for key in self.mh.band_keys(sig):
+                    rows.append((key, tid, str(text)))
+            return pd.DataFrame(rows, columns=["band", "rid", "text"])
+
+    sigs = ds.map_batches(Signer, batch_format="pandas",
+                          batch_size=1024, concurrency=concurrency)
+
+    def verify(group):
+        import pandas as pd
+
+        g = group.drop_duplicates("rid").sort_values("rid")
+        out = []
+        ids = g["rid"].tolist()
+        texts = g["text"].tolist()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = jaccard_ngrams(texts[i], texts[j])
+                if jac >= threshold:
+                    out.append((ids[i], ids[j], jac))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    pairs = sigs.groupby("band").map_groups(verify, batch_format="pandas")
+
+    def dedup_pairs(batch):
+        import pandas as pd
+
+        return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) else \
+            pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
+
+    # pairs found in several bands: final distinct
+    return pairs.groupby("id_a").map_groups(dedup_pairs,
+                                            batch_format="pandas")
+
+
+# ------------------------------------------------------------- simhash ----
+
+
+def simhash64(texts, k: int = 4) -> np.ndarray:
+    """64-bit SimHash of character k-gram hashes, vectorized per doc."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        sh = _shingles(str(t), k)
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        v = (bits * 2 - 1).sum(axis=0)
+        h = np.uint64(0)
+        for bpos in range(64):
+            if v[bpos] > 0:
+                h |= np.uint64(1) << np.uint64(bpos)
+        out[i] = np.int64(h.astype(np.int64))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a).astype(np.int64).view(np.uint64)
+         ^ np.asarray(b).astype(np.int64).view(np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return cnt
+
+
+def dedup_simhash(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                  concurrency=(2, 8)):
+    """Near-dup pairs with SimHash: 4 16-bit bands as bucket keys (any
+    pair within hamming<=3 of 64 bits shares at least one exact band)."""
+
+    def sign(batch):
+        import pandas as pd
+
+        sh = simhash64([str(t) for t in batch[text_col]])
+        rows = []
+        for rid, h in zip(batch[id_col], sh):
+            hu = np.uint64(np.int64(h).view(np.uint64) if hasattr(h, "view")
+                           else np.int64(h))
+            for band in range(4):
+                key = int((int(hu) >> (band * 16)) & 0xFFFF) | (band << 16)
+                rows.append((key, rid, int(h)))
+        return pd.DataFrame(rows, columns=["band", "rid", "simhash"])
+
+    sigs = ds.map_batches(sign, batch_format="pandas", batch_size=2048)
+
+    def verify(group):
+        import pandas as pd
+
+        g = group.drop_duplicates("rid").sort_values("rid")
+        ids = g["rid"].to_numpy()
+        hs = g["simhash"].to_numpy()
+        out = []
+        for i in range(len(ids)):
+            if i + 1 < len(ids):
+                d = hamming64(np.full(len(ids) - i - 1, hs[i]), hs[i + 1:])
+                for joff in np.flatnonzero(d <= max_hamming):
+                    out.append((ids[i], ids[i + 1 + joff],
+                                int(d[joff])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = sigs.groupby("band").map_groups(verify, batch_format="pandas")
+
+    def distinct(batch):
+        import pandas as pd
+
+        return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) else \
+            pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+
+    return pairs.groupby("id_a").map_groups(distinct, batch_format="pandas")
+
+
+# ------------------------------------------------- embedding near-dup -----
+
+
+def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
+                    nbits: int = 8, seed: int = 42, dim: int | None = None,
+                    concurrency=(2, 8)):
+    """Embedding-cosine near-dup: random-hyperplane LSH buckets, exact
+    cosine verify within buckets. Returns {id_a, id_b, cosine}."""
+
+    class Bucketer:
+        def __init__(self, d):
+            rng = np.random.default_rng(seed)
+            self.planes = None
+            self.d = d
+            self.rng_state = rng
+
+        def __call__(self, batch):
+            import pandas as pd
+
+            vecs = np.stack([np.asarray(v, dtype=np.float64)
+                             for v in batch[vec_col]])
+            if self.planes is None:
+                self.planes = np.random.default_rng(seed).normal(
+                    size=(vecs.shape[1], nbits))
+            proj = vecs @ self.planes
+            bits = (proj > 0).astype(np.int64)
+            key = (bits * (1 << np.arange(nbits, dtype=np.int64))).sum(axis=1)
+            norm = np.linalg.norm(vecs, axis=1)
+            return pd.DataFrame({
+                "bucket": key,
+                "rid": np.asarray(batch[id_col]),
+                "vec": [v / n if n > 0 else v
+                        for v, n in zip(vecs, norm)],
+            })
+
+    buck = ds.map_batches(Bucketer, fn_constructor_args=(dim,),
+                          batch_format="pandas", batch_size=4096,
+                          concurrency=concurrency)
+
+    def verify(group):
+        import pandas as pd
+
+        g = group.sort_values("rid")
+        ids = g["rid"].to_numpy()
+        V = np.stack(g["vec"].to_numpy())
+        sims = V @ V.T
+        out = []
+        iu = np.triu_indices(len(ids), k=1)
+        hits = sims[iu] >= threshold
+        for a, b2, s in zip(iu[0][hits], iu[1][hits], sims[iu][hits]):
+            out.append((ids[a], ids[b2], float(s)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+
+    return buck.groupby("bucket").map_groups(verify, batch_format="pandas")

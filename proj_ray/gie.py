@@ -348,7 +348,9 @@ class GieRunner:
         except NotImplementedError:
             res.unsupported += 1
             return
-        if self._angular_input():
+        if any(map(math.isnan, org)) and all(map(math.isnan, t)):
+            d = 0.0  # proj_roundtrip NaN rule (src/4D_api.cpp:203-206)
+        elif self._angular_input():
             d = self._lpz_dist(org, t)
         else:
             d = self._xyz_dist(org, t)

@@ -1,0 +1,303 @@
+"""The images table: deterministic synthesis, codecs, and perceptual hash.
+
+Input shape is the BASELINE input_hint:
+  image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+  caption:string, phash:int64  (+ geotag lon/lat synthesized
+  deterministically).
+
+Container constraints: no PIL/libjpeg, so
+  - bmp: real 24-bit uncompressed BMP encode/decode (pure NumPy)
+  - png: real PNG encode/decode (zlib, filter 0, 8-bit RGB)
+  - jpeg: STUB — a deterministic fake lossy codec ("quantize each channel
+    to a step", PSNR ~ 48 dB) behind the same API, clearly marked. The
+    Ray-side plumbing (schema, batch sizing, actor signature) is real;
+    swap `_fake_jpeg_*` for a libjpeg binding in production.
+
+Everything is seeded by row index only (seed=42 convention) so any worker
+can regenerate any row — the basis for resumable synthesis at scale.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- geotags --
+
+# Zipfian hot spots (a few metro-like clusters receiving ~5% of rows each)
+HOTSPOTS = [
+    (-74.0060, 40.7128),   # New York
+    (2.3522, 48.8566),     # Paris
+    (139.6917, 35.6895),   # Tokyo
+    (-118.2437, 34.0522),  # LA
+]
+HOT_FRACTION = 0.18  # fraction of rows pulled into hot spots
+INVALID_FRACTION = 0.002  # rows with intentionally invalid lat (=91)
+
+
+def geotags(idx: np.ndarray):
+    """Deterministic lon/lat for row indices. Low-discrepancy base scatter
+    (golden-ratio sequence) + hot-spot clusters + invalid tail.
+
+    Pure integer/float arithmetic — reproducible anywhere.
+    """
+    i = np.asarray(idx, dtype=np.int64)
+    # golden-ratio low-discrepancy sequence
+    lon = ((i * 0.6180339887498949) % 1.0) * 360.0 - 180.0
+    lat = ((i * 0.7548776662466927) % 1.0) * 170.1022 - 85.0511
+    h = (i * np.int64(2654435761)) % np.int64(1000)
+    hot = h < int(HOT_FRACTION * 1000)
+    which = (i % len(HOTSPOTS)).astype(np.int64)
+    jitter_lon = (((i * 7919) % 1000) / 1000.0 - 0.5) * 0.5
+    jitter_lat = (((i * 104729) % 1000) / 1000.0 - 0.5) * 0.5
+    for k, (hx, hy) in enumerate(HOTSPOTS):
+        m = hot & (which == k)
+        lon = np.where(m, hx + jitter_lon, lon)
+        lat = np.where(m, hy + jitter_lat, lat)
+    invalid = (i * np.int64(31337)) % np.int64(10000) < int(
+        INVALID_FRACTION * 10000)
+    lat = np.where(invalid, 91.0, lat)
+    return lon, lat
+
+
+# ----------------------------------------------------------------- pixels --
+
+
+def synth_pixels(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic RGB uint8 image for row i (vectorized pattern)."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    base = (i * 37 + r * 11 + c * 7) % 256
+    g = (i * 53 + r * 5 + c * 13) % 256
+    b = (i * 97 + (r + c) * 3) % 256
+    return np.stack([base, g, b], axis=-1).astype(np.uint8)
+
+
+# -------------------------------------------------------------------- bmp --
+
+
+def bmp_encode(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+    row_size = (w * 3 + 3) & ~3
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size,
+                       2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = px[::-1, :, ::-1]  # bottom-up, BGR
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    return header + info + rows.tobytes()
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    offset = struct.unpack("<I", data[10:14])[0]
+    w, h = struct.unpack("<ii", data[18:26])[0:2]
+    bpp = struct.unpack("<H", data[28:30])[0]
+    if bpp != 24:
+        raise ValueError("only 24-bit BMP supported")
+    row_size = (w * 3 + 3) & ~3
+    arr = np.frombuffer(data, dtype=np.uint8, count=row_size * abs(h),
+                        offset=offset).reshape(abs(h), row_size)
+    px = arr[:, :w * 3].reshape(abs(h), w, 3)[:, :, ::-1]
+    if h > 0:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+# -------------------------------------------------------------------- png --
+
+
+def png_encode(px: np.ndarray) -> bytes:
+    h, w, _ = px.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8),
+         px.reshape(h, w * 3)], axis=1).tobytes()
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = 0
+    idat = b""
+    while pos < len(data):
+        ln = struct.unpack(">I", data[pos:pos + 4])[0]
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            if depth != 8 or ctype != 2:
+                raise ValueError("only 8-bit RGB PNG supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    raw = raw.reshape(h, w * 3 + 1)
+    filters = raw[:, 0]
+    px = raw[:, 1:].reshape(h, w, 3).astype(np.int32)
+    # support filter types 0 (none) and 2 (up) which we emit/others raise
+    for r in range(h):
+        f = filters[r]
+        if f == 0:
+            continue
+        elif f == 2 and r > 0:
+            px[r] = (px[r] + px[r - 1]) % 256
+        else:
+            raise ValueError(f"unsupported PNG filter {f}")
+    return px.astype(np.uint8)
+
+
+# ------------------------------------------------------- fake lossy codec --
+
+_FJPG_MAGIC = b"FJPG"
+_FJPG_STEP = 4  # quantization step -> PSNR ~ 48 dB
+
+
+def _fake_jpeg_encode(px: np.ndarray) -> bytes:
+    """STUB lossy codec (no libjpeg in this container): deterministic
+    channel quantization + zlib. NOT a real JPEG — marked by magic."""
+    h, w, _ = px.shape
+    q = (px.astype(np.int32) // _FJPG_STEP).astype(np.uint8)
+    return (_FJPG_MAGIC + struct.pack(">HHB", w, h, _FJPG_STEP)
+            + zlib.compress(q.tobytes(), 6))
+
+
+def _fake_jpeg_decode(data: bytes) -> np.ndarray:
+    if data[:4] != _FJPG_MAGIC:
+        raise ValueError("not a FJPG blob")
+    w, h, step = struct.unpack(">HHB", data[4:9])
+    q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.uint8)
+    px = q.reshape(h, w, 3).astype(np.int32) * step + step // 2
+    return np.clip(px, 0, 255).astype(np.uint8)
+
+
+FORMATS = ("png", "jpeg", "bmp")
+
+
+def encode(px: np.ndarray, fmt: str) -> bytes:
+    if fmt == "bmp":
+        return bmp_encode(px)
+    if fmt == "png":
+        return png_encode(px)
+    if fmt == "jpeg":
+        return _fake_jpeg_encode(px)
+    raise NotImplementedError(f"codec {fmt} not available in this container")
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "bmp":
+        return bmp_decode(data)
+    if fmt == "png":
+        return png_decode(data)
+    if fmt == "jpeg":
+        return _fake_jpeg_decode(data)
+    raise NotImplementedError(f"codec {fmt} not available in this container")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10 * np.log10(255.0 ** 2 / mse))
+
+
+# -------------------------------------------------------------- phash -----
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit average hash of the 8x8-downsampled grayscale image."""
+    g = px.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = np.linspace(0, h, 9).astype(int)
+    xs = np.linspace(0, w, 9).astype(int)
+    blocks = np.empty((8, 8))
+    for r in range(8):
+        for c in range(8):
+            blocks[r, c] = g[ys[r]:max(ys[r + 1], ys[r] + 1),
+                             xs[c]:max(xs[c + 1], xs[c] + 1)].mean()
+    bits = (blocks > blocks.mean()).ravel()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# ------------------------------------------------------------ the table ---
+
+
+def make_images_batch(start: int, count: int, dup_every: int = 97):
+    """Generate rows [start, start+count) of the images table as a dict of
+    NumPy/object arrays (one map_batches-friendly call).
+
+    Every `dup_every`-th row is a pixel-duplicate of the previous row
+    (same phash, new image_id) — the dedup fixture.
+    """
+    idx = np.arange(start, start + count, dtype=np.int64)
+    lon, lat = geotags(idx)
+    sizes = [(16, 16), (32, 24), (64, 48)]
+    image_id = np.array([f"img{i:012d}" for i in idx], dtype=object)
+    fmts = np.array([FORMATS[i % 3] for i in idx], dtype=object)
+    blobs = np.empty(count, dtype=object)
+    ws = np.empty(count, dtype=np.int32)
+    hs = np.empty(count, dtype=np.int32)
+    ph = np.empty(count, dtype=np.int64)
+    caps = np.empty(count, dtype=object)
+    for k, i in enumerate(idx):
+        src = int(i)
+        if dup_every and i % dup_every == 0 and i > 0:
+            src = int(i) - 1  # duplicate content of previous row
+        w, h = sizes[src % 3]
+        px = synth_pixels(src, w, h)
+        fmt = FORMATS[src % 3]
+        fmts[k] = fmt
+        blobs[k] = encode(px, fmt)
+        ws[k] = w
+        hs[k] = h
+        ph[k] = phash64(px)
+        caps[k] = f"caption for img{i} at {lon[k]:.4f},{lat[k]:.4f}"
+    return {
+        "image_id": image_id,
+        "bytes": blobs,
+        "w": ws,
+        "h": hs,
+        "fmt": fmts,
+        "caption": caps,
+        "phash": ph,
+        "lon": lon,
+        "lat": lat,
+    }
+
+
+def images_dataset(n_rows: int, parallelism: int = 8):
+    """A ray.data.Dataset of the synthetic images table, generated
+    shard-wise on workers (nothing materialized on the driver)."""
+    import ray.data as rd
+
+    shard = max(1, n_rows // max(parallelism, 1))
+    starts = list(range(0, n_rows, shard))
+    ds = rd.from_items([{"start": s, "count": min(shard, n_rows - s)}
+                        for s in starts])
+
+    def gen(batch):
+        import pandas as pd
+
+        frames = []
+        for s, c in zip(batch["start"], batch["count"]):
+            frames.append(pd.DataFrame(make_images_batch(int(s), int(c))))
+        return pd.concat(frames, ignore_index=True)
+
+    return ds.map_batches(gen, batch_format="pandas", batch_size=1)

@@ -38,7 +38,17 @@ def coord_error_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return ~(np.isfinite(x) & np.isfinite(y))
 
 
-def apply_error(mask: np.ndarray, c: Coords) -> Coords:
+def apply_error(mask: np.ndarray, c: Coords,
+                nan_in: np.ndarray | None = None) -> Coords:
+    """HUGE_VAL-style in-band error; NaN inputs propagate as NaN (the
+    reference lets NaN flow through untouched, gie treats nan==nan)."""
+    if nan_in is not None and nan_in.any():
+        x, y, z, t = (np.array(a, copy=True) for a in c)
+        err = mask & ~nan_in
+        for a in (x, y, z, t):
+            a[err] = np.inf
+            a[nan_in] = np.nan
+        return x, y, z, t
     if not mask.any():
         return c
     x, y, z, t = (a.copy() for a in c)
@@ -82,6 +92,7 @@ class Operation:
     def fwd(self, c: Coords) -> Coords:
         P = self.P
         x, y, z, t = (np.asarray(a, dtype=np.float64) for a in c)
+        nan_in = np.isnan(x) | np.isnan(y)
         bad = ~(np.isfinite(x) & np.isfinite(y))
         if self.left == UNITS_RADIANS and not self.skip_fwd_prepare:
             lam, phi = x, y
@@ -121,11 +132,12 @@ class Operation:
             x, y, z, t = self._fwd_finalize(x, y, z, t)
             if P.axis is not None:
                 x, y, z, t = _axis_fwd(P.axis, x, y, z, t)
-        return apply_error(bad, (x, y, z, t))
+        return apply_error(bad, (x, y, z, t), nan_in)
 
     def inv(self, c: Coords) -> Coords:
         P = self.P
         x, y, z, t = (np.asarray(a, dtype=np.float64) for a in c)
+        nan_in = np.isnan(x) | np.isnan(y)
         bad = ~(np.isfinite(x) & np.isfinite(y))
         # inv_prepare (src/inv.cpp:39-101)
         if self.skip_inv_prepare:
@@ -171,7 +183,7 @@ class Operation:
                 with np.errstate(invalid="ignore"):
                     phi = np.arctan(P.ell.one_es * np.tan(phi))
             x, y = lam, phi
-        return apply_error(bad, (x, y, z, t))
+        return apply_error(bad, (x, y, z, t), nan_in)
 
     def _fwd_finalize(self, x, y, z, t) -> Coords:
         # src/fwd.cpp:123-174

@@ -1,0 +1,90 @@
+"""Resumable partitioned Parquet output with per-partition lineage.
+
+Layout under `out_dir`:
+  part-<pid>.parquet        one file per partition value
+  _manifest/<pid>.json      written AFTER the part file (atomic rename):
+                            rows, bytes, lineage (engine version, params)
+
+A failed run leaves partitions without manifest entries; `resumable_write`
+skips any partition whose manifest entry exists, so rerunning converges to
+the same output as a single clean run (verified by tests/test_checkpoint).
+
+This is the explicit checkpoint/resume design the reference lacks
+(SURVEY §4: "checkpoint/resume: none — explicit design needed").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+
+def finished_partitions(out_dir: str) -> set:
+    mdir = os.path.join(out_dir, "_manifest")
+    if not os.path.isdir(mdir):
+        return set()
+    return {os.path.splitext(f)[0] for f in os.listdir(mdir)
+            if f.endswith(".json")}
+
+
+def _write_one_partition(pid: str, df, out_dir: str, lineage: dict) -> dict:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    mdir = os.path.join(out_dir, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    part_path = os.path.join(out_dir, f"part-{pid}.parquet")
+    table = pa.Table.from_pandas(df, preserve_index=False)
+    # tmp + rename: a crash mid-write never leaves a manifest entry
+    fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".parquet.tmp")
+    os.close(fd)
+    pq.write_table(table, tmp)
+    os.replace(tmp, part_path)
+    entry = {
+        "pid": pid,
+        "rows": len(df),
+        "bytes": os.path.getsize(part_path),
+        "lineage": lineage,
+    }
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".json.tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(entry, f)
+    os.replace(tmp, os.path.join(mdir, f"{pid}.json"))
+    return entry
+
+
+def resumable_write(ds, out_dir: str, partition_col: str,
+                    lineage: dict | None = None) -> dict:
+    """Write one parquet file per distinct `partition_col` value, skipping
+    partitions already recorded in the manifest. Returns summary stats.
+
+    Partition values must be stable across runs (derive them from input
+    shard ids or key ranges, never from block boundaries).
+    """
+    lineage = dict(lineage or {})
+    from proj_ray import __version__
+
+    lineage.setdefault("engine_version", __version__)
+    done = finished_partitions(out_dir)
+
+    def write_group(g):
+        import pandas as pd
+
+        pid = str(g[partition_col].iloc[0])
+        if pid in done:
+            return pd.DataFrame({"pid": [pid], "rows": [0],
+                                 "skipped": [True]})
+        entry = _write_one_partition(pid, g, out_dir, lineage)
+        return pd.DataFrame({"pid": [pid], "rows": [entry["rows"]],
+                             "skipped": [False]})
+
+    res = ds.groupby(partition_col).map_groups(
+        write_group, batch_format="pandas").take_all()
+    return {
+        "partitions": len(res),
+        "written": sum(1 for r in res if not r["skipped"]),
+        "skipped": sum(1 for r in res if r["skipped"]),
+        "rows_written": sum(r["rows"] for r in res),
+    }

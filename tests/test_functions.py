@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_text_stats(docs_ds):
+    from proj_ray.functions.text import text_stats, simple_token_count
+
+    out = text_stats(docs_ds).to_pandas()
+    assert (out["n_tokens"] >= 0).all()
+    assert (out["quality"].between(0, 1)).all()
+    # token count formula equals the SQL-reproducible expression
+    t = out["text"].fillna("")
+    exp = np.where(t.str.len() > 0,
+                   t.str.len() - t.str.replace(" ", "", regex=False)
+                   .str.len() + 1, 0)
+    assert np.array_equal(out["n_tokens"].to_numpy(), exp)
+
+
+def test_dedup_exact(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import dedup_exact
+
+    rows = [{"key": f"k{i % 10}", "id": i} for i in range(100)]
+    out = dedup_exact(rd.from_items(rows), "key", "id").to_pandas()
+    assert len(out) == 10
+    assert sorted(out["id"]) == list(range(10))
+
+
+def test_minhash_lsh_finds_planted_neardups(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import dedup_minhash_lsh
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": f"unique document number {i} "
+                     f"with totally different content {i * 12345}"})
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " extra"})
+    ds = rd.from_items(rows)
+    pairs = dedup_minhash_lsh(ds, "text", "doc_id",
+                              threshold=0.5).to_pandas()
+    assert ((pairs["id_a"] == 100) & (pairs["id_b"] == 101)).any()
+
+
+def test_simhash_neardups(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import dedup_simhash, simhash64, hamming64
+
+    a = "a long enough piece of text that will produce a simhash value"
+    rows = [{"doc_id": 0, "text": a},
+            {"doc_id": 1, "text": a.replace("value", "value!")},
+            {"doc_id": 2, "text": "completely different content here xyz"}]
+    h = simhash64([r["text"] for r in rows])
+    assert hamming64(h[:1], h[1:2])[0] <= 6
+    pairs = dedup_simhash(rd.from_items(rows), "text", "doc_id",
+                          max_hamming=6).to_pandas()
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 1)).any()
+
+
+def test_ann_brute_vs_oracle(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.ann import ann_brute
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ds.take(5)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    res = ann_brute(ds, Q, k=3)
+    # each query's own vector must be its rank-1 neighbor (cos=1)
+    for qi, r in enumerate(rows):
+        top = res[(res["q"] == qi) & (res["rank"] == 1)]
+        assert top["cosine"].iloc[0] >= 0.9999
+        assert top["nid"].iloc[0] == r["vec_id"]
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.ann import ann_brute, ann_ivf
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ds.take(8)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    exact = ann_brute(ds, Q, k=5)
+    approx = ann_ivf(ds, Q, k=5, nprobe=8)
+    # recall@5 of IVF vs exact should be decent with nprobe=8/64 lists
+    hits = 0
+    for qi in range(len(Q)):
+        e = set(exact[exact["q"] == qi]["nid"])
+        a = set(approx[approx["q"] == qi]["nid"])
+        hits += len(e & a) / max(1, len(e))
+    assert hits / len(Q) >= 0.5
+
+
+def test_dedup_embedding(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import dedup_embedding
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=16)
+    rows = []
+    for i in range(20):
+        rows.append({"vec_id": i, "embedding": rng.normal(size=16)})
+    rows.append({"vec_id": 100, "embedding": base})
+    rows.append({"vec_id": 101, "embedding": base + 1e-3})
+    out = dedup_embedding(rd.from_items(rows), "embedding", "vec_id",
+                          threshold=0.99).to_pandas()
+    assert ((out["id_a"] == 100) & (out["id_b"] == 101)).any()

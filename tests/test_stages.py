@@ -1,0 +1,107 @@
+import numpy as np
+import pytest
+
+
+def test_reproject_dataset(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages import reproject
+
+    rows = [{"lon": 12.0, "lat": 55.0}, {"lon": 2.0, "lat": 49.0}]
+    out = reproject(rd.from_items(rows),
+                    "+proj=utm +zone=32 +ellps=WGS84").to_pandas()
+    assert abs(out["x"][0] - 691875.632137542) < 1e-6
+
+
+def test_cells_tiles_census(ray_session):
+    from proj_ray.images import images_dataset
+    from proj_ray.stages import with_cells, with_tiles, cell_census, \
+        hot_cells, with_salted_cells
+
+    ds = images_dataset(2000, parallelism=4)
+    ds = with_cells(ds, level=6)
+    ds = with_tiles(ds, zoom=6)
+    pdf = ds.to_pandas()
+    valid = pdf[pdf["cell"] >= 0]
+    # cell and tile must agree (cell level == tile zoom here)
+    from proj_ray.cells import cell_to_tile
+
+    lvl, tx, ty = cell_to_tile(valid["cell"].to_numpy())
+    assert np.array_equal(tx, valid["tile_x"].to_numpy())
+    assert np.array_equal(ty, valid["tile_y"].to_numpy())
+    # census: total count equals rows
+    census = cell_census(with_cells(images_dataset(2000, 4), 6)).to_pandas()
+    assert census["n"].sum() == 2000
+    # hotspot cells must show up in the hot set at a low threshold
+    hot = hot_cells(with_cells(images_dataset(2000, 4), 6), threshold=50)
+    assert len(hot) >= 1
+    salted = with_salted_cells(with_cells(images_dataset(2000, 4), 6),
+                               hot, salt=8)
+    sp = salted.to_pandas()
+    assert (sp["cell_salted"] // 8 == sp["cell"]).all()
+
+
+def test_knn_brute_vs_oracle(ray_session):
+    from proj_ray.geodesic import WGS84_GEOD
+    from proj_ray.images import images_dataset
+    from proj_ray.stages import knn_brute
+
+    ds = images_dataset(500, parallelism=4)
+    pdf = ds.to_pandas()
+    q_lon = np.array([2.35, -74.0])
+    q_lat = np.array([48.85, 40.7])
+    res = knn_brute(ds, q_lon, q_lat, k=5)
+    valid = pdf[np.isfinite(pdf.lat) & (pdf.lat.abs() <= 90)]
+    for qi in range(2):
+        d, _, _ = WGS84_GEOD.inverse(
+            np.full(len(valid), q_lat[qi]), np.full(len(valid), q_lon[qi]),
+            valid["lat"].to_numpy(), valid["lon"].to_numpy())
+        order = np.argsort(d, kind="stable")[:5]
+        exp_ids = set(valid["image_id"].to_numpy()[order])
+        got_ids = set(res[res["q"] == qi]["nid"])
+        assert got_ids == exp_ids
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from proj_ray.state import finished_partitions, resumable_write
+
+    rows = [{"part": f"p{i % 4}", "v": i} for i in range(40)]
+    ds = rd.from_items(rows)
+    out = str(tmp_path / "ckpt")
+    st1 = resumable_write(ds, out, "part")
+    assert st1["written"] == 4 and st1["skipped"] == 0
+    assert finished_partitions(out) == {"p0", "p1", "p2", "p3"}
+    # rerun skips everything, output unchanged
+    st2 = resumable_write(ds, out, "part")
+    assert st2["written"] == 0 and st2["skipped"] == 4
+    import pyarrow.parquet as pq
+    import glob
+
+    total = sum(pq.read_table(f).num_rows
+                for f in glob.glob(out + "/part-*.parquet"))
+    assert total == 40
+
+
+def test_partial_checkpoint_resume(ray_session, tmp_path):
+    """Simulate a crash: remove one manifest entry, rerun, converge."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from proj_ray.state import resumable_write
+
+    rows = [{"part": f"p{i % 4}", "v": i} for i in range(40)]
+    ds = rd.from_items(rows)
+    out = str(tmp_path / "ckpt2")
+    resumable_write(ds, out, "part")
+    os.remove(os.path.join(out, "_manifest", "p2.json"))
+    st = resumable_write(ds, out, "part")
+    assert st["written"] == 1 and st["skipped"] == 3
+    import pyarrow.parquet as pq
+
+    total = sum(pq.read_table(f).num_rows
+                for f in glob.glob(out + "/part-*.parquet"))
+    assert total == 40
