@@ -72,8 +72,9 @@ def test_spatial_join_dataset(ray_session):
 
     rows = [{"pid": i, "lon": float(i), "lat": 0.5} for i in range(20)]
     ds = rd.from_items(rows)
-    # one square covering lon 4..9
-    idx = PolygonIndex(["sq"], [np.array([4, 9, 9, 4])],
+    # one square covering lon 4.5..8.5 (off-lattice bounds: boundary
+    # semantics of even-odd ray casting are not exercised)
+    idx = PolygonIndex(["sq"], [np.array([4.5, 8.5, 8.5, 4.5])],
                        [np.array([0, 0, 1, 1])])
     inner = spatial_join(ds, idx, how="inner").to_pandas()
     assert sorted(inner["pid"]) == [5, 6, 7, 8]

@@ -64,7 +64,7 @@ def test_pipeline_push_pop_preserves_z():
 def test_helmert_7param_roundtrip():
     op = create_operation(
         "+proj=helmert +x=100 +y=-50 +z=20 +rx=1 +ry=-2 +rz=3 +s=5 "
-        "+convention=position_vector")
+        "+exact +convention=position_vector")
     X = np.array([3586525.76])
     Y = np.array([762339.58])
     Z = np.array([5201465.44])
