@@ -64,21 +64,33 @@ def _q01_pricing(sf_dir: str):
          "l_discount"])
 
     # exact integer aggregation: per-row scaled cents, summed as int64 —
-    # associative, so distributed and single-threaded sums agree exactly
-    def cents(b: dict) -> dict:
-        b["qty_c"] = np.rint(b["l_quantity"] * 100).astype(np.int64)
-        b["base_c"] = np.rint(b["l_extendedprice"] * 100).astype(np.int64)
-        b["disc_c"] = np.rint(b["l_extendedprice"] * (1 - b["l_discount"])
-                              * 10000).astype(np.int64)
-        return b
+    # associative, so distributed and single-threaded sums agree exactly.
+    # Per-batch partial combine first: the shuffle moves a handful of
+    # (flag, status, partials) rows per block instead of every lineitem.
+    def partial(b: dict) -> dict:
+        import pandas as pd
 
-    out = (ds.map_batches(cents, batch_format="numpy")
+        df = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_c": np.rint(b["l_quantity"] * 100).astype(np.int64),
+            "base_c": np.rint(b["l_extendedprice"] * 100).astype(np.int64),
+            "disc_c": np.rint(b["l_extendedprice"] * (1 - b["l_discount"])
+                              * 10000).astype(np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_c=("qty_c", "sum"), base_c=("base_c", "sum"),
+            disc_c=("disc_c", "sum"), n=("qty_c", "size"))
+        return {k: g[k].to_numpy() for k in g.columns}
+
+    out = (ds.map_batches(partial, batch_format="numpy")
              .groupby(["l_returnflag", "l_linestatus"])
              .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
                         Sum("base_c", alias_name="sum_base_c"),
                         Sum("disc_c", alias_name="sum_disc_c"),
-                        Count(alias_name="count_order"))
+                        Sum("n", alias_name="count_order"))
              .to_pandas())
+    _ = Count
     out["sum_qty"] = out["sum_qty_c"] / 100.0
     out["sum_base_price"] = out["sum_base_c"] / 100.0
     out["sum_disc_price"] = out["sum_disc_c"] / 10000.0

@@ -55,28 +55,75 @@ def geotag_dataset(n_rows: int, parallelism: int = 64):
     return rd.from_items(items).map_batches(gen, batch_format="numpy")
 
 
+class FusedSpatialStage:
+    """One fused actor stage: synth geotags -> webmerc cells -> z/x/y
+    tiles -> PIP join -> per-batch partial tile counts.
+
+    The polygon index is fetched from the object store once per actor;
+    the whole per-row path is a single pass over NumPy arrays, so the
+    only shuffle left is the tiny (tile, partial_count) groupby. This is
+    the fuse-the-sandwich pattern (SURVEY §1.5: compose kernels inside
+    ONE map_batches fn)."""
+
+    def __init__(self, index_ref, zoom: int):
+        import ray
+
+        self.index = ray.get(index_ref)
+        self.zoom = zoom
+
+    def __call__(self, batch: dict) -> dict:
+        from proj_ray.cells import cell_id
+        from proj_ray.images import geotags
+        from proj_ray.tiles import tile_assign
+
+        outs = []
+        for s, c in zip(batch["start"], batch["count"]):
+            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
+            lon, lat = geotags(idx)
+            cell = cell_id(lon, lat, self.zoom)
+            tx, ty, valid = tile_assign(lon, lat, self.zoom)
+            pts, polys = self.index.query(lon, lat)
+            kept = pts[valid[pts]]
+            key = tx[kept] * np.int64(1 << 30) + ty[kept]
+            _ = cell  # cell ids computed to exercise the kernel path
+            cells_u, counts = np.unique(key, return_counts=True)
+            outs.append((cells_u, counts))
+        keys = np.concatenate([o[0] for o in outs]) if outs else \
+            np.empty(0, np.int64)
+        cnts = np.concatenate([o[1] for o in outs]) if outs else \
+            np.empty(0, np.int64)
+        return {"tile_key": keys, "partial_n": cnts.astype(np.int64)}
+
+
 def headline_spatial(n_rows: int) -> int:
-    """The north-star pipeline: geotags -> webmerc cells -> z/x/y tiles ->
-    PIP join against a broadcast polygon index -> per-tile aggregate."""
-    from ray.data.aggregate import Count
+    """The north-star pipeline, fused: geotags -> cells -> tiles -> PIP
+    join -> per-tile aggregate (partial counts inside the actor stage,
+    tiny groupby after)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
 
     from proj_ray.join import PolygonIndex
-    from proj_ray.stages import spatial_join, with_cells, with_tiles
 
     import __ray_entry__ as E
 
-    ds = geotag_dataset(n_rows)
-    ds = with_cells(ds, level=10)
-    ds = with_tiles(ds, zoom=10)
     ids = [r[0] for r in E._RECTS]
     rx = [np.array([x0, x0 + w, x0 + w, x0])
           for _, x0, y0, w, h in E._RECTS]
     ry = [np.array([y0, y0, y0 + h, y0 + h])
           for _, x0, y0, w, h in E._RECTS]
-    idx = PolygonIndex(ids, rx, ry)
-    joined = spatial_join(ds, idx, how="inner", concurrency=(2, 8))
-    agg = (joined.groupby(["tile_x", "tile_y"])
-                 .aggregate(Count(alias_name="n")))
+    ref = ray.put(PolygonIndex(ids, rx, ry))
+    par = max(NUM_CPUS * 4, 16)
+    shard = max(1, n_rows // par)
+    items = [{"start": s, "count": min(shard, n_rows - s)}
+             for s in range(0, n_rows, shard)]
+    ds = rd.from_items(items)
+    agg = (ds.map_batches(FusedSpatialStage,
+                          fn_constructor_args=(ref, 10),
+                          batch_format="numpy", batch_size=4,
+                          concurrency=(2, NUM_CPUS))
+             .groupby("tile_key")
+             .aggregate(Sum("partial_n", alias_name="n")))
     total = 0
     for b in agg.iter_batches(batch_format="numpy"):
         total += int(b["n"].sum())

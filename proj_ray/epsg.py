@@ -1,0 +1,92 @@
+"""Curated static EPSG registry (legacy proj4-style definitions).
+
+The reference resolves `+init=epsg:xxxx` through its SQLite proj.db
+(src/iso19111/factory.cpp); this engine's compute path only needs the
+small set of codes exercised by the conformance corpus and common
+pipelines, so we keep a static dict of their public proj4 definitions
+(as published in the legacy `epsg` init file / spatialreference.org).
+Unknown codes raise NotImplementedError (reported as unsupported, never
+silently wrong).
+"""
+
+EPSG_INIT: dict[int, str] = {
+    # geographic
+    4326: "+proj=longlat +datum=WGS84",
+    4148: "+proj=longlat +ellps=WGS84 +towgs84=0,0,0",
+    4152: "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",
+    4190: "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",
+    4211: "+proj=longlat +ellps=bessel +towgs84=-377,681,-50,0,0,0,0",
+    4230: "+proj=longlat +ellps=intl +towgs84=-87,-98,-121,0,0,0,0",
+    4237: "+proj=longlat +ellps=GRS67 +towgs84=52.17,-71.82,-14.9,0,0,0,0",
+    4275: "+proj=longlat +a=6378249.2 +b=6356515 "
+          "+towgs84=-168,-60,320,0,0,0,0",
+    4283: "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",
+    4289: "+proj=longlat +ellps=bessel "
+          "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,"
+          "4.0725",
+    4313: "+proj=longlat +ellps=intl "
+          "+towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,-1.2747",
+    4674: "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",
+    4742: "+proj=longlat +ellps=GRS80 +towgs84=0,0,0",
+    4807: "+proj=longlat +a=6378249.2 +b=6356515 "
+          "+towgs84=-168,-60,320,0,0,0,0 +pm=paris",
+    # geocentric
+    4978: "+proj=geocent +datum=WGS84",
+    # projected
+    2049: "+proj=tmerc +lat_0=0 +lon_0=21 +k=1 +x_0=0 +y_0=0 +axis=wsu "
+          "+ellps=WGS84 +towgs84=0,0,0 +units=m",
+    2192: "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=2.337229166666667 "
+          "+k_0=0.99987742 +x_0=600000 +y_0=2200000 +ellps=intl "
+          "+towgs84=-87,-98,-121,0,0,0,0 +units=m",
+    3001: "+proj=merc +lon_0=110 +k=0.997 +x_0=3900000 +y_0=900000 "
+          "+ellps=bessel +towgs84=-377,681,-50,0,0,0,0 +units=m",
+    3577: "+proj=aea +lat_1=-18 +lat_2=-36 +lat_0=0 +lon_0=132 +x_0=0 "
+          "+y_0=0 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    3857: "+proj=merc +a=6378137 +b=6378137 +lat_ts=0 +lon_0=0 +x_0=0 "
+          "+y_0=0 +k=1 +units=m +nadgrids=@null",
+    23700: "+proj=somerc +lat_0=47.14439372222222 "
+           "+lon_0=19.04857177777778 +k_0=0.99993 +x_0=650000 "
+           "+y_0=200000 +ellps=GRS67 +towgs84=52.17,-71.82,-14.9,0,0,0,0 "
+           "+units=m",
+    25832: "+proj=utm +zone=32 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    25833: "+proj=utm +zone=33 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    26915: "+proj=utm +zone=15 +datum=NAD83",
+    27572: "+proj=lcc +lat_1=46.8 +lat_0=46.8 +lon_0=0 +k_0=0.99987742 "
+           "+x_0=600000 +y_0=2200000 +a=6378249.2 +b=6356515 "
+           "+towgs84=-168,-60,320,0,0,0,0 +pm=paris +units=m",
+    28354: "+proj=utm +zone=54 +south +ellps=GRS80 +towgs84=0,0,0 "
+           "+units=m",
+    28992: "+proj=sterea +lat_0=52.15616055555555 "
+           "+lon_0=5.38763888888889 +k=0.9999079 +x_0=155000 +y_0=463000 "
+           "+ellps=bessel "
+           "+towgs84=565.417,50.3319,465.552,-0.398957,0.343988,-1.8774,"
+           "4.0725 +units=m",
+    31370: "+proj=lcc +lat_1=51.16666723333333 +lat_2=49.8333339 "
+           "+lat_0=90 +lon_0=4.367486666666666 +x_0=150000.013 "
+           "+y_0=5400088.438 +ellps=intl "
+           "+towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,"
+           "-1.2747 +units=m",
+    32631: "+proj=utm +zone=31 +datum=WGS84",
+}
+
+
+def resolve_init(spec: str) -> str:
+    """Resolve 'epsg:NNNN' to a proj definition or raise."""
+    try:
+        authority, code = spec.split(":", 1)
+    except ValueError as exc:
+        raise NotImplementedError(
+            f"operator not implemented: init file {spec}") from exc
+    if authority.lower() != "epsg":
+        raise NotImplementedError(
+            f"operator not implemented: init file {authority}")
+    try:
+        icode = int(code)
+    except ValueError as exc:
+        raise NotImplementedError(
+            f"operator not implemented: init epsg:{code}") from exc
+    if icode not in EPSG_INIT:
+        raise NotImplementedError(
+            f"operator not implemented: init epsg:{icode} (not in static "
+            "registry)")
+    return EPSG_INIT[icode]

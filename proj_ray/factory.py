@@ -258,8 +258,15 @@ def _cs2cs_emulation(op: Operation, kv: dict, ps: ParamSet) -> None:
 def _create_single(kv: dict) -> Operation:
     _ensure_registered()
     if "init" in kv:
-        raise NotImplementedError(
-            "operator not implemented: init-file resolution")
+        # legacy init expansion: init entries are appended after explicit
+        # args, so explicit args win (src/init.cpp:212-332 semantics)
+        from proj_ray.epsg import resolve_init
+        from proj_ray.params import tokenize
+
+        defn = resolve_init(str(kv["init"]))
+        kv = {k: v for k, v in kv.items() if k != "init"}
+        for k, v in tokenize(defn):
+            kv.setdefault(k, v)
     kv = _expand_datum(kv)
     ps = ParamSet(kv)
     name = ps.s("proj")

@@ -307,8 +307,12 @@ class Geodesic:
         B12 = self._sin_cos_series(True, ssig2_f, csig2_f, C1)
         s12 = self.b * A1 * (sig12_f + (B12 - B11))
 
-        # equatorial special case: both on equator, short enough arc
-        equat = (sb1 == 0) & (sb2 == 0) & (lam12 <= np.pi * (1 - self.f))
+        # equatorial special case: both within ~2e-9 rad of the equator
+        # (the Newton iteration's sig12 is degenerate there: csig ~ 0 and
+        # ssig ~ 0 simultaneously at azi ~ 90; the along-equator distance
+        # is exact to O(a*bet^2) ~ 1e-7 m at this threshold)
+        equat = ((np.abs(sb1) < 1e-7) & (np.abs(sb2) < 1e-7)
+                 & (lam12 <= np.pi * (1 - self.f)))
         s12 = np.where(equat, self.a * lam12, s12)
         salp1_f = np.where(equat, 1.0, salp1_f)
         calp1_f = np.where(equat, 0.0, calp1_f)

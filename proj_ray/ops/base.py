@@ -262,6 +262,8 @@ class Common:
         if self.k0 <= 0:
             raise ValueError("k <= 0")
         self.phi0 = ps.r("lat_0")
+        if abs(self.phi0) > S.HALFPI:
+            raise ValueError("|lat_0| should be <= 90")
         self.lam0 = ps.r("lon_0")
         self.x0 = ps.f("x_0")
         self.y0 = ps.f("y_0")
