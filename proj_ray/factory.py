@@ -101,6 +101,12 @@ def _ensure_registered() -> None:
     except ImportError:
         pass
     try:
+        from proj_ray.ops import tinshift as ts
+
+        ts.register_all(register)
+    except ImportError:
+        pass
+    try:
         from proj_ray.ops import geodesic_ops as go
 
         go.register_all(register)

@@ -58,6 +58,7 @@ class ShiftGrid:
     lon_shift: np.ndarray | None = None
     lat_shift: np.ndarray | None = None
     values: np.ndarray | None = None
+    raw0: np.ndarray | None = None  # unconverted sample 0 (tif vgrid use)
     children: list["ShiftGrid"] = field(default_factory=list)
     is_null: bool = False
 
@@ -145,6 +146,72 @@ def _read_gtx(path: str) -> list[ShiftGrid]:
     return [g]
 
 
+def _tiff_to_shiftgrid(g) -> ShiftGrid:
+    """Convert a TiffGrid to the hgrid/vgrid ShiftGrid form
+    (GTiffHGridShiftSet semantics, grids.cpp:2540-2620): sample roles by
+    DESCRIPTION (default 0=lat,1=lon), UNITTYPE arc-second/degree/radian,
+    positive_value west negation; single-sample grids become vertical."""
+    ns = g.samples.shape[2]
+    idx_lat, idx_lon = -1, -1
+    for i in range(ns):
+        d = g.sample_meta.get(i, {}).get("DESCRIPTION", "")
+        if d == "latitude_offset":
+            idx_lat = i
+        elif d == "longitude_offset":
+            idx_lon = i
+    idx_vert = -1
+    for i in range(ns):
+        d = g.sample_meta.get(i, {}).get("DESCRIPTION", "")
+        if d in ("geoid_undulation", "vertical_offset",
+                 "ellipsoidal_height_offset", "hydroid_height"):
+            idx_vert = i
+    if idx_lat < 0 and idx_lon < 0 and idx_vert < 0 and ns >= 2:
+        idx_lat, idx_lon = 0, 1
+    out = ShiftGrid(
+        west=g.west, south=g.south, east=g.east, north=g.north,
+        resX=g.resX, resY=g.resY, width=g.width, height=g.height)
+
+    def unit_factor(i, default=SEC_TO_RAD):
+        u = g.sample_meta.get(i, {}).get("UNITTYPE", "")
+        if u in ("", "arc-second", "arc-seconds"):
+            return default
+        if u == "degree":
+            return DEG_TO_RAD
+        if u == "radian":
+            return 1.0
+        raise GridUnavailable(f"unsupported UNITTYPE {u}")
+
+    def clean(a):
+        if g.nodata is not None:
+            return np.where(a == g.nodata, np.nan, a)
+        return a
+
+    if idx_lat >= 0 and idx_lon >= 0:
+        sign = -1.0 if g.sample_meta.get(idx_lon, {}).get(
+            "positive_value", "east") == "west" else 1.0
+        out.lat_shift = clean(g.samples[:, :, idx_lat]) \
+            * unit_factor(idx_lat)
+        out.lon_shift = sign * clean(g.samples[:, :, idx_lon]) \
+            * unit_factor(idx_lon)
+        out.raw0 = clean(g.samples[:, :, 0])
+    else:
+        idx_v = idx_vert if idx_vert >= 0 else 0
+        out.values = clean(g.samples[:, :, idx_v])
+        out.raw0 = out.values
+    out.children = [_tiff_to_shiftgrid(c) for c in g.children]
+    return out
+
+
+def _read_tiff_shift(path: str) -> list[ShiftGrid]:
+    from proj_ray.sources.geotiff import read_geotiff_grids
+
+    try:
+        roots = read_geotiff_grids(path)
+    except Exception as exc:  # noqa: BLE001
+        raise GridUnavailable(f"cannot read {path}: {exc}") from exc
+    return [_tiff_to_shiftgrid(g) for g in roots]
+
+
 _GRID_CACHE: dict[str, list[ShiftGrid]] = {}
 
 
@@ -181,6 +248,8 @@ def load_grids(names: str) -> list[ShiftGrid]:
             gs = _read_ntv2(path)
         elif low.endswith(".gtx"):
             gs = _read_gtx(path)
+        elif low.endswith(".tif") or low.endswith(".tiff"):
+            gs = _read_tiff_shift(path)
         else:
             if not optional:
                 any_required_missing = name
@@ -372,7 +441,7 @@ class Vgridshift(Operation):
             fy = gy - iy
             ix2 = np.minimum(ix + 1, grid.width - 1)
             iy2 = np.minimum(iy + 1, grid.height - 1)
-            V = grid.values
+            V = grid.values if grid.values is not None else grid.raw0
             va = V[iy, ix]
             vb = V[iy, ix2]
             vc = V[iy2, ix]
@@ -384,7 +453,8 @@ class Vgridshift(Operation):
             wd = fxy
             vals = np.stack([va, vb, vc, vd])
             ws = np.stack([wa, wb, wc, wd])
-            valid = ~self._nodata(vals)
+            valid = ~self._nodata(vals) & np.isfinite(vals)
+            vals = np.where(valid, vals, 0.0)
             ws = np.where(valid, ws, 0.0)
             tw = ws.sum(axis=0)
             with np.errstate(invalid="ignore", divide="ignore"):
@@ -414,3 +484,412 @@ class Vgridshift(Operation):
 def register_all(register) -> None:
     register(Hgridshift)
     register(Vgridshift)
+    register(Gridshift)
+
+
+# ===================================================================== #
+# Unified GeoTIFF gridshift (reference: src/transformations/gridshift.cpp)
+# ===================================================================== #
+
+ARCSEC_TO_RAD = np.pi / 180.0 / 3600.0
+
+
+def _tiff_grid_list(names: str):
+    """Load GeoTIFF grid trees for a +grids= list."""
+    from proj_ray.sources.geotiff import read_geotiff_grids
+
+    roots = []
+    for name in names.split(","):
+        name = name.strip()
+        optional = name.startswith("@")
+        if optional:
+            name = name[1:]
+        if not name:
+            continue
+        path = None
+        for d in GRID_SEARCH_PATH:
+            cand = os.path.join(d, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        if path is None:
+            if optional:
+                continue
+            raise ValueError(f"gridshift: grid not found: {name}")
+        try:
+            file_roots = read_geotiff_grids(path)
+        except Exception as exc:  # noqa: BLE001
+            raise ValueError(f"gridshift: cannot read {name}: {exc}") \
+                from exc
+        # metadata fallback: grids without TYPE inherit the first grid's
+        # metadata (GTiffGenericGrid::setFirstGrid, grids.cpp:1493-1500)
+        if file_roots:
+            first = file_roots[0]
+
+            def _walk(g):
+                if g is not first and not g.metadata.get("TYPE") \
+                        and first.metadata.get("TYPE"):
+                    merged = dict(first.metadata)
+                    merged.update(g.metadata)
+                    g.metadata = merged
+                    sm = {k: dict(v) for k, v in first.sample_meta.items()}
+                    for k, v in g.sample_meta.items():
+                        sm.setdefault(k, {}).update(v)
+                    g.sample_meta = sm
+                for c in g.children:
+                    _walk(c)
+
+            for g in file_roots:
+                _walk(g)
+        roots.extend(file_roots)
+    if not roots:
+        raise ValueError(f"gridshift: no grid loaded from {names}")
+    return roots
+
+
+class _TiffGridInfo:
+    """Per-grid sample-index semantics (gridshift.cpp grid_interpolate
+    cache block)."""
+
+    def __init__(self, grid, gtype: str, interpolation: str, skip_z: bool):
+        self.grid = grid
+        ns = grid.samples.shape[2]
+        idxX = idxY = idxZ = -1
+        self.easting_northing = False
+        geo = grid.is_geographic
+        for i in range(ns):
+            desc = grid.sample_meta.get(i, {}).get("DESCRIPTION", "")
+            if geo and desc == "latitude_offset":
+                idxY = i
+            elif geo and desc == "longitude_offset":
+                idxX = i
+            elif not geo and desc == "easting_offset":
+                self.easting_northing = True
+                idxX = i
+            elif not geo and desc == "northing_offset":
+                self.easting_northing = True
+                idxY = i
+            elif desc in ("ellipsoidal_height_offset", "geoid_undulation",
+                          "hydroid_height", "vertical_offset"):
+                idxZ = i
+        if ns >= 2 and idxX < 0 and idxY < 0 \
+                and gtype == "HORIZONTAL_OFFSET":
+            if not geo:
+                self.easting_northing = True
+                idxX, idxY = 0, 1
+            else:
+                idxX, idxY = 1, 0
+        if gtype in ("HORIZONTAL_OFFSET", "GEOGRAPHIC_3D_OFFSET") \
+                and (idxX < 0 or idxY < 0):
+            raise ValueError("gridshift: grid has not expected samples")
+        if gtype in ("ELLIPSOIDAL_HEIGHT_OFFSET",
+                     "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL",
+                     "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL",
+                     "GEOGRAPHIC_3D_OFFSET") and idxZ < 0:
+            raise ValueError("gridshift: grid has not expected samples")
+        interp = interpolation or grid.metadata.get(
+            "interpolation_method", "") or "bilinear"
+        if interp not in ("bilinear", "biquadratic"):
+            raise ValueError("gridshift: unsupported interpolation_method")
+        self.bilinear = (interp == "bilinear" or grid.width < 3
+                         or grid.height < 3)
+        self.idxX = idxX
+        self.idxY = idxY
+        self.idxZ = -1 if skip_z else idxZ
+
+
+def _interp_grid(info: _TiffGridInfo, x, y):
+    """Vectorized bilinear/biquadratic sampling. x/y are coordinates in
+    the grid's system (radians if geographic). Returns (sx, sy, sz) with
+    NaN where outside; lat/lon offsets converted arcsec->rad."""
+    g = info.grid
+    gx = (x - g.west) / g.resX
+    gy = (y - g.south) / g.resY
+    ix = np.floor(gx).astype(np.int64)
+    iy = np.floor(gy).astype(np.int64)
+    fx = gx - ix
+    fy = gy - iy
+    # edge snap (REL_TOLERANCE_HGRIDSHIFT rule)
+    sl = (ix == -1) & (fx > 1 - 10 * REL_TOL)
+    ix = np.where(sl, 0, ix)
+    fx = np.where(sl, 0.0, fx)
+    sh = (ix + 1 == g.width) & (fx < 10 * REL_TOL)
+    ix = np.where(sh, ix - 1, ix)
+    fx = np.where(sh, 1.0, fx)
+    sl = (iy == -1) & (fy > 1 - 10 * REL_TOL)
+    iy = np.where(sl, 0, iy)
+    fy = np.where(sl, 0.0, fy)
+    sh = (iy + 1 == g.height) & (fy < 10 * REL_TOL)
+    iy = np.where(sh, iy - 1, iy)
+    fy = np.where(sh, 1.0, fy)
+    ok = (ix >= 0) & (ix + 1 < g.width) & (iy >= 0) & (iy + 1 < g.height)
+
+    def sample(si, jx, jy):
+        return g.samples[np.clip(jy, 0, g.height - 1),
+                         np.clip(jx, 0, g.width - 1), si]
+
+    def nodata_mask(vals):
+        if g.nodata is None:
+            return np.zeros(vals.shape, dtype=bool)
+        return vals == g.nodata
+
+    outs = []
+    if info.bilinear:
+        w00 = (1 - fx) * (1 - fy)
+        w10 = fx * (1 - fy)
+        w01 = (1 - fx) * fy
+        w11 = fx * fy
+        for si in (info.idxX, info.idxY, info.idxZ):
+            if si < 0:
+                outs.append(np.zeros_like(x))
+                continue
+            v00 = sample(si, ix, iy)
+            v10 = sample(si, ix + 1, iy)
+            v01 = sample(si, ix, iy + 1)
+            v11 = sample(si, ix + 1, iy + 1)
+            nod = (nodata_mask(v00) | nodata_mask(v10)
+                   | nodata_mask(v01) | nodata_mask(v11))
+            v = w00 * v00 + w10 * v10 + w01 * v01 + w11 * v11
+            outs.append(np.where(nod, np.nan, v))
+    else:
+        # biquadratic (NOAA qterp): shift 3x3 window per half-pixel rule
+        ix2 = np.where(((fx <= 0.5) & (ix > 0)) | (ix + 2 == g.width),
+                       ix - 1, ix)
+        fx2 = fx + (ix - ix2)
+        iy2 = np.where(((fy <= 0.5) & (iy > 0)) | (iy + 2 == g.height),
+                       iy - 1, iy)
+        fy2 = fy + (iy - iy2)
+
+        def qterp(t, f0, f1, f2):
+            df0 = f1 - f0
+            d2f0 = (f2 - f1) - df0
+            return f0 + t * df0 + 0.5 * t * (t - 1.0) * d2f0
+
+        for si in (info.idxX, info.idxY, info.idxZ):
+            if si < 0:
+                outs.append(np.zeros_like(x))
+                continue
+            rows = []
+            nod = np.zeros(x.shape, dtype=bool)
+            for j in range(3):
+                f0 = sample(si, ix2, iy2 + j)
+                f1 = sample(si, ix2 + 1, iy2 + j)
+                f2 = sample(si, ix2 + 2, iy2 + j)
+                nod |= nodata_mask(f0) | nodata_mask(f1) | nodata_mask(f2)
+                rows.append(qterp(fx2, f0, f1, f2))
+            v = qterp(fy2, rows[0], rows[1], rows[2])
+            outs.append(np.where(nod, np.nan, v))
+    sx, sy, sz = outs
+    if info.idxX >= 0 and info.idxY >= 0 and not info.easting_northing:
+        sx = sx * ARCSEC_TO_RAD
+        sy = sy * ARCSEC_TO_RAD
+    sx = np.where(ok, sx, np.nan)
+    sy = np.where(ok, sy, np.nan)
+    sz = np.where(ok, sz, np.nan)
+    return sx, sy, sz
+
+
+class Gridshift(Operation):
+    """Unified GeoTIFF grid shift (+proj=gridshift)."""
+
+    name = "gridshift"
+    left = UNITS_RADIANS
+    right = UNITS_RADIANS
+
+    def setup(self, ps) -> None:
+        names = ps.s("grids")
+        if not names:
+            raise ValueError("gridshift: +grids parameter missing")
+        self.interpolation = ps.s("interpolation")
+        if self.interpolation not in ("", "bilinear", "biquadratic"):
+            raise ValueError("gridshift: unsupported +interpolation")
+        self.skip_z = ps.flag("no_z_transform")
+        self.roots = _tiff_grid_list(names)
+        # checkGridTypes (gridshift.cpp:124-236)
+        has_horiz = has_geo3d = has_ellh = has_v2v = has_g2v = False
+        for g in self.roots:
+            t = g.metadata.get("TYPE", "")
+            if t == "HORIZONTAL_OFFSET":
+                has_horiz = True
+            elif t == "GEOGRAPHIC_3D_OFFSET":
+                has_geo3d = True
+            elif t == "ELLIPSOIDAL_HEIGHT_OFFSET":
+                has_ellh = True
+            elif t == "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL":
+                has_v2v = True
+            elif t == "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL":
+                has_g2v = True
+            elif t == "":
+                raise ValueError("gridshift: missing TYPE metadata")
+            else:
+                raise ValueError(f"gridshift: unhandled TYPE {t}")
+        if (has_ellh + has_v2v + has_g2v) > 1:
+            raise ValueError("gridshift: unsupported mix of grid types")
+        self.is_horizontal = has_horiz or has_geo3d
+        self.has_horiz = has_horiz
+        if has_geo3d:
+            self.main_type = "GEOGRAPHIC_3D_OFFSET"
+        elif not has_horiz:
+            self.main_type = ("ELLIPSOIDAL_HEIGHT_OFFSET" if has_ellh else
+                              "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL"
+                              if has_g2v else
+                              "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL")
+        else:
+            self.main_type = "HORIZONTAL_OFFSET"
+        self.aux_type = ""
+        if has_horiz:
+            if has_ellh:
+                self.aux_type = "ELLIPSOIDAL_HEIGHT_OFFSET"
+            elif has_g2v:
+                self.aux_type = "VERTICAL_OFFSET_GEOGRAPHIC_TO_VERTICAL"
+            elif has_v2v:
+                self.aux_type = "VERTICAL_OFFSET_VERTICAL_TO_VERTICAL"
+        # constant_offset items (single-grid only, gridshift.cpp:277-296)
+        self.offX = self.offY = 0.0
+        if len(self.roots) == 1:
+            sm = self.roots[0].sample_meta
+            self.offX = float(sm.get(0, {}).get("constant_offset", 0.0))
+            self.offY = float(sm.get(1, {}).get("constant_offset", 0.0))
+        elif any("constant_offset" in v for g in self.roots
+                 for v in g.sample_meta.values()):
+            raise ValueError(
+                "gridshift: constant_offset only supported for one grid")
+        self.projected = any(not g.is_geographic for g in self.roots)
+        if self.projected:
+            self.left = "projected"
+            self.right = "projected"
+        self._info_cache: dict = {}
+
+    def _info(self, g, gtype) -> _TiffGridInfo:
+        key = (id(g), gtype)
+        if key not in self._info_cache:
+            self._info_cache[key] = _TiffGridInfo(
+                g, gtype, self.interpolation, self.skip_z)
+        return self._info_cache[key]
+
+    def _grid_at(self, gtype, x_s, y_s):
+        """Scalar grid lookup mirroring gridAt order: first top grid of
+        matching TYPE whose extent contains the point, descended."""
+        for g in self.roots:
+            t = g.metadata.get("TYPE", "")
+            if t and t != gtype:
+                continue
+            if self._in_extent(g, x_s, y_s):
+                return self._descend(g, x_s, y_s)
+        return None
+
+    @staticmethod
+    def _norm_x(g, x):
+        if g.is_geographic:
+            eps = (g.resX + g.resY) * REL_TOL
+            if x < g.west - eps:
+                x += 2 * np.pi
+            elif x > g.east + eps:
+                x -= 2 * np.pi
+        return x
+
+    def _in_extent(self, g, x, y) -> bool:
+        x = self._norm_x(g, x)
+        eps = 1e-12
+        return (g.west - eps <= x <= g.east + eps
+                and g.south - eps <= y <= g.north + eps)
+
+    def _descend(self, g, x, y):
+        for c in g.children:
+            if self._in_extent(c, x, y):
+                return self._descend(c, x, y)
+        return g
+
+    def _apply(self, x, y, z, forward: bool):
+        n = len(x)
+        ox = np.full(n, np.inf)
+        oy = np.full(n, np.inf)
+        oz = np.full(n, np.inf)
+        # assign each point to a main grid (few grids; scalar descent);
+        # mixed GEO3D + HORIZONTAL sets fall back per point
+        # (gridshift.cpp apply :752-765)
+        assign: dict = {}
+        found_geo3d = np.zeros(n, dtype=bool)
+        geo3d_main = self.main_type == "GEOGRAPHIC_3D_OFFSET"
+        for i in range(n):
+            if not np.isfinite(x[i]):
+                continue
+            g = self._grid_at(self.main_type, float(x[i]), float(y[i]))
+            gt = self.main_type
+            if g is not None and geo3d_main:
+                found_geo3d[i] = True
+            if g is None and geo3d_main and self.has_horiz:
+                gt = "HORIZONTAL_OFFSET"
+                g = self._grid_at(gt, float(x[i]), float(y[i]))
+            if g is not None:
+                assign.setdefault(id(g), (g, gt, []))[2].append(i)
+        vertical_only = self.main_type not in (
+            "HORIZONTAL_OFFSET", "GEOGRAPHIC_3D_OFFSET")
+        for _, (g, gtype, idxs) in assign.items():
+            ii = np.asarray(idxs, dtype=np.int64)
+            info = self._info(g, gtype)
+            xi = np.array([self._norm_x(g, float(v)) for v in x[ii]])
+            yi = y[ii]
+            sx, sy, sz = _interp_grid(info, xi, yi)
+            good = np.isfinite(sx) & np.isfinite(sy)
+            if forward:
+                rx = x[ii] + np.where(info.idxX >= 0, sx, 0.0)
+                ry = yi + np.where(info.idxY >= 0, sy, 0.0)
+                rz = z[ii] + np.where(info.idxZ >= 0, sz, 0.0)
+            elif vertical_only:
+                rx = x[ii]
+                ry = yi
+                rz = z[ii] - np.where(info.idxZ >= 0, sz, 0.0)
+            else:
+                # iterative inverse (bilinear); biquadratic single-step
+                gx = xi - sx
+                gy = yi - sy
+                if info.bilinear:
+                    conv = np.zeros(len(ii), dtype=bool)
+                    for _it in range(10):
+                        s2x, s2y, s2z = _interp_grid(info, gx, gy)
+                        dx = gx + s2x - xi
+                        dy = gy + s2y - yi
+                        okm = np.isfinite(dx) & np.isfinite(dy)
+                        gx = np.where(okm & ~conv, gx - dx, gx)
+                        gy = np.where(okm & ~conv, gy - dy, gy)
+                        conv = conv | (okm & (dx * dx + dy * dy <= 1e-24))
+                        if conv.all():
+                            break
+                    sx2, sy2, sz2 = _interp_grid(info, gx, gy)
+                    sz = np.where(np.isfinite(sz2), sz2, sz)
+                    good = good & conv
+                rx = np.where(g.is_geographic,
+                              S.adjlon(gx), gx)
+                ry = gy
+                rz = z[ii] - np.where(info.idxZ >= 0, sz, 0.0)
+            ox[ii[good]] = rx[good]
+            oy[ii[good]] = ry[good]
+            oz[ii[good]] = rz[good]
+        # aux vertical pass (skipped for points served by a GEO3D grid)
+        if self.aux_type:
+            done = np.isfinite(ox) & ~found_geo3d
+            for i in np.flatnonzero(done):
+                g = self._grid_at(self.aux_type, float(ox[i]), float(oy[i]))
+                if g is None:
+                    ox[i] = oy[i] = oz[i] = np.inf
+                    continue
+                info = self._info(g, self.aux_type)
+                sx, sy, sz = _interp_grid(
+                    info, np.array([self._norm_x(g, float(ox[i]))]),
+                    np.array([oy[i]]))
+                if not np.isfinite(sz[0]):
+                    ox[i] = oy[i] = oz[i] = np.inf
+                    continue
+                oz[i] = oz[i] + sz[0] if forward else oz[i] - sz[0]
+        return ox, oy, oz
+
+    def _fwd(self, lam, phi, z, t) -> Coords:
+        ox, oy, oz = self._apply(lam, phi, z, True)
+        # constant_offset applied after the shift (gridshift.cpp:847-848)
+        return ox + self.offX, oy + self.offY, oz, t
+
+    def _inv(self, lam, phi, z, t) -> Coords:
+        ox, oy, oz = self._apply(lam - self.offX, phi - self.offY, z,
+                                 False)
+        return ox, oy, oz, t
