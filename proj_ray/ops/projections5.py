@@ -1065,6 +1065,12 @@ class August(_Sph):
 
 
 def register_all(register) -> None:
+    try:
+        from proj_ray.ops import projections6 as p6
+
+        p6.register_all(register)
+    except ImportError:
+        pass
     for cls in (Eck1, Eck2, Eck3, Putp1, Wag6, Kav7, Eck4, Eck5, Putp2,
                 Putp3, Putp3p, Putp4p, Weren, Putp5, Putp5p, Putp6,
                 Putp6p, Wag2, Wag3, Wag7, Urmfps, Wag1, Fouc, Kav5,
