@@ -67,6 +67,29 @@ EPSG_INIT: dict[int, str] = {
            "+towgs84=-106.869,52.2978,-103.724,0.3366,-0.457,1.8422,"
            "-1.2747 +units=m",
     32631: "+proj=utm +zone=31 +datum=WGS84",
+    # Pulkovo 1942 (EPSG conversion data, data/sql/geodetic_crs.sql)
+    4284: "+proj=longlat +ellps=krass "
+          "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12",
+    # NAD83(HARN) / Utah North, international feet (conversion 15362)
+    2921: "+proj=lcc +lat_1=41.78333333333333 +lat_2=40.71666666666667 "
+          "+lat_0=40.33333333333334 +lon_0=-111.5 +x_0=500000.0001504 "
+          "+y_0=999999.999996 +ellps=GRS80 +towgs84=0,0,0 +units=ft",
+    # NAD83(HARN) / Utah North, US survey feet (conversion 15297)
+    3568: "+proj=lcc +lat_1=41.78333333333333 +lat_2=40.71666666666667 "
+          "+lat_0=40.33333333333334 +lon_0=-111.5 +x_0=500000.00001016 "
+          "+y_0=999999.99998984 +ellps=GRS80 +towgs84=0,0,0 +units=us-ft",
+    # GDM2000 / East Malaysia BRSO, Hotine oblique Mercator variant A
+    # (conversion 19894)
+    3376: "+proj=omerc +no_uoff +lat_0=4 +lonc=115 +alpha=53.31580995 "
+          "+gamma=53.13010236111111 +k=0.99984 +x_0=0 +y_0=0 +ellps=GRS80 "
+          "+towgs84=0,0,0 +units=m",
+    # GDM2000 / Johor Grid, Cassini-Soldner (conversion 19893)
+    3377: "+proj=cass +lat_0=2.121679744444445 +lon_0=103.42793623611111 "
+          "+x_0=-14810.562 +y_0=8758.32 +ellps=GRS80 +towgs84=0,0,0 "
+          "+units=m",
+    # Pulkovo 1942 / Caspian Sea Mercator, variant B (conversion 19884)
+    3388: "+proj=merc +lat_ts=42 +lon_0=51 +x_0=0 +y_0=0 +ellps=krass "
+          "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12 +units=m",
 }
 
 

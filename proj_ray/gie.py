@@ -359,7 +359,8 @@ class GieRunner:
         else:
             res.fail += 1
             res.failures.append(
-                f"roundtrip {self.op_str[:80]} d={d:.6g} tol={tol:g}")
+                f"roundtrip {self.op_str[:80]} accept="
+                f"{self.accepted[:self.accept_dims]} d={d:.6g} tol={tol:g}")
 
     def dispatch(self, verb: str, args: str) -> None:
         if verb == "operation":

@@ -154,6 +154,63 @@ class PeirceQ(AdamsBase):
             if abs(self.scrolly) > 1:
                 raise ValueError("|scrolly| must be <= 1")
 
+    def _inv(self, x, y, z, t) -> Coords:
+        # Newton inverse with the reference's heuristic seeds, square and
+        # diamond shapes only (src/projections/adams.cpp:318-385).
+        if self.pqshape not in ("square", "diamond"):
+            raise NotImplementedError("peirce_q: no inverse for this shape")
+        QP = np.pi / 4
+        lam0 = np.zeros(x.shape)
+        phi0 = np.zeros(x.shape)
+        center = (x == 0) & (y == 0)
+        if self.pqshape == "square":
+            conds = [
+                (x == 0) & (y < 0),
+                (x > 0) & (np.abs(y) < 1e-7),
+                (x < 0) & (np.abs(y) < 1e-7),
+                (np.abs(x) < 1e-7) & (y > 0),
+                (x >= 0) & (y <= 0),
+                (x >= 0) & (y >= 0),
+                (x <= 0) & (y >= 0) & (np.abs(x) < np.abs(y)),
+                (x <= 0) & (y >= 0),
+            ]
+            lam0 = np.select(conds,
+                             [-QP, QP, -3 * QP, 3 * QP, 0.0, 2 * QP,
+                              np.pi * 0.9, -np.pi * 0.9], -2 * QP)
+            phi0 = np.select(
+                conds[:3],
+                [np.where(np.abs(y) < 2.622057580396, QP, 0.0),
+                 0.0,
+                 np.pi / 2 / 2.622057574224 * x + np.pi / 2], 0.0)
+            phi0 = np.where(center, np.pi / 2, phi0)
+        else:
+            conds = [
+                (x >= 0) & (y <= 0) & (x > 0) & (y == 0),
+                (x >= 0) & (y <= 0) & (x == 0) & (y < 0),
+                (x >= 0) & (y <= 0),
+                (x >= 0) & (y >= 0),
+                (x <= 0) & (y >= 0),
+            ]
+            lam0 = np.select(conds, [2 * QP, 0.0, QP, 3 * QP, -3 * QP], -QP)
+            phi0 = np.select(conds[:2], [0.0, QP], 0.0)
+            far = (np.abs(x) > 1.8540746773013719 + 1e-3) \
+                | (np.abs(y) > 1.8540746773013719 + 1e-3)
+            phi0 = np.where(far, -QP, phi0)
+            phi0 = np.where(center, np.pi / 2, phi0)
+
+        def fwd2(lam_a, phi_a):
+            zz = np.zeros(lam_a.shape)
+            fx, fy, _, _ = self._fwd(lam_a, phi_a, zz, zz)
+            return fx, fy
+
+        lam, phi, bad = generic_inverse_2d(fwd2, x, y, lam0, phi0,
+                                           tol=1e-10)
+        lam = np.where(bad, np.inf, lam)
+        phi = np.where(bad, np.inf, phi)
+        lam = np.where(center, 0.0, lam)
+        phi = np.where(center, np.pi / 2, phi)
+        return lam, phi, z, t
+
     def _ab(self, lam, phi):
         bad = np.zeros(lam.shape, dtype=bool)
         if self.pqshape == "nhemisphere":
@@ -275,42 +332,53 @@ def generic_inverse_2d(fwd2, x, y, lam0, phi0, tol: float = 1e-10,
     dlY = np.zeros(lam.shape)
     dpX = np.zeros(lam.shape)
     dpY = np.zeros(lam.shape)
-    for _ in range(iters):
+    jxl_s = np.zeros(lam.shape)
+    jyp_s = np.zeros(lam.shape)
+    sing = np.zeros(lam.shape, dtype=bool)  # latest recompute was singular
+    for it in range(iters):
         fx, fy = fwd2(lam, phi)
         dx = fx - x
         dy = fy - y
         done = (np.abs(dx) < tol) & (np.abs(dy) < tol)
         if done.all():
             break
-        # inward finite differences (stay inside the domain near edges)
-        dLam = np.where(lam > 0, -1e-6, 1e-6)
-        dPhi = np.where(phi > 0, -1e-6, 1e-6)
-        fx1, fy1 = fwd2(lam + dLam, phi)
-        fx2, fy2 = fwd2(lam, phi + dPhi)
-        jxl = (fx1 - fx) / dLam
-        jyl = (fy1 - fy) / dLam
-        jxp = (fx2 - fx) / dPhi
-        jyp = (fy2 - fy) / dPhi
-        det = jxl * jyp - jxp * jyl
-        ok = (det != 0) & np.isfinite(det)
-        det_safe = np.where(ok, det, 1.0)
-        dlX = np.where(ok, jyp / det_safe, dlX)
-        dlY = np.where(ok, -jxp / det_safe, dlY)
-        dpX = np.where(ok, -jyl / det_safe, dpX)
-        dpY = np.where(ok, jxl / det_safe, dpY)
+        # recompute the jacobian only when far from the target; close to
+        # it the previous (good) derivatives are reused, which also avoids
+        # probing across edge folds (generic_inverse.cpp:59-61)
+        rec = np.ones(lam.shape, dtype=bool) if it == 0 else \
+            (np.abs(dx) > 1e-6) | (np.abs(dy) > 1e-6)
+        if rec.any():
+            # inward finite differences (stay inside the domain near edges)
+            dLam = np.where(lam > 0, -1e-6, 1e-6)
+            dPhi = np.where(phi > 0, -1e-6, 1e-6)
+            fx1, fy1 = fwd2(lam + dLam, phi)
+            fx2, fy2 = fwd2(lam, phi + dPhi)
+            jxl = (fx1 - fx) / dLam
+            jyl = (fy1 - fy) / dLam
+            jxp = (fx2 - fx) / dPhi
+            jyp = (fy2 - fy) / dPhi
+            det = jxl * jyp - jxp * jyl
+            ok = rec & (det != 0) & np.isfinite(det)
+            det_safe = np.where(ok, det, 1.0)
+            dlX = np.where(ok, jyp / det_safe, dlX)
+            dlY = np.where(ok, -jxp / det_safe, dlY)
+            dpX = np.where(ok, -jyl / det_safe, dpX)
+            dpY = np.where(ok, jxl / det_safe, dpY)
+            jxl_s = np.where(rec, jxl, jxl_s)
+            jyp_s = np.where(rec, jyp, jyp_s)
+            sing = np.where(rec, ~((det != 0) & np.isfinite(det)), sing)
         delta_lam = np.clip(dx * dlX + dy * dlY, -0.3, 0.3)
         delta_phi = np.clip(dx * dpX + dy * dpY, -0.3, 0.3)
-        # singular jacobian (e.g. poles where dX/dlam == 0): diagonal
-        # Newton with the CURRENT derivatives converges where the stale
-        # full jacobian stalls
+        # latest jacobian was singular (e.g. at a pole where
+        # dX/dlam == 0): diagonal Newton on the latest derivatives
         with np.errstate(divide="ignore", invalid="ignore"):
-            diag_phi = np.clip(dy / jyp, -0.3, 0.3)
-            diag_lam = np.clip(dx / jxl, -0.3, 0.3)
-        use_diag = ~ok & np.isfinite(jyp) & (np.abs(jyp) > 1e-12)
+            diag_phi = np.clip(dy / jyp_s, -0.3, 0.3)
+            diag_lam = np.clip(dx / jxl_s, -0.3, 0.3)
+        use_diag = sing & np.isfinite(jyp_s) & (np.abs(jyp_s) > 1e-12)
         delta_phi = np.where(use_diag, diag_phi, delta_phi)
         delta_lam = np.where(
             use_diag,
-            np.where(np.isfinite(diag_lam) & (np.abs(jxl) > 1e-12),
+            np.where(np.isfinite(diag_lam) & (np.abs(jxl_s) > 1e-12),
                      diag_lam, 0.0),
             delta_lam)
         delta_lam = np.where(done | (x == 0), 0.0, delta_lam)
