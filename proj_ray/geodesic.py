@@ -138,9 +138,34 @@ class Geodesic:
             return 2 * sinx * cosx * y0
         return cosx * (y0 - y1)
 
+    def _lengths(self, eps, sig12, ssig1, csig1, ssig2, csig2):
+        """Reduced length m12/b and geodesic scales M12/M21 (mirror of
+        geodesic.c Lengths() with the REDUCEDLENGTH|GEODESICSCALE
+        outmask)."""
+        k2 = 4.0 * eps / (1.0 - eps) ** 2
+        dn1 = np.sqrt(1.0 + k2 * ssig1 * ssig1)
+        dn2 = np.sqrt(1.0 + k2 * ssig2 * ssig2)
+        A1 = 1 + self._A1m1(eps)
+        A2 = 1 + self._A2m1(eps)
+        C1 = self._C1(eps)
+        C2 = self._C2(eps)
+        B11 = self._sin_cos_series(True, ssig1, csig1, C1)
+        B12 = self._sin_cos_series(True, ssig2, csig2, C1)
+        B21 = self._sin_cos_series(True, ssig1, csig1, C2)
+        B22 = self._sin_cos_series(True, ssig2, csig2, C2)
+        J12 = (A1 - A2) * sig12 + (A1 * (B12 - B11) - A2 * (B22 - B21))
+        m12b = (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
+                - csig1 * csig2 * J12)
+        csig12 = csig1 * csig2 + ssig1 * ssig2
+        t = k2 * (ssig2 - ssig1) * (ssig2 + ssig1) / (dn1 + dn2)
+        M12 = csig12 + (t * ssig2 - csig2 * J12) * ssig1 / dn1
+        M21 = csig12 - (t * ssig1 - csig1 * J12) * ssig2 / dn2
+        return m12b, M12, M21
+
     # ---- direct problem --------------------------------------------------
-    def direct(self, lat1, lon1, azi1, s12):
-        """Returns (lat2, lon2, azi2), degrees."""
+    def direct(self, lat1, lon1, azi1, s12, extra: bool = False):
+        """Returns (lat2, lon2, azi2), degrees; with extra=True also
+        appends (m12 meters, M12, M21)."""
         lat1 = np.asarray(lat1, dtype=np.float64)
         lon1 = np.asarray(lon1, dtype=np.float64)
         azi1 = np.asarray(azi1, dtype=np.float64)
@@ -202,11 +227,16 @@ class Geodesic:
         lon2 = lon1 + np.degrees(lam12)
         lon2 = (lon2 + 180) % 360 - 180
         azi2 = np.degrees(np.arctan2(salp2, calp2))
+        if extra:
+            m12b, M12, M21 = self._lengths(eps, sig12, ssig1, csig1,
+                                           ssig2, csig2)
+            return lat2, lon2, azi2, self.b * m12b, M12, M21
         return lat2, lon2, azi2
 
     # ---- inverse problem -------------------------------------------------
-    def inverse(self, lat1, lon1, lat2, lon2):
-        """Returns (s12 meters, azi1 deg, azi2 deg).
+    def inverse(self, lat1, lon1, lat2, lon2, extra: bool = False):
+        """Returns (s12 meters, azi1 deg, azi2 deg); with extra=True
+        also appends (m12 meters, M12, M21).
 
         Canonical arrangement per Karney section 5: points swapped so
         |bet1| >= |bet2|, signs set so bet1 <= 0, longitudes so
@@ -330,6 +360,22 @@ class Geodesic:
         azi2 = np.degrees(np.arctan2(sa2, ca2))
         same = (lon12a < 1e-13) & (np.abs(phi1 - phi2) < 1e-13)
         s12 = np.where(same, 0.0, s12)
+        if extra:
+            m12b, M12, M21 = self._lengths(eps_f, sig12_f, ssig1_f,
+                                           csig1_f, ssig2_f, csig2_f)
+            m12 = self.b * m12b
+            # m12 is symmetric under endpoint exchange; the scales swap
+            M12s = np.where(swapp, M21, M12)
+            M21s = np.where(swapp, M12, M21)
+            # equatorial shortcut: k2=0 so sigma = s/b exactly
+            sig_eq = self.a * lam12 / self.b
+            m12 = np.where(equat, self.b * np.sin(sig_eq), m12)
+            M12s = np.where(equat, np.cos(sig_eq), M12s)
+            M21s = np.where(equat, np.cos(sig_eq), M21s)
+            m12 = np.where(same, 0.0, m12)
+            M12s = np.where(same, 1.0, M12s)
+            M21s = np.where(same, 1.0, M21s)
+            return s12, azi1, azi2, m12, M12s, M21s
         return s12, azi1, azi2
 
     def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1, lam12):

@@ -37,15 +37,68 @@ class Gnom(Operation):
     name = "gnom"
 
     def setup(self, ps) -> None:
-        if self.P.es != 0.0:
-            # ellipsoidal gnomonic needs geodesic line machinery
-            raise NotImplementedError(
-                "operator not implemented: gnom (ellipsoidal)")
+        self.ell_mode = self.P.es != 0.0
+        if self.ell_mode:
+            # ellipsoidal gnomonic via the exact geodesic (Karney 2013
+            # sec. 8; mirror of gnom.cpp:120-183): rho = m12/M12, with a
+            # Newton iteration on the geodesic line for the inverse.
+            # The reference then sets P->es = 0 (gnom.cpp:211) which
+            # only affects unrelated prepare steps.
+            from proj_ray.geodesic import Geodesic
+
+            self.geod = Geodesic(1.0, self.P.ell.f)
+            self.lat0_deg = math.degrees(self.P.phi0)
+            return
         self.mode = _mode_of(self.P.phi0)
         self.sinph0 = math.sin(self.P.phi0)
         self.cosph0 = math.cos(self.P.phi0)
 
+    def _fwd_ell(self, lam, phi, z, t) -> Coords:
+        lat0 = np.full(lam.shape, self.lat0_deg)
+        lon0 = np.zeros(lam.shape)
+        _, azi0, _, m, M, _ = self.geod.inverse(
+            lat0, lon0, np.degrees(phi), np.degrees(lam), extra=True)
+        bad = M <= 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho = m / M
+        azi0r = np.radians(azi0)
+        x = np.where(bad, np.inf, rho * np.sin(azi0r))
+        y = np.where(bad, np.inf, rho * np.cos(azi0r))
+        return x, y, z, t
+
+    def _inv_ell(self, x, y, z, t) -> Coords:
+        eps_ = 0.01 * math.sqrt(2.220446049250313e-16)
+        azi0 = np.degrees(np.arctan2(x, y))
+        rho = np.hypot(x, y)
+        s = np.arctan(rho)
+        little = rho <= 1.0
+        rho = np.where(little, rho, 1.0 / np.where(rho == 0, 1.0, rho))
+        lat0 = np.full(x.shape, self.lat0_deg)
+        lon0 = np.zeros(x.shape)
+        lat1 = np.zeros(x.shape)
+        lon1 = np.zeros(x.shape)
+        trip = np.zeros(x.shape, dtype=bool)
+        active = np.isfinite(s)
+        for _ in range(10):
+            la, lo, _, m, M, _ = self.geod.direct(lat0, lon0, azi0, s,
+                                                  extra=True)
+            lat1 = np.where(active, la, lat1)
+            lon1 = np.where(active, lo, lon1)
+            step_active = active & ~trip
+            if not step_active.any():
+                break
+            ds = np.where(little, (m - rho * M) * M, (rho * m - M) * m)
+            s = np.where(step_active, s - ds, s)
+            # reversed test to let NaNs escape (gnom.cpp:172)
+            trip = trip | (step_active & ~(np.abs(ds) >= eps_))
+            active = step_active | trip
+        lam = np.where(trip, np.radians(lon1), np.inf)
+        phi = np.where(trip, np.radians(lat1), np.inf)
+        return lam, phi, z, t
+
     def _fwd(self, lam, phi, z, t) -> Coords:
+        if self.ell_mode:
+            return self._fwd_ell(lam, phi, z, t)
         sinphi = np.sin(phi)
         cosphi = np.cos(phi)
         coslam = np.cos(lam)
@@ -70,6 +123,8 @@ class Gnom(Operation):
         return np.where(bad, np.inf, x), np.where(bad, np.inf, y), z, t
 
     def _inv(self, x, y, z, t) -> Coords:
+        if self.ell_mode:
+            return self._inv_ell(x, y, z, t)
         rh = np.hypot(x, y)
         phi = np.arctan(rh)
         sinz = np.sin(phi)
