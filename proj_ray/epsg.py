@@ -87,6 +87,9 @@ EPSG_INIT: dict[int, str] = {
     3377: "+proj=cass +lat_0=2.121679744444445 +lon_0=103.42793623611111 "
           "+x_0=-14810.562 +y_0=8758.32 +ellps=GRS80 +towgs84=0,0,0 "
           "+units=m",
+    # NZGD2000 / New Zealand Transverse Mercator 2000
+    2193: "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
+          "+y_0=10000000 +ellps=GRS80 +towgs84=0,0,0 +units=m",
     # Pulkovo 1942 / Caspian Sea Mercator, variant B (conversion 19884)
     3388: "+proj=merc +lat_ts=42 +lon_0=51 +x_0=0 +y_0=0 +ellps=krass "
           "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12 +units=m",

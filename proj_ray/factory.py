@@ -112,6 +112,18 @@ def _ensure_registered() -> None:
         go.register_all(register)
     except ImportError:
         pass
+    try:
+        from proj_ray.ops import defmodel as dm
+
+        dm.register_all(register)
+    except ImportError:
+        pass
+    try:
+        from proj_ray.ops import horner as hn
+
+        hn.register_all(register)
+    except ImportError:
+        pass
 
 
 def _build_ellipsoid(ps: ParamSet, proj_name: str) -> Ellipsoid:

@@ -237,7 +237,12 @@ class GieRunner:
         try:
             self.op = create_operation(args)
         except NotImplementedError as exc:
-            self.op_error = "unsupported"
+            # a missing grid file is a real runtime failure (the op IS
+            # implemented): expect-failure sections should match it
+            from proj_ray.ops.gridshift import GridUnavailable
+
+            self.op_error = "grid_missing" \
+                if isinstance(exc, GridUnavailable) else "unsupported"
             key = str(exc).replace("operator not implemented: ", "")
             self.res.unsupported_ops[key] = \
                 self.res.unsupported_ops.get(key, 0) + 1
@@ -250,6 +255,12 @@ class GieRunner:
             res.skip += 1
             return
         expect_failure = args.startswith("failure")
+        if self.op_error == "grid_missing":
+            if expect_failure:
+                res.ok += 1
+            else:
+                res.unsupported += 1
+            return
         if self.op_error == "unsupported":
             res.unsupported += 1
             return
@@ -318,7 +329,7 @@ class GieRunner:
         if self.skip_section:
             res.skip += 1
             return
-        if self.op_error == "unsupported":
+        if self.op_error in ("unsupported", "grid_missing"):
             res.unsupported += 1
             return
         if self.op is None or self.ignore_active:

@@ -146,6 +146,37 @@ def _read_gtx(path: str) -> list[ShiftGrid]:
     return [g]
 
 
+def _read_ct2(path: str) -> list[ShiftGrid]:
+    """CTable2 (nad2bin v2): 160-byte header with doubles at offset 96
+    (west, south, resX, resY in radians) and int32 width/height at 128,
+    then little-endian float32 (lon, lat) pairs row-major from the south
+    (grids.cpp CTable2Grid::open/valueAt).  The stored longitude value
+    uses the NT west-positive convention: hgrid application negates it
+    (compensateNTConvention), while raw reads (velocity grids via
+    pj_hgrid_value) keep it as-is."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:9] != b"CTABLE V2":
+        raise GridUnavailable(f"CT2 {path}: bad magic")
+    west, south, resX, resY = struct.unpack("<dddd", data[96:128])
+    width, height = struct.unpack("<ii", data[128:136])
+    if width <= 0 or height <= 0:
+        raise GridUnavailable(f"CT2 {path}: invalid header")
+    vals = np.frombuffer(data, dtype="<f4", count=width * height * 2,
+                         offset=160).reshape(height, width, 2)
+    raw_lon = vals[:, :, 0].astype(np.float64)
+    raw_lat = vals[:, :, 1].astype(np.float64)
+    g = ShiftGrid(
+        west=west, south=south,
+        east=west + resX * (width - 1),
+        north=south + resY * (height - 1),
+        resX=resX, resY=resY, width=width, height=height,
+        lon_shift=-raw_lon, lat_shift=raw_lat)
+    g.raw_lon = raw_lon
+    g.raw_lat = raw_lat
+    return [g]
+
+
 def _tiff_to_shiftgrid(g) -> ShiftGrid:
     """Convert a TiffGrid to the hgrid/vgrid ShiftGrid form
     (GTiffHGridShiftSet semantics, grids.cpp:2540-2620): sample roles by
@@ -246,6 +277,8 @@ def load_grids(names: str) -> list[ShiftGrid]:
         low = name.lower()
         if low.endswith(".gsb"):
             gs = _read_ntv2(path)
+        elif low.endswith(".ct2"):
+            gs = _read_ct2(path)
         elif low.endswith(".gtx"):
             gs = _read_gtx(path)
         elif low.endswith(".tif") or low.endswith(".tiff"):
