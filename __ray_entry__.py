@@ -108,8 +108,8 @@ SELECT l_returnflag, l_linestatus,
          AS sum_base_price,
        SUM(CAST(ROUND(l_extendedprice*(1 - l_discount)*10000, 0) AS BIGINT))
          / 10000.0 AS sum_disc_price,
-       SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) // COUNT(*)
-         AS avg_qty,
+       CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) // COUNT(*)
+         AS BIGINT) AS avg_qty,
        COUNT(*) AS count_order
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -373,10 +373,11 @@ def _q12_token_stats(sf_dir: str):
 
 
 _Q12_SQL = """
-SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars,
-       SUM(CASE WHEN length(text) > 0
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CASE WHEN length(text) > 0
            THEN length(text) - length(replace(text, ' ', '')) + 1
-           ELSE 0 END) AS sum_tokens
+           ELSE 0 END) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang
 """
 

@@ -45,6 +45,10 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     a = canon(ray_df)
     b = canon(sql_df)
     for c in a.columns:
+        if a[c].dtype != b[c].dtype:
+            return (f"DTYPE mismatch col={c} ray={a[c].dtype} "
+                    f"sql={b[c].dtype} (driver hash would differ)")
+    for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(a[c].dtype, np.floating):
             if not np.allclose(av.astype(float), bv.astype(float),
