@@ -62,7 +62,13 @@ def dedup_exact_rows(ds, key_col: str, id_col: str):
 def _shingles(text: str, k: int = 5) -> np.ndarray:
     b = text.encode("utf-8", errors="ignore")
     if len(b) <= k:
-        return np.array([hash(b) & 0x7FFFFFFFFFFFFFFF], dtype=np.uint64)
+        # blake2b, not builtin hash(): PYTHONHASHSEED salts hash(bytes)
+        # per process, which would give identical short docs different
+        # band keys on different Ray workers.
+        h = np.frombuffer(hashlib.blake2b(b, digest_size=8).digest(),
+                          dtype=np.uint64)[0]
+        return np.array([h & np.uint64(0x7FFFFFFFFFFFFFFF)],
+                        dtype=np.uint64)
     # rolling window hashes, vectorized over byte windows
     arr = np.frombuffer(b, dtype=np.uint8)
     n = len(arr) - k + 1
@@ -172,29 +178,55 @@ def dedup_minhash_lsh(ds, text_col: str, id_col: str,
 
 
 def simhash64(texts, k: int = 4) -> np.ndarray:
-    """64-bit SimHash of character k-gram hashes, vectorized per doc."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        sh = _shingles(str(t), k)
-        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        v = (bits * 2 - 1).sum(axis=0)
-        h = np.uint64(0)
-        for bpos in range(64):
-            if v[bpos] > 0:
-                h |= np.uint64(1) << np.uint64(bpos)
-        out[i] = np.int64(h.astype(np.int64))
-    return out
+    """64-bit SimHash of character k-gram hashes, batch-vectorized.
+
+    All documents' shingle hashes are concatenated, unpacked to a
+    (total_shingles, 64) bit matrix in one pass, per-document bit votes
+    reduced with `np.add.reduceat`, and the sign vector repacked with
+    `np.packbits` — no per-bit Python loop.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    shingle_sets = [_shingles(str(t), k) for t in texts]
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    cat = np.concatenate(shingle_sets).astype("<u8")
+    cat_bytes = cat.view(np.uint8).reshape(-1, 8)  # little-endian bytes
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # per-doc per-bit one-counts via byte histograms: for each of the 8
+    # byte positions, bincount (doc, byte value) then expand the 256
+    # byte values to their 8 bit columns with one tiny matmul — avoids
+    # materializing a (total_shingles, 64) bit matrix.
+    byte_bits = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                              axis=1, bitorder="little").astype(np.int64)
+    votes = np.empty((n, 64), dtype=np.int64)
+    base = doc_idx << 8
+    for p in range(8):
+        hist = np.bincount(base + cat_bytes[:, p],
+                           minlength=n * 256).reshape(n, 256)
+        ones = hist @ byte_bits  # (n, 8) one-counts for bits 8p..8p+7
+        votes[:, 8 * p:8 * p + 8] = 2 * ones - lens[:, None]
+    pos = (votes > 0).astype(np.uint8)
+    packed = np.packbits(pos, axis=1, bitorder="little")
+    return np.ascontiguousarray(packed).view("<u8").ravel().view(np.int64)
+
+
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """SWAR popcount of a^b — 6 vector ops, no 64-iteration loop."""
     x = (np.asarray(a).astype(np.int64).view(np.uint64)
          ^ np.asarray(b).astype(np.int64).view(np.uint64))
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    with np.errstate(over="ignore"):
+        return ((x * _H01) >> np.uint64(56)).astype(np.int64)
 
 
 def dedup_simhash(ds, text_col: str, id_col: str, max_hamming: int = 3,
