@@ -3,12 +3,19 @@
 - `ann_brute`: exact cosine top-k — query matrix broadcast once
   (`ray.put`), per-batch numpy matmul + partial top-k, small global
   merge. The baseline.
-- `ann_ivf`: IVF-style scale path — k-means coarse centroids trained on
-  a sample, vectors routed to their nearest centroid list (the shuffle
-  key), queries probe only `nprobe` lists.
+- `ann_ivf`: IVF-style scale path over an in-memory Dataset — k-means
+  coarse centroids trained on a RANDOM sample, each batch pruned to the
+  union of probed lists, per-query visibility applied with one boolean
+  membership mask (no per-query scan).
+- `ivf_build` / `ann_ivf_index`: the 100-TB shape — vectors routed once
+  into per-list parquet partitions (`partition_cols=["ivf_list"]`), and
+  a query reads ONLY its `nprobe` list partitions from storage, so probe
+  pruning cuts I/O, not just compute.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import numpy as np
 
@@ -50,6 +57,10 @@ def ann_brute(ds, queries: np.ndarray, k: int = 10,
 
     cand = ds.map_batches(local, batch_format="numpy",
                           batch_size=batch_size)
+    return _merge_topk(cand, k)
+
+
+def _merge_topk(cand, k: int):
     import pandas as pd
 
     frames = [b for b in cand.iter_batches(batch_format="pandas")]
@@ -62,12 +73,34 @@ def ann_brute(ds, queries: np.ndarray, k: int = 10,
     return allc.reset_index(drop=True)
 
 
-def train_centroids(ds, vec_col: str = "embedding", n_centroids: int = 64,
-                    sample: int = 10000, iters: int = 10,
-                    seed: int = 42) -> np.ndarray:
-    """Driver-side k-means on a bounded sample (the only materialized
-    piece; centroids are tiny and broadcast afterwards)."""
-    rows = ds.limit(sample).take_all()
+def _stable_mod(ids, m: int) -> np.ndarray:
+    """Deterministic per-id residue (blake2b), process-stable."""
+    out = np.empty(len(ids), dtype=np.uint64)
+    for i, s in enumerate(ids):
+        out[i] = np.frombuffer(
+            hashlib.blake2b(str(s).encode(), digest_size=8).digest(),
+            dtype=np.uint64)[0]
+    return (out % np.uint64(m)).astype(np.int64)
+
+
+def train_centroids(ds, vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_centroids: int = 64, sample: int = 10000,
+                    iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Driver-side k-means on a bounded RANDOM sample: rows are picked by
+    a stable hash of their id (uniform across the dataset, unlike a
+    `limit()` head sample), gathered distributed, materialized only as
+    the <= `sample`-row training set."""
+    n = ds.count()
+    step = max(1, int(n) // max(1, sample))
+
+    def pick(batch):
+        ids = np.asarray(batch[id_col])
+        keep = _stable_mod(ids, step) == 0 if step > 1 else \
+            np.ones(len(ids), dtype=bool)
+        return {vec_col: np.asarray(batch[vec_col], dtype=object)[keep]}
+
+    rows = ds.map_batches(pick, batch_format="numpy") \
+             .limit(sample).take_all()
     X = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
                              for r in rows]))
     rng = np.random.default_rng(seed)
@@ -78,69 +111,126 @@ def train_centroids(ds, vec_col: str = "embedding", n_centroids: int = 64,
             m = assign == ci
             if m.any():
                 v = X[m].mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    C[ci] = v / n
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[ci] = v / nv
     return C
+
+
+def _probe_topk(batch, Qm, Cm, member, k, vec_col, id_col):
+    """Shared per-batch kernel: prune rows to probed lists, then apply
+    per-query list visibility with one (nq, n) mask — no per-query scan."""
+    import pandas as pd
+
+    V = _normalize(_as_matrix(batch[vec_col]))
+    ids = np.asarray(batch[id_col])
+    lists = np.argmax(V @ Cm.T, axis=1)
+    keep = member.any(axis=0)[lists]
+    if not keep.any():
+        return pd.DataFrame({"q": np.empty(0, np.int64),
+                             "nid": np.empty(0, object),
+                             "cosine": np.empty(0, np.float64)})
+    V, ids, lists = V[keep], ids[keep], lists[keep]
+    sims = Qm @ V.T                      # (nq, n_kept)
+    sims[~member[:, lists]] = -np.inf    # per-query probe visibility
+    nq = Qm.shape[0]
+    kk = min(k, sims.shape[1])
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+    qs = np.repeat(np.arange(nq, dtype=np.int64), kk)
+    flat = sims[np.arange(nq)[:, None], part].ravel()
+    good = np.isfinite(flat)
+    return pd.DataFrame({"q": qs[good], "nid": ids[part].ravel()[good],
+                         "cosine": flat[good]})
+
+
+def _membership(Q, C, nprobe: int):
+    """(nq, nlists) bool: which lists each query probes."""
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    member = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
+    member[np.arange(Q.shape[0])[:, None], probe] = True
+    return member
 
 
 def ann_ivf(ds, queries: np.ndarray, k: int = 10, centroids=None,
             nprobe: int = 4, vec_col: str = "embedding",
             id_col: str = "vec_id", batch_size: int = 8192):
-    """IVF cosine top-k: route vectors to their centroid list, probe only
-    the nprobe closest lists per query. Approximate; recall grows with
-    nprobe. Returns DataFrame (q, nid, cosine, rank)."""
+    """IVF cosine top-k over an in-memory Dataset. Approximate; recall
+    grows with nprobe. Returns DataFrame (q, nid, cosine, rank)."""
     import ray
 
     if centroids is None:
-        centroids = train_centroids(ds, vec_col=vec_col)
+        centroids = train_centroids(ds, vec_col=vec_col, id_col=id_col)
     C = np.asarray(centroids, dtype=np.float64)
     Q = _normalize(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    cref = ray.put(C)
-    pref = ray.put(probe)
-    qref = ray.put(Q)
+    member = _membership(Q, C, nprobe)
+    cref, qref, mref = ray.put(C), ray.put(Q), ray.put(member)
 
     def local(batch):
-        import pandas as pd
-
-        Cm = ray.get(cref)
-        Qm = ray.get(qref)
-        Pm = ray.get(pref)
-        V = _normalize(_as_matrix(batch[vec_col]))
-        ids = np.asarray(batch[id_col])
-        lists = np.argmax(V @ Cm.T, axis=1)  # list id per vector
-        out_q = []
-        out_id = []
-        out_sim = []
-        nq = Qm.shape[0]
-        for qi in range(nq):
-            m = np.isin(lists, Pm[qi])
-            if not m.any():
-                continue
-            sims = Qm[qi] @ V[m].T
-            kk = min(k, sims.shape[0])
-            part = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.append(np.full(kk, qi, dtype=np.int64))
-            out_id.append(ids[m][part])
-            out_sim.append(sims[part])
-        if not out_q:
-            return pd.DataFrame(columns=["q", "nid", "cosine"])
-        return pd.DataFrame({
-            "q": np.concatenate(out_q),
-            "nid": np.concatenate(out_id),
-            "cosine": np.concatenate(out_sim),
-        })
+        return _probe_topk(batch, ray.get(qref), ray.get(cref),
+                           ray.get(mref), k, vec_col, id_col)
 
     cand = ds.map_batches(local, batch_format="numpy",
                           batch_size=batch_size)
-    import pandas as pd
+    return _merge_topk(cand, k)
 
-    frames = [b for b in cand.iter_batches(batch_format="pandas")]
-    allc = pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame(columns=["q", "nid", "cosine"])
-    allc = (allc.sort_values(["q", "cosine", "nid"],
-                             ascending=[True, False, True])
-                .groupby("q").head(k))
-    allc["rank"] = allc.groupby("q").cumcount() + 1
-    return allc.reset_index(drop=True)
+
+def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
+              vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Route every vector to its nearest-centroid list and write one
+    parquet partition per list (`ivf_list=<id>/`). One shuffle-free
+    pass; the index directory is the persistent IVF structure a query
+    then probes partially. Returns the centroid matrix (also saved to
+    `<path>/centroids.npy`)."""
+    import ray
+
+    if centroids is None:
+        centroids = train_centroids(ds, vec_col=vec_col, id_col=id_col,
+                                    n_centroids=n_centroids)
+    C = np.asarray(centroids, dtype=np.float64)
+    cref = ray.put(C)
+
+    def assign(batch):
+        Cm = ray.get(cref)
+        V = _normalize(_as_matrix(batch[vec_col]))
+        batch["ivf_list"] = np.argmax(V @ Cm.T, axis=1).astype(np.int64)
+        return batch
+
+    ds.map_batches(assign, batch_format="numpy") \
+      .write_parquet(path, partition_cols=["ivf_list"])
+    np.save(f"{path}/centroids.npy", C)
+    return C
+
+
+def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
+                  nprobe: int = 4, vec_col: str = "embedding",
+                  id_col: str = "vec_id", batch_size: int = 8192):
+    """Query a built IVF directory: reads ONLY the union of the queries'
+    `nprobe` list partitions — I/O scales with nprobe/nlists, not with
+    the corpus. Returns DataFrame (q, nid, cosine, rank)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    C = np.load(f"{path}/centroids.npy")
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    member = _membership(Q, C, nprobe)
+    needed = np.flatnonzero(member.any(axis=0))
+    dirs = [os.path.join(path, f"ivf_list={li}") for li in needed
+            if os.path.isdir(os.path.join(path, f"ivf_list={li}"))]
+    files = [os.path.join(d, f) for d in dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    if not files:
+        import pandas as pd
+
+        return pd.DataFrame(columns=["q", "nid", "cosine", "rank"])
+    ds = rd.read_parquet(files)
+    qref, cref, mref = ray.put(Q), ray.put(C), ray.put(member)
+
+    def local(batch):
+        return _probe_topk(batch, ray.get(qref), ray.get(cref),
+                           ray.get(mref), k, vec_col, id_col)
+
+    cand = ds.map_batches(local, batch_format="numpy",
+                          batch_size=batch_size)
+    return _merge_topk(cand, k)

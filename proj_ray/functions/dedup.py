@@ -122,56 +122,133 @@ def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
 
 def dedup_minhash_lsh(ds, text_col: str, id_col: str,
                       threshold: float = 0.7, num_perm: int = 64,
-                      bands: int = 16, concurrency=(2, 8)):
+                      bands: int = 16, concurrency=(2, 8),
+                      bucket_cap: int = 4096):
     """Near-duplicate pairs via MinHash LSH.
 
-    Stages: actor-pool signatures -> flat_map to (band_key, id, text-ref)
-    -> groupby(band_key) -> within-bucket exact n-gram Jaccard verify ->
-    distinct pairs. Returns a Dataset of {id_a, id_b, jaccard}.
+    Scale shape: the band shuffle moves only (band_key, rid) — ~10 B/row
+    × bands, never the document text. Candidate pairs come from bucket
+    collisions (deduped across bands), and only then is each candidate
+    pair's text fetched ONCE via an id-keyed join for the exact n-gram
+    Jaccard verify. Oversized buckets (> bucket_cap) are split
+    deterministically by rid hash, bounding the O(b²) pair expansion —
+    a documented recall trade on pathological buckets.
+
+    Returns a Dataset of {id_a, id_b, jaccard} with jaccard >= threshold.
     """
+    import pandas as pd
 
     class Signer:
         def __init__(self):
             self.mh = MinHasher(num_perm=num_perm, bands=bands)
 
         def __call__(self, batch):
-            import pandas as pd
+            ids = np.asarray(batch[id_col])
+            texts = batch[text_col]
+            keys = np.empty((len(ids), bands), dtype=np.int64)
+            for i, t in enumerate(texts):
+                keys[i] = self.mh.band_keys(self.mh.signature(str(t)))
+            return {"band": keys.ravel(),
+                    "rid": np.repeat(ids, bands)}
 
-            rows = []
-            for tid, text in zip(batch[id_col], batch[text_col]):
-                sig = self.mh.signature(str(text))
-                for key in self.mh.band_keys(sig):
-                    rows.append((key, tid, str(text)))
-            return pd.DataFrame(rows, columns=["band", "rid", "text"])
-
-    sigs = ds.map_batches(Signer, batch_format="pandas",
+    sigs = ds.map_batches(Signer, batch_format="numpy",
                           batch_size=1024, concurrency=concurrency)
 
-    def verify(group):
-        import pandas as pd
+    def bucket_pairs(group):
+        ids = np.unique(group["rid"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        chunks = [ids]
+        if len(ids) > bucket_cap:
+            nsub = -(-len(ids) // bucket_cap)
+            sub = _stable_u64([str(i) for i in ids]) % np.uint64(nsub)
+            chunks = [ids[sub == s] for s in range(nsub)]
+        out_a, out_b = [], []
+        for c in chunks:
+            if len(c) < 2:
+                continue
+            iu = np.triu_indices(len(c), k=1)
+            out_a.append(c[iu[0]])
+            out_b.append(c[iu[1]])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-        g = group.drop_duplicates("rid").sort_values("rid")
-        out = []
-        ids = g["rid"].tolist()
-        texts = g["text"].tolist()
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                jac = jaccard_ngrams(texts[i], texts[j])
-                if jac >= threshold:
-                    out.append((ids[i], ids[j], jac))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
-
-    pairs = sigs.groupby("band").map_groups(verify, batch_format="pandas")
-
-    def dedup_pairs(batch):
-        import pandas as pd
-
-        return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) else \
-            pd.DataFrame(columns=["id_a", "id_b", "jaccard"])
-
-    # pairs found in several bands: final distinct
-    return pairs.groupby("id_a").map_groups(dedup_pairs,
+    pairs = sigs.groupby("band").map_groups(bucket_pairs,
                                             batch_format="pandas")
+
+    def distinct(batch):
+        return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) else \
+            pd.DataFrame({"id_a": [], "id_b": []})
+
+    # a pair colliding in several bands must be verified once
+    pairs = pairs.groupby("id_a").map_groups(distinct,
+                                             batch_format="pandas")
+    return _verify_pairs_exact(ds, pairs, text_col, id_col, threshold)
+
+
+def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
+                        threshold: float, shingle_k: int = 5):
+    """Attach each candidate pair's two texts by id (one groupby on the
+    id — each text crosses the wire once per pair-participation, not per
+    band) and keep pairs with exact n-gram Jaccard >= threshold."""
+    import pandas as pd
+
+    def pair_requests(batch):
+        a = batch["id_a"].to_numpy()
+        b = batch["id_b"].to_numpy()
+        return pd.DataFrame({
+            "key": np.concatenate([a, b]),
+            "id_a": np.concatenate([a, a]),
+            "id_b": np.concatenate([b, b]),
+            "side": np.concatenate([np.zeros(len(a), np.int8),
+                                    np.ones(len(b), np.int8)]),
+            "text": np.full(2 * len(a), "", dtype=object),
+        })
+
+    def doc_rows(batch):
+        ids = np.asarray(batch[id_col])
+        return pd.DataFrame({
+            "key": ids,
+            "id_a": ids,           # unused for side=-1 rows
+            "id_b": ids,
+            "side": np.full(len(ids), -1, dtype=np.int8),
+            "text": np.asarray(batch[text_col], dtype=object),
+        })
+
+    req = pairs.map_batches(pair_requests, batch_format="pandas")
+    src = docs.map_batches(doc_rows, batch_format="numpy")
+    both = req.union(src)
+
+    def attach(group):
+        texts = group[group["side"] == -1]
+        if len(texts) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "side": [],
+                                 "text": []})
+        t = texts["text"].iloc[0]
+        g = group[group["side"] >= 0]
+        return pd.DataFrame({"id_a": g["id_a"].to_numpy(),
+                             "id_b": g["id_b"].to_numpy(),
+                             "side": g["side"].to_numpy(),
+                             "text": np.full(len(g), t, dtype=object)})
+
+    sided = both.groupby("key").map_groups(attach, batch_format="pandas")
+
+    def judge(group):
+        if len(group) != 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        g = group.sort_values("side")
+        jac = jaccard_ngrams(str(g["text"].iloc[0]), str(g["text"].iloc[1]),
+                             k=shingle_k)
+        if jac < threshold:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]],
+                             "id_b": [g["id_b"].iloc[0]],
+                             "jaccard": [jac]})
+
+    return sided.groupby(["id_a", "id_b"]).map_groups(
+        judge, batch_format="pandas")
 
 
 # ------------------------------------------------------------- simhash ----
@@ -279,10 +356,21 @@ def dedup_simhash(ds, text_col: str, id_col: str, max_hamming: int = 3,
 
 
 def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
-                    nbits: int = 8, seed: int = 42, dim: int | None = None,
-                    concurrency=(2, 8)):
+                    nbits: int | None = None, seed: int = 42,
+                    dim: int | None = None, concurrency=(2, 8),
+                    target_bucket: int = 128, bucket_cap: int = 8192):
     """Embedding-cosine near-dup: random-hyperplane LSH buckets, exact
-    cosine verify within buckets. Returns {id_a, id_b, cosine}."""
+    cosine verify within buckets. Returns {id_a, id_b, cosine}.
+
+    `nbits` scales with the dataset size (log2(n / target_bucket)) so the
+    expected bucket stays ~target_bucket rows and the within-bucket
+    O(b²·d) verify stays bounded as n grows; buckets that still exceed
+    `bucket_cap` are split deterministically by id hash (documented
+    recall trade on pathological clusters)."""
+    if nbits is None:
+        n = ds.count()
+        nbits = int(max(8, np.ceil(np.log2(max(2.0, n / target_bucket)))))
+    nbits = min(nbits, 62)
 
     class Bucketer:
         def __init__(self, d):
@@ -319,13 +407,27 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
 
         g = group.sort_values("rid")
         ids = g["rid"].to_numpy()
-        V = np.stack(g["vec"].to_numpy())
-        sims = V @ V.T
-        out = []
-        iu = np.triu_indices(len(ids), k=1)
-        hits = sims[iu] >= threshold
-        for a, b2, s in zip(iu[0][hits], iu[1][hits], sims[iu][hits]):
-            out.append((ids[a], ids[b2], float(s)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+        chunks = [np.arange(len(ids))]
+        if len(ids) > bucket_cap:
+            nsub = -(-len(ids) // bucket_cap)
+            sub = _stable_u64([str(i) for i in ids]) % np.uint64(nsub)
+            chunks = [np.flatnonzero(sub == s) for s in range(nsub)]
+        Vall = np.stack(g["vec"].to_numpy())
+        frames = []
+        for sel in chunks:
+            if len(sel) < 2:
+                continue
+            V = Vall[sel]
+            sims = V @ V.T
+            iu = np.triu_indices(len(sel), k=1)
+            hits = sims[iu] >= threshold
+            frames.append(pd.DataFrame({
+                "id_a": ids[sel][iu[0][hits]],
+                "id_b": ids[sel][iu[1][hits]],
+                "cosine": sims[iu][hits].astype(np.float64),
+            }))
+        if not frames:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.concat(frames, ignore_index=True)
 
     return buck.groupby("bucket").map_groups(verify, batch_format="pandas")

@@ -121,3 +121,35 @@ def test_dedup_embedding(ray_session):
     out = dedup_embedding(rd.from_items(rows), "embedding", "vec_id",
                           threshold=0.99).to_pandas()
     assert ((out["id_a"] == 100) & (out["id_b"] == 101)).any()
+
+
+def test_ivf_build_partition_pruned(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from proj_ray.functions.ann import (ann_brute, ann_ivf_index,
+                                        ivf_build)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    C = ivf_build(ds, path, n_centroids=16)
+    assert os.path.exists(f"{path}/centroids.npy")
+    parts = [d for d in os.listdir(path) if d.startswith("ivf_list=")]
+    assert len(parts) > 1  # vectors actually routed to many lists
+    rows = ds.take(4)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in rows])
+    res = ann_ivf_index(path, Q, k=5, nprobe=4)
+    exact = ann_brute(ds, Q, k=5)
+    hits = 0.0
+    for qi in range(len(Q)):
+        e = set(exact[exact["q"] == qi]["nid"])
+        a = set(res[res["q"] == qi]["nid"])
+        hits += len(e & a) / max(1, len(e))
+    assert hits / len(Q) >= 0.5
+    # nprobe=all lists must recover the exact result
+    full = ann_ivf_index(path, Q, k=5, nprobe=len(C))
+    for qi in range(len(Q)):
+        assert (set(full[full["q"] == qi]["nid"])
+                == set(exact[exact["q"] == qi]["nid"]))
