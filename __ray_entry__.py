@@ -309,15 +309,26 @@ FROM geo JOIN rects
 """
 
 
+def _take_rows_where(ds, col: str, below: int, sort_col: str):
+    """Vectorized predicate pull of a handful of rows (no per-row
+    Python filter pass)."""
+    def mask(b: dict) -> dict:
+        keep = np.asarray(b[col]) < below
+        return {k: np.asarray(v)[keep] for k, v in b.items()}
+
+    rows = ds.map_batches(mask, batch_format="numpy").take_all()
+    return sorted(rows, key=lambda r: r[sort_col])
+
+
 def _q10_knn(sf_dir: str):
-    from proj_ray.stages import knn_brute
+    """kNN over cell rings (ring-pruned exact search; planar webmerc
+    metric matches the SQL oracle)."""
+    from proj_ray.stages import knn_cells
 
     geo = _docs_geo(sf_dir)
-    qrows = sorted(geo.filter(lambda r: r["doc_id"] < 5).take(5),
-                   key=lambda r: r["doc_id"])
-    res = knn_brute(geo, [r["lon"] for r in qrows],
-                    [r["lat"] for r in qrows], k=5, id_col="doc_id",
-                    geodesic=False)
+    qrows = _take_rows_where(geo, "doc_id", 5, "doc_id")
+    res = knn_cells(geo, [r["lon"] for r in qrows],
+                    [r["lat"] for r in qrows], k=5, id_col="doc_id")
     res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
     res["qid"] = res["qid"].astype("int64")
     res["neighbor_id"] = res["neighbor_id"].astype("int64")
@@ -436,8 +447,7 @@ def _q14_ann(sf_dir: str):
     from proj_ray.functions.ann import ann_brute
 
     ds = _read(sf_dir, "embeddings")
-    qrows = sorted(ds.filter(lambda r: r["vec_id"] < 5).take(5),
-                   key=lambda r: r["vec_id"])
+    qrows = _take_rows_where(ds, "vec_id", 5, "vec_id")
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
     res = ann_brute(ds, Q, k=5)
@@ -586,8 +596,7 @@ def _q23_ivf(sf_dir: str):
     from proj_ray.functions.ann import ann_ivf
 
     ds = _read(sf_dir, "embeddings")
-    qrows = sorted(ds.filter(lambda r: r["vec_id"] < 5).take(5),
-                   key=lambda r: r["vec_id"])
+    qrows = _take_rows_where(ds, "vec_id", 5, "vec_id")
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
     return ann_ivf(ds, Q, k=5, nprobe=8)

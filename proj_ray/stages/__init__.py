@@ -197,6 +197,165 @@ def spatial_join(ds, index, how: str = "inner",
     )
 
 
+def _window_cells(qtx: int, qty: int, r: int, level: int) -> np.ndarray:
+    """All cell ids in the (2r+1)^2 Chebyshev window around (qtx, qty),
+    x-wrapped at the antimeridian, y-clamped at the poles."""
+    n = 1 << level
+    dx = np.arange(-r, r + 1)
+    dy = np.arange(-r, r + 1)
+    tx = (qtx + dx) % n
+    ty = qty + dy
+    ty = ty[(ty >= 0) & (ty < n)]
+    tx = np.unique(tx)
+    TX, TY = np.meshgrid(tx, ty)
+    m = (C._part1by1(TX.ravel().astype(np.uint64))
+         | (C._part1by1(TY.ravel().astype(np.uint64)) << np.uint64(1)))
+    return ((m << np.uint64(5)) | np.uint64(level)).astype(np.int64)
+
+
+def _window_bound(qx: float, qy: float, qtx: int, qty: int, r: int,
+                  level: int) -> float:
+    """Planar distance from the query point to the nearest edge of its
+    search window — any unscanned point is at least this far away."""
+    n = 1 << level
+    world = 2 * np.pi * C.WEBMERC_A
+    ts = world / n
+    hw = world / 2.0
+    bounds = []
+    if 2 * r + 1 < n:  # x does not wrap the whole world
+        xmin = (qtx - r) * ts - hw
+        xmax = (qtx + r + 1) * ts - hw
+        bounds += [qx - xmin, xmax - qx]
+    # y grows downward in tile space: window covers
+    # y in [hw - (qty+r+1)*ts, hw - (qty-r)*ts]
+    if qty - r > 0:
+        bounds.append((hw - (qty - r) * ts) - qy)
+    if qty + r + 1 < n:
+        bounds.append(qy - (hw - (qty + r + 1) * ts))
+    return float(min(bounds)) if bounds else np.inf
+
+
+def knn_cells(ds, query_lon, query_lat, k: int = 5, level: int | None = None,
+              lon_col: str = "lon", lat_col: str = "lat",
+              id_col: str = "image_id", batch_size: int = 128 * 1024,
+              _stats: dict | None = None):
+    """Exact k nearest rows per query via cell-ring pruning (no full
+    scan of candidate distances).
+
+    Each round scans only rows whose cell falls inside the queries'
+    current Chebyshev windows (vectorized `isin` mask per batch); a
+    query is resolved once its k-th candidate distance is <= the planar
+    distance to its window edge — a proof that no unscanned point can
+    be closer. Unresolved queries double their ring radius and rerun.
+    Metric is planar webmerc (matches the SQL oracle); ties broken by
+    (dist, id) exactly like `knn_brute`.
+    """
+    import pandas as pd
+    import ray
+
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    nq = len(qlon)
+    qx, qy = C.lonlat_to_webmerc(qlon, qlat)
+    if level is None:
+        n_rows = ds.count()
+        level = int(np.clip(round(np.log(max(n_rows, 1) / max(16, 4 * k))
+                                  / np.log(4)), 2, 12))
+    qtx, qty, _ = C.tile_xy(qx, qy, level)
+    n_tiles = 1 << level
+
+    best: list = [None] * nq
+    unresolved = np.ones(nq, dtype=bool)
+    r = 1
+    if _stats is not None:
+        _stats.update(rounds=0, rows_scanned=0, level=level)
+    while unresolved.any():
+        windows = [(_window_cells(int(qtx[qi]), int(qty[qi]), r, level))
+                   for qi in np.flatnonzero(unresolved)]
+        needed = np.unique(np.concatenate(windows))
+        qsel = np.flatnonzero(unresolved)
+        nref = ray.put(needed)
+        qxr = ray.put((qx[qsel], qy[qsel]))
+
+        def local(batch, _nref=nref, _qxr=qxr):
+            if len(batch[id_col]) == 0:
+                return {"qi": np.empty(0, np.int64),
+                        "nid": np.asarray(batch[id_col]),
+                        "dist": np.empty(0, np.float64)}
+            cells = C.cell_id(batch[lon_col], batch[lat_col], level)
+            m = np.isin(cells, ray.get(_nref))
+            # sentinel row (qi=-1) reports how many rows this batch
+            # actually touched, so tests can assert the ring pruning
+            sentinel = {"qi": np.array([-1], np.int64),
+                        "nid": np.asarray(batch[id_col])[:1],
+                        "dist": np.array([float(m.sum())])}
+            if not m.any():
+                return sentinel
+            lon = np.asarray(batch[lon_col], dtype=np.float64)[m]
+            lat = np.asarray(batch[lat_col], dtype=np.float64)[m]
+            ids = np.asarray(batch[id_col])[m]
+            x, y = C.lonlat_to_webmerc(lon, lat)
+            gx, gy = ray.get(_qxr)
+            d2 = ((x[None, :] - gx[:, None]) ** 2
+                  + (y[None, :] - gy[:, None]) ** 2)
+            kk = min(k, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            nql = len(gx)
+            return {"qi": np.concatenate(
+                        [sentinel["qi"],
+                         np.repeat(np.arange(nql, dtype=np.int64), kk)]),
+                    "nid": np.concatenate([sentinel["nid"],
+                                           ids[part].ravel()]),
+                    "dist": np.concatenate(
+                        [sentinel["dist"],
+                         np.sqrt(d2[np.arange(nql)[:, None],
+                                    part]).ravel()])}
+
+        cand = ds.map_batches(local, batch_format="numpy",
+                              batch_size=batch_size)
+        frames = list(cand.iter_batches(batch_format="pandas"))
+        got = pd.concat(frames, ignore_index=True) if frames else \
+            pd.DataFrame({"qi": [], "nid": [], "dist": []})
+        scanned = got[got["qi"] == -1]["dist"].sum()
+        got = got[got["qi"] >= 0]
+        if _stats is not None:
+            _stats["rounds"] += 1
+            _stats["rows_scanned"] += int(scanned)
+        for li, qi in enumerate(qsel):
+            mine = got[got["qi"] == li][["nid", "dist"]]
+            merged = mine if best[qi] is None else \
+                pd.concat([best[qi], mine], ignore_index=True)
+            best[qi] = (merged.drop_duplicates("nid")
+                        .sort_values(["dist", "nid"]).head(k))
+        for qi in qsel:
+            b = best[qi]
+            bnd = _window_bound(qx[qi], qy[qi], int(qtx[qi]), int(qty[qi]),
+                                r, level)
+            covered_world = (2 * r + 1 >= n_tiles and qty[qi] - r <= 0
+                             and qty[qi] + r + 1 >= n_tiles)
+            # strict <: a point exactly at the window edge lives in an
+            # unscanned cell, so d_k == bnd can't prove exactness
+            if (len(b) >= k and b["dist"].iloc[k - 1] < bnd) \
+                    or covered_world:
+                unresolved[qi] = False
+        r *= 2
+        if r > 2 * n_tiles:
+            # window covered the world: everything scanned, resolve all
+            unresolved[:] = False
+    parts = []
+    for qi in range(nq):
+        b = best[qi]
+        if b is None or not len(b):
+            continue
+        b = b.head(k).reset_index(drop=True)
+        b.insert(0, "q", np.int64(qi))
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        parts.append(b)
+    if not parts:
+        return pd.DataFrame(columns=["q", "nid", "dist", "rank"])
+    return pd.concat(parts, ignore_index=True)
+
+
 def knn_brute(ds, query_lon, query_lat, k: int = 5,
               lon_col: str = "lon", lat_col: str = "lat",
               id_col: str = "image_id", geodesic: bool = True,

@@ -105,3 +105,30 @@ def test_partial_checkpoint_resume(ray_session, tmp_path):
     total = sum(pq.read_table(f).num_rows
                 for f in glob.glob(out + "/part-*.parquet"))
     assert total == 40
+
+
+def test_knn_cells_exact_and_pruned(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from proj_ray.stages import knn_brute, knn_cells
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    rows = {
+        "image_id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-179, 179, n),
+        "lat": rng.uniform(-80, 80, n),
+    }
+    ds = rd.from_arrow(__import__("pyarrow").table(rows)).materialize()
+    qlon = [10.0, -100.0, 179.5, 0.3, -45.0]
+    qlat = [50.0, -30.0, 79.0, -79.9, 0.0]
+    brute = knn_brute(ds, qlon, qlat, k=5, geodesic=False)
+    stats = {}
+    ringed = knn_cells(ds, qlon, qlat, k=5, _stats=stats)
+    a = brute[["q", "nid", "rank"]].reset_index(drop=True)
+    b = ringed[["q", "nid", "rank"]].reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
+    # ring pruning actually pruned: the search touched only a small
+    # fraction of the 20k rows (cells outside the rings never scanned)
+    assert stats["rows_scanned"] < n * 0.25, stats
