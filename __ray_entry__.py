@@ -140,12 +140,12 @@ _Q02_SQL = ("SELECT o_orderstatus, COUNT(*) AS n_orders, "
 
 
 def _q03_top_customers(sf_dir: str):
-    """Broadcast-join orders to customer names, top 10 by revenue."""
+    """Top 10 customers by revenue: distributed groupby + distributed
+    sort/limit — only 10 rows ever reach the driver, and customer names
+    are fetched for just those 10 keys with one filtered scan (no
+    driver-side dict of the whole customer table)."""
     from ray.data.aggregate import Sum
 
-    cust = _read(sf_dir, "customer").select_columns(
-        ["c_custkey", "c_name"]).to_pandas()
-    name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
     ds = _read(sf_dir, "orders")
 
     def cents(b: dict) -> dict:
@@ -153,15 +153,26 @@ def _q03_top_customers(sf_dir: str):
                 "tp_c": np.rint(np.asarray(b["o_totalprice"]) * 100
                                 ).astype(np.int64)}
 
-    agg = (ds.map_batches(cents, batch_format="numpy")
-           .groupby("o_custkey")
-           .aggregate(Sum("tp_c", alias_name="rev_c"))
-           .to_pandas())
-    agg["c_name"] = agg["o_custkey"].map(name_of)
-    agg["revenue"] = agg["rev_c"] / 100.0
-    agg = agg.sort_values(["revenue", "o_custkey"],
-                          ascending=[False, True]).head(10)
-    return agg[["o_custkey", "c_name", "revenue"]].reset_index(drop=True)
+    top = (ds.map_batches(cents, batch_format="numpy")
+             .groupby("o_custkey")
+             .aggregate(Sum("tp_c", alias_name="rev_c"))
+             .sort(["rev_c", "o_custkey"], descending=[True, False])
+             .limit(10)
+             .to_pandas())
+    want = top["o_custkey"].to_numpy()
+
+    def pick_names(b: dict) -> dict:
+        keep = np.isin(np.asarray(b["c_custkey"]), want)
+        return {"c_custkey": np.asarray(b["c_custkey"])[keep],
+                "c_name": np.asarray(b["c_name"])[keep]}
+
+    names = (_read(sf_dir, "customer")
+             .select_columns(["c_custkey", "c_name"])
+             .map_batches(pick_names, batch_format="numpy")
+             .to_pandas())
+    top = top.merge(names, left_on="o_custkey", right_on="c_custkey")
+    top["revenue"] = top["rev_c"] / 100.0
+    return top[["o_custkey", "c_name", "revenue"]].reset_index(drop=True)
 
 
 _Q03_SQL = """
@@ -399,17 +410,20 @@ def _q13_part_brand(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
+    from proj_ray.stages import BroadcastLookup
+
     part = _read(sf_dir, "part").select_columns(
         ["p_partkey", "p_brand"]).to_pandas()
-    keys = part["p_partkey"].to_numpy()
-    brands = part["p_brand"].to_numpy()
-    lookup = np.empty(int(keys.max()) + 1, dtype=object)
-    lookup[keys] = brands
-    ref = ray.put(lookup)
+    # sparse sorted-key lookup: memory O(#parts), not O(max partkey);
+    # above stages.BROADCAST_ROW_LIMIT callers should switch to the
+    # hash-shuffle join fallback (stages.broadcast_lookup_join)
+    ref = ray.put(BroadcastLookup(part["p_partkey"].to_numpy(),
+                                  {"brand": part["p_brand"].to_numpy()}))
 
     def tag(b: dict) -> dict:
-        lk = ray.get(ref)
-        brand = lk[np.asarray(b["l_partkey"], dtype=np.int64)]
+        vals, _ = ray.get(ref).take(np.asarray(b["l_partkey"],
+                                               dtype=np.int64))
+        brand = vals["brand"]
         import pandas as pd
 
         df = pd.DataFrame({

@@ -133,7 +133,12 @@ def with_salted_cells(ds, hot: set, salt: int = 16,
 
 class PIPJoiner:
     """Actor-pool stage: polygon index fetched from the object store once
-    per actor (__init__), probed per batch (__call__)."""
+    per actor (__init__), probed per batch (__call__).
+
+    Operates on zero-copy Arrow batches: coordinate columns are viewed
+    as NumPy only for the math; row selection is an Arrow `take`/`filter`
+    (C++), so the wide payload columns (e.g. image bytes) are never
+    round-tripped through pandas."""
 
     def __init__(self, index_ref, lon_col: str, lat_col: str, how: str):
         import ray
@@ -145,34 +150,35 @@ class PIPJoiner:
         self.how = how
 
     def __call__(self, batch):
-        import pandas as pd
+        import pyarrow as pa
 
-        lon = np.asarray(batch[self.lon_col], dtype=np.float64)
-        lat = np.asarray(batch[self.lat_col], dtype=np.float64)
-        pts, polys = self.index.query(lon, lat)
-        df = pd.DataFrame({k: np.asarray(v) for k, v in batch.items()})
+        lon = batch.column(self.lon_col).to_numpy(zero_copy_only=False)
+        lat = batch.column(self.lat_col).to_numpy(zero_copy_only=False)
+        pts, polys = self.index.query(np.asarray(lon, dtype=np.float64),
+                                      np.asarray(lat, dtype=np.float64))
+        n = batch.num_rows
         if self.how == "inner":
-            out = df.iloc[pts].reset_index(drop=True)
-            out["poly_id"] = np.asarray(self.index.poly_ids)[polys]
+            out = batch.take(pa.array(pts))
+            out = out.append_column(
+                "poly_id", pa.array(np.asarray(self.index.poly_ids)[polys]))
             for name, vals in self.index.attrs.items():
-                out[name] = np.asarray(vals)[polys]
+                out = out.append_column(
+                    name, pa.array(np.asarray(vals)[polys]))
             return out
         if self.how == "semi":
-            mask = np.zeros(len(df), dtype=bool)
+            mask = np.zeros(n, dtype=bool)
             mask[pts] = True
-            return df[mask].reset_index(drop=True)
+            return batch.filter(pa.array(mask))
         if self.how == "anti":
-            mask = np.ones(len(df), dtype=bool)
+            mask = np.ones(n, dtype=bool)
             mask[pts] = False
-            return df[mask].reset_index(drop=True)
+            return batch.filter(pa.array(mask))
         if self.how == "left":
-            out = df.copy()
-            pid = np.full(len(df), None, dtype=object)
+            pid = np.full(n, None, dtype=object)
             # first match wins for 'left' (deterministic: lowest poly idx)
             order = np.argsort(polys, kind="stable")[::-1]
             pid[pts[order]] = np.asarray(self.index.poly_ids)[polys[order]]
-            out["poly_id"] = pid
-            return out
+            return batch.append_column("poly_id", pa.array(pid))
         raise ValueError(f"unknown join how={self.how}")
 
 
@@ -191,10 +197,73 @@ def spatial_join(ds, index, how: str = "inner",
     return ds.map_batches(
         PIPJoiner,
         fn_constructor_args=(ref, lon_col, lat_col, how),
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+BROADCAST_ROW_LIMIT = 2_000_000
+
+
+class BroadcastLookup:
+    """Sparse key->value lookup for broadcast joins: sorted keys +
+    parallel value arrays, probed with np.searchsorted — no dense
+    max(key)-sized allocation, so memory is O(#small-side rows)."""
+
+    def __init__(self, keys: np.ndarray, values: dict[str, np.ndarray]):
+        order = np.argsort(keys, kind="stable")
+        self.keys = np.asarray(keys)[order]
+        self.values = {k: np.asarray(v)[order] for k, v in values.items()}
+
+    def __len__(self):
+        return len(self.keys)
+
+    def take(self, probe: np.ndarray, default=None):
+        """Return ({col: matched values}, found_mask)."""
+        pos = np.searchsorted(self.keys, probe)
+        pos_c = np.clip(pos, 0, len(self.keys) - 1)
+        found = self.keys[pos_c] == probe
+        out = {}
+        for k, v in self.values.items():
+            got = v[pos_c]
+            if default is not None:
+                got = np.where(found, got, default)
+            out[k] = got
+        return out, found
+
+
+def broadcast_lookup_join(ds, small_df, key_col: str, probe_col: str,
+                          val_cols: list[str],
+                          max_rows: int = BROADCAST_ROW_LIMIT,
+                          num_partitions: int = 64):
+    """Attach `val_cols` from a small table to every row of `ds`.
+
+    Small side below `max_rows`: one `ray.put` of a sparse sorted-key
+    lookup, probed per batch with searchsorted (broadcast join — no
+    shuffle of ds). Above the limit: fall back to Ray Data's hash
+    shuffle join so the driver never materializes an unbounded table.
+    """
+    import ray
+
+    if len(small_df) > max_rows:
+        import ray.data as rd
+
+        small = rd.from_pandas(small_df[[key_col] + val_cols])
+        return ds.join(small, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=(probe_col,), right_on=(key_col,))
+    lk = BroadcastLookup(small_df[key_col].to_numpy(),
+                         {c: small_df[c].to_numpy() for c in val_cols})
+    ref = ray.put(lk)
+
+    def attach(batch: dict) -> dict:
+        vals, _ = ray.get(ref).take(np.asarray(batch[probe_col]))
+        for c in val_cols:
+            batch[c] = vals[c]
+        return batch
+
+    return ds.map_batches(attach, batch_format="numpy")
 
 
 def _window_cells(qtx: int, qty: int, r: int, level: int) -> np.ndarray:
