@@ -32,27 +32,9 @@ def _sf_tag(sf_dir: str) -> float:
 
 
 def geotag_dataset(n_rows: int, parallelism: int = 64):
-    """Geotagged rows without pixel payloads: the spatial-bench input
-    (arithmetic-only synthesis, embarrassingly parallel)."""
-    import ray.data as rd
+    from proj_ray.pipelines import geotag_dataset as _gd
 
-    from proj_ray.images import geotags
-
-    shard = max(1, n_rows // parallelism)
-    items = [{"start": s, "count": min(shard, n_rows - s)}
-             for s in range(0, n_rows, shard)]
-
-    def gen(batch: dict) -> dict:
-        outs = {"image_id": [], "lon": [], "lat": []}
-        for s, c in zip(batch["start"], batch["count"]):
-            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
-            lon, lat = geotags(idx)
-            outs["image_id"].append(idx)
-            outs["lon"].append(lon)
-            outs["lat"].append(lat)
-        return {k: np.concatenate(v) for k, v in outs.items()}
-
-    return rd.from_items(items).map_batches(gen, batch_format="numpy")
+    return _gd(n_rows, parallelism)
 
 
 def warmup_cluster() -> float:
@@ -74,82 +56,30 @@ def warmup_cluster() -> float:
     return round(time.time() - t0, 3)
 
 
-class FusedSpatialStage:
-    """One fused actor stage: synth geotags -> webmerc cells -> z/x/y
-    tiles -> PIP join -> per-batch partial tile counts.
-
-    The polygon index is fetched from the object store once per actor;
-    the whole per-row path is a single pass over NumPy arrays, so the
-    only shuffle left is the tiny (tile, partial_count) groupby. This is
-    the fuse-the-sandwich pattern (SURVEY §1.5: compose kernels inside
-    ONE map_batches fn)."""
-
-    def __init__(self, index_ref, zoom: int):
-        self.index_ref = index_ref
-        self.index = None
-        self.zoom = zoom
-
-    def __call__(self, batch: dict) -> dict:
-        if self.index is None:
-            import ray
-
-            self.index = ray.get(self.index_ref)
-        from proj_ray.cells import cell_id
-        from proj_ray.images import geotags
-        from proj_ray.tiles import tile_assign
-
-        outs = []
-        for s, c in zip(batch["start"], batch["count"]):
-            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
-            lon, lat = geotags(idx)
-            cell = cell_id(lon, lat, self.zoom)
-            tx, ty, valid = tile_assign(lon, lat, self.zoom)
-            pts, polys = self.index.query(lon, lat)
-            kept = pts[valid[pts]]
-            key = tx[kept] * np.int64(1 << 30) + ty[kept]
-            _ = cell  # cell ids computed to exercise the kernel path
-            cells_u, counts = np.unique(key, return_counts=True)
-            outs.append((cells_u, counts))
-        keys = np.concatenate([o[0] for o in outs]) if outs else \
-            np.empty(0, np.int64)
-        cnts = np.concatenate([o[1] for o in outs]) if outs else \
-            np.empty(0, np.int64)
-        return {"tile_key": keys, "partial_n": cnts.astype(np.int64)}
-
-
 def headline_spatial(n_rows: int) -> int:
     """The north-star pipeline, fused: geotags -> cells -> tiles -> PIP
-    join -> per-tile aggregate (partial counts inside the actor stage,
-    tiny groupby after)."""
-    import ray
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    join -> per-tile aggregate. Composition lives in
+    proj_ray.pipelines.spatial; the combine is a distributed
+    groupby-Sum over per-batch partial (tile, count) pairs."""
+    from proj_ray.pipelines import headline_spatial as _hs
 
-    from proj_ray.join import PolygonIndex
+    matched, _tiles = _hs(n_rows, num_cpus=NUM_CPUS, zoom=10)
+    return matched
 
-    import __ray_entry__ as E
 
-    ids = [r[0] for r in E._RECTS]
-    rx = [np.array([x0, x0 + w, x0 + w, x0])
-          for _, x0, y0, w, h in E._RECTS]
-    ry = [np.array([y0, y0, y0 + h, y0 + h])
-          for _, x0, y0, w, h in E._RECTS]
-    ref = ray.put(PolygonIndex(ids, rx, ry))
-    par = max(NUM_CPUS * 4, 16)
-    shard = max(1, n_rows // par)
-    items = [{"start": s, "count": min(shard, n_rows - s)}
-             for s in range(0, n_rows, shard)]
-    stage = FusedSpatialStage(ref, 10)
-    ds = rd.from_items(items).map_batches(
-        stage, batch_format="numpy", batch_size=4)
-    # final combine on the driver: inputs are already per-batch partial
-    # (tile, count) pairs, so this moves O(#tiles) rows, not O(#rows);
-    # at larger tile counts swap for the groupby-Sum variant (q21)
-    _ = Sum
-    total = 0
+def headline_salted_agg(n_rows: int) -> int:
+    """The explicit skew pass: row-level tile groupby with census ->
+    salt hot tiles -> salted groupby -> merge, over the Zipf-hotspot
+    geotags. Returns number of distinct tiles."""
+    from proj_ray.pipelines import geotag_dataset as _gd
+    from proj_ray.pipelines import tile_counts_salted
+
+    ds = tile_counts_salted(_gd(n_rows), zoom=7,
+                            threshold=max(1000, n_rows // 200), salt=16)
+    n = 0
     for b in ds.iter_batches(batch_format="numpy"):
-        total += int(b["partial_n"].sum())
-    return total
+        n += len(b["tile_key"])
+    return n
 
 
 def run_suite(sf_dir: str) -> dict:
@@ -172,6 +102,8 @@ def run_suite(sf_dir: str) -> dict:
         return out
 
     matched = timed("headline_spatial", lambda: headline_spatial(n_headline))
+    timed("headline_salted_agg",
+          lambda: headline_salted_agg(n_headline // 4))
 
     def consume(ds):
         if hasattr(ds, "iter_batches"):

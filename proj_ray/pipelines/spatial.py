@@ -1,0 +1,161 @@
+"""The headline spatial pipeline: synth geotags -> webmerc cells ->
+z/x/y tiles -> PIP join vs broadcast polygon index -> per-tile counts.
+
+Two aggregation paths:
+- `headline_spatial`: fused actor stage emits per-batch partial
+  (tile, count) pairs; the groupby-Sum combine moves O(#tiles × #blocks)
+  rows — the shuffle-minimal shape.
+- `tile_counts_salted`: the explicit skew path for row-level shuffles —
+  census pass finds hot keys (images.geotags plants Zipfian metro
+  hotspots), hot keys split into `salt` deterministic sub-keys before
+  the groupby, partial counts merged after. Counts are identical with
+  and without salting (tests assert it); the salt bounds the largest
+  single reducer group at 100-TB skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def geotag_dataset(n_rows: int, parallelism: int = 64):
+    """Geotagged rows without pixel payloads: the spatial-bench input
+    (arithmetic-only synthesis, embarrassingly parallel)."""
+    import ray.data as rd
+
+    from proj_ray.images import geotags
+
+    shard = max(1, n_rows // parallelism)
+    items = [{"start": s, "count": min(shard, n_rows - s)}
+             for s in range(0, n_rows, shard)]
+
+    def gen(batch: dict) -> dict:
+        outs = {"image_id": [], "lon": [], "lat": []}
+        for s, c in zip(batch["start"], batch["count"]):
+            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
+            lon, lat = geotags(idx)
+            outs["image_id"].append(idx)
+            outs["lon"].append(lon)
+            outs["lat"].append(lat)
+        return {k: np.concatenate(v) for k, v in outs.items()}
+
+    return rd.from_items(items).map_batches(gen, batch_format="numpy")
+
+
+class FusedSpatialStage:
+    """One fused actor stage: synth geotags -> webmerc cells -> z/x/y
+    tiles -> PIP join -> per-batch partial tile counts.
+
+    The polygon index is fetched from the object store once per actor;
+    the whole per-row path is a single pass over NumPy arrays, so the
+    only shuffle left is the tiny (tile, partial_count) groupby. This is
+    the fuse-the-sandwich pattern (SURVEY §1.5: compose kernels inside
+    ONE map_batches fn)."""
+
+    def __init__(self, index_ref, zoom: int):
+        self.index_ref = index_ref
+        self.index = None
+        self.zoom = zoom
+
+    def __call__(self, batch: dict) -> dict:
+        if self.index is None:
+            import ray
+
+            self.index = ray.get(self.index_ref)
+        from proj_ray.cells import cell_id
+        from proj_ray.images import geotags
+        from proj_ray.tiles import tile_assign
+
+        outs = []
+        for s, c in zip(batch["start"], batch["count"]):
+            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
+            lon, lat = geotags(idx)
+            cell = cell_id(lon, lat, self.zoom)
+            tx, ty, valid = tile_assign(lon, lat, self.zoom)
+            pts, polys = self.index.query(lon, lat)
+            kept = pts[valid[pts]]
+            key = tx[kept] * np.int64(1 << 30) + ty[kept]
+            _ = cell  # cell ids computed to exercise the kernel path
+            cells_u, counts = np.unique(key, return_counts=True)
+            outs.append((cells_u, counts))
+        keys = np.concatenate([o[0] for o in outs]) if outs else \
+            np.empty(0, np.int64)
+        cnts = np.concatenate([o[1] for o in outs]) if outs else \
+            np.empty(0, np.int64)
+        return {"tile_key": keys, "partial_n": cnts.astype(np.int64)}
+
+
+def default_polygon_index():
+    """The bench/driver 16-rectangle layer as a PolygonIndex."""
+    from proj_ray.join import PolygonIndex
+
+    rects = [(j, -180.0 + j * 22.0 + 0.0005,
+              -60.0 + (j % 8) * 15.0 + 0.0005, 18.0, 12.0)
+             for j in range(16)]
+    ids = [r[0] for r in rects]
+    rx = [np.array([x0, x0 + w, x0 + w, x0]) for _, x0, y0, w, h in rects]
+    ry = [np.array([y0, y0, y0 + h, y0 + h]) for _, x0, y0, w, h in rects]
+    return PolygonIndex(ids, rx, ry)
+
+
+def headline_spatial(n_rows: int, num_cpus: int = 32, zoom: int = 10,
+                     index=None):
+    """Run the fused pipeline; returns (matched_rows, tile_counts_df).
+
+    The combine is a distributed groupby-Sum over the per-batch partial
+    (tile, count) pairs — O(#tiles × #blocks) rows through the shuffle,
+    never O(#rows)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(index if index is not None else default_polygon_index())
+    par = max(num_cpus * 4, 16)
+    shard = max(1, n_rows // par)
+    items = [{"start": s, "count": min(shard, n_rows - s)}
+             for s in range(0, n_rows, shard)]
+    stage = FusedSpatialStage(ref, zoom)
+    ds = rd.from_items(items).map_batches(
+        stage, batch_format="numpy", batch_size=4)
+    agg = (ds.groupby("tile_key")
+             .aggregate(Sum("partial_n", alias_name="n"))
+             .to_pandas())
+    return int(agg["n"].sum()), agg
+
+
+def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
+                       salt: int = 16, key_col: str = "image_id",
+                       salted: bool = True):
+    """Per-tile counts with explicit skew handling on a row-level
+    shuffle: census -> salt hot tile keys -> groupby(salted) -> merge.
+
+    `salted=False` runs the same flow without the salt (for parity
+    checks and A/B timing). Returns a Dataset of (tile_key, n)."""
+    from ray.data.aggregate import Count, Sum
+
+    from proj_ray import stages as S
+
+    ds = S.with_tiles(ds, zoom=zoom)
+
+    def keyify(b: dict) -> dict:
+        return {key_col: b[key_col],
+                "tile_key": (b["tile_x"] * np.int64(1 << 30)
+                             + b["tile_y"])}
+
+    keyed = ds.map_batches(keyify, batch_format="numpy")
+    if not salted:
+        return keyed.groupby("tile_key").aggregate(Count(alias_name="n"))
+    if threshold is None:
+        threshold = 10000
+    hot = S.hot_cells(keyed, cell_col="tile_key", threshold=threshold)
+    salted_ds = S.with_salted_cells(keyed, hot, salt=salt,
+                                    cell_col="tile_key", key_col=key_col)
+    part = (salted_ds.groupby("cell_salted")
+            .aggregate(Count(alias_name="n_part")))
+
+    def unsalt(b: dict) -> dict:
+        return {"tile_key": np.asarray(b["cell_salted"]) // salt,
+                "n_part": b["n_part"]}
+
+    return (part.map_batches(unsalt, batch_format="numpy")
+            .groupby("tile_key").aggregate(Sum("n_part", alias_name="n")))

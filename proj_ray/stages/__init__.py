@@ -116,6 +116,22 @@ def hot_cells(ds, cell_col: str = "cell", threshold: int = 10000) -> set:
     return out
 
 
+def _stable_row_key(keys) -> np.ndarray:
+    """Deterministic per-row int64 from any key column: integer keys
+    pass through (vectorized); strings go through blake2b (stable across
+    worker processes, unlike builtin hash())."""
+    arr = np.asarray(keys)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.int64) & np.int64(0x7FFFFFFF)
+    import hashlib
+
+    out = np.empty(len(arr), dtype=np.int64)
+    for i, k in enumerate(arr):
+        d = hashlib.blake2b(str(k).encode(), digest_size=4).digest()
+        out[i] = int.from_bytes(d, "little") & 0x7FFFFFFF
+    return out
+
+
 def with_salted_cells(ds, hot: set, salt: int = 16,
                       cell_col: str = "cell", key_col: str = "image_id",
                       out: str = "cell_salted"):
@@ -123,8 +139,7 @@ def with_salted_cells(ds, hot: set, salt: int = 16,
     hot_frozen = frozenset(hot)
 
     def fn(batch: dict) -> dict:
-        keys = batch[key_col]
-        rk = np.array([hash(k) & 0x7FFFFFFF for k in keys], dtype=np.int64)
+        rk = _stable_row_key(batch[key_col])
         batch[out] = C.salt_cells(batch[cell_col], rk, hot_frozen, salt)
         return batch
 

@@ -132,3 +132,21 @@ def test_knn_cells_exact_and_pruned(ray_session):
     # ring pruning actually pruned: the search touched only a small
     # fraction of the 20k rows (cells outside the rings never scanned)
     assert stats["rows_scanned"] < n * 0.25, stats
+
+
+def test_salted_tile_counts_parity(ray_session):
+    import pandas as pd
+
+    from proj_ray.pipelines import geotag_dataset, tile_counts_salted
+
+    n = 30000
+    # low threshold forces the Zipf hotspots into the salted path
+    salted = tile_counts_salted(geotag_dataset(n, parallelism=8), zoom=5,
+                                threshold=50, salt=8).to_pandas()
+    plain = tile_counts_salted(geotag_dataset(n, parallelism=8), zoom=5,
+                               salted=False).to_pandas()
+    a = salted.sort_values("tile_key").reset_index(drop=True)
+    b = plain.sort_values("tile_key").reset_index(drop=True)
+    assert a["tile_key"].tolist() == b["tile_key"].tolist()
+    assert a["n"].tolist() == b["n"].tolist()
+    _ = pd
