@@ -33,10 +33,17 @@ _RECT_SQL = ("SELECT j AS rect_id, -180.0 + j*22.0 + 0.0005 AS x0, "
              "FROM range(16) t(j)")
 
 
-def _read(sf_dir: str, table: str):
-    import ray.data as rd
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Read a driver table: Lance dataset dir if present (input_hint
+    shape), else parquet — with column pruning pushed to the reader."""
+    import os
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+    from proj_ray.sources.lance import read_table
+
+    lance_path = f"{sf_dir}/{table}.lance"
+    if os.path.isdir(lance_path):
+        return read_table(lance_path, columns=columns)
+    return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _docs_geo(sf_dir: str):
@@ -59,9 +66,9 @@ def _docs_geo(sf_dir: str):
 def _q01_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Mean, Sum
 
-    ds = _read(sf_dir, "lineitem").select_columns(
-        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-         "l_discount"])
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
 
     # exact integer aggregation: per-row scaled cents, summed as int64 —
     # associative, so distributed and single-threaded sums agree exactly.
@@ -437,8 +444,7 @@ def _q13_part_brand(sf_dir: str):
                 "partial_qty": g["partial_qty"].to_numpy(dtype=np.int64),
                 "partial_n": g["partial_n"].to_numpy(dtype=np.int64)}
 
-    out = (_read(sf_dir, "lineitem")
-           .select_columns(["l_partkey", "l_quantity"])
+    out = (_read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
            .map_batches(tag, batch_format="numpy")
            .groupby("p_brand")
            .aggregate(Sum("partial_qty", alias_name="qty_sum"),

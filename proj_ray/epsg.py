@@ -97,7 +97,12 @@ EPSG_INIT: dict[int, str] = {
 
 
 def resolve_init(spec: str) -> str:
-    """Resolve 'epsg:NNNN' to a proj definition or raise."""
+    """Resolve 'epsg:NNNN' to a proj definition or raise.
+
+    Resolution order: the curated table above (legacy proj4 semantics,
+    incl. +towgs84) wins; otherwise the table generated from the
+    reference's EPSG SQL distribution (tools/gen_epsg.py — 6,000+
+    codes, modern no-towgs84 semantics)."""
     try:
         authority, code = spec.split(":", 1)
     except ValueError as exc:
@@ -111,8 +116,12 @@ def resolve_init(spec: str) -> str:
     except ValueError as exc:
         raise NotImplementedError(
             f"operator not implemented: init epsg:{code}") from exc
-    if icode not in EPSG_INIT:
-        raise NotImplementedError(
-            f"operator not implemented: init epsg:{icode} (not in static "
-            "registry)")
-    return EPSG_INIT[icode]
+    if icode in EPSG_INIT:
+        return EPSG_INIT[icode]
+    from proj_ray.epsg_generated import EPSG_GENERATED
+
+    if icode in EPSG_GENERATED:
+        return EPSG_GENERATED[icode]
+    raise NotImplementedError(
+        f"operator not implemented: init epsg:{icode} (not in static "
+        "registry)")

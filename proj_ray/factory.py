@@ -458,6 +458,34 @@ def create_operation(defn: str) -> Operation:
     return _create_single(parse_single(defn))
 
 
+def _resolve_crs_text(spec: str) -> str:
+    """A CRS given as 'EPSG:NNNN' / 'epsg:NNNN' resolves through the
+    static registry; a +proj string passes through."""
+    import re as _re
+
+    s = spec.strip()
+    if _re.match(r"(?i)^epsg:\d+$", s):
+        from proj_ray.epsg import resolve_init
+
+        return resolve_init(s)
+    norm = _re.sub(r"\s*=\s*", "=", s)
+    if "proj=" in norm or "init=" in norm:
+        return s
+    raise NotImplementedError(
+        f"operator not implemented: CRS text {s[:60]!r} (WKT/urn need "
+        "the CRS database)")
+
+
+def create_crs_to_crs(src: str, dst: str) -> Operation:
+    """cs2cs-style CRS -> CRS operation (legacy semantics: lon,lat
+    visualization order, per-step +towgs84/+nadgrids sandwich; mirrors
+    proj_create_crs_to_crs src/4D_api.cpp:2072 for the static-registry
+    subset — the proj.db query planner is out of scope)."""
+    s = _resolve_crs_text(src)
+    d = _resolve_crs_text(dst)
+    return create_operation(f"+proj=pipeline +step +inv {s} +step {d}")
+
+
 def transform(op: Operation | str, direction: str, x, y, z=None, t=None,
               ) -> Coords:
     """Apply op to coordinate arrays. direction: 'fwd' | 'inv'.

@@ -43,6 +43,42 @@ class Geodesic:
         ])
         # C3 coefficients (Karney eq. 25, order 6), ascending in eps,
         # C3[l] = eps^l * polynomial(C3x[l-1], eps)
+        # authalic radius squared (geod_init, src/geodesic.c c2)
+        e2 = self.e2
+        if e2 == 0:
+            t = 1.0
+        elif e2 > 0:
+            t = float(np.arctanh(np.sqrt(e2))) / np.sqrt(abs(e2))
+        else:
+            t = float(np.arctan(np.sqrt(-e2))) / np.sqrt(abs(e2))
+        self.c2 = (self.a ** 2 + self.b ** 2 * t) / 2
+        # C4 (area) series: order-6 coefficients of Karney's expansion
+        # (I4 integral; same published table as src/geodesic.c C4coeff),
+        # each entry a polynomial in n evaluated once here.
+        _C4_TABLE = [
+            (97, 15015), (1088, 156, 45045), (-224, -4784, 1573, 45045),
+            (-10656, 14144, -4576, -858, 45045),
+            (64, 624, -4576, 6864, -3003, 15015),
+            (100, 208, 572, 3432, -12012, 30030, 45045),
+            (1, 9009), (-2944, 468, 135135), (5792, 1040, -1287, 135135),
+            (5952, -11648, 9152, -2574, 135135),
+            (-64, -624, 4576, -6864, 3003, 135135),
+            (8, 10725), (1856, -936, 225225), (-8448, 4992, -1144, 225225),
+            (-1440, 4160, -4576, 1716, 225225),
+            (-136, 63063), (1024, -208, 105105), (3584, -3328, 1144, 315315),
+            (-128, 135135), (-2560, 832, 405405),
+            (128, 99099),
+        ]
+        self.C4x: list[float] = []
+        it = iter(_C4_TABLE)
+        for ell in range(6):
+            for j in range(5, ell - 1, -1):
+                row = next(it)
+                poly, denom = row[:-1], row[-1]
+                v = 0.0
+                for c in poly:
+                    v = v * n + c
+                self.C4x.append(v / denom)
         n2 = n * n
         self.C3x = [
             np.array([(1 - n) / 4, (1 - n2) / 8, (3 + 3 * n - n2) / 64,
@@ -124,6 +160,21 @@ class Geodesic:
             for c in self.C3x[l][::-1]:
                 poly = poly * eps + c
             out.append(mult * poly)
+        return out
+
+    def _C4f(self, eps):
+        """C4 area series coefficients at eps (order 6)."""
+        out = []
+        o = 0
+        mult = np.ones_like(eps)
+        for ell in range(6):
+            m = 5 - ell
+            poly = np.zeros_like(eps)
+            for c in self.C4x[o:o + m + 1]:
+                poly = poly * eps + c
+            out.append(mult * poly)
+            o += m + 1
+            mult = mult * eps
         return out
 
     @staticmethod
@@ -233,8 +284,57 @@ class Geodesic:
             return lat2, lon2, azi2, self.b * m12b, M12, M21
         return lat2, lon2, azi2
 
+    def _area_S12(self, sb1, cb1, sb2, cb2, salp1, calp1, salp2, calp2,
+                  swsign, lonsign, latsign, equat, same):
+        """Area between the geodesic edge and the equator (S12, m²) from
+        canonical-frame quantities (geod_geninverse GEOD_AREA branch)."""
+        salp0 = salp1 * cb1
+        calp0 = np.hypot(calp1, salp1 * sb1)
+        k2 = calp0 * calp0 * self.ep2
+        eps = k2 / (2 * (1 + np.sqrt(1 + k2)) + k2)
+        A4 = self.a ** 2 * calp0 * salp0 * self.e2
+        ssig1, csig1 = sb1, calp1 * cb1
+        ssig2, csig2 = sb2, calp2 * cb2
+        n1 = np.hypot(ssig1, csig1)
+        n2 = np.hypot(ssig2, csig2)
+        n1 = np.where(n1 == 0, 1.0, n1)
+        n2 = np.where(n2 == 0, 1.0, n2)
+        ssig1, csig1 = ssig1 / n1, csig1 / n1
+        ssig2, csig2 = ssig2 / n2, csig2 / n2
+        C4 = self._C4f(eps)
+        B41 = self._sin_cos_series(False, ssig1, csig1, C4)
+        B42 = self._sin_cos_series(False, ssig2, csig2, C4)
+        S12 = np.where((calp0 != 0) & (salp0 != 0), A4 * (B42 - B41), 0.0)
+        # spherical term c2*alp12; tan(Gamma/2) form when the edge is
+        # short enough, alp2-alp1 fallback otherwise
+        somg1, comg1 = salp0 * sb1, cb1 * calp1
+        somg2, comg2 = salp0 * sb2, cb2 * calp2
+        # the bilinears carry the per-point normalization scales; the
+        # tan(Gamma/2) form needs true sin/cos of omg12, so go through
+        # the (scale-invariant) angle
+        omg12 = np.arctan2(somg2 * comg1 - comg2 * somg1,
+                           comg2 * comg1 + somg2 * somg1)
+        somg12 = np.sin(omg12)
+        comg12 = np.cos(omg12)
+        db1 = 1 + cb1
+        db2 = 1 + cb2
+        alp12_short = 2 * np.arctan2(
+            somg12 * (sb1 * db2 + sb2 * db1),
+            (1 + comg12) * (sb1 * sb2 + db1 * db2))
+        salp12 = salp2 * calp1 - calp2 * salp1
+        calp12 = calp2 * calp1 + salp2 * salp1
+        fix = (salp12 == 0) & (calp12 < 0)
+        salp12 = np.where(fix, 1e-300 * calp1, salp12)
+        calp12 = np.where(fix, -1.0, calp12)
+        alp12_long = np.arctan2(salp12, calp12)
+        use_short = (comg12 > -0.7071) & (sb2 - sb1 < 1.75)
+        alp12 = np.where(use_short, alp12_short, alp12_long)
+        S12 = (S12 + self.c2 * alp12) * swsign * lonsign * latsign
+        return np.where(equat | same, 0.0, S12)
+
     # ---- inverse problem -------------------------------------------------
-    def inverse(self, lat1, lon1, lat2, lon2, extra: bool = False):
+    def inverse(self, lat1, lon1, lat2, lon2, extra: bool = False,
+                area: bool = False):
         """Returns (s12 meters, azi1 deg, azi2 deg); with extra=True
         also appends (m12 meters, M12, M21).
 
@@ -376,6 +476,11 @@ class Geodesic:
             M12s = np.where(same, 1.0, M12s)
             M21s = np.where(same, 1.0, M21s)
             return s12, azi1, azi2, m12, M12s, M21s
+        if area:
+            S12 = self._area_S12(sb1, cb1, sb2, cb2, salp1_f, calp1_f,
+                                 salp2_f, calp2_f, swsign, lonsign,
+                                 latsign, equat, same)
+            return s12, azi1, azi2, S12
         return s12, azi1, azi2
 
     def _lambda12(self, sbet1, cbet1, sbet2, cbet2, salp1, calp1, lam12):
@@ -451,6 +556,59 @@ class Geodesic:
                 -2 * self.f1 * dn1 / np.where(sbet1 == 0, -1e-12, sbet1))
         return (v, dv, sig12, ssig1n, csig1n, ssig2n, csig2n, eps,
                 salp2, calp2)
+
+
+    # ---- polygon area / line walking ------------------------------------
+    def polygon_area(self, lats, lons):
+        """Geodesic polygon perimeter (m) and signed area (m²) — the
+        geod_polygon_* suite (src/geodesic.h:124, planimeter). Vertices
+        in order; the closing edge is added automatically. Counter-
+        clockwise traversal gives positive area; pole-encircling rings
+        handled via prime-meridian crossing parity (transit())."""
+        lats = np.asarray(lats, dtype=np.float64).ravel()
+        lons = np.asarray(lons, dtype=np.float64).ravel()
+        if len(lats) < 3:
+            return 0.0, 0.0
+        la1, lo1 = lats, lons
+        la2 = np.roll(lats, -1)
+        lo2 = np.roll(lons, -1)
+        s12, _, _, S12 = self.inverse(la1, lo1, la2, lo2, area=True)
+        perimeter = float(np.sum(s12))
+        # transit(): prime-meridian crossing direction per edge
+        lon12 = (lo2 - lo1 + 180.0) % 360.0 - 180.0
+        n1 = (lo1 + 180.0) % 360.0 - 180.0
+        n2 = (lo2 + 180.0) % 360.0 - 180.0
+        cross = np.where(
+            (lon12 > 0) & (((n1 < 0) & (n2 >= 0)) | ((n1 > 0) & (n2 == 0))),
+            1, np.where((lon12 < 0) & (n1 >= 0) & (n2 < 0), -1, 0))
+        crossings = int(np.sum(cross))
+        area0 = 4 * np.pi * self.c2
+        area = float(np.sum(S12))
+        area = math_remainder(area, area0)
+        if crossings % 2:
+            area += (1.0 if area < 0 else -1.0) * area0 / 2
+        area = -area  # right-hand rule: CCW positive (areareduceA)
+        if area > area0 / 2:
+            area -= area0
+        elif area <= -area0 / 2:
+            area += area0
+        return perimeter, area
+
+    def line_positions(self, lat1, lon1, azi1, distances):
+        """Walk a geodesic line: positions at each distance from the
+        start (geod_position, src/geodesic.h:483) — one vectorized
+        direct solve over the distance array."""
+        d = np.asarray(distances, dtype=np.float64)
+        lat2, lon2, azi2 = self.direct(
+            np.full_like(d, float(lat1)), np.full_like(d, float(lon1)),
+            np.full_like(d, float(azi1)), d)
+        return lat2, lon2, azi2
+
+
+def math_remainder(x: float, y: float) -> float:
+    import math
+
+    return math.remainder(x, y)
 
 
 WGS84_GEOD = Geodesic()

@@ -228,14 +228,18 @@ class GieRunner:
         self.op = None
         self.op_error = None
         self.ignore_active = False
-        if "proj=" not in args:
+        # gie allows spaces around '=' ("proj = pipeline") and stray
+        # ';' separators (GDA.gie): normalize before deciding whether
+        # this is a proj-string or a database ref
+        normalized = re.sub(r"\s*=\s*", "=", args.replace(";", " "))
+        if "proj=" not in normalized and "init=" not in normalized:
             # urn:/WKT/EPSG-code style definitions need the CRS database
             self.op_error = "unsupported"
             self.res.unsupported_ops["crs_database"] = \
                 self.res.unsupported_ops.get("crs_database", 0) + 1
             return
         try:
-            self.op = create_operation(args)
+            self.op = create_operation(normalized)
         except NotImplementedError as exc:
             # a missing grid file is a real runtime failure (the op IS
             # implemented): expect-failure sections should match it
@@ -262,7 +266,16 @@ class GieRunner:
                 res.unsupported += 1
             return
         if self.op_error == "unsupported":
-            res.unsupported += 1
+            # a garbage op string (no proj=, not a database urn/EPSG
+            # ref) fails to construct in the reference too: an
+            # expect-failure block is therefore satisfied, not
+            # unsupported (ellipsoid.gie "operation cobra")
+            db_ref = "urn:" in self.op_str.lower() \
+                or self.op_str.strip().upper().startswith("EPSG:")
+            if expect_failure and not db_ref:
+                res.ok += 1
+            else:
+                res.unsupported += 1
             return
         if self.ignore_active:
             res.skip += 1

@@ -1,0 +1,63 @@
+"""Lance table source/sink (the BASELINE input_hint names a Lance
+image+caption table; SURVEY §1.5 maps it to `ray.data.read_lance`).
+
+The `pylance` wheel is not in this container, so the Lance path is
+gated behind an import probe with a clearly-reported fallback to
+parquet — the Ray-side plumbing (column pruning at the read, schema,
+partitioned resumable writes) is identical for both formats, and the
+format dispatch is what a production deployment would flip.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def is_lance_path(path: str) -> bool:
+    """A Lance dataset is a directory with a `_versions` manifest dir
+    (or the conventional .lance suffix)."""
+    return path.endswith(".lance") or (
+        os.path.isdir(path) and os.path.isdir(os.path.join(path,
+                                                           "_versions")))
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs):
+    """Read a table as a Ray Dataset with column pruning pushed to the
+    reader. Dispatch: Lance dataset dir -> read_lance; otherwise
+    parquet (file, dir, or list)."""
+    import ray.data as rd
+
+    if is_lance_path(path):
+        if not lance_available():
+            raise NotImplementedError(
+                "operator not implemented: Lance reader (pylance wheel "
+                f"not installed; cannot read {path})")
+        return rd.read_lance(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def write_table(ds, path: str, fmt: str = "auto",
+                partition_cols: list[str] | None = None, **kwargs):
+    """Write a Dataset. fmt: 'lance' | 'parquet' | 'auto' (lance when
+    the wheel is importable and the path looks like a Lance dataset,
+    else parquet). Partitioned parquet writes (`partition_cols`) are
+    the resumable layout — one directory per key."""
+    if fmt == "lance" or (fmt == "auto" and path.endswith(".lance")):
+        if not lance_available():
+            raise NotImplementedError(
+                "operator not implemented: Lance writer (pylance wheel "
+                "not installed)")
+        return ds.write_lance(path, **kwargs)
+    if partition_cols:
+        return ds.write_parquet(path, partition_cols=partition_cols,
+                                **kwargs)
+    return ds.write_parquet(path, **kwargs)
