@@ -125,6 +125,42 @@ def _read_ntv2(path: str) -> list[ShiftGrid]:
     return roots
 
 
+def _read_ntv1(path: str) -> list[ShiftGrid]:
+    """NTv1 (.dat, e.g. ntv1_can.dat): 192-byte header, float64
+    (lat, lon) shift pairs in arc-seconds, columns stored east->west,
+    west-longitude-positive (grids.cpp:1792-1922)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if len(data) < 192:
+        raise GridUnavailable(f"NTv1 {path}: truncated header")
+    rec_count = struct.unpack(">i", data[8:12])[0]
+    if rec_count != 12:
+        raise GridUnavailable(f"NTv1 {path}: wrong record count")
+
+    def d(off: int) -> float:
+        return struct.unpack(">d", data[off:off + 8])[0]
+
+    deg = np.pi / 180.0
+    south = d(24) * deg
+    north = d(40) * deg
+    east = -d(56) * deg
+    west = -d(72) * deg
+    resY = d(88) * deg
+    resX = d(104) * deg
+    if not (west < east and south < north and resX > 1e-10 and resY > 1e-10):
+        raise GridUnavailable(f"NTv1 {path}: inconsistent georeferencing")
+    width = int(abs((east - west) / resX) + 0.5) + 1
+    height = int(abs((north - south) / resY) + 0.5) + 1
+    raw = np.frombuffer(data, dtype=">f8", count=width * height * 2,
+                        offset=192).reshape(height, width, 2)
+    g = ShiftGrid(west=west, south=south, east=east, north=north,
+                  resX=resX, resY=resY, width=width, height=height)
+    # east->west storage -> flip; negate lon for east-positive
+    g.lat_shift = raw[:, ::-1, 0].astype(np.float64) * SEC_TO_RAD
+    g.lon_shift = -raw[:, ::-1, 1].astype(np.float64) * SEC_TO_RAD
+    return [g]
+
+
 def _read_gtx(path: str) -> list[ShiftGrid]:
     with open(path, "rb") as f:
         data = f.read()
@@ -277,6 +313,8 @@ def load_grids(names: str) -> list[ShiftGrid]:
         low = name.lower()
         if low.endswith(".gsb"):
             gs = _read_ntv2(path)
+        elif low.endswith(".dat"):
+            gs = _read_ntv1(path)
         elif low.endswith(".ct2"):
             gs = _read_ct2(path)
         elif low.endswith(".gtx"):

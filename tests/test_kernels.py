@@ -89,3 +89,61 @@ def test_axisswap_neu():
     out = op.fwd((np.array([1.0]), np.array([2.0]), np.zeros(1),
                   np.zeros(1)))
     assert out[0][0] == 2.0 and out[1][0] == 1.0
+
+
+def test_ntv1_reader_and_hgridshift(tmp_path):
+    """Synthesize a tiny NTv1 file (header layout grids.cpp:1792-1896)
+    and check the hgridshift bilinear against hand values."""
+    import struct
+
+    import numpy as np
+
+    from proj_ray.factory import transform
+    from proj_ray.ops import gridshift as GS
+
+    # 3x3 grid covering lon [-100,-98] (stored as west-positive 98..100)
+    # lat [49,51], 1 deg resolution
+    hdr = bytearray(192)
+    struct.pack_into(">i", hdr, 8, 12)        # record count
+    struct.pack_into(">d", hdr, 24, 49.0)     # south (deg)
+    struct.pack_into(">d", hdr, 40, 51.0)     # north
+    struct.pack_into(">d", hdr, 56, 98.0)     # east, west-positive
+    struct.pack_into(">d", hdr, 72, 100.0)    # west, west-positive
+    struct.pack_into(">d", hdr, 88, 1.0)      # resY deg
+    struct.pack_into(">d", hdr, 104, 1.0)     # resX deg
+    # rows south->north; columns EAST->WEST; (lat_sec, lon_sec_west+)
+    vals = []
+    for iy in range(3):
+        for ix_e2w in range(3):
+            lon_w_to_e = 2 - ix_e2w
+            lat_sec = 1.0 + iy + 0.1 * lon_w_to_e
+            lon_sec_westpos = -(0.5 + 0.2 * iy)  # = +0.5.. east shift
+            vals.append(struct.pack(">2d", lat_sec, lon_sec_westpos))
+    path = tmp_path / "tiny_ntv1.dat"
+    path.write_bytes(bytes(hdr) + b"".join(vals))
+    GS.GRID_SEARCH_PATH.insert(0, str(tmp_path))
+    try:
+        lam = np.radians([-99.0])
+        phi = np.radians([50.0])
+        x, y, _, _ = transform(
+            "+proj=hgridshift +grids=tiny_ntv1.dat", "fwd", lam, phi)
+        sec = np.pi / 180.0 / 3600.0
+        # grid node at (ix=1, iy=1): lat 2.1", lon +0.7" east
+        assert y[0] - phi[0] == pytest.approx(2.1 * sec, rel=1e-9)
+        assert x[0] - lam[0] == pytest.approx(0.7 * sec, rel=1e-9)
+        # midpoint between nodes: bilinear average
+        x2, y2, _, _ = transform(
+            "+proj=hgridshift +grids=tiny_ntv1.dat", "fwd",
+            np.radians([-98.5]), np.radians([49.5]))
+        lat_exp = np.mean([1.1 + 0.1, 1.2 + 0.1 * 2,
+                           2.1 - 0.1 + 0.1, 2.0 + 0.2])
+        # nodes (ix,iy) in (1,0),(2,0),(1,1),(2,1): lat = 1+iy+0.1*ix
+        lat_exp = np.mean([1.1, 1.2, 2.1, 2.2])
+        lon_exp = np.mean([0.5, 0.5, 0.7, 0.7])
+        assert (y2[0] - np.radians(49.5)) == pytest.approx(
+            lat_exp * sec, rel=1e-9)
+        assert (x2[0] - np.radians(-98.5)) == pytest.approx(
+            lon_exp * sec, rel=1e-9)
+    finally:
+        GS.GRID_SEARCH_PATH.remove(str(tmp_path))
+        GS._GRID_CACHE.pop("tiny_ntv1.dat", None)
