@@ -458,6 +458,128 @@ def create_operation(defn: str) -> Operation:
     return _create_single(parse_single(defn))
 
 
+class AlternativesOp:
+    """Per-point candidate-operation selection with bbox containment +
+    masked retry — the vectorized analog of pj_get_suggested_operation
+    and the proj_trans retry loop (src/4D_api.cpp:217-346, 436-491,
+    gridless fallback :504-530).
+
+    candidates: list of dicts {"defn": str | Operation,
+    "bbox": (west, south, east, north) degrees or None (global),
+    "accuracy": float | None}. Selection order: accuracy ascending
+    (unknown last), then bbox pseudo-area ascending (smallest area =
+    most specific wins, mirroring add_coord_op_to_list
+    src/4D_api.cpp:1694). A point whose chosen op returns non-finite
+    retries the next containing candidate; a point contained by no bbox
+    falls back to the first global candidate.
+    """
+
+    def __init__(self, candidates: list[dict]):
+        built = []
+        for c in candidates:
+            op = c["defn"]
+            if isinstance(op, str):
+                op = create_operation(op)
+            bbox = c.get("bbox")
+            acc = c.get("accuracy")
+            if bbox is None:
+                area = 4 * 360.0 * 180.0
+            else:
+                w, s, e, n = bbox
+                area = max(e - w, 0.0) * max(n - s, 0.0)
+            built.append((op, bbox, np.inf if acc is None else acc, area))
+        built.sort(key=lambda t: (t[2], t[3]))
+        self.cands = built
+        self.P = built[0][0].P
+
+    @property
+    def angular_input(self):
+        return self.cands[0][0].angular_input
+
+    @property
+    def angular_output(self):
+        return self.cands[0][0].angular_output
+
+    @property
+    def has_inverse(self):
+        return all(c[0].has_inverse for c in self.cands)
+
+    @staticmethod
+    def _contains(bbox, lon, lat):
+        if bbox is None:
+            return np.ones_like(lon, dtype=bool)
+        w, s, e, n = bbox
+        lon_n = (lon - w) % 360.0 + w  # wrap into [w, w+360)
+        return (lon_n >= w) & (lon_n <= e) & (lat >= s) & (lat <= n)
+
+    def _apply(self, c: Coords, direction: str) -> Coords:
+        x, y, z, t = (np.array(v, dtype=np.float64, copy=True) for v in c)
+        n = len(x)
+        # bbox containment is tested on the angular side: the input for
+        # fwd, the (per-candidate) output for inv
+        fwd_side = direction == "fwd"
+        ox = np.full(n, np.inf)
+        oy = np.full(n, np.inf)
+        oz = np.array(z, copy=True)
+        ot = np.array(t, copy=True)
+        pending = np.isfinite(x) & np.isfinite(y)
+        next_ci = np.zeros(n, dtype=np.int64)
+        if fwd_side:
+            lon = np.degrees(x)
+            lat = np.degrees(y)
+        for _ in range(len(self.cands) + 1):
+            if not pending.any():
+                break
+            sel = np.full(n, -1, dtype=np.int64)
+            for ci, (_op, bbox, _acc, _area) in enumerate(self.cands):
+                if fwd_side:
+                    inside = self._contains(bbox, lon, lat)
+                else:
+                    inside = np.ones(n, dtype=bool)
+                m = pending & (sel < 0) & (next_ci <= ci) & inside
+                sel[m] = ci
+            # no containing candidate left: global fallback, once
+            nomatch = pending & (sel < 0) & (next_ci < len(self.cands))
+            if nomatch.any():
+                for ci, (_op, bbox, _acc, _area) in enumerate(self.cands):
+                    if bbox is None:
+                        sel[nomatch] = ci
+                        break
+            still = pending & (sel < 0)
+            pending = pending & ~still  # exhausted: stay inf
+            for ci in np.unique(sel[sel >= 0]):
+                m = sel == ci
+                op = self.cands[ci][0]
+                sub = (x[m], y[m], z[m], t[m])
+                rx, ry, rz, rt = (op.fwd(sub) if fwd_side else op.inv(sub))
+                ok = np.isfinite(rx) & np.isfinite(ry)
+                if not fwd_side:
+                    # verify the angular result lands in the bbox
+                    bbox = self.cands[ci][1]
+                    ok = ok & self._contains(bbox, np.degrees(rx),
+                                             np.degrees(ry))
+                idx = np.flatnonzero(m)
+                ox[idx[ok]] = rx[ok]
+                oy[idx[ok]] = ry[ok]
+                oz[idx[ok]] = rz[ok]
+                ot[idx[ok]] = rt[ok]
+                pending[idx[ok]] = False
+                next_ci[idx[~ok]] = ci + 1
+        return ox, oy, oz, ot
+
+    def fwd(self, c: Coords) -> Coords:
+        return self._apply(c, "fwd")
+
+    def inv(self, c: Coords) -> Coords:
+        return self._apply(c, "inv")
+
+
+def create_with_alternatives(candidates: list[dict]) -> AlternativesOp:
+    """Build a per-point best-operation selector (see AlternativesOp)."""
+    _ensure_registered()
+    return AlternativesOp(candidates)
+
+
 def _resolve_crs_text(spec: str) -> str:
     """A CRS given as 'EPSG:NNNN' / 'epsg:NNNN' resolves through the
     static registry; a +proj string passes through."""
