@@ -593,9 +593,16 @@ def _resolve_crs_text(spec: str) -> str:
     norm = _re.sub(r"\s*=\s*", "=", s)
     if "proj=" in norm or "init=" in norm:
         return s
+    from proj_ray.wkt import (looks_like_projjson, looks_like_wkt,
+                              projjson_to_proj, wkt_to_proj)
+
+    if looks_like_wkt(s):
+        return wkt_to_proj(s)
+    if looks_like_projjson(s):
+        return projjson_to_proj(s)
     raise NotImplementedError(
-        f"operator not implemented: CRS text {s[:60]!r} (WKT/urn need "
-        "the CRS database)")
+        f"operator not implemented: CRS text {s[:60]!r} (urn/database "
+        "references need the CRS database)")
 
 
 def create_crs_to_crs(src: str, dst: str) -> Operation:

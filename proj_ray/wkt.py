@@ -1,0 +1,406 @@
+"""WKT1 / WKT2 / PROJJSON -> proj-string subset parser.
+
+The reference's full grammar machinery (src/wkt1_grammar.y,
+src/wkt2_grammar.y, src/iso19111/io.cpp — 13k LoC) is out of scope;
+this module covers the shapes CRS text actually arrives in for the
+engine's supported conversion methods: PROJCS/GEOGCS (WKT1),
+PROJCRS/GEOGCRS (WKT2), and PROJJSON ProjectedCRS/GeographicCRS.
+An embedded authority ID (ID["EPSG", n] / "id": {...}) short-circuits
+to the static EPSG registry; otherwise the tree is translated
+structurally. Unknown methods raise NotImplementedError (never a
+silent wrong answer).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+# EPSG method code -> proj name + extras (subset shared with
+# tools/gen_epsg.py)
+_METHOD_BY_CODE = {
+    9807: ("tmerc", []), 9808: ("tmerc", ["axis=wsu"]),
+    9802: ("lcc", []), 9801: ("lcc", []), 1051: ("lcc", []),
+    9804: ("merc", []), 9805: ("merc", []), 1024: ("webmerc", []),
+    9806: ("cass", []), 9809: ("sterea", []), 9810: ("stere", []),
+    9829: ("stere", []), 9812: ("omerc", ["no_uoff"]), 9815: ("omerc", []),
+    9818: ("poly", []), 9820: ("laea", []), 9822: ("aea", []),
+    9832: ("aeqd", []), 9831: ("aeqd", ["guam"]), 9835: ("cea", []),
+    1028: ("eqc", []), 1029: ("eqc", []), 9823: ("eqc", []),
+    9811: ("nzmg", []), 9819: ("krovak", []), 1041: ("krovak", []),
+    1042: ("mod_krovak", []), 1043: ("mod_krovak", []),
+}
+
+_METHOD_BY_NAME = {
+    "transverse mercator": 9807,
+    "transverse_mercator": 9807,
+    "transverse mercator (south orientated)": 9808,
+    "mercator_1sp": 9804, "mercator (variant a)": 9804,
+    "mercator_2sp": 9805, "mercator (variant b)": 9805,
+    "mercator_auxiliary_sphere": 1024,
+    "popular visualisation pseudo mercator": 1024,
+    "lambert conic conformal (1sp)": 9801,
+    "lambert_conformal_conic_1sp": 9801,
+    "lambert conic conformal (2sp)": 9802,
+    "lambert_conformal_conic_2sp": 9802,
+    "lambert_conformal_conic": 9802,
+    "albers conic equal area": 9822, "albers_conic_equal_area": 9822,
+    "albers equal area": 9822,
+    "cassini_soldner": 9806, "cassini-soldner": 9806,
+    "oblique stereographic": 9809, "oblique_stereographic": 9809,
+    "double_stereographic": 9809,
+    "polar stereographic (variant a)": 9810, "polar_stereographic": 9810,
+    "polar stereographic (variant b)": 9829,
+    "hotine oblique mercator (variant a)": 9812,
+    "hotine_oblique_mercator": 9812,
+    "hotine oblique mercator (variant b)": 9815,
+    "hotine_oblique_mercator_azimuth_center": 9815,
+    "american polyconic": 9818, "polyconic": 9818,
+    "lambert azimuthal equal area": 9820,
+    "lambert_azimuthal_equal_area": 9820,
+    "modified azimuthal equidistant": 9832, "azimuthal_equidistant": 9832,
+    "lambert cylindrical equal area": 9835,
+    "cylindrical_equal_area": 9835,
+    "equidistant cylindrical": 1028, "equirectangular": 1028,
+    "new zealand map grid": 9811, "new_zealand_map_grid": 9811,
+    "krovak": 9819,
+}
+
+# EPSG parameter code / WKT name -> proj key
+_PARAM_BY_CODE = {
+    8801: "lat_0", 8802: "lon_0", 8805: "k", 8806: "x_0", 8807: "y_0",
+    8811: "lat_0", 8812: "lonc", 8813: "alpha", 8814: "gamma",
+    8815: "k", 8816: "x_0", 8817: "y_0",
+    8821: "lat_0", 8822: "lon_0", 8823: "lat_1", 8824: "lat_2",
+    8826: "x_0", 8827: "y_0", 8832: "lat_ts", 8833: "lon_0",
+    1036: "alpha", 8818: "lat_1", 8819: "k", 1038: "k",
+}
+_PARAM_BY_NAME = {
+    "latitude_of_origin": "lat_0", "latitude of natural origin": "lat_0",
+    "latitude of false origin": "lat_0",
+    "latitude of projection centre": "lat_0",
+    "latitude_of_center": "lat_0",
+    "central_meridian": "lon_0", "longitude of natural origin": "lon_0",
+    "longitude of false origin": "lon_0", "longitude of origin": "lon_0",
+    "longitude_of_center": "lonc",
+    "longitude of projection centre": "lonc",
+    "scale_factor": "k", "scale factor at natural origin": "k",
+    "scale factor on initial line": "k",
+    "scale factor on pseudo standard parallel": "k",
+    "false_easting": "x_0", "false easting": "x_0",
+    "easting at false origin": "x_0",
+    "easting at projection centre": "x_0",
+    "false_northing": "y_0", "false northing": "y_0",
+    "northing at false origin": "y_0",
+    "northing at projection centre": "y_0",
+    "standard_parallel_1": "lat_1",
+    "latitude of 1st standard parallel": "lat_1",
+    "latitude of pseudo standard parallel": "lat_1",
+    "standard_parallel_2": "lat_2",
+    "latitude of 2nd standard parallel": "lat_2",
+    "latitude of standard parallel": "lat_ts",
+    "azimuth": "alpha", "azimuth at projection centre": "alpha",
+    "azimuth of initial line": "alpha",
+    "co-latitude of cone axis": "alpha",
+    "angle from rectified to skew grid": "gamma",
+    "rectified_grid_angle": "gamma",
+    "pseudo_standard_parallel_1": "lat_1",
+}
+_ANGLE_KEYS = {"lat_0", "lon_0", "lonc", "alpha", "gamma", "lat_1",
+               "lat_2", "lat_ts"}
+
+
+class _Node:
+    __slots__ = ("name", "args")
+
+    def __init__(self, name, args):
+        self.name = name
+        self.args = args
+
+    def find(self, *names):
+        for a in self.args:
+            if isinstance(a, _Node) and a.name.upper() in names:
+                return a
+        return None
+
+    def find_all(self, *names):
+        return [a for a in self.args
+                if isinstance(a, _Node) and a.name.upper() in names]
+
+
+def _parse_wkt(text: str) -> _Node:
+    pos = 0
+    n = len(text)
+
+    def skip_ws():
+        nonlocal pos
+        while pos < n and text[pos] in " \t\r\n,":
+            pos += 1
+
+    def parse_value():
+        nonlocal pos
+        skip_ws()
+        if pos >= n:
+            raise ValueError("unexpected end of WKT")
+        ch = text[pos]
+        if ch == '"':
+            end = pos + 1
+            while end < n and text[end] != '"':
+                end += 1
+            s = text[pos + 1:end]
+            pos = end + 1
+            return s
+        m = re.match(r"[-+0-9.eE]+", text[pos:])
+        if m and re.match(r"[-+0-9.]", ch):
+            pos += m.end()
+            try:
+                return float(m.group(0))
+            except ValueError:
+                return m.group(0)
+        m = re.match(r"[A-Za-z_0-9]+", text[pos:])
+        if not m:
+            raise ValueError(f"bad WKT at {pos}: {text[pos:pos+20]!r}")
+        name = m.group(0)
+        pos += m.end()
+        skip_ws_only()
+        if pos < n and text[pos] in "[(":
+            close = "]" if text[pos] == "[" else ")"
+            pos += 1
+            args = []
+            while True:
+                skip_ws()
+                if pos < n and text[pos] == close:
+                    pos += 1
+                    break
+                args.append(parse_value())
+            return _Node(name, args)
+        return name
+
+    def skip_ws_only():
+        nonlocal pos
+        while pos < n and text[pos] in " \t\r\n":
+            pos += 1
+
+    v = parse_value()
+    if not isinstance(v, _Node):
+        raise ValueError("WKT did not parse to a node")
+    return v
+
+
+def _epsg_id_of(node: _Node):
+    idn = node.find("ID", "AUTHORITY")
+    if idn and len(idn.args) >= 2 and str(idn.args[0]).upper() == "EPSG":
+        try:
+            return int(float(idn.args[1]))
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
+def _angle_unit_to_deg(node: _Node | None) -> float:
+    """Factor converting the WKT angle unit to degrees."""
+    import math
+
+    if node is None:
+        return 1.0
+    try:
+        f = float(node.args[1])
+    except (IndexError, TypeError, ValueError):
+        return 1.0
+    return f / (math.pi / 180.0)
+
+
+def _ellps_from(node: _Node) -> str:
+    """SPHEROID/ELLIPSOID[name, a, rf] -> '+a=... +rf=...' (+unit)."""
+    a = float(node.args[1])
+    rf = float(node.args[2])
+    u = node.find("LENGTHUNIT", "UNIT")
+    if u is not None:
+        try:
+            a *= float(u.args[1])
+        except (IndexError, TypeError, ValueError):
+            pass
+    if rf == 0:
+        return f"+a={a:.15g} +b={a:.15g}"
+    return f"+a={a:.15g} +rf={rf:.15g}"
+
+
+def _geog_base(node: _Node) -> str:
+    """GEOGCS/GEOGCRS/BASEGEOGCRS -> ellipsoid (+pm) fragment."""
+    datum = node.find("DATUM", "TRF", "ENSEMBLE")
+    if datum is None:
+        raise NotImplementedError("WKT: no DATUM in geographic CRS")
+    ell = datum.find("SPHEROID", "ELLIPSOID")
+    if ell is None:
+        raise NotImplementedError("WKT: no ELLIPSOID")
+    parts = [_ellps_from(ell)]
+    tow = datum.find("TOWGS84")
+    if tow is not None and len(tow.args) >= 3:
+        vals = ",".join(f"{float(v):.15g}" for v in tow.args[:7])
+        parts.append(f"+towgs84={vals}")
+    pm = node.find("PRIMEM")
+    if pm is not None and len(pm.args) >= 2 and float(pm.args[1]) != 0.0:
+        u = _angle_unit_to_deg(pm.find("ANGLEUNIT", "UNIT"))
+        parts.append(f"+pm={float(pm.args[1]) * u:.15g}")
+    return " ".join(parts)
+
+
+def wkt_to_proj(text: str) -> str:
+    """Translate a WKT1/WKT2 CRS string to a proj string (subset)."""
+    root = _parse_wkt(text)
+    name = root.name.upper()
+    # authority shortcut: trust an explicit EPSG id when resolvable
+    code = _epsg_id_of(root)
+    if code is not None:
+        try:
+            from proj_ray.epsg import resolve_init
+
+            return resolve_init(f"epsg:{code}")
+        except NotImplementedError:
+            pass
+    if name in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
+        return f"+proj=longlat {_geog_base(root)}"
+    if name not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
+        raise NotImplementedError(f"WKT node {root.name} not supported")
+    base = root.find("GEOGCS", "BASEGEOGCRS", "GEOGCRS")
+    if base is None:
+        raise NotImplementedError("WKT: projected CRS without base")
+    geog = _geog_base(base)
+    conv = root.find("CONVERSION")
+    holder = conv if conv is not None else root
+    meth = holder.find("PROJECTION", "METHOD")
+    if meth is None:
+        raise NotImplementedError("WKT: no PROJECTION/METHOD")
+    mcode = _epsg_id_of(meth)
+    if mcode is None:
+        mname = str(meth.args[0]).strip().lower()
+        mcode = _METHOD_BY_NAME.get(mname)
+    if mcode is None or mcode not in _METHOD_BY_CODE:
+        raise NotImplementedError(
+            f"WKT: method {meth.args[0]!r} not supported")
+    proj, extras = _METHOD_BY_CODE[mcode]
+    kv: dict[str, float] = {}
+    for p in holder.find_all("PARAMETER"):
+        pcode = _epsg_id_of(p)
+        key = _PARAM_BY_CODE.get(pcode) if pcode is not None else None
+        if key is None:
+            key = _PARAM_BY_NAME.get(str(p.args[0]).strip().lower())
+        if key is None:
+            raise NotImplementedError(
+                f"WKT: parameter {p.args[0]!r} not supported")
+        val = float(p.args[1])
+        if key in _ANGLE_KEYS:
+            val *= _angle_unit_to_deg(p.find("ANGLEUNIT", "UNIT"))
+        kv[key] = val
+    if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
+        kv["lat_1"] = kv["lat_0"]  # LCC 1SP
+    if mcode == 9829 and "lat_0" not in kv:
+        kv["lat_0"] = 90.0 if kv.get("lat_ts", 90.0) >= 0 else -90.0
+    parts = [f"+proj={proj}"]
+    for k in ("lat_0", "lon_0", "lonc", "lat_1", "lat_2", "lat_ts",
+              "alpha", "gamma", "k", "x_0", "y_0"):
+        if k in kv:
+            parts.append(f"+{k}={kv[k]:.15g}")
+    parts += [f"+{e}" for e in extras]
+    parts.append(geog)
+    # projected CS unit: WKT1 top-level UNIT / WKT2 CS axis LENGTHUNIT
+    unit = 1.0
+    u = root.find("UNIT", "LENGTHUNIT")
+    if u is None:
+        cs = root.find("CS")
+        ax = root.find("AXIS")
+        un = (cs.find("LENGTHUNIT") if cs is not None else None) or \
+            (ax.find("LENGTHUNIT") if ax is not None else None)
+        u = un
+    if u is not None:
+        try:
+            unit = float(u.args[1])
+        except (IndexError, TypeError, ValueError):
+            unit = 1.0
+    if abs(unit - 1.0) < 1e-15:
+        parts.append("+units=m")
+    else:
+        parts.append(f"+to_meter={unit:.15g}")
+    return " ".join(parts)
+
+
+def projjson_to_proj(obj) -> str:
+    """Translate a PROJJSON CRS (dict or JSON text) to a proj string
+    (subset: ProjectedCRS / GeographicCRS with EPSG method ids)."""
+    if isinstance(obj, str):
+        obj = json.loads(obj)
+    ident = obj.get("id") or {}
+    if str(ident.get("authority", "")).upper() == "EPSG":
+        try:
+            from proj_ray.epsg import resolve_init
+
+            return resolve_init(f"epsg:{ident['code']}")
+        except NotImplementedError:
+            pass
+    t = obj.get("type", "")
+    if t == "GeographicCRS":
+        return f"+proj=longlat {_json_geog(obj)}"
+    if t != "ProjectedCRS":
+        raise NotImplementedError(f"PROJJSON type {t!r} not supported")
+    geog = _json_geog(obj.get("base_crs", {}))
+    conv = obj.get("conversion", {})
+    mid = (conv.get("method", {}).get("id") or {})
+    mcode = int(mid["code"]) if str(mid.get("authority", "")).upper() == \
+        "EPSG" and "code" in mid else _METHOD_BY_NAME.get(
+        str(conv.get("method", {}).get("name", "")).strip().lower())
+    if mcode is None or mcode not in _METHOD_BY_CODE:
+        raise NotImplementedError("PROJJSON: method not supported")
+    proj, extras = _METHOD_BY_CODE[mcode]
+    kv: dict[str, float] = {}
+    for p in conv.get("parameters", []):
+        pid = p.get("id") or {}
+        key = _PARAM_BY_CODE.get(int(pid["code"])) \
+            if str(pid.get("authority", "")).upper() == "EPSG" and \
+            "code" in pid else None
+        if key is None:
+            key = _PARAM_BY_NAME.get(str(p.get("name", "")).strip().lower())
+        if key is None:
+            raise NotImplementedError(
+                f"PROJJSON: parameter {p.get('name')!r} not supported")
+        val = float(p.get("value", 0.0))
+        unit = p.get("unit", "metre")
+        if key in _ANGLE_KEYS and isinstance(unit, dict):
+            import math
+
+            val *= float(unit.get("conversion_factor", math.pi / 180)) \
+                / (math.pi / 180)
+        kv[key] = val
+    if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
+        kv["lat_1"] = kv["lat_0"]
+    parts = [f"+proj={proj}"]
+    for k in ("lat_0", "lon_0", "lonc", "lat_1", "lat_2", "lat_ts",
+              "alpha", "gamma", "k", "x_0", "y_0"):
+        if k in kv:
+            parts.append(f"+{k}={kv[k]:.15g}")
+    parts += [f"+{e}" for e in extras]
+    parts.append(geog)
+    parts.append("+units=m")
+    return " ".join(parts)
+
+
+def _json_geog(obj) -> str:
+    datum = obj.get("datum") or obj.get("datum_ensemble") or {}
+    ell = datum.get("ellipsoid", {})
+    a = float(ell.get("semi_major_axis", 6378137.0))
+    rf = ell.get("inverse_flattening")
+    if rf:
+        return f"+a={a:.15g} +rf={float(rf):.15g}"
+    b = float(ell.get("semi_minor_axis", a))
+    return f"+a={a:.15g} +b={b:.15g}"
+
+
+def looks_like_wkt(text: str) -> bool:
+    head = text.lstrip()[:16].upper()
+    return any(head.startswith(k) for k in (
+        "PROJCS", "GEOGCS", "PROJCRS", "GEOGCRS", "PROJECTEDCRS",
+        "GEOGRAPHICCRS", "COMPD_CS", "COMPOUNDCRS", "BOUNDCRS"))
+
+
+def looks_like_projjson(text: str) -> bool:
+    t = text.lstrip()
+    return t.startswith("{") and '"type"' in t[:200]
