@@ -104,6 +104,49 @@ def dms_to_rad(s: str) -> float:
     return dms_to_deg(s) * math.pi / 180.0
 
 
+def deg_to_dms(deg: float, pos: str = "", neg: str = "-",
+               fract: int = 3) -> str:
+    """Format decimal degrees as DDdMM'SS.fff" with hemisphere letter —
+    the rtodms counterpart (src/rtodms.cpp:41-88): seconds rounded to
+    `fract` digits with carry into minutes/degrees; `pos`/`neg` are the
+    hemisphere suffixes (e.g. "N"/"S"), '-' prefix when `neg` empty."""
+    import math
+
+    r = float(deg)
+    if r < 0:
+        r = -r
+        prefix, suffix = ("", neg) if pos else ("-", "")
+    else:
+        prefix, suffix = "", pos
+    res = 10.0 ** fract
+    total = math.floor(r * 3600.0 * res + 0.5)
+    sec = (total / res) % 60.0
+    rest = math.floor(total / (res * 60.0))
+    minute = int(rest % 60)
+    d = int(rest // 60)
+    sec_s = f"{sec:.{fract}f}" if fract else f"{int(sec)}"
+    return f"{prefix}{d}d{minute}'{sec_s}\"{suffix}"
+
+
+def parse_dms_array(strings) -> "np.ndarray":
+    """Vectorized DMS parse of a string column (degrees out)."""
+    import numpy as np
+
+    out = np.empty(len(strings), dtype=np.float64)
+    for i, s in enumerate(strings):
+        out[i] = dms_to_deg(str(s))
+    return out
+
+
+def format_dms_array(degs, pos: str = "", neg: str = "-",
+                     fract: int = 3) -> "np.ndarray":
+    """Vectorized DMS format of a degree column."""
+    import numpy as np
+
+    return np.array([deg_to_dms(float(d), pos, neg, fract) for d in degs],
+                    dtype=object)
+
+
 class ParamSet:
     """A step's key->value mapping with typed accessors (cf. pj_param)."""
 

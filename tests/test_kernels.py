@@ -147,3 +147,30 @@ def test_ntv1_reader_and_hgridshift(tmp_path):
     finally:
         GS.GRID_SEARCH_PATH.remove(str(tmp_path))
         GS._GRID_CACHE.pop("tiny_ntv1.dat", None)
+
+
+def test_deg_to_dms_roundtrip():
+    from proj_ray.params import deg_to_dms, dms_to_deg
+
+    assert deg_to_dms(12.582441666666, "N", "S") == "12d34'56.790\"N"
+    assert deg_to_dms(-12.5824416666666, "N", "S").endswith('"S')
+    assert deg_to_dms(-7.5) == "-7d30'0.000\""
+    # seconds carry: 59.9996" rounds into the next minute at fract=3
+    assert deg_to_dms(0.9999999, fract=3) == "1d0'0.000\""
+    for d in (0.0, 12.5824416666, -179.99999, 89.999999, 45.0):
+        s = deg_to_dms(d, "E", "W", fract=6)
+        assert abs(dms_to_deg(s) - d) < 1e-9, (d, s)
+
+
+def test_dms_arrays():
+    import numpy as np
+
+    from proj_ray.params import format_dms_array, parse_dms_array
+
+    vals = parse_dms_array(["57d30'12.3\"", "-7.5", "12d30'S", "0.25r"])
+    assert vals[0] == pytest.approx(57.50341666666, abs=1e-9)
+    assert vals[1] == -7.5
+    assert vals[2] == -12.5
+    assert vals[3] == pytest.approx(np.degrees(0.25), abs=1e-12)
+    back = format_dms_array(vals[:2], "N", "S")
+    assert back[0].endswith('"N') and back[1].endswith('"S')
