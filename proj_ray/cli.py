@@ -1,0 +1,187 @@
+"""Command-line filters mirroring the reference apps (§3.1-3.3):
+
+  python -m proj_ray.cli proj  +proj=utm +zone=31 +ellps=WGS84 [-I] [-d N]
+  python -m proj_ray.cli cs2cs EPSG:4326 EPSG:25832 [-d N]
+  python -m proj_ray.cli geod  +ellps=WGS84 [-I] [-d N]
+  python -m proj_ray.cli gie   file.gie [...]
+
+Unlike the reference's one-coordinate-at-a-time loops
+(src/apps/proj.cpp:63, cs2cs.cpp:102), input lines are parsed in bulk
+and transformed as one vectorized batch — the engine's batch-first
+shape all the way to the terminal. DMS input (12d30'S) accepted via
+dmstor-equivalent parsing; trailing line remainders are echoed like
+the reference apps.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def _read_coords(stream):
+    """Parse 'x y [z [t]] [rest]' lines in bulk; returns arrays + rest
+    strings (DMS accepted)."""
+    from proj_ray.params import dms_to_deg
+
+    xs, ys, zs, ts, rests = [], [], [], [], []
+    for line in stream:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        toks = line.split()
+        vals = []
+        rest = ""
+        for i, tok in enumerate(toks[:4]):
+            try:
+                vals.append(dms_to_deg(tok))
+            except ValueError:
+                rest = " ".join(toks[i:])
+                break
+        else:
+            rest = " ".join(toks[4:])
+        if len(vals) < 2:
+            continue
+        xs.append(vals[0])
+        ys.append(vals[1])
+        zs.append(vals[2] if len(vals) > 2 else 0.0)
+        ts.append(vals[3] if len(vals) > 3 else np.inf)
+        rests.append(rest)
+    return (np.array(xs), np.array(ys), np.array(zs), np.array(ts), rests)
+
+
+def _print_coords(x, y, z, rests, decimals: int, angular: bool):
+    fmt = f"%.{decimals}f"
+    for i in range(len(x)):
+        if not np.isfinite(x[i]) or not np.isfinite(y[i]):
+            line = "*\t* *"
+        else:
+            xi, yi = (np.degrees(x[i]), np.degrees(y[i])) if angular \
+                else (x[i], y[i])
+            line = f"{fmt % xi}\t{fmt % yi} {fmt % z[i]}"
+        if rests[i]:
+            line += f" {rests[i]}"
+        print(line)
+
+
+def cmd_proj(args: list[str]) -> int:
+    from proj_ray.factory import create_operation
+
+    inverse = "-I" in args
+    decimals = 2
+    if "-d" in args:
+        decimals = int(args[args.index("-d") + 1])
+    defn = " ".join(a for i, a in enumerate(args)
+                    if a not in ("-I", "-d")
+                    and (i == 0 or args[i - 1] != "-d"))
+    op = create_operation(defn)
+    x, y, z, t, rests = _read_coords(sys.stdin)
+    if op.angular_input and not inverse or (op.angular_output and inverse):
+        x = np.radians(x)
+        y = np.radians(y)
+    c = (x, y, z, t)
+    rx, ry, rz, _ = op.inv(c) if inverse else op.fwd(c)
+    angular = op.angular_input if inverse else op.angular_output
+    _print_coords(rx, ry, rz, rests, decimals, angular)
+    return 0
+
+
+def cmd_cs2cs(args: list[str]) -> int:
+    from proj_ray.factory import create_crs_to_crs
+
+    decimals = 4
+    if "-d" in args:
+        decimals = int(args[args.index("-d") + 1])
+        args = [a for i, a in enumerate(args)
+                if a != "-d" and (i == 0 or args[i - 1] != "-d")]
+    if len(args) < 2:
+        print("usage: cs2cs <src crs> <dst crs>", file=sys.stderr)
+        return 2
+    op = create_crs_to_crs(args[0], args[1])
+    x, y, z, t, rests = _read_coords(sys.stdin)
+    if op.angular_input:
+        x = np.radians(x)
+        y = np.radians(y)
+    rx, ry, rz, _ = op.fwd((x, y, z, t))
+    _print_coords(rx, ry, rz, rests, decimals, op.angular_output)
+    return 0
+
+
+def cmd_geod(args: list[str]) -> int:
+    """Inverse problem on 'lat1 lon1 lat2 lon2' lines (like geod -I);
+    prints azi1 azi2 s12. With -p (polygon), reads 'lat lon' vertices
+    and prints perimeter + area (geod_polygon_*)."""
+    from proj_ray.geodesic import Geodesic
+
+    a = 6378137.0
+    f = 1 / 298.257223563
+    for tok in args:
+        if tok.startswith("+a="):
+            a = float(tok[3:])
+        elif tok.startswith("+rf="):
+            f = 1 / float(tok[4:])
+    g = Geodesic(a, f)
+    decimals = 3
+    if "-d" in args:
+        decimals = int(args[args.index("-d") + 1])
+    if "-p" in args:
+        x, y, _, _, _ = _read_coords(sys.stdin)
+        per, area = g.polygon_area(x, y)  # lines are 'lat lon'
+        print(f"{per:.{decimals}f} {area:.1f}")
+        return 0
+    lat1, lon1, lat2, lon2 = [], [], [], []
+    from proj_ray.params import dms_to_deg
+
+    for line in sys.stdin:
+        toks = line.split()
+        if len(toks) < 4:
+            continue
+        lat1.append(dms_to_deg(toks[0]))
+        lon1.append(dms_to_deg(toks[1]))
+        lat2.append(dms_to_deg(toks[2]))
+        lon2.append(dms_to_deg(toks[3]))
+    s, a1, a2 = g.inverse(np.array(lat1), np.array(lon1),
+                          np.array(lat2), np.array(lon2))
+    for i in range(len(s)):
+        print(f"{a1[i]:.{decimals}f} {a2[i]:.{decimals}f} "
+              f"{s[i]:.{decimals}f}")
+    return 0
+
+
+def cmd_gie(args: list[str]) -> int:
+    from proj_ray.gie import run_gie_file
+
+    total_ok = total_fail = 0
+    for f in args:
+        r = run_gie_file(f)
+        total_ok += r.ok
+        total_fail += r.fail
+        print(f"{f}: {r.ok} ok, {r.fail} fail, {r.skip} skip, "
+              f"{r.unsupported} unsupported")
+        for msg in r.failures[:10]:
+            print("  FAIL", msg[:200])
+    return 1 if total_fail else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "proj":
+        return cmd_proj(rest)
+    if cmd == "cs2cs":
+        return cmd_cs2cs(rest)
+    if cmd == "geod":
+        return cmd_geod(rest)
+    if cmd == "gie":
+        return cmd_gie(rest)
+    print(f"unknown command {cmd!r}; one of: proj cs2cs geod gie",
+          file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

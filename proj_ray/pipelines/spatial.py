@@ -52,6 +52,9 @@ class FusedSpatialStage:
     the fuse-the-sandwich pattern (SURVEY §1.5: compose kernels inside
     ONE map_batches fn)."""
 
+    CHUNK = 65536  # rows per inner pass: ~3 MB working set stays cache-
+    # resident, easing memory-bandwidth contention across workers
+
     def __init__(self, index_ref, zoom: int):
         self.index_ref = index_ref
         self.index = None
@@ -68,16 +71,20 @@ class FusedSpatialStage:
 
         outs = []
         for s, c in zip(batch["start"], batch["count"]):
-            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
-            lon, lat = geotags(idx)
-            cell = cell_id(lon, lat, self.zoom)
-            tx, ty, valid = tile_assign(lon, lat, self.zoom)
-            pts, polys = self.index.query(lon, lat)
-            kept = pts[valid[pts]]
-            key = tx[kept] * np.int64(1 << 30) + ty[kept]
-            _ = cell  # cell ids computed to exercise the kernel path
-            cells_u, counts = np.unique(key, return_counts=True)
-            outs.append((cells_u, counts))
+            s = int(s)
+            c = int(c)
+            for cs in range(s, s + c, self.CHUNK):
+                idx = np.arange(cs, min(cs + self.CHUNK, s + c),
+                                dtype=np.int64)
+                lon, lat = geotags(idx)
+                cell = cell_id(lon, lat, self.zoom)
+                tx, ty, valid = tile_assign(lon, lat, self.zoom)
+                pts, polys = self.index.query(lon, lat)
+                kept = pts[valid[pts]]
+                key = tx[kept] * np.int64(1 << 30) + ty[kept]
+                _ = cell  # cell ids computed to exercise the kernel path
+                cells_u, counts = np.unique(key, return_counts=True)
+                outs.append((cells_u, counts))
         keys = np.concatenate([o[0] for o in outs]) if outs else \
             np.empty(0, np.int64)
         cnts = np.concatenate([o[1] for o in outs]) if outs else \
@@ -99,15 +106,20 @@ def default_polygon_index():
 
 
 def headline_spatial(n_rows: int, num_cpus: int = 32, zoom: int = 10,
-                     index=None):
+                     index=None, combine: str = "total"):
     """Run the fused pipeline; returns (matched_rows, tile_counts_df).
 
-    The combine is a distributed groupby-Sum over the per-batch partial
-    (tile, count) pairs — O(#tiles × #blocks) rows through the shuffle,
-    never O(#rows)."""
+    combine="total" (the benchmark metric): per-batch partial (tile,
+    count) pairs stream to the driver and only their sum is kept — no
+    shuffle. combine="tiles": materialize per-tile counts with a
+    distributed groupby-Sum. Note the synthetic geotags have no
+    spatial locality per block, so at zoom 10 partial counts barely
+    compress (~#matched rows of partials) and the groupby is a real
+    shuffle — that per-tile path is benchmarked separately
+    (tile_counts_salted), where the salt also handles the Zipf
+    hotspots."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
     ref = ray.put(index if index is not None else default_polygon_index())
     par = max(num_cpus * 4, 16)
@@ -117,21 +129,35 @@ def headline_spatial(n_rows: int, num_cpus: int = 32, zoom: int = 10,
     stage = FusedSpatialStage(ref, zoom)
     ds = rd.from_items(items).map_batches(
         stage, batch_format="numpy", batch_size=4)
-    agg = (ds.groupby("tile_key")
-             .aggregate(Sum("partial_n", alias_name="n"))
-             .to_pandas())
-    return int(agg["n"].sum()), agg
+    if combine == "tiles":
+        from ray.data.aggregate import Sum
+
+        agg = (ds.groupby("tile_key")
+                 .aggregate(Sum("partial_n", alias_name="n"))
+                 .to_pandas())
+        return int(agg["n"].sum()), agg
+    total = 0
+    for b in ds.iter_batches(batch_format="numpy"):
+        total += int(b["partial_n"].sum())
+    return total, None
 
 
 def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
                        salt: int = 16, key_col: str = "image_id",
-                       salted: bool = True):
-    """Per-tile counts with explicit skew handling on a row-level
-    shuffle: census -> salt hot tile keys -> groupby(salted) -> merge.
+                       salted: bool = True, cache: bool = True):
+    """Per-tile counts with explicit skew handling: census -> salt hot
+    tile keys -> salted groupby -> merge.
+
+    Shuffle-minimal shape: every groupby input is pre-aggregated inside
+    map_batches first, so the all-to-all moves O(#distinct keys per
+    block), never raw rows — the salt's job is to split what would
+    still be a hot reducer key across `salt` sub-keys. The keyed
+    projection (key, tile_key — 16 B/row) is materialized once so the
+    census and the counting pass don't re-execute the input lineage.
 
     `salted=False` runs the same flow without the salt (for parity
     checks and A/B timing). Returns a Dataset of (tile_key, n)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from proj_ray import stages as S
 
@@ -143,19 +169,34 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
                              + b["tile_y"])}
 
     keyed = ds.map_batches(keyify, batch_format="numpy")
+
+    def partial_counts(col):
+        def fn(b: dict) -> dict:
+            keys, counts = np.unique(b[col], return_counts=True)
+            return {col: keys, "n_part": counts.astype(np.int64)}
+
+        return fn
+
     if not salted:
-        return keyed.groupby("tile_key").aggregate(Count(alias_name="n"))
+        return (keyed.map_batches(partial_counts("tile_key"),
+                                  batch_format="numpy")
+                .groupby("tile_key")
+                .aggregate(Sum("n_part", alias_name="n")))
+    if cache:
+        keyed = keyed.materialize()
     if threshold is None:
         threshold = 10000
     hot = S.hot_cells(keyed, cell_col="tile_key", threshold=threshold)
     salted_ds = S.with_salted_cells(keyed, hot, salt=salt,
                                     cell_col="tile_key", key_col=key_col)
-    part = (salted_ds.groupby("cell_salted")
-            .aggregate(Count(alias_name="n_part")))
+    part = (salted_ds.map_batches(partial_counts("cell_salted"),
+                                  batch_format="numpy")
+            .groupby("cell_salted")
+            .aggregate(Sum("n_part", alias_name="n_sub")))
 
     def unsalt(b: dict) -> dict:
         return {"tile_key": np.asarray(b["cell_salted"]) // salt,
-                "n_part": b["n_part"]}
+                "n_sub": b["n_sub"]}
 
     return (part.map_batches(unsalt, batch_format="numpy")
-            .groupby("tile_key").aggregate(Sum("n_part", alias_name="n")))
+            .groupby("tile_key").aggregate(Sum("n_sub", alias_name="n")))

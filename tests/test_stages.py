@@ -150,3 +150,12 @@ def test_salted_tile_counts_parity(ray_session):
     assert a["tile_key"].tolist() == b["tile_key"].tolist()
     assert a["n"].tolist() == b["n"].tolist()
     _ = pd
+
+
+def test_headline_combine_modes_agree(ray_session):
+    from proj_ray.pipelines import headline_spatial
+
+    t1, _ = headline_spatial(50000, num_cpus=4)
+    t2, tiles = headline_spatial(50000, num_cpus=4, combine="tiles")
+    assert t1 == t2
+    assert tiles["n"].sum() == t1
