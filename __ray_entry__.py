@@ -632,6 +632,42 @@ def _q24_dedup_images(sf_dir: str):
                        "image_id")
 
 
+def _q25_merc_scale(sf_dir: str):
+    """Distortion factors (proj_factors kernel, numerical derivatives)
+    vs the Mercator closed form — SQL-checkable because merc's k has a
+    closed form sqrt(1-es sin^2 phi)/cos phi; rounding to 4 dp leaves
+    the ~1e-9 numerical-derivative error far from a rounding edge."""
+    from proj_ray.factors import with_factors
+
+    ds = _docs_geo(sf_dir)
+
+    def clamp(b: dict) -> dict:
+        keep = np.abs(b["lat"]) < 80.0
+        return {k: np.asarray(v)[keep] for k, v in b.items()}
+
+    ds = with_factors(ds.map_batches(clamp, batch_format="numpy"),
+                      "+proj=merc +ellps=WGS84",
+                      fields=("parallel_scale", "areal_scale"))
+
+    def rnd(b: dict) -> dict:
+        return {"doc_id": b["doc_id"],
+                "k": np.round(b["parallel_scale"], 4),
+                "s": np.round(b["areal_scale"], 4)}
+
+    return ds.map_batches(rnd, batch_format="numpy")
+
+
+_Q25_SQL = f"""
+WITH geo AS ({_GEO_SQL})
+SELECT doc_id,
+  ROUND(sqrt(1 - 0.0066943799901413165*sin(radians(lat))*sin(radians(lat)))
+        / cos(radians(lat)), 4) AS k,
+  ROUND((1 - 0.0066943799901413165*sin(radians(lat))*sin(radians(lat)))
+        / (cos(radians(lat)) * cos(radians(lat))), 4) AS s
+FROM geo WHERE abs(lat) < 80.0
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -663,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_images_join": _q22_images_join,
         "q23_ann_ivf": _q23_ivf,
         "q24_dedup_images": _q24_dedup_images,
+        "q25_merc_scale": _q25_merc_scale,
     }
 
 
@@ -683,4 +720,5 @@ def oracle_sql() -> dict[str, str]:
         "q13_part_brand": _Q13_SQL,
         "q14_ann_cosine": _Q14_SQL,
         "q15_region_nation": _Q15_SQL,
+        "q25_merc_scale": _Q25_SQL,
     }

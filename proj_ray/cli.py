@@ -69,11 +69,12 @@ def cmd_proj(args: list[str]) -> int:
     from proj_ray.factory import create_operation
 
     inverse = "-I" in args
+    want_factors = "-S" in args
     decimals = 2
     if "-d" in args:
         decimals = int(args[args.index("-d") + 1])
     defn = " ".join(a for i, a in enumerate(args)
-                    if a not in ("-I", "-d")
+                    if a not in ("-I", "-d", "-S")
                     and (i == 0 or args[i - 1] != "-d"))
     op = create_operation(defn)
     x, y, z, t, rests = _read_coords(sys.stdin)
@@ -83,6 +84,17 @@ def cmd_proj(args: list[str]) -> int:
     c = (x, y, z, t)
     rx, ry, rz, _ = op.inv(c) if inverse else op.fwd(c)
     angular = op.angular_input if inverse else op.angular_output
+    if want_factors and not inverse:
+        # scale-factor output like `proj -S` (src/apps/proj.cpp:123-191)
+        from proj_ray.factors import factors
+
+        fac = factors(op, x, y)
+        rests = [(f"<{fac['meridional_scale'][i]:.8f} "
+                  f"{fac['parallel_scale'][i]:.8f} "
+                  f"{fac['areal_scale'][i]:.8f} "
+                  f"{np.degrees(fac['angular_distortion'][i]):.8g}>"
+                  + (f" {r}" if r else ""))
+                 for i, r in enumerate(rests)]
     _print_coords(rx, ry, rz, rests, decimals, angular)
     return 0
 
