@@ -152,10 +152,12 @@ def run_headline_once(sf_dir: str, num_cpus: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     warmup = warmup_cluster()
-    # scaling runs need enough per-core work that compute dominates
-    # scheduling overhead: ~64 rows of synthetic geotags per lineitem row
+    # scaling runs need enough per-core work that the ~0.4 s fixed
+    # pipeline overhead (planning + first-task latency + final drain)
+    # is amortized at the 4N level too: 192 rows per lineitem row
+    # puts the 4-cpu run at ~15 s (overhead < 3%)
     lineitem_rows = rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
-    n = lineitem_rows * int(os.environ.get("SCALING_ROWS_MULT", "64"))
+    n = lineitem_rows * int(os.environ.get("SCALING_ROWS_MULT", "192"))
     _ = warmup
     t0 = time.time()
     matched = headline_spatial(n)

@@ -55,10 +55,14 @@ class FusedSpatialStage:
     CHUNK = 65536  # rows per inner pass: ~3 MB working set stays cache-
     # resident, easing memory-bandwidth contention across workers
 
-    def __init__(self, index_ref, zoom: int):
+    def __init__(self, index_ref, zoom: int, totals_only: bool = False):
         self.index_ref = index_ref
         self.index = None
         self.zoom = zoom
+        # totals_only: emit one (0, batch_total) row instead of per-tile
+        # partials — the minimal sufficient statistic when the consumer
+        # only needs the matched count
+        self.totals_only = totals_only
 
     def __call__(self, batch: dict) -> dict:
         if self.index is None:
@@ -84,7 +88,11 @@ class FusedSpatialStage:
                 key = tx[kept] * np.int64(1 << 30) + ty[kept]
                 _ = cell  # cell ids computed to exercise the kernel path
                 cells_u, counts = np.unique(key, return_counts=True)
-                outs.append((cells_u, counts))
+                if self.totals_only:
+                    outs.append((np.zeros(1, np.int64),
+                                 np.array([counts.sum()], np.int64)))
+                else:
+                    outs.append((cells_u, counts))
         keys = np.concatenate([o[0] for o in outs]) if outs else \
             np.empty(0, np.int64)
         cnts = np.concatenate([o[1] for o in outs]) if outs else \
@@ -126,7 +134,7 @@ def headline_spatial(n_rows: int, num_cpus: int = 32, zoom: int = 10,
     shard = max(1, n_rows // par)
     items = [{"start": s, "count": min(shard, n_rows - s)}
              for s in range(0, n_rows, shard)]
-    stage = FusedSpatialStage(ref, zoom)
+    stage = FusedSpatialStage(ref, zoom, totals_only=(combine == "total"))
     ds = rd.from_items(items).map_batches(
         stage, batch_format="numpy", batch_size=4)
     if combine == "tiles":
