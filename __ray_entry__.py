@@ -580,8 +580,11 @@ def _q20_simhash(sf_dir: str):
 
 def _q21_images_tiles(sf_dir: str):
     """Flagship slice over the synthetic images table: cells + tiles +
-    per-tile counts (rows scale with sf via documents row count)."""
-    from ray.data.aggregate import Count
+    per-tile counts (rows scale with sf via documents row count).
+    Per-batch partial counts collapse each block to its distinct tiles
+    before the groupby, so the all-to-all moves O(#tiles x #blocks)
+    rows — and Zipf-hotspot tiles arrive pre-combined per block."""
+    from ray.data.aggregate import Sum
 
     from proj_ray.images import images_dataset
     from proj_ray.stages import with_cells, with_tiles
@@ -590,8 +593,22 @@ def _q21_images_tiles(sf_dir: str):
     ds = images_dataset(n, parallelism=8)
     ds = with_cells(ds, level=7)
     ds = with_tiles(ds, zoom=7)
-    return (ds.groupby(["tile_z", "tile_x", "tile_y"])
-              .aggregate(Count(alias_name="n_images")))
+
+    def partial(b: dict) -> dict:
+        import pandas as pd
+
+        g = (pd.DataFrame({k: b[k] for k in
+                           ("tile_z", "tile_x", "tile_y")})
+             .groupby(["tile_z", "tile_x", "tile_y"], as_index=False)
+             .size())
+        return {"tile_z": g["tile_z"].to_numpy(),
+                "tile_x": g["tile_x"].to_numpy(),
+                "tile_y": g["tile_y"].to_numpy(),
+                "n_part": g["size"].to_numpy().astype(np.int64)}
+
+    return (ds.map_batches(partial, batch_format="numpy")
+              .groupby(["tile_z", "tile_x", "tile_y"])
+              .aggregate(Sum("n_part", alias_name="n_images")))
 
 
 def _q22_images_join(sf_dir: str):
