@@ -90,6 +90,17 @@ EPSG_INIT: dict[int, str] = {
     # NZGD2000 / New Zealand Transverse Mercator 2000
     2193: "+proj=tmerc +lat_0=0 +lon_0=173 +k=0.9996 +x_0=1600000 "
           "+y_0=10000000 +ellps=GRS80 +towgs84=0,0,0 +units=m",
+    # MGI / Austria M28/M31/M34 + Austria Lambert (legacy proj4 defs,
+    # datum hermannskogel = BEV 7-param)
+    31284: "+proj=tmerc +lat_0=0 +lon_0=10.33333333333333 +k=1 "
+           "+x_0=150000 +y_0=0 +datum=hermannskogel +units=m",
+    31285: "+proj=tmerc +lat_0=0 +lon_0=13.33333333333333 +k=1 "
+           "+x_0=450000 +y_0=0 +datum=hermannskogel +units=m",
+    31286: "+proj=tmerc +lat_0=0 +lon_0=16.33333333333333 +k=1 "
+           "+x_0=750000 +y_0=0 +datum=hermannskogel +units=m",
+    31287: "+proj=lcc +lat_1=49 +lat_2=46 +lat_0=47.5 "
+           "+lon_0=13.33333333333333 +x_0=400000 +y_0=400000 "
+           "+datum=hermannskogel +units=m",
     # Pulkovo 1942 / Caspian Sea Mercator, variant B (conversion 19884)
     3388: "+proj=merc +lat_ts=42 +lon_0=51 +x_0=0 +y_0=0 +ellps=krass "
           "+towgs84=23.92,-141.27,-80.9,0,0.35,0.82,-0.12 +units=m",
@@ -121,7 +132,38 @@ def resolve_init(spec: str) -> str:
     from proj_ray.epsg_generated import EPSG_GENERATED
 
     if icode in EPSG_GENERATED:
-        return EPSG_GENERATED[icode]
+        defn = EPSG_GENERATED[icode]
+        # legacy proj4 init rules: pure (n,e) permutations are dropped
+        # (easting,northing output), mirrored axes (wsu/swu...) kept —
+        # matching the historical proj4 'epsg' init file convention
+        if "+axis=neu" in defn:
+            defn = defn.replace(" +axis=neu", "")
+        return defn
     raise NotImplementedError(
         f"operator not implemented: init epsg:{icode} (not in static "
         "registry)")
+
+
+def resolve_code_authority(icode: int) -> str:
+    """Resolve an `EPSG:NNNN` reference with AUTHORITY axis order (the
+    modern createFromUserInput semantics): projected CRSs keep their
+    +axis from the generated table; geographic CRSs with (lat,lon)
+    authority order get +axis=neu appended."""
+    defn = None
+    if icode in EPSG_INIT:
+        defn = EPSG_INIT[icode]
+    else:
+        from proj_ray.epsg_generated import EPSG_GENERATED
+
+        if icode in EPSG_GENERATED:
+            defn = EPSG_GENERATED[icode]
+    if defn is None:
+        raise NotImplementedError(
+            f"operator not implemented: EPSG:{icode} (not in static "
+            "registry)")
+    from proj_ray.epsg_generated import EPSG_GEO_LATLON
+
+    if icode in EPSG_GEO_LATLON and "+axis" not in defn \
+            and "longlat" in defn:
+        defn = defn + " +axis=neu"
+    return defn

@@ -237,13 +237,22 @@ def _expand_datum(kv: dict) -> dict:
     return out
 
 
-def _cs2cs_emulation(op: Operation, kv: dict, ps: ParamSet) -> None:
+def _cs2cs_emulation(op: Operation, kv: dict, ps: ParamSet,
+                     crs_ell=None) -> None:
     """Attach legacy cs2cs helpers (axis/towgs84/nadgrids/geoidgrids) to the
-    op's Common, mirroring cs2cs_emulation_setup (src/4D_api.cpp:836-993)."""
+    op's Common, mirroring cs2cs_emulation_setup (src/4D_api.cpp:836-993).
+
+    `crs_ell` is the CRS's true ellipsoid BEFORE any projection-internal
+    spherification (the reference keeps a_orig/es_orig for this,
+    src/init.cpp): datum equivalence checks and the cart legs of the
+    sandwich must use it, or a spherical-only projection on WGS84 would
+    be mistaken for a different datum."""
     from proj_ray.ops.transforms import Cart, Helmert
     from proj_ray.ellipsoid import Ellipsoid
 
     P = op.P
+    if crs_ell is None:
+        crs_ell = P.ell
     do_cart = False
     if "nadgrids" in kv and str(kv["nadgrids"]):
         sub = _create_single({"proj": "hgridshift",
@@ -259,16 +268,20 @@ def _cs2cs_emulation(op: Operation, kv: dict, ps: ParamSet) -> None:
         vals += [0.0] * (7 - len(vals))
         if all(v == 0.0 for v in vals):
             wgs = Ellipsoid.named("WGS84")
-            if not (abs(P.ell.a - wgs.a) < 1e-8
-                    and abs(P.ell.es - wgs.es) < 1e-15):
+            if not (abs(crs_ell.a - wgs.a) < 1e-8
+                    and abs(crs_ell.es - wgs.es) < 1e-15):
                 do_cart = True
         else:
+            # exact rotation matrices: keeps fwd/inv of the sandwich
+            # exactly inverse (gie roundtrips at mm tolerance); diverges
+            # from the reference's linearized legacy path by ~0.2 mm on
+            # 7-param datums, inside every conformance tolerance
             hps = ParamSet({"exact": True, "towgs84": str(kv["towgs84"]),
                             "convention": "position_vector"})
             P.helmert = Helmert(Common(P.ell, hps), hps)
     if P.helmert is not None or do_cart:
         cps = ParamSet({})
-        P.cart = Cart(Common(P.ell, cps), cps)
+        P.cart = Cart(Common(crs_ell, cps), cps)
         wps = ParamSet({})
         P.cart_wgs84 = Cart(Common(Ellipsoid.named("WGS84"), wps), wps)
 
@@ -296,7 +309,7 @@ def _create_single(kv: dict) -> Operation:
     ell = _build_ellipsoid(ps, name)
     common = Common(ell, ps)
     op = cls(common, ps)
-    _cs2cs_emulation(op, kv, ps)
+    _cs2cs_emulation(op, kv, ps, crs_ell=ell)
     return op
 
 
@@ -581,15 +594,17 @@ def create_with_alternatives(candidates: list[dict]) -> AlternativesOp:
 
 
 def _resolve_crs_text(spec: str) -> str:
-    """A CRS given as 'EPSG:NNNN' / 'epsg:NNNN' resolves through the
-    static registry; a +proj string passes through."""
+    """A CRS given as 'EPSG:NNNN' resolves through the static registry
+    with AUTHORITY axis order (lat,lon for most geographic CRSs, like
+    createFromUserInput); a +proj/+init string passes through with
+    legacy order; WKT/PROJJSON via the subset parser."""
     import re as _re
 
     s = spec.strip()
     if _re.match(r"(?i)^epsg:\d+$", s):
-        from proj_ray.epsg import resolve_init
+        from proj_ray.epsg import resolve_code_authority
 
-        return resolve_init(s)
+        return resolve_code_authority(int(s.split(":")[1]))
     norm = _re.sub(r"\s*=\s*", "=", s)
     if "proj=" in norm or "init=" in norm:
         return s
@@ -605,14 +620,119 @@ def _resolve_crs_text(spec: str) -> str:
         "references need the CRS database)")
 
 
+_ELL_KEYS = ("ellps", "a", "b", "rf", "f", "es", "e", "R")
+_ANGULAR_PROJ = ("latlong", "longlat", "latlon", "lonlat")
+
+
+def _crs_pieces(defn: str) -> dict:
+    """Dissect a resolved CRS proj-string for pipeline composition."""
+    from proj_ray.params import tokenize
+
+    kv = dict(tokenize(defn))
+    proj = str(kv.get("proj", ""))
+    ell = []
+    for k in _ELL_KEYS:
+        if k in kv:
+            v = kv[k]
+            ell.append(f"+{k}" if v is True else f"+{k}={v}")
+    if not ell and "datum" in kv:
+        ds = DATUMS.get(str(kv["datum"]))
+        if ds:
+            ell.append(f"+ellps={ds[1]}")
+    geoc = bool(kv.get("geoc", False))
+    o_proj = str(kv.get("o_proj", ""))
+    return {
+        "proj": proj,
+        "geoc": geoc,
+        "is_angular": proj in _ANGULAR_PROJ,
+        # ops whose z output is integral to the transformation (no
+        # height passthrough): geocentric, and sch's cross-track height
+        "is_3d": proj in ("geocent", "cart", "sch", "topocentric"),
+        "vertical": any(k in kv for k in ("vto_meter", "vunits",
+                                          "geoidgrids")),
+        "obtran_angular": proj == "ob_tran" and o_proj in _ANGULAR_PROJ,
+        "ell": " ".join(ell),
+        "clean": " ".join(t for t in defn.split() if t != "+geoc"),
+    }
+
+
 def create_crs_to_crs(src: str, dst: str) -> Operation:
-    """cs2cs-style CRS -> CRS operation (legacy semantics: lon,lat
-    visualization order, per-step +towgs84/+nadgrids sandwich; mirrors
-    proj_create_crs_to_crs src/4D_api.cpp:2072 for the static-registry
-    subset — the proj.db query planner is out of scope)."""
-    s = _resolve_crs_text(src)
-    d = _resolve_crs_text(dst)
-    return create_operation(f"+proj=pipeline +step +inv {s} +step {d}")
+    """cs2cs-style CRS -> CRS operation, mirroring
+    proj_create_crs_to_crs (src/4D_api.cpp:2072) for the
+    static-registry subset (the proj.db query planner is out of scope):
+
+    - per-step legacy +towgs84/+nadgrids datum sandwich;
+    - 2D CRS pairs wrap the pipeline in push/pop v_3 so the height
+      passes through (modern cs2cs semantics);
+    - +geoc latlong CRSs get an explicit geographic<->geocentric
+      latitude step with the right direction on each side;
+    - ob_tran with an angular o_proj gets a rad<->deg unitconvert so
+      the rotated-pole coordinates surface in degrees.
+    """
+    s = _crs_pieces(_resolve_crs_text(src))
+    d = _crs_pieces(_resolve_crs_text(dst))
+    steps = []
+    if s["geoc"]:
+        steps.append(f"+step +inv +proj=geoc {s['ell']}".rstrip())
+    steps.append(f"+step +inv {s['clean']}")
+    steps.append(f"+step {d['clean']}")
+    if d["geoc"]:
+        steps.append(f"+step +proj=geoc {d['ell']}".rstrip())
+    # 2D pairs: ellipsoidal height passes through (push/pop v_3) —
+    # unless a side declares vertical units or a geoid, in which case
+    # the vertical IS part of the transformation
+    if not s["is_3d"] and not d["is_3d"] \
+            and not s["vertical"] and not d["vertical"]:
+        steps = (["+step +proj=push +v_3"] + steps
+                 + ["+step +proj=pop +v_3"])
+    op = create_operation("+proj=pipeline " + " ".join(steps))
+    if s["obtran_angular"] or d["obtran_angular"]:
+        return _ObtranDegrees(op, s["obtran_angular"], d["obtran_angular"])
+    return op
+
+
+class _ObtranDegrees:
+    """Rotated-pole (ob_tran + angular o_proj) CRS coordinates surface
+    in degrees in cs2cs (the CRS layer knows they're angular even
+    though the raw operation emits radians); this thin adapter does the
+    rad<->deg conversion at the boundary and reports the side as
+    non-angular so callers print the degrees raw."""
+
+    def __init__(self, op, src_deg: bool, dst_deg: bool):
+        self._op = op
+        self._src_deg = src_deg
+        self._dst_deg = dst_deg
+        self.P = op.P
+
+    @property
+    def angular_input(self):
+        return False if self._src_deg else self._op.angular_input
+
+    @property
+    def angular_output(self):
+        return False if self._dst_deg else self._op.angular_output
+
+    @property
+    def has_inverse(self):
+        return self._op.has_inverse
+
+    def fwd(self, c: Coords) -> Coords:
+        x, y, z, t = c
+        if self._src_deg:
+            x, y = np.radians(x), np.radians(y)
+        x, y, z, t = self._op.fwd((x, y, z, t))
+        if self._dst_deg:
+            x, y = np.degrees(x), np.degrees(y)
+        return x, y, z, t
+
+    def inv(self, c: Coords) -> Coords:
+        x, y, z, t = c
+        if self._dst_deg:
+            x, y = np.radians(x), np.radians(y)
+        x, y, z, t = self._op.inv((x, y, z, t))
+        if self._src_deg:
+            x, y = np.degrees(x), np.degrees(y)
+        return x, y, z, t
 
 
 def transform(op: Operation | str, direction: str, x, y, z=None, t=None,

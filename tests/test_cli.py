@@ -36,7 +36,8 @@ def test_proj_inverse():
 
 
 def test_cs2cs_epsg_codes():
-    lines = run_cli(["cs2cs", "EPSG:4326", "EPSG:25832"], "12 55\n")
+    # EPSG:4326 authority order: lat lon input, like real cs2cs
+    lines = run_cli(["cs2cs", "EPSG:4326", "EPSG:25832"], "55 12\n")
     x, y = lines[0].replace("\t", " ").split()[:2]
     assert float(x) == pytest.approx(691875.632, abs=1e-2)
     assert float(y) == pytest.approx(6098907.825, abs=1e-2)

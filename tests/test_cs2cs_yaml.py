@@ -1,0 +1,32 @@
+"""Replay the reference's own cs2cs CLI golden corpus
+(test/cli/test_cs2cs_various.yaml, 142 cases) through create_crs_to_crs,
+comparing numerically at the precision of the printed goldens.
+
+Known divergences (all proj.db operation-planner behavior, out of
+scope for the static registry by design):
+- NAD27 paths (tests 1, 122, 123): the datum grids are not shipped;
+  modern cs2cs falls back to a db-selected ballpark/alternate op.
+- EPSG:4807 (test 7): NTF(Paris) authority unit is grad; the registry
+  expresses angular CRSs in degrees.
+- PD/83, MAGNA-SIRGAS, MGI-1901, ED50 pairs (92, 128-136): the db
+  planner picks region-specific Helmert ops; the registry carries the
+  conservative/classic towgs84 (e.g. ED50 -87,-98,-121 lands within
+  4 m of the db's Spain-specific pick).
+- test 57 (+init=epsg:31284 at %.7f): the engine's datum sandwich uses
+  exact rotation matrices (needed for mm-level gie roundtrips) where
+  legacy cs2cs linearizes — 0.2 mm divergence vs a 150 nm tolerance.
+"""
+
+KNOWN_DIVERGENT = {1, 7, 57, 92, 122, 123, 128, 129, 130, 131, 132,
+                   133, 134, 135, 136}
+
+
+def test_cs2cs_various_goldens():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replay_cs2cs_yaml import run
+
+    npass, nfail, nskip = run()
+    assert npass >= 72, (npass, nfail, nskip)
+    assert nfail <= len(KNOWN_DIVERGENT), (npass, nfail)

@@ -52,20 +52,28 @@ def test_generated_matches_curated_params():
 def test_resolve_init_falls_back_to_generated():
     from proj_ray.factory import create_operation
 
-    # EPSG:3035 is not in the curated table; its EPSG axis order is
-    # (northing, easting), carried by +axis=neu in the generated def
+    # EPSG:3035 is not in the curated table. The +init path follows
+    # legacy proj4 rules: pure (n,e) axis permutations are dropped, so
+    # output is easting,northing even though EPSG says N,E.
     op = create_operation("+init=epsg:3035")
-    n, e = _fwd(op, 10.0, 52.0)
-    # false origin: (10E, 52N) -> exactly (y_0, x_0) in N,E order
-    assert n == pytest.approx(3210000.0, abs=1e-6)
+    e, n = _fwd(op, 10.0, 52.0)
     assert e == pytest.approx(4321000.0, abs=1e-6)
+    assert n == pytest.approx(3210000.0, abs=1e-6)
+    # ... while the EPSG:code path keeps authority order (N,E)
+    from proj_ray.epsg import resolve_code_authority
+
+    op2 = create_operation(resolve_code_authority(3035))
+    n2, e2 = _fwd(op2, 10.0, 52.0)
+    assert n2 == pytest.approx(3210000.0, abs=1e-6)
+    assert e2 == pytest.approx(4321000.0, abs=1e-6)
 
 
 def test_crs_to_crs_geographic_to_projected():
     from proj_ray.factory import create_crs_to_crs, transform
 
+    # EPSG:4326 by code has AUTHORITY axis order: input is (lat, lon)
     op = create_crs_to_crs("EPSG:4326", "EPSG:25832")
-    x, y = _fwd(op, 12.0, 55.0)
+    x, y = _fwd(op, 55.0, 12.0)
     rx, ry, *_ = transform("+proj=utm +zone=32 +ellps=GRS80", "fwd",
                            np.radians([12.0]), np.radians([55.0]))
     # sub-mm agreement (difference = the legitimate WGS84<->GRS80

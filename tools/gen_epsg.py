@@ -190,11 +190,13 @@ def main() -> None:
     # ensemble row itself carries the ellipsoid, so nothing extra needed.
 
     geod = {}
+    geod_cs = {}
     for r in rows("geodetic_crs.sql", "geodetic_crs"):
         code, typ, cs, datum, deprecated = r[1], r[4], r[6], r[8], r[-1]
         if deprecated == "1":
             continue
         geod[code] = (typ, datum)
+        geod_cs[code] = cs
 
     axes = {}
     for r in rows("axis.sql", "axis"):
@@ -239,7 +241,78 @@ def main() -> None:
             parts.append(f"+pm={fmt(pmv)}")
         return " ".join(parts)
 
+    # towgs84 from helmert_transformation.sql: a geographic CRS gets a
+    # +towgs84 only when its to-WGS84/ETRS89 transformation is
+    # UNAMBIGUOUS (one distinct parameter set at the best accuracy);
+    # coordinate-frame rotations are negated into the position-vector
+    # convention proj4 +towgs84 uses. Time-dependent ops skipped.
+    HUB = {"4326", "4258", "4979", "4937", "9989"}
+    PV = {"9606", "1037", "1033", "1053"}
+    CF = {"9607", "1032", "1038", "1056"}
+    T3 = {"9603", "1031", "1035"}
+    cands: dict[str, list] = {}
+    for r in rows("helmert_transformation.sql", "helmert_transformation"):
+        method, s_auth, s_code = r[5], r[7], r[8]
+        t_auth, t_code, acc = r[9], r[10], _num(r[11])
+        deprecated = r[-1]
+        if deprecated == "1" or s_auth != "EPSG" or t_auth != "EPSG":
+            continue
+        if t_code not in HUB or method not in (PV | CF | T3):
+            continue
+        if r[25] not in ("NULL", ""):  # rate_tx: time-dependent
+            continue
+        try:
+            tx = length_m(_num(r[12]), r[16], units)
+            ty = length_m(_num(r[13]), r[16], units)
+            tz = length_m(_num(r[14]), r[16], units)
+        except (TypeError, KeyError):
+            continue
+        if method in T3:
+            params = (tx, ty, tz, 0.0, 0.0, 0.0, 0.0)
+        else:
+            try:
+                # rotations to arc-seconds, scale to ppm
+                rx = angle_deg(_num(r[17]), r[21], units) * 3600.0
+                ry = angle_deg(_num(r[18]), r[21], units) * 3600.0
+                rz = angle_deg(_num(r[19]), r[21], units) * 3600.0
+                sc = _num(r[22])
+                s_uom = r[24]
+                sfac = units.get(s_uom, (None, 1.0, ""))[1] or 1.0
+                sc = sc * sfac * 1e6  # unity-factor -> ppm
+            except (TypeError, KeyError):
+                continue
+            if method in CF:
+                rx, ry, rz = -rx, -ry, -rz
+            params = (tx, ty, tz, rx, ry, rz, sc)
+        cands.setdefault(s_code, []).append(
+            (acc if acc is not None else 999.0, params))
+    towgs84: dict[str, str] = {}
+    for s_code, lst in cands.items():
+        if s_code in HUB:
+            continue
+        # conservative: only when every candidate agrees (a single
+        # distinct parameter set) — the most accurate op is usually the
+        # most regional one, which is the wrong default for a whole CRS
+        sets = {tuple(round(v, 6) for v in p) for _a, p in lst}
+        if len(sets) == 1:
+            p = next(iter(sets))
+            towgs84[s_code] = ",".join(fmt(v) for v in p)
+
+    # the hand-curated table's towgs84 choices (classic proj4 picks,
+    # e.g. ED50 -87,-98,-121) take precedence over the conservative
+    # auto-selection for their geographic codes
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from proj_ray.epsg import EPSG_INIT
+
+    for ccode, cdef in EPSG_INIT.items():
+        m = re.search(r"\+towgs84=([0-9eE+,.\-]+)", cdef)
+        if m and "longlat" in cdef:
+            towgs84[str(ccode)] = m.group(1)
+
     out: dict[int, str] = {}
+    latlon_order: list[int] = []
     for code, (typ, datum) in geod.items():
         if not typ.startswith("geographic"):
             if typ == "geocentric":
@@ -249,7 +322,13 @@ def main() -> None:
             continue
         base = geo_defn(code)
         if base:
-            out[int(code)] = f"+proj=longlat {base}"
+            tw = towgs84.get(code)
+            suffix = f" +towgs84={tw}" if tw else ""
+            out[int(code)] = f"+proj=longlat {base}{suffix}"
+            cs = geod_cs.get(code)
+            ax = sorted(axes.get(cs, [])) if cs else []
+            if ax and ax[0][1].lower().startswith("north"):
+                latlon_order.append(int(code))
 
     skipped_methods: dict[str, int] = {}
     for r in rows("projected_crs.sql", "projected_crs"):
@@ -317,6 +396,9 @@ def main() -> None:
         for e in extras:
             parts.append(f"+{e}")
         parts.append(base)
+        tw = towgs84.get(gcrs)
+        if tw:
+            parts.append(f"+towgs84={tw}")
         if abs(ufactor - 1.0) < 1e-15:
             parts.append("+units=m")
         elif abs(ufactor - 0.3048) < 1e-12:
@@ -340,7 +422,16 @@ def main() -> None:
                 "EPSG_GENERATED: dict[int, str] = {\n")
         for code in sorted(out):
             f.write(f"    {code}: {out[code]!r},\n")
-        f.write("}\n")
+        f.write("}\n\n")
+        f.write("# geographic CRSs whose EPSG authority axis order is\n"
+                "# (latitude, longitude) — used by the EPSG:code path;\n"
+                "# the legacy +init path keeps lon,lat\n"
+                "EPSG_GEO_LATLON: frozenset[int] = frozenset({\n")
+        for i in range(0, len(latlon_order), 10):
+            f.write("    " + ", ".join(str(c) for c in
+                                       sorted(latlon_order)[i:i + 10])
+                    + ",\n")
+        f.write("})\n")
     print(f"wrote {len(out)} codes to {dst}")
     top = sorted(skipped_methods.items(), key=lambda x: -x[1])[:12]
     print("skipped methods:", top)

@@ -1,0 +1,161 @@
+"""Replay the reference's cs2cs CLI golden tests
+(test/cli/test_cs2cs_various.yaml) against the engine's
+create_crs_to_crs, comparing numerically at the precision the expected
+output was printed with. Exploration tool; the curated subset lives in
+tests/test_cs2cs_yaml.py.
+
+Usage: python tools/replay_cs2cs_yaml.py [-v]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+import yaml
+
+YAML = "/root/reference/test/cli/test_cs2cs_various.yaml"
+
+SKIP_FLAGS = ("--only-best", "--no-ballpark", "--authority", "--accuracy",
+              "--s_epoch", "--t_epoch", "-E", "-I")
+
+
+def parse_num(tok: str):
+    """Numeric token (decimal or DMS) -> (value, abs tolerance)."""
+    from proj_ray.params import dms_to_deg
+
+    if tok in ("*", "inf", "-inf"):
+        return np.nan, 0.0
+    if any(c in tok for c in "d°'\""):
+        v = dms_to_deg(tok)
+        # precision = seconds decimals (default whole seconds)
+        dec = 0
+        if "." in tok:
+            frag = tok.split(".")[-1]
+            dec = sum(ch.isdigit() for ch in frag)
+        if "'" not in tok and '"' not in tok and "d" in tok:
+            # only degrees printed: tolerance at the minute level
+            tol = 1.5 / 60.0 if "." not in tok else 1.5 * 10.0 ** -dec
+        else:
+            tol = 1.5 * 10.0 ** -dec / 3600.0
+        return v, tol
+    v = float(tok)
+    dec = len(tok.split(".")[1]) if "." in tok else 0
+    return v, 1.5 * 10.0 ** -dec
+
+
+def split_args(args: str):
+    toks = str(args).split()
+    # drop cs2cs flags and their values
+    out = []
+    skip_next = False
+    for t in toks:
+        if skip_next:
+            skip_next = False
+            continue
+        if t in ("-f", "-d"):
+            skip_next = True
+            continue
+        if t.startswith("-") and not t[1:2].isdigit():
+            continue
+        out.append(t)
+    if "+to" in out:
+        i = out.index("+to")
+        return " ".join(out[:i]), " ".join(out[i + 1:])
+    if len(out) == 2 and all(":" in o or o.startswith("+") for o in out):
+        return out[0], out[1]
+    return None, None
+
+
+def parse_lines(text: str):
+    rows = []
+    for line in str(text).strip().splitlines():
+        toks = line.replace("\t", " ").split()
+        vals = []
+        for tok in toks:
+            try:
+                vals.append(parse_num(tok))
+            except (ValueError, TypeError):
+                break
+        if len(vals) >= 2:
+            rows.append(vals)
+        else:
+            rows.append(None)
+    return rows
+
+
+def run(verbose: bool = False):
+    from proj_ray.factory import create_crs_to_crs
+
+    d = yaml.safe_load(open(YAML))
+    npass = nfail = nskip = 0
+    fails = []
+    for ti, t in enumerate(d["tests"]):
+        args = str(t.get("args", ""))
+        if "out" not in t or any(f in args for f in SKIP_FLAGS):
+            nskip += 1
+            continue
+        src, dst = split_args(args)
+        if not src or not dst:
+            nskip += 1
+            continue
+        try:
+            op = create_crs_to_crs(src, dst)
+        except Exception as exc:  # noqa: BLE001
+            nskip += 1
+            if verbose:
+                print(f"[{ti}] BUILD-SKIP {args[:80]} -> "
+                      f"{type(exc).__name__} {str(exc)[:60]}")
+            continue
+        ins = parse_lines(t["in"])
+        outs = parse_lines(t["out"])
+        ok = True
+        why = ""
+        for i, (iv, ov) in enumerate(zip(ins, outs)):
+            if iv is None or ov is None:
+                continue
+            x = np.array([iv[0][0]])
+            y = np.array([iv[1][0]])
+            z = np.array([iv[2][0] if len(iv) > 2 else 0.0])
+            tt = np.array([np.inf])
+            if op.angular_input:
+                x, y = np.radians(x), np.radians(y)
+            try:
+                rx, ry, rz, _ = op.fwd((x, y, z, tt))
+            except Exception as exc:  # noqa: BLE001
+                ok = False
+                why = f"exec {type(exc).__name__}"
+                break
+            if op.angular_output:
+                rx, ry = np.degrees(rx), np.degrees(ry)
+            exp = [ov[0], ov[1]] + ([ov[2]] if len(ov) > 2 else [])
+            got = [rx[0], ry[0]] + ([rz[0]] if len(ov) > 2 else [])
+            for (ev, tol), gv in zip(exp, got):
+                if np.isnan(ev):
+                    if np.isfinite(gv):
+                        ok = False
+                        why = f"row{i} expected failure got {gv}"
+                    continue
+                if not np.isfinite(gv) or abs(gv - ev) > tol:
+                    ok = False
+                    why = f"row{i} got {gv!r} want {ev!r} tol {tol:g}"
+                    break
+            if not ok:
+                break
+        if ok:
+            npass += 1
+        else:
+            nfail += 1
+            fails.append((ti, args[:90], why))
+    print(f"pass {npass}  fail {nfail}  skip {nskip}")
+    for ti, a, w in fails[:40]:
+        print(f"  [{ti}] {a}\n        {w}")
+    return npass, nfail, nskip
+
+
+if __name__ == "__main__":
+    run("-v" in sys.argv)
