@@ -64,12 +64,13 @@ class ShiftGrid:
 
     def contains(self, lam: np.ndarray, phi: np.ndarray,
                  eps_factor: float = 0.0) -> np.ndarray:
-        epsX = self.resX * eps_factor
-        epsY = self.resY * eps_factor
-        lam_n = np.where(lam < self.west - epsX, lam + 2 * np.pi, lam)
-        lam_n = np.where(lam_n > self.east + epsX, lam_n - 2 * np.pi, lam_n)
-        return ((lam_n >= self.west - epsX) & (lam_n <= self.east + epsX)
-                & (phi >= self.south - epsY) & (phi <= self.north + epsY))
+        # single epsilon from the combined resolution on BOTH axes
+        # (isPointInExtent callers pass (resX+resY)*tol, grids.cpp)
+        eps = (self.resX + self.resY) * eps_factor
+        lam_n = np.where(lam < self.west - eps, lam + 2 * np.pi, lam)
+        lam_n = np.where(lam_n > self.east + eps, lam_n - 2 * np.pi, lam_n)
+        return ((lam_n >= self.west - eps) & (lam_n <= self.east + eps)
+                & (phi >= self.south - eps) & (phi <= self.north + eps))
 
 
 def _read_ntv2(path: str) -> list[ShiftGrid]:
@@ -322,9 +323,20 @@ def load_grids(names: str) -> list[ShiftGrid]:
         elif low.endswith(".tif") or low.endswith(".tiff"):
             gs = _read_tiff_shift(path)
         else:
-            if not optional:
-                any_required_missing = name
-            continue
+            # extensionless legacy names (e.g. 'conus'): sniff the
+            # magic like the reference's format detection
+            with open(path, "rb") as f:
+                head = f.read(12)
+            if head.startswith(b"CTABLE V2"):
+                gs = _read_ct2(path)
+            elif head[8:12] == b"\x00\x00\x00\x0c":  # NTv1 rec count
+                gs = _read_ntv1(path)
+            elif head.startswith(b"HEADER"):
+                gs = _read_ntv1(path)
+            else:
+                if not optional:
+                    any_required_missing = name
+                continue
         _GRID_CACHE[name] = gs
         out.extend(gs)
     if not out:
@@ -397,6 +409,20 @@ class Hgridshift(Operation):
         if not names:
             raise ValueError("hgridshift: +grids= required")
         self.grids = _flatten(load_grids(names))
+        # time bracket (hgridshift.cpp forward_4d): with both t_epoch
+        # and t_final set, the shift applies only to t < t_epoch
+        # (2D/t-less coordinates always shift)
+        self.t_epoch = ps.f("t_epoch", 0.0)
+        tf = ps.s("t_final")
+        self.t_final = 9999.0 if tf == "now" else \
+            (float(tf) if tf else 0.0)
+
+    def _time_mask(self, t: np.ndarray) -> np.ndarray | None:
+        if self.t_final == 0.0 or self.t_epoch == 0.0:
+            return None
+        if not (self.t_final > self.t_epoch):
+            return np.zeros(t.shape, dtype=bool) | ~np.isfinite(t)
+        return ~np.isfinite(t) | (t < self.t_epoch)
 
     def _shift_at(self, grid: ShiftGrid, lam: np.ndarray, phi: np.ndarray):
         eps = (grid.resX + grid.resY) * REL_TOL
@@ -409,6 +435,19 @@ class Hgridshift(Operation):
         return tl, tp, dl, dp
 
     def _fwd(self, lam, phi, z, t) -> Coords:
+        tm = self._time_mask(t)
+        if tm is not None:
+            rl = np.array(lam, copy=True)
+            rp = np.array(phi, copy=True)
+            if tm.any():
+                ol, op_, _, _ = self._fwd_core(lam[tm], phi[tm],
+                                               z[tm], t[tm])
+                rl[tm] = ol
+                rp[tm] = op_
+            return rl, rp, z, t
+        return self._fwd_core(lam, phi, z, t)
+
+    def _fwd_core(self, lam, phi, z, t) -> Coords:
         out_l = np.full_like(lam, np.inf)
         out_p = np.full_like(phi, np.inf)
         remaining = np.ones(lam.shape, dtype=bool)
@@ -431,41 +470,113 @@ class Hgridshift(Operation):
             remaining[np.flatnonzero(m)[good]] = False
         return out_l, out_p, z, t
 
+    def _tb_of(self, grid: ShiftGrid, lam: np.ndarray, phi: np.ndarray):
+        eps = (grid.resX + grid.resY) * REL_TOL
+        tl = lam - grid.west
+        tl = np.where(tl + eps < 0, tl + 2 * np.pi, tl)
+        tl = np.where(tl - eps > grid.east - grid.west, tl - 2 * np.pi, tl)
+        return tl, phi - grid.south
+
     def _inv(self, lam, phi, z, t) -> Coords:
+        tm = self._time_mask(t)
+        if tm is not None:
+            rl = np.array(lam, copy=True)
+            rp = np.array(phi, copy=True)
+            if tm.any():
+                ol, op_, _, _ = self._inv_core(lam[tm], phi[tm],
+                                               z[tm], t[tm])
+                rl[tm] = ol
+                rp[tm] = op_
+            return rl, rp, z, t
+        return self._inv_core(lam, phi, z, t)
+
+    def _inv_core(self, lam, phi, z, t) -> Coords:
+        """Iterative inverse with cross-subgrid re-selection: a guess
+        that leaves its grid mid-iteration switches to another
+        containing grid and keeps iterating; no switch available
+        accepts the current guess; 10 iterations without convergence is
+        an error (pj_hgrid_apply_internal, grids.cpp:3388-3480)."""
+        n = lam.shape[0]
+        grids = self.grids
         out_l = np.full_like(lam, np.inf)
         out_p = np.full_like(phi, np.inf)
-        remaining = np.ones(lam.shape, dtype=bool)
-        for grid in self.grids:
-            if not remaining.any():
-                break
-            m = remaining & grid.contains(lam, phi, REL_TOL)
-            if not m.any():
-                continue
-            if grid.is_null:
+        gidx = np.full(n, -1, dtype=np.int64)
+        for k, g in enumerate(grids):
+            m = (gidx < 0) & g.contains(lam, phi, REL_TOL)
+            gidx[m] = k
+        done = gidx < 0  # outside every grid: stays inf
+        for k, g in enumerate(grids):
+            if g.is_null:
+                m = gidx == k
                 out_l[m] = lam[m]
                 out_p[m] = phi[m]
-                remaining &= ~m
-                continue
-            tb_l, tb_p, dl0, dp0 = self._shift_at(grid, lam[m], phi[m])
-            tl = tb_l - dl0
-            tp = tb_p - dp0
-            conv = np.zeros(tl.shape, dtype=bool)
-            for _ in range(10):  # MAX_ITERATIONS, tol 1e-12 rad
-                dl = _bilinear(grid, tl, tp, grid.lon_shift)
-                dp = _bilinear(grid, tl, tp, grid.lat_shift)
-                dif_l = tl + dl - tb_l
-                dif_p = tp + dp - tb_p
-                step_ok = np.isfinite(dif_l) & np.isfinite(dif_p)
-                tl = np.where(step_ok, tl - dif_l, tl)
-                tp = np.where(step_ok, tp - dif_p, tp)
-                conv = step_ok & (dif_l * dif_l + dif_p * dif_p <= 1e-24)
-                if conv.all():
-                    break
-            good = conv | (np.isfinite(tl) & np.isfinite(tp))
-            idx = np.flatnonzero(m)[good]
-            out_l[idx] = S.adjlon(tl[good] + grid.west)
-            out_p[idx] = tp[good] + grid.south
-            remaining[idx] = False
+                done |= m
+        t_l = np.zeros(n)
+        t_p = np.zeros(n)
+        tb_l = np.zeros(n)
+        tb_p = np.zeros(n)
+        # initial guess: tb - shift(tb) in each point's grid
+        for k in np.unique(gidx[~done]):
+            g = grids[k]
+            sel = (gidx == k) & ~done
+            bl, bp = self._tb_of(g, lam[sel], phi[sel])
+            dl = _bilinear(g, bl, bp, g.lon_shift)
+            dp = _bilinear(g, bl, bp, g.lat_shift)
+            bad = ~(np.isfinite(dl) & np.isfinite(dp))
+            tb_l[sel] = bl
+            tb_p[sel] = bp
+            t_l[sel] = bl - np.where(bad, 0.0, dl)
+            t_p[sel] = bp - np.where(bad, 0.0, dp)
+            idx = np.flatnonzero(sel)[bad]
+            done[idx] = True  # outside: stays inf (error)
+        active = ~done
+        for _it in range(10):  # MAX_ITERATIONS, tol 1e-12 rad
+            if not active.any():
+                break
+            for k in np.unique(gidx[active]):
+                g = grids[k]
+                sel = active & (gidx == k)
+                dl = _bilinear(g, t_l[sel], t_p[sel], g.lon_shift)
+                dp = _bilinear(g, t_l[sel], t_p[sel], g.lat_shift)
+                left = ~(np.isfinite(dl) & np.isfinite(dp))
+                idx = np.flatnonzero(sel)
+                if left.any():
+                    # guess escaped this grid: re-select at the guess
+                    esc = idx[left]
+                    lp_l = t_l[esc] + g.west
+                    lp_p = t_p[esc] + g.south
+                    new_k = np.full(len(esc), -1, dtype=np.int64)
+                    for k2, g2 in enumerate(grids):
+                        if k2 == k or g2.is_null:
+                            continue
+                        m2 = (new_k < 0) & g2.contains(lp_l, lp_p, REL_TOL)
+                        new_k[m2] = k2
+                    sw = new_k >= 0
+                    # no alternative: accept the current guess
+                    acc = esc[~sw]
+                    out_l[acc] = S.adjlon(t_l[acc] + g.west)
+                    out_p[acc] = t_p[acc] + g.south
+                    active[acc] = False
+                    for k2 in np.unique(new_k[sw]):
+                        g2 = grids[k2]
+                        pts = esc[sw][new_k[sw] == k2]
+                        gidx[pts] = k2
+                        t_l[pts] = lp_l[sw][new_k[sw] == k2] - g2.west
+                        t_p[pts] = lp_p[sw][new_k[sw] == k2] - g2.south
+                        bl, bp = self._tb_of(g2, lam[pts], phi[pts])
+                        tb_l[pts] = bl
+                        tb_p[pts] = bp
+                ok = idx[~left]
+                dif_l = t_l[ok] + dl[~left] - tb_l[ok]
+                dif_p = t_p[ok] + dp[~left] - tb_p[ok]
+                t_l[ok] = t_l[ok] - dif_l
+                t_p[ok] = t_p[ok] - dif_p
+                conv = ok[dif_l * dif_l + dif_p * dif_p <= 1e-24]
+                gk = grids[k]
+                out_l[conv] = S.adjlon(t_l[conv] + gk.west)
+                out_p[conv] = t_p[conv] + gk.south
+                active[conv] = False
+        # 10 iterations without convergence: error (stays inf)
         return out_l, out_p, z, t
 
 

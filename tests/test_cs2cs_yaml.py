@@ -30,3 +30,32 @@ def test_cs2cs_various_goldens():
     npass, nfail, nskip = run()
     assert npass >= 72, (npass, nfail, nskip)
     assert nfail <= len(KNOWN_DIVERGENT), (npass, nfail)
+
+
+def test_cs2cs_ntv2_goldens():
+    """NTv2 subgrid selection/switching + NTv1/CTable fallback over the
+    reference's shipped test grids — all 5 runnable cases exact."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replay_cs2cs_yaml import run
+
+    npass, nfail, _ = run(
+        yaml_path="/root/reference/test/cli/test_cs2cs_ntv2.yaml")
+    assert nfail == 0, (npass, nfail)
+    assert npass >= 5
+
+
+def test_cs2cs_datumfile_goldens():
+    """NTv1/CTable datum files; the only divergence is a quoted
+    'dir with space' +nadgrids value (quoting unsupported in the
+    whitespace tokenizer)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replay_cs2cs_yaml import run
+
+    npass, nfail, _ = run(
+        yaml_path="/root/reference/test/cli/test_cs2cs_datumfile.yaml")
+    assert npass >= 5, (npass, nfail)
+    assert nfail <= 1
