@@ -76,7 +76,8 @@ def cmd_proj(args: list[str]) -> int:
     defn = " ".join(a for i, a in enumerate(args)
                     if a not in ("-I", "-d", "-S")
                     and (i == 0 or args[i - 1] != "-d"))
-    op = create_operation(defn)
+    # proj historically ignores datum specifiers (src/apps/proj.cpp:627)
+    op = create_operation(defn + " +break_cs2cs_recursion")
     x, y, z, t, rests = _read_coords(sys.stdin)
     if op.angular_input and not inverse or (op.angular_output and inverse):
         x = np.radians(x)

@@ -120,6 +120,9 @@ def resolve_init(spec: str) -> str:
         raise NotImplementedError(
             f"operator not implemented: init file {spec}") from exc
     if authority.lower() != "epsg":
+        defn = _init_file_lookup(authority, code)
+        if defn is not None:
+            return defn
         raise NotImplementedError(
             f"operator not implemented: init file {authority}")
     try:
@@ -142,6 +145,63 @@ def resolve_init(spec: str) -> str:
     raise NotImplementedError(
         f"operator not implemented: init epsg:{icode} (not in static "
         "registry)")
+
+
+INIT_FILE_PATH = ["/root/repo/data/init", "/root/reference/data"]
+_INIT_FILE_CACHE: dict[str, dict[str, str] | None] = {}
+
+
+def _parse_init_file(path: str) -> dict[str, str]:
+    """Legacy proj init file: `<key> params ... <>` entries, '#'
+    comments, DMS values allowed (data/nad27, nad83, world...)."""
+    table: dict[str, str] = {}
+    key = None
+    buf: list[str] = []
+    for raw in open(path, encoding="utf-8", errors="replace"):
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        if key is None:
+            if line.startswith("<"):
+                end = line.index(">")
+                key = line[1:end]
+                line = line[end + 1:]
+            else:
+                continue
+        if "<>" in line:
+            buf.append(line.split("<>", 1)[0])
+            if key not in ("metadata",):
+                toks = " ".join(buf).split()
+                table[key] = " ".join(
+                    t if t.startswith("+") else f"+{t}" for t in toks)
+            key = None
+            buf = []
+        else:
+            buf.append(line)
+    return table
+
+
+def _init_file_lookup(authority: str, code: str) -> str | None:
+    auth = authority.lower()
+    if auth not in _INIT_FILE_CACHE:
+        import os
+
+        table = None
+        for d in INIT_FILE_PATH:
+            p = os.path.join(d, auth)
+            if os.path.isfile(p):
+                table = _parse_init_file(p)
+                break
+        _INIT_FILE_CACHE[auth] = table
+    table = _INIT_FILE_CACHE[auth]
+    if table is None:
+        return None
+    defn = table.get(code)
+    if defn is None:
+        raise NotImplementedError(
+            f"operator not implemented: init {authority}:{code} "
+            "(no such key)")
+    return defn
 
 
 def resolve_code_authority(icode: int) -> str:

@@ -309,7 +309,11 @@ def _create_single(kv: dict) -> Operation:
     ell = _build_ellipsoid(ps, name)
     common = Common(ell, ps)
     op = cls(common, ps)
-    _cs2cs_emulation(op, kv, ps, crs_ell=ell)
+    # the reference's proj CLI appends this to ignore datum specifiers
+    # ("proj historically ignores any datum shift specifier, like
+    # nadgrids", src/apps/proj.cpp:627-629)
+    if "break_cs2cs_recursion" not in kv:
+        _cs2cs_emulation(op, kv, ps, crs_ell=ell)
     return op
 
 

@@ -59,3 +59,19 @@ def test_cs2cs_datumfile_goldens():
         yaml_path="/root/reference/test/cli/test_cs2cs_datumfile.yaml")
     assert npass >= 5, (npass, nfail)
     assert nfail <= 1
+
+
+def test_proj_nad27_nad83_spcs_goldens():
+    """The reference's 1990s SPCS conformance corpus (test27/test83 via
+    +init=nad27:/nad83: state-plane init files): 484 golden points over
+    tmerc/lcc/omerc zones in US-survey feet, all exact at 0.001 ft."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replay_proj_yaml import run
+
+    for f, want in (("test_proj_nad27.yaml", 262),
+                    ("test_proj_nad83.yaml", 222)):
+        npass, nfail, _ = run(f"/root/reference/test/cli/{f}")
+        assert nfail == 0, (f, npass, nfail)
+        assert npass >= want, (f, npass)
