@@ -649,6 +649,24 @@ def _q24_dedup_images(sf_dir: str):
                        "image_id")
 
 
+def _q26_ann_ivf_indexed(sf_dir: str):
+    """The 100-TB ANN shape: vectors routed once into per-list parquet
+    partitions, queries read only their nprobe list partitions
+    (I/O-pruned probe). Rows-only check; equality with the brute top-k
+    at nprobe=nlists is pytest-verified."""
+    import tempfile
+
+    from proj_ray.functions.ann import ann_ivf_index, ivf_build
+
+    ds = _read(sf_dir, "embeddings")
+    qrows = _take_rows_where(ds, "vec_id", 5, "vec_id")
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_build(ds, path, n_centroids=32)
+    return ann_ivf_index(path, Q, k=5, nprobe=8)
+
+
 def _q25_merc_scale(sf_dir: str):
     """Distortion factors (proj_factors kernel, numerical derivatives)
     vs the Mercator closed form — SQL-checkable because merc's k has a
@@ -717,6 +735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_ann_ivf": _q23_ivf,
         "q24_dedup_images": _q24_dedup_images,
         "q25_merc_scale": _q25_merc_scale,
+        "q26_ann_ivf_indexed": _q26_ann_ivf_indexed,
     }
 
 
