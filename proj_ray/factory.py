@@ -652,15 +652,16 @@ def _crs_pieces(defn: str) -> dict:
         # ops whose z output is integral to the transformation (no
         # height passthrough): geocentric, and sch's cross-track height
         "is_3d": proj in ("geocent", "cart", "sch", "topocentric"),
-        "vertical": any(k in kv for k in ("vto_meter", "vunits",
-                                          "geoidgrids")),
+        "vertical_unit": any(k in kv for k in ("vto_meter", "vunits")),
+        "geoid": "geoidgrids" in kv,
         "obtran_angular": proj == "ob_tran" and o_proj in _ANGULAR_PROJ,
         "ell": " ".join(ell),
         "clean": " ".join(t for t in defn.split() if t != "+geoc"),
     }
 
 
-def create_crs_to_crs(src: str, dst: str) -> Operation:
+def create_crs_to_crs(src: str, dst: str,
+                      force_3d: bool = False) -> Operation:
     """cs2cs-style CRS -> CRS operation, mirroring
     proj_create_crs_to_crs (src/4D_api.cpp:2072) for the
     static-registry subset (the proj.db query planner is out of scope):
@@ -673,8 +674,32 @@ def create_crs_to_crs(src: str, dst: str) -> Operation:
     - ob_tran with an angular o_proj gets a rad<->deg unitconvert so
       the rotated-pole coordinates surface in degrees.
     """
+    import re as _re
+
+    def _spec_code(spec: str):
+        m = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+        if m:
+            return int(m.group(1))
+        m = _re.search(r"init=epsg:(\d+)", spec)
+        return int(m.group(1)) if m else None
+
+    from proj_ray.epsg_generated import EPSG_GEO_3D
+
     s = _crs_pieces(_resolve_crs_text(src))
     d = _crs_pieces(_resolve_crs_text(dst))
+    # force_3d = the cs2cs --3d flag (promote both CRSs to 3D)
+    s_3d = force_3d or s["is_3d"] or _spec_code(src) in EPSG_GEO_3D
+    d_3d = force_3d or d["is_3d"] or _spec_code(dst) in EPSG_GEO_3D
+    # geoid shifts need an ellipsoidal-height side: with 2D CRSs on
+    # both ends the height is ballpark and the geoid step is dropped
+    # (cs2cs: EPSG:4326 -> 4326+geoidgrids keeps z; 4979 -> same
+    # applies -45 m); vertical UNIT conversions always apply
+    if (s["geoid"] or d["geoid"]) and not (s_3d or d_3d):
+        for piece in (s, d):
+            piece["clean"] = " ".join(
+                tok for tok in piece["clean"].split()
+                if not tok.startswith("+geoidgrids="))
+            piece["geoid"] = False
     steps = []
     if s["geoc"]:
         steps.append(f"+step +inv +proj=geoc {s['ell']}".rstrip())
@@ -683,10 +708,10 @@ def create_crs_to_crs(src: str, dst: str) -> Operation:
     if d["geoc"]:
         steps.append(f"+step +proj=geoc {d['ell']}".rstrip())
     # 2D pairs: ellipsoidal height passes through (push/pop v_3) —
-    # unless a side declares vertical units or a geoid, in which case
-    # the vertical IS part of the transformation
-    if not s["is_3d"] and not d["is_3d"] \
-            and not s["vertical"] and not d["vertical"]:
+    # unless a side declares vertical units (or a live geoid step)
+    if not s_3d and not d_3d \
+            and not s["vertical_unit"] and not d["vertical_unit"] \
+            and not s["geoid"] and not d["geoid"]:
         steps = (["+step +proj=push +v_3"] + steps
                  + ["+step +proj=pop +v_3"])
     op = create_operation("+proj=pipeline " + " ".join(steps))

@@ -62,15 +62,24 @@ class ShiftGrid:
     children: list["ShiftGrid"] = field(default_factory=list)
     is_null: bool = False
 
+    @property
+    def full_world(self) -> bool:
+        """Grid spans all longitudes (ExtentAndRes::fullWorldLongitude,
+        grids.cpp:88): the seam column wraps."""
+        return self.east - self.west + self.resX >= 2 * np.pi - 1e-10
+
     def contains(self, lam: np.ndarray, phi: np.ndarray,
                  eps_factor: float = 0.0) -> np.ndarray:
         # single epsilon from the combined resolution on BOTH axes
         # (isPointInExtent callers pass (resX+resY)*tol, grids.cpp)
         eps = (self.resX + self.resY) * eps_factor
+        in_phi = (phi >= self.south - eps) & (phi <= self.north + eps)
+        if self.full_world:
+            return in_phi & np.isfinite(lam)
         lam_n = np.where(lam < self.west - eps, lam + 2 * np.pi, lam)
         lam_n = np.where(lam_n > self.east + eps, lam_n - 2 * np.pi, lam_n)
         return ((lam_n >= self.west - eps) & (lam_n <= self.east + eps)
-                & (phi >= self.south - eps) & (phi <= self.north + eps))
+                & in_phi)
 
 
 def _read_ntv2(path: str) -> list[ShiftGrid]:
@@ -591,6 +600,17 @@ class Vgridshift(Operation):
             raise ValueError("vgridshift: +grids= required")
         self.grids = _flatten(load_grids(names))
         self.multiplier = ps.f("multiplier", -1.0)
+        self.t_epoch = ps.f("t_epoch", 0.0)
+        tf = ps.s("t_final")
+        self.t_final = 9999.0 if tf == "now" else \
+            (float(tf) if tf else 0.0)
+
+    def _time_mask(self, t: np.ndarray) -> np.ndarray | None:
+        if self.t_final == 0.0 or self.t_epoch == 0.0:
+            return None
+        if not (self.t_final > self.t_epoch):
+            return np.zeros(t.shape, dtype=bool) | ~np.isfinite(t)
+        return ~np.isfinite(t) | (t < self.t_epoch)
 
     def _nodata(self, v: np.ndarray) -> np.ndarray:
         # GTX nodata rule (grids.cpp:356-362)
@@ -613,15 +633,25 @@ class Vgridshift(Operation):
                 remaining &= ~m
                 continue
             gl = lam[m]
-            gl = np.where(gl < grid.west, gl + 2 * np.pi, gl)
-            gl = np.where(gl > grid.east, gl - 2 * np.pi, gl)
-            gx = (gl - grid.west) / grid.resX
+            if grid.full_world:
+                # periodic longitude: index modulo width, seam column
+                # wraps to 0 (read_vgrid_value grids.cpp:3620-3660)
+                gx = (gl - grid.west) / grid.resX
+                gx = np.mod(np.mod(gx, grid.width) + grid.width,
+                            grid.width)
+            else:
+                gl = np.where(gl < grid.west, gl + 2 * np.pi, gl)
+                gl = np.where(gl > grid.east, gl - 2 * np.pi, gl)
+                gx = (gl - grid.west) / grid.resX
             gy = (phi[m] - grid.south) / grid.resY
             ix = np.clip(np.floor(gx).astype(np.int64), 0, grid.width - 1)
             iy = np.clip(np.floor(gy).astype(np.int64), 0, grid.height - 1)
             fx = gx - ix
             fy = gy - iy
-            ix2 = np.minimum(ix + 1, grid.width - 1)
+            if grid.full_world:
+                ix2 = np.where(ix + 1 >= grid.width, 0, ix + 1)
+            else:
+                ix2 = np.minimum(ix + 1, grid.width - 1)
             iy2 = np.minimum(iy + 1, grid.height - 1)
             V = grid.values if grid.values is not None else grid.raw0
             va = V[iy, ix]
@@ -649,16 +679,24 @@ class Vgridshift(Operation):
         return out
 
     def _fwd(self, lam, phi, z, t) -> Coords:
+        tm = self._time_mask(t)
         v = self._value(lam, phi)
         zz = z + self.multiplier * v
         bad = ~np.isfinite(v)
+        if tm is not None:
+            zz = np.where(tm, zz, z)
+            bad = bad & tm
         return (np.where(bad, np.inf, lam), np.where(bad, np.inf, phi),
                 np.where(bad, np.inf, zz), t)
 
     def _inv(self, lam, phi, z, t) -> Coords:
+        tm = self._time_mask(t)
         v = self._value(lam, phi)
         zz = z - self.multiplier * v
         bad = ~np.isfinite(v)
+        if tm is not None:
+            zz = np.where(tm, zz, z)
+            bad = bad & tm
         return (np.where(bad, np.inf, lam), np.where(bad, np.inf, phi),
                 np.where(bad, np.inf, zz), t)
 

@@ -57,7 +57,7 @@ def test_cs2cs_datumfile_goldens():
 
     npass, nfail, _ = run(
         yaml_path="/root/reference/test/cli/test_cs2cs_datumfile.yaml")
-    assert npass >= 5, (npass, nfail)
+    assert npass >= 8, (npass, nfail)
     assert nfail <= 1
 
 

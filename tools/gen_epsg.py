@@ -313,6 +313,7 @@ def main() -> None:
 
     out: dict[int, str] = {}
     latlon_order: list[int] = []
+    geo3d: list[int] = []
     for code, (typ, datum) in geod.items():
         if not typ.startswith("geographic"):
             if typ == "geocentric":
@@ -329,6 +330,8 @@ def main() -> None:
             ax = sorted(axes.get(cs, [])) if cs else []
             if ax and ax[0][1].lower().startswith("north"):
                 latlon_order.append(int(code))
+            if typ == "geographic 3D":
+                geo3d.append(int(code))
 
     skipped_methods: dict[str, int] = {}
     for r in rows("projected_crs.sql", "projected_crs"):
@@ -431,6 +434,13 @@ def main() -> None:
             f.write("    " + ", ".join(str(c) for c in
                                        sorted(latlon_order)[i:i + 10])
                     + ",\n")
+        f.write("})\n\n")
+        f.write("# geographic 3D CRSs (ellipsoidal height is part of the\n"
+                "# coordinate tuple; vertical transformations apply)\n"
+                "EPSG_GEO_3D: frozenset[int] = frozenset({\n")
+        for i in range(0, len(geo3d), 10):
+            f.write("    " + ", ".join(str(c) for c in
+                                       sorted(geo3d)[i:i + 10]) + ",\n")
         f.write("})\n")
     print(f"wrote {len(out)} codes to {dst}")
     top = sorted(skipped_methods.items(), key=lambda x: -x[1])[:12]

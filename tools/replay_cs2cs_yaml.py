@@ -125,7 +125,7 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             nskip += 1
             continue
         try:
-            op = create_crs_to_crs(src, dst)
+            op = create_crs_to_crs(src, dst, force_3d="--3d" in args)
         except Exception as exc:  # noqa: BLE001
             nskip += 1
             if verbose:
