@@ -315,14 +315,15 @@ def dedup_simhash(ds, text_col: str, id_col: str, max_hamming: int = 3,
         import pandas as pd
 
         sh = simhash64([str(t) for t in batch[text_col]])
-        rows = []
-        for rid, h in zip(batch[id_col], sh):
-            hu = np.uint64(np.int64(h).view(np.uint64) if hasattr(h, "view")
-                           else np.int64(h))
-            for band in range(4):
-                key = int((int(hu) >> (band * 16)) & 0xFFFF) | (band << 16)
-                rows.append((key, rid, int(h)))
-        return pd.DataFrame(rows, columns=["band", "rid", "simhash"])
+        hu = sh.view(np.uint64)
+        ids = np.asarray(batch[id_col])
+        keys = np.concatenate([
+            (((hu >> np.uint64(band * 16)) & np.uint64(0xFFFF))
+             .astype(np.int64) | np.int64(band << 16))
+            for band in range(4)])
+        return pd.DataFrame({"band": keys,
+                             "rid": np.tile(ids, 4),
+                             "simhash": np.tile(sh, 4)})
 
     sigs = ds.map_batches(sign, batch_format="pandas", batch_size=2048)
 
