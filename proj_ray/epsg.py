@@ -147,7 +147,26 @@ def resolve_init(spec: str) -> str:
         "registry)")
 
 
-INIT_FILE_PATH = ["/root/repo/data/init", "/root/reference/data"]
+def _default_init_path() -> list[str]:
+    """Init-file search path: $PROJ_RAY_DATA / $PROJ_LIB first, then the
+    package-relative data dir, then the reference checkout (test-only
+    fallback for replaying its init-file corpora)."""
+    import os
+
+    path: list[str] = []
+    for env in ("PROJ_RAY_DATA", "PROJ_LIB", "PROJ_DATA"):
+        v = os.environ.get(env)
+        if v:
+            path.extend(v.split(os.pathsep))
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    path.append(os.path.join(os.path.dirname(pkg), "data", "init"))
+    ref = "/root/reference/data"
+    if os.path.isdir(ref):
+        path.append(ref)
+    return path
+
+
+INIT_FILE_PATH = _default_init_path()
 _INIT_FILE_CACHE: dict[str, dict[str, str] | None] = {}
 
 

@@ -50,11 +50,22 @@ def factors(op, lon, lat, h: float = DEFAULT_H, degrees: bool = False):
     es = ell.es
     one_es = 1.0 - es
 
+    # pj_deriv calls the raw kernel (src/deriv.cpp:21 `(*Q->fwd)`), which
+    # never sees the fwd_finalize units (+to_meter) or +axis flips that
+    # our Operation.fwd applies — undo them so scale factors stay
+    # dimensionless for feet-based / axis-swapped CRSs too.
+    to_meter = getattr(op.P, "to_meter", 1.0)
+    axis = getattr(op.P, "axis", None)
+    if axis is not None:
+        from proj_ray.ops.base import _axis_inv
+
     def fx(dl, dp):
         z = np.zeros_like(lam)
         t = np.full_like(lam, np.inf)
-        x, y, _, _ = op.fwd((lam + dl, phi + dp, z, t))
-        return x / a_ax, y / a_ax
+        x, y, zz, tt = op.fwd((lam + dl, phi + dp, z, t))
+        if axis is not None:
+            x, y, zz, tt = _axis_inv(axis, x, y, zz, tt)
+        return x * to_meter / a_ax, y * to_meter / a_ax
 
     x1, y1 = fx(+h, +h)
     x2, y2 = fx(+h, -h)

@@ -31,11 +31,24 @@ SEC_TO_RAD = np.pi / 180.0 / 3600.0
 DEG_TO_RAD = np.pi / 180.0
 REL_TOL = 1e-5  # REL_TOLERANCE_HGRIDSHIFT (src/grids.cpp)
 
-GRID_SEARCH_PATH = [
-    "/root/repo/data/grids",
-    "/root/reference/data/tests",
-    "/root/reference/data",
-]
+def _default_grid_path() -> list[str]:
+    """Grid search path: $PROJ_RAY_DATA / $PROJ_LIB first, then the
+    package-relative data/grids dir, then the reference checkout's test
+    grids (test-only fallback for replaying its gie corpora)."""
+    path: list[str] = []
+    for env in ("PROJ_RAY_DATA", "PROJ_LIB", "PROJ_DATA"):
+        v = os.environ.get(env)
+        if v:
+            path.extend(v.split(os.pathsep))
+    pkg = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path.append(os.path.join(os.path.dirname(pkg), "data", "grids"))
+    for ref in ("/root/reference/data/tests", "/root/reference/data"):
+        if os.path.isdir(ref):
+            path.append(ref)
+    return path
+
+
+GRID_SEARCH_PATH = _default_grid_path()
 
 
 class GridUnavailable(NotImplementedError):
@@ -366,30 +379,43 @@ def _bilinear(grid: ShiftGrid, tlam: np.ndarray, tphi: np.ndarray,
     outside the grid (caller masks)."""
     gl = tlam / grid.resX
     gp = tphi / grid.resY
+    full = getattr(grid, "full_world", False)
+    if full:
+        # periodic longitude: the seam cell interpolates against
+        # column 0 (grids.cpp full-world wrap), so normalize into
+        # [0, width) instead of rejecting the last column
+        gl = np.mod(gl, grid.width)
     il = np.floor(gl).astype(np.int64)
     ip = np.floor(gp).astype(np.int64)
     fl = gl - il
     fp = gp - ip
     # edge snapping (grids.cpp:3332-3356)
-    snap_lo_l = (il == -1) & (fl > 1 - 10 * REL_TOL)
-    il = np.where(snap_lo_l, 0, il)
-    fl = np.where(snap_lo_l, 0.0, fl)
-    snap_hi_l = (il + 1 == grid.width) & (fl < 10 * REL_TOL)
-    il = np.where(snap_hi_l, il - 1, il)
-    fl = np.where(snap_hi_l, 1.0, fl)
+    if not full:
+        snap_lo_l = (il == -1) & (fl > 1 - 10 * REL_TOL)
+        il = np.where(snap_lo_l, 0, il)
+        fl = np.where(snap_lo_l, 0.0, fl)
+        snap_hi_l = (il + 1 == grid.width) & (fl < 10 * REL_TOL)
+        il = np.where(snap_hi_l, il - 1, il)
+        fl = np.where(snap_hi_l, 1.0, fl)
     snap_lo_p = (ip == -1) & (fp > 1 - 10 * REL_TOL)
     ip = np.where(snap_lo_p, 0, ip)
     fp = np.where(snap_lo_p, 0.0, fp)
     snap_hi_p = (ip + 1 == grid.height) & (fp < 10 * REL_TOL)
     ip = np.where(snap_hi_p, ip - 1, ip)
     fp = np.where(snap_hi_p, 1.0, fp)
-    ok = (il >= 0) & (il + 1 < grid.width) & (ip >= 0) & (ip + 1 < grid.height)
-    ilc = np.clip(il, 0, grid.width - 2)
+    ok = (ip >= 0) & (ip + 1 < grid.height)
+    if full:
+        ilc = np.clip(il, 0, grid.width - 1)
+        il2 = np.where(ilc + 1 >= grid.width, 0, ilc + 1)
+    else:
+        ok = ok & (il >= 0) & (il + 1 < grid.width)
+        ilc = np.clip(il, 0, grid.width - 2)
+        il2 = ilc + 1
     ipc = np.clip(ip, 0, grid.height - 2)
     f00 = comp[ipc, ilc]
-    f10 = comp[ipc, ilc + 1]
+    f10 = comp[ipc, il2]
     f01 = comp[ipc + 1, ilc]
-    f11 = comp[ipc + 1, ilc + 1]
+    f11 = comp[ipc + 1, il2]
     m10 = fl * (1 - fp)
     m11 = fl * fp
     m01 = (1 - fl) * fp

@@ -47,6 +47,13 @@ class TiffGrid:
     nodata: float | None
     children: list["TiffGrid"] = field(default_factory=list)
 
+    @property
+    def full_world(self) -> bool:
+        """Geographic grid spanning all longitudes: the seam column
+        wraps (ExtentAndRes::fullWorldLongitude, grids.cpp:88)."""
+        return self.is_geographic and (
+            self.east - self.west + self.resX >= 2 * np.pi - 1e-10)
+
     def contains(self, other: "TiffGrid") -> bool:
         eps = 1e-11
         return (other.west + eps >= self.west

@@ -279,6 +279,10 @@ def wkt_to_proj(text: str) -> str:
         raise NotImplementedError(
             f"WKT: method {meth.args[0]!r} not supported")
     proj, extras = _METHOD_BY_CODE[mcode]
+    # WKT1 PARAMETERs carry no unit node: angle values inherit the base
+    # GEOGCS angular UNIT (e.g. NTF zones expressed in grads), matching
+    # the reference's io.cpp WKT1 import semantics.
+    base_angle = _angle_unit_to_deg(base.find("ANGLEUNIT", "UNIT"))
     kv: dict[str, float] = {}
     for p in holder.find_all("PARAMETER"):
         pcode = _epsg_id_of(p)
@@ -290,7 +294,8 @@ def wkt_to_proj(text: str) -> str:
                 f"WKT: parameter {p.args[0]!r} not supported")
         val = float(p.args[1])
         if key in _ANGLE_KEYS:
-            val *= _angle_unit_to_deg(p.find("ANGLEUNIT", "UNIT"))
+            own = p.find("ANGLEUNIT", "UNIT")
+            val *= _angle_unit_to_deg(own) if own is not None else base_angle
         kv[key] = val
     if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
         kv["lat_1"] = kv["lat_0"]  # LCC 1SP

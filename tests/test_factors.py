@@ -61,3 +61,23 @@ def test_with_factors_stage(ray_session):
     assert {"meridional_scale", "parallel_scale",
             "areal_scale"} <= set(out.columns)
     assert (out["parallel_scale"] > 0.999).all()
+
+
+def test_factors_units_and_axis_invariant():
+    """pj_factors derivatives come from the raw kernel (deriv.cpp:21):
+    output units (+units=us-ft) and +axis flips must not leak into the
+    scale factors (they did before round 3)."""
+    from proj_ray.factors import factors
+
+    base = ("+proj=tmerc +lat_0=0 +lon_0=-86.666666 +k=0.9996 "
+            "+x_0=500000 +ellps=GRS80")
+    lon, lat = [-86.666666], [40.0]
+    f_m = factors(base, lon, lat, degrees=True)
+    f_ft = factors(base + " +units=us-ft", lon, lat, degrees=True)
+    f_ax = factors(base + " +axis=wsu", lon, lat, degrees=True)
+    for k in ("parallel_scale", "meridional_scale", "areal_scale"):
+        assert f_ft[k][0] == pytest.approx(f_m[k][0], rel=1e-12)
+        assert f_ax[k][0] == pytest.approx(f_m[k][0], rel=1e-12)
+    assert f_m["parallel_scale"][0] == pytest.approx(0.9996, abs=1e-6)
+    assert f_ax["meridian_convergence"][0] == pytest.approx(
+        f_m["meridian_convergence"][0], abs=1e-12)

@@ -174,3 +174,41 @@ def test_dms_arrays():
     assert vals[3] == pytest.approx(np.degrees(0.25), abs=1e-12)
     back = format_dms_array(vals[:2], "N", "S")
     assert back[0].endswith('"N') and back[1].endswith('"S')
+
+
+def test_hgridshift_full_world_seam_wrap():
+    """A point in the last (seam) cell of a full-world horizontal grid
+    must interpolate periodically against column 0, not come out inf
+    (reference grids.cpp periodic-longitude handling)."""
+    import numpy as np
+
+    from proj_ray.ops import gridshift as GS
+
+    sec = np.pi / 180.0 / 3600.0
+    w, h = 36, 5  # 10-deg cols covering the full world, lat [-20,20]
+    lon_shift = np.full((h, w), 1.0 * sec)
+    lat_shift = np.full((h, w), 2.0 * sec)
+    # make the wrap observable: column 0 differs from the last column
+    lon_shift[:, 0] = 3.0 * sec
+    g = GS.ShiftGrid(
+        west=np.radians(-180.0), south=np.radians(-20.0),
+        east=np.radians(170.0), north=np.radians(20.0),
+        resX=np.radians(10.0), resY=np.radians(10.0),
+        width=w, height=h, lon_shift=lon_shift, lat_shift=lat_shift)
+    assert g.full_world
+    op = object.__new__(GS.Hgridshift)
+    op.grids = [g]
+    op.t_epoch = 0.0
+    op.t_final = 0.0
+    lam = np.radians([175.0, -180.0, 170.0])  # seam midpoint + edges
+    phi = np.radians([0.0, 0.0, 0.0])
+    z = np.zeros(3)
+    t = np.full(3, np.inf)
+    ol, op_, _, _ = op._fwd(lam, phi, z, t)
+    assert np.all(np.isfinite(ol)) and np.all(np.isfinite(op_))
+    # seam midpoint: mean of last-column (1") and column-0 (3") shifts
+    assert (ol[0] - lam[0]) == pytest.approx(2.0 * sec, rel=1e-9)
+    assert (op_[0] - phi[0]) == pytest.approx(2.0 * sec, rel=1e-9)
+    # -180 is column 0 exactly; +170 is the last column exactly
+    assert (ol[1] - lam[1]) == pytest.approx(3.0 * sec, rel=1e-9)
+    assert (ol[2] - lam[2]) == pytest.approx(1.0 * sec, rel=1e-9)

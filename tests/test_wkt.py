@@ -150,3 +150,28 @@ def test_crs_to_crs_accepts_wkt():
     # same CRS on both sides: identity to numerical noise
     assert x[0] == pytest.approx(x0[0], abs=1e-6)
     assert y[0] == pytest.approx(y0[0], abs=1e-6)
+
+
+def test_wkt1_grad_parameters_inherit_base_unit():
+    """WKT1 PARAMETER angles carry no unit node: they inherit the base
+    GEOGCS angular UNIT (NTF Lambert zones are expressed in grads)."""
+    from proj_ray.wkt import wkt_to_proj
+
+    w = ('PROJCS["NTF / Lambert zone II",'
+         'GEOGCS["NTF",'
+         'DATUM["NTF",SPHEROID["Clarke 1880 (IGN)",6378249.2,'
+         '293.466021293627]],'
+         'PRIMEM["Greenwich",0],'
+         'UNIT["grad",0.0157079632679489]],'
+         'PROJECTION["Lambert_Conformal_Conic_1SP"],'
+         'PARAMETER["latitude_of_origin",52],'
+         'PARAMETER["central_meridian",0],'
+         'PARAMETER["scale_factor",0.99987742],'
+         'PARAMETER["false_easting",600000],'
+         'PARAMETER["false_northing",2200000],'
+         'UNIT["metre",1]]')
+    s = wkt_to_proj(w)
+    import re
+
+    lat0 = float(re.search(r"\+lat_0=([-0-9.e]+)", s).group(1))
+    assert lat0 == pytest.approx(46.8, abs=1e-9)  # 52 grads
