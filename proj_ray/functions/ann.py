@@ -74,13 +74,12 @@ def _merge_topk(cand, k: int):
 
 
 def _stable_mod(ids, m: int) -> np.ndarray:
-    """Deterministic per-id residue (blake2b), process-stable."""
-    out = np.empty(len(ids), dtype=np.uint64)
-    for i, s in enumerate(ids):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(str(s).encode(), digest_size=8).digest(),
-            dtype=np.uint64)[0]
-    return (out % np.uint64(m)).astype(np.int64)
+    """Deterministic per-id residue, vectorized (splitmix64 for ints,
+    pandas hash_array for strings) — no per-row hashlib in the
+    full-dataset sampling pass."""
+    from proj_ray.functions._hash import stable_mod
+
+    return stable_mod(ids, m)
 
 
 def train_centroids(ds, vec_col: str = "embedding", id_col: str = "vec_id",

@@ -20,14 +20,12 @@ import hashlib
 import numpy as np
 
 
-def _stable_u64(strings) -> np.ndarray:
-    """Deterministic 64-bit hash per string (blake2b, process-stable)."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = np.frombuffer(
-            hashlib.blake2b(str(s).encode(), digest_size=8).digest(),
-            dtype=np.uint64)[0]
-    return out
+def _stable_u64(values) -> np.ndarray:
+    """Deterministic 64-bit hash per element, vectorized (splitmix64
+    for ints, pandas SipHash for strings — process-stable)."""
+    from proj_ray.functions._hash import stable_u64
+
+    return stable_u64(values)
 
 
 # ------------------------------------------------------------- exact ------
@@ -96,19 +94,81 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        # (num_perm, n_shingles) permuted hash, take min
+        return self.signatures([text])[0]
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n, num_perm) signature matrix, batch-vectorized: all docs'
+        shingle hashes concatenated, permuted in memory-bounded
+        permutation chunks, per-doc min via np.minimum.reduceat — no
+        per-document Python loop in the permute/min step."""
+        n = len(texts)
+        sig = np.empty((n, self.num_perm), dtype=np.uint64)
+        if n == 0:
+            return sig
+        sets = [_shingles(str(t), self.k) for t in texts]
+        lens = np.array([len(s) for s in sets], dtype=np.int64)
+        # group docs so each group's (perm-chunk x shingles) work
+        # buffer stays <= ~8 MB: larger fresh buffers hit a
+        # pathological first-touch slow path (measured ~20x) and the
+        # permute/fold pass is pure memory bandwidth anyway
+        budget = 1_000_000
+        start = 0
+        while start < n:
+            end, tot = start, 0
+            while end < n and (tot + lens[end] <= budget or end == start):
+                tot += lens[end]
+                end += 1
+            cat = np.concatenate(sets[start:end])
+            offsets = np.zeros(end - start, dtype=np.int64)
+            np.cumsum(lens[start:end][:-1], out=offsets[1:])
+            self._sign_group(cat, offsets, sig[start:end], budget)
+            start = end
+        return sig
+
+    def _sign_group(self, cat, offsets, out, budget):
+        pc = max(1, min(self.num_perm, budget // max(1, len(cat))))
+        h = np.empty((pc, len(cat)), dtype=np.uint64)
+        t = np.empty_like(h)
+        one61 = np.uint64(61)
         with np.errstate(over="ignore"):
-            h = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return h.min(axis=1)
+            for p0 in range(0, self.num_perm, pc):
+                a = self.a[p0:p0 + pc][:, None]
+                b = self.b[p0:p0 + pc][:, None]
+                hc, tc = h[:len(a)], t[:len(a)]
+                np.multiply(cat[None, :], a, out=hc)
+                np.add(hc, b, out=hc)
+                # x mod (2^61-1) via branch-free Mersenne fold — uint64
+                # division is ~20x slower than these shifts. (The
+                # product above already wraps mod 2^64, so this is a
+                # stable hash family, not modular arithmetic; equal
+                # shingle sets still give equal signatures.)
+                np.right_shift(hc, one61, out=tc)
+                np.bitwise_and(hc, _MERSENNE, out=hc)
+                np.add(hc, tc, out=hc)
+                np.right_shift(hc, one61, out=tc)
+                np.bitwise_and(hc, _MERSENNE, out=hc)
+                np.add(hc, tc, out=hc)
+                out[:, p0:p0 + pc] = np.minimum.reduceat(
+                    hc, offsets, axis=1).T
 
     def band_keys(self, sig: np.ndarray) -> list[int]:
-        keys = []
+        return self.band_keys_batch(sig[None, :])[0].tolist()
+
+    def band_keys_batch(self, sig: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 band keys: chained splitmix64 over each
+        band's signature rows, salted by band index. Replaces round 2's
+        16 per-document blake2b calls; key VALUES changed, collision
+        semantics identical (equal band chunks -> equal keys)."""
+        from proj_ray.functions._hash import splitmix64
+
+        n, r = sig.shape[0], self.rows_per_band
+        keys = np.empty((n, self.bands), dtype=np.int64)
         for bi in range(self.bands):
-            chunk = sig[bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
-            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8,
-                                     salt=bi.to_bytes(8, "little")).digest()
-            keys.append(int.from_bytes(digest, "little") & 0x7FFFFFFFFFFFFFF)
+            h = splitmix64(np.full(n, bi, dtype=np.uint64))
+            for j in range(r):
+                h = splitmix64(h ^ sig[:, bi * r + j])
+            keys[:, bi] = (h & np.uint64(0x7FFFFFFFFFFFFFF)).astype(
+                np.int64)
         return keys
 
 
@@ -120,135 +180,233 @@ def jaccard_ngrams(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / max(1, len(sa | sb))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _minhasher(num_perm: int, bands: int) -> "MinHasher":
+    # module-level cache: map_batches functions pickle by reference,
+    # and every task on a worker reuses the same permutation tables
+    return MinHasher(num_perm=num_perm, bands=bands)
+
+
+def _bucket_pair_arrays(ids: np.ndarray, bucket_cap: int):
+    """All unordered pairs within one bucket; buckets above bucket_cap
+    split deterministically by id hash (documented recall trade)."""
+    chunks = [ids]
+    if len(ids) > bucket_cap:
+        nsub = -(-len(ids) // bucket_cap)
+        sub = _stable_u64(ids) % np.uint64(nsub)
+        chunks = [ids[sub == s] for s in range(nsub)]
+    out_a, out_b = [], []
+    for c in chunks:
+        if len(c) < 2:
+            continue
+        iu = np.triu_indices(len(c), k=1)
+        out_a.append(c[iu[0]])
+        out_b.append(c[iu[1]])
+    return out_a, out_b
+
+
 def dedup_minhash_lsh(ds, text_col: str, id_col: str,
                       threshold: float = 0.7, num_perm: int = 64,
                       bands: int = 16, concurrency=(2, 8),
-                      bucket_cap: int = 4096):
+                      bucket_cap: int = 4096,
+                      local_sig_cap: int = 2_000_000,
+                      broadcast_pairs_cap: int = 100_000):
     """Near-duplicate pairs via MinHash LSH.
 
-    Scale shape: the band shuffle moves only (band_key, rid) — ~10 B/row
-    × bands, never the document text. Candidate pairs come from bucket
-    collisions (deduped across bands), and only then is each candidate
-    pair's text fetched ONCE via an id-keyed join for the exact n-gram
-    Jaccard verify. Oversized buckets (> bucket_cap) are split
-    deterministically by rid hash, bounding the O(b²) pair expansion —
-    a documented recall trade on pathological buckets.
+    Scale shape: the signing pass emits only (band_key, rid) — ~10 B/row
+    × bands, never the document text. When the signature table is small
+    (<= local_sig_cap rows) the bucket pairing happens driver-local
+    (pandas groupby over a bounded table — no all-to-all at all);
+    above the cap it is a distributed groupby(band). Candidate pairs
+    are deduped across bands and each pair's text is fetched ONCE for
+    the exact n-gram Jaccard verify (see _verify_pairs_exact for its
+    own broadcast/distributed split). Oversized buckets (> bucket_cap)
+    are split deterministically by rid hash, bounding the O(b²) pair
+    expansion — a documented recall trade on pathological buckets.
 
     Returns a Dataset of {id_a, id_b, jaccard} with jaccard >= threshold.
     """
     import pandas as pd
 
-    class Signer:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm, bands=bands)
+    def sign(batch):
+        mh = _minhasher(num_perm, bands)
+        ids = np.asarray(batch[id_col])
+        keys = mh.band_keys_batch(mh.signatures(batch[text_col]))
+        return {"band": keys.ravel(), "rid": np.repeat(ids, bands)}
 
-        def __call__(self, batch):
-            ids = np.asarray(batch[id_col])
-            texts = batch[text_col]
-            keys = np.empty((len(ids), bands), dtype=np.int64)
-            for i, t in enumerate(texts):
-                keys[i] = self.mh.band_keys(self.mh.signature(str(t)))
-            return {"band": keys.ravel(),
-                    "rid": np.repeat(ids, bands)}
+    sigs = ds.map_batches(sign, batch_format="numpy",
+                          batch_size=1024).materialize()
 
-    sigs = ds.map_batches(Signer, batch_format="numpy",
-                          batch_size=1024, concurrency=concurrency)
-
-    def bucket_pairs(group):
-        ids = np.unique(group["rid"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        chunks = [ids]
-        if len(ids) > bucket_cap:
-            nsub = -(-len(ids) // bucket_cap)
-            sub = _stable_u64([str(i) for i in ids]) % np.uint64(nsub)
-            chunks = [ids[sub == s] for s in range(nsub)]
+    if sigs.count() <= local_sig_cap:
+        pdf = sigs.to_pandas().drop_duplicates(["band", "rid"])
+        sizes = pdf.groupby("band")["rid"].transform("size")
+        multi = pdf[sizes > 1]
         out_a, out_b = [], []
-        for c in chunks:
-            if len(c) < 2:
-                continue
-            iu = np.triu_indices(len(c), k=1)
-            out_a.append(c[iu[0]])
-            out_b.append(c[iu[1]])
-        if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+        for _, g in multi.groupby("band"):
+            a, b = _bucket_pair_arrays(
+                np.sort(g["rid"].to_numpy()), bucket_cap)
+            out_a.extend(a)
+            out_b.extend(b)
+        pairs = pd.DataFrame({
+            "id_a": np.concatenate(out_a) if out_a else np.array([]),
+            "id_b": np.concatenate(out_b) if out_b else np.array([]),
+        }).drop_duplicates(["id_a", "id_b"])
+    else:
+        def bucket_pairs(group):
+            ids = np.unique(group["rid"].to_numpy())
+            if len(ids) < 2:
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            out_a, out_b = _bucket_pair_arrays(ids, bucket_cap)
+            if not out_a:
+                return pd.DataFrame({"id_a": [], "id_b": []})
+            return pd.DataFrame({"id_a": np.concatenate(out_a),
+                                 "id_b": np.concatenate(out_b)})
 
-    pairs = sigs.groupby("band").map_groups(bucket_pairs,
-                                            batch_format="pandas")
-
-    def distinct(batch):
-        return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) else \
-            pd.DataFrame({"id_a": [], "id_b": []})
-
-    # a pair colliding in several bands must be verified once
-    pairs = pairs.groupby("id_a").map_groups(distinct,
-                                             batch_format="pandas")
-    return _verify_pairs_exact(ds, pairs, text_col, id_col, threshold)
+        pairs = sigs.groupby("band").map_groups(bucket_pairs,
+                                                batch_format="pandas")
+    return _verify_pairs_exact(ds, pairs, text_col, id_col, threshold,
+                               broadcast_pairs_cap=broadcast_pairs_cap)
 
 
 def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
-                        threshold: float, shingle_k: int = 5):
-    """Attach each candidate pair's two texts by id (one groupby on the
-    id — each text crosses the wire once per pair-participation, not per
-    band) and keep pairs with exact n-gram Jaccard >= threshold."""
-    import pandas as pd
+                        threshold: float, shingle_k: int = 5,
+                        broadcast_pairs_cap: int = 100_000):
+    """Exact n-gram Jaccard verify of candidate pairs (cross-band
+    duplicates deduped here). Adaptive two-path shape:
 
-    def pair_requests(batch):
-        a = batch["id_a"].to_numpy()
-        b = batch["id_b"].to_numpy()
+    - candidate set <= broadcast_pairs_cap (the common case — LSH
+      collisions are a tiny fraction of the corpus): broadcast the
+      candidate-id set, semi-join the docs with a shuffle-free
+      map_batches filter, judge in a distributed actor stage holding
+      the (small) id->text table: ZERO extra all-to-alls after the
+      band groupby.
+    - larger candidate sets: two co-partitioned attach passes
+      (union + groupby on id_a, then id_b, judging inline in the
+      second) — 2 all-to-alls, each text crossing the wire once per
+      pair-participation; round 2's separate distinct + judge shuffles
+      are folded in.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    if isinstance(pairs, pd.DataFrame):
+        pdf = pairs.drop_duplicates(["id_a", "id_b"])
+        small = len(pdf) <= broadcast_pairs_cap
+        pairs_ds = None
+    else:
+        pairs_ds = pairs.materialize()
+        small = pairs_ds.count() <= broadcast_pairs_cap
+        pdf = pairs_ds.to_pandas().drop_duplicates(["id_a", "id_b"]) \
+            if small else None
+    if small:
+        if len(pdf) == 0:
+            return rd.from_pandas(pd.DataFrame(
+                {"id_a": [], "id_b": [], "jaccard": []}))
+        need = np.unique(np.concatenate([pdf["id_a"].to_numpy(),
+                                         pdf["id_b"].to_numpy()]))
+        need_ref = ray.put(need)  # sorted by np.unique
+
+        def pick(batch):
+            ids = np.asarray(batch[id_col])
+            srt = ray.get(need_ref)
+            pos = np.searchsorted(srt, ids)
+            pos[pos >= len(srt)] = 0
+            m = srt[pos] == ids
+            return {"rid": ids[m],
+                    "text": np.asarray(batch[text_col], dtype=object)[m]}
+
+        got = docs.map_batches(pick, batch_format="numpy").take_all()
+        lk_ref = ray.put({r["rid"]: r["text"] for r in got})
+
+        def judge(batch):
+            lk = ray.get(lk_ref)
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(batch["id_a"].to_numpy(),
+                            batch["id_b"].to_numpy()):
+                ta, tb = lk.get(a), lk.get(b)
+                if ta is None or tb is None:
+                    continue
+                jac = jaccard_ngrams(str(ta), str(tb), k=shingle_k)
+                if jac >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(jac)
+            return pd.DataFrame({
+                "id_a": np.asarray(out_a, dtype=batch["id_a"].dtype),
+                "id_b": np.asarray(out_b, dtype=batch["id_b"].dtype),
+                "jaccard": np.asarray(out_j, dtype=np.float64)})
+
+        return rd.from_pandas(pdf.reset_index(drop=True)).map_batches(
+            judge, batch_format="pandas", batch_size=4096)
+    if pairs_ds is None:
+        pairs_ds = rd.from_pandas(pdf.reset_index(drop=True))
+
+    # distributed path: attach text_a (dedup folded in), then attach
+    # text_b and judge inline
+    def pair_rows(batch):
         return pd.DataFrame({
-            "key": np.concatenate([a, b]),
-            "id_a": np.concatenate([a, a]),
-            "id_b": np.concatenate([b, b]),
-            "side": np.concatenate([np.zeros(len(a), np.int8),
-                                    np.ones(len(b), np.int8)]),
-            "text": np.full(2 * len(a), "", dtype=object),
-        })
+            "key": batch["id_a"].to_numpy(),
+            "id_b": batch["id_b"].to_numpy(),
+            "side": np.zeros(len(batch), np.int8),
+            "text": np.full(len(batch), "", dtype=object)})
 
     def doc_rows(batch):
         ids = np.asarray(batch[id_col])
         return pd.DataFrame({
             "key": ids,
-            "id_a": ids,           # unused for side=-1 rows
-            "id_b": ids,
+            "id_b": ids,  # unused on side=-1 rows
             "side": np.full(len(ids), -1, dtype=np.int8),
-            "text": np.asarray(batch[text_col], dtype=object),
-        })
+            "text": np.asarray(batch[text_col], dtype=object)})
 
-    req = pairs.map_batches(pair_requests, batch_format="pandas")
-    src = docs.map_batches(doc_rows, batch_format="numpy")
-    both = req.union(src)
-
-    def attach(group):
-        texts = group[group["side"] == -1]
-        if len(texts) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": [], "side": [],
+    def attach_a(group):
+        srcs = group[group["side"] == -1]
+        g = group[group["side"] == 0].drop_duplicates("id_b")
+        if len(srcs) == 0 or len(g) == 0:
+            return pd.DataFrame({"key": [], "id_a": [], "side": [],
                                  "text": []})
-        t = texts["text"].iloc[0]
-        g = group[group["side"] >= 0]
-        return pd.DataFrame({"id_a": g["id_a"].to_numpy(),
-                             "id_b": g["id_b"].to_numpy(),
-                             "side": g["side"].to_numpy(),
-                             "text": np.full(len(g), t, dtype=object)})
+        return pd.DataFrame({
+            "key": g["id_b"].to_numpy(),
+            "id_a": np.full(len(g), group["key"].iloc[0]),
+            "side": np.zeros(len(g), np.int8),
+            "text": np.full(len(g), srcs["text"].iloc[0], dtype=object)})
 
-    sided = both.groupby("key").map_groups(attach, batch_format="pandas")
+    def doc_rows_b(batch):
+        ids = np.asarray(batch[id_col])
+        return pd.DataFrame({
+            "key": ids,
+            "id_a": ids,  # unused on side=-1 rows
+            "side": np.full(len(ids), -1, dtype=np.int8),
+            "text": np.asarray(batch[text_col], dtype=object)})
 
-    def judge(group):
-        if len(group) != 2:
+    def attach_b_judge(group):
+        srcs = group[group["side"] == -1]
+        g = group[group["side"] == 0]
+        if len(srcs) == 0 or len(g) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = group.sort_values("side")
-        jac = jaccard_ngrams(str(g["text"].iloc[0]), str(g["text"].iloc[1]),
-                             k=shingle_k)
-        if jac < threshold:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        return pd.DataFrame({"id_a": [g["id_a"].iloc[0]],
-                             "id_b": [g["id_b"].iloc[0]],
-                             "jaccard": [jac]})
+        tb = str(srcs["text"].iloc[0])
+        key = group["key"].iloc[0]
+        out_a, out_j = [], []
+        for _, row in g.iterrows():
+            jac = jaccard_ngrams(str(row["text"]), tb, k=shingle_k)
+            if jac >= threshold:
+                out_a.append(row["id_a"])
+                out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a,
+                             "id_b": np.full(len(out_a), key),
+                             "jaccard": np.asarray(out_j, np.float64)})
 
-    return sided.groupby(["id_a", "id_b"]).map_groups(
-        judge, batch_format="pandas")
+    withs_a = (pairs_ds.map_batches(pair_rows, batch_format="pandas")
+               .union(docs.map_batches(doc_rows, batch_format="numpy"))
+               .groupby("key").map_groups(attach_a,
+                                          batch_format="pandas"))
+    return (withs_a
+            .union(docs.map_batches(doc_rows_b, batch_format="numpy"))
+            .groupby("key").map_groups(attach_b_judge,
+                                       batch_format="pandas"))
 
 
 # ------------------------------------------------------------- simhash ----
@@ -411,7 +569,7 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
         chunks = [np.arange(len(ids))]
         if len(ids) > bucket_cap:
             nsub = -(-len(ids) // bucket_cap)
-            sub = _stable_u64([str(i) for i in ids]) % np.uint64(nsub)
+            sub = _stable_u64(ids) % np.uint64(nsub)
             chunks = [np.flatnonzero(sub == s) for s in range(nsub)]
         Vall = np.stack(g["vec"].to_numpy())
         frames = []

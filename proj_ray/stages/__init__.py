@@ -123,13 +123,9 @@ def _stable_row_key(keys) -> np.ndarray:
     arr = np.asarray(keys)
     if np.issubdtype(arr.dtype, np.integer):
         return arr.astype(np.int64) & np.int64(0x7FFFFFFF)
-    import hashlib
+    from proj_ray.functions._hash import stable_u64
 
-    out = np.empty(len(arr), dtype=np.int64)
-    for i, k in enumerate(arr):
-        d = hashlib.blake2b(str(k).encode(), digest_size=4).digest()
-        out[i] = int.from_bytes(d, "little") & 0x7FFFFFFF
-    return out
+    return (stable_u64(arr) & np.uint64(0x7FFFFFFF)).astype(np.int64)
 
 
 def with_salted_cells(ds, hot: set, salt: int = 16,

@@ -153,3 +153,38 @@ def test_ivf_build_partition_pruned(ray_session, tmp_path):
     for qi in range(len(Q)):
         assert (set(full[full["q"] == qi]["nid"])
                 == set(exact[exact["q"] == qi]["nid"]))
+
+
+def test_minhash_all_paths_agree(ray_session):
+    """The three execution shapes (local pairing + broadcast verify,
+    distributed band groupby, distributed two-pass attach verify) must
+    produce the identical verified pair set."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import dedup_minhash_lsh
+
+    base = ("some shared document body that is long enough to produce "
+            "plenty of shingles for a stable minhash signature vector")
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i,
+                     "text": f"unique filler number {i} * {i * 997} "
+                             f"nothing alike here {i ** 2}"})
+    for i, suffix in enumerate([" one", " two", " three"]):
+        rows.append({"doc_id": 200 + i, "text": base + suffix})
+    ds = rd.from_items(rows)
+
+    def norm(df: pd.DataFrame) -> list[tuple]:
+        return sorted(zip(df["id_a"].astype(int), df["id_b"].astype(int)))
+
+    fast = norm(dedup_minhash_lsh(ds, "text", "doc_id",
+                                  threshold=0.5).to_pandas())
+    dist_bucket = norm(dedup_minhash_lsh(
+        ds, "text", "doc_id", threshold=0.5,
+        local_sig_cap=0).to_pandas())
+    dist_verify = norm(dedup_minhash_lsh(
+        ds, "text", "doc_id", threshold=0.5, local_sig_cap=0,
+        broadcast_pairs_cap=0).to_pandas())
+    assert fast == dist_bucket == dist_verify
+    assert (200, 201) in fast and (200, 202) in fast
