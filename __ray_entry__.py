@@ -371,6 +371,27 @@ FROM r WHERE rank <= 5
 """
 
 
+def _q27_knn_indexed(sf_dir: str):
+    """kNN via the persistent cell-partitioned layout (knn_build once,
+    ring probes read only window partitions — I/O-pruned; the 100-TB
+    shape). Same oracle as q10; results must hash-match it."""
+    import tempfile
+
+    from proj_ray.stages import knn_build, knn_index
+
+    geo = _docs_geo(sf_dir)
+    qrows = _take_rows_where(geo, "doc_id", 5, "doc_id")
+    path = tempfile.mkdtemp(prefix="knn_idx_")
+    knn_build(geo, path, id_col="doc_id", k_hint=5)
+    res = knn_index(path, [r["lon"] for r in qrows],
+                    [r["lat"] for r in qrows], k=5)
+    res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    res["qid"] = res["qid"].astype("int64")
+    res["neighbor_id"] = res["neighbor_id"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return res[["qid", "neighbor_id", "rank"]]
+
+
 def _q11_dedup_exact(sf_dir: str):
     from proj_ray.functions.dedup import dedup_exact
 
@@ -611,6 +632,58 @@ def _q21_images_tiles(sf_dir: str):
               .aggregate(Sum("n_part", alias_name="n_images")))
 
 
+# the synthetic images table's geotags (proj_ray/images.py:40-62) are
+# pure integer/double arithmetic, so DuckDB can regenerate them exactly:
+# golden-ratio scatter + 4 Zipf hotspots (18%) + invalid tail (lat=91)
+_IMG_GEO_SQL = """
+SELECT i,
+  CASE WHEN hsel < 180 THEN
+    (CASE which WHEN 0 THEN -74.0060 WHEN 1 THEN 2.3522
+                WHEN 2 THEN 139.6917 ELSE -118.2437 END) + jlon
+  ELSE lon0 END AS lon,
+  CASE WHEN invalid THEN 91.0 WHEN hsel < 180 THEN
+    (CASE which WHEN 0 THEN 40.7128 WHEN 1 THEN 48.8566
+                WHEN 2 THEN 35.6895 ELSE 34.0522 END) + jlat
+  ELSE lat0 END AS lat
+FROM (
+  SELECT i,
+    fmod(i * 0.6180339887498949, 1.0) * 360.0 - 180.0 AS lon0,
+    fmod(i * 0.7548776662466927, 1.0) * 170.1022 - 85.0511 AS lat0,
+    (i * 2654435761) % 1000 AS hsel,
+    i % 4 AS which,
+    (((i * 7919) % 1000) / 1000.0 - 0.5) * 0.5 AS jlon,
+    (((i * 104729) % 1000) / 1000.0 - 0.5) * 0.5 AS jlat,
+    ((i * 31337) % 10000) < 20 AS invalid
+  FROM (SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i
+        FROM documents, range({mult}))
+)
+"""
+
+# spherical webmerc tile via asinh written as ln(t+sqrt(t^2+1)) — valid
+# for |lat| > 90 too (the invalid tail), matching cells.tile_xy's clamp
+_TILE_SQL = ("CAST(LEAST(GREATEST(floor((radians(lon) + pi())/(2*pi())"
+             " * {n}), 0), {n} - 1) AS BIGINT) AS tile_x,"
+             " CAST(LEAST(GREATEST(floor((pi() - ln(tan(radians(lat))"
+             " + sqrt(tan(radians(lat))*tan(radians(lat)) + 1)))"
+             "/(2*pi()) * {n}), 0), {n} - 1) AS BIGINT) AS tile_y")
+
+_Q21_SQL = f"""
+WITH img AS ({_IMG_GEO_SQL.format(mult=4)}),
+t AS (SELECT {_TILE_SQL.format(n=128)} FROM img)
+SELECT CAST(7 AS BIGINT) AS tile_z, tile_x, tile_y,
+       COUNT(*) AS n_images
+FROM t GROUP BY tile_x, tile_y
+"""
+
+_Q22_SQL = f"""
+WITH img AS ({_IMG_GEO_SQL.format(mult=2)}),
+rects AS ({_RECT_SQL})
+SELECT printf('img%012d', i) AS image_id, rect_id AS poly_id, lon, lat
+FROM img JOIN rects
+  ON lon > x0 AND lon < x0 + w AND lat > y0 AND lat < y0 + h
+"""
+
+
 def _q22_images_join(sf_dir: str):
     from proj_ray.images import images_dataset
     from proj_ray.join import PolygonIndex
@@ -736,6 +809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q24_dedup_images": _q24_dedup_images,
         "q25_merc_scale": _q25_merc_scale,
         "q26_ann_ivf_indexed": _q26_ann_ivf_indexed,
+        "q27_knn_indexed": _q27_knn_indexed,
     }
 
 
@@ -756,5 +830,8 @@ def oracle_sql() -> dict[str, str]:
         "q13_part_brand": _Q13_SQL,
         "q14_ann_cosine": _Q14_SQL,
         "q15_region_nation": _Q15_SQL,
+        "q21_images_tiles": _Q21_SQL,
+        "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
+        "q27_knn_indexed": _Q10_SQL,
     }

@@ -60,9 +60,21 @@ def ann_brute(ds, queries: np.ndarray, k: int = 10,
     return _merge_topk(cand, k)
 
 
-def _merge_topk(cand, k: int):
+def _merge_topk(cand, k: int, merge_cap: int = 500_000):
+    """Final per-query top-k. Each block already contributed <= nq*k
+    candidate rows; below `merge_cap` total rows the merge is one
+    driver-side concat of that bounded table. Above it (many blocks —
+    the 100-TB case) a groupby("q") pre-merge runs distributed so the
+    driver receives <= nq*k rows regardless of block count."""
     import pandas as pd
 
+    cand = cand.materialize()
+    if cand.count() > merge_cap:
+        def topk(g):
+            return g.sort_values(["cosine", "nid"],
+                                 ascending=[False, True]).head(k)
+
+        cand = cand.groupby("q").map_groups(topk, batch_format="pandas")
     frames = [b for b in cand.iter_batches(batch_format="pandas")]
     allc = pd.concat(frames, ignore_index=True) if frames else \
         pd.DataFrame(columns=["q", "nid", "cosine"])

@@ -436,6 +436,166 @@ def knn_cells(ds, query_lon, query_lat, k: int = 5, level: int | None = None,
     return pd.concat(parts, ignore_index=True)
 
 
+def knn_build(ds, path: str, level: int | None = None,
+              lon_col: str = "lon", lat_col: str = "lat",
+              id_col: str = "image_id", k_hint: int = 5) -> int:
+    """Route rows ONCE into cell-keyed parquet partitions
+    (``cell=<id>/``) — the persistent layout `knn_index` probes.
+
+    This is the 100-TB shape for repeated kNN: ring windows then prune
+    I/O (partitions/bytes read), not just compute, mirroring
+    `ivf_build`/`ann_ivf_index` (functions/ann.py). Reference
+    precedent: tinshift's quadtree point location
+    (src/transformations/tinshift_impl.hpp:386-500). Returns the cell
+    level used (also stored in ``<path>/knn_meta.json``)."""
+    import json
+    import os
+
+    if level is None:
+        n_rows = ds.count()
+        level = int(np.clip(
+            round(np.log(max(n_rows, 1) / max(16, 4 * k_hint))
+                  / np.log(4)), 2, 12))
+
+    def assign(batch):
+        batch["cell"] = C.cell_id(batch[lon_col], batch[lat_col], level)
+        return batch
+
+    ds.map_batches(assign, batch_format="numpy") \
+      .write_parquet(path, partition_cols=["cell"])
+    with open(os.path.join(path, "knn_meta.json"), "w") as f:
+        json.dump({"level": int(level), "lon_col": lon_col,
+                   "lat_col": lat_col, "id_col": id_col}, f)
+    return level
+
+
+def knn_index(path: str, query_lon, query_lat, k: int = 5,
+              lon_col: str | None = None, lat_col: str | None = None,
+              id_col: str | None = None, batch_size: int = 128 * 1024,
+              _stats: dict | None = None):
+    """Exact kNN over a `knn_build` directory: each ring round reads
+    ONLY the window's cell partitions that no earlier round read —
+    cumulative I/O equals the final window union, independent of corpus
+    size. Same window-edge exactness proof, metric and tie-breaking as
+    `knn_cells`; per-round candidates are <= |unresolved|·k per block.
+    `_stats` (optional dict) records rounds, partitions_read,
+    bytes_read, partitions_total for tests to assert the I/O pruning.
+    """
+    import json
+    import os
+
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(path, "knn_meta.json")) as f:
+        meta = json.load(f)
+    level = int(meta["level"])
+    lon_col = lon_col or meta["lon_col"]
+    lat_col = lat_col or meta["lat_col"]
+    id_col = id_col or meta["id_col"]
+    part_dirs = {}
+    for name in os.listdir(path):
+        if name.startswith("cell="):
+            try:
+                part_dirs[int(name.split("=", 1)[1])] = \
+                    os.path.join(path, name)
+            except ValueError:
+                continue
+
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    nq = len(qlon)
+    qx, qy = C.lonlat_to_webmerc(qlon, qlat)
+    qtx, qty, _ = C.tile_xy(qx, qy, level)
+    n_tiles = 1 << level
+
+    best: list = [None] * nq
+    unresolved = np.ones(nq, dtype=bool)
+    read_cells: set[int] = set()
+    r = 1
+    if _stats is not None:
+        _stats.update(rounds=0, partitions_read=0, bytes_read=0,
+                      partitions_total=len(part_dirs), level=level)
+    while unresolved.any():
+        qsel = np.flatnonzero(unresolved)
+        windows = [_window_cells(int(qtx[qi]), int(qty[qi]), r, level)
+                   for qi in qsel]
+        needed = np.unique(np.concatenate(windows))
+        fresh = [int(c) for c in needed
+                 if c not in read_cells and int(c) in part_dirs]
+        read_cells.update(int(c) for c in needed)
+        files = [os.path.join(part_dirs[c], f)
+                 for c in fresh for f in sorted(os.listdir(part_dirs[c]))
+                 if f.endswith(".parquet")]
+        if _stats is not None:
+            _stats["rounds"] += 1
+            _stats["partitions_read"] += len(fresh)
+            _stats["bytes_read"] += sum(os.path.getsize(f)
+                                        for f in files)
+        if files:
+            qxr = ray.put((qx[qsel], qy[qsel]))
+
+            def local(batch, _qxr=qxr):
+                lon = np.asarray(batch[lon_col], dtype=np.float64)
+                lat = np.asarray(batch[lat_col], dtype=np.float64)
+                ids = np.asarray(batch[id_col])
+                if len(lon) == 0:
+                    return {"qi": np.empty(0, np.int64),
+                            "nid": ids,
+                            "dist": np.empty(0, np.float64)}
+                x, y = C.lonlat_to_webmerc(lon, lat)
+                gx, gy = ray.get(_qxr)
+                d2 = ((x[None, :] - gx[:, None]) ** 2
+                      + (y[None, :] - gy[:, None]) ** 2)
+                kk = min(k, d2.shape[1])
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                nql = len(gx)
+                return {"qi": np.repeat(np.arange(nql, dtype=np.int64),
+                                        kk),
+                        "nid": ids[part].ravel(),
+                        "dist": np.sqrt(
+                            d2[np.arange(nql)[:, None], part]).ravel()}
+
+            cand = rd.read_parquet(files,
+                                   columns=[lon_col, lat_col, id_col]) \
+                     .map_batches(local, batch_format="numpy",
+                                  batch_size=batch_size)
+            frames = list(cand.iter_batches(batch_format="pandas"))
+            got = pd.concat(frames, ignore_index=True) if frames else \
+                pd.DataFrame({"qi": [], "nid": [], "dist": []})
+            for li, qi in enumerate(qsel):
+                mine = got[got["qi"] == li][["nid", "dist"]]
+                merged = mine if best[qi] is None else \
+                    pd.concat([best[qi], mine], ignore_index=True)
+                best[qi] = (merged.drop_duplicates("nid")
+                            .sort_values(["dist", "nid"]).head(k))
+        for qi in qsel:
+            b = best[qi]
+            bnd = _window_bound(qx[qi], qy[qi], int(qtx[qi]),
+                                int(qty[qi]), r, level)
+            covered_world = (2 * r + 1 >= n_tiles and qty[qi] - r <= 0
+                             and qty[qi] + r + 1 >= n_tiles)
+            if (b is not None and len(b) >= k
+                    and b["dist"].iloc[k - 1] < bnd) or covered_world:
+                unresolved[qi] = False
+        r *= 2
+        if r > 2 * n_tiles:
+            unresolved[:] = False
+    parts = []
+    for qi in range(nq):
+        b = best[qi]
+        if b is None or not len(b):
+            continue
+        b = b.head(k).reset_index(drop=True)
+        b.insert(0, "q", np.int64(qi))
+        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
+        parts.append(b)
+    if not parts:
+        return pd.DataFrame(columns=["q", "nid", "dist", "rank"])
+    return pd.concat(parts, ignore_index=True)
+
+
 def knn_brute(ds, query_lon, query_lat, k: int = 5,
               lon_col: str = "lon", lat_col: str = "lat",
               id_col: str = "image_id", geodesic: bool = True,
@@ -493,9 +653,18 @@ def knn_brute(ds, query_lon, query_lat, k: int = 5,
 
     cand = ds.map_batches(local_topk, batch_format="numpy",
                           batch_size=batch_size)
-    # global merge: candidates are small (nq * k * nblocks)
+    # global merge: per-block candidates are <= nq*k rows each; above
+    # merge_cap total rows a groupby("q") pre-merge runs distributed so
+    # the driver receives <= nq*k rows regardless of block count
     import pandas as pd
 
+    merge_cap = 500_000
+    cand = cand.materialize()
+    if cand.count() > merge_cap:
+        def topk(g):
+            return g.sort_values(["dist", "nid"]).head(k)
+
+        cand = cand.groupby("q").map_groups(topk, batch_format="pandas")
     frames = [pd.DataFrame(b) for b in cand.iter_batches(
         batch_format="pandas")]
     if not frames:

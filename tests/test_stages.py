@@ -159,3 +159,44 @@ def test_headline_combine_modes_agree(ray_session):
     t2, tiles = headline_spatial(50000, num_cpus=4, combine="tiles")
     assert t1 == t2
     assert tiles["n"].sum() == t1
+
+
+def test_knn_index_exact_and_io_pruned(ray_session, tmp_path):
+    """The persistent cell-partitioned layout: results identical to
+    brute planar kNN, and the ring probe reads only the window's
+    partitions/bytes — I/O scales with the window, not the corpus."""
+    import numpy as np
+    import ray.data as rd
+
+    from proj_ray.stages import knn_brute, knn_build, knn_index
+
+    rng = np.random.default_rng(11)
+    n = 20000
+    rows = {
+        "image_id": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-179, 179, n),
+        "lat": rng.uniform(-80, 80, n),
+    }
+    ds = rd.from_arrow(__import__("pyarrow").table(rows)).materialize()
+    qlon = [10.0, -100.0, 179.5, 0.3, -45.0]
+    qlat = [50.0, -30.0, 79.0, -79.9, 0.0]
+    brute = knn_brute(ds, qlon, qlat, k=5, geodesic=False)
+    path = str(tmp_path / "knn_idx")
+    knn_build(ds, path, k_hint=5)
+    stats = {}
+    got = knn_index(path, qlon, qlat, k=5, _stats=stats)
+    a = brute[["q", "nid", "rank"]].reset_index(drop=True)
+    b = got[["q", "nid", "rank"]].reset_index(drop=True)
+    assert a.astype("int64").equals(b.astype("int64"))
+    # the probe must read a small fraction of the index — partitions
+    # AND bytes (this is the I/O-pruning claim, not just compute)
+    import os
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path) for f in fs
+        if f.endswith(".parquet"))
+    assert stats["partitions_read"] < stats["partitions_total"] * 0.25, \
+        stats
+    assert stats["bytes_read"] < total_bytes * 0.25, \
+        (stats, total_bytes)
