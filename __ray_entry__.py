@@ -46,6 +46,15 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return read_table(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _geo_query_points(k: int = 5):
+    """The first k geotag points (doc_id 0..k-1) computed directly from
+    the _docs_geo arithmetic — no Ray pass needed for query side
+    inputs."""
+    i = np.arange(k, dtype=np.int64)
+    return ((i * 61803 % 360000) / 1000.0 - 180.0,
+            (i * 75487 % 170000) / 1000.0 - 85.0)
+
+
 def _docs_geo(sf_dir: str):
     ds = _read(sf_dir, "documents")
 
@@ -338,15 +347,32 @@ def _take_rows_where(ds, col: str, below: int, sort_col: str):
     return sorted(rows, key=lambda r: r[sort_col])
 
 
+def _query_rows(sf_dir: str, table: str, col: str, below: int):
+    """Pull the handful of query rows (id < below) straight from the
+    parquet file with a pushed row filter — a side-input read, not a
+    full Ray pass over the table (q14 was spending ~2/3 of its wall
+    clock pulling 5 rows). Falls back to the Dataset pass for
+    non-parquet sources."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    if os.path.isfile(path):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(path).to_table(filter=pads.field(col) < below)
+        rows = t.sort_by(col).to_pylist()
+        return rows
+    return _take_rows_where(_read(sf_dir, table), col, below, col)
+
+
 def _q10_knn(sf_dir: str):
     """kNN over cell rings (ring-pruned exact search; planar webmerc
     metric matches the SQL oracle)."""
     from proj_ray.stages import knn_cells
 
     geo = _docs_geo(sf_dir)
-    qrows = _take_rows_where(geo, "doc_id", 5, "doc_id")
-    res = knn_cells(geo, [r["lon"] for r in qrows],
-                    [r["lat"] for r in qrows], k=5, id_col="doc_id")
+    qlon, qlat = _geo_query_points(5)
+    res = knn_cells(geo, qlon, qlat, k=5, id_col="doc_id")
     res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
     res["qid"] = res["qid"].astype("int64")
     res["neighbor_id"] = res["neighbor_id"].astype("int64")
@@ -380,11 +406,10 @@ def _q27_knn_indexed(sf_dir: str):
     from proj_ray.stages import knn_build, knn_index
 
     geo = _docs_geo(sf_dir)
-    qrows = _take_rows_where(geo, "doc_id", 5, "doc_id")
+    qlon, qlat = _geo_query_points(5)
     path = tempfile.mkdtemp(prefix="knn_idx_")
     knn_build(geo, path, id_col="doc_id", k_hint=5)
-    res = knn_index(path, [r["lon"] for r in qrows],
-                    [r["lat"] for r in qrows], k=5)
+    res = knn_index(path, qlon, qlat, k=5)
     res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
     res["qid"] = res["qid"].astype("int64")
     res["neighbor_id"] = res["neighbor_id"].astype("int64")
@@ -488,7 +513,7 @@ def _q14_ann(sf_dir: str):
     from proj_ray.functions.ann import ann_brute
 
     ds = _read(sf_dir, "embeddings")
-    qrows = _take_rows_where(ds, "vec_id", 5, "vec_id")
+    qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
     res = ann_brute(ds, Q, k=5)
@@ -706,7 +731,7 @@ def _q23_ivf(sf_dir: str):
     from proj_ray.functions.ann import ann_ivf
 
     ds = _read(sf_dir, "embeddings")
-    qrows = _take_rows_where(ds, "vec_id", 5, "vec_id")
+    qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
     return ann_ivf(ds, Q, k=5, nprobe=8)
@@ -732,7 +757,7 @@ def _q26_ann_ivf_indexed(sf_dir: str):
     from proj_ray.functions.ann import ann_ivf_index, ivf_build
 
     ds = _read(sf_dir, "embeddings")
-    qrows = _take_rows_where(ds, "vec_id", 5, "vec_id")
+    qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
     path = tempfile.mkdtemp(prefix="ivf_idx_")

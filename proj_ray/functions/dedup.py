@@ -533,10 +533,10 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
 
     class Bucketer:
         def __init__(self, d):
-            rng = np.random.default_rng(seed)
-            self.planes = None
-            self.d = d
-            self.rng_state = rng
+            # hyperplanes built once per actor when the dimension is
+            # known up front; lazily on the first batch otherwise
+            self.planes = np.random.default_rng(seed).normal(
+                size=(d, nbits)) if d else None
 
         def __call__(self, batch):
             import pandas as pd
@@ -549,12 +549,12 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
             proj = vecs @ self.planes
             bits = (proj > 0).astype(np.int64)
             key = (bits * (1 << np.arange(nbits, dtype=np.int64))).sum(axis=1)
-            norm = np.linalg.norm(vecs, axis=1)
+            norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.where(norm == 0, 1.0, norm)
             return pd.DataFrame({
                 "bucket": key,
                 "rid": np.asarray(batch[id_col]),
-                "vec": [v / n if n > 0 else v
-                        for v, n in zip(vecs, norm)],
+                "vec": list(vecs),
             })
 
     buck = ds.map_batches(Bucketer, fn_constructor_args=(dim,),

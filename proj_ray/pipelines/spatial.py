@@ -164,7 +164,15 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
     census and the counting pass don't re-execute the input lineage.
 
     `salted=False` runs the same flow without the salt (for parity
-    checks and A/B timing). Returns a Dataset of (tile_key, n)."""
+    checks and A/B timing). Returns a Dataset of (tile_key, n).
+
+    Round-3 fusion: the per-block partial counts are computed ONCE and
+    materialized; the census AND the salted groupby both consume that
+    (tile, n_part) table — the raw rows are read exactly once, and both
+    all-to-alls move pre-combined partials. Hot tiles' partials are
+    salted with a per-batch deterministic sub-key (a hot reducer group
+    has one row per contributing block; the salt splits it `salt`
+    ways)."""
     from ray.data.aggregate import Sum
 
     from proj_ray import stages as S
@@ -190,17 +198,71 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
                                   batch_format="numpy")
                 .groupby("tile_key")
                 .aggregate(Sum("n_part", alias_name="n")))
-    if cache:
-        keyed = keyed.materialize()
     if threshold is None:
         threshold = 10000
-    hot = S.hot_cells(keyed, cell_col="tile_key", threshold=threshold)
-    salted_ds = S.with_salted_cells(keyed, hot, salt=salt,
-                                    cell_col="tile_key", key_col=key_col)
-    part = (salted_ds.map_batches(partial_counts("cell_salted"),
-                                  batch_format="numpy")
+    parts = keyed.map_batches(partial_counts("tile_key"),
+                              batch_format="numpy").materialize()
+    # census over the SAME materialized partials: driver-local pandas
+    # when the partial table is bounded (#tiles x #blocks rows), a
+    # distributed groupby above local_cap
+    local_cap = 4_000_000
+    if parts.count() <= local_cap:
+        import pandas as pd
+
+        cdf = pd.concat([pd.DataFrame(b) for b in
+                         parts.iter_batches(batch_format="numpy")],
+                        ignore_index=True)
+        cen = cdf.groupby("tile_key")["n_part"].sum()
+        hot_sorted = np.sort(
+            cen.index.to_numpy()[cen.to_numpy() >= threshold]
+            .astype(np.int64))
+    else:
+        census = parts.groupby("tile_key").aggregate(
+            Sum("n_part", alias_name="n"))
+        hot: set[int] = set()
+        for b in census.iter_batches(batch_format="numpy"):
+            sel = np.asarray(b["n"]) >= threshold
+            hot.update(int(c) for c in np.asarray(b["tile_key"])[sel])
+        hot_sorted = np.sort(
+            np.fromiter(hot, dtype=np.int64, count=len(hot)))
+
+    def salt_parts(b: dict) -> dict:
+        from proj_ray.functions._hash import splitmix64
+
+        keys = np.asarray(b["tile_key"], dtype=np.int64)
+        n = np.asarray(b["n_part"], dtype=np.int64)
+        if len(hot_sorted):
+            pos = np.searchsorted(hot_sorted, keys)
+            pos[pos >= len(hot_sorted)] = 0
+            is_hot = hot_sorted[pos] == keys
+        else:
+            is_hot = np.zeros(len(keys), dtype=bool)
+        # one deterministic content-derived sub-key per batch: each
+        # block's partial for a hot tile lands on one of `salt` reducers
+        sub = np.int64(splitmix64(np.asarray(
+            [abs(int(n.sum())) + len(n)], dtype=np.uint64))[0]
+            % np.uint64(salt))
+        return {"cell_salted": keys * np.int64(salt)
+                + np.where(is_hot, sub, np.int64(0)),
+                "n_part": n}
+
+    part = (parts.map_batches(salt_parts, batch_format="numpy")
             .groupby("cell_salted")
-            .aggregate(Sum("n_part", alias_name="n_sub")))
+            .aggregate(Sum("n_part", alias_name="n_sub"))
+            .materialize())
+    # un-salt merge: the salted output is <= #tiles + #hot*salt rows;
+    # merge driver-local under the cap, distributed groupby above it
+    if part.count() <= local_cap:
+        import pandas as pd
+        import ray.data as rd
+
+        mdf = pd.concat([pd.DataFrame(b) for b in
+                         part.iter_batches(batch_format="numpy")],
+                        ignore_index=True)
+        mdf["tile_key"] = mdf["cell_salted"] // salt
+        out = (mdf.groupby("tile_key", as_index=False)["n_sub"].sum()
+               .rename(columns={"n_sub": "n"}))
+        return rd.from_pandas(out)
 
     def unsalt(b: dict) -> dict:
         return {"tile_key": np.asarray(b["cell_salted"]) // salt,
