@@ -431,6 +431,15 @@ class Pipeline(Operation):
         self.left = eff_left(self.steps[0])
         self.right = eff_right(self.steps[-1])
 
+    @property
+    def P(self):
+        """Params of the first real step (pj_factors-style callers need
+        an ellipsoid/unit context; pipelines expose their entry side)."""
+        for st in self.steps:
+            if not isinstance(st.op, PushPop):
+                return st.op.P
+        raise AttributeError("pipeline has no parameterized step")
+
     def fwd(self, c: Coords) -> Coords:
         self.stacks = [[], [], [], []]
         for st in self.steps:
@@ -491,7 +500,7 @@ class AlternativesOp:
     falls back to the first global candidate.
     """
 
-    def __init__(self, candidates: list[dict]):
+    def __init__(self, candidates: list[dict], probes=None):
         built = []
         for c in candidates:
             op = c["defn"]
@@ -504,10 +513,16 @@ class AlternativesOp:
             else:
                 w, s, e, n = bbox
                 area = max(e - w, 0.0) * max(n - s, 0.0)
-            built.append((op, bbox, np.inf if acc is None else acc, area))
-        built.sort(key=lambda t: (t[2], t[3]))
+            built.append((op, bbox, np.inf if acc is None else acc, area,
+                          c.get("tier", 1)))
+        built.sort(key=lambda t: (t[2], t[4], t[3]))
         self.cands = built
         self.P = built[0][0].P
+        # optional (src_op, dst_op) pair: when an end of the CRS pair is
+        # projected, bbox containment is tested on the geographic coords
+        # obtained by inverting that side first (the planner's
+        # area-of-use test is always geographic)
+        self.probes = probes
 
     @property
     def angular_input(self):
@@ -541,15 +556,23 @@ class AlternativesOp:
         ot = np.array(t, copy=True)
         pending = np.isfinite(x) & np.isfinite(y)
         next_ci = np.zeros(n, dtype=np.int64)
-        if fwd_side:
+        lon = lat = None
+        if self.probes is not None:
+            # containment tested on the input side's geographic coords
+            probe = self.probes[0] if fwd_side else self.probes[1]
+            with np.errstate(all="ignore"):
+                pl, pp, _, _ = probe.inv((x, y, z, t))
+            lon = np.degrees(pl)
+            lat = np.degrees(pp)
+        elif fwd_side:
             lon = np.degrees(x)
             lat = np.degrees(y)
         for _ in range(len(self.cands) + 1):
             if not pending.any():
                 break
             sel = np.full(n, -1, dtype=np.int64)
-            for ci, (_op, bbox, _acc, _area) in enumerate(self.cands):
-                if fwd_side:
+            for ci, (_op, bbox, _acc, _area, _tier) in enumerate(self.cands):
+                if lon is not None:
                     inside = self._contains(bbox, lon, lat)
                 else:
                     inside = np.ones(n, dtype=bool)
@@ -558,7 +581,7 @@ class AlternativesOp:
             # no containing candidate left: global fallback, once
             nomatch = pending & (sel < 0) & (next_ci < len(self.cands))
             if nomatch.any():
-                for ci, (_op, bbox, _acc, _area) in enumerate(self.cands):
+                for ci, (_op, bbox, _acc, _area, _tier) in enumerate(self.cands):
                     if bbox is None:
                         sel[nomatch] = ci
                         break
@@ -570,7 +593,7 @@ class AlternativesOp:
                 sub = (x[m], y[m], z[m], t[m])
                 rx, ry, rz, rt = (op.fwd(sub) if fwd_side else op.inv(sub))
                 ok = np.isfinite(rx) & np.isfinite(ry)
-                if not fwd_side:
+                if not fwd_side and self.probes is None:
                     # verify the angular result lands in the bbox
                     bbox = self.cands[ci][1]
                     ok = ok & self._contains(bbox, np.degrees(rx),
@@ -660,6 +683,217 @@ def _crs_pieces(defn: str) -> dict:
     }
 
 
+# +datum=NAME shorthands that map to a db geodetic CRS for planning
+# (grid-backed datums whose grids this repo does not ship, plus WGS84)
+_DATUM_GEOG_CODE = {"WGS84": 4326, "NAD27": 4267, "NAD83": 4269}
+
+
+def _datum_step(e: dict, inv: bool) -> str:
+    """One +step for a generated Helmert/Molodensky-Badekas entry."""
+    tok = "+inv " if inv else ""
+    name = "molobadekas" if "p" in e else "helmert"
+    t = e["t"]
+    parts = [f"+step {tok}+proj={name}",
+             f"+x={t[0]:.10g} +y={t[1]:.10g} +z={t[2]:.10g}"]
+    if "r" in e:
+        r = e["r"]
+        parts.append(f"+rx={r[0]:.12g} +ry={r[1]:.12g} +rz={r[2]:.12g}"
+                     f" +s={e['s']:.12g} +convention={e['conv']}")
+    if "p" in e:
+        p = e["p"]
+        parts.append(f"+px={p[0]:.10g} +py={p[1]:.10g} +pz={p[2]:.10g}")
+    return " ".join(parts)
+
+
+def _bbox_and(a, b):
+    """(ok, bbox) intersection; None = global."""
+    if a is None:
+        return True, b
+    if b is None:
+        return True, a
+    w, s = max(a[0], b[0]), max(a[1], b[1])
+    e, n = min(a[2], b[2]), min(a[3], b[3])
+    if w >= e or s >= n:
+        return False, None
+    return True, (w, s, e, n)
+
+
+def _grid_file_of(names) -> str | None:
+    """First grid filename present in the search path, else None.
+    PROJ_RAY_SKIP_GRID_OPS=YES disables grid-backed candidates (the
+    yaml corpus' grid-stripped PROJ_DATA scenarios)."""
+    import os
+
+    if os.environ.get("PROJ_RAY_SKIP_GRID_OPS"):
+        return None
+    from proj_ray.ops.gridshift import GRID_SEARCH_PATH
+
+    for name in names:
+        for p in GRID_SEARCH_PATH:
+            if os.path.isfile(os.path.join(p, name)):
+                return name
+    return None
+
+
+def _similarity_candidates(src_spec: str, dst_spec: str) -> list[dict]:
+    """Direct similarity-transformation candidates between two EPSG
+    CRS codes (other_transformation method 9621, EPSG Guidance Note
+    7.2), expressed as affine coefficients."""
+    import math
+    import re as _re
+
+    from proj_ray.epsg_ops import SIMILARITY
+
+    def code(spec):
+        m = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+        return int(m.group(1)) if m else None
+
+    sc, dc = code(src_spec), code(dst_spec)
+    if sc is None or dc is None:
+        return []
+    outs = [(e, False) for e in SIMILARITY.get((sc, dc), ())]
+    outs += [(e, True) for e in SIMILARITY.get((dc, sc), ())]
+    cands = []
+    for e, inv in outs:
+        th = math.radians(e["theta_deg"])
+        m_ = e["m"]
+        defn = (f"+proj=affine +xoff={e['xt0']:.10g}"
+                f" +yoff={e['yt0']:.10g}"
+                f" +s11={m_ * math.cos(th):.17g}"
+                f" +s12={m_ * math.sin(th):.17g}"
+                f" +s21={-m_ * math.sin(th):.17g}"
+                f" +s22={m_ * math.cos(th):.17g}")
+        if inv:
+            defn = "+proj=pipeline +step +inv " + defn
+        acc = e["acc"] if e["acc"] is not None else 500.0
+        if e.get("off"):
+            acc += 1000.0
+        cands.append({"defn": defn, "bbox": e["bbox"], "accuracy": acc,
+                      "tier": 0})
+    return cands
+
+
+def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
+                           max_cands: int = 48):
+    """Candidate datum-shift step-chains between two geographic bases:
+    available grid transformations and Helmert ops for the direct pair,
+    plus chains composed via the WGS84/ETRS89/NAD83 hubs (either leg a
+    grid or a Helmert). The static analog of the proj.db
+    coordinateoperationfactory subset (reference
+    coordinateoperationfactory.cpp:583; per-point ranking happens in
+    AlternativesOp, mirroring pj_get_suggested_operation: best accuracy
+    wins among containing areas, grids win accuracy ties — SortFunction
+    gridsAvailable rule — offshore deprioritized). Steps come back
+    fully formed (cart/push/pop wrapping baked in, geog2D-domain
+    methods preserve the input height). Returns
+    [(steps, accuracy, bbox, tier)]; tier 0 = grid-backed."""
+    from proj_ray.epsg_ops import GRIDS, HELMERT
+
+    HUB_ELL = {4326: "+ellps=WGS84", 4258: "+ellps=GRS80",
+               4269: "+ellps=GRS80"}
+
+    def direct(a, b):
+        outs = [("h", e, False) for e in HELMERT.get((a, b), ())]
+        outs += [("h", e, True) for e in HELMERT.get((b, a), ())]
+        for e in GRIDS.get((a, b), ()):
+            fname = _grid_file_of(e["grids"])
+            if fname is not None:
+                outs.append(("g", {**e, "file": fname}, False))
+        for e in GRIDS.get((b, a), ()):
+            fname = _grid_file_of(e["grids"])
+            if fname is not None:
+                outs.append(("g", {**e, "file": fname}, True))
+        return outs
+
+    def acc_of(e):
+        base = e["acc"] if e["acc"] is not None else 500.0
+        return base + (1000.0 if e.get("off") else 0.0)
+
+    def leg_steps(kind, e, inv, ell_from, ell_to):
+        if kind == "g":
+            step_inv = inv != e["invdir"]
+            return [f"+step {'+inv ' if step_inv else ''}"
+                    f"+proj=hgridshift +grids={e['file']}"]
+        block = [f"+step +proj=cart {ell_from}".rstrip(),
+                 _datum_step(e, inv),
+                 f"+step +inv +proj=cart {ell_to}".rstrip()]
+        if not e.get("d3"):
+            # geog2D-domain methods preserve the input height
+            block = (["+step +proj=push +v_3"] + block
+                     + ["+step +proj=pop +v_3"])
+        return block
+
+    cands = []
+    for kind, e, inv in direct(gA, gB):
+        cands.append((leg_steps(kind, e, inv, ellA, ellB), acc_of(e),
+                      e["bbox"], 0 if kind == "g" else 1))
+    for hub, hell in HUB_ELL.items():
+        if hub in (gA, gB):
+            continue
+        legs1 = direct(gA, hub)
+        legs2 = direct(hub, gB)
+        for k1, e1, i1 in legs1:
+            for k2, e2, i2 in legs2:
+                ok, bb = _bbox_and(e1["bbox"], e2["bbox"])
+                if not ok:
+                    continue
+                cands.append((leg_steps(k1, e1, i1, ellA, hell)
+                              + leg_steps(k2, e2, i2, hell, ellB),
+                              acc_of(e1) + acc_of(e2), bb,
+                              0 if "g" in (k1, k2) else 1))
+    cands.sort(key=lambda c: (c[1], c[3],
+                              (c[2][2] - c[2][0]) * (c[2][3] - c[2][1])
+                              if c[2] else 360.0 * 180.0))
+    return cands[:max_cands]
+
+
+def _geog_base_code(spec: str, pieces: dict):
+    """Geographic-2D base CRS code of a CRS spec, for datum planning:
+    EPSG:NNNN / +init=epsg:NNNN resolve through the generated table;
+    proj strings only via the +datum=NAME shorthand (and only when no
+    explicit +towgs84 overrides the datum)."""
+    import re as _re
+
+    from proj_ray.epsg_ops import GEOG_BASE
+
+    m = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+    if m:
+        return GEOG_BASE.get(int(m.group(1)))
+    from proj_ray.params import tokenize
+
+    kv = dict(tokenize(pieces["clean"]))
+    if "towgs84" in kv or "nadgrids" in kv:
+        return None
+    name = str(kv.get("datum", ""))
+    code = _DATUM_GEOG_CODE.get(name)
+    if code is None:
+        return None
+    # a grid-backed legacy datum (+datum=NAD27 etc.) keeps its
+    # hardcoded nadgrids chain while any of those grids is available
+    # (the reference CLI goldens follow that path); the db plan applies
+    # only when the legacy chain cannot (grid-missing scenarios)
+    expansion = DATUMS.get(name, ("", ""))[0]
+    if expansion.startswith("nadgrids="):
+        names = [g.lstrip("@") for g in
+                 expansion.split("=", 1)[1].split(",")]
+        if _grid_file_of(names) is not None:
+            return None
+    return code
+
+
+def _strip_datum(defn: str, ell: str) -> str:
+    """Remove legacy datum tokens from a resolved CRS string (the
+    planner's explicit cart+helmert steps replace them), keeping the
+    ellipsoid."""
+    toks = [t for t in defn.split()
+            if not t.startswith(("+towgs84=", "+nadgrids=", "+datum="))]
+    have = {t.split("=")[0] for t in toks}
+    for e in ell.split():
+        if e and e.split("=")[0] not in have:
+            toks.append(e)
+    return " ".join(toks)
+
+
 def create_crs_to_crs(src: str, dst: str,
                       force_3d: bool = False) -> Operation:
     """cs2cs-style CRS -> CRS operation, mirroring
@@ -684,6 +918,24 @@ def create_crs_to_crs(src: str, dst: str,
         return int(m.group(1)) if m else None
 
     from proj_ray.epsg_generated import EPSG_GEO_3D
+
+    def _ang_fac(spec: str) -> float:
+        # authority angular unit of an EPSG geographic CRS (grad-based
+        # NTF etc.): factor to degrees, 1.0 when degree/not applicable
+        m = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+        if not m:
+            return 1.0
+        from proj_ray.epsg_ops import GEOG_UNIT
+
+        return GEOG_UNIT.get(int(m.group(1)), 1.0)
+
+    s_fac = _ang_fac(src)
+    d_fac = _ang_fac(dst)
+
+    def _units(o):
+        if s_fac == 1.0 and d_fac == 1.0:
+            return o
+        return _AngularUnits(o, s_fac, d_fac)
 
     s = _crs_pieces(_resolve_crs_text(src))
     d = _crs_pieces(_resolve_crs_text(dst))
@@ -716,8 +968,87 @@ def create_crs_to_crs(src: str, dst: str,
                  + ["+step +proj=pop +v_3"])
     op = create_operation("+proj=pipeline " + " ".join(steps))
     if s["obtran_angular"] or d["obtran_angular"]:
-        return _ObtranDegrees(op, s["obtran_angular"], d["obtran_angular"])
-    return op
+        return _units(_ObtranDegrees(op, s["obtran_angular"],
+                                     d["obtran_angular"]))
+    # db-planner subset: different geodetic bases with known Helmert
+    # candidates -> per-point area/accuracy-ranked pipelines, with the
+    # legacy towgs84 sandwich as the global fallback
+    if not (s["geoc"] or d["geoc"] or s["geoid"] or d["geoid"]):
+        cands = _similarity_candidates(src, dst)
+        gA = _geog_base_code(src, s)
+        gB = _geog_base_code(dst, d)
+        mids = []
+        if gA is not None and gB is not None and gA != gB:
+            mids = _plan_datum_candidates(gA, gB, s['ell'], d['ell'])
+        if cands or mids:
+            s_clean = _strip_datum(s["clean"], s["ell"])
+            d_clean = _strip_datum(d["clean"], d["ell"])
+            for mid, acc, bbox, tier in mids:
+                st = [f"+step +inv {s_clean}", *mid, f"+step {d_clean}"]
+                cands.append({"defn": "+proj=pipeline " + " ".join(st),
+                              "bbox": bbox, "accuracy": acc,
+                              "tier": tier})
+            # global fallback mirrors the reference's ballpark
+            # geographic offset: NO datum shift (4D_api ballpark, not
+            # the legacy towgs84 sandwich)
+            bp = [f"+step +inv {s_clean}", f"+step {d_clean}"]
+            cands.append({"defn": "+proj=pipeline " + " ".join(bp),
+                          "bbox": None, "accuracy": None})
+            try:
+                probes = (create_operation(s_clean),
+                          create_operation(d_clean))
+                return _units(AlternativesOp(cands, probes=probes))
+            except (ValueError, NotImplementedError):
+                pass
+    return _units(op)
+
+
+class _AngularUnits:
+    """Authority angular units other than degree (grad-based NTF
+    etc.): callers feed printed values through a blind deg->rad
+    conversion, so scale by the unit's degree factor at each angular
+    boundary (the reference models this in the CRS coordinate
+    system)."""
+
+    def __init__(self, op, s_fac: float, d_fac: float):
+        self._op = op
+        self._s = s_fac
+        self._d = d_fac
+        self.P = getattr(op, "P", None)
+
+    @property
+    def angular_input(self):
+        return self._op.angular_input
+
+    @property
+    def angular_output(self):
+        return self._op.angular_output
+
+    @property
+    def has_inverse(self):
+        return self._op.has_inverse
+
+    def fwd(self, c):
+        x, y, z, t = c
+        if self._s != 1.0 and self._op.angular_input:
+            x = np.asarray(x) * self._s
+            y = np.asarray(y) * self._s
+        x, y, z, t = self._op.fwd((x, y, z, t))
+        if self._d != 1.0 and self._op.angular_output:
+            x = x / self._d
+            y = y / self._d
+        return x, y, z, t
+
+    def inv(self, c):
+        x, y, z, t = c
+        if self._d != 1.0 and self._op.angular_output:
+            x = np.asarray(x) * self._d
+            y = np.asarray(y) * self._d
+        x, y, z, t = self._op.inv((x, y, z, t))
+        if self._s != 1.0 and self._op.angular_input:
+            x = x / self._s
+            y = y / self._s
+        return x, y, z, t
 
 
 class _ObtranDegrees:

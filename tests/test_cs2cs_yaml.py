@@ -8,17 +8,19 @@ scope for the static registry by design):
   modern cs2cs falls back to a db-selected ballpark/alternate op.
 - EPSG:4807 (test 7): NTF(Paris) authority unit is grad; the registry
   expresses angular CRSs in degrees.
-- PD/83, MAGNA-SIRGAS, MGI-1901, ED50 pairs (92, 128-136): the db
-  planner picks region-specific Helmert ops; the registry carries the
-  conservative/classic towgs84 (e.g. ED50 -87,-98,-121 lands within
-  4 m of the db's Spain-specific pick).
+Round 3: the static operation-planner subset (proj_ray/epsg_ops.py +
+factory._plan_datum_candidates / _similarity_candidates) clears the
+round-2 divergences 1, 7, 92, 122, 123, 128-136 — db-selected grid /
+Helmert / similarity candidates with per-point area-of-use ranking,
+ballpark fallback, geog2D-domain height semantics and grad-unit CRSs.
+
+Remaining known divergence:
 - test 57 (+init=epsg:31284 at %.7f): the engine's datum sandwich uses
   exact rotation matrices (needed for mm-level gie roundtrips) where
   legacy cs2cs linearizes — 0.2 mm divergence vs a 150 nm tolerance.
 """
 
-KNOWN_DIVERGENT = {1, 7, 57, 92, 122, 123, 128, 129, 130, 131, 132,
-                   133, 134, 135, 136}
+KNOWN_DIVERGENT = {57}
 
 
 def test_cs2cs_various_goldens():
@@ -28,7 +30,7 @@ def test_cs2cs_various_goldens():
     from tools.replay_cs2cs_yaml import run
 
     npass, nfail, nskip = run()
-    assert npass >= 72, (npass, nfail, nskip)
+    assert npass >= 86, (npass, nfail, nskip)
     assert nfail <= len(KNOWN_DIVERGENT), (npass, nfail)
 
 

@@ -1,0 +1,356 @@
+"""Generate the static coordinate-operation planner tables from the
+reference's public EPSG SQL distribution (/root/reference/data/sql/).
+
+Emits proj_ray/epsg_ops.py with:
+- GEOG_BASE: crs_code -> canonical geographic-2D CRS code (projected
+  CRSs -> their base; geographic-3D / geocentric CRSs -> the 2D sibling
+  sharing the datum)
+- HELMERT: (src_geog2d, tgt_geog2d) -> list of candidate Helmert
+  transformations (params normalized to metre / arc-second / ppm,
+  Molodensky-Badekas pivots in metres), each with accuracy and the
+  area-of-use bbox from usage/extent — the data
+  coordinateoperationfactory.cpp:583 queries from proj.db, reduced to
+  the Helmert subset this engine plans with (grid-based ops are
+  handled by the curated nadgrids fallback).
+
+Usage: python tools/gen_epsg_ops.py
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from gen_epsg import SQL, rows, _num  # noqa: E402
+
+OUT = Path(__file__).resolve().parent.parent / "proj_ray" / "epsg_ops.py"
+
+ARCSEC_PER = {  # rotation uom -> arc-seconds factor
+    "9104": 1.0,                      # arc-second
+    "9109": 0.20626480624709636,      # microradian
+    "9101": 206264.80624709636,       # radian
+    "9105": 3240.0,                   # grad? (1 grad = 0.9 deg = 3240")
+    "9102": 3600.0,                   # degree
+}
+PPM_PER = {"9202": 1.0, "9201": 1e6}  # parts-per-million / unity
+METHODS = {
+    # method code -> (n_params_kind, convention, is_3d_domain)
+    # geog2D-domain methods preserve the input height (the planner
+    # wraps them in push/pop v_3); geocen/geog3D domains transform it
+    "9603": ("3", None, False),
+    "1031": ("3", None, True),
+    "9606": ("7", "position_vector", False),
+    "1033": ("7", "position_vector", True),
+    "1037": ("7", "position_vector", True),
+    "9607": ("7", "coordinate_frame", False),
+    "1032": ("7", "coordinate_frame", True),
+    "1038": ("7", "coordinate_frame", True),
+    "9636": ("mb", "position_vector", False),
+    "1034": ("mb", "coordinate_frame", False),
+    "1061": ("mb", "position_vector", True),
+    "1063": ("mb", "coordinate_frame", True),
+}
+
+
+def main():
+    # geodetic CRSs: code -> (type, datum_code)
+    geod: dict[int, tuple[str, int]] = {}
+    for v in rows("geodetic_crs.sql", "geodetic_crs"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        try:
+            code = int(v[1])
+            datum = int(v[8]) if v[8] not in ("NULL", "") else -1
+        except ValueError:
+            continue
+        geod[code] = (v[4], datum)
+    # canonical geographic-2D per datum (lowest code wins)
+    canon2d: dict[int, int] = {}
+    for code, (typ, datum) in sorted(geod.items()):
+        if typ == "geographic 2D" and datum not in canon2d:
+            canon2d[datum] = code
+    geog_base: dict[int, int] = {}
+    for code, (typ, datum) in geod.items():
+        base = canon2d.get(datum)
+        if base is not None:
+            geog_base[code] = base if typ != "geographic 2D" else code
+    for v in rows("projected_crs.sql", "projected_crs"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        try:
+            code = int(v[1])
+            g = int(v[7])
+        except ValueError:
+            continue
+        if g in geog_base:
+            geog_base[code] = geog_base[g]
+
+    # angular unit of geographic CRSs (non-degree only): factor to deg
+    import math
+
+    rad_per = {}
+    for v in rows("unit_of_measure.sql", "unit_of_measure"):
+        if v[0] == "EPSG" and v[3] == "angle" and v[4] not in ("NULL", ""):
+            rad_per[v[1]] = float(v[4])
+    cs_unit: dict[str, str] = {}
+    for v in rows("axis.sql", "axis"):
+        cs_unit.setdefault(v[6], v[9])
+    geog_unit: dict[int, float] = {}
+    for v in rows("geodetic_crs.sql", "geodetic_crs"):
+        if v[0] != "EPSG" or v[-1] == "1" or not v[4].startswith("geog"):
+            continue
+        u = cs_unit.get(v[6])
+        if u is None or u == "9102":
+            continue
+        f = rad_per.get(u)
+        if f is None:
+            continue
+        try:
+            geog_unit[int(v[1])] = f * 180.0 / math.pi
+        except ValueError:
+            continue
+
+    # extents (+ offshore flag: 4D_api.cpp:322 deprioritizes offshore
+    # areas at per-point selection time)
+    extent: dict[int, tuple[float, float, float, float]] = {}
+    offshore: set[int] = set()
+    for v in rows("extent.sql", "extent"):
+        try:
+            code = int(v[1])
+        except ValueError:
+            continue
+        s, n, w, e = (_num(v[4]), _num(v[5]), _num(v[6]), _num(v[7]))
+        if None in (s, n, w, e):
+            continue
+        extent[code] = (w, s, e, n)
+        if "offshore" in v[2].lower():
+            offshore.add(code)
+
+    # usage rows for helmert ops live inside helmert_transformation.sql
+    op_extent: dict[str, int] = {}
+    for v in rows("helmert_transformation.sql", "usage"):
+        if v[2] == "helmert_transformation" and v[3] == "EPSG":
+            try:
+                op_extent[v[4]] = int(v[6])
+            except ValueError:
+                continue
+
+    helmert: dict[tuple[int, int], list[dict]] = {}
+    kept = skipped = 0
+    for v in rows("helmert_transformation.sql", "helmert_transformation"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            skipped += 1
+            continue
+        mcode = v[5]
+        kind = METHODS.get(mcode)
+        if kind is None:
+            skipped += 1
+            continue
+        if any(x not in ("NULL", "") for x in v[25:38]):  # time-dependent
+            skipped += 1
+            continue
+        if v[7] != "EPSG" or v[9] != "EPSG":
+            skipped += 1
+            continue
+        try:
+            scode, tcode = int(v[8]), int(v[10])
+        except ValueError:
+            skipped += 1
+            continue
+        sbase = geog_base.get(scode)
+        tbase = geog_base.get(tcode)
+        if sbase is None or tbase is None:
+            skipped += 1
+            continue
+        if v[15] != "EPSG" or v[16] != "9001":  # translations in metres
+            skipped += 1
+            continue
+        acc = _num(v[11])
+        tx, ty, tz = _num(v[12]), _num(v[13]), _num(v[14])
+        entry = {"code": int(v[1]), "acc": acc,
+                 "t": (tx, ty, tz)}
+        nkind, conv, d3 = kind
+        if d3:
+            entry["d3"] = True
+        if nkind in ("7", "mb"):
+            rfac = ARCSEC_PER.get(v[21])
+            sfac = PPM_PER.get(v[24])
+            rx, ry, rz, sc = (_num(v[17]), _num(v[18]), _num(v[19]),
+                              _num(v[22]))
+            if None in (rx, ry, rz, sc) or rfac is None or sfac is None:
+                skipped += 1
+                continue
+            entry["r"] = (rx * rfac, ry * rfac, rz * rfac)
+            entry["s"] = sc * sfac
+            entry["conv"] = conv
+        if nkind == "mb":
+            px, py, pz = _num(v[41]), _num(v[42]), _num(v[43])
+            if None in (px, py, pz) or v[45] != "9001":
+                skipped += 1
+                continue
+            entry["p"] = (px, py, pz)
+        ext = op_extent.get(v[1])
+        entry["bbox"] = extent.get(ext) if ext is not None else None
+        if ext in offshore:
+            entry["off"] = True
+        helmert.setdefault((sbase, tbase), []).append(entry)
+        kept += 1
+
+    # grid transformations (NTv2/NTv1 subset this engine's hgridshift
+    # reads); availability is checked at plan time against the grid
+    # search path. grid_alternatives maps EPSG grid names to PROJ
+    # filenames (and flags inverse-direction grids).
+    alt: dict[str, tuple[str, str | None, int]] = {}
+    import re as _re
+
+    tup = _re.compile(r"^\('((?:[^']|'')*)','((?:[^']|'')*)',"
+                      r"(?:'((?:[^']|'')*)'|NULL),'[^']*','[^']*',(\d)")
+    for line in (SQL / "grid_alternatives.sql").open(encoding="utf-8"):
+        m = tup.match(line.strip())
+        if m:
+            alt[m.group(1)] = (m.group(2), m.group(3), int(m.group(4)))
+
+    op_extent_g: dict[str, int] = {}
+    for v in rows("grid_transformation.sql", "usage"):
+        if v[2] == "grid_transformation" and v[3] == "EPSG":
+            try:
+                op_extent_g[v[4]] = int(v[6])
+            except ValueError:
+                continue
+    grids: dict[tuple[int, int], list[dict]] = {}
+    gkept = 0
+    for v in rows("grid_transformation.sql", "grid_transformation"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        if v[5] not in ("9615", "9614"):  # NTv2 / NTv1
+            continue
+        if v[7] != "EPSG" or v[9] != "EPSG":
+            continue
+        try:
+            scode, tcode = int(v[8]), int(v[10])
+        except ValueError:
+            continue
+        sbase = geog_base.get(scode)
+        tbase = geog_base.get(tcode)
+        if sbase is None or tbase is None:
+            continue
+        gname = v[15]
+        names = [gname]
+        a = alt.get(gname)
+        invdir = 0
+        if a:
+            names = [a[0]] + ([a[1]] if a[1] else []) + [gname]
+            invdir = a[2]
+        entry = {"code": int(v[1]), "acc": _num(v[11]),
+                 "grids": names, "invdir": bool(invdir)}
+        ext = op_extent_g.get(v[1])
+        entry["bbox"] = extent.get(ext) if ext is not None else None
+        if ext in offshore:
+            entry["off"] = True
+        grids.setdefault((sbase, tbase), []).append(entry)
+        gkept += 1
+
+    # similarity transformations (9621) directly between CRS pairs
+    # (EPSG Guidance Note 7.2: XT = XT0 + XS*M*cos(t) + YS*M*sin(t),
+    # YT = YT0 - XS*M*sin(t) + YS*M*cos(t)) — expressed as affine
+    # coefficients at plan time
+    op_extent_o: dict[str, int] = {}
+    for v in rows("other_transformation.sql", "usage"):
+        if v[2] == "other_transformation" and v[3] == "EPSG":
+            try:
+                op_extent_o[v[4]] = int(v[6])
+            except ValueError:
+                continue
+    ANGLE_DEG = {"9102": 1.0, "9104": 1.0 / 3600.0,
+                 "9101": 57.29577951308232}
+    similarity: dict[tuple[int, int], list[dict]] = {}
+    skept = 0
+    for v in rows("other_transformation.sql", "other_transformation"):
+        if v[0] != "EPSG" or v[-1] == "1" or v[5] != "9621":
+            continue
+        if v[7] != "EPSG" or v[9] != "EPSG":
+            continue
+        try:
+            scode, tcode = int(v[8]), int(v[10])
+        except ValueError:
+            continue
+        # params in fixed order: 8621 XT0 (m), 8622 YT0 (m),
+        # 1061 M (unity), 8614 rotation angle
+        p = {}
+        for base in (12, 18, 24, 30):
+            if v[base + 1] in ("8621", "8622", "1061", "8614"):
+                p[v[base + 1]] = (_num(v[base + 3]), v[base + 5])
+        if set(p) != {"8621", "8622", "1061", "8614"}:
+            continue
+        if p["8621"][1] != "9001" or p["8622"][1] != "9001" \
+                or p["1061"][1] != "9201":
+            continue
+        adeg = ANGLE_DEG.get(p["8614"][1])
+        if adeg is None:
+            continue
+        entry = {"code": int(v[1]), "acc": _num(v[11]),
+                 "xt0": p["8621"][0], "yt0": p["8622"][0],
+                 "m": p["1061"][0], "theta_deg": p["8614"][0] * adeg}
+        ext = op_extent_o.get(v[1])
+        entry["bbox"] = extent.get(ext) if ext is not None else None
+        if ext in offshore:
+            entry["off"] = True
+        similarity.setdefault((scode, tcode), []).append(entry)
+        skept += 1
+
+    with OUT.open("w", encoding="utf-8") as f:
+        f.write('"""Static coordinate-operation planner tables.\n\n'
+                "AUTO-GENERATED by tools/gen_epsg_ops.py from the\n"
+                "reference's public EPSG SQL distribution — do not edit.\n"
+                "Parity target: the Helmert subset of what proj.db's\n"
+                "coordinateoperationfactory plans with (reference\n"
+                "src/iso19111/operation/coordinateoperationfactory.cpp:583"
+                ").\n"
+                '"""\n\n')
+        f.write("# geographic CRSs whose authority angular unit is not\n"
+                "# degree: code -> factor converting that unit to "
+                "degrees\n")
+        f.write("GEOG_UNIT = {\n")
+        for code in sorted(geog_unit):
+            f.write(f"    {code}: {geog_unit[code]!r},\n")
+        f.write("}\n\n")
+        f.write("GEOG_BASE = {\n")
+        for code in sorted(geog_base):
+            f.write(f"    {code}: {geog_base[code]},\n")
+        f.write("}\n\n")
+        f.write("HELMERT = {\n")
+        for key in sorted(helmert):
+            f.write(f"    {key!r}: [\n")
+            for e in sorted(helmert[key],
+                            key=lambda e: (e["acc"] is None,
+                                           e["acc"], e["code"])):
+                f.write(f"        {e!r},\n")
+            f.write("    ],\n")
+        f.write("}\n\n")
+        f.write("GRIDS = {\n")
+        for key in sorted(grids):
+            f.write(f"    {key!r}: [\n")
+            for e in sorted(grids[key],
+                            key=lambda e: (e["acc"] is None,
+                                           e["acc"], e["code"])):
+                f.write(f"        {e!r},\n")
+            f.write("    ],\n")
+        f.write("}\n\n")
+        f.write("SIMILARITY = {\n")
+        for key in sorted(similarity):
+            f.write(f"    {key!r}: [\n")
+            for e in sorted(similarity[key],
+                            key=lambda e: (e["acc"] is None,
+                                           e["acc"], e["code"])):
+                f.write(f"        {e!r},\n")
+            f.write("    ],\n")
+        f.write("}\n")
+    print(f"wrote {OUT}: {len(geog_base)} bases, "
+          f"{kept} helmert ops ({skipped} skipped), "
+          f"{len(helmert)} pairs, {gkept} grid ops, "
+          f"{skept} similarity ops")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,6 +124,12 @@ def run(verbose: bool = False, yaml_path: str = YAML):
         if not src or not dst:
             nskip += 1
             continue
+        # grid-stripped scenarios: the yaml copies only proj.db into a
+        # fresh PROJ_DATA, so grid-backed planner candidates must be
+        # unavailable there (the helmert fallback is the expected path)
+        stripped = "PROJ_DATA" in str(t.get("env", {}))
+        if stripped:
+            os.environ["PROJ_RAY_SKIP_GRID_OPS"] = "YES"
         try:
             op = create_crs_to_crs(src, dst, force_3d="--3d" in args)
         except Exception as exc:  # noqa: BLE001
@@ -131,7 +137,10 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             if verbose:
                 print(f"[{ti}] BUILD-SKIP {args[:80]} -> "
                       f"{type(exc).__name__} {str(exc)[:60]}")
+            os.environ.pop("PROJ_RAY_SKIP_GRID_OPS", None)
             continue
+        finally:
+            os.environ.pop("PROJ_RAY_SKIP_GRID_OPS", None)
         ins = parse_lines(t["in"])
         outs = parse_lines(t["out"])
         ok = True
