@@ -177,6 +177,48 @@ def cmd_gie(args: list[str]) -> int:
     return 1 if total_fail else 0
 
 
+def cmd_projinfo(args: list[str]) -> int:
+    """projinfo subset (reference src/apps/projinfo.cpp:452-540):
+    `projinfo [-o WKT2:2019|PROJJSON|PROJ] <crs>` — resolves an
+    EPSG:NNNN / proj-string / WKT / PROJJSON CRS and prints the
+    requested representation."""
+    import json as _json
+
+    fmt = "WKT2:2019"
+    rest = []
+    i = 0
+    while i < len(args):
+        if args[i] == "-o" and i + 1 < len(args):
+            fmt = args[i + 1]
+            i += 2
+            continue
+        rest.append(args[i])
+        i += 1
+    if not rest:
+        print("usage: projinfo [-o WKT2:2019|PROJJSON|PROJ] <crs>",
+              file=sys.stderr)
+        return 2
+    spec = " ".join(rest)
+    from proj_ray.factory import _resolve_crs_text
+
+    defn = _resolve_crs_text(spec)
+    up = fmt.upper()
+    if up.startswith("PROJJSON"):
+        from proj_ray.wkt_export import proj_to_projjson
+
+        print(_json.dumps(proj_to_projjson(defn), indent=2))
+    elif up.startswith("WKT2"):
+        from proj_ray.wkt_export import proj_to_wkt2
+
+        print(proj_to_wkt2(defn))
+    elif up == "PROJ":
+        print(defn)
+    else:
+        print(f"unknown output format {fmt!r}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
@@ -191,8 +233,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_geod(rest)
     if cmd == "gie":
         return cmd_gie(rest)
-    print(f"unknown command {cmd!r}; one of: proj cs2cs geod gie",
-          file=sys.stderr)
+    if cmd == "projinfo":
+        return cmd_projinfo(rest)
+    print(f"unknown command {cmd!r}; one of: proj cs2cs geod gie "
+          "projinfo", file=sys.stderr)
     return 2
 
 

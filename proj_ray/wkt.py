@@ -110,6 +110,19 @@ _ANGLE_KEYS = {"lat_0", "lon_0", "lonc", "alpha", "gamma", "lat_1",
                "lat_2", "lat_ts"}
 
 
+def _method_post_fix(mcode: int, kv: dict) -> None:
+    """Method-specific parameter normalization shared by the WKT and
+    PROJJSON importers."""
+    if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
+        kv["lat_1"] = kv["lat_0"]  # LCC 1SP
+    if mcode == 9829 and "lat_0" not in kv:
+        kv["lat_0"] = 90.0 if kv.get("lat_ts", 90.0) >= 0 else -90.0
+    if mcode in (9805, 1028, 9835) and "lat_1" in kv:
+        # EPSG 8823 ("1st standard parallel") is proj's +lat_ts for
+        # Mercator variant B / eqc / cea
+        kv["lat_ts"] = kv.pop("lat_1")
+
+
 class _Node:
     __slots__ = ("name", "args")
 
@@ -297,10 +310,7 @@ def wkt_to_proj(text: str) -> str:
             own = p.find("ANGLEUNIT", "UNIT")
             val *= _angle_unit_to_deg(own) if own is not None else base_angle
         kv[key] = val
-    if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
-        kv["lat_1"] = kv["lat_0"]  # LCC 1SP
-    if mcode == 9829 and "lat_0" not in kv:
-        kv["lat_0"] = 90.0 if kv.get("lat_ts", 90.0) >= 0 else -90.0
+    _method_post_fix(mcode, kv)
     parts = [f"+proj={proj}"]
     for k in ("lat_0", "lon_0", "lonc", "lat_1", "lat_2", "lat_ts",
               "alpha", "gamma", "k", "x_0", "y_0"):
@@ -375,8 +385,7 @@ def projjson_to_proj(obj) -> str:
             val *= float(unit.get("conversion_factor", math.pi / 180)) \
                 / (math.pi / 180)
         kv[key] = val
-    if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
-        kv["lat_1"] = kv["lat_0"]
+    _method_post_fix(mcode, kv)
     parts = [f"+proj={proj}"]
     for k in ("lat_0", "lon_0", "lonc", "lat_1", "lat_2", "lat_ts",
               "alpha", "gamma", "k", "x_0", "y_0"):
@@ -394,9 +403,20 @@ def _json_geog(obj) -> str:
     a = float(ell.get("semi_major_axis", 6378137.0))
     rf = ell.get("inverse_flattening")
     if rf:
-        return f"+a={a:.15g} +rf={float(rf):.15g}"
-    b = float(ell.get("semi_minor_axis", a))
-    return f"+a={a:.15g} +b={b:.15g}"
+        out = f"+a={a:.15g} +rf={float(rf):.15g}"
+    else:
+        b = float(ell.get("semi_minor_axis", a))
+        out = f"+a={a:.15g} +b={b:.15g}"
+    pmv = (datum.get("prime_meridian") or {}).get("longitude", 0.0)
+    if isinstance(pmv, dict):
+        import math
+
+        pmv = float(pmv.get("value", 0.0)) * float(
+            pmv.get("unit", {}).get("conversion_factor",
+                                    math.pi / 180)) / (math.pi / 180)
+    if float(pmv) != 0.0:
+        out += f" +pm={float(pmv):.15g}"
+    return out
 
 
 def looks_like_wkt(text: str) -> bool:

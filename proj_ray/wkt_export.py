@@ -1,0 +1,333 @@
+"""proj-string -> WKT2:2019 / PROJJSON export (subset).
+
+The reverse of proj_ray.wkt's import parser, for the conversion
+methods the engine's registry resolves (reference writers:
+src/iso19111/io.cpp WKTFormatter, src/proj_json_streaming_writer.cpp;
+surface mirrored from projinfo, src/apps/projinfo.cpp:452-540).
+Guarantee: `wkt_to_proj(proj_to_wkt2(x))` / `projjson_to_proj(
+proj_to_projjson(x))` reproduce the source definition's parameters
+exactly (round-trip pytest over every supported method). Unknown
+projections raise NotImplementedError — never a silent wrong answer.
+
+Notes vs the full reference writers:
+- +towgs84 would need a BOUNDCRS wrapper; it is intentionally not
+  exported (datum shifts are planned via the registry instead).
+- axis order is always CRS-normalized easting/northing (lat/lon for
+  geographic), matching how the engine consumes coordinates.
+"""
+
+from __future__ import annotations
+
+import math
+
+DEG_UNIT = 'ANGLEUNIT["degree",0.0174532925199433]'
+M_UNIT = 'LENGTHUNIT["metre",1]'
+
+# proj name -> (EPSG method name, code,
+#               [(param name, epsg code | None, proj key, default)])
+# Parameter codes must invert through wkt._PARAM_BY_CODE; code None
+# emits a name-only PARAMETER (resolved via _PARAM_BY_NAME).
+_ANG = "ang"
+_SCL = "scl"
+_LEN = "len"
+
+_P_NAT = [("Latitude of natural origin", 8801, "lat_0", 0.0, _ANG),
+          ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+          ("Scale factor at natural origin", 8805, "k", 1.0, _SCL),
+          ("False easting", 8806, "x_0", 0.0, _LEN),
+          ("False northing", 8807, "y_0", 0.0, _LEN)]
+_P_NOK = [p for p in _P_NAT if p[2] != "k"]
+_P_FALSE_ORIGIN = [
+    ("Latitude of false origin", 8821, "lat_0", 0.0, _ANG),
+    ("Longitude of false origin", 8822, "lon_0", 0.0, _ANG),
+    ("Latitude of 1st standard parallel", 8823, "lat_1", 0.0, _ANG),
+    ("Latitude of 2nd standard parallel", 8824, "lat_2", 0.0, _ANG),
+    ("Easting at false origin", 8826, "x_0", 0.0, _LEN),
+    ("Northing at false origin", 8827, "y_0", 0.0, _LEN)]
+_P_CENTRE = [
+    ("Latitude of projection centre", 8811, "lat_0", 0.0, _ANG),
+    ("Longitude of projection centre", 8812, "lonc", 0.0, _ANG),
+    ("Azimuth at projection centre", 8813, "alpha", 0.0, _ANG),
+    ("Angle from Rectified to Skew Grid", 8814, "gamma", None, _ANG),
+    ("Scale factor at projection centre", 8815, "k", 1.0, _SCL),
+    ("Easting at projection centre", 8816, "x_0", 0.0, _LEN),
+    ("Northing at projection centre", 8817, "y_0", 0.0, _LEN)]
+
+_EXPORT: dict[str, tuple[str, int, list]] = {
+    "tmerc": ("Transverse Mercator", 9807, _P_NAT),
+    "cass": ("Cassini-Soldner", 9806, _P_NOK),
+    "sterea": ("Oblique Stereographic", 9809, _P_NAT),
+    "poly": ("American Polyconic", 9818, _P_NOK),
+    "laea": ("Lambert Azimuthal Equal Area", 9820, _P_NOK),
+    "aeqd": ("Modified Azimuthal Equidistant", 9832, _P_NOK),
+    "nzmg": ("New Zealand Map Grid", 9811, _P_NOK),
+    "webmerc": ("Popular Visualisation Pseudo Mercator", 1024, _P_NOK),
+    "aea": ("Albers Equal Area", 9822, _P_FALSE_ORIGIN),
+    "omerc": ("Hotine Oblique Mercator (variant B)", 9815, _P_CENTRE),
+    "cea": ("Lambert Cylindrical Equal Area", 9835, [
+        ("Latitude of 1st standard parallel", 8823, "lat_ts", 0.0, _ANG),
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "eqc": ("Equidistant Cylindrical", 1028, [
+        ("Latitude of 1st standard parallel", 8823, "lat_ts", 0.0, _ANG),
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "krovak": ("Krovak", 9819, [
+        ("Latitude of projection centre", 8811, "lat_0", 49.5, _ANG),
+        ("Longitude of origin", None, "lon_0", 24.833333333333332, _ANG),
+        ("Co-latitude of cone axis", 1036, "alpha", 30.288139722222223,
+         _ANG),
+        ("Latitude of pseudo standard parallel", None, "lat_1", 78.5,
+         _ANG),
+        ("Scale factor on pseudo standard parallel", None, "k", 0.9999,
+         _SCL),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+}
+
+
+def _select_method(proj: str, kv: dict):
+    """(method name, code, params) for a proj name — lcc/merc pick
+    their EPSG variant from the parameters present."""
+    if proj == "lcc":
+        if "lat_2" in kv:
+            return ("Lambert Conic Conformal (2SP)", 9802,
+                    _P_FALSE_ORIGIN)
+        if "lat_1" in kv and float(kv["lat_1"]) != \
+                float(kv.get("lat_0", 0.0)):
+            raise NotImplementedError(
+                "WKT export: lcc with lat_1 != lat_0 and no lat_2")
+        return ("Lambert Conic Conformal (1SP)", 9801, _P_NAT)
+    if proj == "merc":
+        if "lat_ts" in kv:
+            return ("Mercator (variant B)", 9805, [
+                ("Latitude of 1st standard parallel", 8823, "lat_ts",
+                 0.0, _ANG),
+                ("Longitude of natural origin", 8802, "lon_0", 0.0,
+                 _ANG),
+                ("False easting", 8806, "x_0", 0.0, _LEN),
+                ("False northing", 8807, "y_0", 0.0, _LEN)])
+        return ("Mercator (variant A)", 9804, _P_NAT)
+    if proj not in _EXPORT:
+        raise NotImplementedError(
+            f"WKT/PROJJSON export of +proj={proj} not supported")
+    return _EXPORT[proj]
+
+
+def _tok(defn: str) -> dict:
+    from proj_ray.params import tokenize
+
+    kv = dict(tokenize(defn))
+    if "k_0" in kv and "k" not in kv:
+        kv["k"] = kv.pop("k_0")
+    if "datum" in kv and "ellps" not in kv and "a" not in kv:
+        from proj_ray.factory import DATUMS
+
+        ds = DATUMS.get(str(kv["datum"]))
+        if ds:
+            kv["ellps"] = ds[1]
+    return kv
+
+
+def _f(kv, key, default=0.0):
+    v = kv.get(key, default)
+    if v is True or v is None:
+        return default
+    return float(v)
+
+
+def _num(v: float) -> str:
+    return f"{float(v):.17g}"
+
+
+def _ellipsoid_parts(kv) -> tuple[float, float, str]:
+    """(a, rf, name) from a proj kv dict (rf == 0 -> sphere)."""
+    from proj_ray.ellipsoid import ELLPS_TABLE, Ellipsoid
+
+    name = "unknown"
+    if "ellps" in kv:
+        ename = str(kv["ellps"])
+        if ename not in ELLPS_TABLE:
+            raise NotImplementedError(f"unknown ellipsoid {ename}")
+        ea, ekind, ev = ELLPS_TABLE[ename]
+        ell = Ellipsoid.from_a_and(ea, ekind, ev)
+        name = ename
+    elif "R" in kv:
+        return float(kv["R"]), 0.0, "unknown"
+    elif "a" in kv:
+        a = float(kv["a"])
+        if "rf" in kv:
+            return a, float(kv["rf"]), name
+        if "b" in kv:
+            b = float(kv["b"])
+            return a, (a / (a - b) if a != b else 0.0), name
+        if "es" in kv:
+            es = float(kv["es"])
+            f = 1 - math.sqrt(1 - es)
+            return a, (1 / f if f else 0.0), name
+        if "f" in kv:
+            f = float(kv["f"])
+            return a, (1 / f if f else 0.0), name
+        return a, 0.0, name
+    else:
+        raise NotImplementedError("no ellipsoid in definition")
+    f = 1 - ell.b / ell.a
+    return ell.a, (1 / f if f else 0.0), name
+
+
+def _geog_wkt(kv, name="unknown") -> str:
+    a, rf, ename = _ellipsoid_parts(kv)
+    pm = ""
+    from proj_ray.params import PRIME_MERIDIANS, dms_to_deg
+
+    if "pm" in kv:
+        raw = str(kv["pm"])
+        val = PRIME_MERIDIANS.get(raw)
+        pmv = dms_to_deg(val) if val is not None else float(raw)
+        pmname = raw if val is not None else "unknown"
+        pm = f',PRIMEM["{pmname}",{_num(pmv)},{DEG_UNIT}]'
+    else:
+        pm = f',PRIMEM["Greenwich",0,{DEG_UNIT}]'
+    return (f'DATUM["unknown",ELLIPSOID["{ename}",{_num(a)},{_num(rf)},'
+            f'{M_UNIT}]]{pm}')
+
+
+def _unit_wkt(kv) -> str:
+    from proj_ray.params import UNITS_TO_METER
+
+    if "to_meter" in kv:
+        f = float(kv["to_meter"])
+        return f'LENGTHUNIT["unknown",{_num(f)}]'
+    u = str(kv.get("units", "m"))
+    fv = UNITS_TO_METER.get(u)
+    if fv is None:
+        raise NotImplementedError(f"unknown unit {u}")
+    if fv == 1.0:
+        return M_UNIT
+    return f'LENGTHUNIT["{u}",{_num(fv)}]'
+
+
+def proj_to_wkt2(defn: str, name: str = "unknown") -> str:
+    """proj string -> WKT2:2019 (subset; see module docstring)."""
+    kv = _tok(defn)
+    proj = str(kv.get("proj", ""))
+    if proj in ("longlat", "latlong", "lonlat", "latlon"):
+        return (f'GEOGCRS["{name}",{_geog_wkt(kv)},'
+                f'CS[ellipsoidal,2],'
+                f'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
+                f'{DEG_UNIT}],'
+                f'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
+                f'{DEG_UNIT}]]')
+    if proj == "utm":
+        zone = int(_f(kv, "zone"))
+        south = "south" in kv
+        kv = dict(kv)
+        kv["lat_0"] = 0.0
+        kv["lon_0"] = zone * 6 - 183
+        kv["k"] = 0.9996
+        kv["x_0"] = 500000.0
+        kv["y_0"] = 10000000.0 if south else 0.0
+        proj = "tmerc"
+    mname, mcode, params = _select_method(proj, kv)
+    lines = [f'METHOD["{mname}",ID["EPSG",{mcode}]]']
+    for pname, pcode, key, default, kind in params:
+        if default is None and key not in kv:
+            continue
+        val = _f(kv, key, default if default is not None else 0.0)
+        unit = (DEG_UNIT if kind == _ANG
+                else 'SCALEUNIT["unity",1]' if kind == _SCL
+                else M_UNIT)
+        idtail = f',ID["EPSG",{pcode}]' if pcode is not None else ""
+        lines.append(f'PARAMETER["{pname}",{_num(val)},{unit}{idtail}]')
+    unit = _unit_wkt(kv)
+    return (f'PROJCRS["{name}",BASEGEOGCRS["unknown",{_geog_wkt(kv)}],'
+            f'CONVERSION["unknown",{",".join(lines)}],'
+            f'CS[Cartesian,2],'
+            f'AXIS["(E)",east,ORDER[1],{unit}],'
+            f'AXIS["(N)",north,ORDER[2],{unit}]]')
+
+
+def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
+    """proj string -> PROJJSON dict (subset; metre projected CS)."""
+    kv = _tok(defn)
+    proj = str(kv.get("proj", ""))
+
+    def geog_json():
+        a, rf, ename = _ellipsoid_parts(kv)
+        ell = {"name": ename, "semi_major_axis": a}
+        if rf:
+            ell["inverse_flattening"] = rf
+        else:
+            ell["semi_minor_axis"] = a
+        datum = {"type": "GeodeticReferenceFrame",
+                 "name": "unknown", "ellipsoid": ell}
+        if "pm" in kv:
+            from proj_ray.params import PRIME_MERIDIANS, dms_to_deg
+
+            raw = str(kv["pm"])
+            val = PRIME_MERIDIANS.get(raw)
+            datum["prime_meridian"] = {
+                "name": raw if val is not None else "unknown",
+                "longitude": dms_to_deg(val) if val is not None
+                else float(raw)}
+        return {
+            "type": "GeographicCRS",
+            "name": "unknown",
+            "datum": datum,
+            "coordinate_system": {
+                "subtype": "ellipsoidal",
+                "axis": [
+                    {"name": "Geodetic latitude", "abbreviation": "Lat",
+                     "direction": "north", "unit": "degree"},
+                    {"name": "Geodetic longitude", "abbreviation": "Lon",
+                     "direction": "east", "unit": "degree"}]},
+        }
+
+    if proj in ("longlat", "latlong", "lonlat", "latlon"):
+        out = geog_json()
+        out["name"] = name
+        out["$schema"] = ("https://proj.org/schemas/v0.7/projjson."
+                          "schema.json")
+        return out
+    if proj == "utm":
+        zone = int(_f(kv, "zone"))
+        south = "south" in kv
+        kv = dict(kv)
+        kv.update(lat_0=0.0, lon_0=zone * 6 - 183, k=0.9996,
+                  x_0=500000.0, y_0=10000000.0 if south else 0.0)
+        proj = "tmerc"
+    if str(kv.get("units", "m")) != "m" or "to_meter" in kv:
+        raise NotImplementedError(
+            "PROJJSON export: only metre projected CS supported")
+    mname, mcode, params = _select_method(proj, kv)
+    plist = []
+    for pname, pcode, key, default, kind in params:
+        if default is None and key not in kv:
+            continue
+        val = _f(kv, key, default if default is not None else 0.0)
+        p = {"name": pname, "value": val,
+             "unit": ("degree" if kind == _ANG else
+                      "unity" if kind == _SCL else "metre")}
+        if pcode is not None:
+            p["id"] = {"authority": "EPSG", "code": pcode}
+        plist.append(p)
+    return {
+        "$schema": "https://proj.org/schemas/v0.7/projjson.schema.json",
+        "type": "ProjectedCRS",
+        "name": name,
+        "base_crs": geog_json(),
+        "conversion": {
+            "name": "unknown",
+            "method": {"name": mname,
+                       "id": {"authority": "EPSG", "code": mcode}},
+            "parameters": plist},
+        "coordinate_system": {
+            "subtype": "Cartesian",
+            "axis": [
+                {"name": "Easting", "abbreviation": "E",
+                 "direction": "east", "unit": "metre"},
+                {"name": "Northing", "abbreviation": "N",
+                 "direction": "north", "unit": "metre"}]},
+    }
