@@ -917,6 +917,27 @@ def create_crs_to_crs(src: str, dst: str,
         m = _re.search(r"init=epsg:(\d+)", spec)
         return int(m.group(1)) if m else None
 
+    def _split_compound(spec: str):
+        """'EPSG:h+v' / 'EPSG:h+EPSG:v' compound CRS: horizontal spec
+        plus a geoid step for the vertical CRS when its grid is
+        available; ballpark height passthrough otherwise (matching the
+        reference's grid-missing behavior)."""
+        m = _re.match(r"(?i)^epsg:(\d+)\+(?:epsg:)?(\d+)$", spec.strip())
+        if not m:
+            return spec, None
+        from proj_ray.epsg_ops import VERT_GRIDS
+
+        geoid = None
+        for names in VERT_GRIDS.get(int(m.group(2)), ()):
+            f = _grid_file_of(names)
+            if f is not None:
+                geoid = f
+                break
+        return f"EPSG:{m.group(1)}", geoid
+
+    src, s_geoid = _split_compound(src)
+    dst, d_geoid = _split_compound(dst)
+
     from proj_ray.epsg_generated import EPSG_GEO_3D
 
     def _ang_fac(spec: str) -> float:
@@ -937,8 +958,14 @@ def create_crs_to_crs(src: str, dst: str,
             return o
         return _AngularUnits(o, s_fac, d_fac)
 
-    s = _crs_pieces(_resolve_crs_text(src))
-    d = _crs_pieces(_resolve_crs_text(dst))
+    s_defn = _resolve_crs_text(src)
+    d_defn = _resolve_crs_text(dst)
+    if s_geoid:
+        s_defn += f" +geoidgrids={s_geoid}"
+    if d_geoid:
+        d_defn += f" +geoidgrids={d_geoid}"
+    s = _crs_pieces(s_defn)
+    d = _crs_pieces(d_defn)
     # force_3d = the cs2cs --3d flag (promote both CRSs to 3D)
     s_3d = force_3d or s["is_3d"] or _spec_code(src) in EPSG_GEO_3D
     d_3d = force_3d or d["is_3d"] or _spec_code(dst) in EPSG_GEO_3D
@@ -973,7 +1000,7 @@ def create_crs_to_crs(src: str, dst: str,
     # db-planner subset: different geodetic bases with known Helmert
     # candidates -> per-point area/accuracy-ranked pipelines, with the
     # legacy towgs84 sandwich as the global fallback
-    if not (s["geoc"] or d["geoc"] or s["geoid"] or d["geoid"]):
+    if not (s["geoc"] or d["geoc"]):
         cands = _similarity_candidates(src, dst)
         gA = _geog_base_code(src, s)
         gB = _geog_base_code(dst, d)

@@ -30,7 +30,7 @@ def test_cs2cs_various_goldens():
     from tools.replay_cs2cs_yaml import run
 
     npass, nfail, nskip = run()
-    assert npass >= 86, (npass, nfail, nskip)
+    assert npass >= 89, (npass, nfail, nskip)
     assert nfail <= len(KNOWN_DIVERGENT), (npass, nfail)
 
 

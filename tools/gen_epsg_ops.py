@@ -106,8 +106,11 @@ def main():
         f = rad_per.get(u)
         if f is None:
             continue
+        fdeg = f * 180.0 / math.pi
+        if abs(fdeg - 1.0) < 1e-9:  # degree variants with float noise
+            continue
         try:
-            geog_unit[int(v[1])] = f * 180.0 / math.pi
+            geog_unit[int(v[1])] = fdeg
         except ValueError:
             continue
 
@@ -251,6 +254,30 @@ def main():
         grids.setdefault((sbase, tbase), []).append(entry)
         gkept += 1
 
+    # geoid-model transformations: vertical CRS code -> candidate grid
+    # names ("Geographic3D to GravityRelatedHeight" family), for
+    # compound-CRS (EPSG:h+v) resolution
+    vert_grids: dict[int, list[list[str]]] = {}
+    vkept = 0
+    for v in rows("grid_transformation.sql", "grid_transformation"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        if "GravityRelatedHeight" not in v[6]:
+            continue
+        if v[9] != "EPSG":
+            continue
+        try:
+            vcode = int(v[10])
+        except ValueError:
+            continue
+        gname = v[15]
+        names = [gname]
+        a = alt.get(gname)
+        if a:
+            names = [a[0]] + ([a[1]] if a[1] else []) + [gname]
+        vert_grids.setdefault(vcode, []).append(names)
+        vkept += 1
+
     # similarity transformations (9621) directly between CRS pairs
     # (EPSG Guidance Note 7.2: XT = XT0 + XS*M*cos(t) + YS*M*sin(t),
     # YT = YT0 - XS*M*sin(t) + YS*M*cos(t)) — expressed as affine
@@ -336,6 +363,10 @@ def main():
                                            e["acc"], e["code"])):
                 f.write(f"        {e!r},\n")
             f.write("    ],\n")
+        f.write("}\n\n")
+        f.write("VERT_GRIDS = {\n")
+        for key in sorted(vert_grids):
+            f.write(f"    {key}: {vert_grids[key]!r},\n")
         f.write("}\n\n")
         f.write("SIMILARITY = {\n")
         for key in sorted(similarity):

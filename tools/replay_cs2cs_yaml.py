@@ -125,9 +125,12 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             nskip += 1
             continue
         # grid-stripped scenarios: the yaml copies only proj.db into a
-        # fresh PROJ_DATA, so grid-backed planner candidates must be
-        # unavailable there (the helmert fallback is the expected path)
-        stripped = "PROJ_DATA" in str(t.get("env", {}))
+        # fresh tmpdir PROJ_DATA, so grid-backed planner candidates
+        # must be unavailable there (the helmert fallback is the
+        # expected path). A PROJ_DATA that merely EXTENDS the search
+        # path (contains ${PROJ_DATA}) is not stripped.
+        env_pd = str((t.get("env") or {}).get("PROJ_DATA", ""))
+        stripped = "tmpdir" in env_pd
         if stripped:
             os.environ["PROJ_RAY_SKIP_GRID_OPS"] = "YES"
         try:
