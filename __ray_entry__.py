@@ -397,6 +397,58 @@ FROM r WHERE rank <= 5
 """
 
 
+_Q28_DEFN = ("+proj=pipeline +step +proj=cart +ellps=intl "
+             "+step +proj=helmert +x=-81.1 +y=-89.4 +z=-115.8 "
+             "+rx=0.485 +ry=0.024 +rz=0.413 +s=-0.54 "
+             "+convention=position_vector")
+
+
+def _q28_datum_shift(sf_dir: str):
+    """Datum shift as geocentric XYZ: geographic (intl ellipsoid) ->
+    cart -> 7-param position-vector Helmert (EPSG:1626 ED50->WGS84
+    params) — forward-only trig, so the exact chain is reproducible in
+    SQL (small-angle PV matrix, transforms.py:189-233)."""
+    from proj_ray.factory import create_operation
+
+    op = create_operation(_Q28_DEFN)
+
+    def shift(b: dict) -> dict:
+        keep = np.abs(b["lat"]) < 89.9
+        i = np.asarray(b["doc_id"])[keep]
+        lam = np.radians(np.asarray(b["lon"])[keep])
+        phi = np.radians(np.asarray(b["lat"])[keep])
+        gx, gy, gz, _ = op.fwd((lam, phi, np.zeros(len(i)),
+                                np.full(len(i), np.inf)))
+        return {"doc_id": i, "gx": gx, "gy": gy, "gz": gz}
+
+    return _docs_geo(sf_dir).map_batches(shift, batch_format="numpy")
+
+
+# exact mirror of cart (transforms.py:46-55) + small-angle PV helmert
+# (transforms.py:189-241): X' = T + (1+s*1e-6) * R_pv @ X
+_Q28_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+c AS (SELECT doc_id, radians(lon) AS lam, radians(lat) AS phi
+      FROM geo WHERE abs(lat) < 89.9),
+n AS (SELECT doc_id, lam, phi,
+        6378388.0/sqrt(1 - ((1.0/297.0)*(2 - 1.0/297.0))
+                         * sin(phi)*sin(phi)) AS nu
+      FROM c),
+xyz AS (SELECT doc_id,
+        nu*cos(phi)*cos(lam) AS x,
+        nu*cos(phi)*sin(lam) AS y,
+        (nu*(1 - (1.0/297.0)*(2 - 1.0/297.0)))*sin(phi) AS z
+      FROM n),
+p AS (SELECT radians(0.485/3600.0) AS rx, radians(0.024/3600.0) AS ry,
+             radians(0.413/3600.0) AS rz, 1 + (-0.54)*1e-6 AS sc)
+SELECT doc_id,
+  -81.1 + sc*(x - rz*y + ry*z) AS gx,
+  -89.4 + sc*(rz*x + y - rx*z) AS gy,
+  -115.8 + sc*(-ry*x + rx*y + z) AS gz
+FROM xyz, p
+"""
+
+
 def _q27_knn_indexed(sf_dir: str):
     """kNN via the persistent cell-partitioned layout (knn_build once,
     ring probes read only window partitions — I/O-pruned; the 100-TB
@@ -835,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_merc_scale": _q25_merc_scale,
         "q26_ann_ivf_indexed": _q26_ann_ivf_indexed,
         "q27_knn_indexed": _q27_knn_indexed,
+        "q28_datum_shift": _q28_datum_shift,
     }
 
 
@@ -859,4 +912,5 @@ def oracle_sql() -> dict[str, str]:
         "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
         "q27_knn_indexed": _Q10_SQL,
+        "q28_datum_shift": _Q28_SQL,
     }
