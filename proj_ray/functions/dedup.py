@@ -237,10 +237,12 @@ def dedup_minhash_lsh(ds, text_col: str, id_col: str,
         keys = mh.band_keys_batch(mh.signatures(batch[text_col]))
         return {"band": keys.ravel(), "rid": np.repeat(ids, bands)}
 
-    sigs = ds.map_batches(sign, batch_format="numpy",
-                          batch_size=1024).materialize()
+    sigs = ds.map_batches(sign, batch_format="numpy", batch_size=1024)
 
-    if sigs.count() <= local_sig_cap:
+    # decide local vs distributed pairing from the SOURCE row count
+    # (metadata-cheap for parquet) — the signature table itself is
+    # never materialized just to count it
+    if ds.count() * bands <= local_sig_cap:
         pdf = sigs.to_pandas().drop_duplicates(["band", "rid"])
         sizes = pdf.groupby("band")["rid"].transform("size")
         multi = pdf[sizes > 1]
@@ -390,10 +392,10 @@ def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
         tb = str(srcs["text"].iloc[0])
         key = group["key"].iloc[0]
         out_a, out_j = [], []
-        for _, row in g.iterrows():
-            jac = jaccard_ngrams(str(row["text"]), tb, k=shingle_k)
+        for aid, ta in zip(g["id_a"].to_numpy(), g["text"].to_numpy()):
+            jac = jaccard_ngrams(str(ta), tb, k=shingle_k)
             if jac >= threshold:
-                out_a.append(row["id_a"])
+                out_a.append(aid)
                 out_j.append(jac)
         return pd.DataFrame({"id_a": out_a,
                              "id_b": np.full(len(out_a), key),

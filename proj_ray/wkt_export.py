@@ -100,6 +100,13 @@ def _select_method(proj: str, kv: dict):
             raise NotImplementedError(
                 "WKT export: lcc with lat_1 != lat_0 and no lat_2")
         return ("Lambert Conic Conformal (1SP)", 9801, _P_NAT)
+    if proj == "stere":
+        lat0 = float(kv.get("lat_0", 0.0) if kv.get("lat_0") is not True
+                     else 0.0)
+        if abs(lat0) == 90.0:
+            return ("Polar Stereographic (variant A)", 9810, _P_NAT)
+        raise NotImplementedError(
+            "WKT export: oblique stere has no EPSG method (use sterea)")
     if proj == "merc":
         if "lat_ts" in kv:
             return ("Mercator (variant B)", 9805, [

@@ -46,6 +46,8 @@ CASES = [
     "+ellps=intl +units=m",
     "+proj=nzmg +lat_0=-41 +lon_0=173 +x_0=2510000 +y_0=6023150 "
     "+ellps=intl +units=m",
+    "+proj=stere +lat_0=90 +lon_0=0 +k=0.994 +x_0=2000000 "
+    "+y_0=2000000 +ellps=WGS84 +units=m",
 ]
 
 
