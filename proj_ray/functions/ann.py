@@ -206,7 +206,12 @@ def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
         batch["ivf_list"] = np.argmax(V @ Cm.T, axis=1).astype(np.int64)
         return batch
 
+    # sort by list id before writing: blocks align with partition
+    # values, so each ivf_list=<id>/ holds O(1) files instead of one
+    # per (input block x list) — probe-time read_parquet metadata cost
+    # scales with lists probed, not with builder parallelism
     ds.map_batches(assign, batch_format="numpy") \
+      .sort("ivf_list") \
       .write_parquet(path, partition_cols=["ivf_list"])
     np.save(f"{path}/centroids.npy", C)
     return C

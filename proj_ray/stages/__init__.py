@@ -461,7 +461,11 @@ def knn_build(ds, path: str, level: int | None = None,
         batch["cell"] = C.cell_id(batch[lon_col], batch[lat_col], level)
         return batch
 
+    # sort by cell before writing: blocks align with partition values,
+    # so each cell=<id>/ holds O(1) files and probe-time metadata cost
+    # scales with the window, not with builder parallelism
     ds.map_batches(assign, batch_format="numpy") \
+      .sort("cell") \
       .write_parquet(path, partition_cols=["cell"])
     with open(os.path.join(path, "knn_meta.json"), "w") as f:
         json.dump({"level": int(level), "lon_col": lon_col,
