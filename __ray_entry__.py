@@ -879,6 +879,39 @@ FROM geo WHERE abs(lat) < 80.0
 """
 
 
+def _q29_ngram_jaccard(sf_dir: str):
+    """EXACT word-bigram Jaccard near-dup pairs via AllPairs prefix
+    filtering (no sketch, full recall) — the n-gram Jaccard entry of
+    the dedup family, SQL-oracle-checked end to end."""
+    from proj_ray.functions.dedup import dedup_ngram_jaccard
+
+    return dedup_ngram_jaccard(_read(sf_dir, "documents"), "text",
+                               "doc_id", threshold=0.5, n=2)
+
+
+_Q29_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                        s -> s[1] || ' ' || s[2]) AS grams
+  FROM t),
+g AS (SELECT DISTINCT doc_id, unnest(grams) AS gram FROM b),
+c AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) AS jaccard
+FROM p
+JOIN c ca ON ca.doc_id = p.id_a
+JOIN c cb ON cb.doc_id = p.id_b
+WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.5
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -914,6 +947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q26_ann_ivf_indexed": _q26_ann_ivf_indexed,
         "q27_knn_indexed": _q27_knn_indexed,
         "q28_datum_shift": _q28_datum_shift,
+        "q29_ngram_jaccard": _q29_ngram_jaccard,
     }
 
 
@@ -939,4 +973,5 @@ def oracle_sql() -> dict[str, str]:
         "q25_merc_scale": _Q25_SQL,
         "q27_knn_indexed": _Q10_SQL,
         "q28_datum_shift": _Q28_SQL,
+        "q29_ngram_jaccard": _Q29_SQL,
     }

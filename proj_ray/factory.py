@@ -272,12 +272,21 @@ def _cs2cs_emulation(op: Operation, kv: dict, ps: ParamSet,
                     and abs(crs_ell.es - wgs.es) < 1e-15):
                 do_cart = True
         else:
-            # exact rotation matrices: keeps fwd/inv of the sandwich
-            # exactly inverse (gie roundtrips at mm tolerance); diverges
-            # from the reference's linearized legacy path by ~0.2 mm on
-            # 7-param datums, inside every conformance tolerance
-            hps = ParamSet({"exact": True, "towgs84": str(kv["towgs84"]),
-                            "convention": "position_vector"})
+            # the reference's 4D-API cs2cs-emulation sandwich is
+            # "proj=helmert exact ..." (4D_api.cpp:941) — exact rotation
+            # matrices, so pipeline-step sandwiches self-cancel in gie
+            # 1000-rep roundtrips (gigs/5104). The crs_to_crs path
+            # instead goes through createOperation, whose BoundCRS
+            # transformation is EPSG 9606 Position Vector
+            # (transformation.cpp:585) exported WITHOUT +exact — the
+            # linearized matrix legacy cs2cs goldens print
+            # (test_cs2cs_various.yaml case 57 diverges 0.2 mm
+            # otherwise).
+            kv2 = {"towgs84": str(kv["towgs84"]),
+                   "convention": "position_vector"}
+            if not _SANDWICH_LINEARIZED:
+                kv2["exact"] = True
+            hps = ParamSet(kv2)
             P.helmert = Helmert(Common(P.ell, hps), hps)
     if P.helmert is not None or do_cart:
         cps = ParamSet({})
@@ -894,8 +903,27 @@ def _strip_datum(defn: str, ell: str) -> str:
     return " ".join(toks)
 
 
+_SANDWICH_LINEARIZED = False
+
+
 def create_crs_to_crs(src: str, dst: str,
                       force_3d: bool = False) -> Operation:
+    """See _create_crs_to_crs_impl. This wrapper switches towgs84
+    sandwiches to the reference's createOperation semantics (linearized
+    Position Vector helmert, transformation.cpp:585) for the duration
+    of the build; raw create_operation pipelines keep the 4D-API
+    "helmert exact" sandwich (4D_api.cpp:941)."""
+    global _SANDWICH_LINEARIZED
+    prev = _SANDWICH_LINEARIZED
+    _SANDWICH_LINEARIZED = True
+    try:
+        return _create_crs_to_crs_impl(src, dst, force_3d)
+    finally:
+        _SANDWICH_LINEARIZED = prev
+
+
+def _create_crs_to_crs_impl(src: str, dst: str,
+                            force_3d: bool = False) -> Operation:
     """cs2cs-style CRS -> CRS operation, mirroring
     proj_create_crs_to_crs (src/4D_api.cpp:2072) for the
     static-registry subset (the proj.db query planner is out of scope):

@@ -275,7 +275,8 @@ def dedup_minhash_lsh(ds, text_col: str, id_col: str,
 
 def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
                         threshold: float, shingle_k: int = 5,
-                        broadcast_pairs_cap: int = 100_000):
+                        broadcast_pairs_cap: int = 100_000,
+                        sim_fn=None):
     """Exact n-gram Jaccard verify of candidate pairs (cross-band
     duplicates deduped here). Adaptive two-path shape:
 
@@ -295,6 +296,9 @@ def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
     import ray
     import ray.data as rd
 
+    if sim_fn is None:
+        def sim_fn(a, b):
+            return jaccard_ngrams(a, b, k=shingle_k)
     if isinstance(pairs, pd.DataFrame):
         pdf = pairs.drop_duplicates(["id_a", "id_b"])
         small = len(pdf) <= broadcast_pairs_cap
@@ -332,7 +336,7 @@ def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
                 ta, tb = lk.get(a), lk.get(b)
                 if ta is None or tb is None:
                     continue
-                jac = jaccard_ngrams(str(ta), str(tb), k=shingle_k)
+                jac = sim_fn(str(ta), str(tb))
                 if jac >= threshold:
                     out_a.append(a)
                     out_b.append(b)
@@ -393,7 +397,7 @@ def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
         key = group["key"].iloc[0]
         out_a, out_j = [], []
         for aid, ta in zip(g["id_a"].to_numpy(), g["text"].to_numpy()):
-            jac = jaccard_ngrams(str(ta), tb, k=shingle_k)
+            jac = sim_fn(str(ta), tb)
             if jac >= threshold:
                 out_a.append(aid)
                 out_j.append(jac)
@@ -409,6 +413,184 @@ def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
             .union(docs.map_batches(doc_rows_b, batch_format="numpy"))
             .groupby("key").map_groups(attach_b_judge,
                                        batch_format="pandas"))
+
+
+# ------------------------------------------------- word-n-gram jaccard ----
+
+
+def word_ngrams(text: str, n: int = 2) -> set:
+    """Distinct word n-gram strings of `lower(text)` split on single
+    spaces — the exact tokenization ANSI SQL reproduces with
+    string_split(lower(text), ' '), so the oracle matches verbatim."""
+    toks = text.lower().split(" ")
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def jaccard_word_ngrams(a: str, b: str, n: int = 2) -> float:
+    sa, sb = word_ngrams(a, n), word_ngrams(b, n)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _word_gram_rows(texts, ids, n: int = 2):
+    """Per-batch exploded distinct word-n-gram hashes, vectorized.
+
+    Returns (gram uint64, rid, sz int64) row arrays where sz is the
+    doc's distinct-gram count (carried per row so no later size join is
+    needed). Gram identity is the 64-bit siphash of the gram STRING
+    (pd.util.hash_pandas_object: keyed, deterministic across processes),
+    so df/prefix bookkeeping stays numeric; the final verify recomputes
+    jaccard from the strings, so hash collisions can only add candidate
+    work, never change an output value.
+    """
+    import pandas as pd
+
+    ids = np.asarray(ids)
+    s = pd.Series(np.asarray(texts, dtype=object)).astype(str).str.lower()
+    ex = s.str.split(" ").explode()
+    tok = ex.to_numpy(dtype=object)
+    doc = ex.index.to_numpy()
+    if len(tok) == 0:
+        e = np.array([], dtype=np.int64)
+        return e.astype(np.uint64), ids[:0], e
+    # n-gram strings via (n-1) aligned shifts inside each doc
+    gram = pd.Series(tok)
+    mask = np.ones(len(tok), dtype=bool)
+    for j in range(1, n):
+        nxt = np.empty(len(tok), dtype=object)
+        nxt[:-j] = tok[j:]
+        nxt[-j:] = ""
+        m = np.zeros(len(tok), dtype=bool)
+        m[:-j] = doc[:-j] == doc[j:]
+        mask &= m
+        gram = gram + " " + pd.Series(nxt)
+    gram, doc = gram[mask], doc[mask]
+    h = pd.util.hash_pandas_object(gram, index=False).to_numpy()
+    # distinct per (doc, hash)
+    order = np.lexsort((h, doc))
+    d, hh = doc[order], h[order]
+    keep = np.ones(len(d), dtype=bool)
+    keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    d, hh = d[keep], hh[keep]
+    sz = np.bincount(d, minlength=len(ids))
+    return hh, ids[d], sz[d].astype(np.int64)
+
+
+def _prefix_rows(pdf, threshold: float):
+    """AllPairs prefix per doc: sort grams by (global df, gram) and keep
+    the first sz - ceil(t*sz) + 1. Any pair with J >= t shares at least
+    one prefix gram of each side (Bayardo/Ma/Srikant, WWW'07: all
+    shared grams in the suffix would bound the overlap below t*sz)."""
+    pdf = pdf.sort_values(["rid", "df", "gram"], kind="stable")
+    k = pdf.groupby("rid", sort=False).cumcount().to_numpy()
+    sz = pdf["sz"].to_numpy()
+    p = sz - np.ceil(threshold * sz).astype(np.int64) + 1
+    return pdf[k < p]
+
+
+def _length_filtered_pairs(pre, threshold: float, bucket_cap: int):
+    """Bucket prefix rows by gram; emit unordered id pairs passing the
+    length filter min(sz) >= t * max(sz) (necessary for J >= t)."""
+    import pandas as pd
+
+    out_a, out_b = [], []
+    sizes = pre.groupby("gram", sort=False)["rid"].transform("size")
+    multi = pre[sizes.to_numpy() > 1]
+    for _, g in multi.groupby("gram", sort=False):
+        order = np.argsort(g["rid"].to_numpy())
+        ids = g["rid"].to_numpy()[order]
+        szs = g["sz"].to_numpy()[order]
+        if len(ids) > bucket_cap:
+            # deterministic split of pathological buckets (documented
+            # recall trade, same policy as the LSH path)
+            sub = _stable_u64(ids) % np.uint64(-(-len(ids) // bucket_cap))
+            chunks = [(ids[sub == s], szs[sub == s])
+                      for s in range(int(sub.max()) + 1)]
+        else:
+            chunks = [(ids, szs)]
+        for cid, csz in chunks:
+            if len(cid) < 2:
+                continue
+            iu, ju = np.triu_indices(len(cid), k=1)
+            ok = (np.minimum(csz[iu], csz[ju])
+                  >= threshold * np.maximum(csz[iu], csz[ju]))
+            out_a.append(cid[iu[ok]])
+            out_b.append(cid[ju[ok]])
+    if not out_a:
+        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                             "id_b": np.array([], dtype=np.int64)})
+    return pd.DataFrame({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)}
+                        ).drop_duplicates(["id_a", "id_b"])
+
+
+def dedup_ngram_jaccard(ds, text_col: str, id_col: str,
+                        threshold: float = 0.5, n: int = 2,
+                        local_docs_cap: int = 100_000,
+                        bucket_cap: int = 4096,
+                        broadcast_pairs_cap: int = 100_000):
+    """EXACT word-n-gram Jaccard similarity self-join (near-dup pairs
+    with J >= threshold) via AllPairs prefix filtering — no sketching,
+    full recall, SQL-oracle-checkable.
+
+    Scale shape: the signing pass ships only (gram_hash u64, rid, sz)
+    rows — never text. Candidate generation indexes only each doc's
+    prefix (the ~(1-t)*sz globally-rarest grams), so a doc pair is
+    compared only if it shares a rare gram; the length filter prunes
+    size-mismatched pairs before any text moves. Below local_docs_cap
+    source docs the df/prefix/pair steps run driver-local on the
+    bounded gram table (0 all-to-alls); above, they are three
+    distributed groupbys (gram -> rid -> gram). Verification fetches
+    each candidate's text once (see _verify_pairs_exact).
+
+    Returns {id_a, id_b, jaccard} with exact string-set jaccard.
+    """
+    import functools
+
+    import pandas as pd
+
+    def sign(batch):
+        hh, rid, sz = _word_gram_rows(batch[text_col], batch[id_col], n)
+        return {"gram": hh, "rid": rid, "sz": sz}
+
+    grams = ds.map_batches(sign, batch_format="numpy", batch_size=1024)
+    sim = functools.partial(jaccard_word_ngrams, n=n)
+
+    if ds.count() <= local_docs_cap:
+        pdf = grams.to_pandas()
+        if len(pdf) == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(pd.DataFrame(
+                {"id_a": np.array([], dtype=np.int64),
+                 "id_b": np.array([], dtype=np.int64),
+                 "jaccard": np.array([], dtype=np.float64)}))
+        pdf["df"] = pdf.groupby("gram", sort=False)["gram"].transform(
+            "size")
+        pairs = _length_filtered_pairs(
+            _prefix_rows(pdf, threshold), threshold, bucket_cap)
+        return _verify_pairs_exact(
+            ds, pairs, text_col, id_col, threshold,
+            broadcast_pairs_cap=broadcast_pairs_cap, sim_fn=sim)
+
+    def attach_df(group):
+        return group.assign(df=len(group))
+
+    def prefix(group):
+        return _prefix_rows(group, threshold)
+
+    def bucket_pairs(group):
+        return _length_filtered_pairs(group, threshold, bucket_cap)
+
+    pairs = (grams
+             .groupby("gram").map_groups(attach_df, batch_format="pandas")
+             .groupby("rid").map_groups(prefix, batch_format="pandas")
+             .groupby("gram").map_groups(bucket_pairs,
+                                         batch_format="pandas"))
+    return _verify_pairs_exact(ds, pairs, text_col, id_col, threshold,
+                               broadcast_pairs_cap=broadcast_pairs_cap,
+                               sim_fn=sim)
 
 
 # ------------------------------------------------------------- simhash ----

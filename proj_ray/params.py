@@ -198,12 +198,19 @@ def tokenize(defn: str) -> list[tuple[str, str | bool]]:
     """Split a proj definition string into (key, value) tokens in order.
 
     Tolerates `key = v1, v2, v3` spacing (seen in gie operation strings)
-    by collapsing whitespace around '=' and after ','."""
+    by collapsing whitespace around '=' and after ','. Double-quoted
+    values may embed spaces (`+nadgrids="dir with space/f"`), matching
+    the reference's argv splitter (src/4D_api.cpp pj_create argv
+    handling; exercised by test_cs2cs_datumfile.yaml case 1)."""
     defn = re.sub(r"\s*=\s*", "=", defn)
     defn = re.sub(r",\s+", ",", defn)
     out: list[tuple[str, str | bool]] = []
-    for tok in defn.split():
-        tok = tok.lstrip("+")
+    if '"' in defn:
+        toks = re.findall(r'(?:[^\s"]+|"[^"]*")+', defn)
+    else:
+        toks = defn.split()
+    for tok in toks:
+        tok = tok.lstrip("+").replace('"', "")
         if not tok:
             continue
         if "=" in tok:

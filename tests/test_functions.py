@@ -188,3 +188,46 @@ def test_minhash_all_paths_agree(ray_session):
         broadcast_pairs_cap=0).to_pandas())
     assert fast == dist_bucket == dist_verify
     assert (200, 201) in fast and (200, 202) in fast
+
+
+def test_ngram_jaccard_exact_recall_all_paths(ray_session):
+    """dedup_ngram_jaccard is an EXACT similarity join: its output must
+    equal the brute-force all-pairs word-bigram jaccard >= t set, on
+    every execution shape (local prefix pipeline + broadcast verify,
+    distributed 3-groupby path, distributed verify)."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import (dedup_ngram_jaccard,
+                                          jaccard_word_ngrams)
+
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i,
+                     "text": f"alpha {i} beta {i*31} gamma delta "
+                             f"epsilon {i**2} zeta eta"})
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i, sfx in enumerate([" one", " two", " entirely different tail "
+                             "with many extra words appended here"]):
+        rows.append({"doc_id": 300 + i, "text": base + sfx})
+    ds = rd.from_items(rows)
+
+    brute = sorted(
+        (a["doc_id"], b["doc_id"])
+        for a, b in itertools.combinations(rows, 2)
+        if jaccard_word_ngrams(a["text"], b["text"]) >= 0.5)
+
+    def norm(df: pd.DataFrame) -> list[tuple]:
+        return sorted(zip(df["id_a"].astype(int), df["id_b"].astype(int)))
+
+    local = norm(dedup_ngram_jaccard(ds, "text", "doc_id",
+                                     threshold=0.5).to_pandas())
+    dist = norm(dedup_ngram_jaccard(ds, "text", "doc_id", threshold=0.5,
+                                    local_docs_cap=0).to_pandas())
+    dist2 = norm(dedup_ngram_jaccard(ds, "text", "doc_id", threshold=0.5,
+                                     local_docs_cap=0,
+                                     broadcast_pairs_cap=0).to_pandas())
+    assert local == dist == dist2 == brute
+    assert (300, 301) in brute

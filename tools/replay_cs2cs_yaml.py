@@ -51,7 +51,9 @@ def parse_num(tok: str):
 
 
 def split_args(args: str):
-    toks = str(args).split()
+    import shlex
+
+    toks = shlex.split(str(args))
     # drop cs2cs flags and their values
     out = []
     skip_next = False
@@ -65,6 +67,12 @@ def split_args(args: str):
         if t.startswith("-") and not t[1:2].isdigit():
             continue
         out.append(t)
+    # re-quote values that embed spaces (shlex strips both quoting
+    # layers of '+nadgrids="dir with space/f"') so tokenize() keeps
+    # them as one token
+    out = [t if " " not in t or "=" not in t or '"' in t else
+           t.split("=", 1)[0] + '="' + t.split("=", 1)[1] + '"'
+           for t in out]
     if "+to" in out:
         i = out.index("+to")
         return " ".join(out[:i]), " ".join(out[i + 1:])
@@ -104,6 +112,12 @@ def _alias_test_grids():
     if not os.path.exists(link):
         os.symlink("/root/reference/data/tests/ntv2_0_downsampled.gsb",
                    link)
+    # data/CMakeLists.txt copies tests/conus -> "dir with space/myconus"
+    spaced = os.path.join(alias, "dir with space")
+    os.makedirs(spaced, exist_ok=True)
+    link = os.path.join(spaced, "myconus")
+    if not os.path.exists(link):
+        os.symlink("/root/reference/data/tests/conus", link)
     if alias not in GS.GRID_SEARCH_PATH:
         GS.GRID_SEARCH_PATH.insert(0, alias)
 
