@@ -682,14 +682,134 @@ def _q18_text_quality(sf_dir: str):
                                "lang_guess", "fingerprint"])
 
 
+_STOPLIST_SQL = ", ".join(
+    f"'{w}'" for w in
+    ("the and of a to in is it that was for on are as with they be at "
+     "one have this from or had by word but what some we can out other "
+     "were all there when up use your how said an each she").split())
+
+_LANG_HINTS_SQL = {
+    "en": (" th", "the", " an", "and", "ing", " of", "ion"),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "cht"),
+    "fr": (" le", "les", " de", "ent", "que", "ion", " la"),
+    "es": (" de", " la", "que", "ión", " el", "los", "ado"),
+}
+
+
+def _lang_count_sql(g: str) -> str:
+    gg = g.replace("'", "''")
+    return (f"(length(sl) - length(replace(sl, '{gg}', ''))) / {len(g)}")
+
+
+_LANG_SCORES_SQL = {
+    lang: " + ".join(_lang_count_sql(g) for g in grams)
+    for lang, grams in _LANG_HINTS_SQL.items()}
+
+# Fingerprint: base-256 polynomial of the document bytes mod the
+# Mersenne prime 2^61-1 (int.from_bytes % p on the Ray side). The SQL
+# regenerates 256^k mod p with a recursive CTE and folds each char with
+# HUGEINT arithmetic (terms < 2^69, sum < 2^79 < 2^127). quality is the
+# identical double expression, same operation order, so it hashes
+# bit-equal. lang_guess reproduces the argmax-earliest tie rule with a
+# CASE chain. Corpus alphabet is [a-z ] (asserted by the punct term
+# being the constant 0.3), so letter runs == space tokens.
+_Q18_SQL = f"""
+WITH RECURSIVE pw(k, v) AS (
+  SELECT 0, 1::HUGEINT
+  UNION ALL
+  SELECT k+1, (v * 256) % 2305843009213693951 FROM pw
+  WHERE k < (SELECT max(length(text)) FROM documents)
+),
+nums AS (
+  SELECT unnest(generate_series(
+      1, (SELECT max(length(text)) FROM documents))) AS i
+),
+fp AS (
+  SELECT d.doc_id,
+         CAST(SUM(ascii(substr(d.text, n.i::INT, 1))::HUGEINT * pw.v)
+              % 2305843009213693951 AS BIGINT) AS fingerprint
+  FROM documents d
+  JOIN nums n ON n.i <= length(d.text)
+  JOIN pw ON pw.k = length(d.text) - n.i::INT
+  GROUP BY d.doc_id
+),
+feat AS (
+  SELECT doc_id,
+    CASE WHEN length(text) > 0
+         THEN length(text) - length(replace(text, ' ', '')) + 1
+         ELSE 0 END AS n_tokens,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[a-z]+')) AS n_words,
+    len(list_filter(regexp_extract_all(text, '[a-z]+'),
+                    t -> t IN ({_STOPLIST_SQL}))) AS n_stop,
+    ' ' || substr(text, 1, 400) || ' ' AS sl
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_tokens, n_chars, n_words, n_stop,
+    {_LANG_SCORES_SQL['en']} AS s_en,
+    {_LANG_SCORES_SQL['de']} AS s_de,
+    {_LANG_SCORES_SQL['fr']} AS s_fr,
+    {_LANG_SCORES_SQL['es']} AS s_es
+  FROM feat
+)
+SELECT s.doc_id, s.n_tokens,
+  LEAST(s.n_chars / 200.0, 1.0) * 0.4 + 1.0 * 0.3
+  + LEAST(s.n_stop / CAST(GREATEST(s.n_words, 1) AS DOUBLE), 0.8)
+    / 0.8 * 0.3 AS quality,
+  CASE WHEN s.s_en=0 AND s.s_de=0 AND s.s_fr=0 AND s.s_es=0 THEN 'unk'
+       WHEN s.s_en>=s.s_de AND s.s_en>=s.s_fr AND s.s_en>=s.s_es
+         THEN 'en'
+       WHEN s.s_de>=s.s_fr AND s.s_de>=s.s_es THEN 'de'
+       WHEN s.s_fr>=s.s_es THEN 'fr' ELSE 'es' END AS lang_guess,
+  fp.fingerprint
+FROM scored s JOIN fp ON fp.doc_id = s.doc_id
+"""
+
+
 def _q19_minhash_pairs(sf_dir: str):
+    """MinHash LSH candidates + exact char-5-gram Jaccard verify.
+    Oracle: the SQL computes the SAME exact-jaccard pair set from
+    substring 5-grams, so the gate also proves the LSH bands lose no
+    pair at this threshold (planted near-dups sit at J >= 0.9, where
+    16-band/4-row miss probability is < 1e-7). The engine's rolling
+    window hash is collision-free on the [a-z0-9 ] corpus alphabet, so
+    hashed-set jaccard == substring-set jaccard."""
     from proj_ray.functions.dedup import dedup_minhash_lsh
 
     return dedup_minhash_lsh(_read(sf_dir, "documents"), "text", "doc_id",
                              threshold=0.6)
 
 
+_Q19_SQL = """
+WITH nums AS (
+  SELECT unnest(generate_series(
+      1, (SELECT max(length(text)) FROM documents))) AS i
+),
+g AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i::INT, 5) AS gram
+  FROM documents d JOIN nums n ON n.i <= length(d.text) - 4
+),
+c AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) AS jaccard
+FROM p
+JOIN c ca ON ca.doc_id = p.id_a
+JOIN c cb ON cb.doc_id = p.id_b
+WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.6
+"""
+
+
 def _q20_simhash(sf_dir: str):
+    """SimHash signatures. Oracle-checkable because the char-4-gram
+    hash is a base-31 byte polynomial (< 2^23, so only 24 sign votes
+    are ever nonzero) the SQL regenerates arithmetically per window;
+    each simhash bit is a majority vote the SQL expresses as
+    CASE WHEN 2*SUM(bit) > COUNT(*)."""
     from proj_ray.functions.dedup import simhash64
 
     def sh(b: dict) -> dict:
@@ -698,6 +818,28 @@ def _q20_simhash(sf_dir: str):
 
     return _read(sf_dir, "documents").map_batches(
         sh, batch_format="numpy", batch_size=2048)
+
+
+_Q20_BITS = " + ".join(
+    f"CASE WHEN 2*SUM((h >> {j}) & 1) > COUNT(*) "
+    f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+    for j in range(24))
+
+_Q20_SQL = f"""
+WITH nums AS (
+  SELECT unnest(generate_series(
+      1, (SELECT max(length(text)) FROM documents))) AS i
+),
+w AS (
+  SELECT d.doc_id,
+         ascii(substr(d.text, n.i::INT,     1)) * 29791
+       + ascii(substr(d.text, n.i::INT + 1, 1)) * 961
+       + ascii(substr(d.text, n.i::INT + 2, 1)) * 31
+       + ascii(substr(d.text, n.i::INT + 3, 1)) AS h
+  FROM documents d JOIN nums n ON n.i <= length(d.text) - 3
+)
+SELECT doc_id, ({_Q20_BITS}) AS simhash FROM w GROUP BY doc_id
+"""
 
 
 def _q21_images_tiles(sf_dir: str):
@@ -968,6 +1110,9 @@ def oracle_sql() -> dict[str, str]:
         "q13_part_brand": _Q13_SQL,
         "q14_ann_cosine": _Q14_SQL,
         "q15_region_nation": _Q15_SQL,
+        "q18_text_quality": _Q18_SQL,
+        "q19_minhash_pairs": _Q19_SQL,
+        "q20_simhash": _Q20_SQL,
         "q21_images_tiles": _Q21_SQL,
         "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
