@@ -1054,6 +1054,57 @@ WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.5
 """
 
 
+def _q30_asof_join(sf_dir: str):
+    """As-of join: each event pairs with its user's latest order at or
+    before the event time (backward inner, ties -> largest orderkey).
+    Broadcast path at this scale; one co-partitioned shuffle above the
+    cap (proj_ray/functions/temporal.py)."""
+    from proj_ray.functions.temporal import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    out = asof_join(ev, orders, "user_id", "o_custkey", "ts",
+                    "o_orderdate",
+                    right_cols=("o_orderkey", "o_totalprice"),
+                    tie_col="o_orderkey")
+    return out.select_columns(["event_id", "o_orderkey", "o_totalprice"])
+
+
+_Q30_SQL = """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT event_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+"""
+
+
+def _q31_window_agg(sf_dir: str):
+    """Tumbling daily windows over the events stream, per event type:
+    partial (window, type) sums combined inside map_batches before the
+    tiny groupby."""
+    from proj_ray.functions.temporal import window_aggregate
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return window_aggregate(ev, "ts", "value",
+                            every_us=86_400_000_000, by="event_type")
+
+
+_Q31_SQL = """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start,
+       event_type,
+       SUM(CAST(ROUND(value*10000, 0) AS BIGINT)) / 10000.0 AS sum_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -1090,6 +1141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q27_knn_indexed": _q27_knn_indexed,
         "q28_datum_shift": _q28_datum_shift,
         "q29_ngram_jaccard": _q29_ngram_jaccard,
+        "q30_asof_join": _q30_asof_join,
+        "q31_window_agg": _q31_window_agg,
     }
 
 
@@ -1119,4 +1172,6 @@ def oracle_sql() -> dict[str, str]:
         "q27_knn_indexed": _Q10_SQL,
         "q28_datum_shift": _Q28_SQL,
         "q29_ngram_jaccard": _Q29_SQL,
+        "q30_asof_join": _Q30_SQL,
+        "q31_window_agg": _Q31_SQL,
     }

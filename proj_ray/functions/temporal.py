@@ -1,0 +1,197 @@
+"""Temporal join/window operators over Ray Data datasets.
+
+Engine-added operators (no reference counterpart — OSGeo PROJ has no
+tabular layer): the time-ordered joins a large-scale event/training
+pipeline needs, expressed Ray-Data-first.
+
+- asof_join: for each left row, the single right row with the latest
+  right_ts <= left_ts (backward; forward = earliest >=) sharing the
+  join key. Deterministic tie rule so a SQL oracle can reproduce it:
+  among equal boundary timestamps backward picks the LARGEST tie_col,
+  forward the SMALLEST.
+- window_aggregate: tumbling-window partial aggregation; the window
+  start is integer-floor arithmetic on epoch microseconds so SQL
+  reproduces it exactly.
+
+Scale shape: asof_join broadcasts the right side once via ray.put when
+it is small (the dimension-table case — zero shuffles, each batch
+binary-searches per key), and otherwise runs ONE co-partitioned
+all-to-all (tag + union + groupby(key) merge). window_aggregate
+pre-aggregates inside map_batches so the shuffle moves only
+(window, by) partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _ts_us(arr) -> np.ndarray:
+    """Timestamps/ints -> int64 epoch microseconds."""
+    a = np.asarray(arr)
+    if np.issubdtype(a.dtype, np.datetime64):
+        return a.astype("datetime64[us]").astype(np.int64)
+    return a.astype(np.int64)
+
+
+def _merge_asof_arrays(lt, rt, r_order, direction):
+    """Vectorized as-of probe: rt sorted ascending (ties broken by
+    tie_col via r_order pre-sort); returns right indices per left row
+    (-1 = no match)."""
+    if direction == "backward":
+        idx = np.searchsorted(rt, lt, side="right") - 1
+    elif direction == "forward":
+        idx = np.searchsorted(rt, lt, side="left")
+        idx[idx >= len(rt)] = -1
+    else:
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    return np.where(idx >= 0, r_order[np.maximum(idx, 0)], -1)
+
+
+def asof_join(left, right, left_key: str, right_key: str,
+              left_ts: str, right_ts: str,
+              right_cols: tuple = (), tie_col: str | None = None,
+              direction: str = "backward",
+              broadcast_rows_cap: int = 2_000_000):
+    """Inner as-of join: each left row pairs with the right row having
+    the latest right_ts <= left_ts (backward) / earliest >= (forward)
+    for the same key; unmatched left rows are dropped.
+
+    Tie rule (needed for oracle determinism): among right rows sharing
+    the boundary timestamp, backward picks the one with the LARGEST
+    tie_col, forward the SMALLEST (tie_col defaults to the first of
+    right_cols, which should be a unique id).
+    """
+    import pandas as pd
+    import ray
+
+    tie = tie_col or (right_cols[0] if right_cols else right_key)
+    need = list(dict.fromkeys([right_key, right_ts, tie, *right_cols]))
+
+    def right_rows(batch):
+        return {c: np.asarray(batch[c]) for c in need}
+
+    rsmall = right.count() <= broadcast_rows_cap
+    if rsmall:
+        rp = right.map_batches(
+            right_rows, batch_format="numpy").to_pandas()
+        rts = _ts_us(rp[right_ts].to_numpy())
+        rtie = rp[tie].to_numpy()
+        order = np.lexsort((rtie, rts, rp[right_key].to_numpy()))
+        rp = rp.iloc[order].reset_index(drop=True)
+        rts = rts[order]
+        keys = rp[right_key].to_numpy()
+        # per-key contiguous slices
+        cut = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        slices = {int(keys[c]): (c, (cut[i + 1] if i + 1 < len(cut)
+                                     else len(keys)))
+                  for i, c in enumerate(cut)}
+        side = ray.put((slices, rts,
+                        {c: rp[c].to_numpy() for c in need}))
+
+        def probe(batch):
+            slc, rts_, cols = ray.get(side)
+            lk = np.asarray(batch[left_key])
+            lt = _ts_us(batch[left_ts])
+            out_idx = np.full(len(lk), -1, dtype=np.int64)
+            for k in np.unique(lk):
+                seg = slc.get(int(k))
+                if seg is None:
+                    continue
+                lo, hi = seg
+                m = lk == k
+                loc = _merge_asof_arrays(
+                    lt[m], rts_[lo:hi],
+                    np.arange(lo, hi, dtype=np.int64), direction)
+                out_idx[m] = loc
+            keep = out_idx >= 0
+            res = {c: np.asarray(batch[c])[keep] for c in batch}
+            for c in right_cols:
+                res[c] = cols[c][out_idx[keep]]
+            return res
+
+        return left.map_batches(probe, batch_format="numpy")
+
+    # distributed: tag both sides, one all-to-all on the key, merge
+    # inside each key group
+    lcols = [c for c in left.schema().names]
+
+    def tag_left(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in batch})
+        df["_side"] = np.int8(0)
+        df["_k"] = np.asarray(batch[left_key])
+        df["_t"] = _ts_us(batch[left_ts])
+        return df
+
+    def tag_right(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        df["_side"] = np.int8(1)
+        df["_k"] = np.asarray(batch[right_key])
+        df["_t"] = _ts_us(batch[right_ts])
+        return df
+
+    def merge(group):
+        lg = group[group["_side"] == 0]
+        rg = group[group["_side"] == 1]
+        empty = {c: np.array([]) for c in lcols + list(right_cols)}
+        if len(lg) == 0 or len(rg) == 0:
+            return pd.DataFrame(empty)
+        rg = rg.sort_values(["_t", tie], kind="stable")
+        idx = _merge_asof_arrays(
+            lg["_t"].to_numpy(), rg["_t"].to_numpy(),
+            np.arange(len(rg), dtype=np.int64), direction)
+        keep = idx >= 0
+        res = {c: lg[c].to_numpy()[keep] for c in lcols}
+        for c in right_cols:
+            res[c] = rg[c].to_numpy()[idx[keep]]
+        return pd.DataFrame(res)
+
+    tagged = (left.map_batches(tag_left, batch_format="numpy")
+              .union(right.map_batches(tag_right, batch_format="numpy")))
+    return tagged.groupby("_k").map_groups(merge, batch_format="pandas")
+
+
+def window_aggregate(ds, ts_col: str, value_col: str,
+                     every_us: int, by: str | None = None,
+                     scale: int = 10_000):
+    """Tumbling-window sum+count: window_start (int64 epoch us) =
+    floor(ts / every) * every. The value is fixed-point scaled before
+    the sum (matching the suite's other money/value aggregations) so
+    the result is integer-exact and SQL-reproducible. Partials are
+    combined inside map_batches; the all-to-all moves only
+    (window[, by]) partial rows."""
+    from ray.data.aggregate import Sum
+
+    keys = ["window_start"] + ([by] if by else [])
+
+    def partial(batch):
+        import pandas as pd
+
+        t = _ts_us(batch[ts_col])
+        w = (t // every_us) * every_us
+        df = pd.DataFrame({
+            "window_start": w,
+            "v_c": np.rint(np.asarray(batch[value_col]) * scale
+                           ).astype(np.int64),
+        })
+        if by:
+            df[by] = np.asarray(batch[by])
+        g = df.groupby(keys, sort=False, as_index=False).agg(
+            v_sum=("v_c", "sum"), n=("v_c", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="numpy")
+           .groupby(keys)
+           .aggregate(Sum("v_sum", alias_name="v_total"),
+                      Sum("n", alias_name="n_rows")))
+
+    def final(batch):
+        import pandas as pd
+
+        df = pd.DataFrame({k: np.asarray(batch[k]) for k in keys})
+        df["sum_value"] = np.asarray(batch["v_total"]) / scale
+        df["n"] = np.asarray(batch["n_rows"]).astype(np.int64)
+        return df
+
+    return agg.map_batches(final, batch_format="numpy")

@@ -1,0 +1,124 @@
+"""asof_join / window_aggregate parity tests (proj_ray/functions/temporal.py).
+
+The broadcast probe and the distributed one-shuffle merge must produce
+the identical row set; window_aggregate must match a pandas oracle.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from proj_ray.functions.temporal import asof_join, window_aggregate
+
+
+def _mk(seed=7, n_left=400, n_right=150, n_keys=23):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame({
+        "lid": np.arange(n_left, dtype=np.int64),
+        "k": rng.integers(0, n_keys, n_left).astype(np.int64),
+        "lt": rng.integers(0, 10_000, n_left).astype(np.int64),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(n_right, dtype=np.int64),
+        "rk": rng.integers(0, n_keys, n_right).astype(np.int64),
+        # duplicate timestamps on purpose to exercise the tie rule
+        "rt": rng.integers(0, 10_000, n_right).astype(np.int64) // 100 * 100,
+        "val": rng.normal(size=n_right),
+    })
+    return left, right
+
+
+def _oracle(left, right, direction):
+    out = []
+    for _, lr in left.iterrows():
+        cand = right[right["rk"] == lr["k"]]
+        if direction == "backward":
+            cand = cand[cand["rt"] <= lr["lt"]]
+            if len(cand) == 0:
+                continue
+            best_t = cand["rt"].max()
+            row = cand[cand["rt"] == best_t].sort_values("rid").iloc[-1]
+        else:
+            cand = cand[cand["rt"] >= lr["lt"]]
+            if len(cand) == 0:
+                continue
+            best_t = cand["rt"].min()
+            row = cand[cand["rt"] == best_t].sort_values("rid").iloc[0]
+        out.append((lr["lid"], row["rid"], row["val"]))
+    return pd.DataFrame(out, columns=["lid", "rid", "val"]) \
+        .astype({"lid": np.int64, "rid": np.int64}) \
+        .sort_values("lid").reset_index(drop=True)
+
+
+def _run(left, right, direction, cap):
+    out = asof_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3),
+        "k", "rk", "lt", "rt",
+        right_cols=("rid", "val"), tie_col="rid",
+        direction=direction, broadcast_rows_cap=cap,
+    ).to_pandas()
+    return out[["lid", "rid", "val"]].sort_values("lid") \
+        .reset_index(drop=True).astype({"lid": np.int64, "rid": np.int64})
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_join_matches_oracle_both_paths(ray_session, direction):
+    left, right = _mk()
+    want = _oracle(left, right, direction)
+    got_b = _run(left, right, direction, cap=10**9)   # broadcast path
+    got_d = _run(left, right, direction, cap=0)       # distributed path
+    for got in (got_b, got_d):
+        assert len(got) == len(want)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_join_timestamp_dtype(ray_session):
+    left = pd.DataFrame({
+        "lid": np.arange(6, dtype=np.int64),
+        "k": np.zeros(6, dtype=np.int64),
+        "lt": pd.to_datetime(
+            ["2024-01-01", "2024-01-03", "2024-01-05",
+             "2024-01-07", "2024-01-02", "2023-12-31"]),
+    })
+    right = pd.DataFrame({
+        "rid": np.arange(3, dtype=np.int64),
+        "rk": np.zeros(3, dtype=np.int64),
+        "rt": pd.to_datetime(["2024-01-01", "2024-01-04", "2024-01-06"]),
+        "val": [1.0, 2.0, 3.0],
+    })
+    out = _run(left, right, "backward", cap=10**9)
+    # lid 5 (2023-12-31) has no match; others map to latest rt <= lt
+    assert list(out["lid"]) == [0, 1, 2, 3, 4]
+    assert list(out["rid"]) == [0, 0, 1, 2, 0]
+
+
+def test_window_aggregate_matches_pandas(ray_session):
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame({
+        "ts": rng.integers(0, 40, n).astype(np.int64) * 250_000,
+        "grp": rng.integers(0, 4, n).astype(np.int64),
+        "v": rng.normal(size=n),
+    })
+    every = 1_000_000
+    got = window_aggregate(
+        rd.from_pandas(df).repartition(5), "ts", "v",
+        every_us=every, by="grp").to_pandas() \
+        .sort_values(["window_start", "grp"]).reset_index(drop=True)
+
+    o = df.copy()
+    o["window_start"] = (o["ts"] // every) * every
+    o["vc"] = np.rint(o["v"] * 10_000).astype(np.int64)
+    want = o.groupby(["window_start", "grp"], as_index=False).agg(
+        sum_value=("vc", "sum"), n=("vc", "size"))
+    want["sum_value"] = want["sum_value"] / 10_000
+    want = want.sort_values(["window_start", "grp"]).reset_index(drop=True)
+
+    assert len(got) == len(want)
+    assert np.array_equal(got["window_start"], want["window_start"])
+    assert np.array_equal(got["grp"], want["grp"])
+    assert np.allclose(got["sum_value"], want["sum_value"])
+    assert np.array_equal(got["n"].astype(np.int64), want["n"])
