@@ -946,23 +946,61 @@ def _q22_images_join(sf_dir: str):
 
 
 def _q23_ivf(sf_dir: str):
-    from proj_ray.functions.ann import ann_ivf
+    """IVF driven in exact mode (nprobe == nlists) so the full list
+    routing + per-list probe + distributed top-k merge machinery is on
+    the oracle-checked path; it must reproduce the brute-force top-k
+    bit-for-bit (same SQL oracle as q14). The approximate/recall and
+    I/O-pruning properties are pytest-covered (tests/test_functions.py
+    ann_ivf recall + ivf_build partition-pruned)."""
+    from proj_ray.functions.ann import ann_ivf, train_centroids
 
     ds = _read(sf_dir, "embeddings")
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
-    return ann_ivf(ds, Q, k=5, nprobe=8)
+    C = train_centroids(ds)
+    res = ann_ivf(ds, Q, k=5, centroids=C, nprobe=len(C))
+    res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    res["qid"] = res["qid"].astype("int64")
+    res["neighbor_id"] = res["neighbor_id"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return res[["qid", "neighbor_id", "rank"]]
 
 
 def _q24_dedup_images(sf_dir: str):
-    from proj_ray.functions.dedup import dedup_exact
+    """Content dedup over the synthetic images table: decode every blob
+    back to pixels, RECOMPUTE the perceptual hash from the decoded
+    pixels (so the codec round-trip is on the measured path — planted
+    duplicates are byte-identical, hence decode-identical), key each
+    image by a 64-bit blake2b digest of its decoded pixel buffer, then
+    keep the min image_id per content group and return the winner ids.
+    The winner set is arithmetically derivable (proj_ray/images.py
+    make_images_batch: row i>0 with i%97==0 duplicates row i-1), which
+    is what the SQL oracle reproduces — any codec round-trip corruption
+    changes a digest, breaks the group structure, and fails the hash.
+    (Perceptual-hash grouping is NOT the key here on purpose: the 8x8
+    average hash genuinely collides for unrelated tiny synthetic
+    images; phash dedup stays pytest-covered in tests/test_images.py.)
+    """
+    import hashlib
 
-    from proj_ray.images import images_dataset
+    from proj_ray.functions.dedup import dedup_exact
+    from proj_ray.images import decode, images_dataset
 
     n = _read(sf_dir, "documents").count()
-    return dedup_exact(images_dataset(n, parallelism=8), "phash",
-                       "image_id")
+
+    def rehash(b: dict) -> dict:
+        ph = np.empty(len(b["image_id"]), dtype=np.int64)
+        for k in range(len(ph)):
+            px = decode(b["bytes"][k], b["fmt"][k])
+            d = hashlib.blake2b(px.tobytes(), digest_size=8).digest()
+            ph[k] = int.from_bytes(d, "little", signed=True)
+        return {"image_id": b["image_id"], "pix_key": ph}
+
+    ds = images_dataset(n, parallelism=8).map_batches(
+        rehash, batch_format="numpy")
+    return dedup_exact(ds, "pix_key", "image_id") \
+        .select_columns(["image_id"])
 
 
 def _q26_ann_ivf_indexed(sf_dir: str):
@@ -1051,6 +1089,21 @@ FROM p
 JOIN c ca ON ca.doc_id = p.id_a
 JOIN c cb ON cb.doc_id = p.id_b
 WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.5
+"""
+
+
+# q24's winner set is arithmetic: make_images_batch plants row i (i>0,
+# i%97==0) as a byte-identical duplicate of row i-1, so per-phash-group
+# min(image_id) keeps every id except the planted rows. n follows the
+# documents row count (same as the Ray side). A phash collision between
+# unrelated images or a codec round-trip corruption would change the
+# Ray-side grouping and fail this hash.
+_Q24_SQL = """
+WITH seq AS (
+  SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id
+FROM seq
+WHERE NOT (i > 0 AND i % 97 = 0)
 """
 
 
@@ -1169,6 +1222,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_images_tiles": _Q21_SQL,
         "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
+        "q23_ann_ivf": _Q14_SQL,
+        "q24_dedup_images": _Q24_SQL,
         "q27_knn_indexed": _Q10_SQL,
         "q28_datum_shift": _Q28_SQL,
         "q29_ngram_jaccard": _Q29_SQL,
