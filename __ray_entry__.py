@@ -650,16 +650,98 @@ GROUP BY r_name
 
 
 def _q16_utm(sf_dir: str):
+    """UTM zone 31 over the docs geotags, rounded to 0.1 mm (the q05
+    closed-form-oracle pattern). The SQL oracle mirrors the
+    Poder/Engsager etmerc kernel op-for-op — gatg + complex Clenshaw
+    with the zone-31/WGS84 coefficient literals — so both sides agree
+    to ULPs before the shared rounding."""
     from proj_ray.stages import reproject
 
     ds = reproject(_docs_geo(sf_dir), "+proj=utm +zone=31 +ellps=WGS84",
                    out_x="utm_x", out_y="utm_y")
 
     def pick(b: dict) -> dict:
-        return {"doc_id": b["doc_id"], "utm_x": b["utm_x"],
-                "utm_y": b["utm_y"]}
+        return {"doc_id": b["doc_id"],
+                "utm_x": np.round(b["utm_x"], 4),
+                "utm_y": np.round(b["utm_y"], 4)}
 
     return ds.map_batches(pick, batch_format="numpy")
+
+
+# Mirrors proj_ray/ops/projections.py Tmerc._exact_fwd (Poder/Engsager,
+# parity target tmerc.cpp:326-485) with the +proj=utm +zone=31 +ellps=WGS84
+# constants inlined; Clenshaw recurrences unrolled as lateral column
+# aliases in evaluation order so DuckDB doubles track numpy to ULPs.
+# cbg/gtu = _etmerc_coeffs(n_WGS84, 0.9996, 0); Qn likewise; Zb = -0.
+_Q16_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+k AS (
+  SELECT doc_id,
+         radians(lat) AS phi,
+         radians(lon) - 0.05235987755982974 AS lr
+  FROM geo),
+w AS (
+  SELECT doc_id, phi,
+         CASE WHEN abs(lr) >= pi() + 1e-12
+              THEN ((lr + pi()) - 2*pi()*floor((lr + pi())/(2*pi()))) - pi()
+              ELSE lr END AS lam
+  FROM k),
+g AS (
+  SELECT doc_id, phi, lam,
+         2*cos(2*phi) AS tc,
+         tc*(6.38914750082173e-17) + (-3.1032922415383115e-14) AS ga,
+         -(6.38914750082173e-17) + tc*ga + (1.5579966828591905e-11) AS gb,
+         -ga + tc*gb + (-8.194497547212902e-09) AS gc,
+         -gb + tc*gc + (4.694573027162594e-06) AS gd,
+         -gc + tc*gd + (-0.003356554619797427) AS ge,
+         phi + ge*sin(2*phi) AS cn0
+  FROM w),
+t AS (
+  SELECT doc_id, lam, cn0,
+         sin(cn0) AS sc, cos(cn0) AS cc,
+         sin(lam) AS se, cos(lam) AS ce,
+         cc*ce AS ccc,
+         atan2(sc, ccc) AS cn1,
+         1.0/sqrt(sc*sc + ccc*ccc) AS invd,
+         se*cc*invd AS tce,
+         ln(tce + sqrt(tce*tce + 1.0)) AS ce0,
+         2*invd AS twoinv,
+         twoinv*invd AS twoinvsq,
+         ccc*twoinvsq AS tmpr,
+         sc*tmpr AS sar,
+         ccc*tmpr - 1 AS car,
+         tce*twoinv AS shi,
+         twoinvsq - 1 AS chi
+  FROM g),
+s AS (
+  SELECT doc_id, cn1, ce0,
+         2*car*chi AS r,
+         -2*sar*shi AS im,
+         r*(1.4911177312583874e-17) + (5.711757677865798e-15) AS hra,
+         im*(1.4911177312583874e-17) AS hia,
+         -(1.4911177312583874e-17) + r*hra - im*hia
+             + (2.4291706072013566e-12) AS hrb,
+         im*hra + r*hia AS hib,
+         -hra + r*hrb - im*hib + (1.1976455033294517e-09) AS hrc,
+         -hia + im*hrb + r*hib AS hic,
+         -hrb + r*hrc - im*hic + (7.608527773572304e-07) AS hrd,
+         -hib + im*hrc + r*hic AS hid,
+         -hrc + r*hrd - im*hid + (0.0008377318206244696) AS hre,
+         -hic + im*hrd + r*hid AS hie,
+         sar*chi AS rr,
+         car*shi AS ii,
+         cn1 + (rr*hre - ii*hie) AS cn,
+         ce0 + (rr*hie + ii*hre) AS ce
+  FROM t)
+SELECT doc_id,
+       CASE WHEN abs(ce) <= 2.623395162778
+            THEN ROUND((0.9979249687118802*ce)*6378137.0 + 500000.0, 4)
+            ELSE CAST('infinity' AS DOUBLE) END AS utm_x,
+       CASE WHEN abs(ce) <= 2.623395162778
+            THEN ROUND(((0.9979249687118802*cn) + (-0.0))*6378137.0 + 0.0, 4)
+            ELSE CAST('infinity' AS DOUBLE) END AS utm_y
+FROM s
+"""
 
 
 def _q17_geodesic(sf_dir: str):
@@ -1222,6 +1304,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_images_tiles": _Q21_SQL,
         "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
+        "q16_utm": _Q16_SQL,
         "q23_ann_ivf": _Q14_SQL,
         "q24_dedup_images": _Q24_SQL,
         "q27_knn_indexed": _Q10_SQL,
