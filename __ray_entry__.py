@@ -1189,6 +1189,180 @@ WHERE NOT (i > 0 AND i % 97 = 0)
 """
 
 
+def _q32_geodesic_direct(sf_dir: str):
+    """Karney geodesic DIRECT problem (closed-form series — unlike the
+    iterative inverse of q17, every step is a fixed expression, so a
+    SQL oracle can mirror the kernel op-for-op). Start point = doc
+    geotag, azimuth/distance derived arithmetically from doc_id;
+    results rounded to 1e-7 deg (~1 cm) on both sides."""
+    from proj_ray.geodesic import WGS84_GEOD
+
+    def direct(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        azi1 = (i * 34567 % 360000) / 1000.0 - 180.0
+        s12 = (i * 8121 % 20000000).astype(np.float64) + 0.5
+        lat2, lon2, azi2 = WGS84_GEOD.direct(b["lat"], b["lon"],
+                                             azi1, s12)
+        return {"doc_id": i, "lat2": np.round(lat2, 7),
+                "lon2": np.round(lon2, 7), "azi2": np.round(azi2, 7)}
+
+    return _docs_geo(sf_dir).map_batches(direct, batch_format="numpy")
+
+
+def _clenshaw_sin_sql(name: str, sx: str, cx: str, coefs: list[str]
+                      ) -> list[tuple[str, str]]:
+    """Unroll proj_ray.geodesic.Geodesic._sin_cos_series(sinp=True)
+    as (alias, expr) steps, preserving numpy evaluation order
+    (ar*y0 - y1 + ck). The final step is named `name`."""
+    steps = [(f"{name}_ar", f"2*({cx} - {sx})*({cx} + {sx})")]
+    y0, y1 = None, None
+    for j, ck in enumerate(reversed(coefs)):
+        alias = f"{name}_y{j}"
+        if y0 is None:
+            steps.append((alias, ck))                  # ar*0 - 0 + ck
+        elif y1 is None:
+            steps.append((alias, f"{name}_ar*{y0} + {ck}"))
+        else:
+            steps.append((alias, f"{name}_ar*{y0} - {y1} + {ck}"))
+        y0, y1 = alias, y0
+    steps.append((name, f"2*{sx}*{cx}*{y0}"))
+    return steps
+
+
+def _layered_ctes(base: str, steps: list[tuple[str, str]],
+                  final: str) -> str:
+    """Compose (alias, expr) steps into chained CTEs, each layer's
+    expressions referencing only earlier layers — DuckDB substitutes
+    lateral column aliases textually, so a single deep alias chain
+    explodes exponentially; one CTE per dependency layer keeps every
+    subexpression evaluated exactly once."""
+    import re as _re
+
+    layer: dict[str, int] = {}
+    for alias, expr in steps:
+        ids = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+        lv = max((layer[i] for i in ids if i in layer), default=-1) + 1
+        layer[alias] = lv
+    n_layers = max(layer.values()) + 1
+    buckets: list[list[str]] = [[] for _ in range(n_layers)]
+    for alias, expr in steps:
+        buckets[layer[alias]].append(f"{expr} AS {alias}")
+    parts = [f"l0 AS (SELECT *, {', '.join(buckets[0])} FROM ({base}))"]
+    for k in range(1, n_layers):
+        parts.append(
+            f"l{k} AS (SELECT *, {', '.join(buckets[k])} FROM l{k - 1})")
+    return (",\n".join(parts)
+            + f"\n{final.replace('LASTCTE', f'l{n_layers - 1}')}")
+
+
+def _gen_q32_sql() -> str:
+    """Emit the q32 oracle: the geodesic-direct series with WGS84
+    constants inlined, mirroring proj_ray/geodesic.py direct()
+    (parity target geodesic.c geod_direct) op-for-op so DuckDB doubles
+    track numpy to ULPs before the shared 1e-7-deg rounding."""
+    from proj_ray.geodesic import WGS84_GEOD as G
+
+    f, f1, b, ep2 = (repr(G.f), repr(G.f1), repr(G.b), repr(G.ep2))
+    # C1 / C1p coefficient expressions in eps (e) / eps^2 (e2) — same
+    # token order as Geodesic._C1/_C1p so constant folding matches.
+    c1 = ["e*(-1.0/2 + e2*(3.0/16 - e2/32))",
+          "e2*(-1.0/16 + e2*(1.0/32 - 9.0*e2/2048))",
+          "e*e2*(-1.0/48 + e2*3.0/256)",
+          "e2*e2*(-5.0/512 + e2*3.0/512)",
+          "e*e2*e2*(-7.0/1280)",
+          "e2*e2*e2*(-7.0/2048)"]
+    c1p = ["e*(1.0/2 + e2*(-9.0/32 + e2*205.0/1536))",
+           "e2*(5.0/16 + e2*(-37.0/96 + e2*1335.0/4096))",
+           "e*e2*(29.0/96 + e2*(-75.0/128))",
+           "e2*e2*(539.0/1536 + e2*(-2391.0/2560))",
+           "e*e2*e2*(3467.0/7680)",
+           "e2*e2*e2*(38081.0/61440)"]
+    a3_expr = None
+    for v in reversed([repr(x) for x in G.A3x]):
+        a3_expr = v if a3_expr is None else f"({a3_expr})*e + {v}"
+
+    steps: list[tuple[str, str]] = [
+        ("phi1", "radians(lat1)"), ("alp1", "radians(azi1)"),
+        ("salp1", "sin(alp1)"), ("calp1", "cos(alp1)"),
+        ("sb0", f"{f1}*sin(phi1)"),
+        ("cb0", "GREATEST(cos(phi1), 1e-12)"),
+        ("nrm1", "sqrt(sb0*sb0 + cb0*cb0)"),
+        ("sbet1", "sb0/nrm1"), ("cbet1", "cb0/nrm1"),
+        ("salp0", "salp1*cbet1"),
+        ("calp0", "sqrt(calp1*calp1 + (salp1*sbet1)*(salp1*sbet1))"),
+        ("comg1", "CASE WHEN sbet1 != 0 OR calp1 != 0 "
+                  "THEN cbet1*calp1 ELSE 1.0 END"),
+        ("somg1", "salp0*sbet1"),
+        ("nrm2", "sqrt(sbet1*sbet1 + comg1*comg1)"),
+        ("ssig1n", "sbet1/nrm2"), ("csig1n", "comg1/nrm2"),
+        ("k2", f"calp0*calp0*{ep2}"),
+        ("e", "k2/(2*(1 + sqrt(1 + k2)) + k2)"),
+        ("e2", "e*e"),
+        ("a1v",
+         "1 + (e2*(1.0/4 + e2*(1.0/64 + e2*(1.0/256))) + e)/(1 - e)"),
+    ]
+    steps += [(f"c1_{k + 1}", expr) for k, expr in enumerate(c1)]
+    steps += [(f"p_{k + 1}", expr) for k, expr in enumerate(c1p)]
+    # C3 series: mult chain (eps, eps^2, ...) x Horner polys in eps
+    c3_names = []
+    prev_mult = None
+    for l, row in enumerate(G.C3x):
+        m = f"m{l + 1}"
+        steps.append((m, "e" if prev_mult is None else f"{prev_mult}*e"))
+        poly = None
+        for v in reversed([repr(x) for x in row]):
+            poly = v if poly is None else f"({poly})*e + {v}"
+        steps.append((f"c3_{l + 1}", f"({m})*({poly})"))
+        c3_names.append(f"c3_{l + 1}")
+        prev_mult = m
+    steps += _clenshaw_sin_sql("b11", "ssig1n", "csig1n",
+                               [f"c1_{k}" for k in range(1, 7)])
+    steps += [
+        ("sb11", "sin(b11)"), ("cb11", "cos(b11)"),
+        ("stau1", "ssig1n*cb11 + csig1n*sb11"),
+        ("ctau1", "csig1n*cb11 - ssig1n*sb11"),
+        ("tau12", f"s12/({b}*a1v)"),
+        ("st12", "sin(tau12)"), ("ct12", "cos(tau12)"),
+        ("args", "stau1*ct12 + ctau1*st12"),
+        ("argc", "ctau1*ct12 - stau1*st12"),
+    ]
+    steps += _clenshaw_sin_sql("b12s", "args", "argc",
+                               [f"p_{k}" for k in range(1, 7)])
+    steps += [
+        ("sig12", "tau12 - (-b12s - b11)"),
+        ("ssig12", "sin(sig12)"), ("csig12", "cos(sig12)"),
+        ("ssig2", "ssig1n*csig12 + csig1n*ssig12"),
+        ("csig2", "csig1n*csig12 - ssig1n*ssig12"),
+        ("sbet2", "calp0*ssig2"),
+        ("cbet2", "sqrt(salp0*salp0 + (calp0*csig2)*(calp0*csig2))"),
+        ("calp2", "calp0*csig2"),
+        ("somg2", "salp0*ssig2"), ("comg2", "csig2"),
+        ("omg12", "atan2(somg2*comg1 - comg2*somg1, "
+                  "comg2*comg1 + somg2*somg1)"),
+        ("a3v", a3_expr),
+    ]
+    steps += _clenshaw_sin_sql("b31", "ssig1n", "csig1n", c3_names)
+    steps += _clenshaw_sin_sql("b32", "ssig2", "csig2", c3_names)
+    steps += [
+        ("lam12", f"omg12 - {f}*salp0*a3v*(sig12 + (b32 - b31))"),
+        ("lat2r", f"degrees(atan2(sbet2, {f1}*cbet2))"),
+        ("l2s", "lon1 + degrees(lam12) + 180"),
+        ("l2m", "fmod(l2s, 360.0)"),
+        ("lon2r",
+         "CASE WHEN l2m < 0 THEN l2m + 360.0 ELSE l2m END - 180"),
+        ("azi2r", "degrees(atan2(salp0, calp2))"),
+    ]
+    base = f"""SELECT doc_id, lat AS lat1, lon AS lon1,
+  (doc_id*34567 % 360000)/1000.0 - 180.0 AS azi1,
+  CAST(doc_id*8121 % 20000000 AS DOUBLE) + 0.5 AS s12
+FROM geo"""
+    final = ("SELECT doc_id, ROUND(lat2r, 7) AS lat2, "
+             "ROUND(lon2r, 7) AS lon2, ROUND(azi2r, 7) AS azi2 "
+             "FROM LASTCTE")
+    return (f"WITH geo AS ({_GEO_SQL}),\n"
+            + _layered_ctes(base, steps, final))
+
+
 def _q30_asof_join(sf_dir: str):
     """As-of join: each event pairs with its user's latest order at or
     before the event time (backward inner, ties -> largest orderkey).
@@ -1278,6 +1452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q29_ngram_jaccard": _q29_ngram_jaccard,
         "q30_asof_join": _q30_asof_join,
         "q31_window_agg": _q31_window_agg,
+        "q32_geodesic_direct": _q32_geodesic_direct,
     }
 
 
@@ -1312,4 +1487,5 @@ def oracle_sql() -> dict[str, str]:
         "q29_ngram_jaccard": _Q29_SQL,
         "q30_asof_join": _Q30_SQL,
         "q31_window_agg": _Q31_SQL,
+        "q32_geodesic_direct": _gen_q32_sql(),
     }
