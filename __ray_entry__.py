@@ -1363,6 +1363,34 @@ FROM geo"""
             + _layered_ctes(base, steps, final))
 
 
+def _q33_dedup_embedding(sf_dir: str):
+    """Embedding-cosine near-dup pairs, EXACT mode (`cosine_pairs`
+    broadcasts the normalized matrix and streams batches against it);
+    `dedup_embedding`'s LSH buckets are the at-scale path and are
+    asserted recall-complete vs this exact set in pytest. Cosine
+    rounded to 1e-7 on both sides (measured numpy-vs-DuckDB parity is
+    ~3e-16; the nearest pair sits >=1e-5 from the 0.4 threshold)."""
+    from proj_ray.functions.dedup import cosine_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_pairs(ds, "embedding", "vec_id", threshold=0.4).to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["cosine"] = np.round(out["cosine"], 7)
+    return out
+
+
+_Q33_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 7)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+"""
+
+
 def _q30_asof_join(sf_dir: str):
     """As-of join: each event pairs with its user's latest order at or
     before the event time (backward inner, ties -> largest orderkey).
@@ -1453,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q30_asof_join": _q30_asof_join,
         "q31_window_agg": _q31_window_agg,
         "q32_geodesic_direct": _q32_geodesic_direct,
+        "q33_dedup_embedding": _q33_dedup_embedding,
     }
 
 
@@ -1488,4 +1517,5 @@ def oracle_sql() -> dict[str, str]:
         "q30_asof_join": _Q30_SQL,
         "q31_window_agg": _Q31_SQL,
         "q32_geodesic_direct": _gen_q32_sql(),
+        "q33_dedup_embedding": _Q33_SQL,
     }

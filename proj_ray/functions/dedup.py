@@ -774,3 +774,50 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
         return pd.concat(frames, ignore_index=True)
 
     return buck.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+def cosine_pairs(ds, vec_col: str, id_col: str, threshold: float,
+                 concurrency=(2, 8), batch_size: int = 1024):
+    """EXACT cosine-similarity pairs: every (id_a < id_b) pair with
+    cosine >= threshold, with the cosine value. The exact counterpart
+    of `dedup_embedding` (whose LSH buckets trade recall for scale).
+
+    Shape: the full normalized matrix is broadcast once via `ray.put`
+    (read in every task, never re-shipped per batch) and each streaming
+    batch multiplies against it — O(n*d) broadcast memory, O(n^2*d)
+    total compute split evenly across batches. Exact all-pairs is
+    inherently quadratic, so this is the small-to-medium-n baseline
+    (n*d doubles must fit an actor heap: ~1 GB at n=2M, d=64); beyond
+    that, use dedup_embedding's bucketed LSH.
+    """
+    import ray
+
+    side = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = side[id_col].to_numpy()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in side[vec_col]])
+    nrm = np.linalg.norm(V, axis=1, keepdims=True)
+    V /= np.where(nrm == 0, 1.0, nrm)
+    ref = ray.put((ids_all, V))
+
+    class Pairer:
+        def __init__(self):
+            self.ids_all, self.V = ray.get(ref)
+
+        def __call__(self, batch):
+            import pandas as pd
+
+            ids = np.asarray(batch[id_col])
+            Q = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch[vec_col]])
+            nq = np.linalg.norm(Q, axis=1, keepdims=True)
+            Q = Q / np.where(nq == 0, 1.0, nq)
+            sims = Q @ self.V.T
+            hit = (sims >= threshold) & (ids[:, None] < self.ids_all[None, :])
+            r, c = np.nonzero(hit)
+            return pd.DataFrame({
+                "id_a": ids[r], "id_b": self.ids_all[c],
+                "cosine": sims[r, c].astype(np.float64),
+            })
+
+    return ds.map_batches(Pairer, batch_format="pandas",
+                          batch_size=batch_size, concurrency=concurrency)

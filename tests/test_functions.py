@@ -123,6 +123,36 @@ def test_dedup_embedding(ray_session):
     assert ((out["id_a"] == 100) & (out["id_b"] == 101)).any()
 
 
+def test_cosine_pairs_exact_vs_lsh(ray_session):
+    """cosine_pairs is the exact ground truth; every pair the LSH path
+    emits must be in it with the same cosine, and on clustered data the
+    LSH recall should be substantial (buckets only lose cross-bucket
+    pairs)."""
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import cosine_pairs, dedup_embedding
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(8):  # 8 tight clusters of 6 -> 120 true pairs
+        center = rng.normal(size=16)
+        for j in range(6):
+            rows.append({"vec_id": c * 10 + j,
+                         "embedding": center + rng.normal(size=16) * 1e-2})
+    ds = rd.from_items(rows)
+    exact = cosine_pairs(ds, "embedding", "vec_id",
+                         threshold=0.9).to_pandas()
+    assert len(exact) == 8 * 15  # all within-cluster pairs, none across
+    truth = {(a, b): c for a, b, c in
+             zip(exact["id_a"], exact["id_b"], exact["cosine"])}
+    lsh = dedup_embedding(ds, "embedding", "vec_id", threshold=0.9,
+                          nbits=8).to_pandas()
+    assert len(lsh) > 0
+    for a, b, c in zip(lsh["id_a"], lsh["id_b"], lsh["cosine"]):
+        assert (a, b) in truth and abs(truth[(a, b)] - c) < 1e-12
+    assert len(lsh) / len(exact) >= 0.5  # recall on clustered data
+
+
 def test_ivf_build_partition_pruned(ray_session, tmp_path):
     import os
 
