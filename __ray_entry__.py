@@ -1391,6 +1391,53 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def _q34_images_resize(sf_dir: str):
+    """Multimodal resize stage on the measured path: decode every blob
+    (real BMP/PNG codecs, deterministic FJPG stub for jpeg), nearest-
+    neighbor resize to 16x12 (floor index mapping — integer-exact), and
+    emit per-channel pixel sums. The SQL oracle regenerates the sampled
+    source pixels arithmetically from the synth formula
+    (proj_ray/images.py synth_pixels) including the jpeg
+    quantize-decode (v//4*4+2), so any codec or index-mapping drift
+    fails the hash. Bilinear stays pytest-covered (float weights are
+    not SQL-stable)."""
+    from proj_ray.images import Resizer, images_dataset
+
+    n = _read(sf_dir, "documents").count()
+    return images_dataset(n, parallelism=8).map_batches(
+        Resizer,
+        fn_constructor_kwargs=dict(out_w=16, out_h=12, emit="sums"),
+        batch_format="numpy", batch_size=256, concurrency=(2, 8))
+
+
+_Q34_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, (y.y * h) // 12 AS sy, (x.x * w) // 16 AS sx
+       FROM dim CROSS JOIN range(12) y(y) CROSS JOIN range(16) x(x)),
+raw AS (SELECT i, f,
+               (src*37 + sy*11 + sx*7) % 256 AS r,
+               (src*53 + sy*5 + sx*13) % 256 AS g,
+               (src*97 + (sy+sx)*3) % 256 AS b
+        FROM px),
+dec AS (SELECT i,
+               CASE WHEN f = 1 THEN (r // 4) * 4 + 2 ELSE r END AS r,
+               CASE WHEN f = 1 THEN (g // 4) * 4 + 2 ELSE g END AS g,
+               CASE WHEN f = 1 THEN (b // 4) * 4 + 2 ELSE b END AS b
+        FROM raw)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b
+FROM dec GROUP BY i
+"""
+
+
 def _q30_asof_join(sf_dir: str):
     """As-of join: each event pairs with its user's latest order at or
     before the event time (backward inner, ties -> largest orderkey).
@@ -1482,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q31_window_agg": _q31_window_agg,
         "q32_geodesic_direct": _q32_geodesic_direct,
         "q33_dedup_embedding": _q33_dedup_embedding,
+        "q34_images_resize": _q34_images_resize,
     }
 
 
@@ -1518,4 +1566,5 @@ def oracle_sql() -> dict[str, str]:
         "q31_window_agg": _Q31_SQL,
         "q32_geodesic_direct": _gen_q32_sql(),
         "q33_dedup_embedding": _Q33_SQL,
+        "q34_images_resize": _Q34_SQL,
     }

@@ -215,6 +215,81 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10 * np.log10(255.0 ** 2 / mse))
 
 
+# -------------------------------------------------------------- resize ----
+
+
+def resize_nearest(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize with floor index mapping
+    (sy = y*h // out_h) — integer-exact, hence SQL-reproducible."""
+    h, w, _ = px.shape
+    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[sy][:, sx]
+
+
+def resize_bilinear(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize, half-pixel-center convention (matches the common
+    align_corners=False definition used by OpenCV/PIL)."""
+    h, w, _ = px.shape
+    fy = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    fx = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.floor(fy).astype(np.int64)
+    x0 = np.floor(fx).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = (fy - y0)[:, None, None]
+    wx = (fx - x0)[None, :, None]
+    p = px.astype(np.float64)
+    top = p[y0][:, x0] * (1 - wx) + p[y0][:, x1] * wx
+    bot = p[y1][:, x0] * (1 - wx) + p[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+class Resizer:
+    """Actor-pool map_batches stage: decode -> resize -> (optionally)
+    re-encode. Stateful setup (target dims, output codec) lives in
+    __init__ once per actor; __call__ handles one Arrow/pandas batch.
+
+    `emit` selects the output layout:
+      - "bytes": {image_id, bytes, w, h, fmt} with resized re-encoded
+        blobs (the storage-to-storage shape)
+      - "sums":  {image_id, sum_r, sum_g, sum_b} integer channel sums of
+        the resized pixels (the cheap-stats / oracle shape)
+    """
+
+    def __init__(self, out_w: int, out_h: int, method: str = "nearest",
+                 emit: str = "bytes", out_fmt: str | None = None):
+        self.out_w, self.out_h = out_w, out_h
+        self.fn = resize_nearest if method == "nearest" else resize_bilinear
+        self.emit = emit
+        self.out_fmt = out_fmt
+
+    def __call__(self, b: dict) -> dict:
+        n = len(b["image_id"])
+        if self.emit == "sums":
+            sums = np.empty((n, 3), dtype=np.int64)
+        else:
+            blobs = np.empty(n, dtype=object)
+            fmts = np.empty(n, dtype=object)
+        for k in range(n):
+            px = decode(b["bytes"][k], b["fmt"][k])
+            rp = self.fn(px, self.out_w, self.out_h)
+            if self.emit == "sums":
+                sums[k] = rp.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            else:
+                fmt = self.out_fmt or b["fmt"][k]
+                blobs[k] = encode(rp, fmt)
+                fmts[k] = fmt
+        if self.emit == "sums":
+            return {"image_id": b["image_id"], "sum_r": sums[:, 0],
+                    "sum_g": sums[:, 1], "sum_b": sums[:, 2]}
+        return {"image_id": b["image_id"], "bytes": blobs,
+                "w": np.full(n, self.out_w, dtype=np.int32),
+                "h": np.full(n, self.out_h, dtype=np.int32),
+                "fmt": fmts}
+
+
 # -------------------------------------------------------------- phash -----
 
 

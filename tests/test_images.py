@@ -86,3 +86,48 @@ def test_lance_partitioned_write(ray_session, tmp_path):
     # resumable read of a single partition
     one = read_table(os.path.join(path, "bucket=2"))
     assert one.count() == 250
+
+
+def test_resize_nearest_exact():
+    from proj_ray.images import resize_nearest, synth_pixels
+
+    px = synth_pixels(7, 32, 24)
+    out = resize_nearest(px, 16, 12)
+    assert out.shape == (12, 16, 3)
+    for y in (0, 5, 11):
+        for x in (0, 9, 15):
+            assert (out[y, x] == px[(y * 24) // 12, (x * 32) // 16]).all()
+    # upscale works too and is pure repetition
+    up = resize_nearest(px, 64, 48)
+    assert up.shape == (48, 64, 3)
+    assert (up[::2, ::2] == px).all()
+
+
+def test_resize_bilinear_properties():
+    import numpy as np
+
+    from proj_ray.images import resize_bilinear, synth_pixels
+
+    px = synth_pixels(3, 32, 24)
+    same = resize_bilinear(px, 32, 24)  # identity at equal size
+    assert (same == px).all()
+    flat = np.full((24, 32, 3), 113, dtype=np.uint8)
+    assert (resize_bilinear(flat, 7, 5) == 113).all()  # constant preserved
+    down = resize_bilinear(px, 16, 12)
+    assert down.shape == (12, 16, 3)
+    # bilinear mean tracks the source mean (no brightness drift)
+    assert abs(down.mean() - px.mean()) < 2.0
+
+
+def test_resizer_stage_bytes(ray_session):
+    from proj_ray.images import Resizer, decode, images_dataset
+
+    out = images_dataset(30, parallelism=2).map_batches(
+        Resizer,
+        fn_constructor_kwargs=dict(out_w=8, out_h=8, method="bilinear",
+                                   emit="bytes", out_fmt="png"),
+        batch_format="numpy", batch_size=16, concurrency=1).take_all()
+    assert len(out) == 30
+    for r in out:
+        assert r["fmt"] == "png" and r["w"] == 8 and r["h"] == 8
+        assert decode(r["bytes"], "png").shape == (8, 8, 3)
