@@ -1438,6 +1438,35 @@ FROM dec GROUP BY i
 """
 
 
+def _q35_video_frames(sf_dir: str):
+    """Video frame-sampling stage: every 3rd frame of each synthetic
+    FVID container, decoded by offset-table seek (only sampled frames
+    decompress), emitting integer channel sums per frame. The SQL
+    oracle regenerates the sampled frames' pixels arithmetically
+    (frame seed i*131 + f*17, proj_ray/video.py) — container parsing
+    or sampling drift fails the hash."""
+    from proj_ray.video import frame_sample, videos_dataset
+
+    n = _read(sf_dir, "documents").count()
+    return frame_sample(videos_dataset(n, parallelism=8), every_k=3)
+
+
+_Q35_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+vid AS (SELECT i, 8 + (i % 5) * 4 AS nf FROM seq),
+fr AS (SELECT i, f.f AS f FROM vid CROSS JOIN range(24) f(f)
+       WHERE f.f < nf AND f.f % 3 = 0),
+px AS (SELECT i, f, i*131 + f*17 AS s, y.y AS y, x.x AS x
+       FROM fr CROSS JOIN range(12) y(y) CROSS JOIN range(16) x(x))
+SELECT 'vid' || lpad(CAST(i AS VARCHAR), 12, '0') AS video_id,
+       CAST(f AS BIGINT) AS frame_no,
+       CAST(SUM((s*37 + y*11 + x*7) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((s*53 + y*5 + x*13) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((s*97 + (y+x)*3) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY i, f
+"""
+
+
 def _q30_asof_join(sf_dir: str):
     """As-of join: each event pairs with its user's latest order at or
     before the event time (backward inner, ties -> largest orderkey).
@@ -1530,6 +1559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q32_geodesic_direct": _q32_geodesic_direct,
         "q33_dedup_embedding": _q33_dedup_embedding,
         "q34_images_resize": _q34_images_resize,
+        "q35_video_frames": _q35_video_frames,
     }
 
 
@@ -1567,4 +1597,5 @@ def oracle_sql() -> dict[str, str]:
         "q32_geodesic_direct": _gen_q32_sql(),
         "q33_dedup_embedding": _Q33_SQL,
         "q34_images_resize": _Q34_SQL,
+        "q35_video_frames": _Q35_SQL,
     }
