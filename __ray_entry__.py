@@ -1467,6 +1467,39 @@ FROM px GROUP BY i, f
 """
 
 
+def _q36_audio_features(sf_dir: str):
+    """Audio feature-extraction stage: real RIFF/WAVE PCM16 parse ->
+    integer-exact clip features (energy sum-of-squares, zero-crossing
+    count, peak). Samples are a deterministic integer chirp
+    (proj_ray/audio.py synth_samples) so the SQL oracle regenerates
+    every clip arithmetically — a WAV header/endianness/windowing bug
+    fails the hash."""
+    from proj_ray.audio import audio_dataset, audio_features
+
+    n = _read(sf_dir, "documents").count()
+    return audio_features(audio_dataset(n, parallelism=8))
+
+
+_Q36_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+clip AS (SELECT i, 4000 + (i % 5) * 4000 AS n FROM seq),
+s AS (SELECT i, t.t AS t, ((i*7 + t.t*t.t*3) % 4096) - 2048 AS v
+      FROM clip CROSS JOIN range(20000) t(t) WHERE t.t < n),
+nz AS (SELECT i, sg, LAG(sg) OVER (PARTITION BY i ORDER BY t) AS prev
+       FROM (SELECT i, t, CASE WHEN v > 0 THEN 1 ELSE -1 END AS sg
+             FROM s WHERE v <> 0)),
+zx AS (SELECT i, SUM(CASE WHEN prev IS NOT NULL AND sg <> prev
+                          THEN 1 ELSE 0 END) AS zero_x FROM nz GROUP BY i),
+en AS (SELECT i, SUM(v*v) AS sum_sq, MAX(ABS(v)) AS peak
+       FROM s GROUP BY i)
+SELECT 'aud' || lpad(CAST(en.i AS VARCHAR), 12, '0') AS audio_id,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       CAST(zero_x AS BIGINT) AS zero_x,
+       CAST(peak AS BIGINT) AS peak
+FROM en JOIN zx ON en.i = zx.i
+"""
+
+
 def _q30_asof_join(sf_dir: str):
     """As-of join: each event pairs with its user's latest order at or
     before the event time (backward inner, ties -> largest orderkey).
@@ -1560,6 +1593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_dedup_embedding": _q33_dedup_embedding,
         "q34_images_resize": _q34_images_resize,
         "q35_video_frames": _q35_video_frames,
+        "q36_audio_features": _q36_audio_features,
     }
 
 
@@ -1598,4 +1632,5 @@ def oracle_sql() -> dict[str, str]:
         "q33_dedup_embedding": _Q33_SQL,
         "q34_images_resize": _Q34_SQL,
         "q35_video_frames": _Q35_SQL,
+        "q36_audio_features": _Q36_SQL,
     }
