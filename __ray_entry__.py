@@ -745,13 +745,20 @@ FROM s
 
 
 def _q17_geodesic(sf_dir: str):
+    """Karney geodesic INVERSE from (0,0) to each doc geotag. Oracle:
+    the Newton loop unrolled in SQL (_gen_q17_sql) — converged lanes
+    freeze, so a fixed 8-iteration unroll reproduces numpy's masked
+    loop bit-for-bit (measured max 5 iterations on this data; margin
+    asserted in tests/test_entry_oracles.py). Distance rounded to
+    0.1 mm, azimuth to 1e-7 deg, on both sides."""
     from proj_ray.geodesic import WGS84_GEOD
 
     def dist(b: dict) -> dict:
         lat = np.clip(b["lat"], -89.9, 89.9)
         s, a1, _ = WGS84_GEOD.inverse(
             np.zeros_like(lat), np.zeros_like(lat), lat, b["lon"])
-        return {"doc_id": b["doc_id"], "dist_m": s, "azi": a1}
+        return {"doc_id": b["doc_id"], "dist_m": np.round(s, 4),
+                "azi": np.round(a1, 7)}
 
     return _docs_geo(sf_dir).map_batches(dist, batch_format="numpy")
 
@@ -1500,6 +1507,216 @@ FROM en JOIN zx ON en.i = zx.i
 """
 
 
+def _gen_q17_sql(n_iter: int = 8) -> str:
+    """Emit the q17 oracle: Karney's geodesic INVERSE with the Newton
+    loop unrolled to `n_iter` fixed iterations, mirroring
+    proj_ray/geodesic.py inverse()/_lambda12 op-for-op (WGS84 constants
+    inlined). Converged lanes freeze through a carried `done` flag —
+    re-evaluating _lambda12 with a frozen alp1 reproduces the frozen
+    outputs bit-for-bit, so a fixed unroll equals numpy's masked loop
+    whenever every lane converges within n_iter (measured max on the
+    driver data: 5; asserted in tests). q17 fixes point 1 at (0,0), so
+    sbet1_raw = 0 and cbet1_raw = 1 exactly on both sides."""
+    from proj_ray.geodesic import WGS84_GEOD as G
+
+    f, f1, b, a, ep2 = (repr(G.f), repr(G.f1), repr(G.b), repr(G.a),
+                        repr(G.ep2))
+    PI = repr(np.pi)
+    ANTI = repr(np.pi * (1 - 3 * G.f))
+    EQTH = repr(np.pi * (1 - G.f))
+    AHI = repr(np.pi - 1e-12)
+
+    def c1_exprs(e, e2):
+        return [f"{e}*(-1.0/2 + {e2}*(3.0/16 - {e2}/32))",
+                f"{e2}*(-1.0/16 + {e2}*(1.0/32 - 9.0*{e2}/2048))",
+                f"{e}*{e2}*(-1.0/48 + {e2}*3.0/256)",
+                f"{e2}*{e2}*(-5.0/512 + {e2}*3.0/512)",
+                f"{e}*{e2}*{e2}*(-7.0/1280)",
+                f"{e2}*{e2}*{e2}*(-7.0/2048)"]
+
+    def c2_exprs(e, e2):
+        return [f"{e}*(1.0/2 + {e2}*(1.0/16 + {e2}/32))",
+                f"{e2}*(3.0/16 + {e2}*(1.0/32 + 35.0*{e2}/2048))",
+                f"{e}*{e2}*(5.0/48 + {e2}*5.0/256)",
+                f"{e2}*{e2}*(35.0/512 + {e2}*7.0/512)",
+                f"{e}*{e2}*{e2}*(63.0/1280)",
+                f"{e2}*{e2}*{e2}*(77.0/2048)"]
+
+    def horner(coefs, e):
+        expr = None
+        for v in reversed([repr(x) for x in coefs]):
+            expr = v if expr is None else f"({expr})*{e} + {v}"
+        return expr
+
+    steps: list[tuple[str, str]] = [
+        # point 2 = clipped doc geotag; point 1 = (0, 0) exactly
+        ("lat2c", "LEAST(GREATEST(lat, -89.9), 89.9)"),
+        ("phi2", "radians(lat2c)"),
+        ("lon12", "fmod(lon + 180.0, 360.0) - 180"),
+        ("lonsign0", "CASE WHEN lon12 >= 0 THEN 1.0 ELSE -1.0 END"),
+        ("l12a", "abs(lon12)"),
+        ("sbb", f"{f1}*sin(phi2)"),
+        ("cbbr", "cos(phi2)"),
+        ("cbb", "CASE WHEN abs(cbbr) < 1e-15 THEN 1e-15 ELSE cbbr END"),
+        ("nbb", "sqrt(sbb*sbb + cbb*cbb)"),
+        ("sbet2r", "sbb/nbb"), ("cbet2r", "cbb/nbb"),
+        # canonical swap: |sbet1|=0 < |sbet2| unless point 2 is equatorial
+        ("sw", "abs(sbet2r) > 0.0"),
+        ("sb1p", "CASE WHEN sw THEN sbet2r ELSE 0.0 END"),
+        ("cb1", "CASE WHEN sw THEN cbet2r ELSE 1.0 END"),
+        ("sb2p", "CASE WHEN sw THEN 0.0 ELSE sbet2r END"),
+        ("cb2", "CASE WHEN sw THEN 1.0 ELSE cbet2r END"),
+        ("lonsign", "CASE WHEN sw THEN -lonsign0 ELSE lonsign0 END"),
+        ("latsign", "CASE WHEN sb1p <= 0 THEN 1.0 ELSE -1.0 END"),
+        ("sb1", "sb1p*latsign"), ("sb2", "sb2p*latsign"),
+        ("lam12", "radians(l12a)"),
+        ("sl", "sin(lam12)"), ("cl", "cos(lam12)"),
+        ("salp1g", "cb2*sl"), ("calp1g", "sb2*cb1 - cb2*sb1*cl"),
+        ("nzg", "sqrt(salp1g*salp1g + calp1g*calp1g)"),
+        ("nz", "CASE WHEN nzg = 0 THEN 1.0 ELSE nzg END"),
+        ("salp1q", "salp1g/nz"), ("calp1q", "calp1g/nz"),
+        ("antip", f"lam12 > {ANTI} AND abs(sb1 + sb2) < 0.1"),
+        ("s_0", "CASE WHEN antip AND salp1q < 1e-6 THEN 1e-3 "
+                "ELSE salp1q END"),
+        ("c_0", "CASE WHEN antip THEN -sqrt(GREATEST(1 - s_0*s_0, 0.0)) "
+                "ELSE calp1q END"),
+        ("d_0", "FALSE"),
+    ]
+
+    for k in range(1, n_iter + 1):
+        p = f"i{k}_"
+        sa, ca, dn = f"s_{k - 1}", f"c_{k - 1}", f"d_{k - 1}"
+        last = k == n_iter
+        # ---- _lambda12(sb1, cb1, sb2, cb2, sa, ca, lam12) ----
+        steps += [
+            (f"{p}ca1", f"CASE WHEN sb1 = 0 AND {ca} = 0 THEN -1e-15 "
+                        f"ELSE {ca} END"),
+            (f"{p}salp0", f"{sa}*cb1"),
+            (f"{p}calp0", f"sqrt({p}ca1*{p}ca1 + ({sa}*sb1)*({sa}*sb1))"),
+            (f"{p}somg1", f"{p}salp0*sb1"),
+            (f"{p}comg1", f"cb1*{p}ca1"),
+            (f"{p}n1r", f"sqrt(sb1*sb1 + {p}comg1*{p}comg1)"),
+            (f"{p}n1", f"CASE WHEN {p}n1r = 0 THEN 1.0 ELSE {p}n1r END"),
+            (f"{p}ss1", f"sb1/{p}n1"), (f"{p}cs1", f"{p}comg1/{p}n1"),
+            (f"{p}salp2", f"CASE WHEN cb2 <> cb1 THEN {p}salp0/cb2 "
+                          f"ELSE {sa} END"),
+            (f"{p}innr", "CASE WHEN cb1 < -sb1 "
+                          "THEN (cb2 - cb1)*(cb1 + cb2) "
+                          "ELSE (sb1 - sb2)*(sb1 + sb2) END"),
+            (f"{p}calp2", f"CASE WHEN cb2 <> cb1 OR abs(sb2) <> -sb1 "
+                          f"THEN sqrt(GREATEST(({p}ca1*cb1)*({p}ca1*cb1)"
+                          f" + {p}innr, 0.0))/cb2 ELSE abs({p}ca1) END"),
+            (f"{p}somg2", f"{p}salp0*sb2"),
+            (f"{p}comg2", f"cb2*{p}calp2"),
+            (f"{p}n2r", f"sqrt(sb2*sb2 + {p}comg2*{p}comg2)"),
+            (f"{p}n2", f"CASE WHEN {p}n2r = 0 THEN 1.0 ELSE {p}n2r END"),
+            (f"{p}ss2", f"sb2/{p}n2"), (f"{p}cs2", f"{p}comg2/{p}n2"),
+            (f"{p}sig12", f"atan2(GREATEST({p}cs1*{p}ss2 - {p}ss1*{p}cs2,"
+                          f" 0.0), {p}cs1*{p}cs2 + {p}ss1*{p}ss2)"),
+            (f"{p}somg12", f"GREATEST({p}comg1*{p}somg2 "
+                           f"- {p}somg1*{p}comg2, 0.0)"),
+            (f"{p}comg12", f"{p}comg1*{p}comg2 + {p}somg1*{p}somg2"),
+            (f"{p}omg12", f"atan2({p}somg12, {p}comg12)"),
+            (f"{p}k2", f"{p}calp0*{p}calp0*{ep2}"),
+            (f"{p}eps", f"{p}k2/(2*(1 + sqrt(1 + {p}k2)) + {p}k2)"),
+            (f"{p}eps2", f"{p}eps*{p}eps"),
+            (f"{p}a3v", horner(G.A3x, f"{p}eps")),
+        ]
+        # C3 series (5 terms): mult chain x Horner polys, then B31/B32
+        c3_names = []
+        prev_m = None
+        for l, row in enumerate(G.C3x):
+            m = f"{p}m{l + 1}"
+            steps.append((m, f"{p}eps" if prev_m is None
+                          else f"{prev_m}*{p}eps"))
+            steps.append((f"{p}c3_{l + 1}",
+                          f"({m})*({horner(row, f'{p}eps')})"))
+            c3_names.append(f"{p}c3_{l + 1}")
+            prev_m = m
+        steps += _clenshaw_sin_sql(f"{p}b31", f"{p}ss1", f"{p}cs1",
+                                   c3_names)
+        steps += _clenshaw_sin_sql(f"{p}b32", f"{p}ss2", f"{p}cs2",
+                                   c3_names)
+        steps += [
+            (f"{p}domg12", f"-{f}*{p}salp0*{p}a3v*({p}sig12 "
+                           f"+ ({p}b32 - {p}b31))"),
+            (f"{p}v", f"({p}omg12 + {p}domg12) - lam12"),
+            (f"{p}a1v", f"1 + ({p}eps2*(1.0/4 + {p}eps2*(1.0/64 "
+                        f"+ {p}eps2*(1.0/256))) + {p}eps)/(1 - {p}eps)"),
+        ]
+        steps += [(f"{p}c1_{j + 1}", e) for j, e in
+                  enumerate(c1_exprs(f"{p}eps", f"{p}eps2"))]
+        steps += _clenshaw_sin_sql(f"{p}b11", f"{p}ss1", f"{p}cs1",
+                                   [f"{p}c1_{j}" for j in range(1, 7)])
+        steps += _clenshaw_sin_sql(f"{p}b12", f"{p}ss2", f"{p}cs2",
+                                   [f"{p}c1_{j}" for j in range(1, 7)])
+        steps.append((f"{p}done",
+                      f"{dn} OR abs({p}v) < 1e-13"))
+        if last:
+            break  # no update after the final evaluation
+        # derivative block (only needed to drive the update)
+        steps += [
+            (f"{p}a2v", f"1 + ({p}eps2*(-3.0/4 + {p}eps2*(-7.0/64 "
+                        f"+ {p}eps2*(-11.0/256))) - {p}eps)"
+                        f"/(1 + {p}eps)"),
+        ]
+        steps += [(f"{p}c2_{j + 1}", e) for j, e in
+                  enumerate(c2_exprs(f"{p}eps", f"{p}eps2"))]
+        steps += _clenshaw_sin_sql(f"{p}b21", f"{p}ss1", f"{p}cs1",
+                                   [f"{p}c2_{j}" for j in range(1, 7)])
+        steps += _clenshaw_sin_sql(f"{p}b22", f"{p}ss2", f"{p}cs2",
+                                   [f"{p}c2_{j}" for j in range(1, 7)])
+        steps += [
+            (f"{p}j12", f"({p}a1v - {p}a2v)*{p}sig12 + ({p}a1v*({p}b12 "
+                        f"- {p}b11) - {p}a2v*({p}b22 - {p}b21))"),
+            (f"{p}dn1", f"sqrt(1 + {ep2}*sb1*sb1)"),
+            (f"{p}dn2", f"sqrt(1 + {ep2}*sb2*sb2)"),
+            (f"{p}m12b", f"{p}dn2*({p}cs1*{p}ss2) - {p}dn1*({p}ss1*"
+                         f"{p}cs2) - {p}cs1*{p}cs2*{p}j12"),
+            (f"{p}dv", f"CASE WHEN abs({p}calp2) > 1e-12 "
+                       f"THEN {p}m12b*{f1}/({p}calp2*cb2) "
+                       f"ELSE -2*{f1}*{p}dn1/(CASE WHEN sb1 = 0 "
+                       f"THEN -1e-12 ELSE sb1 END) END"),
+            (f"{p}dalp", f"LEAST(GREATEST(CASE WHEN abs({p}dv) > 1e-16 "
+                         f"THEN -{p}v/{p}dv ELSE CASE WHEN {p}v > 0 "
+                         f"THEN -0.1 ELSE 0.1 END END, -0.5), 0.5)"),
+            (f"{p}alp", f"LEAST(GREATEST(atan2({sa}, {ca}) + {p}dalp, "
+                        f"1e-12), {AHI})"),
+            (f"s_{k}", f"CASE WHEN {p}done THEN {sa} "
+                       f"ELSE sin({p}alp) END"),
+            (f"c_{k}", f"CASE WHEN {p}done THEN {ca} "
+                       f"ELSE cos({p}alp) END"),
+            (f"d_{k}", f"{p}done"),
+        ]
+
+    # ---- finalize: s12 from the last evaluation; azimuth unswap ----
+    q = f"i{n_iter}_"
+    sfin, cfin = f"s_{n_iter - 1}", f"c_{n_iter - 1}"
+    steps += [
+        ("s12r", f"{b}*{q}a1v*({q}sig12 + ({q}b12 - {q}b11))"),
+        ("equat", f"abs(sb1) < 1e-7 AND abs(sb2) < 1e-7 "
+                  f"AND lam12 <= {EQTH}"),
+        ("s12e", f"CASE WHEN equat THEN {a}*lam12 ELSE s12r END"),
+        ("sa1f", f"CASE WHEN equat THEN 1.0 ELSE {sfin} END"),
+        ("ca1f", f"CASE WHEN equat THEN 0.0 ELSE {cfin} END"),
+        ("sa2f", f"CASE WHEN equat THEN 1.0 ELSE {q}salp2 END"),
+        ("ca2f", f"CASE WHEN equat THEN 0.0 ELSE {q}calp2 END"),
+        ("swsign", "CASE WHEN sw THEN -1.0 ELSE 1.0 END"),
+        ("ua1", "(CASE WHEN sw THEN sa2f ELSE sa1f END)"
+                "*swsign*lonsign"),
+        ("va1", "(CASE WHEN sw THEN ca2f ELSE ca1f END)"
+                "*swsign*latsign"),
+        ("azi1", "degrees(atan2(ua1, va1))"),
+        ("same", "l12a < 1e-13 AND abs(phi2) < 1e-13"),
+        ("s12f", "CASE WHEN same THEN 0.0 ELSE s12e END"),
+    ]
+    base = f"SELECT doc_id, lat, lon FROM geo"
+    final = ("SELECT doc_id, ROUND(s12f, 4) AS dist_m, "
+             "ROUND(azi1, 7) AS azi FROM LASTCTE")
+    return (f"WITH geo AS ({_GEO_SQL}),\n"
+            + _layered_ctes(base, steps, final))
+
+
 def _q30_asof_join(sf_dir: str):
     """As-of join: each event pairs with its user's latest order at or
     before the event time (backward inner, ties -> largest orderkey).
@@ -1621,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
         "q16_utm": _Q16_SQL,
+        "q17_geodesic": _gen_q17_sql(),
         "q23_ann_ivf": _Q14_SQL,
         "q24_dedup_images": _Q24_SQL,
         "q27_knn_indexed": _Q10_SQL,
