@@ -943,7 +943,7 @@ def _q21_images_tiles(sf_dir: str):
     from proj_ray.stages import with_cells, with_tiles
 
     n = _read(sf_dir, "documents").count() * 4
-    ds = images_dataset(n, parallelism=8)
+    ds = images_dataset(n, parallelism=64)
     ds = with_cells(ds, level=7)
     ds = with_tiles(ds, zoom=7)
 
@@ -1026,7 +1026,7 @@ def _q22_images_join(sf_dir: str):
     ry = [np.array([y0, y0, y0 + h, y0 + h]) for _, x0, y0, w, h in _RECTS]
     idx = PolygonIndex(ids, rx, ry)
     n = _read(sf_dir, "documents").count() * 2
-    out = spatial_join(images_dataset(n, parallelism=8), idx, how="inner")
+    out = spatial_join(images_dataset(n, parallelism=64), idx, how="inner")
 
     def pick(b):
         return b[["image_id", "poly_id", "lon", "lat"]]
@@ -1086,7 +1086,7 @@ def _q24_dedup_images(sf_dir: str):
             ph[k] = int.from_bytes(d, "little", signed=True)
         return {"image_id": b["image_id"], "pix_key": ph}
 
-    ds = images_dataset(n, parallelism=8).map_batches(
+    ds = images_dataset(n, parallelism=64).map_batches(
         rehash, batch_format="numpy")
     return dedup_exact(ds, "pix_key", "image_id") \
         .select_columns(["image_id"])
@@ -1411,7 +1411,7 @@ def _q34_images_resize(sf_dir: str):
     from proj_ray.images import Resizer, images_dataset
 
     n = _read(sf_dir, "documents").count()
-    return images_dataset(n, parallelism=8).map_batches(
+    return images_dataset(n, parallelism=64).map_batches(
         Resizer,
         fn_constructor_kwargs=dict(out_w=16, out_h=12, emit="sums"),
         batch_format="numpy", batch_size=256, concurrency=(2, 8))
@@ -1455,7 +1455,7 @@ def _q35_video_frames(sf_dir: str):
     from proj_ray.video import frame_sample, videos_dataset
 
     n = _read(sf_dir, "documents").count()
-    return frame_sample(videos_dataset(n, parallelism=8), every_k=3)
+    return frame_sample(videos_dataset(n, parallelism=64), every_k=3)
 
 
 _Q35_SQL = """
@@ -1484,7 +1484,7 @@ def _q36_audio_features(sf_dir: str):
     from proj_ray.audio import audio_dataset, audio_features
 
     n = _read(sf_dir, "documents").count()
-    return audio_features(audio_dataset(n, parallelism=8))
+    return audio_features(audio_dataset(n, parallelism=64))
 
 
 _Q36_SQL = """

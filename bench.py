@@ -125,6 +125,14 @@ def run_suite(sf_dir: str) -> dict:
     timed("q24_dedup_images_small", lambda: consume(
         E._q24_dedup_images(sf_dir.replace("sf0.1", "sf0.01"))
         if "sf0.1" in sf_dir else E._q24_dedup_images(sf_dir)))
+    timed("q33_dedup_embedding",
+          lambda: consume(E._q33_dedup_embedding(sf_dir)))
+    timed("q34_images_resize",
+          lambda: consume(E._q34_images_resize(sf_dir)))
+    timed("q35_video_frames",
+          lambda: consume(E._q35_video_frames(sf_dir)))
+    timed("q36_audio_features",
+          lambda: consume(E._q36_audio_features(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -48,7 +48,13 @@ def wav_decode(blob: bytes) -> tuple[np.ndarray, int]:
 
 
 def make_audio_batch(start: int, count: int) -> dict:
-    idx = np.arange(start, start + count, dtype=np.int64)
+    return make_audio_for(np.arange(start, start + count,
+                                    dtype=np.int64))
+
+
+def make_audio_for(idx: np.ndarray) -> dict:
+    idx = np.asarray(idx, dtype=np.int64)
+    count = len(idx)
     blobs = np.empty(count, dtype=object)
     ns = np.empty(count, dtype=np.int32)
     for k, i in enumerate(idx):
@@ -64,22 +70,17 @@ def make_audio_batch(start: int, count: int) -> dict:
 
 
 def audio_dataset(n_rows: int, parallelism: int = 8):
+    """rd.range base so fused downstream stages batch by real rows,
+    not shard descriptors (see images_dataset)."""
     import ray.data as rd
-
-    shard = max(1, n_rows // max(parallelism, 1))
-    starts = list(range(0, n_rows, shard))
-    ds = rd.from_items([{"start": s, "count": min(shard, n_rows - s)}
-                        for s in starts])
 
     def gen(batch):
         import pandas as pd
 
-        frames = []
-        for s, c in zip(batch["start"], batch["count"]):
-            frames.append(pd.DataFrame(make_audio_batch(int(s), int(c))))
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(make_audio_for(batch["id"]))
 
-    return ds.map_batches(gen, batch_format="pandas", batch_size=1)
+    return rd.range(n_rows, override_num_blocks=max(parallelism, 1)) \
+        .map_batches(gen, batch_format="numpy", batch_size=128)
 
 
 class AudioFeatures:
@@ -103,6 +104,6 @@ class AudioFeatures:
                 "zero_x": zero_x, "peak": peak}
 
 
-def audio_features(ds, concurrency=(2, 8), batch_size: int = 128):
+def audio_features(ds, concurrency=(2, 16), batch_size: int = 128):
     return ds.map_batches(AudioFeatures, batch_format="numpy",
                           batch_size=batch_size, concurrency=concurrency)

@@ -321,7 +321,15 @@ def make_images_batch(start: int, count: int, dup_every: int = 97):
     Every `dup_every`-th row is a pixel-duplicate of the previous row
     (same phash, new image_id) — the dedup fixture.
     """
-    idx = np.arange(start, start + count, dtype=np.int64)
+    return make_images_for(np.arange(start, start + count,
+                                     dtype=np.int64), dup_every)
+
+
+def make_images_for(idx: np.ndarray, dup_every: int = 97):
+    """Generate the images-table rows for an arbitrary id array (any
+    worker can synthesize any row — the resumable-synthesis contract)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    count = len(idx)
     lon, lat = geotags(idx)
     sizes = [(16, 16), (32, 24), (64, 48)]
     image_id = np.array([f"img{i:012d}" for i in idx], dtype=object)
@@ -359,20 +367,18 @@ def make_images_batch(start: int, count: int, dup_every: int = 97):
 
 def images_dataset(n_rows: int, parallelism: int = 8):
     """A ray.data.Dataset of the synthetic images table, generated
-    shard-wise on workers (nothing materialized on the driver)."""
-    import ray.data as rd
+    shard-wise on workers (nothing materialized on the driver).
 
-    shard = max(1, n_rows // max(parallelism, 1))
-    starts = list(range(0, n_rows, shard))
-    ds = rd.from_items([{"start": s, "count": min(shard, n_rows - s)}
-                        for s in starts])
+    Built on rd.range so blocks hold REAL rows (one id per row): a
+    downstream fused map_batches then batches by actual images, not by
+    shard descriptors — a 16-byte-descriptor input would otherwise let
+    the fused operator coalesce thousands of rows into one task."""
+    import ray.data as rd
 
     def gen(batch):
         import pandas as pd
 
-        frames = []
-        for s, c in zip(batch["start"], batch["count"]):
-            frames.append(pd.DataFrame(make_images_batch(int(s), int(c))))
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(make_images_for(batch["id"]))
 
-    return ds.map_batches(gen, batch_format="pandas", batch_size=1)
+    return rd.range(n_rows, override_num_blocks=max(parallelism, 1)) \
+        .map_batches(gen, batch_format="numpy", batch_size=256)

@@ -62,7 +62,13 @@ def video_frame(data: bytes, f: int) -> np.ndarray:
 
 
 def make_videos_batch(start: int, count: int) -> dict:
-    idx = np.arange(start, start + count, dtype=np.int64)
+    return make_videos_for(np.arange(start, start + count,
+                                     dtype=np.int64))
+
+
+def make_videos_for(idx: np.ndarray) -> dict:
+    idx = np.asarray(idx, dtype=np.int64)
+    count = len(idx)
     blobs = np.empty(count, dtype=object)
     nfs = np.empty(count, dtype=np.int32)
     for k, i in enumerate(idx):
@@ -80,23 +86,17 @@ def make_videos_batch(start: int, count: int) -> dict:
 
 def videos_dataset(n_rows: int, parallelism: int = 8):
     """Dataset of the synthetic videos table, generated shard-wise on
-    workers (mirrors images_dataset)."""
+    workers (mirrors images_dataset: rd.range base so fused downstream
+    stages batch by real rows, not shard descriptors)."""
     import ray.data as rd
-
-    shard = max(1, n_rows // max(parallelism, 1))
-    starts = list(range(0, n_rows, shard))
-    ds = rd.from_items([{"start": s, "count": min(shard, n_rows - s)}
-                        for s in starts])
 
     def gen(batch):
         import pandas as pd
 
-        frames = []
-        for s, c in zip(batch["start"], batch["count"]):
-            frames.append(pd.DataFrame(make_videos_batch(int(s), int(c))))
-        return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(make_videos_for(batch["id"]))
 
-    return ds.map_batches(gen, batch_format="pandas", batch_size=1)
+    return rd.range(n_rows, override_num_blocks=max(parallelism, 1)) \
+        .map_batches(gen, batch_format="numpy", batch_size=128)
 
 
 class FrameSampler:
@@ -124,7 +124,7 @@ class FrameSampler:
                 "sum_r": s[:, 0], "sum_g": s[:, 1], "sum_b": s[:, 2]}
 
 
-def frame_sample(ds, every_k: int = 3, concurrency=(2, 8),
+def frame_sample(ds, every_k: int = 3, concurrency=(2, 16),
                  batch_size: int = 64):
     return ds.map_batches(FrameSampler,
                           fn_constructor_kwargs=dict(every_k=every_k),
