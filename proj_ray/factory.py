@@ -397,6 +397,25 @@ class Pipeline(Operation):
                 op = _create_single(kv2)
             self.steps.append(PipelineStep(op, inv_flag, omit_fwd, omit_inv))
 
+        # A global +inv on the pipeline toggles every step's inversion
+        # and reverses step order (the PROJStringParser semantics,
+        # src/iso19111/io.cpp:10022-10027) — so `pipeline inv step
+        # proj=X inv` runs X forward even when X has no inverse.
+        if ParamSet(globals_kv).flag("inv"):
+            for st in self.steps:
+                st.inv = not st.inv
+            self.steps.reverse()
+
+        # Require a forward path through the pipeline (pipeline.cpp:
+        # 533-554): a non-omitted inverted step must have an inverse.
+        for st in self.steps:
+            if st.omit_fwd or isinstance(st.op, PushPop):
+                continue
+            if st.inv and not st.op.has_inverse:
+                raise ValueError(
+                    f"pipeline: inverse operation for {st.op.name} "
+                    "is not available")
+
         from proj_ray.ops.base import UNITS_CLASSIC, UNITS_PROJECTED
 
         def _mapu(u: str) -> str:

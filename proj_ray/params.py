@@ -249,6 +249,12 @@ def split_pipeline(defn: str) -> tuple[dict, list[dict]] | None:
     for st in steps:
         m = dict(st)
         for k, v in globals_kv.items():
+            # `inv` keeps occurrence (XOR) semantics — a global inv
+            # toggles each step rather than filling a default; the
+            # Pipeline constructor applies the toggle + step reversal
+            # (PROJStringParser, src/iso19111/io.cpp:10022-10027).
+            if k == "inv":
+                continue
             m.setdefault(k, v)
         merged.append(m)
     return globals_kv, merged

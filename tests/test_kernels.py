@@ -212,3 +212,31 @@ def test_hgridshift_full_world_seam_wrap():
     # -180 is column 0 exactly; +170 is the last column exactly
     assert (ol[1] - lam[1]) == pytest.approx(3.0 * sec, rel=1e-9)
     assert (ol[2] - lam[2]) == pytest.approx(1.0 * sec, rel=1e-9)
+
+
+def test_pipeline_global_inv_toggles_and_reverses_steps():
+    """A global +inv toggles every step's inversion and reverses step
+    order (PROJStringParser semantics, reference
+    src/iso19111/io.cpp:10022-10027). `pipeline inv step proj=urm5 inv`
+    must therefore run urm5 FORWARD even though urm5 has no inverse
+    (reference test/gie/more_builtins.gie:215-218)."""
+    op = create_operation(
+        "proj=pipeline inv step proj=urm5 n=0.5 ellps=WGS84 inv")
+    x, y, *_ = op.fwd((math.radians(12), math.radians(56), 0.0, 0.0))
+    assert abs(x - 1215663.2814182492) < 1e-6
+    assert abs(y - 5452209.5424045017) < 1e-6
+    # global inv WITHOUT a local inv leaves the step inverted: the
+    # pipeline must be rejected at construction (no forward path,
+    # pipeline.cpp:533-554)
+    with pytest.raises(ValueError):
+        create_operation("proj=pipeline inv step proj=urm5 n=0.5")
+    with pytest.raises(ValueError):
+        create_operation("proj=pipeline step proj=urm5 n=0.5 inv")
+    # two steps: global inv must also reverse execution order
+    op3 = create_operation(
+        "proj=pipeline inv step proj=utm zone=32 step proj=axisswap order=2,1")
+    ref = create_operation("proj=utm zone=32")
+    e, n, *_ = ref.fwd((math.radians(9.5), math.radians(55.0), 0.0, 0.0))
+    lam, phi, *_ = op3.fwd((n, e, 0.0, 0.0))  # swapped-in, inverse utm
+    assert abs(math.degrees(lam) - 9.5) < 1e-9
+    assert abs(math.degrees(phi) - 55.0) < 1e-9
