@@ -1768,6 +1768,82 @@ FROM events GROUP BY 1, 2
 """
 
 
+def _q37_range_join(sf_dir: str):
+    """Range (interval) join, deliberately on the DISTRIBUTED path
+    (broadcast_rows_cap=0): lineitem quantities against overlapping
+    price-bracket intervals derived from `part`, one bucketed
+    all-to-all (left rows to floor(v/w), intervals replicated into
+    every bucket they overlap), then a per-bracket aggregate. The
+    broadcast path is pytest-verified against the same brute join
+    (tests/test_interval.py). Half-open [lo, hi) so SQL reproduces
+    boundaries exactly."""
+    import pandas as pd
+
+    from proj_ray.functions.interval import range_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    parts = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def brackets(batch):
+        pk = np.asarray(batch["p_partkey"])
+        sz = np.asarray(batch["p_size"], dtype=np.float64)
+        keep = pk <= 20
+        return {"bracket_id": pk[keep],
+                "lo": sz[keep] - 2.5,
+                "hi": sz[keep] + 7.5}
+
+    right = parts.map_batches(brackets, batch_format="numpy")
+    joined = range_join(li, right, "l_quantity", "lo", "hi",
+                        right_cols=("bracket_id", "lo", "hi"),
+                        broadcast_rows_cap=0, bucket_width=10.0)
+
+    def partial(batch):
+        df = pd.DataFrame({
+            "bracket_id": np.asarray(batch["bracket_id"]),
+            "lo": np.asarray(batch["lo"]),
+            "hi": np.asarray(batch["hi"]),
+            "q": np.asarray(batch["l_quantity"]).astype(np.int64),
+        })
+        g = df.groupby(["bracket_id", "lo", "hi"], sort=False,
+                       as_index=False).agg(sum_qty=("q", "sum"),
+                                           n_rows=("q", "size"))
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(partial, batch_format="numpy")
+           .groupby(["bracket_id", "lo", "hi"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty_t"),
+                      Sum("n_rows", alias_name="n_rows_t")))
+
+    def final(batch):
+        return pd.DataFrame({
+            "bracket_id": np.asarray(batch["bracket_id"]).astype(np.int64),
+            "lo": np.asarray(batch["lo"]),
+            "hi": np.asarray(batch["hi"]),
+            "n_rows": np.asarray(batch["n_rows_t"]).astype(np.int64),
+            "sum_qty": np.asarray(batch["sum_qty_t"]).astype(np.int64),
+        })
+
+    return agg.map_batches(final, batch_format="numpy")
+
+
+_Q37_SQL = """
+WITH brackets AS (
+  SELECT p_partkey AS bracket_id,
+         CAST(p_size AS DOUBLE) - 2.5 AS lo,
+         CAST(p_size AS DOUBLE) + 7.5 AS hi
+  FROM part WHERE p_partkey <= 20)
+SELECT b.bracket_id, b.lo, b.hi,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN brackets b
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY 1, 2, 3
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -1811,6 +1887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_images_resize": _q34_images_resize,
         "q35_video_frames": _q35_video_frames,
         "q36_audio_features": _q36_audio_features,
+        "q37_range_join": _q37_range_join,
     }
 
 
@@ -1851,4 +1928,5 @@ def oracle_sql() -> dict[str, str]:
         "q34_images_resize": _Q34_SQL,
         "q35_video_frames": _Q35_SQL,
         "q36_audio_features": _Q36_SQL,
+        "q37_range_join": _Q37_SQL,
     }
