@@ -219,6 +219,143 @@ def cmd_projinfo(args: list[str]) -> int:
     return 0
 
 
+def cmd_cct(args: list[str]) -> int:
+    """cct subset (reference src/apps/cct.cpp): 4D filter applying a
+    coordinate operation given as +proj tokens, an EPSG operation code
+    (EPSG:8366), an operation name ('ITRF2014 to ETRF2014 (1)'), a
+    @file containing COORDINATEOPERATION WKT, or inline WKT. Options:
+    -d N decimals, -z Z / -t T fixed 3rd/4th coordinate. Remaining args
+    are input files (default stdin). Output format mirrors cct.cpp:536-
+    545: %14.*f angles (10 dec default) / %13.*f distances (4 dec),
+    z %12.*f, t %12.4f; missing input columns print as inf."""
+    import math
+
+    from proj_ray.factory import create_operation
+
+    dec_ang, dec_dist = 10, 4
+    fixed_z = fixed_t = math.inf
+    rest: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a in ("-d", "--decimals") and i + 1 < len(args):
+            dec_ang = dec_dist = int(args[i + 1])
+            i += 2
+        elif a in ("-z", "--height") and i + 1 < len(args):
+            fixed_z = float(args[i + 1])
+            i += 2
+        elif a in ("-t", "--time") and i + 1 < len(args):
+            fixed_t = float(args[i + 1])
+            i += 2
+        elif a == "-I":
+            rest.append(a)
+            i += 1
+        else:
+            rest.append(a)
+            i += 1
+    inverse = "-I" in rest
+    rest = [a for a in rest if a != "-I"]
+
+    defn_toks = []
+    while rest and rest[0].startswith("+"):
+        defn_toks.append(rest.pop(0))
+    if defn_toks:
+        defn = " ".join(defn_toks)
+    elif rest:
+        ref = rest.pop(0)
+        if ref.startswith("@"):
+            try:
+                ref = open(ref[1:], encoding="utf-8").read()
+            except OSError:
+                print(f"Cannot open file {ref[1:]}", file=sys.stderr)
+                return 1
+        from proj_ray.wkt import looks_like_wkt
+
+        if ref.lstrip().upper().startswith("COORDINATEOPERATION"):
+            from proj_ray.wkt import coordinate_operation_to_proj
+
+            defn = coordinate_operation_to_proj(ref)
+        elif looks_like_wkt(ref):
+            print("cct: Input object is not a coordinate operation, "
+                  "but a CRS.", file=sys.stderr)
+            return 1
+        else:
+            from proj_ray.epsg import resolve_operation
+
+            defn = resolve_operation(ref)
+    else:
+        print("cct: no operation given", file=sys.stderr)
+        return 2
+
+    try:
+        op = create_operation(defn)
+    except Exception as exc:  # noqa: BLE001
+        print(f"cct: {exc}", file=sys.stderr)
+        return 1
+
+    # read input records (files or stdin), one 2-4 column line each
+    def lines():
+        if rest:
+            for fname in rest:
+                try:
+                    fh = open(fname, encoding="utf-8-sig")
+                except OSError:
+                    print(f"Cannot open file {fname}", file=sys.stderr)
+                    raise SystemExit(1) from None
+                yield from fh
+                fh.close()
+        else:
+            # skip a UTF-8 BOM on the first stdin line too
+            first = True
+            for ln in sys.stdin:
+                if first and ln.startswith("﻿"):
+                    ln = ln.lstrip("﻿")
+                first = False
+                yield ln
+
+    out_lines = []
+    for raw in lines():
+        s = raw.strip()
+        if not s or s.startswith("#"):
+            out_lines.append(raw.rstrip("\n"))
+            continue
+        toks = s.split()
+        try:
+            vals = [float(t) for t in toks[:4]]
+        except ValueError:
+            out_lines.append(f"# Record UNREADABLE: {s}")
+            continue
+        if len(vals) < 2:
+            out_lines.append(f"# Record UNREADABLE: {s}")
+            continue
+        x, y = vals[0], vals[1]
+        z = fixed_z if math.isfinite(fixed_z) else (
+            vals[2] if len(vals) > 2 else math.inf)
+        t = fixed_t if math.isfinite(fixed_t) else (
+            vals[3] if len(vals) > 3 else math.inf)
+        ang_in = (op.right if inverse else op.left) == "radians"
+        if ang_in:
+            x, y = math.radians(x), math.radians(y)
+        try:
+            c = (op.inv if inverse else op.fwd)((x, y, z, t))
+            rx, ry, rz, rt = (float(np.asarray(v).reshape(-1)[0])
+                              for v in c)
+        except Exception:  # noqa: BLE001
+            out_lines.append(f"# Record TRANSFORMATION ERROR: {s}")
+            continue
+        out_unit = op.left if inverse else op.right
+        if out_unit == "radians":
+            rx, ry = math.degrees(rx), math.degrees(ry)
+        if out_unit in ("radians", "degrees"):
+            out_lines.append(f"{rx:14.{dec_ang}f}  {ry:14.{dec_ang}f}  "
+                             f"{rz:12.{dec_dist}f}  {rt:12.4f}")
+        else:
+            out_lines.append(f"{rx:13.{dec_dist}f}  {ry:13.{dec_dist}f}  "
+                             f"{rz:12.{dec_dist}f}  {rt:12.4f}")
+    print("\n".join(out_lines))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
@@ -235,8 +372,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_gie(rest)
     if cmd == "projinfo":
         return cmd_projinfo(rest)
+    if cmd == "cct":
+        return cmd_cct(rest)
     print(f"unknown command {cmd!r}; one of: proj cs2cs geod gie "
-          "projinfo", file=sys.stderr)
+          "projinfo cct", file=sys.stderr)
     return 2
 
 

@@ -246,3 +246,54 @@ def resolve_code_authority(icode: int) -> str:
             and "longlat" in defn:
         defn = defn + " +axis=neu"
     return defn
+
+
+def _helmert_defn(e: dict) -> str:
+    """OPERATIONS entry (metre / arc-second / ppm, per-year rates,
+    epoch in years) -> +proj=helmert definition string."""
+    s = (f"+proj=helmert +x={e['t'][0]:.15g} +y={e['t'][1]:.15g} "
+         f"+z={e['t'][2]:.15g}")
+    if "conv" in e:
+        s += (f" +rx={e['r'][0]:.15g} +ry={e['r'][1]:.15g} "
+              f"+rz={e['r'][2]:.15g} +s={e['s']:.15g}")
+    if "epoch" in e:
+        s += (f" +dx={e['dt'][0]:.15g} +dy={e['dt'][1]:.15g} "
+              f"+dz={e['dt'][2]:.15g} +drx={e['dr'][0]:.15g} "
+              f"+dry={e['dr'][1]:.15g} +drz={e['dr'][2]:.15g} "
+              f"+ds={e['ds']:.15g} +t_epoch={e['epoch']:.15g}")
+    if "conv" in e:
+        s += f" +convention={e['conv']}"
+    return s
+
+
+def resolve_operation(ref: str) -> str:
+    """Resolve a coordinate-OPERATION reference (as opposed to a CRS):
+    'EPSG:NNNN' operation code, a bare code, or the operation's EPSG
+    name ('ITRF2014 to ETRF2014 (1)') -> proj definition string. Covers
+    the geocentric-domain helmert subset (incl. time-dependent) — the
+    cct CLI initialization surface (reference src/apps/cct.cpp)."""
+    from proj_ray.epsg_ops import OPERATIONS
+
+    s = ref.strip()
+    code = None
+    up = s.upper()
+    if up.startswith(("EPSG:", "URN:OGC:DEF:COORDINATEOPERATION:EPSG::")):
+        tail = s.split(":")[-1]
+        try:
+            code = int(tail)
+        except ValueError:
+            code = None
+    elif s.isdigit():
+        code = int(s)
+    if code is not None:
+        e = OPERATIONS.get(code)
+        if e is None:
+            raise NotImplementedError(
+                f"operator not implemented: operation EPSG:{code} "
+                "(not in static geocentric-operation registry)")
+        return _helmert_defn(e)
+    for e in OPERATIONS.values():
+        if e["name"] == s:
+            return _helmert_defn(e)
+    raise NotImplementedError(
+        f"operator not implemented: operation {ref!r} (no such name)")

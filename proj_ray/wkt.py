@@ -429,3 +429,82 @@ def looks_like_wkt(text: str) -> bool:
 def looks_like_projjson(text: str) -> bool:
     t = text.lstrip()
     return t.startswith("{") and '"type"' in t[:200]
+
+
+_ARCSEC_PER_RAD = 206264.80624709636
+_SEC_PER_YEAR = 31556925.445  # EPSG uom 1029 'year'
+# WKT2 COORDINATEOPERATION parameter EPSG ids -> helmert keyword
+_OP_PARAM = {
+    8605: ("x", "len"), 8606: ("y", "len"), 8607: ("z", "len"),
+    8608: ("rx", "ang"), 8609: ("ry", "ang"), 8610: ("rz", "ang"),
+    8611: ("s", "scale"),
+    1040: ("dx", "len_r"), 1041: ("dy", "len_r"), 1042: ("dz", "len_r"),
+    1043: ("drx", "ang_r"), 1044: ("dry", "ang_r"),
+    1045: ("drz", "ang_r"),
+    1046: ("ds", "scale_r"), 1047: ("t_epoch", "time"),
+}
+# geocentric-domain helmert method codes -> convention
+_OP_METHOD = {
+    1031: None, 1033: "position_vector", 1032: "coordinate_frame",
+    1053: "position_vector", 1056: "coordinate_frame",
+}
+
+
+def coordinate_operation_to_proj(text: str) -> str:
+    """WKT2 COORDINATEOPERATION (geocentric-domain helmert methods,
+    incl. time-dependent: EPSG methods 1031/1032/1033/1053/1056) ->
+    +proj=helmert definition. Parameter units are converted via the
+    unit node's SI factor; per-year rate units carry per-second SI
+    factors and are rescaled by the EPSG year (uom 1029). Other
+    methods raise — never a silent wrong answer."""
+    root = _parse_wkt(text)
+    if root.name.upper() != "COORDINATEOPERATION":
+        raise ValueError(f"not a COORDINATEOPERATION: {root.name}")
+    meth = root.find("METHOD")
+    if meth is None:
+        raise NotImplementedError("COORDINATEOPERATION without METHOD")
+    mcode = _epsg_id_of(meth)
+    if mcode not in _OP_METHOD:
+        raise NotImplementedError(
+            f"operator not implemented: operation method "
+            f"{meth.args[0] if meth.args else '?'} (EPSG:{mcode})")
+    conv = _OP_METHOD[mcode]
+    vals: dict[str, float] = {}
+    for p in root.find_all("PARAMETER"):
+        pid = _epsg_id_of(p)
+        spec = _OP_PARAM.get(pid)
+        if spec is None:
+            continue
+        key, kind = spec
+        v = float(p.args[1])
+        unit = p.find("LENGTHUNIT", "ANGLEUNIT", "SCALEUNIT",
+                      "TIMEUNIT", "UNIT")
+        f = 1.0
+        if unit is not None and len(unit.args) >= 2:
+            try:
+                f = float(unit.args[1])
+            except (TypeError, ValueError):
+                f = 1.0
+        if kind == "len":
+            v *= f
+        elif kind == "ang":
+            v *= f * _ARCSEC_PER_RAD
+        elif kind == "scale":
+            v *= f * 1e6
+        elif kind == "len_r":
+            v *= f * _SEC_PER_YEAR
+        elif kind == "ang_r":
+            v *= f * _SEC_PER_YEAR * _ARCSEC_PER_RAD
+        elif kind == "scale_r":
+            v *= f * _SEC_PER_YEAR * 1e6
+        elif kind == "time":
+            v *= f / _SEC_PER_YEAR if f != 1.0 else 1.0
+        vals[key] = v
+    parts = ["+proj=helmert"]
+    for k in ("x", "y", "z", "rx", "ry", "rz", "s",
+              "dx", "dy", "dz", "drx", "dry", "drz", "ds", "t_epoch"):
+        if k in vals:
+            parts.append(f"+{k}={vals[k]:.15g}")
+    if conv:
+        parts.append(f"+convention={conv}")
+    return " ".join(parts)

@@ -32,8 +32,25 @@ ARCSEC_PER = {  # rotation uom -> arc-seconds factor
     "9101": 206264.80624709636,       # radian
     "9105": 3240.0,                   # grad? (1 grad = 0.9 deg = 3240")
     "9102": 3600.0,                   # degree
+    "1031": 0.001,                    # milliarc-second
+    "9113": 0.324,                    # centesimal second (1e-4 grad)
 }
-PPM_PER = {"9202": 1.0, "9201": 1e6}  # parts-per-million / unity
+PPM_PER = {"9202": 1.0, "9201": 1e6,  # parts-per-million / unity
+           "1028": 0.001}             # parts-per-billion
+LEN_M = {"9001": 1.0, "1025": 0.001, "1033": 0.01}  # m / mm / cm
+# per-year rate uoms -> PROJ-native per-year factors
+RATE_M = {"1042": 1.0, "1027": 0.001, "1034": 0.01}      # m|mm|cm /yr
+RATE_AS = {"1043": 1.0, "1032": 0.001}                   # "|mas /yr
+RATE_PPM = {"1041": 1.0, "1030": 0.001}                  # ppm|ppb /yr
+# geocentric-domain helmert methods, directly applicable to XYZ input
+# (the cct surface): code -> (kind, convention); td = time-dependent
+GEOCEN_METHODS = {
+    "1031": ("3", None),
+    "1033": ("7", "position_vector"),
+    "1032": ("7", "coordinate_frame"),
+    "1053": ("td", "position_vector"),
+    "1056": ("td", "coordinate_frame"),
+}
 METHODS = {
     # method code -> (n_params_kind, convention, is_3d_domain)
     # geog2D-domain methods preserve the input height (the planner
@@ -326,6 +343,54 @@ def main():
         similarity.setdefault((scode, tcode), []).append(entry)
         skept += 1
 
+    # operation-code-keyed geocentric helmert ops (incl. the
+    # time-dependent ones the planner table skips): the `cct
+    # EPSG:<code>` / name-initialization surface
+    # (reference src/apps/cct.cpp object_name_or_code handling)
+    operations: dict[int, dict] = {}
+    for v in rows("helmert_transformation.sql", "helmert_transformation"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        mk = GEOCEN_METHODS.get(v[5])
+        if mk is None:
+            continue
+        kind, conv = mk
+        lf = LEN_M.get(v[16])
+        t = (_num(v[12]), _num(v[13]), _num(v[14]))
+        if lf is None or None in t:
+            continue
+        entry: dict = {"name": v[2],
+                       "t": tuple(x * lf for x in t)}
+        if conv:
+            rf = ARCSEC_PER.get(v[21])
+            sf = PPM_PER.get(v[24])
+            r = (_num(v[17]), _num(v[18]), _num(v[19]))
+            s = _num(v[22])
+            if rf is None or sf is None or None in r or s is None:
+                continue
+            entry["r"] = tuple(x * rf for x in r)
+            entry["s"] = s * sf
+            entry["conv"] = conv
+        if kind == "td":
+            dtf = RATE_M.get(v[29])
+            drf = RATE_AS.get(v[34])
+            dsf = RATE_PPM.get(v[37])
+            dt = (_num(v[25]), _num(v[26]), _num(v[27]))
+            dr = (_num(v[30]), _num(v[31]), _num(v[32]))
+            ds = _num(v[35])
+            ep = _num(v[38])
+            if None in (dtf, drf, dsf, ds, ep) or None in dt \
+                    or None in dr or v[40] != "1029":
+                continue
+            entry["dt"] = tuple(x * dtf for x in dt)
+            entry["dr"] = tuple(x * drf for x in dr)
+            entry["ds"] = ds * dsf
+            entry["epoch"] = ep
+        try:
+            operations[int(v[1])] = entry
+        except ValueError:
+            continue
+
     with OUT.open("w", encoding="utf-8") as f:
         f.write('"""Static coordinate-operation planner tables.\n\n'
                 "AUTO-GENERATED by tools/gen_epsg_ops.py from the\n"
@@ -376,11 +441,19 @@ def main():
                                            e["acc"], e["code"])):
                 f.write(f"        {e!r},\n")
             f.write("    ],\n")
+        f.write("}\n\n")
+        f.write("# geocentric-domain coordinate operations keyed by EPSG\n"
+                "# operation code (metre / arc-second / ppm, rates per\n"
+                "# year, epoch in years) — the cct CLI's EPSG:<code> and\n"
+                "# name-initialization surface\n")
+        f.write("OPERATIONS = {\n")
+        for code in sorted(operations):
+            f.write(f"    {code}: {operations[code]!r},\n")
         f.write("}\n")
     print(f"wrote {OUT}: {len(geog_base)} bases, "
           f"{kept} helmert ops ({skipped} skipped), "
           f"{len(helmert)} pairs, {gkept} grid ops, "
-          f"{skept} similarity ops")
+          f"{skept} similarity ops, {len(operations)} geocen op codes")
 
 
 if __name__ == "__main__":
