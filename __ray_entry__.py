@@ -1844,6 +1844,61 @@ GROUP BY 1, 2, 3
 """
 
 
+def _q38_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event stream (30-min timeout):
+    one all-to-all on user_id, vectorized per-group session splitting
+    (proj_ray/functions/temporal.py sessionize). Deterministic
+    (ts, event_id) ordering so SQL window functions reproduce it."""
+    from proj_ray.functions.temporal import sessionize
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return sessionize(ev, "user_id", "ts", 1_800_000_000, "event_id")
+
+
+_Q38_SQL = """
+WITH flags AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seqs AS (
+  SELECT event_id, user_id, ts,
+         CAST(SUM(is_start) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flags)
+SELECT event_id, user_id, session_seq,
+       ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                          ORDER BY ts, event_id) AS event_seq
+FROM seqs
+"""
+
+
+def _q39_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: 20 events per event_type by
+    Knuth multiplicative-hash order (proj_ray/functions/sample.py).
+    Batches pre-prune to their local top-20 per stratum before the
+    single shuffle, so the all-to-all moves O(n x strata x blocks)."""
+    from proj_ray.functions.sample import stratified_sample
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return stratified_sample(ev, "event_type", "event_id", 20)
+
+
+_Q39_SQL = """
+WITH ranked AS (
+  SELECT event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY ((event_id % 4294967296) * 2654435761) % 4294967296,
+                    event_id) AS rn
+  FROM events)
+SELECT event_type, event_id FROM ranked WHERE rn <= 20
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -1888,6 +1943,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_video_frames": _q35_video_frames,
         "q36_audio_features": _q36_audio_features,
         "q37_range_join": _q37_range_join,
+        "q38_sessionize": _q38_sessionize,
+        "q39_stratified_sample": _q39_stratified_sample,
     }
 
 
@@ -1929,4 +1986,6 @@ def oracle_sql() -> dict[str, str]:
         "q35_video_frames": _Q35_SQL,
         "q36_audio_features": _Q36_SQL,
         "q37_range_join": _Q37_SQL,
+        "q38_sessionize": _Q38_SQL,
+        "q39_stratified_sample": _Q39_SQL,
     }

@@ -195,3 +195,47 @@ def window_aggregate(ds, ts_col: str, value_col: str,
         return df
 
     return agg.map_batches(final, batch_format="numpy")
+
+
+def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
+               id_col: str, extra_cols: tuple = ()):
+    """Gap-based sessionization: per key, events sorted by (ts, id) are
+    split into sessions wherever the gap to the previous event exceeds
+    `gap_us`; emits session_seq (1-based per-key session number) and
+    event_seq (1-based position within the session).
+
+    Shape: ONE all-to-all on the key (the canonical co-partition), then
+    a vectorized per-group pass — no Python loop over rows. Per-key
+    event counts bound group memory; at 100 TB, keys are user-grained
+    so groups stay small and skew salting is unnecessary.
+
+    Deterministic tie rule (SQL-reproducible): equal timestamps order
+    by id ascending.
+    """
+    import pandas as pd
+
+    def split(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([ts_col, id_col], kind="stable")
+        t = _ts_us(g[ts_col].to_numpy())
+        new = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            new[0] = 1
+            new[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        seq = np.cumsum(new)
+        # event_seq: position within the session = index - start-of-
+        # session index (vectorized via a cummax of start positions)
+        idx = np.arange(len(g), dtype=np.int64)
+        start = np.where(new == 1, idx, 0)
+        start = np.maximum.accumulate(start)
+        out = {id_col: g[id_col].to_numpy(),
+               key_col: g[key_col].to_numpy(),
+               "session_seq": seq,
+               "event_seq": idx - start + 1}
+        for c in extra_cols:
+            out[c] = g[c].to_numpy()
+        return pd.DataFrame(out)
+
+    need = list(dict.fromkeys([key_col, ts_col, id_col, *extra_cols]))
+    return (ds.select_columns(need)
+            .groupby(key_col)
+            .map_groups(split, batch_format="pandas"))

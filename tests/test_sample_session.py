@@ -1,0 +1,83 @@
+"""Sessionization and stratified-sampling operators vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from proj_ray.functions.sample import _mix, stratified_sample
+from proj_ray.functions.temporal import sessionize
+
+
+@pytest.fixture(scope="module")
+def events():
+    rng = np.random.default_rng(3)
+    n = 2000
+    return pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "u": rng.integers(0, 20, n),
+        "typ": rng.choice(list("abcde"), n),
+        "ts": rng.integers(0, 10_000, n).astype("datetime64[s]")
+        .astype("datetime64[us]"),
+    })
+
+
+def test_sessionize_brute_parity(events):
+    gap = 600_000_000
+    out = sessionize(rd.from_pandas(events).repartition(7),
+                     "u", "ts", gap, "id").to_pandas()
+    want = {}
+    for u, g in events.groupby("u"):
+        g = g.sort_values(["ts", "id"], kind="stable")
+        t = g["ts"].astype("int64").to_numpy()
+        s = k = 0
+        last = None
+        for rid, tt in zip(g["id"], t):
+            if last is None or tt - last > gap:
+                s += 1
+                k = 0
+            k += 1
+            last = tt
+            want[rid] = (u, s, k)
+    assert len(out) == len(events)
+    for r in out.itertuples():
+        assert want[r.id] == (r.u, r.session_seq, r.event_seq)
+
+
+def test_stratified_sample_brute_parity(events):
+    n = 15
+    out = stratified_sample(rd.from_pandas(events).repartition(7),
+                            "typ", "id", n).to_pandas()
+    df = events.copy()
+    df["_k"] = _mix(df["id"].to_numpy())
+    want = (df.sort_values(["_k", "id"], kind="stable")
+            .groupby("typ", sort=False).head(n))
+    got = {(r.typ, r.id) for r in out.itertuples()}
+    assert got == {(r.typ, r.id) for r in want.itertuples()}
+    # per-stratum count: min(n, stratum size)
+    sizes = events.groupby("typ").size()
+    counts = out.groupby("typ").size()
+    for typ, c in counts.items():
+        assert c == min(n, sizes[typ])
+
+
+def test_stratified_sample_prune_bound(events):
+    """The pre-shuffle prune leaves at most n rows per stratum per
+    batch — the all-to-all is O(n x strata x blocks), not the corpus."""
+    ds = rd.from_pandas(events).repartition(4)
+    n = 5
+
+    def prune_probe(batch):
+        import numpy as _np
+        import pandas as _pd
+
+        df = _pd.DataFrame({c: _np.asarray(batch[c]) for c in batch})
+        df["_k"] = (df["id"].to_numpy() % 4294967296) \
+            * 2654435761 % 4294967296
+        df = df.sort_values(["_k", "id"], kind="stable")
+        return df.groupby("typ", sort=False).head(n)
+
+    pruned = (ds.select_columns(["typ", "id"])
+              .map_batches(prune_probe, batch_format="numpy"))
+    total = pruned.count()
+    assert total <= n * events["typ"].nunique() * 4
