@@ -1899,6 +1899,49 @@ SELECT event_type, event_id FROM ranked WHERE rn <= 20
 """
 
 
+def _q40_topk_per_group(sf_dir: str):
+    """Per-group top-k: 3 highest-value events per event_type, ties to
+    the smallest event_id. Batches pre-prune to local top-3 per group
+    before the single shuffle (proj_ray/functions/sample.py)."""
+    from proj_ray.functions.sample import top_k_per_group
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+    return top_k_per_group(ev, "event_type", "value", "event_id", 3)
+
+
+_Q40_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events)
+SELECT event_type, value, event_id FROM ranked WHERE rn <= 3
+"""
+
+
+def _q41_grouped_quantiles(sf_dir: str):
+    """EXACT distributed quantiles per group over a fixed-point value
+    domain: per-batch (group, cents) partial histograms -> one tiny
+    groupby -> per-group walk over DISTINCT values only
+    (proj_ray/functions/stats.py; quantile_disc semantics)."""
+    from proj_ray.functions.stats import grouped_quantiles
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return grouped_quantiles(li, "l_returnflag", "l_extendedprice",
+                             qs=(0.25, 0.5, 0.75, 0.95), scale=100)
+
+
+_Q41_SQL = """
+SELECT l_returnflag,
+       unnest([0.25, 0.5, 0.75, 0.95]) AS q,
+       unnest(quantile_disc(l_extendedprice,
+                            [0.25, 0.5, 0.75, 0.95])) AS quantile
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -1945,6 +1988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_range_join": _q37_range_join,
         "q38_sessionize": _q38_sessionize,
         "q39_stratified_sample": _q39_stratified_sample,
+        "q40_topk_per_group": _q40_topk_per_group,
+        "q41_grouped_quantiles": _q41_grouped_quantiles,
     }
 
 
@@ -1988,4 +2033,6 @@ def oracle_sql() -> dict[str, str]:
         "q37_range_join": _Q37_SQL,
         "q38_sessionize": _Q38_SQL,
         "q39_stratified_sample": _Q39_SQL,
+        "q40_topk_per_group": _Q40_SQL,
+        "q41_grouped_quantiles": _Q41_SQL,
     }

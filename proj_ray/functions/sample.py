@@ -50,3 +50,37 @@ def stratified_sample(ds, stratum_col: str, id_col: str, n: int,
             .map_batches(prune, batch_format="numpy")
             .groupby(stratum_col)
             .map_groups(pick, batch_format="pandas"))
+
+
+def top_k_per_group(ds, group_col: str, value_col: str, id_col: str,
+                    k: int, ascending: bool = False,
+                    extra_cols: tuple = ()):
+    """k rows per group with the largest (default) / smallest values;
+    ties broken by smallest id (SQL: ROW_NUMBER() OVER (PARTITION BY g
+    ORDER BY v [DESC], id) <= k).
+
+    Scale shape: identical to stratified_sample — each batch pre-prunes
+    to its local k per group inside map_batches, the single all-to-all
+    moves at most k x groups x blocks rows, the final per-group pick is
+    a tiny sort."""
+    import pandas as pd
+
+    need = list(dict.fromkeys([group_col, value_col, id_col,
+                               *extra_cols]))
+
+    def order(df):
+        return df.sort_values(
+            [value_col, id_col], kind="stable",
+            ascending=[ascending, True])
+
+    def prune(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        return order(df).groupby(group_col, sort=False).head(k)
+
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
+        return order(group).head(k)
+
+    return (ds.select_columns(need)
+            .map_batches(prune, batch_format="numpy")
+            .groupby(group_col)
+            .map_groups(pick, batch_format="pandas"))

@@ -81,3 +81,38 @@ def test_stratified_sample_prune_bound(events):
               .map_batches(prune_probe, batch_format="numpy"))
     total = pruned.count()
     assert total <= n * events["typ"].nunique() * 4
+
+
+def test_top_k_per_group_brute_parity(events):
+    from proj_ray.functions.sample import top_k_per_group
+
+    vals = events.copy()
+    vals["v"] = (vals["id"] * 37 % 100).astype(float)
+    out = top_k_per_group(rd.from_pandas(vals).repartition(7),
+                          "typ", "v", "id", 4).to_pandas()
+    want = (vals.sort_values(["v", "id"], kind="stable",
+                             ascending=[False, True])
+            .groupby("typ", sort=False).head(4))
+    assert ({(r.typ, r.id) for r in out.itertuples()}
+            == {(r.typ, r.id) for r in want.itertuples()})
+
+
+def test_grouped_quantiles_matches_duckdb_semantics(events):
+    """quantile_disc semantics: 1-based sorted position ceil(q*n)."""
+    import math
+
+    from proj_ray.functions.stats import grouped_quantiles
+
+    vals = events.copy()
+    vals["v"] = np.round((vals["id"] * 131 % 997) / 100.0, 2)
+    qs = (0.25, 0.5, 0.75, 0.95)
+    out = grouped_quantiles(rd.from_pandas(vals).repartition(7),
+                            "typ", "v", qs=qs, scale=100).to_pandas()
+    for typ, g in vals.groupby("typ"):
+        sv = np.sort(g["v"].to_numpy())
+        n = len(sv)
+        for q in qs:
+            want = sv[max(math.ceil(q * n), 1) - 1]
+            got = out[(out["typ"] == typ)
+                      & (np.isclose(out["q"], q))]["quantile"].iloc[0]
+            assert got == pytest.approx(want, abs=1e-9), (typ, q)
