@@ -133,6 +133,9 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q35_video_frames(sf_dir)))
     timed("q36_audio_features",
           lambda: consume(E._q36_audio_features(sf_dir)))
+    timed("q38_sessionize", lambda: consume(E._q38_sessionize(sf_dir)))
+    timed("q41_grouped_quantiles",
+          lambda: consume(E._q41_grouped_quantiles(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -211,6 +211,10 @@ def cmd_projinfo(args: list[str]) -> int:
         from proj_ray.wkt_export import proj_to_wkt2
 
         print(proj_to_wkt2(defn))
+    elif up.startswith("WKT1"):
+        from proj_ray.wkt_export import proj_to_wkt1
+
+        print(proj_to_wkt1(defn))
     elif up == "PROJ":
         print(defn)
     else:

@@ -338,3 +338,99 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
                 {"name": "Northing", "abbreviation": "N",
                  "direction": "north", "unit": "metre"}]},
     }
+
+
+# WKT1-GDAL projection names per EPSG method code (the names
+# wkt._METHOD_BY_NAME already imports — parse(emit(x)) is exact)
+_WKT1_PROJECTION = {
+    9807: "Transverse_Mercator",
+    9804: "Mercator_1SP",
+    9805: "Mercator_2SP",
+    9801: "Lambert_Conformal_Conic_1SP",
+    9802: "Lambert_Conformal_Conic_2SP",
+    9822: "Albers_Conic_Equal_Area",
+    9806: "Cassini_Soldner",
+    9809: "Oblique_Stereographic",
+    9810: "Polar_Stereographic",
+    9815: "Hotine_Oblique_Mercator_Azimuth_Center",
+    9818: "Polyconic",
+    9820: "Lambert_Azimuthal_Equal_Area",
+    9832: "Azimuthal_Equidistant",
+    9835: "Cylindrical_Equal_Area",
+    1028: "Equirectangular",
+    9811: "New_Zealand_Map_Grid",
+    1024: "Mercator_Auxiliary_Sphere",
+    9819: "Krovak",
+}
+# proj key -> WKT1-GDAL parameter name; lat_ts maps to
+# standard_parallel_1 (EPSG 8823), which the importer's method post-fix
+# turns back into +lat_ts for Mercator-B / eqc / cea
+_WKT1_PARAM = {
+    "lat_0": "latitude_of_origin", "lon_0": "central_meridian",
+    "lonc": "longitude_of_center", "alpha": "azimuth",
+    "gamma": "rectified_grid_angle", "k": "scale_factor",
+    "x_0": "false_easting", "y_0": "false_northing",
+    "lat_1": "standard_parallel_1", "lat_2": "standard_parallel_2",
+    "lat_ts": "standard_parallel_1",
+}
+
+
+def _geog_wkt1(kv, name="unknown") -> str:
+    a, rf, ename = _ellipsoid_parts(kv)
+    from proj_ray.params import PRIME_MERIDIANS, dms_to_deg
+
+    if "pm" in kv:
+        raw = str(kv["pm"])
+        val = PRIME_MERIDIANS.get(raw)
+        pmv = dms_to_deg(val) if val is not None else float(raw)
+        pmname = raw if val is not None else "unknown"
+        pm = f'PRIMEM["{pmname}",{_num(pmv)}]'
+    else:
+        pm = 'PRIMEM["Greenwich",0]'
+    return (f'GEOGCS["{name}",DATUM["unknown",'
+            f'SPHEROID["{ename}",{_num(a)},{_num(rf)}]],{pm},'
+            f'UNIT["degree",0.0174532925199433]]')
+
+
+def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
+    """proj string -> WKT1 (GDAL flavor, subset; same method coverage
+    and round-trip guarantee as proj_to_wkt2 — reference writer
+    src/iso19111/io.cpp WKTFormatter::Convention::WKT1_GDAL)."""
+    kv = _tok(defn)
+    proj = str(kv.get("proj", ""))
+    if proj in ("longlat", "latlong", "lonlat", "latlon"):
+        return _geog_wkt1(kv, name)
+    if proj == "utm":
+        zone = int(_f(kv, "zone"))
+        south = "south" in kv
+        kv = dict(kv)
+        kv["lat_0"] = 0.0
+        kv["lon_0"] = zone * 6 - 183
+        kv["k"] = 0.9996
+        kv["x_0"] = 500000.0
+        kv["y_0"] = 10000000.0 if south else 0.0
+        proj = "tmerc"
+    _mname, mcode, params = _select_method(proj, kv)
+    wname = _WKT1_PROJECTION.get(mcode)
+    if wname is None:
+        raise NotImplementedError(
+            f"WKT1 export: no GDAL projection name for method {mcode}")
+    lines = [f'PROJECTION["{wname}"]']
+    for _pname, _pcode, key, default, _kind in params:
+        if default is None and key not in kv:
+            continue
+        val = _f(kv, key, default if default is not None else 0.0)
+        lines.append(f'PARAMETER["{_WKT1_PARAM[key]}",{_num(val)}]')
+    from proj_ray.params import UNITS_TO_METER
+
+    if "to_meter" in kv:
+        unit = f'UNIT["unknown",{_num(float(kv["to_meter"]))}]'
+    else:
+        u = str(kv.get("units", "m"))
+        fv = UNITS_TO_METER.get(u)
+        if fv is None:
+            raise NotImplementedError(f"unknown unit {u}")
+        unit = ('UNIT["metre",1]' if fv == 1.0
+                else f'UNIT["{u}",{_num(fv)}]')
+    return (f'PROJCS["{name}",{_geog_wkt1(kv)},'
+            f'{",".join(lines)},{unit}]')

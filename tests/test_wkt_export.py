@@ -134,3 +134,11 @@ def test_wkt2_parses_in_duckdb_style_tools():
 
     w = proj_to_wkt2("+proj=utm +zone=33 +ellps=WGS84")
     assert looks_like_wkt(w) and w.startswith('PROJCRS["unknown"')
+
+
+@pytest.mark.parametrize("defn", CASES)
+def test_wkt1_roundtrip(defn):
+    from proj_ray.wkt import wkt_to_proj
+    from proj_ray.wkt_export import proj_to_wkt1
+
+    assert _norm(wkt_to_proj(proj_to_wkt1(defn))) == _norm(defn)
