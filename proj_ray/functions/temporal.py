@@ -198,44 +198,65 @@ def window_aggregate(ds, ts_col: str, value_col: str,
 
 
 def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
-               id_col: str, extra_cols: tuple = ()):
+               id_col: str, extra_cols: tuple = (),
+               n_buckets: int = 64):
     """Gap-based sessionization: per key, events sorted by (ts, id) are
     split into sessions wherever the gap to the previous event exceeds
     `gap_us`; emits session_seq (1-based per-key session number) and
     event_seq (1-based position within the session).
 
-    Shape: ONE all-to-all on the key (the canonical co-partition), then
-    a vectorized per-group pass — no Python loop over rows. Per-key
-    event counts bound group memory; at 100 TB, keys are user-grained
-    so groups stay small and skew salting is unnecessary.
+    Shape: ONE all-to-all, co-partitioned on a HASH BUCKET of the key
+    (not the key itself — Ray's map_groups invokes the UDF once per
+    group, and per-user groups made a 100 k-row / 1,500-user pass take
+    16-22 s; 64 bucket groups with an in-bucket vectorized multi-key
+    segment pass take ~2 s). Each bucket sorts by (key, ts, id) and
+    numbers ALL its keys' sessions in one numpy pass. n_buckets bounds
+    per-group memory at scale: raise it so corpus/n_buckets fits a
+    worker; keys never split across buckets so semantics are exact.
 
     Deterministic tie rule (SQL-reproducible): equal timestamps order
     by id ascending.
     """
     import pandas as pd
 
+    def tag(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        k = np.asarray(batch[key_col])
+        if not np.issubdtype(k.dtype, np.integer):
+            k = pd.util.hash_array(k)
+        df["_bk"] = (k.astype(np.int64) % n_buckets + n_buckets) \
+            % n_buckets
+        return df
+
     def split(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, id_col], kind="stable")
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
         t = _ts_us(g[ts_col].to_numpy())
-        new = np.empty(len(g), dtype=np.int64)
-        if len(g):
-            new[0] = 1
-            new[1:] = (np.diff(t) > gap_us).astype(np.int64)
-        seq = np.cumsum(new)
-        # event_seq: position within the session = index - start-of-
-        # session index (vectorized via a cummax of start positions)
-        idx = np.arange(len(g), dtype=np.int64)
-        start = np.where(new == 1, idx, 0)
-        start = np.maximum.accumulate(start)
+        k = g[key_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=np.int64)
+        if n > 1:
+            same_key = k[1:] == k[:-1]
+            new[1:] = np.where(same_key & (np.diff(t) <= gap_us), 0, 1)
+        key_start = np.ones(n, dtype=bool)
+        if n > 1:
+            key_start[1:] = ~same_key
+        idx = np.arange(n, dtype=np.int64)
+        # per-key session number: global cumsum of session starts,
+        # rebased at each key's first row
+        glob = np.cumsum(new)
+        kbase = np.maximum.accumulate(np.where(key_start, glob - 1, 0))
+        # per-session event number: index rebased at session starts
+        sstart = np.maximum.accumulate(np.where(new == 1, idx, 0))
         out = {id_col: g[id_col].to_numpy(),
-               key_col: g[key_col].to_numpy(),
-               "session_seq": seq,
-               "event_seq": idx - start + 1}
+               key_col: k,
+               "session_seq": glob - kbase,
+               "event_seq": idx - sstart + 1}
         for c in extra_cols:
             out[c] = g[c].to_numpy()
         return pd.DataFrame(out)
 
     need = list(dict.fromkeys([key_col, ts_col, id_col, *extra_cols]))
     return (ds.select_columns(need)
-            .groupby(key_col)
+            .map_batches(tag, batch_format="numpy")
+            .groupby("_bk")
             .map_groups(split, batch_format="pandas"))

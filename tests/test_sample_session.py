@@ -107,7 +107,7 @@ def test_grouped_quantiles_matches_duckdb_semantics(events):
     vals["v"] = np.round((vals["id"] * 131 % 997) / 100.0, 2)
     qs = (0.25, 0.5, 0.75, 0.95)
     out = grouped_quantiles(rd.from_pandas(vals).repartition(7),
-                            "typ", "v", qs=qs, scale=100).to_pandas()
+                            "typ", "v", qs=qs, scale=100)
     for typ, g in vals.groupby("typ"):
         sv = np.sort(g["v"].to_numpy())
         n = len(sv)
