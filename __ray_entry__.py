@@ -1942,6 +1942,26 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def _q42_count_distinct(sf_dir: str):
+    """Exact per-group cardinality: distinct customers per order
+    status. Locally-deduped pairs shuffle on a hash BUCKET of the
+    value (bounded group count regardless of value cardinality), then
+    a tiny per-group sum (proj_ray/functions/distinct.py). The HLL
+    sketch variant is pytest-bounded against this exact operator."""
+    from proj_ray.functions.distinct import grouped_count_distinct
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderstatus", "o_custkey"])
+    return grouped_count_distinct(orders, "o_orderstatus", "o_custkey")
+
+
+_Q42_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -1990,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_stratified_sample": _q39_stratified_sample,
         "q40_topk_per_group": _q40_topk_per_group,
         "q41_grouped_quantiles": _q41_grouped_quantiles,
+        "q42_count_distinct": _q42_count_distinct,
     }
 
 
@@ -2035,4 +2056,5 @@ def oracle_sql() -> dict[str, str]:
         "q39_stratified_sample": _Q39_SQL,
         "q40_topk_per_group": _Q40_SQL,
         "q41_grouped_quantiles": _Q41_SQL,
+        "q42_count_distinct": _Q42_SQL,
     }

@@ -116,3 +116,37 @@ def test_grouped_quantiles_matches_duckdb_semantics(events):
             got = out[(out["typ"] == typ)
                       & (np.isclose(out["q"], q))]["quantile"].iloc[0]
             assert got == pytest.approx(want, abs=1e-9), (typ, q)
+
+
+def test_count_distinct_exact_and_hll(events):
+    from proj_ray.functions.distinct import (grouped_count_distinct,
+                                             grouped_count_distinct_hll)
+
+    vals = events.copy()
+    # value domain much larger than row count per group in places
+    vals["v"] = (vals["id"] * 7919 % 1500).astype(np.int64)
+    ds = rd.from_pandas(vals).repartition(7)
+    out = grouped_count_distinct(ds, "typ", "v").to_pandas()
+    want = vals.groupby("typ")["v"].nunique()
+    assert len(out) == len(want)
+    for r in out.itertuples():
+        assert r.n_distinct == want[r.typ], r
+    # HLL estimate within 5x the theoretical standard error (1.04/64
+    # at p=12) of the exact count
+    est = grouped_count_distinct_hll(ds, "typ", "v", p=12)
+    for r in est.itertuples():
+        exact = want[r.typ]
+        assert abs(r.n_distinct_est - exact) / exact < 5 * 1.04 / 64, r
+
+
+def test_hll_strings_and_scale():
+    from proj_ray.functions.distinct import grouped_count_distinct_hll
+
+    n = 60_000
+    df = pd.DataFrame({
+        "g": np.repeat("all", n),
+        "v": [f"doc-{i % 40_000}" for i in range(n)],
+    })
+    est = grouped_count_distinct_hll(rd.from_pandas(df), "g", "v", p=12)
+    e = float(est["n_distinct_est"].iloc[0])
+    assert abs(e - 40_000) / 40_000 < 5 * 1.04 / 64
