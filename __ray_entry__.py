@@ -1962,6 +1962,145 @@ FROM orders GROUP BY o_orderstatus
 """
 
 
+def _q43_geohash(sf_dir: str):
+    """Geohash cell index (third cell scheme next to the webmerc
+    quadtree and the equal-angle grid): base32 string keys whose
+    prefixes ARE the parent cells, so coarse rollups are a string
+    slice, not a re-encode. One vectorized Morton pass per batch
+    (proj_ray/cells.py geohash_encode); no shuffle."""
+    from proj_ray.cells import geohash_encode
+
+    def gh(b: dict) -> dict:
+        g8 = geohash_encode(b["lon"], b["lat"], 8)
+        return {"doc_id": b["doc_id"], "gh8": g8,
+                "gh4": g8.astype("<U4")}
+
+    return _docs_geo(sf_dir).map_batches(gh, batch_format="numpy")
+
+
+# The oracle unrolls the same 5-step Morton spread in SQL bitwise ops
+# (20 bits per axis for precision 8), then maps 5-bit groups through
+# the base32 alphabet.
+_Q43_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (doc_id * 75487 % 170000) / 1000.0 - 85.0  AS lat
+  FROM documents
+), q AS (
+  SELECT doc_id,
+         LEAST(CAST(floor((lon + 180.0) / 360.0 * 1048576) AS BIGINT),
+               1048575) AS lonq,
+         LEAST(CAST(floor((lat + 90.0) / 180.0 * 1048576) AS BIGINT),
+               1048575) AS latq
+  FROM g
+), s1 AS (
+  SELECT doc_id,
+         (lonq | (lonq << 16)) & 281470681808895 AS lx,
+         (latq | (latq << 16)) & 281470681808895 AS ly
+  FROM q
+), s2 AS (
+  SELECT doc_id,
+         (lx | (lx << 8)) & 71777214294589695 AS lx,
+         (ly | (ly << 8)) & 71777214294589695 AS ly
+  FROM s1
+), s3 AS (
+  SELECT doc_id,
+         (lx | (lx << 4)) & 1085102592571150095 AS lx,
+         (ly | (ly << 4)) & 1085102592571150095 AS ly
+  FROM s2
+), s4 AS (
+  SELECT doc_id,
+         (lx | (lx << 2)) & 3689348814741910323 AS lx,
+         (ly | (ly << 2)) & 3689348814741910323 AS ly
+  FROM s3
+), s5 AS (
+  SELECT doc_id,
+         (lx | (lx << 1)) & 6148914691236517205 AS lx,
+         (ly | (ly << 1)) & 6148914691236517205 AS ly
+  FROM s4
+), m AS (
+  SELECT doc_id, ((lx << 1) | ly) AS mm FROM s5
+), h AS (
+  SELECT doc_id,
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 35) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 30) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 25) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 20) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 15) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 10) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST((mm >> 5) & 31 AS INT) + 1, 1) ||
+    substr('0123456789bcdefghjkmnpqrstuvwxyz',
+           CAST(mm & 31 AS INT) + 1, 1) AS gh8
+  FROM m
+)
+SELECT doc_id, gh8, substr(gh8, 1, 4) AS gh4 FROM h
+"""
+
+
+def _q44_polygon_burn(sf_dir: str):
+    """Vector->raster burn: rasterize each polygon's bbox onto the
+    z=6 slippy tile grid — one output row per (polygon, covered tile).
+    The per-batch kernel (proj_ray/tiles.py tiles_covering_bbox) does
+    the rectangle expansion as pure index arithmetic; polygons stream
+    through map_batches, so a billion-polygon layer burns without any
+    driver loop. sf_dir is unused (the polygon layer is the fixed
+    synthetic rect set shared with q09)."""
+    import ray.data as rd
+
+    from proj_ray.tiles import tiles_covering_bbox
+
+    rects = rd.from_items([
+        {"rect_id": j, "x0": x0, "y0": y0, "w": w, "h": h}
+        for j, x0, y0, w, h in _RECTS])
+
+    def burn(b: dict) -> dict:
+        ridx, tx, ty = tiles_covering_bbox(
+            b["x0"], b["y0"], b["x0"] + b["w"], b["y0"] + b["h"], 6)
+        return {"rect_id": np.asarray(b["rect_id"])[ridx],
+                "z": np.full(len(ridx), 6, dtype=np.int64),
+                "tile_x": tx, "tile_y": ty}
+
+    return rects.map_batches(burn, batch_format="numpy")
+
+
+_Q44_SQL = f"""
+WITH rects AS ({_RECT_SQL}),
+r2 AS (
+  SELECT rect_id,
+    CAST(floor((x0 + 180.0) / 360.0 * 64) AS BIGINT) AS tx0,
+    CAST(ceil((x0 + w + 180.0) / 360.0 * 64) AS BIGINT) - 1 AS tx1,
+    CAST(floor((1.0 - ln(tan(radians(y0 + h))
+        + sqrt(tan(radians(y0 + h)) * tan(radians(y0 + h)) + 1.0))
+        / pi()) / 2.0 * 64) AS BIGINT) AS ty0,
+    CAST(ceil((1.0 - ln(tan(radians(y0))
+        + sqrt(tan(radians(y0)) * tan(radians(y0)) + 1.0))
+        / pi()) / 2.0 * 64) AS BIGINT) - 1 AS ty1
+  FROM rects
+),
+r3 AS (
+  SELECT rect_id,
+    GREATEST(LEAST(tx0, 63), 0) AS tx0, GREATEST(LEAST(tx1, 63), 0) AS tx1,
+    GREATEST(LEAST(ty0, 63), 0) AS ty0, GREATEST(LEAST(ty1, 63), 0) AS ty1
+  FROM r2
+),
+r4 AS (
+  SELECT rect_id, unnest(generate_series(tx0, tx1)) AS tile_x, ty0, ty1
+  FROM r3
+)
+SELECT rect_id, CAST(6 AS BIGINT) AS z, tile_x,
+       unnest(generate_series(ty0, ty1)) AS tile_y
+FROM r4
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2011,6 +2150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q40_topk_per_group": _q40_topk_per_group,
         "q41_grouped_quantiles": _q41_grouped_quantiles,
         "q42_count_distinct": _q42_count_distinct,
+        "q43_geohash": _q43_geohash,
+        "q44_polygon_burn": _q44_polygon_burn,
     }
 
 
@@ -2057,4 +2198,6 @@ def oracle_sql() -> dict[str, str]:
         "q40_topk_per_group": _Q40_SQL,
         "q41_grouped_quantiles": _Q41_SQL,
         "q42_count_distinct": _Q42_SQL,
+        "q43_geohash": _Q43_SQL,
+        "q44_polygon_burn": _Q44_SQL,
     }

@@ -177,3 +177,78 @@ def salt_cells(cell: np.ndarray, row_key: np.ndarray,
     hot = np.isin(cell, np.fromiter(hot_cells, dtype=np.int64))
     sub = np.where(hot, np.abs(rk) % salt, 0)
     return cell * np.int64(salt) + sub
+
+
+# ------------------------------------------------------------- geohash --
+
+_GEOHASH32 = b"0123456789bcdefghjkmnpqrstuvwxyz"
+_GEOHASH32_LUT = np.frombuffer(_GEOHASH32, dtype=np.uint8)
+_GEOHASH32_INV = np.full(128, -1, dtype=np.int8)
+for _i, _c in enumerate(_GEOHASH32):
+    _GEOHASH32_INV[_c] = _i
+
+
+def geohash_encode(lon_deg, lat_deg, precision: int = 8) -> np.ndarray:
+    """Standard base32 geohash (Niemeyer), fully vectorized.
+
+    bits = 5*precision, alternating lon/lat starting with a longitude
+    bit at the MSB. Each axis is quantized to its bit budget, spread
+    with the Morton kernel, and 5-bit groups map to the base32
+    alphabet. Returns a unicode array of length-`precision` strings.
+
+    Deliberately a third cell scheme next to `cell_id` (webmerc
+    quadtree) and `grid_cell` (equal-angle): geohash is the
+    string-keyed, prefix-aggregatable one (parent cell == string
+    prefix), the common interchange key in external datasets.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    lon_q = np.clip(np.floor((lon + 180.0) / 360.0 * (1 << nlon)),
+                    0, (1 << nlon) - 1).astype(np.uint64)
+    lat_q = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
+                    0, (1 << nlat) - 1).astype(np.uint64)
+    # lon occupies the MSB; from the LSB that is the odd positions when
+    # nbits is even, the even positions when nbits is odd.
+    if nbits % 2 == 0:
+        m = (_part1by1(lon_q) << np.uint64(1)) | _part1by1(lat_q)
+    else:
+        m = _part1by1(lon_q) | (_part1by1(lat_q) << np.uint64(1))
+    shifts = (np.arange(precision - 1, -1, -1, dtype=np.uint64)
+              * np.uint64(5))
+    idx = ((m[:, None] >> shifts[None, :]) & np.uint64(31)).astype(np.uint8)
+    chars = _GEOHASH32_LUT[idx]  # (n, precision) uint8
+    return chars.view(f"S{precision}").ravel().astype(str)
+
+
+def geohash_decode(gh: np.ndarray):
+    """Inverse of `geohash_encode`: cell-center (lon, lat) per hash.
+
+    All hashes in the array must share one precision.
+    """
+    gh = np.asarray(gh)
+    s = np.char.encode(gh.astype(str), "ascii")
+    precision = len(s[0]) if len(s) else 0
+    if precision == 0:
+        return np.empty(0), np.empty(0)
+    bytes_mat = s.view(np.uint8).reshape(len(s), -1)[:, :precision]
+    vals = _GEOHASH32_INV[bytes_mat].astype(np.uint64)  # (n, p) in 0..31
+    m = np.zeros(len(s), dtype=np.uint64)
+    for k in range(precision):
+        m = (m << np.uint64(5)) | vals[:, k]
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    if nbits % 2 == 0:
+        lon_q = _compact1by1(m >> np.uint64(1))
+        lat_q = _compact1by1(m)
+    else:
+        lon_q = _compact1by1(m)
+        lat_q = _compact1by1(m >> np.uint64(1))
+    lon = (lon_q.astype(np.float64) + 0.5) / (1 << nlon) * 360.0 - 180.0
+    lat = (lat_q.astype(np.float64) + 0.5) / (1 << nlat) * 180.0 - 90.0
+    return lon, lat

@@ -71,3 +71,52 @@ def test_salting():
     assert np.array_equal(salted // 4, cell)
     assert len(np.unique(salted[:3])) > 1  # hot cell split
     assert np.all(salted[3:] % 4 == 0)     # cold cell single sub-key
+
+
+def test_geohash_known_vectors():
+    # public canonical examples (Niemeyer's ezs42; Wikipedia's u4pruydqqvj)
+    lon = np.array([10.40744, -5.6, -0.1277583])
+    lat = np.array([57.64911, 42.6, 51.5073509])
+    assert list(C.geohash_encode(lon, lat, 5)) == ["u4pru", "ezs42", "gcpvj"]
+    assert list(C.geohash_encode(lon, lat, 11)) == [
+        "u4pruydqqvj", "ezs42e44yx9", "gcpvj0dup40"]
+
+
+def test_geohash_prefix_property_and_roundtrip():
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-90, 90, 200)
+    g8 = C.geohash_encode(lon, lat, 8)
+    g4 = C.geohash_encode(lon, lat, 4)
+    assert np.array_equal(g8.astype("<U4"), g4)  # parent == prefix
+    # odd precision hits the other interleave branch
+    g7 = C.geohash_encode(lon, lat, 7)
+    assert np.array_equal(g8.astype("<U7"), g7)
+    dlon, dlat = C.geohash_decode(C.geohash_encode(lon, lat, 12))
+    assert np.abs(dlon - lon).max() < 1e-6
+    assert np.abs(dlat - lat).max() < 1e-5
+
+
+def test_tiles_covering_bbox_brute():
+    import itertools
+
+    zoom, n = 5, 32
+    lon0 = np.array([-179.9, 10.0, 100.0])
+    lat0 = np.array([-59.9, -10.0, 40.0])
+    lon1 = lon0 + np.array([25.0, 3.0, 0.5])
+    lat1 = lat0 + np.array([18.0, 7.0, 0.5])
+    ridx, tx, ty = T.tiles_covering_bbox(lon0, lat0, lon1, lat1, zoom)
+    got = {(int(r), int(x), int(y)) for r, x, y in zip(ridx, tx, ty)}
+
+    def v(lat):
+        t = np.tan(np.radians(lat))
+        return (1 - np.log(t + np.sqrt(t * t + 1)) / np.pi) / 2
+
+    exp = set()
+    for i in range(3):
+        for x, y in itertools.product(range(n), range(n)):
+            if (x + 1) / n * 360 - 180 > lon0[i] \
+                    and x / n * 360 - 180 < lon1[i] \
+                    and (y + 1) / n > v(lat1[i]) and y / n < v(lat0[i]):
+                exp.add((i, x, y))
+    assert got == exp
