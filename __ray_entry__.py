@@ -2101,6 +2101,41 @@ FROM r4
 """
 
 
+def _q45_dwithin_join(sf_dir: str):
+    """Geodesic distance-within join: documents within 2,000 km
+    (spherical haversine) of each of 8 query points, with the exact
+    pair distance in 0.1 mm units. Broadcast-query variant of the
+    spatial join family (proj_ray/stages dwithin_join); a latitude
+    band prefilter prunes the trig without changing the row set."""
+    from proj_ray.stages import dwithin_join
+
+    qlon, qlat = _geo_query_points(8)
+    return dwithin_join(_docs_geo(sf_dir), qlon, qlat, 2_000_000.0)
+
+
+_Q45_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+qp AS (
+  SELECT i AS q,
+         (i * 61803 % 360000) / 1000.0 - 180.0 AS qlon,
+         (i * 75487 % 170000) / 1000.0 - 85.0  AS qlat
+  FROM range(8) t(i)
+),
+d AS (
+  SELECT doc_id, q,
+         2.0 * 6371000.0 * asin(sqrt(LEAST(
+           sin((radians(qlat) - radians(lat)) / 2.0)
+             * sin((radians(qlat) - radians(lat)) / 2.0)
+           + cos(radians(lat)) * cos(radians(qlat))
+             * sin((radians(qlon) - radians(lon)) / 2.0)
+             * sin((radians(qlon) - radians(lon)) / 2.0), 1.0))) AS dist
+  FROM geo, qp
+)
+SELECT doc_id, q, CAST(round(dist * 10000.0) AS BIGINT) AS dist_tmm
+FROM d WHERE dist < 2000000.0
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2152,6 +2187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_count_distinct": _q42_count_distinct,
         "q43_geohash": _q43_geohash,
         "q44_polygon_burn": _q44_polygon_burn,
+        "q45_dwithin_join": _q45_dwithin_join,
     }
 
 
@@ -2200,4 +2236,5 @@ def oracle_sql() -> dict[str, str]:
         "q42_count_distinct": _Q42_SQL,
         "q43_geohash": _Q43_SQL,
         "q44_polygon_burn": _Q44_SQL,
+        "q45_dwithin_join": _Q45_SQL,
     }

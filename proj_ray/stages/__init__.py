@@ -677,3 +677,63 @@ def knn_brute(ds, query_lon, query_lat, k: int = 5,
     allc = allc.sort_values(["q", "dist", "nid"]).groupby("q").head(k)
     allc["rank"] = allc.groupby("q").cumcount() + 1
     return allc.reset_index(drop=True)
+
+
+def dwithin_join(ds, query_lon, query_lat, radius_m: float,
+                 id_col: str = "doc_id",
+                 lon_col: str = "lon", lat_col: str = "lat"):
+    """Distance-within join: every (row, query) pair closer than
+    `radius_m` great-circle metres (spherical haversine, R=6371000).
+
+    The query side is broadcast (tiny) and each batch does one
+    vectorized (n x q) haversine; a per-query latitude-band prefilter
+    (|dlat| <= radius) prunes the trig for far rows first. At scale
+    with a LARGE query side, route both sides through `with_cells` at
+    a level sized to the radius and join per cell-ring instead — this
+    broadcast variant is the small-query-side fast path, mirroring
+    `broadcast_lookup_join` vs its shuffle fallback.
+
+    The formula is written in the exact operation order a DuckDB
+    oracle reproduces: a = sin^2(dphi/2) + cos(phi1) cos(phi2)
+    sin^2(dlam/2); d = 2 R asin(sqrt(a)).
+    """
+    qlon = np.asarray(query_lon, dtype=np.float64)
+    qlat = np.asarray(query_lat, dtype=np.float64)
+    R = 6371000.0
+    # prefilter band: great-circle metres per degree of latitude is
+    # exactly R*pi/180 on the sphere; pad by 1e-9 for FP safety.
+    band_deg = radius_m / (R * np.pi / 180.0) * (1.0 + 1e-9)
+
+    def pairs(b: dict) -> dict:
+        lon = np.asarray(b[lon_col], dtype=np.float64)
+        lat = np.asarray(b[lat_col], dtype=np.float64)
+        rid = np.asarray(b[id_col])
+        out_id, out_q, out_d = [], [], []
+        phi1 = np.radians(lat)
+        lam1 = np.radians(lon)
+        cphi1 = np.cos(phi1)
+        for qi in range(len(qlon)):
+            near = np.abs(lat - qlat[qi]) <= band_deg
+            if not near.any():
+                continue
+            p1 = phi1[near]
+            p2 = np.radians(qlat[qi])
+            dphi = p2 - p1
+            dlam = np.radians(qlon[qi]) - lam1[near]
+            sp = np.sin(dphi / 2.0)
+            sl = np.sin(dlam / 2.0)
+            a = sp * sp + cphi1[near] * np.cos(p2) * sl * sl
+            d = 2.0 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+            hit = d < radius_m
+            if hit.any():
+                out_id.append(rid[near][hit])
+                out_q.append(np.full(int(hit.sum()), qi, dtype=np.int64))
+                out_d.append(np.rint(d[hit] * 10000.0).astype(np.int64))
+        if not out_id:
+            return {id_col: rid[:0], "q": np.empty(0, dtype=np.int64),
+                    "dist_tmm": np.empty(0, dtype=np.int64)}
+        return {id_col: np.concatenate(out_id),
+                "q": np.concatenate(out_q),
+                "dist_tmm": np.concatenate(out_d)}
+
+    return ds.map_batches(pairs, batch_format="numpy")

@@ -200,3 +200,32 @@ def test_knn_index_exact_and_io_pruned(ray_session, tmp_path):
         stats
     assert stats["bytes_read"] < total_bytes * 0.25, \
         (stats, total_bytes)
+
+
+def test_dwithin_join_matches_brute(ray_session):
+    import ray.data as rd
+
+    from proj_ray.stages import dwithin_join
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    rows = {"doc_id": np.arange(n),
+            "lon": rng.uniform(-180, 180, n),
+            "lat": rng.uniform(-85, 85, n)}
+    qlon = np.array([0.0, 100.0, -60.0])
+    qlat = np.array([0.0, 45.0, -80.0])
+    radius = 1_500_000.0
+    ds = rd.from_arrow(__import__("pyarrow").table(rows))
+    got = dwithin_join(ds, qlon, qlat, radius).to_pandas()
+    got = set(zip(got["doc_id"], got["q"]))
+
+    R = 6371000.0
+    p1 = np.radians(rows["lat"])[:, None]
+    p2 = np.radians(qlat)[None, :]
+    dl = np.radians(qlon)[None, :] - np.radians(rows["lon"])[:, None]
+    a = np.sin((p2 - p1) / 2) ** 2 \
+        + np.cos(p1) * np.cos(p2) * np.sin(dl / 2) ** 2
+    d = 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1)))
+    i, j = np.nonzero(d < radius)
+    assert got == set(zip(i.tolist(), j.tolist()))
+    assert len(got) > 20
