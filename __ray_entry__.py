@@ -2136,6 +2136,30 @@ FROM d WHERE dist < 2000000.0
 """
 
 
+def _q46_rolling_window(sf_dir: str):
+    """Per-user rolling SUM/COUNT over the last 4 events (SQL ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW), exact int64 cents. One
+    hash-bucket all-to-all + a vectorized prefix-sum segment pass
+    (proj_ray/functions/temporal.py rolling_window)."""
+    from proj_ray.functions.temporal import rolling_window
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+    return rolling_window(ev, "user_id", "ts", "value", "event_id",
+                          preceding=3, scale=100)
+
+
+_Q46_SQL = """
+SELECT event_id,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS win_sum_c,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2188,6 +2212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q43_geohash": _q43_geohash,
         "q44_polygon_burn": _q44_polygon_burn,
         "q45_dwithin_join": _q45_dwithin_join,
+        "q46_rolling_window": _q46_rolling_window,
     }
 
 
@@ -2237,4 +2262,5 @@ def oracle_sql() -> dict[str, str]:
         "q43_geohash": _Q43_SQL,
         "q44_polygon_burn": _Q44_SQL,
         "q45_dwithin_join": _Q45_SQL,
+        "q46_rolling_window": _Q46_SQL,
     }

@@ -260,3 +260,58 @@ def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
             .map_batches(tag, batch_format="numpy")
             .groupby("_bk")
             .map_groups(split, batch_format="pandas"))
+
+
+def rolling_window(ds, key_col: str, ts_col: str, value_col: str,
+                   id_col: str, preceding: int = 3,
+                   scale: int = 100, n_buckets: int = 64):
+    """Per-key rolling aggregate: for each row (ordered by ts, id
+    within key) the SUM and COUNT of `value_col` over the current row
+    plus up to `preceding` prior rows — SQL's ROWS BETWEEN `preceding`
+    PRECEDING AND CURRENT ROW.
+
+    Values are scaled to int64 (`round(v * scale)`) so distributed and
+    single-threaded sums agree exactly. Same shape as `sessionize`:
+    ONE all-to-all on a hash BUCKET of the key, then one vectorized
+    segment pass per bucket (prefix sums with per-key rebasing —
+    window sum = cs[i] - cs[i - 1 - min(pos_in_key, preceding)]); keys
+    never split across buckets so the window semantics are exact.
+    """
+    import pandas as pd
+
+    need = list(dict.fromkeys([key_col, ts_col, value_col, id_col]))
+
+    def tag(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        k = np.asarray(batch[key_col])
+        if not np.issubdtype(k.dtype, np.integer):
+            k = pd.util.hash_array(k)
+        df["_bk"] = (k.astype(np.int64) % n_buckets + n_buckets) \
+            % n_buckets
+        return df
+
+    def roll(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = np.rint(np.asarray(g[value_col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        n = len(g)
+        idx = np.arange(n, dtype=np.int64)
+        key_start = np.ones(n, dtype=bool)
+        if n > 1:
+            key_start[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(key_start, idx, 0))
+        pos = idx - seg_start
+        look = np.minimum(pos, preceding)
+        cs0 = np.concatenate(([0], np.cumsum(v)))
+        win_sum = cs0[idx + 1] - cs0[idx - look]
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "win_sum_c": win_sum,
+            "win_n": look + 1,
+        })
+
+    return (ds.select_columns(need)
+            .map_batches(tag, batch_format="numpy")
+            .groupby("_bk")
+            .map_groups(roll, batch_format="pandas"))

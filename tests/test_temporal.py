@@ -122,3 +122,34 @@ def test_window_aggregate_matches_pandas(ray_session):
     assert np.array_equal(got["grp"], want["grp"])
     assert np.allclose(got["sum_value"], want["sum_value"])
     assert np.array_equal(got["n"].astype(np.int64), want["n"])
+
+
+def test_rolling_window_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import rolling_window
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 40, n),
+        "ts": rng.integers(0, 10_000, n).astype(np.int64),
+        "value": rng.normal(10, 5, n).round(2),
+    })
+    out = rolling_window(rd.from_pandas(df), "user_id", "ts", "value",
+                         "event_id", preceding=3, scale=100,
+                         n_buckets=8).to_pandas()
+    out = out.sort_values("event_id").reset_index(drop=True)
+
+    s = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    s["c"] = np.rint(s["value"] * 100).astype(np.int64)
+    g = s.groupby("user_id")["c"]
+    s["win_sum_c"] = g.transform(
+        lambda x: x.rolling(4, min_periods=1).sum()).astype(np.int64)
+    s["win_n"] = g.transform(
+        lambda x: x.rolling(4, min_periods=1).count()).astype(np.int64)
+    exp = s.sort_values("event_id").reset_index(drop=True)
+    assert np.array_equal(out["win_sum_c"], exp["win_sum_c"])
+    assert np.array_equal(out["win_n"], exp["win_n"])
