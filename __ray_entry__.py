@@ -2160,6 +2160,65 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def _q47_pivot(sf_dir: str):
+    """Wide pivot: per-user event counts with one column per event
+    type. Batch-local crosstab partials, then one groupby(sum) —
+    the shuffle moves pre-combined rows (proj_ray/functions/stats.py
+    pivot_counts). The column domain is passed explicitly (the known
+    event-type enum), skipping the discovery pass."""
+    from proj_ray.functions.stats import pivot_counts
+
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type",
+                        values=["click", "error", "purchase",
+                                "signup", "view"])
+
+
+_Q47_SQL = """
+SELECT user_id,
+  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+    AS n_click,
+  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+    AS n_error,
+  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+    AS n_purchase,
+  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT)
+    AS n_signup,
+  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+    AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def _q48_anti_join(sf_dir: str):
+    """Anti join: customers that placed no orders. The orders side is
+    reduced to its DISTINCT key set first; below the broadcast limit
+    that set ships once via ray.put and every customer batch filters
+    with searchsorted — zero shuffles (proj_ray/stages
+    semi_anti_join; above the limit the same call routes through
+    Ray's hash-partitioned join)."""
+    from proj_ray.stages import semi_anti_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus"])
+
+    def pending(b: dict) -> dict:
+        keep = np.asarray(b["o_orderstatus"]) == "P"
+        return {"o_custkey": np.asarray(b["o_custkey"])[keep]}
+
+    pend = orders.map_batches(pending, batch_format="numpy")
+    return semi_anti_join(cust, pend, "c_custkey",
+                          right_key="o_custkey", how="anti")
+
+
+_Q48_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN
+  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2213,6 +2272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_polygon_burn": _q44_polygon_burn,
         "q45_dwithin_join": _q45_dwithin_join,
         "q46_rolling_window": _q46_rolling_window,
+        "q47_pivot": _q47_pivot,
+        "q48_anti_join": _q48_anti_join,
     }
 
 
@@ -2263,4 +2324,6 @@ def oracle_sql() -> dict[str, str]:
         "q44_polygon_burn": _Q44_SQL,
         "q45_dwithin_join": _Q45_SQL,
         "q46_rolling_window": _Q46_SQL,
+        "q47_pivot": _Q47_SQL,
+        "q48_anti_join": _Q48_SQL,
     }

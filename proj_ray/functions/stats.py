@@ -106,3 +106,45 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     out = pd.DataFrame(rows).sort_values(
         [group_col, "q"], kind="stable").reset_index(drop=True)
     return out
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str,
+                 values: list | None = None, prefix: str = "n_"):
+    """Wide pivot: one row per key, one int64 count column per
+    distinct `pivot_col` value (SQL COUNT(CASE WHEN ...) GROUP BY).
+
+    Each batch partial-pivots locally (pandas crosstab, one column per
+    known value), so the shuffle moves one pre-combined row per
+    (block, key) — never the raw events. If `values` is not given, a
+    tiny distinct-scan pass discovers the column set first; pass it
+    explicitly to skip that pass when the domain is known. Unseen
+    values count 0; the column set is fixed up front, so the output
+    schema is stable regardless of which blocks contain which values
+    (the property a streaming pivot needs at scale).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    if values is None:
+        values = sorted(ds.select_columns([pivot_col]).unique(pivot_col))
+    cols = [f"{prefix}{v}" for v in values]
+    vindex = {v: i for i, v in enumerate(values)}
+
+    def partial(b: dict) -> dict:
+        k = np.asarray(b[key_col])
+        p = np.asarray(b[pivot_col])
+        code = pd.Series(p).map(vindex).fillna(-1).to_numpy(np.int64)
+        keep = code >= 0
+        df = pd.DataFrame({key_col: k[keep], "_c": code[keep]})
+        g = df.groupby([key_col, "_c"]).size().unstack(
+            "_c", fill_value=0)
+        g = g.reindex(columns=range(len(values)), fill_value=0)
+        out = {key_col: g.index.to_numpy()}
+        for i, c in enumerate(cols):
+            out[c] = g[i].to_numpy(np.int64)
+        return out
+
+    return (ds.select_columns([key_col, pivot_col])
+            .map_batches(partial, batch_format="numpy")
+            .groupby(key_col)
+            .aggregate(*[Sum(c, alias_name=c) for c in cols]))

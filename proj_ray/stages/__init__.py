@@ -261,8 +261,10 @@ def broadcast_lookup_join(ds, small_df, key_col: str, probe_col: str,
         import ray.data as rd
 
         small = rd.from_pandas(small_df[[key_col] + val_cols])
+        nparts = max(2, min(num_partitions, int(
+            ray.cluster_resources().get("CPU", 4)) - 1))
         return ds.join(small, join_type="inner",
-                       num_partitions=num_partitions,
+                       num_partitions=nparts,
                        on=(probe_col,), right_on=(key_col,))
     lk = BroadcastLookup(small_df[key_col].to_numpy(),
                          {c: small_df[c].to_numpy() for c in val_cols})
@@ -737,3 +739,75 @@ def dwithin_join(ds, query_lon, query_lat, radius_m: float,
                 "dist_tmm": np.concatenate(out_d)}
 
     return ds.map_batches(pairs, batch_format="numpy")
+
+
+def semi_anti_join(ds, right, key_col: str, right_key: str | None = None,
+                   how: str = "anti",
+                   max_rows: int = BROADCAST_ROW_LIMIT):
+    """Semi / anti join: keep `ds` rows whose key does (semi) or does
+    not (anti) appear in `right`'s key column.
+
+    The right side is reduced to DISTINCT keys first (a tiny
+    aggregate), so what moves is the key set, never right rows. Below
+    `max_rows` distinct keys: one `ray.put` of the sorted key array,
+    each batch filtered with searchsorted — no shuffle of `ds` at all.
+    Above it: Ray Data's hash-partitioned join on the key (semi) or a
+    left-outer join with a null-probe filter (anti), so the driver
+    never holds an unbounded key set.
+    """
+    import ray
+
+    rk = right_key or key_col
+    # distinct keys as a (still distributed) dataset; batch-local
+    # dedup happens inside Ray's hash aggregate.
+    distinct = (right.select_columns([rk])
+                .groupby(rk).count().select_columns([rk]).materialize())
+    if distinct.count() <= max_rows:
+        keys = np.sort(np.concatenate(
+            [np.asarray(b[rk]) for b in
+             distinct.iter_batches(batch_format="numpy")] or
+            [np.empty(0)]))
+        ref = ray.put(keys)
+        want = how == "semi"
+
+        def filt(batch: dict) -> dict:
+            probe = np.asarray(batch[key_col])
+            ks = ray.get(ref)
+            if len(ks):
+                pos = np.clip(np.searchsorted(ks, probe), 0,
+                              len(ks) - 1)
+                found = ks[pos] == probe
+            else:
+                found = np.zeros(len(probe), dtype=bool)
+            keep = found if want else ~found
+            return {c: np.asarray(v)[keep] for c, v in batch.items()}
+
+        return ds.map_batches(filt, batch_format="numpy")
+    # Large key set: hash-partitioned semi via Ray's shuffle join; the
+    # key set never touches the driver. Partition count is sized to
+    # the cluster — each partition is an aggregator actor, so asking
+    # for more than the CPU count deadlocks small clusters.
+    nparts = max(2, min(64, int(
+        ray.cluster_resources().get("CPU", 4)) - 1))
+    if how == "semi":
+        return ds.join(distinct, join_type="inner",
+                       num_partitions=nparts,
+                       on=(key_col,), right_on=(rk,))
+
+    def mark(batch: dict) -> dict:
+        batch["_present"] = np.ones(
+            len(batch[rk]), dtype=np.int8)
+        return batch
+
+    marked = distinct.map_batches(mark, batch_format="numpy")
+    joined = ds.join(marked, join_type="left_outer",
+                     num_partitions=nparts,
+                     on=(key_col,), right_on=(rk,))
+
+    def drop_found(batch: dict) -> dict:
+        keep = ~np.isfinite(
+            np.asarray(batch["_present"], dtype=np.float64))
+        return {c: np.asarray(v)[keep] for c, v in batch.items()
+                if c not in ("_present", rk)}
+
+    return joined.map_batches(drop_found, batch_format="numpy")

@@ -229,3 +229,40 @@ def test_dwithin_join_matches_brute(ray_session):
     i, j = np.nonzero(d < radius)
     assert got == set(zip(i.tolist(), j.tolist()))
     assert len(got) > 20
+
+
+def test_semi_anti_join_both_paths(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages import semi_anti_join
+
+    left = pd.DataFrame({"k": np.arange(20), "v": np.arange(20) * 10})
+    right = pd.DataFrame({"rk": np.repeat([3, 5, 11, 17], 4)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    for max_rows in (1_000_000, 1):  # broadcast path, then shuffle path
+        anti = semi_anti_join(lds, rds, "k", right_key="rk",
+                              how="anti", max_rows=max_rows).to_pandas()
+        semi = semi_anti_join(lds, rds, "k", right_key="rk",
+                              how="semi", max_rows=max_rows).to_pandas()
+        assert sorted(semi["k"]) == [3, 5, 11, 17], max_rows
+        assert sorted(anti["k"]) == \
+            [i for i in range(20) if i not in (3, 5, 11, 17)], max_rows
+        assert set(anti.columns) >= {"k", "v"}
+
+
+def test_pivot_counts_discovery_pass(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.stats import pivot_counts
+
+    df = pd.DataFrame({"u": [1, 1, 2, 2, 2, 3],
+                       "t": ["a", "b", "a", "a", "c", "b"]})
+    out = pivot_counts(rd.from_pandas(df), "u", "t").to_pandas()
+    out = out.sort_values("u").reset_index(drop=True)
+    assert list(out.columns) == ["u", "n_a", "n_b", "n_c"]
+    assert out["n_a"].tolist() == [1, 2, 0]
+    assert out["n_b"].tolist() == [1, 0, 1]
+    assert out["n_c"].tolist() == [0, 1, 0]
