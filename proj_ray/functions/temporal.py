@@ -257,7 +257,9 @@ def sessionize(ds, key_col: str, ts_col: str, gap_us: int,
 
     need = list(dict.fromkeys([key_col, ts_col, id_col, *extra_cols]))
     return (ds.select_columns(need)
-            .map_batches(tag, batch_format="numpy")
+            .map_batches(tag, batch_format="numpy",
+                         batch_size=65536)  # coalesce blocks: each
+            # shuffle map task carries real rows, not read-splits
             .groupby("_bk")
             .map_groups(split, batch_format="pandas"))
 
@@ -312,6 +314,8 @@ def rolling_window(ds, key_col: str, ts_col: str, value_col: str,
         })
 
     return (ds.select_columns(need)
-            .map_batches(tag, batch_format="numpy")
+            .map_batches(tag, batch_format="numpy",
+                         batch_size=65536)  # coalesce blocks: each
+            # shuffle map task carries real rows, not read-splits
             .groupby("_bk")
             .map_groups(roll, batch_format="pandas"))
