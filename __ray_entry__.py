@@ -2219,6 +2219,93 @@ WHERE c_custkey NOT IN
 """
 
 
+def _q49_zonal_stats(sf_dir: str):
+    """Zonal statistics, raster x vector: decode every image blob and
+    aggregate total pixel luminance per z=5 map-tile zone. The decode
+    + per-batch partial aggregation happen in ONE map_batches pass, so
+    the all-to-all moves (tile, sum, n) partials — never pixels. The
+    SQL oracle regenerates each source image's pixel sum arithmetically
+    (synth formula + FJPG quantize-decode) and the tile from the
+    geotag formula, so codec, tiling, or dup-row drift fails the
+    hash."""
+    from ray.data.aggregate import Sum
+
+    from proj_ray.images import decode, images_dataset
+    from proj_ray.stages import with_tiles
+
+    n = _read(sf_dir, "documents").count()
+    ds = with_tiles(images_dataset(n, parallelism=32), zoom=5)
+
+    def partial(b: dict) -> dict:
+        import pandas as pd
+
+        m = len(b["image_id"])
+        lum = np.empty(m, dtype=np.int64)
+        for k in range(m):
+            lum[k] = int(decode(b["bytes"][k], b["fmt"][k])
+                         .sum(dtype=np.int64))
+        g = (pd.DataFrame({"tile_x": b["tile_x"],
+                           "tile_y": b["tile_y"], "lum": lum})
+             .groupby(["tile_x", "tile_y"], as_index=False)
+             .agg(s_part=("lum", "sum"), n_part=("lum", "size")))
+        return {"tile_x": g["tile_x"].to_numpy(),
+                "tile_y": g["tile_y"].to_numpy(),
+                "s_part": g["s_part"].to_numpy().astype(np.int64),
+                "n_part": g["n_part"].to_numpy().astype(np.int64)}
+
+    out = (ds.map_batches(partial, batch_format="numpy",
+                          batch_size=256)
+           .groupby(["tile_x", "tile_y"])
+           .aggregate(Sum("s_part", alias_name="sum_lum"),
+                      Sum("n_part", alias_name="n_images")))
+
+    def add_z(b: dict) -> dict:
+        return {"tile_z": np.full(len(b["tile_x"]), 5, dtype=np.int64),
+                **{k: b[k] for k in ("tile_x", "tile_y",
+                                     "sum_lum", "n_images")}}
+
+    return out.map_batches(add_z, batch_format="numpy")
+
+
+_Q49_SQL = f"""
+WITH img AS ({_IMG_GEO_SQL.format(mult=1)}),
+srcm AS (
+  SELECT i, lon, lat,
+         CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END AS src
+  FROM img
+),
+dim AS (
+  SELECT i, lon, lat, src, src % 3 AS f,
+         CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+  FROM srcm
+),
+px AS (
+  SELECT i, f,
+         (src * 37 + y.y * 11 + x.x * 7) % 256 AS r,
+         (src * 53 + y.y * 5 + x.x * 13) % 256 AS g,
+         (src * 97 + (y.y + x.x) * 3) % 256 AS b
+  FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+  WHERE y.y < h AND x.x < w
+),
+lum AS (
+  SELECT i,
+         SUM(CASE WHEN f = 1 THEN (r // 4) * 4 + 2 ELSE r END
+           + CASE WHEN f = 1 THEN (g // 4) * 4 + 2 ELSE g END
+           + CASE WHEN f = 1 THEN (b // 4) * 4 + 2 ELSE b END) AS s
+  FROM px GROUP BY i
+),
+t AS (
+  SELECT {_TILE_SQL.format(n=32)}, s
+  FROM dim JOIN lum USING (i)
+)
+SELECT CAST(5 AS BIGINT) AS tile_z, tile_x, tile_y,
+       CAST(SUM(s) AS BIGINT) AS sum_lum,
+       CAST(COUNT(*) AS BIGINT) AS n_images
+FROM t GROUP BY tile_x, tile_y
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2274,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_rolling_window": _q46_rolling_window,
         "q47_pivot": _q47_pivot,
         "q48_anti_join": _q48_anti_join,
+        "q49_zonal_stats": _q49_zonal_stats,
     }
 
 
@@ -2326,4 +2414,5 @@ def oracle_sql() -> dict[str, str]:
         "q46_rolling_window": _Q46_SQL,
         "q47_pivot": _Q47_SQL,
         "q48_anti_join": _Q48_SQL,
+        "q49_zonal_stats": _Q49_SQL,
     }
