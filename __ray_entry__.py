@@ -2306,6 +2306,30 @@ FROM t GROUP BY tile_x, tile_y
 """
 
 
+def _q50_rollup(sf_dir: str):
+    """GROUP BY ROLLUP in one data pass: quantity sums + counts at
+    (returnflag, linestatus), (returnflag) and grand-total levels,
+    rolled-up keys labelled 'ALL'. Streaming associative combines, no
+    sort shuffle (proj_ray/functions/stats.py rollup_sums)."""
+    from proj_ray.functions.stats import rollup_sums
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return rollup_sums(li, ["l_returnflag", "l_linestatus"],
+                       "l_quantity", scale=100)
+
+
+_Q50_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_c,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2362,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_pivot": _q47_pivot,
         "q48_anti_join": _q48_anti_join,
         "q49_zonal_stats": _q49_zonal_stats,
+        "q50_rollup": _q50_rollup,
     }
 
 
@@ -2415,4 +2440,5 @@ def oracle_sql() -> dict[str, str]:
         "q47_pivot": _Q47_SQL,
         "q48_anti_join": _Q48_SQL,
         "q49_zonal_stats": _Q49_SQL,
+        "q50_rollup": _Q50_SQL,
     }

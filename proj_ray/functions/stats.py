@@ -161,3 +161,60 @@ def pivot_counts(ds, key_col: str, pivot_col: str,
             .map_batches(partial, batch_format="numpy")
             .groupby(key_col)
             .aggregate(*[Sum(c, alias_name=c) for c in cols]))
+
+
+def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
+                all_label: str = "ALL"):
+    """SQL GROUP BY ROLLUP: exact int64 sums + counts at every rollup
+    level (k1..kn), (k1..kn-1), ..., (). Rolled-up key positions carry
+    `all_label` (not NULL — stable hashing across engines).
+
+    ONE pass over the data: per-batch partials at the finest level,
+    two streaming combine stages (no sort shuffle — sums are
+    associative), then the driver derives every coarser level from the
+    finest aggregate, which is bounded by the key-domain product, not
+    the row count.
+    """
+    import pandas as pd
+
+    def partial(batch):
+        df = pd.DataFrame({k: np.asarray(batch[k]) for k in keys})
+        df["_s"] = np.rint(np.asarray(batch[value_col],
+                                      dtype=np.float64)
+                           * scale).astype(np.int64)
+        g = df.groupby(keys, sort=False, as_index=False).agg(
+            s=("_s", "sum"), n=("_s", "size"))
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, sort=False, as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+
+    fin = (ds.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    fin = fin.groupby(keys, sort=False, as_index=False).agg(
+        s=("s", "sum"), n=("n", "sum"))
+
+    levels = []
+    for lvl in range(len(keys), -1, -1):
+        kept, rolled = keys[:lvl], keys[lvl:]
+        if kept:
+            g = fin.groupby(kept, as_index=False).agg(
+                s=("s", "sum"), n=("n", "sum"))
+        else:
+            g = pd.DataFrame({"s": [fin["s"].sum()],
+                              "n": [fin["n"].sum()]})
+        for k in rolled:
+            g[k] = all_label
+        levels.append(g[keys + ["s", "n"]])
+    out = pd.concat(levels, ignore_index=True).rename(
+        columns={"s": "sum_c", "n": "n_rows"})
+    out["sum_c"] = out["sum_c"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)
