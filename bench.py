@@ -136,6 +136,13 @@ def run_suite(sf_dir: str) -> dict:
     timed("q38_sessionize", lambda: consume(E._q38_sessionize(sf_dir)))
     timed("q41_grouped_quantiles",
           lambda: consume(E._q41_grouped_quantiles(sf_dir)))
+    timed("q45_dwithin_join",
+          lambda: consume(E._q45_dwithin_join(sf_dir)))
+    timed("q46_rolling_window",
+          lambda: consume(E._q46_rolling_window(sf_dir)))
+    timed("q47_pivot", lambda: consume(E._q47_pivot(sf_dir)))
+    timed("q49_zonal_stats",
+          lambda: consume(E._q49_zonal_stats(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
