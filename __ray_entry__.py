@@ -2330,6 +2330,25 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def _q51_heavy_hitters(sf_dir: str):
+    """Exact top-10 most frequent part keys via a Misra-Gries sketch
+    pass (streaming associative merges, no sort shuffle) + an exact
+    recount of the certified candidates
+    (proj_ray/functions/sketch.py heavy_hitters). Ties break by key
+    ascending, matching the SQL ORDER BY."""
+    from proj_ray.functions.sketch import heavy_hitters
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+    return heavy_hitters(li, "l_partkey", k=10, m=4096)
+
+
+_Q51_SQL = """
+SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_partkey
+ORDER BY cnt DESC, l_partkey ASC LIMIT 10
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2387,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_anti_join": _q48_anti_join,
         "q49_zonal_stats": _q49_zonal_stats,
         "q50_rollup": _q50_rollup,
+        "q51_heavy_hitters": _q51_heavy_hitters,
     }
 
 
@@ -2441,4 +2461,5 @@ def oracle_sql() -> dict[str, str]:
         "q48_anti_join": _Q48_SQL,
         "q49_zonal_stats": _Q49_SQL,
         "q50_rollup": _Q50_SQL,
+        "q51_heavy_hitters": _Q51_SQL,
     }

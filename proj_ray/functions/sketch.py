@@ -1,0 +1,150 @@
+"""Frequency-sketch operators: Misra-Gries heavy hitters with an
+exact recount, over Ray Data datasets.
+
+The two-pass shape every large-scale top-k-frequent pipeline uses:
+
+pass 1  per-batch Misra-Gries summaries (m counters), merged by
+        streaming associative combines — NO sort shuffle. The merged
+        summary over-counts nothing and under-counts each item by at
+        most n/m (classic MG bound, summed across merges), so every
+        item whose true count exceeds n/m is present.
+pass 2  the top-(k + margin) candidate keys from the summary are
+        recounted EXACTLY with a vectorized isin filter + per-batch
+        partial counts — bytes moved: candidates only.
+
+The result is exact (not approximate) whenever the k-th true count
+exceeds the MG error bound; `heavy_hitters` verifies the bound from
+the summary itself and falls back to a full groupby-count when the
+guarantee cannot be established (documented scale path: raise m).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _mg_merge(keys: np.ndarray, counts: np.ndarray, m: int):
+    """Merge duplicate keys, then apply the MG decrement so at most m
+    counters survive. Returns (keys, counts, decrement_applied)."""
+    import pandas as pd
+
+    s = pd.Series(counts).groupby(pd.Series(keys)).sum()
+    k = s.index.to_numpy()
+    c = s.to_numpy(np.int64)
+    dec = 0
+    if len(c) > m:
+        # decrement by the (m+1)-th largest count: standard MG step
+        thr = np.partition(c, len(c) - m - 1)[len(c) - m - 1]
+        c = c - thr
+        keep = c > 0
+        k, c = k[keep], c[keep]
+        dec = int(thr)
+    return k, c, dec
+
+
+def heavy_hitters(ds, col: str, k: int = 10, m: int = 4096,
+                  margin: int = 8):
+    """-> pandas (value, cnt): the EXACT top-k most frequent values of
+    `col`, ties broken by value ascending (SQL: ORDER BY cnt DESC,
+    value ASC LIMIT k).
+
+    `m` is the sketch width; exactness is certified when the k-th
+    candidate's exact count exceeds the accumulated MG decrement
+    (the summary's maximum undercount). See module docstring.
+    """
+    import pandas as pd
+
+    def batch_summary(b: dict) -> dict:
+        kk, cc, dec = _mg_merge(np.asarray(b[col]),
+                                np.ones(len(b[col]), dtype=np.int64),
+                                m)
+        return {col: kk, "_c": cc,
+                "_decs": np.r_[np.int64(dec),
+                               np.zeros(len(kk) - 1, np.int64)]
+                if len(kk) else np.empty(0, np.int64)}
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        dec_in = int(df["_decs"].sum())
+        kk, cc, dec = _mg_merge(df[col].to_numpy(),
+                                df["_c"].to_numpy(np.int64), m)
+        out = pd.DataFrame({col: kk, "_c": cc})
+        out["_decs"] = 0
+        if len(out):
+            out.loc[out.index[0], "_decs"] = dec_in + dec
+        return out
+
+    summ = (ds.select_columns([col])
+            .map_batches(batch_summary, batch_format="numpy",
+                         batch_size=65536)
+            .map_batches(combine, batch_format="pandas",
+                         batch_size=65536)
+            .map_batches(combine, batch_format="pandas",
+                         batch_size=65536)
+            .to_pandas())
+    total_dec = int(summ["_decs"].sum())
+    merged = summ.groupby(col, as_index=False)["_c"].sum()
+    merged = merged.sort_values(["_c", col],
+                                ascending=[False, True],
+                                kind="stable")
+    cand = merged[col].head(k + margin).to_numpy()
+
+    # pass 2: exact recount of the candidates only
+    cand_sorted = np.sort(cand)
+
+    def recount(b: dict) -> dict:
+        v = np.asarray(b[col])
+        pos = np.clip(np.searchsorted(cand_sorted, v), 0,
+                      len(cand_sorted) - 1)
+        keep = cand_sorted[pos] == v
+        vv = v[keep]
+        s = pd.Series(np.ones(len(vv), np.int64)).groupby(
+            pd.Series(vv)).sum()
+        return {col: s.index.to_numpy(),
+                "cnt": s.to_numpy(np.int64)}
+
+    def recombine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(col, as_index=False)["cnt"].sum()
+
+    exact = (ds.select_columns([col])
+             .map_batches(recount, batch_format="numpy",
+                          batch_size=65536)
+             .map_batches(recombine, batch_format="pandas",
+                          batch_size=65536)
+             .to_pandas())
+    exact = exact.groupby(col, as_index=False)["cnt"].sum()
+    exact = exact.sort_values(["cnt", col], ascending=[False, True],
+                              kind="stable").head(k) \
+        .reset_index(drop=True)
+    exact["cnt"] = exact["cnt"].astype(np.int64)
+
+    # Exactness certificate: any value OUTSIDE the candidate set has
+    # true count <= its summary count (0 if absent) + total_dec; the
+    # largest such bound is the first excluded summary entry's count
+    # + total_dec. If the k-th exact candidate count does not beat
+    # that, the sketch was too narrow — fall back.
+    excl = int(merged["_c"].iloc[k + margin]) \
+        if len(merged) > k + margin else 0
+    if len(exact) >= k and \
+            int(exact["cnt"].iloc[-1]) <= excl + total_dec:
+        # guarantee not certified: an unseen item could beat the k-th.
+        # Fall back to an exact full count (the documented remedy at
+        # scale is a wider sketch, not this fallback).
+        def count_all(b: dict) -> dict:
+            s = pd.Series(np.ones(len(b[col]), np.int64)).groupby(
+                pd.Series(np.asarray(b[col]))).sum()
+            return {col: s.index.to_numpy(),
+                    "cnt": s.to_numpy(np.int64)}
+
+        full = (ds.select_columns([col])
+                .map_batches(count_all, batch_format="numpy",
+                             batch_size=65536)
+                .map_batches(recombine, batch_format="pandas",
+                             batch_size=65536)
+                .to_pandas())
+        full = full.groupby(col, as_index=False)["cnt"].sum()
+        exact = full.sort_values(["cnt", col],
+                                 ascending=[False, True],
+                                 kind="stable").head(k) \
+            .reset_index(drop=True)
+        exact["cnt"] = exact["cnt"].astype(np.int64)
+    return exact

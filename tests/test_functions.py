@@ -261,3 +261,31 @@ def test_ngram_jaccard_exact_recall_all_paths(ray_session):
                                      broadcast_pairs_cap=0).to_pandas())
     assert local == dist == dist2 == brute
     assert (300, 301) in brute
+
+
+def test_heavy_hitters_exact_and_sketch_bound(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    # Zipf-ish: many distinct values, a few heavy ones
+    vals = np.concatenate([
+        rng.integers(0, 50_000, 40_000),        # long tail
+        np.repeat(np.arange(10) * 7, 400),      # 10 heavy hitters
+    ])
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals.astype(np.int64)}))
+
+    exp = (pd.Series(vals).value_counts().rename_axis("v")
+           .reset_index(name="cnt"))
+    exp = exp.sort_values(["cnt", "v"], ascending=[False, True],
+                          kind="stable").head(10).reset_index(drop=True)
+
+    # narrow sketch (m far below distinct count) must still be exact —
+    # certificate + recount, or the documented fallback
+    for m in (256, 65_536):
+        got = heavy_hitters(ds, "v", k=10, m=m)
+        assert got["v"].tolist() == exp["v"].tolist(), m
+        assert got["cnt"].tolist() == exp["cnt"].tolist(), m
