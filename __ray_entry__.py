@@ -2349,6 +2349,103 @@ ORDER BY cnt DESC, l_partkey ASC LIMIT 10
 """
 
 
+def _q52_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-style 6-table pipeline: lineitem JOIN orders (the one
+    big-big pair -> Ray's native hash-shuffle join, partition count
+    sized to the cluster) with every dimension (customer, supplier,
+    nation x region) attached via broadcast lookups, same-nation
+    customer/supplier filter, date + region predicates, then exact
+    int64 revenue partials per nation streaming-combined to a 5-row
+    result. The shape a 100-TB fact table needs: one shuffle total."""
+    import ray
+
+    from proj_ray.stages import BroadcastLookup
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    dim = nat.merge(reg, left_on="n_regionkey",
+                    right_on="r_regionkey")
+    asia = dim[dim["r_name"] == "ASIA"]
+    nmap = BroadcastLookup(
+        asia["n_nationkey"].to_numpy(),
+        {"n_name": asia["n_name"].to_numpy(object)})
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cmap = BroadcastLookup(cust["c_custkey"].to_numpy(),
+                           {"cn": cust["c_nationkey"].to_numpy()})
+    smap = BroadcastLookup(sup["s_suppkey"].to_numpy(),
+                           {"sn": sup["s_nationkey"].to_numpy()})
+    cref, sref, nref = ray.put(cmap), ray.put(smap), ray.put(nmap)
+
+    t0 = np.datetime64("1996-01-01").astype("datetime64[us]")
+    t1 = np.datetime64("1998-01-01").astype("datetime64[us]")
+
+    def orders_filtered(b: dict) -> dict:
+        ts = np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+        keep = (ts >= t0) & (ts < t1)
+        ck = np.asarray(b["o_custkey"])[keep]
+        vals, found = ray.get(cref).take(ck)
+        return {"o_orderkey": np.asarray(b["o_orderkey"])[keep][found],
+                "cn": vals["cn"][found]}
+
+    orders = (_read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(orders_filtered, batch_format="numpy"))
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+    nparts = max(2, min(64, int(
+        ray.cluster_resources().get("CPU", 4)) - 1))
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=nparts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: dict) -> dict:
+        import pandas as pd
+
+        sk = np.asarray(b["l_suppkey"])
+        svals, sfound = ray.get(sref).take(sk)
+        same = sfound & (svals["sn"] == np.asarray(b["cn"]))
+        nvals, nfound = ray.get(nref).take(np.asarray(b["cn"])[same])
+        rev = np.rint(np.asarray(b["l_extendedprice"])[same][nfound]
+                      * (1 - np.asarray(b["l_discount"])[same][nfound])
+                      * 10000).astype(np.int64)
+        g = (pd.DataFrame({"n_name": nvals["n_name"][nfound],
+                           "rev": rev})
+             .groupby("n_name", as_index=False)["rev"].sum())
+        return {"n_name": g["n_name"].to_numpy(object),
+                "rev": g["rev"].to_numpy(np.int64)}
+
+    def combine(df):
+        return df.groupby("n_name", as_index=False)["rev"].sum()
+
+    out = (joined.map_batches(partial, batch_format="numpy",
+                              batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    out = combine(out).rename(columns={"rev": "revenue_c"})
+    out["revenue_c"] = out["revenue_c"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+_Q52_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name ORDER BY n_name
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2407,6 +2504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q49_zonal_stats": _q49_zonal_stats,
         "q50_rollup": _q50_rollup,
         "q51_heavy_hitters": _q51_heavy_hitters,
+        "q52_revenue_by_nation": _q52_revenue_by_nation,
     }
 
 
@@ -2462,4 +2560,5 @@ def oracle_sql() -> dict[str, str]:
         "q49_zonal_stats": _Q49_SQL,
         "q50_rollup": _Q50_SQL,
         "q51_heavy_hitters": _Q51_SQL,
+        "q52_revenue_by_nation": _Q52_SQL,
     }
