@@ -29,9 +29,12 @@ def finished_partitions(out_dir: str) -> set:
 
 
 def _write_one_partition(pid: str, df, out_dir: str, lineage: dict) -> dict:
+    import time
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    t0 = time.time()
     os.makedirs(out_dir, exist_ok=True)
     mdir = os.path.join(out_dir, "_manifest")
     os.makedirs(mdir, exist_ok=True)
@@ -42,10 +45,15 @@ def _write_one_partition(pid: str, df, out_dir: str, lineage: dict) -> dict:
     os.close(fd)
     pq.write_table(table, tmp)
     os.replace(tmp, part_path)
+    wall = max(time.time() - t0, 1e-9)
     entry = {
         "pid": pid,
         "rows": len(df),
         "bytes": os.path.getsize(part_path),
+        # per-partition throughput metrics ride the manifest so a
+        # resumed run can report end-to-end rates without re-reading
+        "write_sec": round(wall, 6),
+        "rows_per_s": round(len(df) / wall, 1),
         "lineage": lineage,
     }
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".json.tmp")
@@ -80,11 +88,18 @@ def resumable_write(ds, out_dir: str, partition_col: str,
         return pd.DataFrame({"pid": [pid], "rows": [entry["rows"]],
                              "skipped": [False]})
 
+    import time
+
+    t0 = time.time()
     res = ds.groupby(partition_col).map_groups(
         write_group, batch_format="pandas").take_all()
+    wall = max(time.time() - t0, 1e-9)
+    rows = sum(r["rows"] for r in res)
     return {
         "partitions": len(res),
         "written": sum(1 for r in res if not r["skipped"]),
         "skipped": sum(1 for r in res if r["skipped"]),
-        "rows_written": sum(r["rows"] for r in res),
+        "rows_written": rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_s": round(rows / wall, 1),
     }

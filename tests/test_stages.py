@@ -72,7 +72,13 @@ def test_checkpoint_resume(ray_session, tmp_path):
     out = str(tmp_path / "ckpt")
     st1 = resumable_write(ds, out, "part")
     assert st1["written"] == 4 and st1["skipped"] == 0
+    assert st1["rows_per_s"] > 0 and st1["wall_sec"] > 0
     assert finished_partitions(out) == {"p0", "p1", "p2", "p3"}
+    import json
+
+    m = json.load(open(out + "/_manifest/p0.json"))
+    assert m["rows"] == 10 and m["rows_per_s"] > 0
+    assert "engine_version" in m["lineage"]
     # rerun skips everything, output unchanged
     st2 = resumable_write(ds, out, "part")
     assert st2["written"] == 0 and st2["skipped"] == 4
