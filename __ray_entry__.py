@@ -2446,6 +2446,50 @@ GROUP BY n_name ORDER BY n_name
 """
 
 
+def _q53_unpivot(sf_dir: str):
+    """Wide -> long unpivot (melt): each lineitem row becomes one row
+    per money metric, value fixed-point int64. Pure per-batch index
+    arithmetic (repeat ids, tile metric labels, interleave value
+    columns) — no shuffle, schema fixed up front."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", *cols])
+    labels = np.array(cols, dtype=object)
+
+    def melt(b: dict) -> dict:
+        n = len(b["l_orderkey"])
+        vals = np.stack([np.rint(np.asarray(b[c], dtype=np.float64)
+                                 * 10000).astype(np.int64)
+                         for c in cols], axis=1)  # (n, 4)
+        return {
+            "l_orderkey": np.repeat(np.asarray(b["l_orderkey"]), 4),
+            "l_linenumber": np.repeat(
+                np.asarray(b["l_linenumber"]), 4),
+            "metric": np.tile(labels, n),
+            "value_c": vals.reshape(-1),
+        }
+
+    return li.map_batches(melt, batch_format="numpy")
+
+
+_Q53_SQL = """
+SELECT l_orderkey, l_linenumber, metric,
+       CAST(round(val * 10000) AS BIGINT) AS value_c
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+         l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+)
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2505,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_rollup": _q50_rollup,
         "q51_heavy_hitters": _q51_heavy_hitters,
         "q52_revenue_by_nation": _q52_revenue_by_nation,
+        "q53_unpivot": _q53_unpivot,
     }
 
 
@@ -2561,4 +2606,5 @@ def oracle_sql() -> dict[str, str]:
         "q50_rollup": _Q50_SQL,
         "q51_heavy_hitters": _Q51_SQL,
         "q52_revenue_by_nation": _Q52_SQL,
+        "q53_unpivot": _Q53_SQL,
     }

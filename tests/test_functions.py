@@ -289,3 +289,30 @@ def test_heavy_hitters_exact_and_sketch_bound(ray_session):
         got = heavy_hitters(ds, "v", k=10, m=m)
         assert got["v"].tolist() == exp["v"].tolist(), m
         assert got["cnt"].tolist() == exp["cnt"].tolist(), m
+
+
+def test_rollup_sums_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.stats import rollup_sums
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 4000),
+        "b": rng.choice(["p", "q"], 4000),
+        "v": rng.normal(5, 2, 4000).round(2),
+    })
+    got = rollup_sums(rd.from_pandas(df), ["a", "b"], "v", scale=100)
+    c = np.rint(df["v"] * 100).astype(np.int64)
+    fine = df.assign(c=c).groupby(["a", "b"], as_index=False).agg(
+        sum_c=("c", "sum"), n_rows=("c", "size"))
+    for _, r in fine.iterrows():
+        row = got[(got["a"] == r["a"]) & (got["b"] == r["b"])]
+        assert int(row["sum_c"].iloc[0]) == r["sum_c"]
+        assert int(row["n_rows"].iloc[0]) == r["n_rows"]
+    lvl1 = got[(got["b"] == "ALL") & (got["a"] != "ALL")]
+    assert len(lvl1) == 3
+    assert lvl1["sum_c"].sum() == c.sum()
+    grand = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    assert int(grand["n_rows"].iloc[0]) == 4000
