@@ -2392,15 +2392,36 @@ def _q52_revenue_by_nation(sf_dir: str):
 
     orders = (_read(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey", "o_orderdate"])
-              .map_batches(orders_filtered, batch_format="numpy"))
+              .map_batches(orders_filtered, batch_format="numpy")
+              .materialize())
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey",
                         "l_extendedprice", "l_discount"])
-    nparts = max(2, min(64, int(
-        ray.cluster_resources().get("CPU", 4)) - 1))
-    joined = li.join(orders, join_type="inner",
-                     num_partitions=nparts,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    # fact x orders: below the broadcast cap the filtered orders ship
+    # once via ray.put and the whole query is ZERO shuffles; above it,
+    # Ray's hash join (partition count sized to the cluster — each
+    # partition is an aggregator actor, and actor startup dominated a
+    # first version that always joined: 21-75 s for a 600k-row fact).
+    if orders.count() <= 2_000_000:
+        odf = orders.to_pandas()
+        omap = BroadcastLookup(odf["o_orderkey"].to_numpy(),
+                               {"cn": odf["cn"].to_numpy()})
+        oref = ray.put(omap)
+
+        def attach_orders(b: dict) -> dict:
+            vals, found = ray.get(oref).take(
+                np.asarray(b["l_orderkey"]))
+            out = {c: np.asarray(v)[found] for c, v in b.items()}
+            out["cn"] = vals["cn"][found]
+            return out
+
+        joined = li.map_batches(attach_orders, batch_format="numpy")
+    else:  # pragma: no cover - exercised at cluster scale
+        nparts = max(2, min(64, int(
+            ray.cluster_resources().get("CPU", 4)) - 1))
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=nparts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: dict) -> dict:
         import pandas as pd

@@ -737,6 +737,11 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
             vecs = vecs / np.where(norm == 0, 1.0, norm)
             return pd.DataFrame({
                 "bucket": key,
+                # the all-to-all co-partitions on a bounded HASH of the
+                # bucket (64 groups), not the bucket itself: one sort
+                # over a small int domain instead of 2^nbits map_groups
+                # invocations dragging object-dtype vectors
+                "_bk": key % 64,
                 "rid": np.asarray(batch[id_col]),
                 "vec": list(vecs),
             })
@@ -745,18 +750,14 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
                           batch_format="pandas", batch_size=4096,
                           concurrency=concurrency)
 
-    def verify(group):
+    def verify_one(ids, Vall, frames):
         import pandas as pd
 
-        g = group.sort_values("rid")
-        ids = g["rid"].to_numpy()
         chunks = [np.arange(len(ids))]
         if len(ids) > bucket_cap:
             nsub = -(-len(ids) // bucket_cap)
             sub = _stable_u64(ids) % np.uint64(nsub)
             chunks = [np.flatnonzero(sub == s) for s in range(nsub)]
-        Vall = np.stack(g["vec"].to_numpy())
-        frames = []
         for sel in chunks:
             if len(sel) < 2:
                 continue
@@ -769,11 +770,29 @@ def dedup_embedding(ds, vec_col: str, id_col: str, threshold: float = 0.95,
                 "id_b": ids[sel][iu[1][hits]],
                 "cosine": sims[iu][hits].astype(np.float64),
             }))
+
+    def verify(group):
+        import pandas as pd
+
+        g = group.sort_values(["bucket", "rid"], kind="stable")
+        buckets = g["bucket"].to_numpy()
+        ids = g["rid"].to_numpy()
+        Vall = np.stack(g["vec"].to_numpy())
+        frames = []
+        # per-bucket segments of the sorted group, each verified with
+        # one vectorized matmul
+        cut = np.flatnonzero(np.r_[True, buckets[1:] != buckets[:-1]])
+        ends = np.r_[cut[1:], len(buckets)]
+        for lo, hi in zip(cut, ends):
+            if hi - lo >= 2:
+                verify_one(ids[lo:hi], Vall[lo:hi], frames)
         if not frames:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         return pd.concat(frames, ignore_index=True)
 
-    return buck.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return (buck.groupby("_bk")
+            .map_groups(lambda g: verify(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
 
 
 def cosine_pairs(ds, vec_col: str, id_col: str, threshold: float,
