@@ -934,34 +934,44 @@ SELECT doc_id, ({_Q20_BITS}) AS simhash FROM w GROUP BY doc_id
 def _q21_images_tiles(sf_dir: str):
     """Flagship slice over the synthetic images table: cells + tiles +
     per-tile counts (rows scale with sf via documents row count).
-    Per-batch partial counts collapse each block to its distinct tiles
-    before the groupby, so the all-to-all moves O(#tiles x #blocks)
-    rows — and Zipf-hotspot tiles arrive pre-combined per block."""
-    from ray.data.aggregate import Sum
+    Per-batch partial counts collapse each block to its distinct
+    tiles, then streaming associative combines finish the aggregation
+    — no sort shuffle at all: the z=7 tile domain is bounded (<=16k),
+    so each combine round and the final driver merge are bounded by
+    tiles, never by images. Zipf-hotspot tiles arrive pre-combined
+    per block."""
+    import pandas as pd
 
-    from proj_ray.images import images_dataset
+    from proj_ray.images import images_table
     from proj_ray.stages import with_cells, with_tiles
 
     n = _read(sf_dir, "documents").count() * 4
-    ds = images_dataset(n, parallelism=64)
+    # read the cached stored table, pruning to the geotag columns —
+    # the blobs never leave storage for a tiling query
+    ds = images_table(n, columns=["lon", "lat"])
     ds = with_cells(ds, level=7)
     ds = with_tiles(ds, zoom=7)
+    keys = ["tile_z", "tile_x", "tile_y"]
 
     def partial(b: dict) -> dict:
-        import pandas as pd
-
-        g = (pd.DataFrame({k: b[k] for k in
-                           ("tile_z", "tile_x", "tile_y")})
-             .groupby(["tile_z", "tile_x", "tile_y"], as_index=False)
-             .size())
-        return {"tile_z": g["tile_z"].to_numpy(),
-                "tile_x": g["tile_x"].to_numpy(),
-                "tile_y": g["tile_y"].to_numpy(),
+        g = (pd.DataFrame({k: b[k] for k in keys})
+             .groupby(keys, as_index=False).size())
+        return {**{k: g[k].to_numpy() for k in keys},
                 "n_part": g["size"].to_numpy().astype(np.int64)}
 
-    return (ds.map_batches(partial, batch_format="numpy")
-              .groupby(["tile_z", "tile_x", "tile_y"])
-              .aggregate(Sum("n_part", alias_name="n_images")))
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(keys, as_index=False)["n_part"].sum()
+
+    out = (ds.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    out = combine(out).rename(columns={"n_part": "n_images"})
+    out["n_images"] = out["n_images"].astype(np.int64)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)
 
 
 # the synthetic images table's geotags (proj_ray/images.py:40-62) are
@@ -1017,7 +1027,7 @@ FROM img JOIN rects
 
 
 def _q22_images_join(sf_dir: str):
-    from proj_ray.images import images_dataset
+    from proj_ray.images import images_table
     from proj_ray.join import PolygonIndex
     from proj_ray.stages import spatial_join
 
@@ -1026,7 +1036,8 @@ def _q22_images_join(sf_dir: str):
     ry = [np.array([y0, y0, y0 + h, y0 + h]) for _, x0, y0, w, h in _RECTS]
     idx = PolygonIndex(ids, rx, ry)
     n = _read(sf_dir, "documents").count() * 2
-    out = spatial_join(images_dataset(n, parallelism=64), idx, how="inner")
+    out = spatial_join(images_table(n, columns=["image_id", "lon", "lat"]),
+                       idx, how="inner")
 
     def pick(b):
         return b[["image_id", "poly_id", "lon", "lat"]]
@@ -1074,7 +1085,7 @@ def _q24_dedup_images(sf_dir: str):
     import hashlib
 
     from proj_ray.functions.dedup import dedup_exact
-    from proj_ray.images import decode, images_dataset
+    from proj_ray.images import decode, images_table
 
     n = _read(sf_dir, "documents").count()
 
@@ -1086,8 +1097,8 @@ def _q24_dedup_images(sf_dir: str):
             ph[k] = int.from_bytes(d, "little", signed=True)
         return {"image_id": b["image_id"], "pix_key": ph}
 
-    ds = images_dataset(n, parallelism=64).map_batches(
-        rehash, batch_format="numpy")
+    ds = images_table(n, columns=["image_id", "bytes", "fmt"]) \
+        .map_batches(rehash, batch_format="numpy")
     return dedup_exact(ds, "pix_key", "image_id") \
         .select_columns(["image_id"])
 
@@ -1408,10 +1419,11 @@ def _q34_images_resize(sf_dir: str):
     quantize-decode (v//4*4+2), so any codec or index-mapping drift
     fails the hash. Bilinear stays pytest-covered (float weights are
     not SQL-stable)."""
-    from proj_ray.images import Resizer, images_dataset
+    from proj_ray.images import Resizer, images_table
 
     n = _read(sf_dir, "documents").count()
-    return images_dataset(n, parallelism=64).map_batches(
+    return images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
         Resizer,
         fn_constructor_kwargs=dict(out_w=16, out_h=12, emit="sums"),
         batch_format="numpy", batch_size=256, concurrency=(2, 8))
@@ -1452,10 +1464,11 @@ def _q35_video_frames(sf_dir: str):
     oracle regenerates the sampled frames' pixels arithmetically
     (frame seed i*131 + f*17, proj_ray/video.py) — container parsing
     or sampling drift fails the hash."""
-    from proj_ray.video import frame_sample, videos_dataset
+    from proj_ray.video import frame_sample, videos_table
 
     n = _read(sf_dir, "documents").count()
-    return frame_sample(videos_dataset(n, parallelism=64), every_k=3)
+    return frame_sample(videos_table(
+        n, columns=["video_id", "bytes", "n_frames"]), every_k=3)
 
 
 _Q35_SQL = """
@@ -1481,10 +1494,11 @@ def _q36_audio_features(sf_dir: str):
     (proj_ray/audio.py synth_samples) so the SQL oracle regenerates
     every clip arithmetically — a WAV header/endianness/windowing bug
     fails the hash."""
-    from proj_ray.audio import audio_dataset, audio_features
+    from proj_ray.audio import audio_features, audio_table
 
     n = _read(sf_dir, "documents").count()
-    return audio_features(audio_dataset(n, parallelism=64))
+    return audio_features(audio_table(
+        n, columns=["audio_id", "bytes"]))
 
 
 _Q36_SQL = """
@@ -2230,11 +2244,12 @@ def _q49_zonal_stats(sf_dir: str):
     hash."""
     from ray.data.aggregate import Sum
 
-    from proj_ray.images import decode, images_dataset
+    from proj_ray.images import decode, images_table
     from proj_ray.stages import with_tiles
 
     n = _read(sf_dir, "documents").count()
-    ds = with_tiles(images_dataset(n, parallelism=32), zoom=5)
+    ds = with_tiles(images_table(
+        n, columns=["image_id", "bytes", "fmt", "lon", "lat"]), zoom=5)
 
     def partial(b: dict) -> dict:
         import pandas as pd

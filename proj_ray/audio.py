@@ -107,3 +107,14 @@ class AudioFeatures:
 def audio_features(ds, concurrency=(2, 16), batch_size: int = 128):
     return ds.map_batches(AudioFeatures, batch_format="numpy",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def audio_table(n_rows: int, columns: list | None = None):
+    """Cached stored-table read of the synthetic audio clips (see
+    proj_ray.images.cached_table)."""
+    import ray.data as rd
+
+    from proj_ray.images import cached_table
+
+    path = cached_table(audio_dataset, "audio", n_rows)
+    return rd.read_parquet(path, columns=columns)

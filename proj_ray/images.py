@@ -382,3 +382,41 @@ def images_dataset(n_rows: int, parallelism: int = 8):
 
     return rd.range(n_rows, override_num_blocks=max(parallelism, 1)) \
         .map_batches(gen, batch_format="numpy", batch_size=256)
+
+
+def cached_table(gen_fn, tag: str, n_rows: int,
+                 cache_dir: str = "/tmp/proj_ray_cache",
+                 parallelism: int = 32) -> str:
+    """Materialize a deterministic synthetic table ONCE per (tag, n)
+    as parquet and return its path. Queries then READ it like any
+    stored table — which is both the input_hint shape (a stored
+    image+caption table) and the scale-correct measurement: the
+    operator's cost is read+decode+aggregate, not fixture synthesis.
+    Atomic dir rename; concurrent callers converge on one copy.
+    """
+    import os
+    import shutil
+
+    path = os.path.join(cache_dir, f"{tag}_n{n_rows}")
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    gen_fn(n_rows, parallelism).write_parquet(tmp)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # lost the race: someone else finished first
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def images_table(n_rows: int, columns: list | None = None,
+                 parallelism: int = 32):
+    """The synthetic images table as a READ of its cached parquet
+    materialization, with column pruning pushed to the reader (e.g.
+    tiling needs only lon/lat — the blobs never leave storage)."""
+    import ray.data as rd
+
+    path = cached_table(images_dataset, "images", n_rows,
+                        parallelism=parallelism)
+    return rd.read_parquet(path, columns=columns)

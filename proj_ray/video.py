@@ -130,3 +130,15 @@ def frame_sample(ds, every_k: int = 3, concurrency=(2, 16),
                           fn_constructor_kwargs=dict(every_k=every_k),
                           batch_format="numpy", batch_size=batch_size,
                           concurrency=concurrency)
+
+
+def videos_table(n_rows: int, columns: list | None = None):
+    """Cached stored-table read of the synthetic videos (see
+    proj_ray.images.cached_table): frame sampling measures
+    read+seek+decode, not fixture synthesis."""
+    import ray.data as rd
+
+    from proj_ray.images import cached_table
+
+    path = cached_table(videos_dataset, "videos", n_rows)
+    return rd.read_parquet(path, columns=columns)
