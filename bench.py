@@ -143,6 +143,10 @@ def run_suite(sf_dir: str) -> dict:
     timed("q47_pivot", lambda: consume(E._q47_pivot(sf_dir)))
     timed("q49_zonal_stats",
           lambda: consume(E._q49_zonal_stats(sf_dir)))
+    timed("q51_heavy_hitters",
+          lambda: consume(E._q51_heavy_hitters(sf_dir)))
+    timed("q52_revenue_by_nation",
+          lambda: consume(E._q52_revenue_by_nation(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
