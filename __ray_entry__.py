@@ -2526,6 +2526,56 @@ FROM (
 """
 
 
+def _q54_track_length(sf_dir: str):
+    """Per-source great-circle track length over doc geotags ordered
+    by doc_id: consecutive-leg haversine sums, each leg 0.1mm-rounded
+    before the int64 sum (proj_ray/functions/temporal.py
+    track_length). The windowed-geospatial aggregate shape: one
+    hash-bucket all-to-all, vectorized segment pass."""
+    from proj_ray.functions.temporal import track_length
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"doc_id": i, "source": b["source"],
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    return track_length(docs.map_batches(add_geo, batch_format="numpy"),
+                        "source", "doc_id")
+
+
+_Q54_SQL = f"""
+WITH g AS (
+  SELECT source, doc_id,
+         (doc_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (doc_id * 75487 % 170000) / 1000.0 - 85.0  AS lat
+  FROM documents
+),
+p AS (
+  SELECT source, doc_id, lon, lat,
+         LAG(lon) OVER w AS plon, LAG(lat) OVER w AS plat
+  FROM g WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+),
+d AS (
+  SELECT source,
+         2.0 * 6371000.0 * asin(sqrt(LEAST(
+           sin((radians(lat) - radians(plat)) / 2.0)
+             * sin((radians(lat) - radians(plat)) / 2.0)
+           + cos(radians(plat)) * cos(radians(lat))
+             * sin((radians(lon) - radians(plon)) / 2.0)
+             * sin((radians(lon) - radians(plon)) / 2.0), 1.0))) AS dist
+  FROM p WHERE plon IS NOT NULL
+)
+SELECT source,
+       CAST(SUM(CAST(round(dist * 10000.0) AS BIGINT)) AS BIGINT)
+         AS track_tmm,
+       CAST(COUNT(*) AS BIGINT) AS n_legs
+FROM d GROUP BY source
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2586,6 +2636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_heavy_hitters": _q51_heavy_hitters,
         "q52_revenue_by_nation": _q52_revenue_by_nation,
         "q53_unpivot": _q53_unpivot,
+        "q54_track_length": _q54_track_length,
     }
 
 
@@ -2643,4 +2694,5 @@ def oracle_sql() -> dict[str, str]:
         "q51_heavy_hitters": _Q51_SQL,
         "q52_revenue_by_nation": _Q52_SQL,
         "q53_unpivot": _Q53_SQL,
+        "q54_track_length": _Q54_SQL,
     }

@@ -319,3 +319,63 @@ def rolling_window(ds, key_col: str, ts_col: str, value_col: str,
             # shuffle map task carries real rows, not read-splits
             .groupby("_bk")
             .map_groups(roll, batch_format="pandas"))
+
+
+def track_length(ds, key_col: str, order_col: str,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 n_buckets: int = 64):
+    """Per-key great-circle track length: order each key's points by
+    `order_col`, sum spherical haversine leg distances (R=6371000)
+    between consecutive points. Each leg is rounded to 0.1 mm int64
+    BEFORE the sum so distributed and SQL sums agree exactly.
+
+    Same shape as `sessionize`: one hash-bucket all-to-all, then a
+    vectorized multi-key segment pass per bucket (keys never split
+    across buckets). Returns (key, track_tmm, n_legs).
+    """
+    import pandas as pd
+
+    need = [key_col, order_col, lon_col, lat_col]
+    R = 6371000.0
+
+    def tag(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        k = np.asarray(batch[key_col])
+        if not np.issubdtype(k.dtype, np.integer):
+            k = pd.util.hash_array(k)
+        df["_bk"] = (k.astype(np.int64) % n_buckets + n_buckets) \
+            % n_buckets
+        return df
+
+    def legs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, order_col], kind="stable")
+        k = g[key_col].to_numpy()
+        lam = np.radians(np.asarray(g[lon_col], dtype=np.float64))
+        phi = np.radians(np.asarray(g[lat_col], dtype=np.float64))
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({key_col: k[:0], "track_tmm":
+                                 np.empty(0, np.int64),
+                                 "n_legs": np.empty(0, np.int64)})
+        same = k[1:] == k[:-1]
+        dphi = phi[1:] - phi[:-1]
+        dlam = lam[1:] - lam[:-1]
+        sp = np.sin(dphi / 2.0)
+        sl = np.sin(dlam / 2.0)
+        a = sp * sp + np.cos(phi[:-1]) * np.cos(phi[1:]) * sl * sl
+        d = 2.0 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        tmm = np.rint(d * 10000.0).astype(np.int64)
+        out = pd.DataFrame({key_col: k[1:][same],
+                            "d": tmm[same]})
+        g2 = out.groupby(key_col, as_index=False).agg(
+            track_tmm=("d", "sum"), n_legs=("d", "size"))
+        g2["track_tmm"] = g2["track_tmm"].astype(np.int64)
+        g2["n_legs"] = g2["n_legs"].astype(np.int64)
+        return g2
+
+    return (ds.select_columns(need)
+            .map_batches(tag, batch_format="numpy",
+                         batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: legs(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))

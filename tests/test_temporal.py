@@ -153,3 +153,41 @@ def test_rolling_window_matches_pandas(ray_session):
     exp = s.sort_values("event_id").reset_index(drop=True)
     assert np.array_equal(out["win_sum_c"], exp["win_sum_c"])
     assert np.array_equal(out["win_n"], exp["win_n"])
+
+
+def test_track_length_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import track_length
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n),
+        "o": np.arange(n, dtype=np.int64),
+        "lon": rng.uniform(-180, 180, n),
+        "lat": rng.uniform(-85, 85, n),
+    })
+    got = track_length(rd.from_pandas(df), "k", "o",
+                       n_buckets=8).to_pandas()
+    got = got.sort_values("k").reset_index(drop=True)
+
+    R = 6371000.0
+    s = df.sort_values(["k", "o"], kind="stable")
+    lam, phi = np.radians(s["lon"].to_numpy()), \
+        np.radians(s["lat"].to_numpy())
+    kk = s["k"].to_numpy()
+    same = kk[1:] == kk[:-1]
+    a = np.sin((phi[1:] - phi[:-1]) / 2) ** 2 \
+        + np.cos(phi[:-1]) * np.cos(phi[1:]) \
+        * np.sin((lam[1:] - lam[:-1]) / 2) ** 2
+    d = np.rint(2 * R * np.arcsin(np.sqrt(np.minimum(a, 1)))
+                * 10000).astype(np.int64)
+    exp = (pd.DataFrame({"k": kk[1:][same], "d": d[same]})
+           .groupby("k", as_index=False)
+           .agg(track_tmm=("d", "sum"), n_legs=("d", "size"))
+           .sort_values("k").reset_index(drop=True))
+    assert np.array_equal(got["k"], exp["k"])
+    assert np.array_equal(got["track_tmm"], exp["track_tmm"])
+    assert np.array_equal(got["n_legs"], exp["n_legs"])
