@@ -2576,6 +2576,91 @@ FROM d GROUP BY source
 """
 
 
+def _q55_raster_warp(sf_dir: str):
+    """Raster warp (the gdalwarp core): reproject each lon/lat-regular
+    DEM tile onto a per-tile Web-Mercator output grid — inverse
+    Mercator per output pixel, clamped bilinear sampling of the
+    decoded source payload — and emit per-tile fixed-point aggregates
+    (sum + position checksum, so orientation drift fails the hash).
+    Embarrassingly parallel map_batches over binary tiles read from a
+    cached stored table with column pruning; pixels never cross the
+    all-to-all (proj_ray/raster.py; kernel parity target
+    src/projections/merc.cpp spherical inverse, re-derived)."""
+    from proj_ray.raster import dem_table, warp_stats
+
+    n = _read(sf_dir, "documents").count()
+    return warp_stats(dem_table(
+        n, columns=["tile_id", "bytes", "lon0", "lat0", "lon1", "lat1"]))
+
+
+# mirrors proj_ray/raster.py op-for-op: asinh-form Mercator northing,
+# sinh-form inverse latitude, the x path is exact binary arithmetic
+# (fx = 2*ox + 0.5), each output pixel rounded to 1/1000 before the
+# int64 sums so SQL and numpy agree exactly.
+_Q55_SQL = """
+WITH ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+ext AS (
+  SELECT i,
+         -180.0 + (i % 16) * 22.5 AS lon0,
+         -85.0 + ((i // 16) % 10) * 17.0 AS lat0
+  FROM ids
+),
+m AS (
+  SELECT i, lon0, lat0,
+         ln(tan(radians(lat0))
+            + sqrt(tan(radians(lat0))*tan(radians(lat0)) + 1.0)) AS y0,
+         ln(tan(radians(lat0 + 17.0))
+            + sqrt(tan(radians(lat0 + 17.0))
+                   * tan(radians(lat0 + 17.0)) + 1.0)) AS y1
+  FROM ext
+),
+px AS (
+  SELECT i, lon0, lat0, ox.ox, oy.oy,
+         ((lon0 + ((ox.ox + 0.5) * 22.5) / 16.0) - lon0)
+           / (22.5 / 32.0) - 0.5 AS fx,
+         (degrees(atan((exp(y0 + ((oy.oy + 0.5) * (y1 - y0)) / 16.0)
+                        - exp(-(y0 + ((oy.oy + 0.5) * (y1 - y0))
+                                / 16.0))) / 2.0)) - lat0)
+           / (17.0 / 32.0) - 0.5 AS fy
+  FROM m CROSS JOIN range(16) ox(ox) CROSS JOIN range(16) oy(oy)
+),
+w AS (
+  SELECT i, ox, oy,
+         LEAST(CAST(floor(LEAST(GREATEST(fx, 0.0), 31.0)) AS BIGINT),
+               30) AS gx0,
+         LEAST(CAST(floor(LEAST(GREATEST(fy, 0.0), 31.0)) AS BIGINT),
+               30) AS gy0,
+         LEAST(GREATEST(fx, 0.0), 31.0)
+           - LEAST(CAST(floor(LEAST(GREATEST(fx, 0.0), 31.0))
+                        AS BIGINT), 30) AS wx,
+         LEAST(GREATEST(fy, 0.0), 31.0)
+           - LEAST(CAST(floor(LEAST(GREATEST(fy, 0.0), 31.0))
+                        AS BIGINT), 30) AS wy
+  FROM px
+),
+v AS (
+  SELECT i, ox, oy,
+         (1.0 - wy) * ((1.0 - wx) * ((i*31 + gy0*7 + gx0*13) % 256)
+                       + wx * ((i*31 + gy0*7 + (gx0+1)*13) % 256))
+         + wy * ((1.0 - wx) * ((i*31 + (gy0+1)*7 + gx0*13) % 256)
+                 + wx * ((i*31 + (gy0+1)*7 + (gx0+1)*13) % 256)) AS val
+  FROM w
+),
+p AS (
+  SELECT i, CAST(round(val * 1000.0) AS BIGINT) AS pv,
+         oy * 16 + ox + 1 AS pos
+  FROM v
+)
+SELECT i AS tile_id,
+       CAST(SUM(pv) AS BIGINT) AS wsum,
+       CAST(SUM(pv * pos) AS BIGINT) AS wchk,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM p GROUP BY i
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2637,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_revenue_by_nation": _q52_revenue_by_nation,
         "q53_unpivot": _q53_unpivot,
         "q54_track_length": _q54_track_length,
+        "q55_raster_warp": _q55_raster_warp,
     }
 
 
@@ -2695,4 +2781,5 @@ def oracle_sql() -> dict[str, str]:
         "q52_revenue_by_nation": _Q52_SQL,
         "q53_unpivot": _Q53_SQL,
         "q54_track_length": _Q54_SQL,
+        "q55_raster_warp": _Q55_SQL,
     }

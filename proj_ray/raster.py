@@ -1,0 +1,194 @@
+"""Raster tiles and reprojection (warp) over binary DEM payloads.
+
+The geospatial-x-image core op the reference's ecosystem runs through
+gdalwarp: resample a regular lon/lat source raster onto a Web-Mercator
+output grid (reference kernel parity target: merc/webmerc spherical
+forward/inverse, src/projections/merc.cpp — re-derived, not copied).
+Here each row of a table is one raster tile (an opaque binary payload
+plus extent metadata), the warp is a vectorized per-batch map_batches
+stage, and every arithmetic step (inverse Mercator, clamped bilinear
+weights, fixed-point rounding) is written in a form a SQL oracle can
+reproduce exactly:
+
+  y      = log(tan(phi) + sqrt(tan(phi)^2 + 1))        (asinh form)
+  phi    = atan((exp(y) - exp(-y)) / 2)                (sinh form)
+
+Design for 100 TB: tiles are independent rows — the warp is
+embarrassingly parallel, pixels never cross the all-to-all (only the
+per-tile fixed-point aggregates do), and the fixture is a cached
+parquet materialization read with column pruning like any stored
+table.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+SRC_W = 32
+SRC_H = 32
+OUT_W = 16
+OUT_H = 16
+
+# global tile grid: 16 x 10 extents of 22.5 deg x 17 deg covering
+# [-180,180] x [-85,85]; tile ids beyond 160 reuse extents with a new
+# value "layer" so any table size works.
+GRID_NX = 16
+GRID_NY = 10
+LON_SPAN = 22.5
+LAT_SPAN = 17.0
+
+
+def dem_extent(tile_id: np.ndarray):
+    """(lon0, lat0, lon1, lat1) of each tile id (vectorized)."""
+    i = np.asarray(tile_id, dtype=np.int64)
+    tx = i % GRID_NX
+    ty = (i // GRID_NX) % GRID_NY
+    lon0 = -180.0 + tx * LON_SPAN
+    lat0 = -85.0 + ty * LAT_SPAN
+    return lon0, lat0, lon0 + LON_SPAN, lat0 + LAT_SPAN
+
+
+def dem_values(tile_id: int, h: int = SRC_H, w: int = SRC_W):
+    """Deterministic pixel grid of one tile: v[r, c] =
+    (id*31 + r*7 + c*13) % 256, row 0 = SOUTH edge."""
+    r = np.arange(h, dtype=np.int64)[:, None]
+    c = np.arange(w, dtype=np.int64)[None, :]
+    return ((int(tile_id) * 31 + r * 7 + c * 13) % 256).astype(np.uint8)
+
+
+def dem_encode(px: np.ndarray) -> bytes:
+    """FDEM container: magic + uint16 w,h (LE) + row-major uint8."""
+    h, w = px.shape
+    return b"FDEM" + struct.pack("<HH", w, h) + \
+        np.ascontiguousarray(px, dtype=np.uint8).tobytes()
+
+
+def dem_decode(data: bytes) -> np.ndarray:
+    if data[:4] != b"FDEM":
+        raise ValueError("not an FDEM payload")
+    w, h = struct.unpack_from("<HH", data, 4)
+    return np.frombuffer(data, dtype=np.uint8, count=w * h,
+                         offset=8).reshape(h, w)
+
+
+def make_dem_for(idx: np.ndarray):
+    """Rows of the DEM-tile table for an arbitrary id array (any worker
+    can synthesize any row — the resumable-synthesis contract)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    lon0, lat0, lon1, lat1 = dem_extent(idx)
+    blobs = np.empty(len(idx), dtype=object)
+    for k, i in enumerate(idx):
+        blobs[k] = dem_encode(dem_values(int(i)))
+    return {
+        "tile_id": idx,
+        "bytes": blobs,
+        "w": np.full(len(idx), SRC_W, dtype=np.int32),
+        "h": np.full(len(idx), SRC_H, dtype=np.int32),
+        "lon0": lon0, "lat0": lat0, "lon1": lon1, "lat1": lat1,
+    }
+
+
+def dem_dataset(n_rows: int, parallelism: int = 8):
+    """DEM-tile table as a Dataset generated shard-wise on workers."""
+    import ray.data as rd
+
+    def gen(batch):
+        import pandas as pd
+
+        return pd.DataFrame(make_dem_for(batch["id"]))
+
+    return rd.range(n_rows, override_num_blocks=max(parallelism, 1)) \
+        .map_batches(gen, batch_format="numpy", batch_size=256)
+
+
+def dem_table(n_rows: int, columns: list | None = None,
+              parallelism: int = 32):
+    """Cached parquet materialization of the DEM table (one-time per
+    (tag, n)), read back with column pruning like any stored table."""
+    import ray.data as rd
+
+    from proj_ray.images import cached_table
+
+    path = cached_table(dem_dataset, "dem", n_rows,
+                        parallelism=parallelism)
+    return rd.read_parquet(path, columns=columns)
+
+
+def _merc_y(lat_deg: np.ndarray) -> np.ndarray:
+    """Unit-sphere Mercator northing, asinh form (SQL-reproducible)."""
+    t = np.tan(np.radians(np.asarray(lat_deg, dtype=np.float64)))
+    return np.log(t + np.sqrt(t * t + 1.0))
+
+
+def _inv_merc_lat(y: np.ndarray) -> np.ndarray:
+    """Inverse Mercator latitude in degrees, sinh form."""
+    return np.degrees(np.arctan((np.exp(y) - np.exp(-y)) / 2.0))
+
+
+def warp_tile_batch(blobs, lon0, lat0, lon1, lat1,
+                    out_w: int = OUT_W, out_h: int = OUT_H):
+    """Warp a batch of lon/lat-regular tiles onto per-tile Web-Mercator
+    output grids (clamped bilinear). Returns float64 (B, out_h, out_w).
+
+    Fully vectorized over (tile, row, col): the only Python loop is the
+    per-blob decode. Output row 0 = south (matches source row 0)."""
+    n = len(blobs)
+    src = np.empty((n, SRC_H, SRC_W), dtype=np.float64)
+    for k in range(n):
+        src[k] = dem_decode(blobs[k])
+    lon0 = np.asarray(lon0, dtype=np.float64)[:, None, None]
+    lat0f = np.asarray(lat0, dtype=np.float64)
+    lat1f = np.asarray(lat1, dtype=np.float64)
+    dlon = (np.asarray(lon1, dtype=np.float64)[:, None, None] - lon0)
+    y0 = _merc_y(lat0f)[:, None, None]
+    y1 = _merc_y(lat1f)[:, None, None]
+
+    ox = np.arange(out_w, dtype=np.float64)[None, None, :]
+    oy = np.arange(out_h, dtype=np.float64)[None, :, None]
+    lon = lon0 + (ox + 0.5) * dlon / out_w          # merc x linear in lon
+    y = y0 + (oy + 0.5) * (y1 - y0) / out_h
+    lat = _inv_merc_lat(np.broadcast_to(y, (n, out_h, out_w)))
+
+    fx = (lon - lon0) / (dlon / SRC_W) - 0.5
+    fy = (lat - np.asarray(lat0, dtype=np.float64)[:, None, None]) \
+        / ((lat1f - lat0f)[:, None, None] / SRC_H) - 0.5
+    fx = np.clip(np.broadcast_to(fx, (n, out_h, out_w)), 0.0, SRC_W - 1.0)
+    fy = np.clip(fy, 0.0, SRC_H - 1.0)
+    gx0 = np.minimum(np.floor(fx), SRC_W - 2).astype(np.int64)
+    gy0 = np.minimum(np.floor(fy), SRC_H - 2).astype(np.int64)
+    wx = fx - gx0
+    wy = fy - gy0
+
+    b = np.arange(n, dtype=np.int64)[:, None, None]
+    v00 = src[b, gy0, gx0]
+    v10 = src[b, gy0, gx0 + 1]
+    v01 = src[b, gy0 + 1, gx0]
+    v11 = src[b, gy0 + 1, gx0 + 1]
+    return (1.0 - wy) * ((1.0 - wx) * v00 + wx * v10) \
+        + wy * ((1.0 - wx) * v01 + wx * v11)
+
+
+def warp_stats(ds, out_w: int = OUT_W, out_h: int = OUT_H,
+               scale: int = 1000):
+    """Per-tile warp aggregate: each output pixel value rounded to
+    1/scale fixed point, summed (wsum) and position-checksummed
+    (wchk = sum(px_value * (oy*out_w + ox + 1)) — catches orientation
+    or transpose drift a plain sum would miss). Pixels never leave the
+    task; the result is one row per tile."""
+
+    def stage(batch: dict) -> dict:
+        wv = warp_tile_batch(batch["bytes"], batch["lon0"],
+                             batch["lat0"], batch["lon1"],
+                             batch["lat1"], out_w, out_h)
+        pv = np.rint(wv * scale).astype(np.int64)
+        pos = (np.arange(out_h * out_w, dtype=np.int64)
+               .reshape(1, out_h, out_w) + 1)
+        return {
+            "tile_id": np.asarray(batch["tile_id"], dtype=np.int64),
+            "wsum": pv.sum(axis=(1, 2)),
+            "wchk": (pv * pos).sum(axis=(1, 2)),
+            "n_px": np.full(len(wv), out_h * out_w, dtype=np.int64),
+        }
+
+    return ds.map_batches(stage, batch_format="numpy", batch_size=256)

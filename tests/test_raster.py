@@ -1,0 +1,104 @@
+"""Raster warp: codec round-trip, brute-force bilinear parity,
+edge-clamp semantics, and the Dataset stage."""
+import numpy as np
+import pytest
+
+from proj_ray.raster import (OUT_H, OUT_W, SRC_H, SRC_W, dem_decode,
+                             dem_encode, dem_extent, dem_values,
+                             make_dem_for, warp_tile_batch)
+
+
+def test_dem_codec_roundtrip():
+    px = dem_values(42)
+    assert px.shape == (SRC_H, SRC_W)
+    out = dem_decode(dem_encode(px))
+    assert np.array_equal(out, px)
+    with pytest.raises(ValueError):
+        dem_decode(b"BMP?" + bytes(16))
+
+
+def _brute_warp_one(tile_id: int):
+    """Scalar re-derivation of the warp for one tile: per-pixel Python
+    loop, independent formula order — catches vectorization bugs."""
+    import math
+
+    lon0, lat0, lon1, lat1 = (float(v) for v in dem_extent(
+        np.array([tile_id])))
+    src = dem_values(tile_id).astype(float)
+    y0 = math.asinh(math.tan(math.radians(lat0)))
+    y1 = math.asinh(math.tan(math.radians(lat1)))
+    out = np.empty((OUT_H, OUT_W))
+    for oy in range(OUT_H):
+        for ox in range(OUT_W):
+            lon = lon0 + (ox + 0.5) * (lon1 - lon0) / OUT_W
+            y = y0 + (oy + 0.5) * (y1 - y0) / OUT_H
+            lat = math.degrees(math.atan(math.sinh(y)))
+            fx = (lon - lon0) / ((lon1 - lon0) / SRC_W) - 0.5
+            fy = (lat - lat0) / ((lat1 - lat0) / SRC_H) - 0.5
+            fx = min(max(fx, 0.0), SRC_W - 1.0)
+            fy = min(max(fy, 0.0), SRC_H - 1.0)
+            gx, gy = min(int(fx), SRC_W - 2), min(int(fy), SRC_H - 2)
+            wx, wy = fx - gx, fy - gy
+            out[oy, ox] = ((1 - wy) * ((1 - wx) * src[gy, gx]
+                                       + wx * src[gy, gx + 1])
+                           + wy * ((1 - wx) * src[gy + 1, gx]
+                                   + wx * src[gy + 1, gx + 1]))
+    return out
+
+
+def test_warp_matches_brute():
+    ids = np.array([0, 7, 95, 159, 500], dtype=np.int64)
+    rows = make_dem_for(ids)
+    got = warp_tile_batch(rows["bytes"], rows["lon0"], rows["lat0"],
+                          rows["lon1"], rows["lat1"])
+    for k, i in enumerate(ids):
+        exp = _brute_warp_one(int(i))
+        assert np.allclose(got[k], exp, rtol=0, atol=1e-9), f"tile {i}"
+
+
+def test_warp_constant_raster_is_constant():
+    """Bilinear of a constant field is that constant everywhere,
+    including the clamped edge rows."""
+    blob = dem_encode(np.full((SRC_H, SRC_W), 77, dtype=np.uint8))
+    got = warp_tile_batch(np.array([blob], dtype=object),
+                          [10.0], [51.0], [32.5], [68.0])
+    assert np.allclose(got, 77.0, rtol=0, atol=1e-12)
+
+
+def test_warp_edge_clamp_high_latitude():
+    """At high latitude Mercator stretching pushes the top output-row
+    centers within half a source pixel of the north edge (fy > 31):
+    they must clamp to the last source row (never index out of range,
+    never NaN)."""
+    ids = np.array([144], dtype=np.int64)  # ty=9 -> lat in [68, 85]
+    rows = make_dem_for(ids)
+    got = warp_tile_batch(rows["bytes"], rows["lon0"], rows["lat0"],
+                          rows["lon1"], rows["lat1"])
+    assert np.isfinite(got).all()
+    src = dem_values(144).astype(float)
+    # clamped top row == bilinear along source row 31 at wx=0.5
+    exp = 0.5 * (src[31, 0] + src[31, 1])
+    assert got[0, 15, 0] == pytest.approx(exp, abs=1e-9)
+
+
+def test_warp_stats_dataset(ray_session):
+    import ray.data as rd
+
+    from proj_ray.raster import warp_stats
+
+    ids = np.arange(40, dtype=np.int64)
+    rows = make_dem_for(ids)
+    import pandas as pd
+
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = warp_stats(ds).to_pandas().sort_values("tile_id")
+    assert len(out) == 40
+    assert (out["n_px"] == OUT_H * OUT_W).all()
+    wv = warp_tile_batch(rows["bytes"], rows["lon0"], rows["lat0"],
+                         rows["lon1"], rows["lat1"])
+    pv = np.rint(wv * 1000).astype(np.int64)
+    assert np.array_equal(out["wsum"].to_numpy(), pv.sum(axis=(1, 2)))
+    pos = np.arange(OUT_H * OUT_W, dtype=np.int64) \
+        .reshape(1, OUT_H, OUT_W) + 1
+    assert np.array_equal(out["wchk"].to_numpy(),
+                          (pv * pos).sum(axis=(1, 2)))
