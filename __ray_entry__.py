@@ -2649,7 +2649,7 @@ v AS (
   FROM w
 ),
 p AS (
-  SELECT i, CAST(round(val * 1000.0) AS BIGINT) AS pv,
+  SELECT i, CAST(floor(val * 1000.0 + 0.5) AS BIGINT) AS pv,
          oy * 16 + ox + 1 AS pos
   FROM v
 )
@@ -2658,6 +2658,75 @@ SELECT i AS tile_id,
        CAST(SUM(pv * pos) AS BIGINT) AS wchk,
        CAST(COUNT(*) AS BIGINT) AS n_px
 FROM p GROUP BY i
+"""
+
+
+def _q56_raster_sample(sf_dir: str):
+    """Vector-x-raster join: bilinear-sample the layer-0 DEM mosaic at
+    each document geotag. The raster side is bounded (160 tiles read
+    from the stored table, assembled once, ray.put broadcast); the
+    point side streams through an actor pool with a pure vectorized
+    gather per batch — no shuffle at all (proj_ray/raster.py
+    sample_points)."""
+    from proj_ray.raster import sample_points
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"doc_id": i,
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    return sample_points(docs.map_batches(add_geo,
+                                          batch_format="numpy"),
+                         n_tiles=n)
+
+
+# mirrors PointSampler op-for-op; v(gx,gy) decomposes the global pixel
+# into (tile, local row, local col) exactly as the mosaic assembles it
+_Q56_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (doc_id * 75487 % 170000) / 1000.0 - 85.0  AS lat
+  FROM documents
+),
+f AS (
+  SELECT doc_id, lon, lat,
+         LEAST(GREATEST((lon + 180.0) / (360.0 / 512.0) - 0.5, 0.0),
+               511.0) AS fx,
+         LEAST(GREATEST((lat + 85.0) / (170.0 / 320.0) - 0.5, 0.0),
+               319.0) AS fy
+  FROM g
+),
+w AS (
+  SELECT doc_id, lon, lat,
+         LEAST(CAST(floor(fx) AS BIGINT), 510) AS gx0,
+         LEAST(CAST(floor(fy) AS BIGINT), 318) AS gy0,
+         fx - LEAST(CAST(floor(fx) AS BIGINT), 510) AS wx,
+         fy - LEAST(CAST(floor(fy) AS BIGINT), 318) AS wy
+  FROM f
+),
+v AS (
+  SELECT doc_id, lon, lat,
+    (1.0 - wy) * (
+      (1.0 - wx) * ((((gy0 // 32) * 16 + gx0 // 32) * 31
+                     + (gy0 % 32) * 7 + (gx0 % 32) * 13) % 256)
+      + wx * ((((gy0 // 32) * 16 + (gx0 + 1) // 32) * 31
+               + (gy0 % 32) * 7 + ((gx0 + 1) % 32) * 13) % 256))
+    + wy * (
+      (1.0 - wx) * (((((gy0 + 1) // 32) * 16 + gx0 // 32) * 31
+                     + ((gy0 + 1) % 32) * 7 + (gx0 % 32) * 13) % 256)
+      + wx * (((((gy0 + 1) // 32) * 16 + (gx0 + 1) // 32) * 31
+               + ((gy0 + 1) % 32) * 7
+               + ((gx0 + 1) % 32) * 13) % 256)) AS val
+  FROM w
+)
+SELECT doc_id, lon, lat,
+       CAST(floor(val * 1000.0 + 0.5) AS BIGINT) AS samp_f
+FROM v
 """
 
 
@@ -2723,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_unpivot": _q53_unpivot,
         "q54_track_length": _q54_track_length,
         "q55_raster_warp": _q55_raster_warp,
+        "q56_raster_sample": _q56_raster_sample,
     }
 
 
@@ -2782,4 +2852,5 @@ def oracle_sql() -> dict[str, str]:
         "q53_unpivot": _Q53_SQL,
         "q54_track_length": _Q54_SQL,
         "q55_raster_warp": _Q55_SQL,
+        "q56_raster_sample": _Q56_SQL,
     }

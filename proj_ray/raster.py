@@ -181,7 +181,9 @@ def warp_stats(ds, out_w: int = OUT_W, out_h: int = OUT_H,
         wv = warp_tile_batch(batch["bytes"], batch["lon0"],
                              batch["lat0"], batch["lon1"],
                              batch["lat1"], out_w, out_h)
-        pv = np.rint(wv * scale).astype(np.int64)
+        # floor(x+0.5), not rint: numpy rounds half-even, SQL round()
+        # rounds half-away — this form is bit-identical in both.
+        pv = np.floor(wv * scale + 0.5).astype(np.int64)
         pos = (np.arange(out_h * out_w, dtype=np.int64)
                .reshape(1, out_h, out_w) + 1)
         return {
@@ -192,3 +194,91 @@ def warp_stats(ds, out_w: int = OUT_W, out_h: int = OUT_H,
         }
 
     return ds.map_batches(stage, batch_format="numpy", batch_size=256)
+
+
+MOSAIC_W = GRID_NX * SRC_W   # 512 global columns over [-180, 180]
+MOSAIC_H = GRID_NY * SRC_H   # 320 global rows over [-85, 85]
+
+
+def mosaic_from_rows(tile_ids, blobs) -> np.ndarray:
+    """Assemble layer-0 tiles (ids 0..159) into one global
+    (MOSAIC_H, MOSAIC_W) grid, row 0 = south. Cross-tile bilinear
+    sampling then needs no neighbor-tile bookkeeping."""
+    out = np.zeros((MOSAIC_H, MOSAIC_W), dtype=np.float64)
+    seen = 0
+    for tid, blob in zip(tile_ids, blobs):
+        tid = int(tid)
+        if not 0 <= tid < GRID_NX * GRID_NY:
+            continue
+        ty, tx = divmod(tid, GRID_NX)
+        out[ty * SRC_H:(ty + 1) * SRC_H,
+            tx * SRC_W:(tx + 1) * SRC_W] = dem_decode(blob)
+        seen += 1
+    if seen != GRID_NX * GRID_NY:
+        raise ValueError(f"mosaic needs all {GRID_NX * GRID_NY} "
+                         f"layer-0 tiles, got {seen}")
+    return out
+
+
+class PointSampler:
+    """Actor-pool stage: bilinear-sample the broadcast raster mosaic at
+    each point. The mosaic rides the object store (ray.put once, read
+    zero-copy per actor in __init__) — the broadcast-small-side
+    pattern; the per-batch path is pure vectorized gather.
+
+    Fixed point: floor(v*scale + 0.5) — bit-identical between numpy
+    and a SQL oracle (no half-even vs half-away divergence)."""
+
+    def __init__(self, mosaic_ref, scale: int = 1000):
+        import ray
+
+        self.mosaic = ray.get(mosaic_ref) \
+            if not isinstance(mosaic_ref, np.ndarray) else mosaic_ref
+        self.scale = scale
+
+    def __call__(self, b: dict) -> dict:
+        lon = np.asarray(b["lon"], dtype=np.float64)
+        lat = np.asarray(b["lat"], dtype=np.float64)
+        fx = (lon + 180.0) / (360.0 / MOSAIC_W) - 0.5
+        fy = (lat + 85.0) / (170.0 / MOSAIC_H) - 0.5
+        fx = np.clip(fx, 0.0, MOSAIC_W - 1.0)
+        fy = np.clip(fy, 0.0, MOSAIC_H - 1.0)
+        gx0 = np.minimum(np.floor(fx), MOSAIC_W - 2).astype(np.int64)
+        gy0 = np.minimum(np.floor(fy), MOSAIC_H - 2).astype(np.int64)
+        wx = fx - gx0
+        wy = fy - gy0
+        m = self.mosaic
+        v = (1.0 - wy) * ((1.0 - wx) * m[gy0, gx0]
+                          + wx * m[gy0, gx0 + 1]) \
+            + wy * ((1.0 - wx) * m[gy0 + 1, gx0]
+                    + wx * m[gy0 + 1, gx0 + 1])
+        out = {k: b[k] for k in b if k not in ("lon", "lat")}
+        out["lon"] = lon
+        out["lat"] = lat
+        out["samp_f"] = np.floor(v * self.scale + 0.5).astype(np.int64)
+        return out
+
+
+def sample_points(ds_points, n_tiles: int | None = None,
+                  scale: int = 1000, concurrency: int = 4):
+    """Vector-x-raster join: sample the layer-0 DEM mosaic at each
+    point row of `ds_points` (needs lon/lat columns). The raster side
+    is bounded (160 tiles): assembled once on the driver from the
+    stored table, broadcast via ray.put, sampled per batch in an actor
+    pool. Adds `samp_f` = floor(bilinear_value * scale + 0.5)."""
+    import ray
+
+    rows = dem_table(max(n_tiles or 0, GRID_NX * GRID_NY),
+                     columns=["tile_id", "bytes"]) \
+        .filter(expr=f"tile_id < {GRID_NX * GRID_NY}") \
+        .take_all()
+    mosaic = mosaic_from_rows([r["tile_id"] for r in rows],
+                              [r["bytes"] for r in rows])
+    ref = ray.put(mosaic)
+    # autoscaling pool (min 1): a fixed pool of `concurrency` actors
+    # reserves that many whole CPUs up front and starves the upstream
+    # read into a deadlock on small clusters (seen at num_cpus=4).
+    return ds_points.map_batches(
+        PointSampler, fn_constructor_args=(ref, scale),
+        batch_format="numpy", batch_size=65536,
+        concurrency=(1, concurrency))

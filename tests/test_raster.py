@@ -96,9 +96,51 @@ def test_warp_stats_dataset(ray_session):
     assert (out["n_px"] == OUT_H * OUT_W).all()
     wv = warp_tile_batch(rows["bytes"], rows["lon0"], rows["lat0"],
                          rows["lon1"], rows["lat1"])
-    pv = np.rint(wv * 1000).astype(np.int64)
+    pv = np.floor(wv * 1000 + 0.5).astype(np.int64)
     assert np.array_equal(out["wsum"].to_numpy(), pv.sum(axis=(1, 2)))
     pos = np.arange(OUT_H * OUT_W, dtype=np.int64) \
         .reshape(1, OUT_H, OUT_W) + 1
     assert np.array_equal(out["wchk"].to_numpy(),
                           (pv * pos).sum(axis=(1, 2)))
+
+
+def test_mosaic_assembly_and_missing_tile():
+    ids = np.arange(160, dtype=np.int64)
+    rows = make_dem_for(ids)
+    from proj_ray.raster import mosaic_from_rows
+
+    m = mosaic_from_rows(rows["tile_id"], rows["bytes"])
+    assert m.shape == (320, 512)
+    # spot-check: global (gy, gx) -> tile/local decomposition
+    for gy, gx in ((0, 0), (319, 511), (100, 333), (37, 482)):
+        tid = (gy // 32) * 16 + gx // 32
+        assert m[gy, gx] == (tid * 31 + (gy % 32) * 7
+                             + (gx % 32) * 13) % 256
+    with pytest.raises(ValueError):
+        mosaic_from_rows(rows["tile_id"][:100], rows["bytes"][:100])
+
+
+def test_point_sampler_brute_parity():
+    from proj_ray.raster import MOSAIC_H, MOSAIC_W, PointSampler, \
+        mosaic_from_rows
+
+    rows = make_dem_for(np.arange(160, dtype=np.int64))
+    m = mosaic_from_rows(rows["tile_id"], rows["bytes"])
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-180, 180, 200)
+    lat = rng.uniform(-85, 85, 200)
+    # include edge/clamp cases
+    lon[:4] = (-180.0, 180.0, -179.99, 179.99)
+    lat[:4] = (-85.0, 85.0, -84.99, 84.99)
+    got = PointSampler(m)({"doc_id": np.arange(200), "lon": lon,
+                           "lat": lat})["samp_f"]
+    for j in range(200):
+        fx = min(max((lon[j] + 180.0) / (360.0 / MOSAIC_W) - 0.5, 0.0),
+                 MOSAIC_W - 1.0)
+        fy = min(max((lat[j] + 85.0) / (170.0 / MOSAIC_H) - 0.5, 0.0),
+                 MOSAIC_H - 1.0)
+        gx, gy = min(int(fx), MOSAIC_W - 2), min(int(fy), MOSAIC_H - 2)
+        wx, wy = fx - gx, fy - gy
+        v = ((1 - wy) * ((1 - wx) * m[gy, gx] + wx * m[gy, gx + 1])
+             + wy * ((1 - wx) * m[gy + 1, gx] + wx * m[gy + 1, gx + 1]))
+        assert got[j] == int(np.floor(v * 1000 + 0.5)), j
