@@ -2730,6 +2730,60 @@ FROM v
 """
 
 
+def _q57_hillshade(sf_dir: str):
+    """Focal raster analysis: Horn hillshade over each DEM tile's
+    interior pixels (3x3 gradients need no cross-tile halo), per-tile
+    fixed-point sum + position checksum. Embarrassingly parallel
+    map_batches over the stored binary tiles
+    (proj_ray/raster.py hillshade_stats)."""
+    from proj_ray.raster import dem_table, hillshade_stats
+
+    n = _read(sf_dir, "documents").count()
+    return hillshade_stats(dem_table(n, columns=["tile_id", "bytes"]))
+
+
+def _v57(dr: int, dc: int) -> str:
+    """DEM value at the (r+dr, c+dc) neighbor, inlined for the q57
+    oracle (integer adds below 2^53 are exact in float, so the p/q
+    summation order need not mirror numpy's)."""
+    return f"((i*31 + (r.r+({dr}))*7 + (c.c+({dc}))*13) % 256)"
+
+
+_Q57_SQL = f"""
+WITH ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+g AS (
+  SELECT i, r.r, c.c,
+         (({_v57(-1, 1)} + 2.0*{_v57(0, 1)} + {_v57(1, 1)})
+          - ({_v57(-1, -1)} + 2.0*{_v57(0, -1)} + {_v57(1, -1)}))
+           / 8.0 AS p,
+         (({_v57(1, -1)} + 2.0*{_v57(1, 0)} + {_v57(1, 1)})
+          - ({_v57(-1, -1)} + 2.0*{_v57(-1, 0)} + {_v57(-1, 1)}))
+           / 8.0 AS q
+  FROM ids CROSS JOIN range(1, 31) r(r) CROSS JOIN range(1, 31) c(c)
+),
+h AS (
+  SELECT i, r, c,
+         255.0 * GREATEST(
+           cos(pi()/4.0) * cos(atan(sqrt(p*p + q*q)))
+           + sin(pi()/4.0) * sin(atan(sqrt(p*p + q*q)))
+             * cos(5.0*pi()/4.0 - atan2(q, -p)), 0.0) AS hs
+  FROM g
+),
+p AS (
+  SELECT i, CAST(floor(hs * 1000.0 + 0.5) AS BIGINT) AS pv,
+         (r - 1) * 30 + (c - 1) + 1 AS pos
+  FROM h
+)
+SELECT i AS tile_id,
+       CAST(SUM(pv) AS BIGINT) AS hsum,
+       CAST(SUM(pv * pos) AS BIGINT) AS hchk,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM p GROUP BY i
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2793,6 +2847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_track_length": _q54_track_length,
         "q55_raster_warp": _q55_raster_warp,
         "q56_raster_sample": _q56_raster_sample,
+        "q57_hillshade": _q57_hillshade,
     }
 
 
@@ -2853,4 +2908,5 @@ def oracle_sql() -> dict[str, str]:
         "q54_track_length": _Q54_SQL,
         "q55_raster_warp": _Q55_SQL,
         "q56_raster_sample": _Q56_SQL,
+        "q57_hillshade": _Q57_SQL,
     }

@@ -196,6 +196,51 @@ def warp_stats(ds, out_w: int = OUT_W, out_h: int = OUT_H,
     return ds.map_batches(stage, batch_format="numpy", batch_size=256)
 
 
+def hillshade_batch(blobs, zen: float = np.pi / 4.0,
+                    az: float = 5.0 * np.pi / 4.0):
+    """Horn hillshade over each tile's INTERIOR pixels (no halo
+    exchange needed): 3x3 Sobel-style gradients in grid units,
+    slope = atan(|grad|), aspect = atan2(q, -p),
+    hs = 255 * max(cos(zen)cos(slope) + sin(zen)sin(slope)cos(az -
+    aspect), 0). Returns float64 (B, SRC_H-2, SRC_W-2). Every step is
+    elementwise arithmetic + atan/atan2/cos a SQL oracle reproduces."""
+    n = len(blobs)
+    v = np.empty((n, SRC_H, SRC_W), dtype=np.float64)
+    for k in range(n):
+        v[k] = dem_decode(blobs[k])
+    nw, no, ne = v[:, :-2, :-2], v[:, :-2, 1:-1], v[:, :-2, 2:]
+    we, ea = v[:, 1:-1, :-2], v[:, 1:-1, 2:]
+    sw, so, se = v[:, 2:, :-2], v[:, 2:, 1:-1], v[:, 2:, 2:]
+    p = ((ne + 2.0 * ea + se) - (nw + 2.0 * we + sw)) / 8.0
+    q = ((sw + 2.0 * so + se) - (nw + 2.0 * no + ne)) / 8.0
+    slope = np.arctan(np.sqrt(p * p + q * q))
+    aspect = np.arctan2(q, -p)
+    hs = 255.0 * np.maximum(
+        np.cos(zen) * np.cos(slope)
+        + np.sin(zen) * np.sin(slope) * np.cos(az - aspect), 0.0)
+    return hs
+
+
+def hillshade_stats(ds, scale: int = 1000):
+    """Per-tile hillshade aggregate (sum + position checksum over the
+    interior grid, floor(x*scale+0.5) fixed point). Same shape as
+    warp_stats: embarrassingly parallel, pixels stay in the task."""
+    ih, iw = SRC_H - 2, SRC_W - 2
+
+    def stage(batch: dict) -> dict:
+        hs = hillshade_batch(batch["bytes"])
+        pv = np.floor(hs * scale + 0.5).astype(np.int64)
+        pos = np.arange(ih * iw, dtype=np.int64).reshape(1, ih, iw) + 1
+        return {
+            "tile_id": np.asarray(batch["tile_id"], dtype=np.int64),
+            "hsum": pv.sum(axis=(1, 2)),
+            "hchk": (pv * pos).sum(axis=(1, 2)),
+            "n_px": np.full(len(pv), ih * iw, dtype=np.int64),
+        }
+
+    return ds.map_batches(stage, batch_format="numpy", batch_size=256)
+
+
 MOSAIC_W = GRID_NX * SRC_W   # 512 global columns over [-180, 180]
 MOSAIC_H = GRID_NY * SRC_H   # 320 global rows over [-85, 85]
 

@@ -144,3 +144,34 @@ def test_point_sampler_brute_parity():
         v = ((1 - wy) * ((1 - wx) * m[gy, gx] + wx * m[gy, gx + 1])
              + wy * ((1 - wx) * m[gy + 1, gx] + wx * m[gy + 1, gx + 1]))
         assert got[j] == int(np.floor(v * 1000 + 0.5)), j
+
+
+def test_hillshade_brute_parity():
+    """Scalar Horn hillshade vs the vectorized batch (independent
+    loop), incl. flat-field check: zero gradient -> uniform
+    255*cos(zen)."""
+    import math
+
+    from proj_ray.raster import hillshade_batch
+
+    rows = make_dem_for(np.array([3, 160], dtype=np.int64))
+    got = hillshade_batch(rows["bytes"])
+    assert got.shape == (2, SRC_H - 2, SRC_W - 2)
+    for k, tid in enumerate((3, 160)):
+        v = dem_values(tid).astype(float)
+        for r, c in ((1, 1), (15, 20), (30, 30), (7, 29)):
+            p = ((v[r-1, c+1] + 2*v[r, c+1] + v[r+1, c+1])
+                 - (v[r-1, c-1] + 2*v[r, c-1] + v[r+1, c-1])) / 8.0
+            q = ((v[r+1, c-1] + 2*v[r+1, c] + v[r+1, c+1])
+                 - (v[r-1, c-1] + 2*v[r-1, c] + v[r-1, c+1])) / 8.0
+            slope = math.atan(math.hypot(p, q))
+            aspect = math.atan2(q, -p)
+            hs = 255.0 * max(
+                math.cos(math.pi/4) * math.cos(slope)
+                + math.sin(math.pi/4) * math.sin(slope)
+                * math.cos(5*math.pi/4 - aspect), 0.0)
+            assert got[k, r-1, c-1] == pytest.approx(hs, abs=1e-9)
+
+    flat = dem_encode(np.full((SRC_H, SRC_W), 100, dtype=np.uint8))
+    hs = hillshade_batch(np.array([flat], dtype=object))
+    assert np.allclose(hs, 255.0 * np.cos(np.pi/4), atol=1e-12)
