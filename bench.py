@@ -143,6 +143,22 @@ def run_suite(sf_dir: str) -> dict:
     timed("q47_pivot", lambda: consume(E._q47_pivot(sf_dir)))
     timed("q49_zonal_stats",
           lambda: consume(E._q49_zonal_stats(sf_dir)))
+
+    # raster axis at bench scale: the driver queries size the DEM table
+    # by the (fixed-size) documents table, so re-run warp + hillshade
+    # over a lineitem-proportional tile count here.
+    def _raster(statfn):
+        from proj_ray.raster import dem_table
+
+        return consume(statfn(dem_table(
+            max(n_headline // 50, 2000),
+            columns=["tile_id", "bytes", "lon0", "lat0",
+                     "lon1", "lat1"])))
+
+    from proj_ray.raster import hillshade_stats, warp_stats
+
+    timed("raster_warp", lambda: _raster(warp_stats))
+    timed("raster_hillshade", lambda: _raster(hillshade_stats))
     timed("q51_heavy_hitters",
           lambda: consume(E._q51_heavy_hitters(sf_dir)))
     timed("q52_revenue_by_nation",
