@@ -2784,6 +2784,110 @@ FROM p GROUP BY i
 """
 
 
+def _q58_laea_warp(sf_dir: str):
+    """Raster warp driven by the ENGINE's laea kernel (not inline
+    math): each DEM tile resampled onto a local spherical
+    equal-area grid centered on its extent, via create_operation /
+    transform inverse. The SQL oracle re-derives the kernel's exact
+    spherical-oblique inverse algebra (proj_ray/ops/projections2.py
+    Laea._inv; parity target src/projections/laea.cpp), so a kernel
+    regression fails this hash too (proj_ray/raster.py
+    laea_warp_stats)."""
+    from proj_ray.raster import dem_table, laea_warp_stats
+
+    n = _read(sf_dir, "documents").count()
+    return laea_warp_stats(dem_table(
+        n, columns=["tile_id", "bytes", "lon0", "lat0"]))
+
+
+# mirrors Laea._inv (sphere, oblique) op-for-op: unit-sphere scaling
+# x*(1/R), c = 2*asin(rh/2), phi = asin(cosz*sinb1 + y*sinz*cosb1/rh),
+# lam = atan2(x*sinz*cosb1, (cosz - sin(phi)*sinb1)*rh) + lon_0
+_Q58_SQL = """
+WITH ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+ext AS (
+  SELECT i,
+         -180.0 + (i % 16) * 22.5 AS lon0,
+         -85.0 + ((i // 16) % 10) * 17.0 AS lat0,
+         sin(radians(-85.0 + ((i // 16) % 10) * 17.0 + 8.5)) AS sinb1,
+         cos(radians(-85.0 + ((i // 16) % 10) * 17.0 + 8.5)) AS cosb1
+  FROM ids
+),
+px AS (
+  SELECT i, lon0, lat0, sinb1, cosb1, ox.ox, oy.oy,
+         (-900000.0 + (ox.ox + 0.5) * (1800000.0 / 16.0))
+           * (1.0 / 6371000.0) AS xu,
+         (-800000.0 + (oy.oy + 0.5) * (1600000.0 / 16.0))
+           * (1.0 / 6371000.0) AS yu
+  FROM ext CROSS JOIN range(16) ox(ox) CROSS JOIN range(16) oy(oy)
+),
+r1 AS (
+  SELECT *, sqrt(xu*xu + yu*yu) AS rh FROM px
+),
+r2 AS (
+  SELECT *, 2.0 * asin(LEAST(GREATEST(rh * 0.5, -1.0), 1.0)) AS cz
+  FROM r1
+),
+r3 AS (
+  SELECT *, asin(LEAST(GREATEST(
+           cos(cz) * sinb1 + yu * sin(cz) * cosb1 / rh,
+           -1.0), 1.0)) AS phi
+  FROM r2
+),
+ll AS (
+  SELECT i, lon0, lat0, ox, oy,
+         degrees(atan2(xu * sin(cz) * cosb1,
+                       (cos(cz) - sin(phi) * sinb1) * rh)
+                 + radians(lon0 + 11.25)) AS lon,
+         degrees(phi) AS lat
+  FROM r3
+),
+d AS (
+  SELECT i, ox, oy, lat, lat0,
+         (lon - (lon0 + 11.25))
+           - 360.0 * floor(((lon - (lon0 + 11.25)) + 180.0) / 360.0)
+           AS dc
+  FROM ll
+),
+f AS (
+  SELECT i, ox, oy,
+         LEAST(GREATEST((dc + 11.25) / (22.5 / 32.0) - 0.5, 0.0),
+               31.0) AS fx,
+         LEAST(GREATEST((lat - lat0) / (17.0 / 32.0) - 0.5, 0.0),
+               31.0) AS fy
+  FROM d
+),
+w AS (
+  SELECT i, ox, oy,
+         LEAST(CAST(floor(fx) AS BIGINT), 30) AS gx0,
+         LEAST(CAST(floor(fy) AS BIGINT), 30) AS gy0,
+         fx - LEAST(CAST(floor(fx) AS BIGINT), 30) AS wx,
+         fy - LEAST(CAST(floor(fy) AS BIGINT), 30) AS wy
+  FROM f
+),
+v AS (
+  SELECT i, ox, oy,
+         (1.0 - wy) * ((1.0 - wx) * ((i*31 + gy0*7 + gx0*13) % 256)
+                       + wx * ((i*31 + gy0*7 + (gx0+1)*13) % 256))
+         + wy * ((1.0 - wx) * ((i*31 + (gy0+1)*7 + gx0*13) % 256)
+                 + wx * ((i*31 + (gy0+1)*7 + (gx0+1)*13) % 256)) AS val
+  FROM w
+),
+p AS (
+  SELECT i, CAST(floor(val * 1000.0 + 0.5) AS BIGINT) AS pv,
+         oy * 16 + ox + 1 AS pos
+  FROM v
+)
+SELECT i AS tile_id,
+       CAST(SUM(pv) AS BIGINT) AS wsum,
+       CAST(SUM(pv * pos) AS BIGINT) AS wchk,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM p GROUP BY i
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2848,6 +2952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q55_raster_warp": _q55_raster_warp,
         "q56_raster_sample": _q56_raster_sample,
         "q57_hillshade": _q57_hillshade,
+        "q58_laea_warp": _q58_laea_warp,
     }
 
 
@@ -2909,4 +3014,5 @@ def oracle_sql() -> dict[str, str]:
         "q55_raster_warp": _Q55_SQL,
         "q56_raster_sample": _Q56_SQL,
         "q57_hillshade": _Q57_SQL,
+        "q58_laea_warp": _Q58_SQL,
     }

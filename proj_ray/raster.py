@@ -196,6 +196,83 @@ def warp_stats(ds, out_w: int = OUT_W, out_h: int = OUT_H,
     return ds.map_batches(stage, batch_format="numpy", batch_size=256)
 
 
+def laea_warp_stats(ds, half_x: float = 900e3, half_y: float = 800e3,
+                    out_w: int = 16, out_h: int = 16,
+                    scale: int = 1000):
+    """Warp each DEM tile onto a LOCAL spherical Lambert azimuthal
+    equal-area grid centered on the tile (the local equal-area
+    analysis frame), driving the ENGINE's own laea kernel
+    (proj_ray/ops/projections2.py Laea._inv, parity target
+    src/projections/laea.cpp) through create_operation/transform — not
+    inline math. Output grid: out_h x out_w pixel centers over
+    [-half_x, half_x] x [-half_y, half_y] meters on the R=6371000
+    sphere; clamped bilinear sampling; floor(x*scale+0.5) fixed point.
+
+    Tiles share only GRID_NX*GRID_NY distinct extents, so the inverse
+    projection of the output grid is computed ONCE per distinct extent
+    per batch (cached gather indices), and only the per-tile gather +
+    blend runs per row."""
+
+    def stage(batch: dict) -> dict:
+        from proj_ray.factory import create_operation, transform
+
+        lon0s = np.asarray(batch["lon0"], dtype=np.float64)
+        lat0s = np.asarray(batch["lat0"], dtype=np.float64)
+        n = len(lon0s)
+        xs = -half_x + (np.arange(out_w) + 0.5) * (2.0 * half_x / out_w)
+        ys = -half_y + (np.arange(out_h) + 0.5) * (2.0 * half_y / out_h)
+        gx = np.broadcast_to(xs[None, :], (out_h, out_w)).ravel()
+        gy = np.broadcast_to(ys[:, None], (out_h, out_w)).ravel()
+
+        cache: dict = {}
+        for lo, la in zip(lon0s, lat0s):
+            key = (float(lo), float(la))
+            if key in cache:
+                continue
+            clon, clat = lo + 11.25, la + 8.5
+            op = create_operation(
+                f"+proj=laea +R=6371000 +lat_0={clat} +lon_0={clon}")
+            lam, phi, _z, _t = transform(op, "inv", gx, gy)
+            lon = np.degrees(lam)
+            lat = np.degrees(phi)
+            # the engine adjlon-wraps lam to (-180, 180]; near the
+            # antimeridian the high-latitude window reaches > 180 deg
+            # from the tile. Wrap the CENTER-relative delta with the
+            # floor form (identical arithmetic in numpy and SQL, and
+            # invariant to any +-360 representation difference).
+            d = lon - clon
+            d = d - 360.0 * np.floor((d + 180.0) / 360.0)
+            fx = (d + 11.25) / (LON_SPAN / SRC_W) - 0.5
+            fy = (lat - la) / (LAT_SPAN / SRC_H) - 0.5
+            fx = np.clip(fx, 0.0, SRC_W - 1.0)
+            fy = np.clip(fy, 0.0, SRC_H - 1.0)
+            gx0 = np.minimum(np.floor(fx), SRC_W - 2).astype(np.int64)
+            gy0 = np.minimum(np.floor(fy), SRC_H - 2).astype(np.int64)
+            cache[key] = (gx0, gy0, fx - gx0, fy - gy0)
+
+        pos = np.arange(out_h * out_w, dtype=np.int64) + 1
+        wsum = np.empty(n, dtype=np.int64)
+        wchk = np.empty(n, dtype=np.int64)
+        for k in range(n):
+            src = dem_decode(batch["bytes"][k]).astype(np.float64)
+            gx0, gy0, wx, wy = cache[(float(lon0s[k]), float(lat0s[k]))]
+            v = (1.0 - wy) * ((1.0 - wx) * src[gy0, gx0]
+                              + wx * src[gy0, gx0 + 1]) \
+                + wy * ((1.0 - wx) * src[gy0 + 1, gx0]
+                        + wx * src[gy0 + 1, gx0 + 1])
+            pv = np.floor(v * scale + 0.5).astype(np.int64)
+            wsum[k] = pv.sum()
+            wchk[k] = (pv * pos).sum()
+        return {
+            "tile_id": np.asarray(batch["tile_id"], dtype=np.int64),
+            "wsum": wsum,
+            "wchk": wchk,
+            "n_px": np.full(n, out_h * out_w, dtype=np.int64),
+        }
+
+    return ds.map_batches(stage, batch_format="numpy", batch_size=256)
+
+
 def hillshade_batch(blobs, zen: float = np.pi / 4.0,
                     az: float = 5.0 * np.pi / 4.0):
     """Horn hillshade over each tile's INTERIOR pixels (no halo

@@ -175,3 +175,50 @@ def test_hillshade_brute_parity():
     flat = dem_encode(np.full((SRC_H, SRC_W), 100, dtype=np.uint8))
     hs = hillshade_batch(np.array([flat], dtype=object))
     assert np.allclose(hs, 255.0 * np.cos(np.pi/4), atol=1e-12)
+
+
+def test_laea_warp_engine_kernel_parity(ray_session):
+    """laea_warp_stats drives the engine's laea inverse; assert the
+    stage output equals an independent scalar recomputation through
+    the same engine transform (per pixel, per tile), incl. an
+    antimeridian + high-latitude tile where adjlon wrapping bites."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.factory import create_operation, transform
+    from proj_ray.raster import LAT_SPAN, LON_SPAN, laea_warp_stats
+
+    ids = np.array([0, 85, 144], dtype=np.int64)
+    rows = make_dem_for(ids)
+    out = laea_warp_stats(rd.from_pandas(pd.DataFrame(rows))) \
+        .to_pandas().set_index("tile_id")
+    for k, tid in enumerate(ids):
+        lo, la = float(rows["lon0"][k]), float(rows["lat0"][k])
+        clon, clat = lo + 11.25, la + 8.5
+        op = create_operation(
+            f"+proj=laea +R=6371000 +lat_0={clat} +lon_0={clon}")
+        src = dem_values(int(tid)).astype(float)
+        tot = chk = 0
+        for oy in range(16):
+            for ox in range(16):
+                x = -900e3 + (ox + 0.5) * (1800e3 / 16)
+                y = -800e3 + (oy + 0.5) * (1600e3 / 16)
+                lam, phi, _, _ = transform(op, "inv",
+                                           np.array([x]), np.array([y]))
+                d = np.degrees(lam[0]) - clon
+                d -= 360.0 * np.floor((d + 180.0) / 360.0)
+                fx = (d + 11.25) / (LON_SPAN / SRC_W) - 0.5
+                fy = (np.degrees(phi[0]) - la) / (LAT_SPAN / SRC_H) - 0.5
+                fx = min(max(fx, 0.0), SRC_W - 1.0)
+                fy = min(max(fy, 0.0), SRC_H - 1.0)
+                gx, gy = min(int(fx), SRC_W - 2), min(int(fy), SRC_H - 2)
+                wx, wy = fx - gx, fy - gy
+                v = ((1 - wy) * ((1 - wx) * src[gy, gx]
+                                 + wx * src[gy, gx + 1])
+                     + wy * ((1 - wx) * src[gy + 1, gx]
+                             + wx * src[gy + 1, gx + 1]))
+                pv = int(np.floor(v * 1000 + 0.5))
+                tot += pv
+                chk += pv * (oy * 16 + ox + 1)
+        assert out.loc[tid, "wsum"] == tot, tid
+        assert out.loc[tid, "wchk"] == chk, tid
