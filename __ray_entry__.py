@@ -2888,6 +2888,49 @@ FROM p GROUP BY i
 """
 
 
+def _q59_tfidf(sf_dir: str):
+    """Top-3 TF-IDF terms per document: corpus DF pass (stream-combined
+    per-batch partials, vocabulary-sized result, never a token-stream
+    shuffle) + a scoring pass with the idf table broadcast via ray.put.
+    Ranking is on the fixed-point score so engine and SQL order the
+    same integers (proj_ray/functions/text.py tfidf_topk)."""
+    from proj_ray.functions.text import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents",
+                            columns=["doc_id", "text"]))
+
+
+_Q59_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS dfc
+  FROM tok GROUP BY term
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+s AS (
+  SELECT doc_id, tf.term AS term,
+         CAST(floor(tf * ln(nd / dfc) * 1000000.0 + 0.5) AS BIGINT)
+           AS score_f
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn
+),
+r AS (
+  SELECT doc_id, term, score_f,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_f DESC, term) AS rk
+  FROM s
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score_f
+FROM r WHERE rk <= 3
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2953,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q56_raster_sample": _q56_raster_sample,
         "q57_hillshade": _q57_hillshade,
         "q58_laea_warp": _q58_laea_warp,
+        "q59_tfidf": _q59_tfidf,
     }
 
 
@@ -3015,4 +3059,5 @@ def oracle_sql() -> dict[str, str]:
         "q56_raster_sample": _Q56_SQL,
         "q57_hillshade": _Q57_SQL,
         "q58_laea_warp": _Q58_SQL,
+        "q59_tfidf": _Q59_SQL,
     }

@@ -133,3 +133,110 @@ def text_stats(ds, concurrency=(2, 8), batch_size: int = 4096):
     """Dataset wrapper: documents -> + quality/lang/fingerprint columns."""
     return ds.map_batches(TextQuality, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def document_frequencies(ds, text_col: str = "text",
+                         vocab_cap: int = 2_000_000):
+    """Corpus document frequencies: (term, df) as a driver-side dict.
+
+    Scale shape: per-batch partials (each doc's DISTINCT terms counted
+    once) -> one stream-combine pass (batch_size=65536) -> bounded
+    driver merge. The all-to-all moves (term, partial_df) rows — never
+    token streams. The driver result is vocabulary-sized and guarded
+    by `vocab_cap`; corpora whose vocabulary exceeds it should switch
+    to a groupby("term") aggregate and a shuffle join instead of the
+    broadcast path (same trade as stages.BROADCAST_ROW_LIMIT).
+    """
+    import pandas as pd
+
+    def partial(b: dict) -> dict:
+        s = pd.Series(b[text_col]).str.split(" ")
+        ex = s.explode()
+        # distinct (doc, term): df counts docs, not occurrences
+        vc = ex.groupby([ex.index, ex]).size().index \
+            .get_level_values(1).value_counts()
+        return {"term": vc.index.to_numpy(dtype=object),
+                "df_part": vc.to_numpy(dtype=np.int64)}
+
+    def combine(b: dict) -> dict:
+        g = pd.Series(b["df_part"]).groupby(
+            pd.Series(b["term"])).sum()
+        return {"term": g.index.to_numpy(dtype=object),
+                "df_part": g.to_numpy(dtype=np.int64)}
+
+    parts = (ds.select_columns([text_col])
+             .map_batches(partial, batch_format="numpy",
+                          batch_size=4096)
+             .map_batches(combine, batch_format="numpy",
+                          batch_size=65536)
+             .take_all())
+    df: dict = {}
+    for row in parts:
+        df[row["term"]] = df.get(row["term"], 0) + int(row["df_part"])
+        if len(df) > vocab_cap:
+            raise ValueError(
+                f"vocabulary exceeds vocab_cap={vocab_cap}; use the "
+                "groupby('term') shuffle path for this corpus")
+    return df
+
+
+class _TfidfTopK:
+    """Per-batch TF-IDF scorer: broadcast (term -> idf) arrays read
+    from the object store once per actor; per batch a vectorized
+    explode -> (doc, term) count -> searchsorted idf lookup -> top-k
+    by the FIXED-POINT score (both engine and SQL rank the same
+    integers, so ordering never depends on float ulps)."""
+
+    def __init__(self, idf_ref, k: int, scale: int):
+        import ray
+
+        terms, idf = ray.get(idf_ref) \
+            if not isinstance(idf_ref, tuple) else idf_ref
+        self.terms = terms     # sorted object array
+        self.idf = idf         # float64, same order
+        self.k = k
+        self.scale = scale
+
+    def __call__(self, b: dict) -> dict:
+        import pandas as pd
+
+        s = pd.Series(b["text"]).str.split(" ")
+        doc = pd.Series(b["doc_id"]).repeat(s.str.len()).to_numpy()
+        term = s.explode().to_numpy(dtype=object)
+        g = (pd.DataFrame({"doc_id": doc, "term": term})
+             .groupby(["doc_id", "term"], as_index=False, sort=False)
+             .size())
+        pos = np.searchsorted(self.terms, g["term"].to_numpy())
+        score = g["size"].to_numpy(np.float64) * self.idf[pos]
+        g["score_f"] = np.floor(
+            score * float(self.scale) + 0.5).astype(np.int64)
+        g = g.sort_values(["doc_id", "score_f", "term"],
+                          ascending=[True, False, True],
+                          kind="stable")
+        g["rk"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rk"] <= self.k]
+        return {"doc_id": g["doc_id"].to_numpy(),
+                "rk": g["rk"].to_numpy(dtype=np.int64),
+                "term": g["term"].to_numpy(dtype=object),
+                "score_f": g["score_f"].to_numpy(dtype=np.int64)}
+
+
+def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
+               concurrency: int = 8):
+    """Top-k TF-IDF terms per document. Two passes over the corpus:
+    a DF aggregation (stream-combined partials, vocabulary-sized
+    result) and a scoring pass with the idf table broadcast via
+    ray.put — no shuffle of token streams in either pass.
+    idf = ln(N / df); score_f = floor(tf * idf * scale + 0.5)."""
+    import ray
+
+    n_docs = ds.count()
+    df = document_frequencies(ds)
+    terms = np.array(sorted(df), dtype=object)
+    idf = np.log(float(n_docs) / np.array(
+        [df[t] for t in terms], dtype=np.float64))
+    ref = ray.put((terms, idf))
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _TfidfTopK, fn_constructor_args=(ref, k, scale),
+        batch_format="numpy", batch_size=4096,
+        concurrency=(1, concurrency))
