@@ -2931,6 +2931,47 @@ FROM r WHERE rk <= 3
 """
 
 
+def _q60_pmi_pairs(sf_dir: str):
+    """Global top-25 term pairs by document-level PMI: doc-local
+    distinct-pair generation, hash-bucketed exact pair counts (pair
+    vocabulary never touches the driver), broadcast unigram DFs,
+    fixed-point ranking with (ta, tb) tiebreak
+    (proj_ray/functions/text.py cooccurrence_pmi)."""
+    from proj_ray.functions.text import cooccurrence_pmi
+
+    return cooccurrence_pmi(_read(sf_dir, "documents",
+                                  columns=["doc_id", "text"]))
+
+
+_Q60_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+pair AS (
+  SELECT a.term AS ta, b.term AS tb,
+         CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+),
+uni AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY term
+),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+s AS (
+  SELECT ta, tb, c_ab,
+         CAST(floor(ln(nd * c_ab / (ua.c * ub.c)) * 1000000.0 + 0.5)
+              AS BIGINT) AS pmi_f
+  FROM pair JOIN uni ua ON pair.ta = ua.term
+            JOIN uni ub ON pair.tb = ub.term
+            CROSS JOIN nn
+)
+SELECT ta, tb, c_ab, pmi_f
+FROM s ORDER BY pmi_f DESC, ta, tb LIMIT 25
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -2997,6 +3038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_hillshade": _q57_hillshade,
         "q58_laea_warp": _q58_laea_warp,
         "q59_tfidf": _q59_tfidf,
+        "q60_pmi_pairs": _q60_pmi_pairs,
     }
 
 
@@ -3060,4 +3102,5 @@ def oracle_sql() -> dict[str, str]:
         "q57_hillshade": _Q57_SQL,
         "q58_laea_warp": _Q58_SQL,
         "q59_tfidf": _Q59_SQL,
+        "q60_pmi_pairs": _Q60_SQL,
     }

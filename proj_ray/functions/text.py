@@ -240,3 +240,96 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
         _TfidfTopK, fn_constructor_args=(ref, k, scale),
         batch_format="numpy", batch_size=4096,
         concurrency=(1, concurrency))
+
+
+def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,
+                     n_buckets: int = 64):
+    """Global top-k term pairs by PMI over per-document co-occurrence.
+
+    pmi_f = floor(ln((N * c_ab) / (c_a * c_b)) * scale + 0.5), where
+    c_ab counts documents containing BOTH terms (distinct-pair
+    semantics) and c_a/c_b are document frequencies.
+
+    Scale shape: per-batch distinct-pair partials (pairs generated
+    doc-locally, combined within the batch) -> stream-combine ->
+    hash-bucket groupby for exact corpus totals (pair vocabulary is
+    O(vocab^2): never merged on the driver) -> per-bucket top-k ->
+    bounded driver merge of <= n_buckets*k rows. Unigram DFs ride the
+    object store (ray.put) into the finalize stage. Ranking is on the
+    fixed-point score, ties broken (term_a, term_b) — deterministic
+    and SQL-reproducible."""
+    import pandas as pd
+    import ray
+
+    n_docs = ds.count()
+    df = document_frequencies(ds)
+    df_ref = ray.put(df)
+
+    _triu_cache: dict = {}
+
+    def pairs_partial(b: dict) -> dict:
+        tas, tbs = [], []
+        for text in b["text"]:
+            terms = np.unique(np.array(str(text).split(" "),
+                                       dtype=object))
+            v = len(terms)
+            if v < 2:
+                continue
+            ij = _triu_cache.get(v)
+            if ij is None:
+                ij = np.triu_indices(v, k=1)
+                _triu_cache[v] = ij
+            tas.append(terms[ij[0]])
+            tbs.append(terms[ij[1]])
+        if not tas:
+            return {"ta": np.empty(0, dtype=object),
+                    "tb": np.empty(0, dtype=object),
+                    "c_part": np.empty(0, dtype=np.int64)}
+        g = (pd.DataFrame({"ta": np.concatenate(tas),
+                           "tb": np.concatenate(tbs)})
+             .groupby(["ta", "tb"], as_index=False).size())
+        return {"ta": g["ta"].to_numpy(dtype=object),
+                "tb": g["tb"].to_numpy(dtype=object),
+                "c_part": g["size"].to_numpy(dtype=np.int64)}
+
+    def combine(b: dict) -> dict:
+        g = (pd.DataFrame({"ta": b["ta"], "tb": b["tb"],
+                           "c": b["c_part"]})
+             .groupby(["ta", "tb"], as_index=False)["c"].sum())
+        key = (g["ta"].astype(str) + "\x00" + g["tb"].astype(str))
+        g["_bk"] = (pd.util.hash_array(key.to_numpy(dtype=object))
+                    % n_buckets).astype(np.int64)
+        return {"ta": g["ta"].to_numpy(dtype=object),
+                "tb": g["tb"].to_numpy(dtype=object),
+                "c_part": g["c"].to_numpy(dtype=np.int64),
+                "_bk": g["_bk"].to_numpy()}
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        dfd = ray.get(df_ref)
+        g = group.groupby(["ta", "tb"], as_index=False)["c_part"] \
+            .sum().rename(columns={"c_part": "c_ab"})
+        ca = np.array([dfd[t] for t in g["ta"]], dtype=np.float64)
+        cb = np.array([dfd[t] for t in g["tb"]], dtype=np.float64)
+        num = float(n_docs) * g["c_ab"].to_numpy(np.float64)
+        g["pmi_f"] = np.floor(
+            np.log(num / (ca * cb)) * float(scale) + 0.5
+        ).astype(np.int64)
+        g["c_ab"] = g["c_ab"].astype(np.int64)
+        return g.sort_values(["pmi_f", "ta", "tb"],
+                             ascending=[False, True, True],
+                             kind="stable").head(k)
+
+    tops = (ds.select_columns(["text"])
+            .map_batches(pairs_partial, batch_format="numpy",
+                         batch_size=4096)
+            .map_batches(combine, batch_format="numpy",
+                         batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: finalize(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .to_pandas())
+    return (tops.sort_values(["pmi_f", "ta", "tb"],
+                             ascending=[False, True, True],
+                             kind="stable")
+            .head(k).reset_index(drop=True)
+            [["ta", "tb", "c_ab", "pmi_f"]])

@@ -49,3 +49,43 @@ def test_document_frequencies_vocab_cap(ray_session):
     assert df == {"a": 1, "b": 2, "c": 2, "d": 1}
     with pytest.raises(ValueError):
         document_frequencies(rd.from_pandas(df_in), vocab_cap=2)
+
+
+def test_cooccurrence_pmi_matches_brute(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from proj_ray.functions.text import cooccurrence_pmi
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{j}" for j in range(10)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(2, 12)))
+            for _ in range(150)]
+    df_in = pd.DataFrame({"doc_id": np.arange(150, dtype=np.int64),
+                          "text": docs})
+    got = cooccurrence_pmi(rd.from_pandas(df_in), k=15, n_buckets=8)
+
+    # brute force in plain python
+    n = len(docs)
+    dfc: dict = {}
+    cab: dict = {}
+    for d in docs:
+        terms = sorted(set(d.split(" ")))
+        for t in terms:
+            dfc[t] = dfc.get(t, 0) + 1
+        for a, b in itertools.combinations(terms, 2):
+            cab[(a, b)] = cab.get((a, b), 0) + 1
+    rows = []
+    for (a, b), c in cab.items():
+        pmi = np.log(float(n) * float(c)
+                     / (float(dfc[a]) * float(dfc[b])))
+        rows.append((a, b, c, int(np.floor(pmi * 1e6 + 0.5))))
+    exp = pd.DataFrame(rows, columns=["ta", "tb", "c_ab", "pmi_f"]) \
+        .sort_values(["pmi_f", "ta", "tb"],
+                     ascending=[False, True, True]).head(15) \
+        .reset_index(drop=True)
+    assert list(got["ta"]) == list(exp["ta"])
+    assert list(got["tb"]) == list(exp["tb"])
+    assert np.array_equal(got["c_ab"], exp["c_ab"])
+    assert np.array_equal(got["pmi_f"], exp["pmi_f"])
