@@ -2972,6 +2972,52 @@ FROM s ORDER BY pmi_f DESC, ta, tb LIMIT 25
 """
 
 
+def _q61_dedup_clusters(sf_dir: str):
+    """Near-dup clustering: connected components over a deterministic
+    doc-id edge set (two-level star: doc -> 16-block head -> 64-super-
+    block head; diameter <= 4, so label propagation converges in a
+    constant number of all-to-alls at ANY corpus size). Iterative
+    min-label propagation with hash-bucket co-partitioned steps and a
+    monotone sum(label) convergence check
+    (proj_ray/functions/graph.py connected_components)."""
+    from proj_ray.functions.graph import connected_components
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        e1a, e1b = i, i - (i % 16)
+        heads = i[i % 16 == 0]
+        e2a = heads
+        e2b = heads - 16 * ((heads // 16) % 4)
+        return {"a": np.concatenate([e1a, e2a]),
+                "b": np.concatenate([e1b, e2b])}
+
+    return connected_components(
+        docs.map_batches(edges, batch_format="numpy"))
+
+
+_Q61_SQL = """
+WITH RECURSIVE ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+e0 AS (
+  SELECT i AS a, i - (i % 16) AS b FROM ids
+  UNION ALL
+  SELECT i AS a, i - 16 * ((i // 16) % 4) AS b FROM ids
+  WHERE i % 16 = 0
+),
+ed AS (SELECT a, b FROM e0 UNION SELECT b AS a, a AS b FROM e0),
+cc AS (
+  SELECT i AS node, i AS label FROM ids
+  UNION
+  SELECT ed.b AS node, cc.label FROM cc JOIN ed ON ed.a = cc.node
+)
+SELECT node, CAST(MIN(label) AS BIGINT) AS label
+FROM cc GROUP BY node
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3039,6 +3085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q58_laea_warp": _q58_laea_warp,
         "q59_tfidf": _q59_tfidf,
         "q60_pmi_pairs": _q60_pmi_pairs,
+        "q61_dedup_clusters": _q61_dedup_clusters,
     }
 
 
@@ -3103,4 +3150,5 @@ def oracle_sql() -> dict[str, str]:
         "q58_laea_warp": _Q58_SQL,
         "q59_tfidf": _Q59_SQL,
         "q60_pmi_pairs": _Q60_SQL,
+        "q61_dedup_clusters": _Q61_SQL,
     }
