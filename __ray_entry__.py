@@ -3018,6 +3018,77 @@ FROM cc GROUP BY node
 """
 
 
+def _q62_dedup_pipeline(sf_dir: str):
+    """End-to-end near-dup pipeline: MinHash LSH candidates -> exact
+    Jaccard verify (the q19 stage) -> dup pairs become edges ->
+    distributed connected components -> every document assigned its
+    canonical (component-minimum) doc_id. Docs with no dup are their
+    own canonical via self-loop edges. The oracle recomputes the SAME
+    pair set from substring 5-grams and closes it with a recursive
+    CTE, so LSH recall, the verify threshold, AND the clustering all
+    gate the hash."""
+    from proj_ray.functions.dedup import dedup_minhash_lsh
+    from proj_ray.functions.graph import connected_components
+
+    pairs = dedup_minhash_lsh(_read(sf_dir, "documents"), "text",
+                              "doc_id", threshold=0.6)
+
+    def pair_edges(b: dict) -> dict:
+        return {"a": np.asarray(b["id_a"], dtype=np.int64),
+                "b": np.asarray(b["id_b"], dtype=np.int64)}
+
+    def self_edges(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"a": i, "b": i}
+
+    edges = pairs.map_batches(pair_edges, batch_format="numpy").union(
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .map_batches(self_edges, batch_format="numpy"))
+    out = connected_components(edges)
+
+    def rename(b: dict) -> dict:
+        return {"doc_id": b["node"], "canon": b["label"]}
+
+    return out.map_batches(rename, batch_format="numpy")
+
+
+_Q62_SQL = """
+WITH RECURSIVE nums AS (
+  SELECT unnest(generate_series(
+      1, (SELECT max(length(text)) FROM documents))) AS i
+),
+g AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i::INT, 5) AS gram
+  FROM documents d JOIN nums n ON n.i <= length(d.text) - 4
+),
+c AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+dup AS (
+  SELECT p.id_a, p.id_b
+  FROM p
+  JOIN c ca ON ca.doc_id = p.id_a
+  JOIN c cb ON cb.doc_id = p.id_b
+  WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.6
+),
+ed AS (
+  SELECT id_a AS a, id_b AS b FROM dup
+  UNION
+  SELECT id_b AS a, id_a AS b FROM dup
+),
+cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT ed.b AS node, cc.label FROM cc JOIN ed ON ed.a = cc.node
+)
+SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS canon
+FROM cc GROUP BY node
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3086,6 +3157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q59_tfidf": _q59_tfidf,
         "q60_pmi_pairs": _q60_pmi_pairs,
         "q61_dedup_clusters": _q61_dedup_clusters,
+        "q62_dedup_pipeline": _q62_dedup_pipeline,
     }
 
 
@@ -3151,4 +3223,5 @@ def oracle_sql() -> dict[str, str]:
         "q59_tfidf": _Q59_SQL,
         "q60_pmi_pairs": _Q60_SQL,
         "q61_dedup_clusters": _Q61_SQL,
+        "q62_dedup_pipeline": _Q62_SQL,
     }
