@@ -3089,6 +3089,52 @@ FROM cc GROUP BY node
 """
 
 
+def _q63_kmeans_estep(sf_dir: str):
+    """k-means E-step over the embeddings table: broadcast fixed
+    deterministic centroids (vec_id < 8, cosine), one matmul per
+    batch, per-cluster count + dim-weighted checksum of
+    int-quantized elements (quantize BEFORE summing -> order-free
+    exact distributed accumulation, the property an M-step
+    accumulator needs; proj_ray/functions/ann.py
+    kmeans_assign_stats)."""
+    from proj_ray.functions.ann import kmeans_assign_stats
+
+    return kmeans_assign_stats(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]))
+
+
+_Q63_SQL = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < 8
+),
+a AS (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(
+                      CAST(e.embedding AS DOUBLE[]),
+                      CAST(c.cvec AS DOUBLE[])) DESC,
+                    c.cid) AS rnk
+  FROM embeddings e CROSS JOIN c
+),
+asg AS (SELECT vec_id, cid FROM a WHERE rnk = 1),
+chk AS (
+  SELECT e.vec_id,
+         SUM(d.i * CAST(floor(
+               CAST(e.embedding[CAST(d.i AS INT)] AS DOUBLE)
+               * 1000000.0 + 0.5) AS BIGINT)) AS rchk
+  FROM embeddings e CROSS JOIN range(1, 65) d(i)
+  GROUP BY e.vec_id
+)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(rchk) AS BIGINT) AS sum_chk
+FROM asg JOIN chk USING (vec_id)
+GROUP BY cid
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3158,6 +3204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q60_pmi_pairs": _q60_pmi_pairs,
         "q61_dedup_clusters": _q61_dedup_clusters,
         "q62_dedup_pipeline": _q62_dedup_pipeline,
+        "q63_kmeans_estep": _q63_kmeans_estep,
     }
 
 
@@ -3224,4 +3271,5 @@ def oracle_sql() -> dict[str, str]:
         "q60_pmi_pairs": _Q60_SQL,
         "q61_dedup_clusters": _Q61_SQL,
         "q62_dedup_pipeline": _Q62_SQL,
+        "q63_kmeans_estep": _Q63_SQL,
     }

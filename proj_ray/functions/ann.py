@@ -250,3 +250,72 @@ def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
     cand = ds.map_batches(local, batch_format="numpy",
                           batch_size=batch_size)
     return _merge_topk(cand, k)
+
+
+def kmeans_assign_stats(ds, n_centroids: int = 8,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        scale: int = 1_000_000):
+    """The k-means E-step at corpus scale: assign every vector to its
+    nearest (cosine) centroid and emit per-cluster statistics.
+
+    Centroids are FIXED deterministic rows (ids < n_centroids) so the
+    step is fully reproducible: broadcast them once (ray.put), assign
+    per batch with one matmul, and aggregate (count, dim-weighted
+    checksum of int-quantized raw elements). Elements are quantized to
+    floor(v*scale+0.5) int64 BEFORE summation, so the distributed sum
+    is order-free exact — the property an M-step accumulator needs to
+    be reproducible across block orders (and what lets a SQL oracle
+    match bit-for-bit). Partial stats combine in map_batches passes;
+    the all-to-all never moves vectors."""
+    import pandas as pd
+    import ray
+
+    cent = ds.filter(expr=f"{id_col} < {n_centroids}").take_all()
+    cent.sort(key=lambda r: r[id_col])
+    C = _normalize(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                             for r in cent]))
+    ref = ray.put(C)
+    d = C.shape[1]
+    w = np.arange(1, d + 1, dtype=np.int64)
+
+    def partial(b: dict) -> dict:
+        V = _as_matrix(b[vec_col])
+        Cn = ray.get(ref)
+        # cosine argmax: |v| is constant per row, so normalizing only
+        # the centroid side preserves the argmax
+        cid = np.argmax(V @ Cn.T, axis=1).astype(np.int64)
+        q = np.floor(V * float(scale) + 0.5).astype(np.int64)
+        chk = q @ w
+        g = (pd.DataFrame({"cid": cid, "chk": chk})
+             .groupby("cid", as_index=False)
+             .agg(n_part=("chk", "size"), s_part=("chk", "sum")))
+        return {"cid": g["cid"].to_numpy(np.int64),
+                "n_part": g["n_part"].to_numpy(np.int64),
+                "s_part": g["s_part"].to_numpy(np.int64)}
+
+    def combine(b: dict) -> dict:
+        g = (pd.DataFrame({"cid": b["cid"], "n": b["n_part"],
+                           "s": b["s_part"]})
+             .groupby("cid", as_index=False).sum())
+        return {"cid": g["cid"].to_numpy(np.int64),
+                "n_part": g["n"].to_numpy(np.int64),
+                "s_part": g["s"].to_numpy(np.int64)}
+
+    parts = (ds.select_columns([id_col, vec_col])
+             .map_batches(partial, batch_format="numpy",
+                          batch_size=4096)
+             .map_batches(combine, batch_format="numpy",
+                          batch_size=65536)
+             .take_all())
+    out: dict = {}
+    for r in parts:
+        n, s = out.get(r["cid"], (0, 0))
+        out[r["cid"]] = (n + int(r["n_part"]), s + int(r["s_part"]))
+    res = pd.DataFrame(
+        [(cid, n, s) for cid, (n, s) in sorted(out.items())],
+        columns=["cid", "n_vecs", "sum_chk"])
+    res["cid"] = res["cid"].astype(np.int64)
+    res["n_vecs"] = res["n_vecs"].astype(np.int64)
+    res["sum_chk"] = res["sum_chk"].astype(np.int64)
+    return res

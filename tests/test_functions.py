@@ -316,3 +316,28 @@ def test_rollup_sums_matches_pandas(ray_session):
     assert lvl1["sum_c"].sum() == c.sum()
     grand = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
     assert int(grand["n_rows"].iloc[0]) == 4000
+
+
+def test_kmeans_assign_stats_matches_brute(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.ann import _normalize, kmeans_assign_stats
+
+    rng = np.random.default_rng(9)
+    n, d = 300, 16
+    V = rng.normal(size=(n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v for v in V]})
+    got = kmeans_assign_stats(rd.from_pandas(df), n_centroids=5)
+
+    Cn = _normalize(V[:5])
+    cid = np.argmax(V @ Cn.T, axis=1)
+    q = np.floor(V * 1e6 + 0.5).astype(np.int64)
+    chk = q @ np.arange(1, d + 1, dtype=np.int64)
+    exp = (pd.DataFrame({"cid": cid, "chk": chk})
+           .groupby("cid", as_index=False)
+           .agg(n_vecs=("chk", "size"), sum_chk=("chk", "sum")))
+    assert np.array_equal(got["cid"], exp["cid"])
+    assert np.array_equal(got["n_vecs"], exp["n_vecs"])
+    assert np.array_equal(got["sum_chk"], exp["sum_chk"])
