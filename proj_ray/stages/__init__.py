@@ -741,9 +741,72 @@ def dwithin_join(ds, query_lon, query_lat, radius_m: float,
     return ds.map_batches(pairs, batch_format="numpy")
 
 
+_BLOOM_SALT = np.uint64(0xA5A5A5A5DEADBEEF)
+
+
+def _bloom_positions(u64: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing (h1 + i*h2) % m."""
+    from proj_ray.functions._hash import splitmix64
+
+    h1 = u64
+    h2 = splitmix64(u64 ^ _BLOOM_SALT) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+
+
+def build_bloom(distinct_ds, key_col: str, m_bits: int = 1 << 24,
+                k: int = 7) -> np.ndarray:
+    """Distributed bloom filter over a key dataset: per-batch partial
+    bit arrays OR-combined in a map_batches pass, then a bounded
+    driver OR of the surviving blobs — the key set itself never
+    touches the driver. Returns the packed uint64 bit array."""
+    words = m_bits // 64
+
+    from proj_ray.functions._hash import stable_u64
+
+    def partial(b: dict) -> dict:
+        u = stable_u64(np.asarray(b[key_col]))
+        pos = _bloom_positions(u, m_bits, k).ravel()
+        bits = np.zeros(words, dtype=np.uint64)
+        np.bitwise_or.at(bits, (pos >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (pos & np.uint64(63)))
+        return {"blob": np.array([bits.tobytes()], dtype=object)}
+
+    def combine(b: dict) -> dict:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in b["blob"]:
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return {"blob": np.array([acc.tobytes()], dtype=object)}
+
+    parts = (distinct_ds.map_batches(partial, batch_format="numpy",
+                                     batch_size=65536)
+             .map_batches(combine, batch_format="numpy",
+                          batch_size=64)
+             .take_all())
+    acc = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        acc |= np.frombuffer(r["blob"], dtype=np.uint64)
+    return acc
+
+
+def bloom_maybe_contains(bits: np.ndarray, keys, m_bits: int,
+                         k: int = 7) -> np.ndarray:
+    """Vectorized membership probe: True = possibly present (false
+    positives only, at the filter's design rate); False = certainly
+    absent."""
+    from proj_ray.functions._hash import stable_u64
+
+    pos = _bloom_positions(stable_u64(np.asarray(keys)), m_bits, k)
+    w = bits[(pos >> np.uint64(6)).astype(np.int64)]
+    return (((w >> (pos & np.uint64(63))) & np.uint64(1)) != 0) \
+        .all(axis=1)
+
+
 def semi_anti_join(ds, right, key_col: str, right_key: str | None = None,
                    how: str = "anti",
-                   max_rows: int = BROADCAST_ROW_LIMIT):
+                   max_rows: int = BROADCAST_ROW_LIMIT,
+                   use_bloom: bool = True, bloom_bits: int = 1 << 24):
     """Semi / anti join: keep `ds` rows whose key does (semi) or does
     not (anti) appear in `right`'s key column.
 
@@ -787,6 +850,35 @@ def semi_anti_join(ds, right, key_col: str, right_key: str | None = None,
     # key set never touches the driver. Partition count is sized to
     # the cluster — each partition is an aggregator actor, so asking
     # for more than the CPU count deadlocks small clusters.
+    #
+    # Bloom prefilter: before paying the probe-side shuffle, drop rows
+    # the (distributed, OR-combined) bloom filter proves absent. False
+    # positives only — they survive to the exact join, which removes
+    # them — so results are identical; what changes is shuffle volume:
+    # for a selective semi join, only matching rows (+ ~1% fp) move.
+    # For anti, bloom-absent rows are part of the ANSWER and bypass
+    # the shuffle entirely.
+    anti_bypass = None
+    if use_bloom:
+        cols = ds.columns()
+        bits = build_bloom(distinct, rk, m_bits=bloom_bits)
+        bits_ref = ray.put(bits)
+
+        def split(keep_maybe: bool):
+            def f(batch: dict) -> dict:
+                maybe = bloom_maybe_contains(
+                    ray.get(bits_ref), np.asarray(batch[key_col]),
+                    bloom_bits)
+                keep = maybe if keep_maybe else ~maybe
+                return {c: np.asarray(v)[keep]
+                        for c, v in batch.items()}
+            return f
+
+        if how == "anti":
+            anti_bypass = ds.map_batches(
+                split(False), batch_format="numpy") \
+                .select_columns(cols)
+        ds = ds.map_batches(split(True), batch_format="numpy")
     nparts = max(2, min(64, int(
         ray.cluster_resources().get("CPU", 4)) - 1))
     if how == "semi":
@@ -810,4 +902,8 @@ def semi_anti_join(ds, right, key_col: str, right_key: str | None = None,
         return {c: np.asarray(v)[keep] for c, v in batch.items()
                 if c not in ("_present", rk)}
 
-    return joined.map_batches(drop_found, batch_format="numpy")
+    out = joined.map_batches(drop_found, batch_format="numpy")
+    if anti_bypass is not None:
+        return out.select_columns(anti_bypass.columns()) \
+            .union(anti_bypass)
+    return out

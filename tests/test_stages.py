@@ -272,3 +272,41 @@ def test_pivot_counts_discovery_pass(ray_session):
     assert out["n_a"].tolist() == [1, 2, 0]
     assert out["n_b"].tolist() == [1, 0, 1]
     assert out["n_c"].tolist() == [0, 1, 0]
+
+
+def test_bloom_prefilter_parity_and_no_false_negatives(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.stages import (bloom_maybe_contains, build_bloom,
+                                 semi_anti_join)
+
+    rng = np.random.default_rng(21)
+    left = pd.DataFrame({"k": rng.integers(0, 5000, 3000),
+                         "v": rng.normal(size=3000)})
+    right = pd.DataFrame({"rk": rng.integers(0, 5000, 800)})
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+
+    for how in ("semi", "anti"):
+        with_bloom = semi_anti_join(lds, rds, "k", right_key="rk",
+                                    how=how, max_rows=1,
+                                    use_bloom=True).to_pandas()
+        without = semi_anti_join(lds, rds, "k", right_key="rk",
+                                 how=how, max_rows=1,
+                                 use_bloom=False).to_pandas()
+        a = with_bloom.sort_values(["k", "v"]).reset_index(drop=True)
+        b = without.sort_values(["k", "v"]).reset_index(drop=True)
+        assert np.array_equal(a["k"], b["k"]), how
+        assert np.allclose(a["v"], b["v"]), how
+
+    # no false negatives ever: every right key must probe True
+    bits = build_bloom(rds, "rk", m_bits=1 << 16)
+    assert bloom_maybe_contains(bits, right["rk"].to_numpy(),
+                                1 << 16).all()
+    # string keys take the hash_array path
+    sright = rd.from_pandas(pd.DataFrame(
+        {"rk": [f"key{i}" for i in range(300)]}))
+    sbits = build_bloom(sright, "rk", m_bits=1 << 16)
+    assert bloom_maybe_contains(
+        sbits, np.array([f"key{i}" for i in range(300)],
+                        dtype=object), 1 << 16).all()
