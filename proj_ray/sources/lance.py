@@ -32,8 +32,12 @@ def is_lance_path(path: str) -> bool:
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs):
     """Read a table as a Ray Dataset with column pruning pushed to the
-    reader. Dispatch: Lance dataset dir -> read_lance; otherwise
-    parquet (file, dir, or list)."""
+    reader where the format supports it. Dispatch by path shape:
+    Lance dataset dir -> read_lance; .csv -> read_csv (pruning pushed
+    via Arrow ConvertOptions.include_columns); .json/.jsonl ->
+    read_json (row-oriented text: pruning applied right after parse —
+    the format itself cannot skip columns at I/O); otherwise parquet
+    (file, dir, or list)."""
     import ray.data as rd
 
     if is_lance_path(path):
@@ -42,6 +46,18 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
                 "operator not implemented: Lance reader (pylance wheel "
                 f"not installed; cannot read {path})")
         return rd.read_lance(path, columns=columns, **kwargs)
+    low = path.lower() if isinstance(path, str) else ""
+    if low.endswith(".csv"):
+        if columns:
+            from pyarrow import csv as pacsv
+
+            kwargs.setdefault(
+                "convert_options",
+                pacsv.ConvertOptions(include_columns=list(columns)))
+        return rd.read_csv(path, **kwargs)
+    if low.endswith((".json", ".jsonl")):
+        ds = rd.read_json(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     return rd.read_parquet(path, columns=columns, **kwargs)
 
 
@@ -57,6 +73,11 @@ def write_table(ds, path: str, fmt: str = "auto",
                 "operator not implemented: Lance writer (pylance wheel "
                 "not installed)")
         return ds.write_lance(path, **kwargs)
+    if fmt == "csv" or (fmt == "auto" and path.endswith(".csv")):
+        return ds.write_csv(path, **kwargs)
+    if fmt in ("json", "jsonl") or (fmt == "auto" and
+                                    path.endswith((".json", ".jsonl"))):
+        return ds.write_json(path, **kwargs)
     if partition_cols:
         return ds.write_parquet(path, partition_cols=partition_cols,
                                 **kwargs)
