@@ -3135,6 +3135,42 @@ GROUP BY cid
 """
 
 
+def _q64_global_sort(sf_dir: str):
+    """Global ORDER BY: Ray's range-partitioned distributed sort over
+    lineitem (the one all-to-all the rest of the suite deliberately
+    avoids — here it IS the operator under test), descending price
+    with a unique (orderkey, linenumber) tiebreak so the top-1000 cut
+    is deterministic."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber",
+                        "l_extendedprice"])
+
+    def cents(b: dict) -> dict:
+        return {
+            "l_orderkey": np.asarray(b["l_orderkey"], dtype=np.int64),
+            "l_linenumber": np.asarray(b["l_linenumber"],
+                                       dtype=np.int64),
+            "price_c": np.floor(np.asarray(
+                b["l_extendedprice"], dtype=np.float64) * 100.0 + 0.5)
+            .astype(np.int64),
+        }
+
+    return (li.map_batches(cents, batch_format="numpy")
+            .sort(["price_c", "l_orderkey", "l_linenumber"],
+                  descending=[True, False, False])
+            .limit(1000))
+
+
+_Q64_SQL = """
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c
+FROM lineitem
+ORDER BY price_c DESC, l_orderkey, l_linenumber
+LIMIT 1000
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3205,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q61_dedup_clusters": _q61_dedup_clusters,
         "q62_dedup_pipeline": _q62_dedup_pipeline,
         "q63_kmeans_estep": _q63_kmeans_estep,
+        "q64_global_sort": _q64_global_sort,
     }
 
 
@@ -3272,4 +3309,5 @@ def oracle_sql() -> dict[str, str]:
         "q61_dedup_clusters": _Q61_SQL,
         "q62_dedup_pipeline": _Q62_SQL,
         "q63_kmeans_estep": _Q63_SQL,
+        "q64_global_sort": _Q64_SQL,
     }
