@@ -540,9 +540,15 @@ class AlternativesOp:
                 area = 4 * 360.0 * 180.0
             else:
                 w, s, e, n = bbox
-                area = max(e - w, 0.0) * max(n - s, 0.0)
+                # EPSG extents crossing the antimeridian store w > e
+                # (Russia: 19.58..-168.97); width is modular
+                width = e - w if e >= w else (e - w) % 360.0
+                area = max(width, 0.0) * max(n - s, 0.0)
             built.append((op, bbox, np.inf if acc is None else acc, area,
                           c.get("tier", 1)))
+        # per-point rule = pj_get_suggested_operation (4D_api.cpp:217):
+        # best accuracy wins among containing areas; smaller area
+        # breaks accuracy ties
         built.sort(key=lambda t: (t[2], t[4], t[3]))
         self.cands = built
         self.P = built[0][0].P
@@ -570,7 +576,8 @@ class AlternativesOp:
             return np.ones_like(lon, dtype=bool)
         w, s, e, n = bbox
         lon_n = (lon - w) % 360.0 + w  # wrap into [w, w+360)
-        return (lon_n >= w) & (lon_n <= e) & (lat >= s) & (lat <= n)
+        e_n = e if e >= w else e + 360.0  # antimeridian-crossing box
+        return (lon_n >= w) & (lon_n <= e_n) & (lat >= s) & (lat <= n)
 
     def _apply(self, c: Coords, direction: str) -> Coords:
         x, y, z, t = (np.array(v, dtype=np.float64, copy=True) for v in c)
@@ -670,9 +677,30 @@ def _resolve_crs_text(spec: str) -> str:
         return wkt_to_proj(s)
     if looks_like_projjson(s):
         return projjson_to_proj(s)
+    named = resolve_crs_name(s)
+    if named is not None and "+" not in named:
+        return _resolve_crs_text(named)
     raise NotImplementedError(
         f"operator not implemented: CRS text {s[:60]!r} (urn/database "
         "references need the CRS database)")
+
+
+def resolve_crs_name(s: str) -> str | None:
+    """EPSG CRS name -> 'EPSG:code' (or 'EPSG:h+v' for compounds),
+    createFromUserInput's by-name path. Exact case-insensitive match
+    against the generated table, plus the reference's approximate
+    match for century-spelled realizations (ITRF1993 -> ITRF93)."""
+    from proj_ray.epsg_names import CRS_NAMES
+
+    key = " ".join(str(s).split()).casefold()
+    hit = CRS_NAMES.get(key)
+    if hit is None:
+        import re as _re
+
+        elided = _re.sub(r"(?<=[a-z])(19|20)(\d\d)\b", r"\2", key)
+        if elided != key:
+            hit = CRS_NAMES.get(elided)
+    return hit
 
 
 _ELL_KEYS = ("ellps", "a", "b", "rf", "f", "es", "e", "R")
@@ -730,20 +758,42 @@ def _datum_step(e: dict, inv: bool) -> str:
     if "p" in e:
         p = e["p"]
         parts.append(f"+px={p[0]:.10g} +py={p[1]:.10g} +pz={p[2]:.10g}")
+    if "dt" in e:  # time-dependent (15-param) entry: rates + epoch
+        d, dr = e["dt"], e["dr"]
+        parts.append(
+            f"+dx={d[0]:.12g} +dy={d[1]:.12g} +dz={d[2]:.12g}"
+            f" +drx={dr[0]:.12g} +dry={dr[1]:.12g} +drz={dr[2]:.12g}"
+            f" +ds={e['dsc']:.12g} +t_epoch={e['ep']:.10g}")
     return " ".join(parts)
 
 
 def _bbox_and(a, b):
-    """(ok, bbox) intersection; None = global."""
+    """(ok, bbox) intersection; None = global. Longitude spans may
+    cross the antimeridian (stored with w > e); intersection keeps
+    the widest overlapping segment."""
     if a is None:
         return True, b
     if b is None:
         return True, a
-    w, s = max(a[0], b[0]), max(a[1], b[1])
-    e, n = min(a[2], b[2]), min(a[3], b[3])
-    if w >= e or s >= n:
+    s, n = max(a[1], b[1]), min(a[3], b[3])
+    if s >= n:
         return False, None
-    return True, (w, s, e, n)
+    aw, ae = a[0], a[2] if a[2] >= a[0] else a[2] + 360.0
+    best = None
+    for shift in (-360.0, 0.0, 360.0):
+        bw = b[0] + shift
+        be = (b[2] if b[2] >= b[0] else b[2] + 360.0) + shift
+        w, e = max(aw, bw), min(ae, be)
+        if e > w and (best is None or e - w > best[1] - best[0]):
+            best = (w, e)
+    if best is None:
+        return False, None
+    w, e = best
+    w = ((w + 180.0) % 360.0) - 180.0
+    e2 = w + (best[1] - best[0])
+    if e2 > 180.0:  # store wrapped form (w > e)
+        e2 -= 360.0
+    return True, (w, s, e2, n)
 
 
 def _grid_file_of(names) -> str | None:
@@ -815,7 +865,7 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
     fully formed (cart/push/pop wrapping baked in, geog2D-domain
     methods preserve the input height). Returns
     [(steps, accuracy, bbox, tier)]; tier 0 = grid-backed."""
-    from proj_ray.epsg_ops import GRIDS, HELMERT
+    from proj_ray.epsg_ops import GRIDS, HELMERT, SUPERSEDED
 
     HUB_ELL = {4326: "+ellps=WGS84", 4258: "+ellps=GRS80",
                4269: "+ellps=GRS80"}
@@ -831,7 +881,13 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
             fname = _grid_file_of(e["grids"])
             if fname is not None:
                 outs.append(("g", {**e, "file": fname}, True))
-        return outs
+        # discardSuperseded (reference factory.cpp:6986-7001): drop a
+        # candidate when one of its replacements is usable in the SAME
+        # candidate set (NAD27->NAD83: NTv1 1312 yields to NTv2 1313)
+        present = {e["code"] for _k, e, _i in outs}
+        return [(k, e, i) for k, e, i in outs
+                if not any(r in present
+                           for r in SUPERSEDED.get(e["code"], ()))]
 
     def acc_of(e):
         base = e["acc"] if e["acc"] is not None else 500.0
@@ -869,9 +925,14 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
                               + leg_steps(k2, e2, i2, hell, ellB),
                               acc_of(e1) + acc_of(e2), bb,
                               0 if "g" in (k1, k2) else 1))
-    cands.sort(key=lambda c: (c[1], c[3],
-                              (c[2][2] - c[2][0]) * (c[2][3] - c[2][1])
-                              if c[2] else 360.0 * 180.0))
+    def _area(bb):
+        if bb is None:
+            return 360.0 * 180.0
+        width = bb[2] - bb[0] if bb[2] >= bb[0] \
+            else (bb[2] - bb[0]) % 360.0
+        return width * (bb[3] - bb[1])
+
+    cands.sort(key=lambda c: (c[1], c[3], _area(c[2])))
     return cands[:max_cands]
 
 
@@ -982,6 +1043,16 @@ def _create_crs_to_crs_impl(src: str, dst: str,
                 break
         return f"EPSG:{m.group(1)}", geoid
 
+    for _nm, _cur in (("src", src), ("dst", dst)):
+        if not _re.match(r"(?i)^(epsg:|\+|.*proj=|.*init=)",
+                         _cur.strip()):
+            _hit = resolve_crs_name(_cur)
+            if _hit is not None:
+                if _nm == "src":
+                    src = _hit
+                else:
+                    dst = _hit
+
     src, s_geoid = _split_compound(src)
     dst, d_geoid = _split_compound(dst)
 
@@ -1013,9 +1084,16 @@ def _create_crs_to_crs_impl(src: str, dst: str,
         d_defn += f" +geoidgrids={d_geoid}"
     s = _crs_pieces(s_defn)
     d = _crs_pieces(d_defn)
-    # force_3d = the cs2cs --3d flag (promote both CRSs to 3D)
-    s_3d = force_3d or s["is_3d"] or _spec_code(src) in EPSG_GEO_3D
-    d_3d = force_3d or d["is_3d"] or _spec_code(dst) in EPSG_GEO_3D
+    # force_3d = the cs2cs --3d flag (promote both CRSs to 3D). An
+    # EPSG compound spec (EPSG:h+v) is 3D by construction — its
+    # vertical member carries the height axis — so its geoid step
+    # applies even against a 2D partner (WGS 84 -> WGS 84 + EGM96
+    # height shifts z); the legacy +geoidgrids= proj-string keeps the
+    # 2D-pair passthrough rule below.
+    s_3d = force_3d or s["is_3d"] or _spec_code(src) in EPSG_GEO_3D \
+        or s_geoid is not None
+    d_3d = force_3d or d["is_3d"] or _spec_code(dst) in EPSG_GEO_3D \
+        or d_geoid is not None
     # geoid shifts need an ellipsoidal-height side: with 2D CRSs on
     # both ends the height is ballpark and the geoid step is dropped
     # (cs2cs: EPSG:4326 -> 4326+geoidgrids keeps z; 4979 -> same
@@ -1026,10 +1104,21 @@ def _create_crs_to_crs_impl(src: str, dst: str,
                 tok for tok in piece["clean"].split()
                 if not tok.startswith("+geoidgrids="))
             piece["geoid"] = False
+    # a topocentric CRS is a derived GEOCENTRIC CRS (its kernel maps
+    # geocentric XYZ <-> topocentric ENU): bridge to the angular hub
+    # through cart, and the height axis is structural (3D)
+    s_topo = "proj=topocentric" in s["clean"]
+    d_topo = "proj=topocentric" in d["clean"]
+    s_3d = s_3d or s_topo
+    d_3d = d_3d or d_topo
     steps = []
     if s["geoc"]:
         steps.append(f"+step +inv +proj=geoc {s['ell']}".rstrip())
     steps.append(f"+step +inv {s['clean']}")
+    if s_topo:
+        steps.append(f"+step +inv +proj=cart {s['ell']}".rstrip())
+    if d_topo:
+        steps.append(f"+step +proj=cart {d['ell']}".rstrip())
     steps.append(f"+step {d['clean']}")
     if d["geoc"]:
         steps.append(f"+step +proj=geoc {d['ell']}".rstrip())

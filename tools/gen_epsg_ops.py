@@ -67,6 +67,15 @@ METHODS = {
     "1034": ("mb", "coordinate_frame", False),
     "1061": ("mb", "position_vector", True),
     "1063": ("mb", "coordinate_frame", True),
+    # time-dependent 15-param (14 + reference epoch) Helmerts — the
+    # ITRF/ETRF/GDA2020 plate-motion family (geocen / geog2D / geog3D
+    # domains)
+    "1053": ("td", "position_vector", True),
+    "1054": ("td", "position_vector", False),
+    "1055": ("td", "position_vector", True),
+    "1056": ("td", "coordinate_frame", True),
+    "1057": ("td", "coordinate_frame", False),
+    "1058": ("td", "coordinate_frame", True),
 }
 
 
@@ -167,7 +176,9 @@ def main():
         if kind is None:
             skipped += 1
             continue
-        if any(x not in ("NULL", "") for x in v[25:38]):  # time-dependent
+        if kind[0] != "td" and any(x not in ("NULL", "")
+                                   for x in v[25:38]):
+            # rate terms on a non-td method: malformed, skip
             skipped += 1
             continue
         if v[7] != "EPSG" or v[9] != "EPSG":
@@ -183,16 +194,44 @@ def main():
         if sbase is None or tbase is None:
             skipped += 1
             continue
-        if v[15] != "EPSG" or v[16] != "9001":  # translations in metres
+        lfac = LEN_M.get(v[16]) if v[15] == "EPSG" else None
+        if lfac is None:  # translations in an unknown length unit
             skipped += 1
             continue
         acc = _num(v[11])
         tx, ty, tz = _num(v[12]), _num(v[13]), _num(v[14])
+        if None in (tx, ty, tz):
+            skipped += 1
+            continue
         entry = {"code": int(v[1]), "acc": acc,
-                 "t": (tx, ty, tz)}
+                 "t": (tx * lfac, ty * lfac, tz * lfac)}
         nkind, conv, d3 = kind
         if d3:
             entry["d3"] = True
+        if nkind == "td":
+            rfac = ARCSEC_PER.get(v[21])
+            sfac = PPM_PER.get(v[24])
+            dfac = RATE_M.get(v[29])
+            rrfac = RATE_AS.get(v[34])
+            ssfac = RATE_PPM.get(v[37])
+            rx, ry, rz, sc = (_num(v[17]), _num(v[18]), _num(v[19]),
+                              _num(v[22]))
+            dtx, dty, dtz = _num(v[25]), _num(v[26]), _num(v[27])
+            drx, dry, drz = _num(v[30]), _num(v[31]), _num(v[32])
+            dsc, ep = _num(v[35]), _num(v[38])
+            if (None in (rx, ry, rz, sc, dtx, dty, dtz, drx, dry,
+                         drz, dsc, ep)
+                    or None in (rfac, sfac, dfac, rrfac, ssfac)
+                    or v[40] != "1029"):  # epoch must be in years
+                skipped += 1
+                continue
+            entry["r"] = (rx * rfac, ry * rfac, rz * rfac)
+            entry["s"] = sc * sfac
+            entry["conv"] = conv
+            entry["dt"] = (dtx * dfac, dty * dfac, dtz * dfac)
+            entry["dr"] = (drx * rrfac, dry * rrfac, drz * rrfac)
+            entry["dsc"] = dsc * ssfac
+            entry["ep"] = ep
         if nkind in ("7", "mb"):
             rfac = ARCSEC_PER.get(v[21])
             sfac = PPM_PER.get(v[24])
@@ -243,7 +282,7 @@ def main():
     for v in rows("grid_transformation.sql", "grid_transformation"):
         if v[0] != "EPSG" or v[-1] == "1":
             continue
-        if v[5] not in ("9615", "9614"):  # NTv2 / NTv1
+        if v[5] not in ("9615", "9614", "9613"):  # NTv2 / NTv1 / NADCON
             continue
         if v[7] != "EPSG" or v[9] != "EPSG":
             continue
@@ -262,6 +301,12 @@ def main():
         if a:
             names = [a[0]] + ([a[1]] if a[1] else []) + [gname]
             invdir = a[2]
+        elif v[5] == "9613" and gname.endswith(".las"):
+            # NADCON 'xxx.las'/'xxx.los' pairs ship in PROJ as the
+            # CTable2 file 'xxx' / packaged 'us_noaa_xxx.tif'
+            # (reference singleoperation.cpp NADCON name handling)
+            stem = gname[:-4]
+            names = [f"us_noaa_{stem}.tif", stem]
         entry = {"code": int(v[1]), "acc": _num(v[11]),
                  "grids": names, "invdir": bool(invdir)}
         ext = op_extent_g.get(v[1])
@@ -270,6 +315,34 @@ def main():
             entry["off"] = True
         grids.setdefault((sbase, tbase), []).append(entry)
         gkept += 1
+
+    # supersession: op code -> replacement op codes. Two sources, both
+    # used by the reference planner's discardSuperseded pass
+    # (factory.cpp:6986-7001): the supersession table, plus EPSG
+    # remarks of the form "Replaced ... (transformation code NNNN)" /
+    # "Replaced by code NNNN" for grid ops the table does not cover
+    # (NAD27->NAD83: NTv1 op 1312's remark points at NTv2 op 1313).
+    superseded: dict[int, list[int]] = {}
+    for v in rows("supersession.sql", "supersession"):
+        if v[1] != "EPSG" or v[4] != "EPSG":
+            continue
+        try:
+            superseded.setdefault(int(v[2]), []).append(int(v[5]))
+        except ValueError:
+            continue
+    for v in rows("grid_transformation.sql", "grid_transformation"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        desc = str(v[3])
+        m = _re.search(r"[Rr]eplaced[^.]*", desc)
+        if not m:
+            continue
+        try:
+            code = int(v[1])
+        except ValueError:
+            continue
+        for rep in _re.findall(r"code (\d+)", m.group(0)):
+            superseded.setdefault(code, []).append(int(rep))
 
     # geoid-model transformations: vertical CRS code -> candidate grid
     # names ("Geographic3D to GravityRelatedHeight" family), for
@@ -432,6 +505,18 @@ def main():
         f.write("VERT_GRIDS = {\n")
         for key in sorted(vert_grids):
             f.write(f"    {key}: {vert_grids[key]!r},\n")
+        f.write("}\n\n")
+        kept_codes = {e["code"] for es in helmert.values() for e in es}
+        kept_codes |= {e["code"] for es in grids.values() for e in es}
+        f.write("# op code -> replacement op codes (supersession table"
+                " + EPSG\n# 'Replaced ... code NNNN' remarks); planner"
+                " drops a candidate when\n# a replacement is in the"
+                " same candidate set (discardSuperseded)\n")
+        f.write("SUPERSEDED = {\n")
+        for code in sorted(superseded):
+            if code in kept_codes:
+                f.write(f"    {code}: {sorted(set(superseded[code]))!r}"
+                        ",\n")
         f.write("}\n\n")
         f.write("SIMILARITY = {\n")
         for key in sorted(similarity):

@@ -20,8 +20,10 @@ import yaml
 
 YAML = "/root/reference/test/cli/test_cs2cs_various.yaml"
 
-SKIP_FLAGS = ("--only-best", "--no-ballpark", "--authority", "--accuracy",
-              "--s_epoch", "--t_epoch", "-E", "-I")
+# -I (inverse), -E (echo input) and --only-best are handled below;
+# epoch propagation and planner authority/accuracy selection are not.
+SKIP_FLAGS = ("--no-ballpark", "--authority", "--accuracy",
+              "--s_epoch", "--t_epoch")
 
 
 def parse_num(tok: str):
@@ -76,7 +78,10 @@ def split_args(args: str):
     if "+to" in out:
         i = out.index("+to")
         return " ".join(out[:i]), " ".join(out[i + 1:])
-    if len(out) == 2 and all(":" in o or o.startswith("+") for o in out):
+    if len(out) == 2:
+        # AUTH:CODE, +proj strings, or bare CRS names (GDA94,
+        # ITRF2000...) — name resolution failures surface as
+        # BUILD-SKIPs, not silent arg-parse skips
         return out[0], out[1]
     return None, None
 
@@ -158,6 +163,8 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             continue
         finally:
             os.environ.pop("PROJ_RAY_SKIP_GRID_OPS", None)
+        inverse = " -I" in f" {args}" or args.endswith("-I")
+        echo = " -E" in f" {args}"
         ins = parse_lines(t["in"])
         outs = parse_lines(t["out"])
         ok = True
@@ -168,17 +175,30 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             x = np.array([iv[0][0]])
             y = np.array([iv[1][0]])
             z = np.array([iv[2][0] if len(iv) > 2 else 0.0])
-            tt = np.array([np.inf])
-            if op.angular_input:
+            tt = np.array([iv[3][0] if len(iv) > 3 else np.inf])
+            ang_in = op.angular_output if inverse else op.angular_input
+            ang_out = op.angular_input if inverse else op.angular_output
+            if ang_in:
                 x, y = np.radians(x), np.radians(y)
             try:
-                rx, ry, rz, _ = op.fwd((x, y, z, tt))
+                step = op.inv if inverse else op.fwd
+                rx, ry, rz, _ = step((x, y, z, tt))
             except Exception as exc:  # noqa: BLE001
                 ok = False
                 why = f"exec {type(exc).__name__}"
                 break
-            if op.angular_output:
+            if ang_out:
                 rx, ry = np.degrees(rx), np.degrees(ry)
+            if not (np.isfinite(rx[0]) and np.isfinite(ry[0])):
+                # cs2cs marks the whole record failed (* * inf) when
+                # the transform errors; mirror that for z too
+                rx = ry = rz = np.array([np.inf])
+            if echo:
+                # cs2cs -E prefixes each output line with the input's
+                # spatial columns; compare only the result columns
+                ov = ov[min(3, len(iv)):]
+                if len(ov) < 2:
+                    continue
             exp = [ov[0], ov[1]] + ([ov[2]] if len(ov) > 2 else [])
             got = [rx[0], ry[0]] + ([rz[0]] if len(ov) > 2 else [])
             for (ev, tol), gv in zip(exp, got):
