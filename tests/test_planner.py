@@ -107,3 +107,34 @@ def test_grad_unit_crs():
                          np.zeros(1), np.full(1, np.inf)))
     assert x[0] == pytest.approx(760724.02, abs=0.02)
     assert y[0] == pytest.approx(3457334.86, abs=0.02)
+
+
+def test_crs_name_resolution_and_td_helmert():
+    import numpy as np
+
+    from proj_ray.factory import create_crs_to_crs, resolve_crs_name
+
+    assert resolve_crs_name("WGS 84") == "EPSG:4326"
+    assert resolve_crs_name("gda2020") == "EPSG:7844"
+    assert resolve_crs_name("ITRF1993") == "EPSG:8993"  # century elision
+    assert resolve_crs_name("WGS 84 + EGM96 height") == "EPSG:4326+5773"
+    assert resolve_crs_name("no such crs name") is None
+
+    # ITRF2005 -> ETRF2000: the generated time-dependent Helmert
+    # (EPSG:7950) must move a geocentric point epoch-dependently
+    op = create_crs_to_crs("EPSG:4896", "EPSG:7930")
+    x = np.array([3496737.2679]); y = np.array([743254.4507])
+    z = np.array([5264462.9620])
+    r19 = op.fwd((x, y, z, np.array([2019.0])))
+    r29 = op.fwd((x, y, z, np.array([2029.0])))
+    assert abs(r19[0][0] - 3496737.7857) < 1.5e-4
+    assert abs(r29[0][0] - 3496737.9401) < 1.5e-4
+    assert r19[0][0] != r29[0][0]
+
+
+def test_superseded_grid_op_filtered():
+    """NAD27->NAD83 must plan NTv2 (op 1313), not the NTv1 op 1312 its
+    EPSG remark marks replaced (reference discardSuperseded)."""
+    from proj_ray.epsg_ops import SUPERSEDED
+
+    assert 1313 in SUPERSEDED.get(1312, [])
