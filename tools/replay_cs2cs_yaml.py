@@ -20,10 +20,10 @@ import yaml
 
 YAML = "/root/reference/test/cli/test_cs2cs_various.yaml"
 
-# -I (inverse), -E (echo input) and --only-best are handled below;
-# epoch propagation and planner authority/accuracy selection are not.
-SKIP_FLAGS = ("--no-ballpark", "--authority", "--accuracy",
-              "--s_epoch", "--t_epoch")
+# -I (inverse), -E (echo input), --only-best and --s_epoch/--t_epoch
+# (coordinate epoch -> the t coordinate of a time-dependent op) are
+# handled below; planner authority/accuracy selection are not.
+SKIP_FLAGS = ("--no-ballpark", "--authority", "--accuracy")
 
 
 def parse_num(tok: str):
@@ -63,7 +63,7 @@ def split_args(args: str):
         if skip_next:
             skip_next = False
             continue
-        if t in ("-f", "-d"):
+        if t in ("-f", "-d", "--s_epoch", "--t_epoch"):
             skip_next = True
             continue
         if t.startswith("-") and not t[1:2].isdigit():
@@ -165,6 +165,11 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             os.environ.pop("PROJ_RAY_SKIP_GRID_OPS", None)
         inverse = " -I" in f" {args}" or args.endswith("-I")
         echo = " -E" in f" {args}"
+        epoch = None
+        m_ep = __import__("re").search(
+            r"--[st]_epoch[= ]([0-9.]+)", args)
+        if m_ep:
+            epoch = float(m_ep.group(1))
         ins = parse_lines(t["in"])
         outs = parse_lines(t["out"])
         ok = True
@@ -175,7 +180,8 @@ def run(verbose: bool = False, yaml_path: str = YAML):
             x = np.array([iv[0][0]])
             y = np.array([iv[1][0]])
             z = np.array([iv[2][0] if len(iv) > 2 else 0.0])
-            tt = np.array([iv[3][0] if len(iv) > 3 else np.inf])
+            tt = np.array([iv[3][0] if len(iv) > 3 else
+                           (epoch if epoch is not None else np.inf)])
             ang_in = op.angular_output if inverse else op.angular_input
             ang_out = op.angular_input if inverse else op.angular_output
             if ang_in:
