@@ -159,6 +159,48 @@ def run_suite(sf_dir: str) -> dict:
 
     timed("raster_warp", lambda: _raster(warp_stats))
     timed("raster_hillshade", lambda: _raster(hillshade_stats))
+
+    # text axis at bench scale: TF-IDF (two corpus passes: DF
+    # aggregation + broadcast-idf scoring) over a lineitem-
+    # proportional synthetic corpus read from a cached stored table
+    def _tfidf():
+        import ray.data as rd
+
+        from proj_ray.functions.text import tfidf_topk
+        from proj_ray.images import cached_table
+
+        n_docs = max(n_headline // 12, 20000)
+
+        def docs_ds(n, parallelism=32):
+            import numpy as np
+            import pandas as pd
+
+            vocab = np.array(
+                ("the a scan sort merge join filter group window "
+                 "batch stream spark table row key hash dup value "
+                 "data big small slow fast query line part order "
+                 "customer agg column").split(), dtype=object)
+
+            def gen(b):
+                i = np.asarray(b["id"], dtype=np.int64)
+                out = []
+                for k in i:
+                    rng = (k * 6364136223846793005 + 1442695040888963407)
+                    m = 8 + (rng >> 33) % 25
+                    idx = (k * 2654435761 + np.arange(m) * 40503) \
+                        % len(vocab)
+                    out.append(" ".join(vocab[idx]))
+                return pd.DataFrame({"doc_id": i,
+                                     "text": np.array(out, dtype=object)})
+
+            return rd.range(n, override_num_blocks=parallelism) \
+                .map_batches(gen, batch_format="numpy", batch_size=4096)
+
+        path = cached_table(docs_ds, "benchdocs", n_docs)
+        ds = rd.read_parquet(path)
+        return consume(tfidf_topk(ds))
+
+    timed("tfidf_topk", _tfidf)
     timed("q51_heavy_hitters",
           lambda: consume(E._q51_heavy_hitters(sf_dir)))
     timed("q52_revenue_by_nation",
