@@ -852,7 +852,8 @@ def _similarity_candidates(src_spec: str, dst_spec: str) -> list[dict]:
 
 
 def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
-                           max_cands: int = 48):
+                           max_cands: int = 48,
+                           only_best: bool = False):
     """Candidate datum-shift step-chains between two geographic bases:
     available grid transformations and Helmert ops for the direct pair,
     plus chains composed via the WGS84/ETRS89/NAD83 hubs (either leg a
@@ -870,17 +871,16 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
     HUB_ELL = {4326: "+ellps=WGS84", 4258: "+ellps=GRS80",
                4269: "+ellps=GRS80"}
 
-    def direct(a, b):
+    def direct(a, b, missing=None):
         outs = [("h", e, False) for e in HELMERT.get((a, b), ())]
         outs += [("h", e, True) for e in HELMERT.get((b, a), ())]
-        for e in GRIDS.get((a, b), ()):
+        for e, inv in ([(e, False) for e in GRIDS.get((a, b), ())]
+                       + [(e, True) for e in GRIDS.get((b, a), ())]):
             fname = _grid_file_of(e["grids"])
             if fname is not None:
-                outs.append(("g", {**e, "file": fname}, False))
-        for e in GRIDS.get((b, a), ()):
-            fname = _grid_file_of(e["grids"])
-            if fname is not None:
-                outs.append(("g", {**e, "file": fname}, True))
+                outs.append(("g", {**e, "file": fname}, inv))
+            elif missing is not None:
+                missing.append(e)
         # discardSuperseded (reference factory.cpp:6986-7001): drop a
         # candidate when one of its replacements is usable in the SAME
         # candidate set (NAD27->NAD83: NTv1 1312 yields to NTv2 1313)
@@ -908,7 +908,25 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
         return block
 
     cands = []
-    for kind, e, inv in direct(gA, gB):
+    missing: list = []
+    avail = direct(gA, gB, missing)
+    if only_best and missing:
+        # cs2cs --only-best: if the BEST-ranked direct op is a grid
+        # transformation whose grid is absent, error out instead of
+        # falling back to the next candidate (4D_api.cpp
+        # errorIfBestTransformationNotAvailable)
+        best_missing = min((acc_of(e) for e in missing), default=None)
+        best_avail = min((acc_of(e) for _k, e, _i in avail),
+                         default=None)
+        if best_missing is not None and (best_avail is None
+                                         or best_missing < best_avail):
+            from proj_ray.ops.gridshift import GridUnavailable
+
+            worst = min(missing, key=acc_of)
+            raise GridUnavailable(
+                f"only_best: grid {worst['grids'][0]} (op EPSG:"
+                f"{worst['code']}) is not available")
+    for kind, e, inv in avail:
         cands.append((leg_steps(kind, e, inv, ellA, ellB), acc_of(e),
                       e["bbox"], 0 if kind == "g" else 1))
     for hub, hell in HUB_ELL.items():
@@ -987,23 +1005,35 @@ _SANDWICH_LINEARIZED = False
 
 
 def create_crs_to_crs(src: str, dst: str,
-                      force_3d: bool = False) -> Operation:
+                      force_3d: bool = False,
+                      only_best: bool = False,
+                      no_ballpark: bool = False) -> Operation:
     """See _create_crs_to_crs_impl. This wrapper switches towgs84
     sandwiches to the reference's createOperation semantics (linearized
     Position Vector helmert, transformation.cpp:585) for the duration
     of the build; raw create_operation pipelines keep the 4D-API
-    "helmert exact" sandwich (4D_api.cpp:941)."""
+    "helmert exact" sandwich (4D_api.cpp:941).
+
+    only_best (cs2cs --only-best): error instead of falling back when
+    the best-ranked operation cannot be used (its grid is missing).
+    no_ballpark (cs2cs --no-ballpark): error when only the ballpark
+    no-datum-shift fallback would be available between different
+    datums."""
     global _SANDWICH_LINEARIZED
     prev = _SANDWICH_LINEARIZED
     _SANDWICH_LINEARIZED = True
     try:
-        return _create_crs_to_crs_impl(src, dst, force_3d)
+        return _create_crs_to_crs_impl(src, dst, force_3d,
+                                       only_best=only_best,
+                                       no_ballpark=no_ballpark)
     finally:
         _SANDWICH_LINEARIZED = prev
 
 
 def _create_crs_to_crs_impl(src: str, dst: str,
-                            force_3d: bool = False) -> Operation:
+                            force_3d: bool = False, *,
+                            only_best: bool = False,
+                            no_ballpark: bool = False) -> Operation:
     """cs2cs-style CRS -> CRS operation, mirroring
     proj_create_crs_to_crs (src/4D_api.cpp:2072) for the
     static-registry subset (the proj.db query planner is out of scope):
@@ -1036,11 +1066,18 @@ def _create_crs_to_crs_impl(src: str, dst: str,
         from proj_ray.epsg_ops import VERT_GRIDS
 
         geoid = None
-        for names in VERT_GRIDS.get(int(m.group(2)), ()):
+        entries = VERT_GRIDS.get(int(m.group(2)), ())
+        for names in entries:
             f = _grid_file_of(names)
             if f is not None:
                 geoid = f
                 break
+        if geoid is None and entries and only_best:
+            from proj_ray.ops.gridshift import GridUnavailable
+
+            raise GridUnavailable(
+                f"only_best: grid {entries[0][0]} for vertical CRS "
+                f"EPSG:{m.group(2)} is not available")
         return f"EPSG:{m.group(1)}", geoid
 
     for _nm, _cur in (("src", src), ("dst", dst)):
@@ -1142,7 +1179,18 @@ def _create_crs_to_crs_impl(src: str, dst: str,
         gB = _geog_base_code(dst, d)
         mids = []
         if gA is not None and gB is not None and gA != gB:
-            mids = _plan_datum_candidates(gA, gB, s['ell'], d['ell'])
+            mids = _plan_datum_candidates(gA, gB, s['ell'], d['ell'],
+                                          only_best=only_best)
+        if no_ballpark and not cands and not mids \
+                and (gA is None or gB is None or gA != gB) \
+                and "towgs84" not in s["clean"] \
+                and "towgs84" not in d["clean"]:
+            # cs2cs --no-ballpark: between different (or unknown)
+            # datums with no plannable operation, the only option is
+            # the ballpark no-shift fallback -> error
+            raise ValueError(
+                "no_ballpark: cannot initialize transformation (only "
+                "a ballpark geographic offset is available)")
         if cands or mids:
             s_clean = _strip_datum(s["clean"], s["ell"])
             d_clean = _strip_datum(d["clean"], d["ell"])
@@ -1153,10 +1201,12 @@ def _create_crs_to_crs_impl(src: str, dst: str,
                               "tier": tier})
             # global fallback mirrors the reference's ballpark
             # geographic offset: NO datum shift (4D_api ballpark, not
-            # the legacy towgs84 sandwich)
-            bp = [f"+step +inv {s_clean}", f"+step {d_clean}"]
-            cands.append({"defn": "+proj=pipeline " + " ".join(bp),
-                          "bbox": None, "accuracy": None})
+            # the legacy towgs84 sandwich); --no-ballpark removes it
+            # so out-of-area points fail instead of silently shifting
+            if not no_ballpark:
+                bp = [f"+step +inv {s_clean}", f"+step {d_clean}"]
+                cands.append({"defn": "+proj=pipeline " + " ".join(bp),
+                              "bbox": None, "accuracy": None})
             try:
                 probes = (create_operation(s_clean),
                           create_operation(d_clean))

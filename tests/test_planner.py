@@ -138,3 +138,28 @@ def test_superseded_grid_op_filtered():
     from proj_ray.epsg_ops import SUPERSEDED
 
     assert 1313 in SUPERSEDED.get(1312, [])
+
+
+def test_only_best_and_no_ballpark_flags():
+    import pytest
+
+    from proj_ray.factory import create_crs_to_crs
+    from proj_ray.ops.gridshift import GridUnavailable
+
+    # --only-best: EGM2008 geoid grid is not shipped -> error instead
+    # of the ballpark height passthrough
+    with pytest.raises(GridUnavailable):
+        create_crs_to_crs("EPSG:4326+3855", "EPSG:4979",
+                          only_best=True)
+    # default keeps the reference's grid-missing ballpark behavior
+    create_crs_to_crs("EPSG:4326+3855", "EPSG:4979")
+
+    # --no-ballpark: unknown-datum pair with no plannable op -> error
+    with pytest.raises(ValueError):
+        create_crs_to_crs("+proj=longlat +ellps=airy",
+                          "+proj=longlat +datum=WGS84",
+                          no_ballpark=True)
+    # same datum: exact conversion, never ballpark -> still builds
+    create_crs_to_crs("+proj=longlat +datum=WGS84",
+                      "+proj=utm +zone=31 +datum=WGS84",
+                      no_ballpark=True)
