@@ -108,10 +108,28 @@ def cmd_cs2cs(args: list[str]) -> int:
         decimals = int(args[args.index("-d") + 1])
         args = [a for i, a in enumerate(args)
                 if a != "-d" and (i == 0 or args[i - 1] != "-d")]
+    only_best = no_ballpark = False
+    kept = []
+    for a in args:
+        if a in ("--only-best", "--only-best=yes"):
+            only_best = True
+        elif a == "--only-best=no":
+            only_best = False
+        elif a == "--no-ballpark":
+            no_ballpark = True
+        else:
+            kept.append(a)
+    args = kept
     if len(args) < 2:
         print("usage: cs2cs <src crs> <dst crs>", file=sys.stderr)
         return 2
-    op = create_crs_to_crs(args[0], args[1])
+    try:
+        op = create_crs_to_crs(args[0], args[1], only_best=only_best,
+                               no_ballpark=no_ballpark)
+    except (ValueError, NotImplementedError) as exc:
+        print(f"cs2cs: cannot initialize transformation: {exc}",
+              file=sys.stderr)
+        return 3
     x, y, z, t, rests = _read_coords(sys.stdin)
     if op.angular_input:
         x = np.radians(x)
