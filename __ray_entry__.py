@@ -3171,6 +3171,50 @@ LIMIT 1000
 """
 
 
+def _q65_blob_stats(sf_dir: str):
+    """Raster blob detection: 4-connected components of pixels >= 240
+    per DEM tile (count, largest, masked total), computed with
+    whole-batch vectorized label propagation — the raster twin of the
+    q61 graph operator. Oracle: recursive-CTE closure over pixel
+    adjacency (the high threshold keeps blobs small, so the closure
+    is bounded) (proj_ray/raster.py blob_stats)."""
+    from proj_ray.raster import blob_stats, dem_table
+
+    n = _read(sf_dir, "documents").count()
+    return blob_stats(dem_table(n, columns=["tile_id", "bytes"]))
+
+
+_Q65_SQL = """
+WITH RECURSIVE ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+px AS (
+  SELECT i, r.r * 32 + c.c + 1 AS p, r.r AS r, c.c AS c
+  FROM ids CROSS JOIN range(32) r(r) CROSS JOIN range(32) c(c)
+  WHERE (i*31 + r.r*7 + c.c*13) % 256 >= 240
+),
+ed AS (
+  SELECT a.i, a.p AS pa, b.p AS pb
+  FROM px a JOIN px b ON a.i = b.i
+   AND ((abs(a.r - b.r) = 1 AND a.c = b.c)
+        OR (a.r = b.r AND abs(a.c - b.c) = 1))
+),
+cc AS (
+  SELECT i, p AS node, p AS label FROM px
+  UNION
+  SELECT ed.i, ed.pb AS node, cc.label
+  FROM cc JOIN ed ON ed.i = cc.i AND ed.pa = cc.node
+),
+lab AS (SELECT i, node, MIN(label) AS lbl FROM cc GROUP BY i, node),
+blb AS (SELECT i, lbl, COUNT(*) AS sz FROM lab GROUP BY i, lbl)
+SELECT i AS tile_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blobs,
+       CAST(MAX(sz) AS BIGINT) AS max_blob,
+       CAST(SUM(sz) AS BIGINT) AS n_masked
+FROM blb GROUP BY i
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3242,6 +3286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q62_dedup_pipeline": _q62_dedup_pipeline,
         "q63_kmeans_estep": _q63_kmeans_estep,
         "q64_global_sort": _q64_global_sort,
+        "q65_blob_stats": _q65_blob_stats,
     }
 
 
@@ -3310,4 +3355,5 @@ def oracle_sql() -> dict[str, str]:
         "q62_dedup_pipeline": _Q62_SQL,
         "q63_kmeans_estep": _Q63_SQL,
         "q64_global_sort": _Q64_SQL,
+        "q65_blob_stats": _Q65_SQL,
     }

@@ -318,6 +318,51 @@ def hillshade_stats(ds, scale: int = 1000):
     return ds.map_batches(stage, batch_format="numpy", batch_size=256)
 
 
+def blob_stats(ds, threshold: int = 240):
+    """Per-tile blob statistics: 4-connected components of pixels with
+    value >= threshold. Labels are propagated with whole-batch
+    vectorized neighbor-min passes ((B, H, W) arrays, no per-pixel
+    Python) until fixpoint; components are then counted with one
+    pandas groupby. Tiles with zero masked pixels emit no row.
+    Returns (tile_id, n_blobs, max_blob, n_masked)."""
+    import pandas as pd
+
+    def stage(batch: dict) -> dict:
+        n = len(batch["tile_id"])
+        v = np.empty((n, SRC_H, SRC_W), dtype=np.int64)
+        for k in range(n):
+            v[k] = dem_decode(batch["bytes"][k])
+        mask = v >= threshold
+        inf = np.int64(1 << 40)
+        base = (np.arange(SRC_H * SRC_W, dtype=np.int64)
+                .reshape(1, SRC_H, SRC_W) + 1)
+        lab = np.where(mask, base, inf)
+        while True:
+            p = np.pad(lab, ((0, 0), (1, 1), (1, 1)),
+                       constant_values=inf)
+            nxt = np.minimum.reduce([
+                lab, p[:, :-2, 1:-1], p[:, 2:, 1:-1],
+                p[:, 1:-1, :-2], p[:, 1:-1, 2:]])
+            nxt = np.where(mask, nxt, inf)
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        tid = np.repeat(np.asarray(batch["tile_id"], dtype=np.int64),
+                        SRC_H * SRC_W)
+        flat = lab.reshape(n, -1)
+        sel = flat.reshape(-1) < inf
+        g = (pd.DataFrame({"tile_id": tid[sel],
+                           "lbl": flat.reshape(-1)[sel]})
+             .groupby(["tile_id", "lbl"], as_index=False).size())
+        out = g.groupby("tile_id", as_index=False).agg(
+            n_blobs=("size", "size"), max_blob=("size", "max"),
+            n_masked=("size", "sum"))
+        return {c: out[c].to_numpy(np.int64) for c in out.columns}
+
+    return ds.map_batches(stage, batch_format="numpy",
+                          batch_size=256)
+
+
 MOSAIC_W = GRID_NX * SRC_W   # 512 global columns over [-180, 180]
 MOSAIC_H = GRID_NY * SRC_H   # 320 global rows over [-85, 85]
 

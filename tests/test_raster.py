@@ -222,3 +222,54 @@ def test_laea_warp_engine_kernel_parity(ray_session):
                 chk += pv * (oy * 16 + ox + 1)
         assert out.loc[tid, "wsum"] == tot, tid
         assert out.loc[tid, "wchk"] == chk, tid
+
+
+def test_blob_stats_matches_union_find(ray_session):
+    """Vectorized label-propagation blobs vs scalar union-find on the
+    same thresholded tiles — independent algorithm, exact match."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.raster import blob_stats
+
+    ids = np.array([0, 3, 97, 255], dtype=np.int64)
+    rows = make_dem_for(ids)
+    got = blob_stats(rd.from_pandas(pd.DataFrame(rows))) \
+        .to_pandas().set_index("tile_id")
+
+    for k, tid in enumerate(ids):
+        v = dem_values(int(tid))
+        mask = v >= 240
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in range(SRC_H):
+            for c in range(SRC_W):
+                if not mask[r, c]:
+                    continue
+                parent[(r, c)] = (r, c)
+        for r in range(SRC_H):
+            for c in range(SRC_W):
+                if not mask[r, c]:
+                    continue
+                for dr, dc in ((1, 0), (0, 1)):
+                    rr, cc = r + dr, c + dc
+                    if rr < SRC_H and cc < SRC_W and mask[rr, cc]:
+                        ra, rb = find((r, c)), find((rr, cc))
+                        if ra != rb:
+                            parent[max(ra, rb)] = min(ra, rb)
+        sizes = {}
+        for node in parent:
+            root = find(node)
+            sizes[root] = sizes.get(root, 0) + 1
+        if not sizes:
+            assert tid not in got.index
+            continue
+        assert got.loc[tid, "n_blobs"] == len(sizes), tid
+        assert got.loc[tid, "max_blob"] == max(sizes.values()), tid
+        assert got.loc[tid, "n_masked"] == int(mask.sum()), tid
