@@ -201,28 +201,34 @@ class _TfidfTopK:
         import pandas as pd
 
         s = pd.Series(b["text"]).str.split(" ")
-        doc = pd.Series(b["doc_id"]).repeat(s.str.len()).to_numpy()
+        lens = s.str.len().to_numpy()
+        drow = np.repeat(np.arange(len(s), dtype=np.int64), lens)
         term = s.explode().to_numpy(dtype=object)
-        g = (pd.DataFrame({"doc_id": doc, "term": term})
-             .groupby(["doc_id", "term"], as_index=False, sort=False)
-             .size())
-        pos = np.searchsorted(self.terms, g["term"].to_numpy())
-        score = g["size"].to_numpy(np.float64) * self.idf[pos]
-        g["score_f"] = np.floor(
-            score * float(self.scale) + 0.5).astype(np.int64)
-        g = g.sort_values(["doc_id", "score_f", "term"],
-                          ascending=[True, False, True],
-                          kind="stable")
-        g["rk"] = g.groupby("doc_id").cumcount() + 1
-        g = g[g["rk"] <= self.k]
-        return {"doc_id": g["doc_id"].to_numpy(),
-                "rk": g["rk"].to_numpy(dtype=np.int64),
-                "term": g["term"].to_numpy(dtype=object),
-                "score_f": g["score_f"].to_numpy(dtype=np.int64)}
+        # all-integer path: term -> vocabulary index (self.terms is
+        # sorted, so index order == lexical order and doubles as the
+        # rank tiebreak); (row, term) counts via one np.unique
+        tpos = np.searchsorted(self.terms, term).astype(np.int64)
+        nv = len(self.terms)
+        key, tf = np.unique(drow * nv + tpos, return_counts=True)
+        row = key // nv
+        tpos = key % nv
+        score_f = np.floor(tf.astype(np.float64) * self.idf[tpos]
+                           * float(self.scale) + 0.5).astype(np.int64)
+        order = np.lexsort((tpos, -score_f, row))
+        row, tpos, score_f = row[order], tpos[order], score_f[order]
+        starts = np.flatnonzero(np.r_[True, row[1:] != row[:-1]])
+        rk = np.arange(len(row), dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.r_[starts, len(row)])) + 1
+        keep = rk <= self.k
+        doc_ids = np.asarray(b["doc_id"])[row[keep]]
+        return {"doc_id": doc_ids,
+                "rk": rk[keep],
+                "term": self.terms[tpos[keep]],
+                "score_f": score_f[keep]}
 
 
 def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
-               concurrency: int = 8):
+               concurrency: int | None = None):
     """Top-k TF-IDF terms per document. Two passes over the corpus:
     a DF aggregation (stream-combined partials, vocabulary-sized
     result) and a scoring pass with the idf table broadcast via
@@ -236,6 +242,11 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
     idf = np.log(float(n_docs) / np.array(
         [df[t] for t in terms], dtype=np.float64))
     ref = ray.put((terms, idf))
+    if concurrency is None:
+        # size the scoring pool to the cluster (leave headroom for
+        # the read tasks; a fixed small cap starves a 32-cpu box)
+        concurrency = max(4, int(
+            ray.cluster_resources().get("CPU", 8)) - 2)
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _TfidfTopK, fn_constructor_args=(ref, k, scale),
         batch_format="numpy", batch_size=4096,
