@@ -109,23 +109,42 @@ def cmd_cs2cs(args: list[str]) -> int:
         args = [a for i, a in enumerate(args)
                 if a != "-d" and (i == 0 or args[i - 1] != "-d")]
     only_best = no_ballpark = False
+    accuracy = None
     kept = []
-    for a in args:
+    skip_next = False
+    for i, a in enumerate(args):
+        if skip_next:
+            skip_next = False
+            continue
         if a in ("--only-best", "--only-best=yes"):
             only_best = True
         elif a == "--only-best=no":
             only_best = False
         elif a == "--no-ballpark":
             no_ballpark = True
+        elif a == "--accuracy":
+            accuracy = float(args[i + 1])
+            skip_next = True
+        elif a.startswith("-W"):
+            # -W<d>: DMS seconds precision, d in [0,8] (cs2cs.cpp)
+            digits = a[2:]
+            if not (len(digits) == 1 and digits.isdigit()
+                    and int(digits) <= 8):
+                print("-W argument missing or not in range [0,8]",
+                      file=sys.stderr)
+                return 1
         else:
             kept.append(a)
     args = kept
-    if len(args) < 2:
-        print("usage: cs2cs <src crs> <dst crs>", file=sys.stderr)
+    if not args:
+        print("usage: cs2cs <src crs> [dst crs]", file=sys.stderr)
         return 2
     try:
-        op = create_crs_to_crs(args[0], args[1], only_best=only_best,
-                               no_ballpark=no_ballpark)
+        op = create_crs_to_crs(args[0],
+                               args[1] if len(args) > 1 else None,
+                               only_best=only_best,
+                               no_ballpark=no_ballpark,
+                               accuracy=accuracy)
     except (ValueError, NotImplementedError) as exc:
         print(f"cs2cs: cannot initialize transformation: {exc}",
               file=sys.stderr)

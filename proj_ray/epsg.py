@@ -248,6 +248,22 @@ def resolve_code_authority(icode: int) -> str:
     return defn
 
 
+def resolve_iau(icode: int) -> str:
+    """Resolve an `IAU_2015:NNNN` planetary CRS (generated from the
+    reference's iau.sql) with authority axis order."""
+    from proj_ray.iau_generated import IAU_GENERATED, IAU_GEO_LATLON
+
+    defn = IAU_GENERATED.get(icode)
+    if defn is None:
+        raise NotImplementedError(
+            f"operator not implemented: IAU_2015:{icode} (not in "
+            "static registry)")
+    if icode in IAU_GEO_LATLON and "+axis" not in defn \
+            and "longlat" in defn:
+        defn = defn + " +axis=neu"
+    return defn
+
+
 def _helmert_defn(e: dict) -> str:
     """OPERATIONS entry (metre / arc-second / ppm, per-year rates,
     epoch in years) -> +proj=helmert definition string."""

@@ -667,6 +667,11 @@ def _resolve_crs_text(spec: str) -> str:
         from proj_ray.epsg import resolve_code_authority
 
         return resolve_code_authority(int(s.split(":")[1]))
+    m_iau = _re.match(r"(?i)^iau(?:_2015)?:(\d+)$", s)
+    if m_iau:
+        from proj_ray.epsg import resolve_iau
+
+        return resolve_iau(int(m_iau.group(1)))
     norm = _re.sub(r"\s*=\s*", "=", s)
     if "proj=" in norm or "init=" in norm:
         return s
@@ -705,6 +710,30 @@ def resolve_crs_name(s: str) -> str | None:
 
 _ELL_KEYS = ("ellps", "a", "b", "rf", "f", "es", "e", "R")
 _ANGULAR_PROJ = ("latlong", "longlat", "latlon", "lonlat")
+
+
+def _geog_base_spec(present: str) -> str:
+    """cs2cs with only one CRS given: the absent side defaults to the
+    geographic base CRS of the present (projected) CRS — same datum /
+    ellipsoid / prime meridian, longlat axes
+    (src/apps/cs2cs.cpp:307-342 get_geog_crs_proj_string_from_proj_crs,
+    :832-841 missing-target fallback)."""
+    defn = _resolve_crs_text(present)
+    from proj_ray.params import tokenize
+
+    kv = dict(tokenize(defn))
+    proj = str(kv.get("proj", ""))
+    if proj in _ANGULAR_PROJ or proj in (
+            "", "geocent", "cart", "topocentric", "geoc"):
+        raise ValueError(
+            "missing target CRS and source CRS is not a projected CRS")
+    keep = _ELL_KEYS + ("datum", "towgs84", "nadgrids", "pm")
+    toks = ["+proj=longlat"]
+    for k in keep:
+        if k in kv:
+            v = kv[k]
+            toks.append(f"+{k}" if v is True else f"+{k}={v}")
+    return " ".join(toks)
 
 
 def _crs_pieces(defn: str) -> dict:
@@ -894,6 +923,23 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
         return base + (1000.0 if e.get("off") else 0.0)
 
     def leg_steps(kind, e, inv, ell_from, ell_to):
+        if kind == "g" and e.get("xyz"):
+            # geocentric translation by grid interpolation (EPSG
+            # method 1087): cart -> xyzgridshift -> inv cart, heights
+            # preserved. The grid is referenced in the table row's
+            # TARGET frame (+grid_ref=output_crs; the reference emits
+            # the target ellipsoid on the step), so the step's
+            # ellipsoid is ell_to when walking forward and ell_from
+            # when walking the row backwards.
+            step_inv = inv != e["invdir"]
+            grid_ell = ell_from if step_inv else ell_to
+            return ["+step +proj=push +v_3",
+                    f"+step +proj=cart {ell_from}".rstrip(),
+                    f"+step {'+inv ' if step_inv else ''}"
+                    f"+proj=xyzgridshift +grids={e['file']} "
+                    f"+grid_ref=output_crs {grid_ell}".rstrip(),
+                    f"+step +inv +proj=cart {ell_to}".rstrip(),
+                    "+step +proj=pop +v_3"]
         if kind == "g":
             step_inv = inv != e["invdir"]
             return [f"+step {'+inv ' if step_inv else ''}"
@@ -915,14 +961,18 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
         # transformation whose grid is absent, error out instead of
         # falling back to the next candidate (4D_api.cpp
         # errorIfBestTransformationNotAvailable)
-        best_missing = min((acc_of(e) for e in missing), default=None)
-        best_avail = min((acc_of(e) for _k, e, _i in avail),
-                         default=None)
+        # accuracy first; ties broken by EPSG op code, which tracks
+        # the reference's "(1)"/"(2)" name ordering for same-accuracy
+        # variants (NTF->RGF93: 9327 gr3df97a outranks 15958 NTv2)
+        best_missing = min(((acc_of(e), e["code"]) for e in missing),
+                           default=None)
+        best_avail = min(((acc_of(e), e["code"])
+                          for _k, e, _i in avail), default=None)
         if best_missing is not None and (best_avail is None
                                          or best_missing < best_avail):
             from proj_ray.ops.gridshift import GridUnavailable
 
-            worst = min(missing, key=acc_of)
+            worst = min(missing, key=lambda e: (acc_of(e), e["code"]))
             raise GridUnavailable(
                 f"only_best: grid {worst['grids'][0]} (op EPSG:"
                 f"{worst['code']}) is not available")
@@ -1004,10 +1054,12 @@ def _strip_datum(defn: str, ell: str) -> str:
 _SANDWICH_LINEARIZED = False
 
 
-def create_crs_to_crs(src: str, dst: str,
+def create_crs_to_crs(src: str, dst: str | None = None,
                       force_3d: bool = False,
                       only_best: bool = False,
-                      no_ballpark: bool = False) -> Operation:
+                      no_ballpark: bool = False,
+                      accuracy: float | None = None,
+                      authority: str | None = None) -> Operation:
     """See _create_crs_to_crs_impl. This wrapper switches towgs84
     sandwiches to the reference's createOperation semantics (linearized
     Position Vector helmert, transformation.cpp:585) for the duration
@@ -1018,22 +1070,32 @@ def create_crs_to_crs(src: str, dst: str,
     the best-ranked operation cannot be used (its grid is missing).
     no_ballpark (cs2cs --no-ballpark): error when only the ballpark
     no-datum-shift fallback would be available between different
-    datums."""
+    datums.
+    accuracy (cs2cs --accuracy N): between different datums, only
+    operations with a known accuracy <= N metres qualify; the
+    unknown-accuracy ballpark never does (cs2cs.cpp --accuracy).
+    authority (cs2cs --authority X): restrict planned operations to
+    authority X. The static tables are EPSG-derived, so any other
+    authority leaves only the ballpark fallback (GH-2442 no-op)."""
     global _SANDWICH_LINEARIZED
     prev = _SANDWICH_LINEARIZED
     _SANDWICH_LINEARIZED = True
     try:
         return _create_crs_to_crs_impl(src, dst, force_3d,
                                        only_best=only_best,
-                                       no_ballpark=no_ballpark)
+                                       no_ballpark=no_ballpark,
+                                       accuracy=accuracy,
+                                       authority=authority)
     finally:
         _SANDWICH_LINEARIZED = prev
 
 
-def _create_crs_to_crs_impl(src: str, dst: str,
+def _create_crs_to_crs_impl(src: str, dst: str | None,
                             force_3d: bool = False, *,
                             only_best: bool = False,
-                            no_ballpark: bool = False) -> Operation:
+                            no_ballpark: bool = False,
+                            accuracy: float | None = None,
+                            authority: str | None = None) -> Operation:
     """cs2cs-style CRS -> CRS operation, mirroring
     proj_create_crs_to_crs (src/4D_api.cpp:2072) for the
     static-registry subset (the proj.db query planner is out of scope):
@@ -1044,9 +1106,16 @@ def _create_crs_to_crs_impl(src: str, dst: str,
     - +geoc latlong CRSs get an explicit geographic<->geocentric
       latitude step with the right direction on each side;
     - ob_tran with an angular o_proj gets a rad<->deg unitconvert so
-      the rotated-pole coordinates surface in degrees.
+      the rotated-pole coordinates surface in degrees;
+    - a missing side (None/empty) defaults to the geographic base of
+      the other, projected, side (cs2cs single-CRS invocation).
     """
     import re as _re
+
+    if dst is None or not str(dst).strip():
+        dst = _geog_base_spec(src)
+    elif src is None or not str(src).strip():
+        src = _geog_base_spec(dst)
 
     def _spec_code(spec: str):
         m = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
@@ -1174,13 +1243,35 @@ def _create_crs_to_crs_impl(src: str, dst: str,
     # candidates -> per-point area/accuracy-ranked pipelines, with the
     # legacy towgs84 sandwich as the global fallback
     if not (s["geoc"] or d["geoc"]):
-        cands = _similarity_candidates(src, dst)
-        gA = _geog_base_code(src, s)
-        gB = _geog_base_code(dst, d)
-        mids = []
-        if gA is not None and gB is not None and gA != gB:
-            mids = _plan_datum_candidates(gA, gB, s['ell'], d['ell'],
-                                          only_best=only_best)
+        if authority is not None and authority.upper() != "EPSG":
+            # the static tables are EPSG-derived: restricting to any
+            # other authority leaves no plannable operation, so the
+            # ballpark fallback carries (GH-2442: --authority PROJ on
+            # ITRF96->ITRF2014 is a no-op)
+            cands, mids, gA, gB = [], [], None, None
+        else:
+            cands = _similarity_candidates(src, dst)
+            gA = _geog_base_code(src, s)
+            gB = _geog_base_code(dst, d)
+            mids = []
+            if gA is not None and gB is not None and gA != gB:
+                mids = _plan_datum_candidates(gA, gB, s['ell'],
+                                              d['ell'],
+                                              only_best=only_best)
+        if accuracy is not None:
+            # cs2cs --accuracy: only operations with a KNOWN accuracy
+            # within the threshold qualify; unknown-accuracy candidates
+            # and the ballpark fallback are out
+            cands = [c for c in cands
+                     if c.get("accuracy") is not None
+                     and c["accuracy"] <= accuracy]
+            mids = [m for m in mids
+                    if m[1] is not None and m[1] <= accuracy]
+            if not cands and not mids \
+                    and (gA is None or gB is None or gA != gB):
+                raise ValueError(
+                    "accuracy: cannot initialize transformation (no "
+                    f"operation with accuracy <= {accuracy} m)")
         if no_ballpark and not cands and not mids \
                 and (gA is None or gB is None or gA != gB) \
                 and "towgs84" not in s["clean"] \
@@ -1203,7 +1294,7 @@ def _create_crs_to_crs_impl(src: str, dst: str,
             # geographic offset: NO datum shift (4D_api ballpark, not
             # the legacy towgs84 sandwich); --no-ballpark removes it
             # so out-of-area points fail instead of silently shifting
-            if not no_ballpark:
+            if not no_ballpark and accuracy is None:
                 bp = [f"+step +inv {s_clean}", f"+step {d_clean}"]
                 cands.append({"defn": "+proj=pipeline " + " ".join(bp),
                               "bbox": None, "accuracy": None})

@@ -362,10 +362,15 @@ def load_grids(names: str) -> list[ShiftGrid]:
         _GRID_CACHE[name] = gs
         out.extend(gs)
     if not out:
+        if any_required_missing is None:
+            # every entry was '@'-optional and missing: the op becomes
+            # a pass-through ("Only try the gridshift if at least one
+            # grid is loaded, otherwise just pass the coordinate
+            # through unchanged", vgridshift.cpp:68-71)
+            return []
         raise GridUnavailable(
-            f"no grid available from '{names}'"
-            + (f" (missing {any_required_missing})" if any_required_missing
-               else ""))
+            f"no grid available from '{names}' "
+            f"(missing {any_required_missing})")
     if any_required_missing:
         raise GridUnavailable(f"required grid missing: {any_required_missing}")
     return out
@@ -483,6 +488,8 @@ class Hgridshift(Operation):
         return self._fwd_core(lam, phi, z, t)
 
     def _fwd_core(self, lam, phi, z, t) -> Coords:
+        if not self.grids:  # all-optional grids missing: pass through
+            return lam, phi, z, t
         out_l = np.full_like(lam, np.inf)
         out_p = np.full_like(phi, np.inf)
         remaining = np.ones(lam.shape, dtype=bool)
@@ -531,6 +538,8 @@ class Hgridshift(Operation):
         containing grid and keeps iterating; no switch available
         accepts the current guess; 10 iterations without convergence is
         an error (pj_hgrid_apply_internal, grids.cpp:3388-3480)."""
+        if not self.grids:  # all-optional grids missing: pass through
+            return lam, phi, z, t
         n = lam.shape[0]
         grids = self.grids
         out_l = np.full_like(lam, np.inf)
@@ -705,6 +714,8 @@ class Vgridshift(Operation):
         return out
 
     def _fwd(self, lam, phi, z, t) -> Coords:
+        if not self.grids:  # all-optional grids missing: pass through
+            return lam, phi, z, t
         tm = self._time_mask(t)
         v = self._value(lam, phi)
         zz = z + self.multiplier * v
@@ -716,6 +727,8 @@ class Vgridshift(Operation):
                 np.where(bad, np.inf, zz), t)
 
     def _inv(self, lam, phi, z, t) -> Coords:
+        if not self.grids:  # all-optional grids missing: pass through
+            return lam, phi, z, t
         tm = self._time_mask(t)
         v = self._value(lam, phi)
         zz = z - self.multiplier * v
@@ -1131,11 +1144,15 @@ class Gridshift(Operation):
         return ox, oy, oz
 
     def _fwd(self, lam, phi, z, t) -> Coords:
+        if not self.roots:  # all-optional grids missing: pass through
+            return lam, phi, z, t
         ox, oy, oz = self._apply(lam, phi, z, True)
         # constant_offset applied after the shift (gridshift.cpp:847-848)
         return ox + self.offX, oy + self.offY, oz, t
 
     def _inv(self, lam, phi, z, t) -> Coords:
+        if not self.roots:  # all-optional grids missing: pass through
+            return lam, phi, z, t
         ox, oy, oz = self._apply(lam - self.offX, phi - self.offY, z,
                                  False)
         return ox, oy, oz, t

@@ -31,8 +31,86 @@ def test_cs2cs_various_goldens():
     from tools.replay_cs2cs_yaml import run
 
     npass, nfail, nskip = run()
-    assert npass >= 91, (npass, nfail, nskip)
+    # round-3 close: 141/142 replayed (the 1 skip is test 120, whose
+    # expectation depends on NADCON5 ranking over a grid this
+    # environment legitimately ships an alternative for)
+    assert npass >= 141, (npass, nfail, nskip)
     assert nfail == 0, (npass, nfail)
+
+
+def test_missing_target_crs_defaults_to_geog_base():
+    """cs2cs with a single (projected) CRS transforms to/from its
+    geographic base (cs2cs.cpp:832; yaml tests 55/56)."""
+    import numpy as np
+
+    from proj_ray.factory import create_crs_to_crs
+
+    op = create_crs_to_crs(
+        "+proj=ob_tran +o_proj=moll +a=6378137 +es=0 +o_lon_p=0 "
+        "+o_lat_p=0 +lon_0=180", None)
+    assert op.angular_output and not op.angular_input
+    x = np.array([300000.0, 20000000.0])
+    y = np.array([400000.0, 30000000.0])
+    z = np.zeros(2)
+    t = np.full(2, np.inf)
+    rx, ry, _, _ = op.fwd((x, y, z, t))
+    lon, lat = np.degrees(rx[0]), np.degrees(ry[0])
+    assert abs(lon - -(42 + 45 / 60 + 22.377 / 3600)) < 1e-3
+    assert abs(lat - (85 + 35 / 60 + 28.083 / 3600)) < 1e-3
+    assert not np.isfinite(rx[1])  # out-of-range inverse -> inf
+    # a geographic-only source cannot supply a base
+    import pytest
+
+    with pytest.raises(ValueError):
+        create_crs_to_crs("+proj=longlat +datum=WGS84", None)
+
+
+def test_all_optional_grids_missing_is_noop():
+    """'@'-optional grids that are all missing make the gridshift a
+    pass-through, not an error (vgridshift.cpp:68-71; yaml test 127)."""
+    import numpy as np
+
+    from proj_ray.factory import create_crs_to_crs
+
+    op = create_crs_to_crs(
+        "+proj=longlat +datum=WGS84 +units=m "
+        "+geoidgrids=@i_dont_exist.tif +vunits=m +no_defs +type=crs",
+        "EPSG:4979")
+    x = np.radians(np.array([2.0]))
+    y = np.radians(np.array([49.0]))
+    rx, ry, rz, _ = op.fwd((x, y, np.zeros(1), np.full(1, np.inf)))
+    # EPSG:4979 is lat-first: (49, 2, 0)
+    assert abs(np.degrees(rx[0]) - 49.0) < 1e-9
+    assert abs(np.degrees(ry[0]) - 2.0) < 1e-9
+    assert abs(rz[0]) < 1e-9
+
+
+def test_iau_2015_registry():
+    """IAU_2015 planetary CRSs resolve from the generated registry
+    (iau.sql); Mars south-polar stereographic maps the pole to the
+    origin (yaml test 84)."""
+    import numpy as np
+
+    from proj_ray.factory import create_crs_to_crs, create_operation
+
+    op = create_crs_to_crs("+proj=longlat +R=3376200", "IAU_2015:49935")
+    rx, ry, _, _ = op.fwd((np.radians(np.array([0.0])),
+                           np.radians(np.array([-90.0])),
+                           np.zeros(1), np.full(1, np.inf)))
+    assert abs(rx[0]) < 1e-6 and abs(ry[0]) < 1e-6
+    # ocentric geographic CRS round-trip through a projected sibling:
+    # Mars sphere eqc (IAU_2015:49910-series conversions share lon_0=0)
+    from proj_ray.epsg import resolve_iau
+
+    defn = resolve_iau(49900)
+    assert "+a=3396190" in defn
+    ops = create_operation(
+        "+proj=pipeline +step +inv " + resolve_iau(49935).replace(
+            " +axis=enu", "") + " +step " + resolve_iau(49935).replace(
+            " +axis=enu", ""))
+    x = np.array([1000.0]); y = np.array([2000.0])
+    rx, ry, _, _ = ops.fwd((x, y, np.zeros(1), np.full(1, np.inf)))
+    assert abs(rx[0] - 1000.0) < 1e-6 and abs(ry[0] - 2000.0) < 1e-6
 
 
 def test_cs2cs_ntv2_goldens():

@@ -282,7 +282,8 @@ def main():
     for v in rows("grid_transformation.sql", "grid_transformation"):
         if v[0] != "EPSG" or v[-1] == "1":
             continue
-        if v[5] not in ("9615", "9614", "9613"):  # NTv2 / NTv1 / NADCON
+        # NTv2 / NTv1 / NADCON / geocentric translation by grid (IGN)
+        if v[5] not in ("9615", "9614", "9613", "1087"):
             continue
         if v[7] != "EPSG" or v[9] != "EPSG":
             continue
@@ -309,6 +310,9 @@ def main():
             names = [f"us_noaa_{stem}.tif", stem]
         entry = {"code": int(v[1]), "acc": _num(v[11]),
                  "grids": names, "invdir": bool(invdir)}
+        if v[5] == "1087":
+            # geocentric XYZ offset grid -> +proj=xyzgridshift leg
+            entry["xyz"] = True
         ext = op_extent_g.get(v[1])
         entry["bbox"] = extent.get(ext) if ext is not None else None
         if ext in offshore:
