@@ -135,8 +135,12 @@ def text_stats(ds, concurrency=(2, 8), batch_size: int = 4096):
                           batch_size=batch_size, concurrency=concurrency)
 
 
+_NDOCS_SENTINEL = "\x00#docs"  # NUL never appears in split() tokens
+
+
 def document_frequencies(ds, text_col: str = "text",
-                         vocab_cap: int = 2_000_000):
+                         vocab_cap: int = 2_000_000,
+                         count_docs: bool = False):
     """Corpus document frequencies: (term, df) as a driver-side dict.
 
     Scale shape: per-batch partials (each doc's DISTINCT terms counted
@@ -146,6 +150,10 @@ def document_frequencies(ds, text_col: str = "text",
     by `vocab_cap`; corpora whose vocabulary exceeds it should switch
     to a groupby("term") aggregate and a shuffle join instead of the
     broadcast path (same trade as stages.BROADCAST_ROW_LIMIT).
+
+    count_docs=True piggybacks the corpus document count on the same
+    pass (a NUL-prefixed sentinel term) and returns (df, n_docs) —
+    one Ray job instead of two for callers that need both (tfidf).
     """
     import pandas as pd
 
@@ -155,8 +163,14 @@ def document_frequencies(ds, text_col: str = "text",
         # distinct (doc, term): df counts docs, not occurrences
         vc = ex.groupby([ex.index, ex]).size().index \
             .get_level_values(1).value_counts()
-        return {"term": vc.index.to_numpy(dtype=object),
-                "df_part": vc.to_numpy(dtype=np.int64)}
+        terms = vc.index.to_numpy(dtype=object)
+        dfp = vc.to_numpy(dtype=np.int64)
+        if count_docs:
+            terms = np.concatenate(
+                [terms, np.array([_NDOCS_SENTINEL], dtype=object)])
+            dfp = np.concatenate(
+                [dfp, np.array([len(s)], dtype=np.int64)])
+        return {"term": terms, "df_part": dfp}
 
     def combine(b: dict) -> dict:
         g = pd.Series(b["df_part"]).groupby(
@@ -177,6 +191,9 @@ def document_frequencies(ds, text_col: str = "text",
             raise ValueError(
                 f"vocabulary exceeds vocab_cap={vocab_cap}; use the "
                 "groupby('term') shuffle path for this corpus")
+    if count_docs:
+        n_docs = df.pop(_NDOCS_SENTINEL, 0)
+        return df, n_docs
     return df
 
 
@@ -236,8 +253,7 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
     idf = ln(N / df); score_f = floor(tf * idf * scale + 0.5)."""
     import ray
 
-    n_docs = ds.count()
-    df = document_frequencies(ds)
+    df, n_docs = document_frequencies(ds, count_docs=True)
     terms = np.array(sorted(df), dtype=object)
     idf = np.log(float(n_docs) / np.array(
         [df[t] for t in terms], dtype=np.float64))
