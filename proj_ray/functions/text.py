@@ -288,8 +288,7 @@ def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,
     import pandas as pd
     import ray
 
-    n_docs = ds.count()
-    df = document_frequencies(ds)
+    df, n_docs = document_frequencies(ds, count_docs=True)
     df_ref = ray.put(df)
 
     _triu_cache: dict = {}
