@@ -232,10 +232,16 @@ def resolve_code_authority(icode: int) -> str:
     if icode in EPSG_INIT:
         defn = EPSG_INIT[icode]
     else:
-        from proj_ray.epsg_generated import EPSG_GENERATED
+        from proj_ray.epsg_generated import EPSG_COMPOUND, EPSG_GENERATED
 
         if icode in EPSG_GENERATED:
             defn = EPSG_GENERATED[icode]
+        elif icode in EPSG_COMPOUND:
+            # compound code: the horizontal member carries the
+            # projection surface (the proj app extracts it the same
+            # way; cs2cs resolves the vertical member separately via
+            # _split_compound)
+            return resolve_code_authority(EPSG_COMPOUND[icode][0])
     if defn is None:
         raise NotImplementedError(
             f"operator not implemented: EPSG:{icode} (not in static "

@@ -1128,7 +1128,15 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
         """'EPSG:h+v' / 'EPSG:h+EPSG:v' compound CRS: horizontal spec
         plus a geoid step for the vertical CRS when its grid is
         available; ballpark height passthrough otherwise (matching the
-        reference's grid-missing behavior)."""
+        reference's grid-missing behavior). A bare compound CODE
+        (EPSG:5972) expands to its members first."""
+        m1 = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+        if m1:
+            from proj_ray.epsg_generated import EPSG_COMPOUND
+
+            hv = EPSG_COMPOUND.get(int(m1.group(1)))
+            if hv:
+                spec = f"EPSG:{hv[0]}+{hv[1]}"
         m = _re.match(r"(?i)^epsg:(\d+)\+(?:epsg:)?(\d+)$", spec.strip())
         if not m:
             return spec, None

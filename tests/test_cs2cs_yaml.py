@@ -155,3 +155,17 @@ def test_proj_nad27_nad83_spcs_goldens():
         npass, nfail, _ = run(f"/root/reference/test/cli/{f}")
         assert nfail == 0, (f, npass, nfail)
         assert npass >= want, (f, npass)
+
+
+def test_proj_invproj_cli_goldens():
+    """test_proj.yaml (GH-1782 ob_tran +to_meter hack, proj -S factor
+    blocks on EPSG / non-Greenwich-pm / compound CRSs) and
+    test_invproj.yaml, all replayed with 0 skips."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replay_proj_yaml import run
+
+    for f, want in (("test_proj.yaml", 4), ("test_invproj.yaml", 1)):
+        npass, nfail, nskip = run(f"/root/reference/test/cli/{f}")
+        assert (npass, nfail, nskip) == (want, 0, 0), (f, npass, nfail)

@@ -414,6 +414,18 @@ def main() -> None:
             parts.append(f"+axis={letters}")
         out[int(code)] = " ".join(parts)
 
+    # compound CRS codes -> (horizontal member, vertical member)
+    compound: dict[int, tuple[int, int]] = {}
+    for r in rows("compound_crs.sql", "compound_crs"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        if r[4] != "EPSG" or r[6] != "EPSG":
+            continue
+        try:
+            compound[int(r[1])] = (int(r[5]), int(r[7]))
+        except ValueError:
+            continue
+
     dst = Path(__file__).resolve().parent.parent / "proj_ray" / \
         "epsg_generated.py"
     with dst.open("w", encoding="utf-8") as f:
@@ -441,7 +453,13 @@ def main() -> None:
         for i in range(0, len(geo3d), 10):
             f.write("    " + ", ".join(str(c) for c in
                                        sorted(geo3d)[i:i + 10]) + ",\n")
-        f.write("})\n")
+        f.write("})\n\n")
+        f.write("# compound CRS code -> (horizontal member, vertical "
+                "member)\n"
+                "EPSG_COMPOUND: dict[int, tuple[int, int]] = {\n")
+        for code in sorted(compound):
+            f.write(f"    {code}: {compound[code]!r},\n")
+        f.write("}\n")
     print(f"wrote {len(out)} codes to {dst}")
     top = sorted(skipped_methods.items(), key=lambda x: -x[1])[:12]
     print("skipped methods:", top)

@@ -39,8 +39,8 @@ def clean_args(args: str):
         if t == "-I":
             inverse = True
             continue
-        if t in ("-S",):
-            skip = True  # factors output format not replayed
+        if t == "-S":
+            skip = True  # -> want_factors
             continue
         if t.startswith("-"):
             continue
@@ -70,10 +70,10 @@ def run(yaml_path: str, verbose: bool = False):
         if "out" not in t:
             nskip += 1
             continue
-        args, inverse, skip = clean_args(t.get("args", ""))
+        args, inverse, want_factors = clean_args(t.get("args", ""))
         if (t.get("exe", exe_default)) == "invproj":
             inverse = True
-        if skip or not args:
+        if not args:
             nskip += 1
             continue
         echo = "-E" in str(t.get("args", ""))
@@ -87,8 +87,21 @@ def run(yaml_path: str, verbose: bool = False):
                 print(f"[{ti}] BUILD-SKIP {args[:80]} -> "
                       f"{type(exc).__name__} {str(exc)[:60]}")
             continue
+        # GH-1782 proj-app hack: ob_tran with an angular inner
+        # projection gets PROJECTED output units so +to_meter applies
+        # (src/apps/proj.cpp:653-658)
+        from proj_ray.ops.base import UNITS_PROJECTED, UNITS_WHATEVER
+
+        if getattr(op, "name", "") == "ob_tran" \
+                and op.right == UNITS_WHATEVER:
+            op.right = UNITS_PROJECTED
         ins = [parse_line(ln) for ln in str(t["in"]).strip().splitlines()]
         out_lines = str(t["out"]).strip().splitlines()
+        # yaml `sub`: architecture-dependent token replacement
+        sub = t.get("sub")
+        if sub:
+            out_lines = [ln.replace(str(sub[0]), str(sub[1]))
+                         for ln in out_lines]
         ok = True
         why = ""
         for i, iv in enumerate(ins):
@@ -127,6 +140,36 @@ def run(yaml_path: str, verbose: bool = False):
                     ok = False
                     why = f"row{i} got {gv!r} want {ev!r} tol {tol:g}"
                     break
+            if ok and want_factors and not inverse:
+                # proj -S: compare the <h k s omega a b> block
+                # (src/apps/proj.cpp:186-191) at printed precision
+                import re as _re
+
+                from proj_ray.factors import factors
+
+                m_f = _re.search(r"<([^>]*)>", oline)
+                if m_f:
+                    fac = factors(op, x, y)
+                    got = [fac["meridional_scale"][0],
+                           fac["parallel_scale"][0],
+                           fac["areal_scale"][0],
+                           np.degrees(fac["angular_distortion"][0]),
+                           fac["tissot_semimajor"][0],
+                           fac["tissot_semiminor"][0]]
+                    for tok, gv in zip(m_f.group(1).split(), got):
+                        ev, tol = parse_num(tok)
+                        # %g prints ~6 significant digits: widen the
+                        # tolerance to half an ulp of the 6th digit
+                        if ev != 0:
+                            tol = max(tol, abs(ev) * 5e-6)
+                        else:
+                            tol = max(tol, 1e-6) if "." in tok or \
+                                "e" in tok else 1e-6
+                        if not np.isfinite(gv) or abs(gv - ev) > tol:
+                            ok = False
+                            why = (f"row{i} factors got {gv!r} "
+                                   f"want {ev!r}")
+                            break
             if not ok:
                 break
         if ok:
