@@ -119,6 +119,15 @@ def resolve_init(spec: str) -> str:
     except ValueError as exc:
         raise NotImplementedError(
             f"operator not implemented: init file {spec}") from exc
+    if authority.lower() == "ignf":
+        from proj_ray.ignf_generated import IGNF_GENERATED
+
+        defn = IGNF_GENERATED.get(code.upper())
+        if defn is not None:
+            return defn
+        raise NotImplementedError(
+            f"operator not implemented: init IGNF:{code} (not in "
+            "static registry)")
     if authority.lower() != "epsg":
         defn = _init_file_lookup(authority, code)
         if defn is not None:

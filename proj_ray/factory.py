@@ -613,11 +613,15 @@ class AlternativesOp:
                     inside = np.ones(n, dtype=bool)
                 m = pending & (sel < 0) & (next_ci <= ci) & inside
                 sel[m] = ci
-            # no containing candidate left: global fallback, once
+            # no containing candidate left: the reference falls back to
+            # the FIRST RANKED operation that does not require grids
+            # (proj_trans 4D_api.cpp:496-530 "as a fallback due to lack
+            # of more appropriate operations"), not the ballpark
             nomatch = pending & (sel < 0) & (next_ci < len(self.cands))
             if nomatch.any():
-                for ci, (_op, bbox, _acc, _area, _tier) in enumerate(self.cands):
-                    if bbox is None:
+                for ci, (_op, bbox, _acc, _area, tier) in \
+                        enumerate(self.cands):
+                    if tier != 0:
                         sel[nomatch] = ci
                         break
             still = pending & (sel < 0)
@@ -882,7 +886,8 @@ def _similarity_candidates(src_spec: str, dst_spec: str) -> list[dict]:
 
 def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
                            max_cands: int = 48,
-                           only_best: bool = False):
+                           only_best: bool = False,
+                           force_d3: bool = False):
     """Candidate datum-shift step-chains between two geographic bases:
     available grid transformations and Helmert ops for the direct pair,
     plus chains composed via the WGS84/ETRS89/NAD83 hubs (either leg a
@@ -947,8 +952,11 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
         block = [f"+step +proj=cart {ell_from}".rstrip(),
                  _datum_step(e, inv),
                  f"+step +inv +proj=cart {ell_to}".rstrip()]
-        if not e.get("d3"):
-            # geog2D-domain methods preserve the input height
+        if not e.get("d3") and not force_d3:
+            # geog2D-domain methods preserve the input height;
+            # force_d3 (geocentric CRS pairs) promotes them to the
+            # full-XYZ domain like the reference's geocentric-domain
+            # op variants
             block = (["+step +proj=push +v_3"] + block
                      + ["+step +proj=pop +v_3"])
         return block
@@ -992,7 +1000,7 @@ def _plan_datum_candidates(gA: int, gB: int, ellA: str, ellB: str,
                 cands.append((leg_steps(k1, e1, i1, ellA, hell)
                               + leg_steps(k2, e2, i2, hell, ellB),
                               acc_of(e1) + acc_of(e2), bb,
-                              0 if "g" in (k1, k2) else 1))
+                              0 if "g" in (k1, k2) else 2))
     def _area(bb):
         if bb is None:
             return 360.0 * 180.0
@@ -1016,6 +1024,11 @@ def _geog_base_code(spec: str, pieces: dict):
     m = _re.match(r"(?i)^epsg:(\d+)$", spec.strip())
     if m:
         return GEOG_BASE.get(int(m.group(1)))
+    m = _re.search(r"(?i)init=ignf:(\S+)", spec)
+    if m:
+        from proj_ray.ignf_generated import IGNF_GEOG_BASE
+
+        return IGNF_GEOG_BASE.get(m.group(1).upper())
     from proj_ray.params import tokenize
 
     kv = dict(tokenize(pieces["clean"]))
@@ -1190,8 +1203,25 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
             return o
         return _AngularUnits(o, s_fac, d_fac)
 
-    s_defn = _resolve_crs_text(src)
-    d_defn = _resolve_crs_text(dst)
+    def _expand_init(defn: str) -> str:
+        """Expand non-EPSG +init= references (IGNF:...) so the CRS
+        pieces see the real projection/ellipsoid. EPSG init strings
+        keep the opaque legacy path (their towgs84 sandwich is handled
+        per-step by create_operation)."""
+        m = _re.search(r"(?i)\+init=(?!epsg:)(\w+:\S+)", defn)
+        if not m:
+            return defn
+        from proj_ray.epsg import resolve_init
+
+        try:
+            exp = resolve_init(m.group(1))
+        except NotImplementedError:
+            return defn
+        rest = (defn[:m.start()] + defn[m.end():]).strip()
+        return (exp + (" " + rest if rest else "")).strip()
+
+    s_defn = _expand_init(_resolve_crs_text(src))
+    d_defn = _expand_init(_resolve_crs_text(dst))
     if s_geoid:
         s_defn += f" +geoidgrids={s_geoid}"
     if d_geoid:
@@ -1261,11 +1291,25 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
             cands = _similarity_candidates(src, dst)
             gA = _geog_base_code(src, s)
             gB = _geog_base_code(dst, d)
+            from proj_ray.epsg_ops import PM_EQUIV
+
+            # Paris/Rome/... prime-meridian CRSs alias to their
+            # Greenwich sibling for datum planning: hub coordinates
+            # are Greenwich-referenced already (+pm applied by the CRS
+            # string's prepare/finalize)
+            if gA is not None:
+                gA = PM_EQUIV.get(gA, gA)
+            if gB is not None:
+                gB = PM_EQUIV.get(gB, gB)
             mids = []
             if gA is not None and gB is not None and gA != gB:
+                geocent_pair = (
+                    s["proj"] in ("geocent", "cart")
+                    and d["proj"] in ("geocent", "cart"))
                 mids = _plan_datum_candidates(gA, gB, s['ell'],
                                               d['ell'],
-                                              only_best=only_best)
+                                              only_best=only_best,
+                                              force_d3=geocent_pair)
         if accuracy is not None:
             # cs2cs --accuracy: only operations with a KNOWN accuracy
             # within the threshold qualify; unknown-accuracy candidates
@@ -1298,11 +1342,35 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
                 cands.append({"defn": "+proj=pipeline " + " ".join(st),
                               "bbox": bbox, "accuracy": acc,
                               "tier": tier})
-            # global fallback mirrors the reference's ballpark
-            # geographic offset: NO datum shift (4D_api ballpark, not
-            # the legacy towgs84 sandwich); --no-ballpark removes it
-            # so out-of-area points fail instead of silently shifting
-            if not no_ballpark and accuracy is None:
+            # ballpark presence mirrors the reference's candidate
+            # lists: the db's own gridless paths — a DIRECT helmert
+            # (RGR92->REUN47) or a LISTED gridless concatenated op
+            # reaching the pair via a hub (NTF (Paris) to WGS 84 (1),
+            # code 8094) — suppress the ballpark, and out-of-area
+            # points fall back to the first ranked gridless candidate
+            # (4D_api.cpp:496-530). With only grid-backed db paths
+            # (PD/83 -> WGS 84: BETA2007) the ballpark stays and
+            # catches out-of-area points — our own synthesized hub
+            # chains do NOT count, matching proj.db's lists.
+            from proj_ray.epsg_ops import (CONCAT_GRIDLESS, HELMERT,
+                                           PM_EQUIV as _PME)
+
+            def _pair_gridless(a, b):
+                return bool(HELMERT.get((a, b)) or HELMERT.get((b, a)))
+
+            def _concat(a, b):
+                return (a, b) in CONCAT_GRIDLESS \
+                    or (b, a) in CONCAT_GRIDLESS
+
+            db_gridless = any(m[3] == 1 for m in mids)
+            if not db_gridless and gA is not None and gB is not None:
+                hubs = (4326, 4258, 4269)
+                db_gridless = _concat(gA, gB) or any(
+                    (_concat(gA, h) and _pair_gridless(h, gB))
+                    or (_concat(gB, h) and _pair_gridless(h, gA))
+                    for h in hubs)
+            if not no_ballpark and accuracy is None \
+                    and not db_gridless:
                 bp = [f"+step +inv {s_clean}", f"+step {d_clean}"]
                 cands.append({"defn": "+proj=pipeline " + " ".join(bp),
                               "bbox": None, "accuracy": None})

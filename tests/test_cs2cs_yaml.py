@@ -157,6 +157,23 @@ def test_proj_nad27_nad83_spcs_goldens():
         assert npass >= want, (f, npass)
 
 
+def test_cs2cs_ignf_goldens():
+    """The reference's IGNF-authority corpus (test_cs2cs_ignf.yaml,
+    34 cases): +init=IGNF:CODE resolution from the generated ignf.sql
+    registry, NTF(Paris) datum planning via the PM_EQUIV Greenwich
+    alias, out-of-area fallback to the first ranked gridless op
+    (Tunisia points through the NTF->WGS84 concatenated chain), and
+    the geocentric RGR92->REUN47 full-XYZ helmert."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.replay_cs2cs_yaml import run
+
+    npass, nfail, nskip = run(
+        yaml_path="/root/reference/test/cli/test_cs2cs_ignf.yaml")
+    assert (npass, nfail, nskip) == (34, 0, 0), (npass, nfail, nskip)
+
+
 def test_proj_invproj_cli_goldens():
     """test_proj.yaml (GH-1782 ob_tran +to_meter hack, proj -S factor
     blocks on EPSG / non-Greenwich-pm / compound CRSs) and

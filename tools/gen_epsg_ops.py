@@ -468,6 +468,59 @@ def main():
         except ValueError:
             continue
 
+    # gridless CONCATENATED operations between geodetic bases: these
+    # are the db-listed multi-step chains (NTF (Paris) to WGS 84 (1),
+    # code 8094 = rotation + helmert) whose presence tells the
+    # reference's planner a real gridless path exists — which in turn
+    # decides whether a ballpark fallback op is appended to the
+    # candidate list (PD/83 -> WGS 84 has no such chain -> ballpark).
+    grid_op_codes = {str(e["code"]) for es in grids.values() for e in es}
+    grid_op_codes |= {v[1] for v in rows("grid_transformation.sql",
+                                         "grid_transformation")
+                      if v[0] == "EPSG"}
+    concat_steps: dict[str, list[str]] = {}
+    for v in rows("concatenated_operation_step.sql",
+                  "concatenated_operation_step"):
+        if v[0] == "EPSG":
+            concat_steps.setdefault(v[1], []).append(v[4])
+    concat_gridless: set[tuple[int, int]] = set()
+    for v in rows("concatenated_operation.sql",
+                  "concatenated_operation"):
+        if v[0] != "EPSG" or v[-1] == "1":
+            continue
+        if v[4] != "EPSG" or v[6] != "EPSG":
+            continue
+        steps = concat_steps.get(v[1], [])
+        if not steps or any(s in grid_op_codes for s in steps):
+            continue
+        try:
+            s_c, t_c = int(v[5]), int(v[7])
+        except ValueError:
+            continue
+        sb = geog_base.get(s_c, s_c)
+        tb = geog_base.get(t_c, t_c)
+        concat_gridless.add((sb, tb))
+
+    # prime-meridian siblings: EPSG "Longitude rotation" (9601)
+    # operations map a non-Greenwich geographic CRS (NTF (Paris),
+    # Monte Mario (Rome)...) to its Greenwich sibling. Coordinates at
+    # the planner's angular hub are already Greenwich-referenced (the
+    # CRS string's +pm is applied by prepare/finalize), so the sibling
+    # code is a pure ALIAS for datum-shift planning.
+    pm_equiv: dict[int, int] = {}
+    for v in rows("other_transformation.sql", "other_transformation"):
+        if v[0] != "EPSG" or v[5] != "9601":
+            continue
+        if v[7] != "EPSG" or v[9] != "EPSG":
+            continue
+        try:
+            s_c, t_c = int(v[8]), int(v[10])
+        except ValueError:
+            continue
+        # prefer non-deprecated rows; any row still encodes the alias
+        if s_c not in pm_equiv or v[-1] != "1":
+            pm_equiv[s_c] = t_c
+
     with OUT.open("w", encoding="utf-8") as f:
         f.write('"""Static coordinate-operation planner tables.\n\n'
                 "AUTO-GENERATED by tools/gen_epsg_ops.py from the\n"
@@ -488,6 +541,21 @@ def main():
         for code in sorted(geog_base):
             f.write(f"    {code}: {geog_base[code]},\n")
         f.write("}\n\n")
+        f.write("# non-Greenwich geographic CRS -> Greenwich sibling\n"
+                "# (EPSG 9601 Longitude rotation ops); planner alias\n")
+        f.write("PM_EQUIV = {\n")
+        for code in sorted(pm_equiv):
+            f.write(f"    {code}: {pm_equiv[code]},\n")
+        f.write("}\n\n")
+        f.write("# geodetic base pairs connected by a GRIDLESS\n"
+                "# db-listed concatenated operation (Greenwich-aliased)"
+                "\n")
+        f.write("CONCAT_GRIDLESS = frozenset({\n")
+        cg = sorted({(pm_equiv.get(a, a), pm_equiv.get(b, b))
+                     for a, b in concat_gridless})
+        for pair in cg:
+            f.write(f"    {pair!r},\n")
+        f.write("})\n\n")
         f.write("HELMERT = {\n")
         for key in sorted(helmert):
             f.write(f"    {key!r}: [\n")
