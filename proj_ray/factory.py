@@ -528,7 +528,12 @@ class AlternativesOp:
     falls back to the first global candidate.
     """
 
-    def __init__(self, candidates: list[dict], probes=None):
+    def __init__(self, candidates: list[dict], probes=None,
+                 strict: bool = False):
+        # strict: no gridless fallback for points outside every
+        # candidate's area (cs2cs --area/--bbox semantics: such points
+        # fail with inf)
+        self.strict = strict
         built = []
         for c in candidates:
             op = c["defn"]
@@ -618,7 +623,7 @@ class AlternativesOp:
             # (proj_trans 4D_api.cpp:496-530 "as a fallback due to lack
             # of more appropriate operations"), not the ballpark
             nomatch = pending & (sel < 0) & (next_ci < len(self.cands))
-            if nomatch.any():
+            if nomatch.any() and not self.strict:
                 for ci, (_op, bbox, _acc, _area, tier) in \
                         enumerate(self.cands):
                     if tier != 0:
@@ -1072,7 +1077,9 @@ def create_crs_to_crs(src: str, dst: str | None = None,
                       only_best: bool = False,
                       no_ballpark: bool = False,
                       accuracy: float | None = None,
-                      authority: str | None = None) -> Operation:
+                      authority: str | None = None,
+                      area: str | None = None,
+                      bbox: tuple | None = None) -> Operation:
     """See _create_crs_to_crs_impl. This wrapper switches towgs84
     sandwiches to the reference's createOperation semantics (linearized
     Position Vector helmert, transformation.cpp:585) for the duration
@@ -1089,7 +1096,19 @@ def create_crs_to_crs(src: str, dst: str | None = None,
     unknown-accuracy ballpark never does (cs2cs.cpp --accuracy).
     authority (cs2cs --authority X): restrict planned operations to
     authority X. The static tables are EPSG-derived, so any other
-    authority leaves only the ballpark fallback (GH-2442 no-op)."""
+    authority leaves only the ballpark fallback (GH-2442 no-op).
+    area (cs2cs --area "name") / bbox (cs2cs --bbox w,s,e,n): area of
+    interest. Candidate operations must CONTAIN it (the reference's
+    STRICT_CONTAINMENT criterion when an AOI is set), no ballpark is
+    added, and points outside every remaining candidate fail (inf)."""
+    area_bbox = tuple(bbox) if bbox is not None else None
+    if area is not None:
+        from proj_ray.epsg_ops import EXTENT_BY_NAME
+
+        key = " ".join(str(area).split()).casefold()
+        area_bbox = EXTENT_BY_NAME.get(key)
+        if area_bbox is None:
+            raise ValueError(f"unknown area of use: {area!r}")
     global _SANDWICH_LINEARIZED
     prev = _SANDWICH_LINEARIZED
     _SANDWICH_LINEARIZED = True
@@ -1098,7 +1117,8 @@ def create_crs_to_crs(src: str, dst: str | None = None,
                                        only_best=only_best,
                                        no_ballpark=no_ballpark,
                                        accuracy=accuracy,
-                                       authority=authority)
+                                       authority=authority,
+                                       area_bbox=area_bbox)
     finally:
         _SANDWICH_LINEARIZED = prev
 
@@ -1108,7 +1128,9 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
                             only_best: bool = False,
                             no_ballpark: bool = False,
                             accuracy: float | None = None,
-                            authority: str | None = None) -> Operation:
+                            authority: str | None = None,
+                            area_bbox: tuple | None = None
+                            ) -> Operation:
     """cs2cs-style CRS -> CRS operation, mirroring
     proj_create_crs_to_crs (src/4D_api.cpp:2072) for the
     static-registry subset (the proj.db query planner is out of scope):
@@ -1310,6 +1332,28 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
                                               d['ell'],
                                               only_best=only_best,
                                               force_d3=geocent_pair)
+        if area_bbox is not None:
+            # cs2cs --bbox/--area: candidate ops must CONTAIN the area
+            # of interest (STRICT_CONTAINMENT); no ballpark
+            def _covers(opbox):
+                if opbox is None:
+                    return True
+                w, s_, e, n = opbox
+                aw, as_, ae, an = area_bbox
+                if e < w:  # antimeridian-crossing op extent
+                    e += 360.0
+                    if aw < w:
+                        aw += 360.0
+                        ae += 360.0
+                return w <= aw and e >= ae and s_ <= as_ and n >= an
+
+            cands = [c for c in cands if _covers(c.get("bbox"))]
+            mids = [m for m in mids if _covers(m[2])]
+            if not cands and not mids \
+                    and (gA is None or gB is None or gA != gB):
+                raise ValueError(
+                    "area: cannot initialize transformation (no "
+                    "operation covers the area of interest)")
         if accuracy is not None:
             # cs2cs --accuracy: only operations with a KNOWN accuracy
             # within the threshold qualify; unknown-accuracy candidates
@@ -1370,14 +1414,16 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
                     or (_concat(gB, h) and _pair_gridless(h, gA))
                     for h in hubs)
             if not no_ballpark and accuracy is None \
-                    and not db_gridless:
+                    and area_bbox is None and not db_gridless:
                 bp = [f"+step +inv {s_clean}", f"+step {d_clean}"]
                 cands.append({"defn": "+proj=pipeline " + " ".join(bp),
                               "bbox": None, "accuracy": None})
             try:
                 probes = (create_operation(s_clean),
                           create_operation(d_clean))
-                return _units(AlternativesOp(cands, probes=probes))
+                return _units(AlternativesOp(
+                    cands, probes=probes,
+                    strict=area_bbox is not None))
             except (ValueError, NotImplementedError):
                 pass
     return _units(op)

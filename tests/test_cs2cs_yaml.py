@@ -129,16 +129,17 @@ def test_cs2cs_ntv2_goldens():
 
 def test_cs2cs_datumfile_goldens():
     """NTv1/CTable datum files, incl. the quoted 'dir with space'
-    +nadgrids value (double-quoted tokens supported in tokenize())."""
+    +nadgrids value, and the --bbox/--area area-of-interest tests:
+    candidates must CONTAIN the AOI (STRICT_CONTAINMENT), no ballpark,
+    out-of-candidate points inf. 12/12 replayed."""
     import sys
 
     sys.path.insert(0, "/root/repo")
     from tools.replay_cs2cs_yaml import run
 
-    npass, nfail, _ = run(
+    npass, nfail, nskip = run(
         yaml_path="/root/reference/test/cli/test_cs2cs_datumfile.yaml")
-    assert npass >= 9, (npass, nfail)
-    assert nfail == 0
+    assert (npass, nfail, nskip) == (12, 0, 0), (npass, nfail, nskip)
 
 
 def test_proj_nad27_nad83_spcs_goldens():

@@ -155,6 +155,15 @@ def main():
         extent[code] = (w, s, e, n)
         if "offshore" in v[2].lower():
             offshore.add(code)
+    extent_by_name: dict[str, tuple] = {}
+    for v in rows("extent.sql", "extent"):
+        try:
+            code = int(v[1])
+        except ValueError:
+            continue
+        if v[-1] != "1" and code in extent:
+            extent_by_name[" ".join(v[2].split()).casefold()] = \
+                extent[code]
 
     # usage rows for helmert ops live inside helmert_transformation.sql
     op_extent: dict[str, int] = {}
@@ -546,6 +555,12 @@ def main():
         f.write("PM_EQUIV = {\n")
         for code in sorted(pm_equiv):
             f.write(f"    {code}: {pm_equiv[code]},\n")
+        f.write("}\n\n")
+        f.write("# EPSG extent name (casefolded) -> (w, s, e, n) bbox\n"
+                "# (cs2cs --area lookup)\n")
+        f.write("EXTENT_BY_NAME = {\n")
+        for name in sorted(extent_by_name):
+            f.write(f"    {name!r}: {extent_by_name[name]!r},\n")
         f.write("}\n\n")
         f.write("# geodetic base pairs connected by a GRIDLESS\n"
                 "# db-listed concatenated operation (Greenwich-aliased)"

@@ -73,7 +73,7 @@ def split_args(args: str):
             skip_next = False
             continue
         if t in ("-f", "-d", "--s_epoch", "--t_epoch", "--accuracy",
-                 "--authority"):
+                 "--authority", "--bbox", "--area"):
             skip_next = True
             continue
         if t.startswith("-") and not t[1:2].isdigit():
@@ -204,6 +204,11 @@ def run(verbose: bool = False, yaml_path: str = YAML):
         accuracy = float(m_acc.group(1)) if m_acc else None
         m_auth = _re.search(r"--authority[= ](\S+)", args)
         authority = m_auth.group(1) if m_auth else None
+        m_bb = _re.search(r"--bbox[= ]([0-9.,\-]+)", args)
+        aoi_bbox = tuple(float(v) for v in m_bb.group(1).split(",")) \
+            if m_bb else None
+        m_ar = _re.search(r'--area ("([^"]+)"|\S+)', args)
+        aoi_area = (m_ar.group(2) or m_ar.group(1)) if m_ar else None
         outs = parse_lines(out_txt) if out_txt is not None else None
 
         def _rows_all_failed(outs_, echo_):
@@ -224,7 +229,8 @@ def run(verbose: bool = False, yaml_path: str = YAML):
                                    only_best=only_best,
                                    no_ballpark=no_ballpark,
                                    accuracy=accuracy,
-                                   authority=authority)
+                                   authority=authority,
+                                   area=aoi_area, bbox=aoi_bbox)
         except Exception as exc:  # noqa: BLE001
             os.environ.pop("PROJ_RAY_SKIP_GRID_OPS", None)
             if exp_code in ("1", "2", "3"):
