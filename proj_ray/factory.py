@@ -681,6 +681,16 @@ def _resolve_crs_text(spec: str) -> str:
         from proj_ray.epsg import resolve_iau
 
         return resolve_iau(int(m_iau.group(1)))
+    m_ignf = _re.match(r"(?i)^ignf:(\S+)$", s)
+    if m_ignf:
+        from proj_ray.ignf_generated import IGNF_GENERATED
+
+        defn = IGNF_GENERATED.get(m_ignf.group(1).upper())
+        if defn is not None:
+            return defn
+        raise NotImplementedError(
+            f"operator not implemented: IGNF:{m_ignf.group(1)} "
+            "(not in static registry)")
     norm = _re.sub(r"\s*=\s*", "=", s)
     if "proj=" in norm or "init=" in norm:
         return s
