@@ -250,7 +250,13 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
     a DF aggregation (stream-combined partials, vocabulary-sized
     result) and a scoring pass with the idf table broadcast via
     ray.put — no shuffle of token streams in either pass.
-    idf = ln(N / df); score_f = floor(tf * idf * scale + 0.5)."""
+    idf = ln(N / df); score_f = floor(tf * idf * scale + 0.5).
+
+    The scoring stage runs on the elastic TASK pool (a stateless
+    lookup against the broadcast idf table): Ray worker processes are
+    reused, so each worker ray.get()s the table once (zero-copy plasma
+    read, cached per worker below) — no actor-pool startup cost and no
+    fixed pool size to tune per cluster."""
     import ray
 
     df, n_docs = document_frequencies(ds, count_docs=True)
@@ -258,15 +264,17 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
     idf = np.log(float(n_docs) / np.array(
         [df[t] for t in terms], dtype=np.float64))
     ref = ray.put((terms, idf))
-    if concurrency is None:
-        # size the scoring pool to the cluster (leave headroom for
-        # the read tasks; a fixed small cap starves a 32-cpu box)
-        concurrency = max(4, int(
-            ray.cluster_resources().get("CPU", 8)) - 2)
+
+    def score(b: dict, _cache: dict = {}) -> dict:  # noqa: B006
+        scorer = _cache.get(ref.hex())
+        if scorer is None:
+            _cache.clear()  # one broadcast table per worker
+            scorer = _TfidfTopK(ref, k, scale)
+            _cache[ref.hex()] = scorer
+        return scorer(b)
+
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        _TfidfTopK, fn_constructor_args=(ref, k, scale),
-        batch_format="numpy", batch_size=4096,
-        concurrency=(1, concurrency))
+        score, batch_format="numpy", batch_size=4096)
 
 
 def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,
