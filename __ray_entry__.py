@@ -3215,6 +3215,45 @@ FROM blb GROUP BY i
 """
 
 
+def _q66_raster_pyramid(sf_dir: str):
+    """Raster pyramid: 2x2 level-z DEM tiles -> one level-(z-1) parent
+    (per-child 2x box-average where the tile lives, 256-B quadrants
+    shuffled once by parent_id, bucketed mosaic assembly). The chk
+    column position-weights every pixel of the assembled parent, so
+    mosaic placement is value-checked, not just pixel sums
+    (proj_ray/raster.py pyramid_stats)."""
+    from proj_ray.raster import dem_table, pyramid_stats
+
+    n = _read(sf_dir, "documents").count()
+    return pyramid_stats(dem_table(n, columns=["tile_id", "bytes"]))
+
+
+_Q66_SQL = """
+WITH ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+ds AS (
+  SELECT (i // 160) * 40 + (((i // 16) % 10) // 2) * 8
+           + ((i % 16) // 2) AS parent_id,
+         (i % 16) % 2 AS qx,
+         ((i // 16) % 10) % 2 AS qy,
+         i, r.r AS r, c.c AS c,
+         CAST((  (i*31 + (2*r.r)*7   + (2*c.c)*13) % 256
+               + (i*31 + (2*r.r)*7   + (2*c.c+1)*13) % 256
+               + (i*31 + (2*r.r+1)*7 + (2*c.c)*13) % 256
+               + (i*31 + (2*r.r+1)*7 + (2*c.c+1)*13) % 256) // 4
+              AS BIGINT) AS v
+  FROM ids CROSS JOIN range(16) r(r) CROSS JOIN range(16) c(c)
+)
+SELECT parent_id,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_children,
+       CAST(SUM(v) AS BIGINT) AS sum_ds,
+       CAST(SUM(v * (1 + (qy*16 + r)*33 + (qx*16 + c))) AS BIGINT)
+           AS chk
+FROM ds GROUP BY parent_id
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3287,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_kmeans_estep": _q63_kmeans_estep,
         "q64_global_sort": _q64_global_sort,
         "q65_blob_stats": _q65_blob_stats,
+        "q66_raster_pyramid": _q66_raster_pyramid,
     }
 
 
@@ -3356,4 +3396,5 @@ def oracle_sql() -> dict[str, str]:
         "q63_kmeans_estep": _Q63_SQL,
         "q64_global_sort": _Q64_SQL,
         "q65_blob_stats": _Q65_SQL,
+        "q66_raster_pyramid": _Q66_SQL,
     }

@@ -160,6 +160,17 @@ def run_suite(sf_dir: str) -> dict:
     timed("raster_warp", lambda: _raster(warp_stats))
     timed("raster_hillshade", lambda: _raster(hillshade_stats))
 
+    # pyramid: the one raster op whose pixels CROSS the shuffle (once,
+    # already 4x-reduced quadrants keyed by parent tile)
+    def _pyramid():
+        from proj_ray.raster import dem_table, pyramid_stats
+
+        return consume(pyramid_stats(dem_table(
+            max(n_headline // 50, 2000),
+            columns=["tile_id", "bytes"])))
+
+    timed("raster_pyramid", _pyramid)
+
     # text axis at bench scale: TF-IDF (two corpus passes: DF
     # aggregation + broadcast-idf scoring) over a lineitem-
     # proportional synthetic corpus read from a cached stored table

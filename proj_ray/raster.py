@@ -449,3 +449,88 @@ def sample_points(ds_points, n_tiles: int | None = None,
         PointSampler, fn_constructor_args=(ref, scale),
         batch_format="numpy", batch_size=65536,
         concurrency=(1, concurrency))
+
+
+# ===================================================================== #
+# Pyramid: level-z children -> level-(z-1) parent tiles
+# ===================================================================== #
+
+def pyramid_stats(ds, n_buckets: int = 64):
+    """Raster pyramid build: every 2x2 block of level-z tiles becomes
+    one level-(z-1) parent — each child is 2x box-averaged to 16x16
+    and mosaicked into its parent quadrant (row 0 = south, so child
+    ty%2==0 fills parent rows 0..15). The gdaladdo / tile-server
+    overview op, re-expressed Ray-Data-first.
+
+    Scale shape (the pyramid invariant): pixels cross the all-to-all
+    exactly ONCE and already reduced 4x — the downsample runs where
+    the child tile lives (map_batches over pruned [tile_id, bytes]
+    columns), so the shuffle moves 256-byte quadrants keyed by
+    parent_id, and parents assemble in a bucketed groupby
+    (_bk = parent % n_buckets keeps groups coalesced; cf.
+    functions/graph.py). At 100 TB each level is ~4x smaller than the
+    last, so a full pyramid costs ~1.33x one pass over the base level.
+
+    Returns per-parent fixed-point aggregates a SQL oracle reproduces
+    from the synthetic tile formula: (parent_id, n_children, sum_ds,
+    chk) where chk = sum(v * (1 + row*33 + col)) over the assembled
+    32x32 parent — the position weighting makes mosaic PLACEMENT part
+    of the checked value, not just pixel sums."""
+    import pandas as pd
+
+    half_h, half_w = SRC_H // 2, SRC_W // 2
+    px_per_layer = GRID_NX * GRID_NY
+    parents_per_layer = (GRID_NX // 2) * (GRID_NY // 2)
+
+    def downsample(b: dict) -> dict:
+        ids = np.asarray(b["tile_id"], dtype=np.int64)
+        n = len(ids)
+        blobs = np.empty(n, dtype=object)
+        for k in range(n):
+            px = dem_decode(b["bytes"][k]).astype(np.uint16)
+            d = ((px[0::2, 0::2] + px[0::2, 1::2]
+                  + px[1::2, 0::2] + px[1::2, 1::2]) // 4)
+            blobs[k] = d.astype(np.uint8).tobytes()
+        layer = ids // px_per_layer
+        tx = ids % GRID_NX
+        ty = (ids // GRID_NX) % GRID_NY
+        parent = (layer * parents_per_layer
+                  + (ty // 2) * (GRID_NX // 2) + tx // 2)
+        return {"parent_id": parent,
+                "qx": (tx % 2).astype(np.int64),
+                "qy": (ty % 2).astype(np.int64),
+                "ds": blobs,
+                "_bk": parent % n_buckets}
+
+    # position weights of the assembled parent grid (row 0 = south)
+    wr = np.arange(SRC_H, dtype=np.int64)[:, None]
+    wc = np.arange(SRC_W, dtype=np.int64)[None, :]
+    weights = 1 + wr * 33 + wc
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        pids = []
+        ncs = []
+        sums = []
+        chks = []
+        for pid, gg in g.groupby("parent_id", sort=False):
+            tile = np.zeros((SRC_H, SRC_W), dtype=np.int64)
+            for qx, qy, blob in zip(gg["qx"], gg["qy"], gg["ds"]):
+                q = np.frombuffer(blob, dtype=np.uint8).reshape(
+                    half_h, half_w)
+                tile[qy * half_h:(qy + 1) * half_h,
+                     qx * half_w:(qx + 1) * half_w] = q
+            pids.append(pid)
+            ncs.append(len(gg))
+            sums.append(int(tile.sum()))
+            chks.append(int((tile * weights).sum()))
+        return pd.DataFrame({
+            "parent_id": np.asarray(pids, dtype=np.int64),
+            "n_children": np.asarray(ncs, dtype=np.int64),
+            "sum_ds": np.asarray(sums, dtype=np.int64),
+            "chk": np.asarray(chks, dtype=np.int64)})
+
+    return (ds.map_batches(downsample, batch_format="numpy",
+                           batch_size=4096)
+            .groupby("_bk")
+            .map_groups(lambda g: assemble(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))

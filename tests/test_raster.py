@@ -273,3 +273,43 @@ def test_blob_stats_matches_union_find(ray_session):
         assert got.loc[tid, "n_blobs"] == len(sizes), tid
         assert got.loc[tid, "max_blob"] == max(sizes.values()), tid
         assert got.loc[tid, "n_masked"] == int(mask.sum()), tid
+
+
+def test_pyramid_brute_parity(ray_session):
+    """pyramid_stats vs a direct numpy mosaic over 90 tiles (layer 0
+    only partially covered, so missing-quadrant parents are
+    exercised): n_children, pixel sums and the position-weighted
+    checksum all match, and absent children contribute zeros."""
+    import numpy as np
+
+    from proj_ray.raster import (GRID_NX, SRC_H, SRC_W, dem_table,
+                                 dem_values, pyramid_stats)
+
+    n = 90
+    got = pyramid_stats(dem_table(n, columns=["tile_id", "bytes"])) \
+        .to_pandas().set_index("parent_id").sort_index()
+
+    parents: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for i in range(n):
+        px = dem_values(i).astype(np.int64)
+        d = ((px[0::2, 0::2] + px[0::2, 1::2]
+              + px[1::2, 0::2] + px[1::2, 1::2]) // 4)
+        tx, ty = i % GRID_NX, (i // GRID_NX) % 10
+        pid = (i // 160) * 40 + (ty // 2) * 8 + tx // 2
+        tile = parents.setdefault(
+            pid, np.zeros((SRC_H, SRC_W), dtype=np.int64))
+        tile[(ty % 2) * 16:(ty % 2) * 16 + 16,
+             (tx % 2) * 16:(tx % 2) * 16 + 16] = d
+        counts[pid] = counts.get(pid, 0) + 1
+    w = 1 + np.arange(SRC_H)[:, None] * 33 + np.arange(SRC_W)[None, :]
+    assert len(got) == len(parents)
+    incomplete = 0
+    for pid, tile in parents.items():
+        row = got.loc[pid]
+        assert row["n_children"] == counts[pid], pid
+        assert row["sum_ds"] == int(tile.sum()), pid
+        assert row["chk"] == int((tile * w).sum()), pid
+        if counts[pid] < 4:
+            incomplete += 1
+    assert incomplete > 0  # the partial layer really was exercised
