@@ -3254,6 +3254,82 @@ FROM ds GROUP BY parent_id
 """
 
 
+def _q67_track_densify(sf_dir: str):
+    """Great-circle track densification: each consecutive leg of a
+    source's doc-ordered track expands into 3 slerp-interpolated
+    points — the flat-map expansion shape over the same synthetic
+    geotags as q54; fixed-point coords make the SQL oracle exact
+    (proj_ray/functions/temporal.py track_densify)."""
+    from proj_ray.functions.temporal import track_densify
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"doc_id": i, "source": b["source"],
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    return track_densify(
+        docs.map_batches(add_geo, batch_format="numpy"),
+        "source", "doc_id")
+
+
+_Q67_SQL = """
+WITH g AS (
+  SELECT source, doc_id,
+         radians((doc_id * 61803 % 360000) / 1000.0 - 180.0) AS lam,
+         radians((doc_id * 75487 % 170000) / 1000.0 - 85.0)  AS phi
+  FROM documents
+),
+v AS (
+  SELECT source, doc_id,
+         cos(phi) * cos(lam) AS x, cos(phi) * sin(lam) AS y,
+         sin(phi) AS z
+  FROM g
+),
+p AS (
+  SELECT source, doc_id, x, y, z,
+         LAG(doc_id) OVER w AS leg,
+         LAG(x) OVER w AS x0, LAG(y) OVER w AS y0,
+         LAG(z) OVER w AS z0
+  FROM v WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+),
+l AS (
+  SELECT source, leg, x0, y0, z0, x AS x1, y AS y1, z AS z1,
+         acos(LEAST(GREATEST(x0*x + y0*y + z0*z, -1.0), 1.0)) AS theta
+  FROM p WHERE leg IS NOT NULL
+),
+e AS (
+  SELECT source, leg, CAST(j.j AS BIGINT) AS j, theta, x0, y0, z0,
+         sin((1.0 - j.j / 4.0) * theta) / sin(theta) AS a,
+         sin((j.j / 4.0) * theta) / sin(theta) AS b,
+         x1, y1, z1, sin(theta) < 1e-12 AS degen
+  FROM l CROSS JOIN range(1, 4) j(j)
+),
+c AS (
+  SELECT source, leg, j, degen, x0, y0, z0,
+         a*x0 + b*x1 AS xe, a*y0 + b*y1 AS ye, a*z0 + b*z1 AS ze
+  FROM e
+),
+o AS (
+  SELECT source, leg, j,
+         CASE WHEN degen THEN degrees(atan2(y0, x0))
+              ELSE degrees(atan2(ye, xe)) END AS lon,
+         CASE WHEN degen
+              THEN degrees(asin(LEAST(GREATEST(z0, -1.0), 1.0)))
+              ELSE degrees(asin(LEAST(GREATEST(
+                   ze / sqrt(xe*xe + ye*ye + ze*ze), -1.0), 1.0)))
+         END AS lat
+  FROM c
+)
+SELECT source, leg, j,
+       CAST(floor(lon * 10000000.0 + 0.5) AS BIGINT) AS lon_f,
+       CAST(floor(lat * 10000000.0 + 0.5) AS BIGINT) AS lat_f
+FROM o
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3327,6 +3403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q64_global_sort": _q64_global_sort,
         "q65_blob_stats": _q65_blob_stats,
         "q66_raster_pyramid": _q66_raster_pyramid,
+        "q67_track_densify": _q67_track_densify,
     }
 
 
@@ -3397,4 +3474,5 @@ def oracle_sql() -> dict[str, str]:
         "q64_global_sort": _Q64_SQL,
         "q65_blob_stats": _Q65_SQL,
         "q66_raster_pyramid": _Q66_SQL,
+        "q67_track_densify": _Q67_SQL,
     }

@@ -379,3 +379,99 @@ def track_length(ds, key_col: str, order_col: str,
             .groupby("_bk")
             .map_groups(lambda g: legs(g.drop(columns=["_bk"])),
                         batch_format="pandas"))
+
+
+def track_densify(ds, key_col: str, order_col: str,
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  k: int = 3, scale: int = 10_000_000,
+                  n_buckets: int = 64):
+    """Great-circle track densification: every consecutive leg of each
+    key's ordered track EXPANDS into k interior points by spherical
+    linear interpolation — the flat-map expansion shape (n rows in,
+    ~n*k out), with the same one-bucket-shuffle plan as track_length
+    (keys never split across buckets; the slerp is one vectorized pass
+    over all legs in the bucket).
+
+    Fixed-point contract (SQL-oracle-exact): the slerp mirrors the
+    oracle op-for-op — unit vectors from radians, dot clamped to
+    [-1, 1], theta = acos(dot), weights sin((1-t)*theta)/sin(theta)
+    with t = j/(k+1) (exact binary for k=3), asin/atan2 back to
+    degrees, floor(deg*scale + 0.5) int64 on both sides. Degenerate
+    legs (sin(theta) < 1e-12: coincident or antipodal points) emit the
+    leg start. Returns (key, leg, j, lon_f, lat_f) where leg is the
+    start point's order value.
+    """
+    import pandas as pd
+
+    need = [key_col, order_col, lon_col, lat_col]
+
+    def tag(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        kv = np.asarray(batch[key_col])
+        if not np.issubdtype(kv.dtype, np.integer):
+            kv = pd.util.hash_array(kv)
+        df["_bk"] = (kv.astype(np.int64) % n_buckets + n_buckets) \
+            % n_buckets
+        return df
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, order_col], kind="stable")
+        kcol = g[key_col].to_numpy()
+        order = np.asarray(g[order_col])
+        lam = np.radians(np.asarray(g[lon_col], dtype=np.float64))
+        phi = np.radians(np.asarray(g[lat_col], dtype=np.float64))
+        n = len(g)
+        empty = pd.DataFrame({
+            key_col: kcol[:0], "leg": order[:0],
+            "j": np.empty(0, np.int64),
+            "lon_f": np.empty(0, np.int64),
+            "lat_f": np.empty(0, np.int64)})
+        if n < 2:
+            return empty
+        same = kcol[1:] == kcol[:-1]
+        if not same.any():
+            return empty
+        cp = np.cos(phi)
+        x = cp * np.cos(lam)
+        y = cp * np.sin(lam)
+        z = np.sin(phi)
+        x0, y0, z0 = x[:-1][same], y[:-1][same], z[:-1][same]
+        x1, y1, z1 = x[1:][same], y[1:][same], z[1:][same]
+        dot = np.clip(x0 * x1 + y0 * y1 + z0 * z1, -1.0, 1.0)
+        theta = np.arccos(dot)
+        st = np.sin(theta)
+        degen = st < 1e-12
+        st_safe = np.where(degen, 1.0, st)
+        keys = kcol[1:][same]
+        legs = order[:-1][same]
+        lon0 = np.degrees(np.arctan2(y0, x0))
+        lat0 = np.degrees(np.arcsin(np.clip(z0, -1.0, 1.0)))
+        outs = []
+        for j in range(1, k + 1):
+            t = j / (k + 1.0)
+            a = np.sin((1.0 - t) * theta) / st_safe
+            b = np.sin(t * theta) / st_safe
+            xe = a * x0 + b * x1
+            ye = a * y0 + b * y1
+            ze = a * z0 + b * z1
+            norm = np.sqrt(xe * xe + ye * ye + ze * ze)
+            lon = np.degrees(np.arctan2(ye, xe))
+            lat = np.degrees(np.arcsin(np.clip(ze / norm, -1.0, 1.0)))
+            lon = np.where(degen, lon0, lon)
+            lat = np.where(degen, lat0, lat)
+            outs.append(pd.DataFrame({
+                key_col: keys,
+                "leg": legs,
+                "j": np.full(len(keys), j, dtype=np.int64),
+                "lon_f": np.floor(lon * float(scale) + 0.5)
+                .astype(np.int64),
+                "lat_f": np.floor(lat * float(scale) + 0.5)
+                .astype(np.int64)}))
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.select_columns(need)
+            .map_batches(tag, batch_format="numpy",
+                         batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: expand(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))

@@ -191,3 +191,51 @@ def test_track_length_matches_pandas(ray_session):
     assert np.array_equal(got["k"], exp["k"])
     assert np.array_equal(got["track_tmm"], exp["track_tmm"])
     assert np.array_equal(got["n_legs"], exp["n_legs"])
+
+
+def test_track_densify_slerp_properties(ray_session):
+    """Interpolated points lie ON the great circle (unit sphere, zero
+    scalar triple product with the endpoints), are strictly interior
+    (angle monotone in j), and a degenerate leg (repeated point)
+    emits the leg start."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import track_densify
+
+    pts = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "o": [0, 1, 2, 0, 1],
+        "lon": [10.0, 40.0, 40.0, -170.0, 170.0],
+        "lat": [10.0, 30.0, 30.0, 5.0, -5.0],
+    })
+    out = track_densify(rd.from_pandas(pts), "k", "o",
+                        k=3).to_pandas()
+    # legs: (1: 0->1 real, 1->2 degenerate), (2: antimeridian leg)
+    assert len(out) == 9
+    lon = out["lon_f"].to_numpy() / 1e7
+    lat = out["lat_f"].to_numpy() / 1e7
+
+    def unit(lo, la):
+        lo, la = np.radians(lo), np.radians(la)
+        return np.array([np.cos(la) * np.cos(lo),
+                         np.cos(la) * np.sin(lo), np.sin(la)])
+
+    leg1 = out[(out["k"] == 1) & (out["leg"] == 0)]
+    p0, p1 = unit(10, 10), unit(40, 30)
+    nrm = np.cross(p0, p1)
+    angs = []
+    for _, r in leg1.sort_values("j").iterrows():
+        pe = unit(r["lon_f"] / 1e7, r["lat_f"] / 1e7)
+        assert abs(np.dot(nrm, pe)) < 1e-6  # on the great circle
+        angs.append(np.arccos(np.clip(np.dot(p0, pe), -1, 1)))
+    assert angs == sorted(angs) and 0 < angs[0] and \
+        angs[-1] < np.arccos(np.dot(p0, p1))
+    # degenerate leg emits the start point
+    degen = out[(out["k"] == 1) & (out["leg"] == 1)]
+    assert (degen["lon_f"] == int(np.floor(40.0 * 1e7 + 0.5))).all()
+    assert (degen["lat_f"] == int(np.floor(30.0 * 1e7 + 0.5))).all()
+    # antimeridian leg interpolates across 180, not the long way
+    am = out[out["k"] == 2]
+    assert (np.abs(np.abs(am["lon_f"] / 1e7) - 180.0) < 15.0).all()
