@@ -257,13 +257,20 @@ def _q06_tiles(sf_dir: str):
     return ds.map_batches(pick, batch_format="numpy")
 
 
+# the tile formulas mirror the engine op-for-op (cells.py
+# lonlat_to_webmerc + tile_xy: radians -> meters -> normalize ->
+# floor) — a simplified (lon+180)/360 shortcut rounds the OTHER way
+# on exact tile boundaries (doc_id 3125 at sf0.1 lands on fx == 124.0)
 _Q06_SQL = f"""
 WITH geo AS ({_GEO_SQL})
 SELECT doc_id,
-  CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0 * 256), 0), 255) AS BIGINT)
-    AS tile_x,
-  CAST(LEAST(GREATEST(floor((1 - ln(tan(pi()/4 + radians(lat)/2))/pi())/2
-    * 256), 0), 255) AS BIGINT) AS tile_y
+  CAST(LEAST(GREATEST(floor(
+      (radians(lon) * 6378137.0 + pi() * 6378137.0)
+      / (2 * pi() * 6378137.0) * 256), 0), 255) AS BIGINT) AS tile_x,
+  CAST(LEAST(GREATEST(floor(
+      (pi() * 6378137.0 - 6378137.0
+         * ln(tan(pi()/4 + radians(lat)/2)))
+      / (2 * pi() * 6378137.0) * 256), 0), 255) AS BIGINT) AS tile_y
 FROM geo
 """
 
@@ -278,13 +285,19 @@ def _q07_tile_counts(sf_dir: str):
             .aggregate(Count(alias_name="n")))
 
 
+# op-for-op tile mirror (see _Q06_SQL): docs 1250/2500/3750 sit on
+# exact zoom-5 x-boundaries where the (lon+180)/360 shortcut can
+# round the other way
 _Q07_SQL = f"""
 WITH geo AS ({_GEO_SQL}),
 t AS (SELECT
-  CAST(LEAST(GREATEST(floor((lon + 180.0)/360.0 * 32), 0), 31) AS BIGINT)
-    AS tile_x,
-  CAST(LEAST(GREATEST(floor((1 - ln(tan(pi()/4 + radians(lat)/2))/pi())/2
-    * 32), 0), 31) AS BIGINT) AS tile_y
+  CAST(LEAST(GREATEST(floor(
+      (radians(lon) * 6378137.0 + pi() * 6378137.0)
+      / (2 * pi() * 6378137.0) * 32), 0), 31) AS BIGINT) AS tile_x,
+  CAST(LEAST(GREATEST(floor(
+      (pi() * 6378137.0 - 6378137.0
+         * ln(tan(pi()/4 + radians(lat)/2)))
+      / (2 * pi() * 6378137.0) * 32), 0), 31) AS BIGINT) AS tile_y
  FROM geo)
 SELECT tile_x, tile_y, COUNT(*) AS n FROM t GROUP BY tile_x, tile_y
 """
@@ -1198,12 +1211,22 @@ WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.5
 # documents row count (same as the Ray side). A phash collision between
 # unrelated images or a codec round-trip corruption would change the
 # Ray-side grouping and fail this hash.
+# content classes: synth_pixels channels cycle with i mod 256 (odd
+# coefficients are units mod 256) and the size/format with i mod 3, so
+# pixel content repeats every lcm(256,3) = 768 rows — beyond the
+# planted i%97 duplicates, rows 768 apart are ALSO byte-identical
+# content, and the engine's content dedup correctly groups them
+# (surfaced at sf0.1 where the table exceeds 768 rows)
 _Q24_SQL = """
 WITH seq AS (
-  SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents)
-SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id
-FROM seq
-WHERE NOT (i > 0 AND i % 97 = 0)
+  SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+cls AS (
+  SELECT i,
+         (CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END) % 768
+             AS c
+  FROM seq)
+SELECT 'img' || lpad(CAST(MIN(i) AS VARCHAR), 12, '0') AS image_id
+FROM cls GROUP BY c
 """
 
 
