@@ -3353,6 +3353,91 @@ FROM o
 """
 
 
+def _q68_polys():
+    """Deterministic NON-CONVEX polygon layer: five 5-pointed stars
+    (one crossing the antimeridian) plus two L-shapes. Both the engine
+    ring arrays and the SQL edge literals derive from this one list,
+    so the two sides share bit-identical double coordinates."""
+    import math
+
+    polys = []
+    specs = [(-96.3, 38.7, 11.0), (12.8, 48.2, 29.0),
+             (77.4, 21.6, 53.0), (-58.9, -14.8, 71.0),
+             (178.6, -10.3, 17.0)]
+    for j, (cx, cy, rot) in enumerate(specs):
+        pts = []
+        for k in range(10):
+            r = 12.0 if k % 2 == 0 else 5.0
+            a = math.radians(rot + k * 36.0)
+            x = cx + r * math.cos(a)
+            y = cy + r * math.sin(a)
+            if x > 180.0:
+                x -= 360.0
+            pts.append((x, y))
+        polys.append((j, pts))
+    for j, (x0, y0) in enumerate([(-150.3, 50.4), (120.7, -40.6)],
+                                 start=5):
+        polys.append((j, [(x0, y0), (x0 + 16.0, y0),
+                          (x0 + 16.0, y0 + 6.0), (x0 + 6.0, y0 + 6.0),
+                          (x0 + 6.0, y0 + 16.0), (x0, y0 + 16.0)]))
+    return polys
+
+
+def _q68_pip_polygons(sf_dir: str):
+    """Point-in-polygon join against NON-CONVEX polygons (stars +
+    L-shapes, one star straddling the antimeridian): exercises the
+    real even-odd ray caster and the wrapped-ring handling of
+    PolygonIndex on the oracle-checked path — q09's rectangles only
+    need bbox logic. The SQL oracle ray-casts the same edges with the
+    identical strict comparisons and crossing expression."""
+    from proj_ray.join import PolygonIndex
+    from proj_ray.stages import spatial_join
+
+    polys = _q68_polys()
+    idx = PolygonIndex(
+        [p[0] for p in polys],
+        [np.array([v[0] for v in pts]) for _, pts in polys],
+        [np.array([v[1] for v in pts]) for _, pts in polys])
+    out = spatial_join(_docs_geo(sf_dir), idx, how="inner")
+
+    def pick(b):
+        return b[["doc_id", "poly_id"]]
+
+    return out.map_batches(pick, batch_format="pandas")
+
+
+def _q68_sql() -> str:
+    rows = []
+    for pid, pts in _q68_polys():
+        xs = [v[0] for v in pts]
+        wrapped = (max(xs) - min(xs)) > 180.0
+        if wrapped:  # engine stores the ring shifted into [0, 360)
+            pts = [(x + 360.0 if x < 0 else x, y) for x, y in pts]
+        closed = pts + [pts[0]]
+        for (x1, y1), (x2, y2) in zip(closed[:-1], closed[1:]):
+            if y1 == y2:
+                continue  # horizontal edges never cross a lat ray
+            rows.append(f"({pid}, {int(wrapped)}, {x1!r}, {y1!r}, "
+                        f"{x2!r}, {y2!r})")
+    edges = ",\n   ".join(rows)
+    return f"""
+WITH geo AS ({_GEO_SQL}),
+e(pid, wrapped, x1, y1, x2, y2) AS (
+  VALUES {edges}
+),
+c AS (
+  SELECT g.doc_id, e.pid
+  FROM geo g, e
+  WHERE ((e.y1 > g.lat) != (e.y2 > g.lat))
+    AND (CASE WHEN e.wrapped = 1 AND g.lon < 0
+              THEN g.lon + 360.0 ELSE g.lon END)
+        < e.x1 + (g.lat - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+)
+SELECT doc_id, CAST(pid AS BIGINT) AS poly_id
+FROM c GROUP BY doc_id, pid HAVING COUNT(*) % 2 = 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3427,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q65_blob_stats": _q65_blob_stats,
         "q66_raster_pyramid": _q66_raster_pyramid,
         "q67_track_densify": _q67_track_densify,
+        "q68_pip_polygons": _q68_pip_polygons,
     }
 
 
@@ -3498,4 +3584,5 @@ def oracle_sql() -> dict[str, str]:
         "q65_blob_stats": _Q65_SQL,
         "q66_raster_pyramid": _Q66_SQL,
         "q67_track_densify": _Q67_SQL,
+        "q68_pip_polygons": _q68_sql(),
     }

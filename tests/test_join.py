@@ -82,3 +82,38 @@ def test_spatial_join_dataset(ray_session):
     assert sorted(semi["pid"]) == [5, 6, 7, 8]
     anti = spatial_join(ds, idx, how="anti").to_pandas()
     assert len(anti) == 16
+
+
+def test_pip_nonconvex_star_and_antimeridian():
+    """Even-odd ray casting on the q68 polygon layer: a point in a
+    star's concave notch (inside the bbox AND the convex hull) is
+    OUTSIDE; star tips are inside; the antimeridian star accepts
+    points on both sides of +-180."""
+    import numpy as np
+
+    import __ray_entry__ as E
+    from proj_ray.join import PolygonIndex
+
+    polys = E._q68_polys()
+    idx = PolygonIndex(
+        [p[0] for p in polys],
+        [np.array([v[0] for v in pts]) for _, pts in polys],
+        [np.array([v[1] for v in pts]) for _, pts in polys])
+
+    import math
+    cx, cy, rot = -96.3, 38.7, 11.0
+    # between two tips at radius 10 (inner radius is 5): concave notch
+    a_mid = math.radians(rot + 18.0)
+    notch = (cx + 10.0 * math.cos(a_mid), cy + 10.0 * math.sin(a_mid))
+    a_tip = math.radians(rot)
+    tip_in = (cx + 11.0 * math.cos(a_tip), cy + 11.0 * math.sin(a_tip))
+    lon = np.array([notch[0], tip_in[0], cx, 179.9, -179.9, 178.6])
+    lat = np.array([notch[1], tip_in[1], cy, -10.3, -10.2, -10.3])
+    pts_i, poly_i = idx.query(lon, lat)
+    hits = dict(zip(pts_i.tolist(), poly_i.tolist()))
+    assert 0 not in hits          # concave notch excluded
+    assert hits.get(1) == 0       # near-tip point inside star 0
+    assert hits.get(2) == 0       # center inside
+    assert hits.get(3) == 4       # east of the antimeridian
+    assert hits.get(4) == 4       # west of the antimeridian (wrapped)
+    assert hits.get(5) == 4       # center of the wrapped star
