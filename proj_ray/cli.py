@@ -66,7 +66,7 @@ def _print_coords(x, y, z, rests, decimals: int, angular: bool):
 
 
 def cmd_proj(args: list[str]) -> int:
-    from proj_ray.factory import create_operation
+    from proj_ray.factory import _resolve_crs_text, create_operation
 
     inverse = "-I" in args
     want_factors = "-S" in args
@@ -76,8 +76,18 @@ def cmd_proj(args: list[str]) -> int:
     defn = " ".join(a for i, a in enumerate(args)
                     if a not in ("-I", "-d", "-S")
                     and (i == 0 or args[i - 1] != "-d"))
+    if not defn.lstrip().startswith("+"):
+        # authority CRS reference (proj EPSG:32620 -S)
+        defn = _resolve_crs_text(defn.strip())
     # proj historically ignores datum specifiers (src/apps/proj.cpp:627)
     op = create_operation(defn + " +break_cs2cs_recursion")
+    # GH-1782 app hack: ob_tran with an angular inner projection gets
+    # PROJECTED output so +to_meter applies (src/apps/proj.cpp:653-658)
+    from proj_ray.ops.base import UNITS_PROJECTED, UNITS_WHATEVER
+
+    if getattr(op, "name", "") == "ob_tran" \
+            and op.right == UNITS_WHATEVER:
+        op.right = UNITS_PROJECTED
     x, y, z, t, rests = _read_coords(sys.stdin)
     if op.angular_input and not inverse or (op.angular_output and inverse):
         x = np.radians(x)
@@ -90,10 +100,13 @@ def cmd_proj(args: list[str]) -> int:
         from proj_ray.factors import factors
 
         fac = factors(op, x, y)
-        rests = [(f"<{fac['meridional_scale'][i]:.8f} "
-                  f"{fac['parallel_scale'][i]:.8f} "
-                  f"{fac['areal_scale'][i]:.8f} "
-                  f"{np.degrees(fac['angular_distortion'][i]):.8g}>"
+        # <h k s omega a b> like the reference (proj.cpp:186-191)
+        rests = [(f"<{fac['meridional_scale'][i]:g} "
+                  f"{fac['parallel_scale'][i]:g} "
+                  f"{fac['areal_scale'][i]:g} "
+                  f"{np.degrees(fac['angular_distortion'][i]):g} "
+                  f"{fac['tissot_semimajor'][i]:g} "
+                  f"{fac['tissot_semiminor'][i]:g}>"
                   + (f" {r}" if r else ""))
                  for i, r in enumerate(rests)]
     _print_coords(rx, ry, rz, rests, decimals, angular)
