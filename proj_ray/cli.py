@@ -418,6 +418,8 @@ def main(argv: list[str] | None = None) -> int:
     cmd, rest = argv[0], argv[1:]
     if cmd == "proj":
         return cmd_proj(rest)
+    if cmd == "invproj":  # reference alias: proj with -I implied
+        return cmd_proj(["-I"] + rest)
     if cmd == "cs2cs":
         return cmd_cs2cs(rest)
     if cmd == "geod":
