@@ -122,7 +122,8 @@ def cmd_cs2cs(args: list[str]) -> int:
         args = [a for i, a in enumerate(args)
                 if a != "-d" and (i == 0 or args[i - 1] != "-d")]
     only_best = no_ballpark = False
-    accuracy = None
+    accuracy = authority = area = None
+    aoi_bbox = None
     kept = []
     skip_next = False
     for i, a in enumerate(args):
@@ -135,17 +136,38 @@ def cmd_cs2cs(args: list[str]) -> int:
             only_best = False
         elif a == "--no-ballpark":
             no_ballpark = True
-        elif a == "--accuracy":
-            accuracy = float(args[i + 1])
+        elif a in ("--accuracy", "--authority", "--area", "--bbox"):
+            if i + 1 >= len(args):
+                print(f"cs2cs: missing argument for {a}",
+                      file=sys.stderr)
+                return 1
+            val = args[i + 1]
             skip_next = True
+            try:
+                if a == "--accuracy":
+                    accuracy = float(val)
+                elif a == "--authority":
+                    authority = val
+                elif a == "--area":
+                    area = val
+                else:
+                    aoi_bbox = tuple(float(v) for v in val.split(","))
+                    if len(aoi_bbox) != 4:
+                        raise ValueError(val)
+            except ValueError:
+                print(f"cs2cs: invalid argument for {a}: {val!r}",
+                      file=sys.stderr)
+                return 1
         elif a.startswith("-W"):
-            # -W<d>: DMS seconds precision, d in [0,8] (cs2cs.cpp)
+            # -W<d>: output seconds precision, d in [0,8] (cs2cs.cpp);
+            # this CLI prints decimal degrees, so it maps to decimals
             digits = a[2:]
             if not (len(digits) == 1 and digits.isdigit()
                     and int(digits) <= 8):
                 print("-W argument missing or not in range [0,8]",
                       file=sys.stderr)
                 return 1
+            decimals = int(digits)
         else:
             kept.append(a)
     args = kept
@@ -157,7 +179,9 @@ def cmd_cs2cs(args: list[str]) -> int:
                                args[1] if len(args) > 1 else None,
                                only_best=only_best,
                                no_ballpark=no_ballpark,
-                               accuracy=accuracy)
+                               accuracy=accuracy,
+                               authority=authority,
+                               area=area, bbox=aoi_bbox)
     except (ValueError, NotImplementedError) as exc:
         print(f"cs2cs: cannot initialize transformation: {exc}",
               file=sys.stderr)

@@ -125,6 +125,10 @@ def resolve_init(spec: str) -> str:
         defn = IGNF_GENERATED.get(code.upper())
         if defn is not None:
             return defn
+        # fall through to a shipped IGNF init FILE if one exists
+        defn = _init_file_lookup(authority, code)
+        if defn is not None:
+            return defn
         raise NotImplementedError(
             f"operator not implemented: init IGNF:{code} (not in "
             "static registry)")

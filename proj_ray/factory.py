@@ -737,7 +737,19 @@ def _geog_base_spec(present: str) -> str:
     ellipsoid / prime meridian, longlat axes
     (src/apps/cs2cs.cpp:307-342 get_geog_crs_proj_string_from_proj_crs,
     :832-841 missing-target fallback)."""
+    import re as _re2
+
     defn = _resolve_crs_text(present)
+    m = _re2.search(r"(?i)\+?init=(\w+:\S+)", defn)
+    if m:
+        # expand +init= so the projected-CRS check sees the real
+        # projection and ellipsoid (cs2cs +init=epsg:32631 with no
+        # target works in the reference)
+        from proj_ray.epsg import resolve_init
+
+        exp = resolve_init(m.group(1))
+        defn = (exp + " " + (defn[:m.start()] + defn[m.end():])
+                .strip()).strip()
     from proj_ray.params import tokenize
 
     kv = dict(tokenize(defn))
@@ -1350,11 +1362,15 @@ def _create_crs_to_crs_impl(src: str, dst: str | None,
                     return True
                 w, s_, e, n = opbox
                 aw, as_, ae, an = area_bbox
-                if e < w:  # antimeridian-crossing op extent
+                # normalize both boxes to monotone lon intervals
+                # (antimeridian-crossing extents store west > east)
+                if e < w:
                     e += 360.0
-                    if aw < w:
-                        aw += 360.0
-                        ae += 360.0
+                if ae < aw:
+                    ae += 360.0
+                if aw < w:  # try the +360 image of the AOI
+                    aw += 360.0
+                    ae += 360.0
                 return w <= aw and e >= ae and s_ <= as_ and n >= an
 
             cands = [c for c in cands if _covers(c.get("bbox"))]

@@ -185,9 +185,10 @@ def document_frequencies(ds, text_col: str = "text",
                           batch_size=65536)
              .take_all())
     df: dict = {}
+    cap = vocab_cap + (1 if count_docs else 0)  # sentinel slot
     for row in parts:
         df[row["term"]] = df.get(row["term"], 0) + int(row["df_part"])
-        if len(df) > vocab_cap:
+        if len(df) > cap:
             raise ValueError(
                 f"vocabulary exceeds vocab_cap={vocab_cap}; use the "
                 "groupby('term') shuffle path for this corpus")
@@ -273,8 +274,10 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
             _cache[ref.hex()] = scorer
         return scorer(b)
 
+    kwargs = {} if concurrency is None else \
+        {"concurrency": concurrency}
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        score, batch_format="numpy", batch_size=4096)
+        score, batch_format="numpy", batch_size=4096, **kwargs)
 
 
 def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,

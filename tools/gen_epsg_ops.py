@@ -320,8 +320,14 @@ def main():
         entry = {"code": int(v[1]), "acc": _num(v[11]),
                  "grids": names, "invdir": bool(invdir)}
         if v[5] == "1087":
-            # geocentric XYZ offset grid -> +proj=xyzgridshift leg
+            # geocentric XYZ offset grid -> +proj=xyzgridshift leg;
+            # the engine's xyzgridshift reads GeoTIFF only, so the
+            # legacy .txt alternative must not satisfy availability
             entry["xyz"] = True
+            entry["grids"] = [g for g in names
+                              if g.lower().endswith((".tif", ".tiff"))]
+            if not entry["grids"]:
+                continue
         ext = op_extent_g.get(v[1])
         entry["bbox"] = extent.get(ext) if ext is not None else None
         if ext in offshore:
