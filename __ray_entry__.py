@@ -56,7 +56,9 @@ def _geo_query_points(k: int = 5):
 
 
 def _docs_geo(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    # doc_id is the only column used — prune at the reader so the wide
+    # `text` column never leaves storage for the six geo queries.
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
 
     def add_geo(b: dict) -> dict:
         i = np.asarray(b["doc_id"], dtype=np.int64)
@@ -134,7 +136,7 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 def _q02_order_status(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
 
     def cents(b: dict) -> dict:
         return {"o_orderstatus": b["o_orderstatus"],
@@ -162,7 +164,7 @@ def _q03_top_customers(sf_dir: str):
     driver-side dict of the whole customer table)."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "orders")
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def cents(b: dict) -> dict:
         return {"o_custkey": b["o_custkey"],
@@ -182,8 +184,7 @@ def _q03_top_customers(sf_dir: str):
         return {"c_custkey": np.asarray(b["c_custkey"])[keep],
                 "c_name": np.asarray(b["c_name"])[keep]}
 
-    names = (_read(sf_dir, "customer")
-             .select_columns(["c_custkey", "c_name"])
+    names = (_read(sf_dir, "customer", columns=["c_custkey", "c_name"])
              .map_batches(pick_names, batch_format="numpy")
              .to_pandas())
     top = top.merge(names, left_on="o_custkey", right_on="c_custkey")
@@ -203,7 +204,7 @@ ORDER BY revenue DESC, o_custkey LIMIT 10
 def _q04_events_by_type(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events")
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def scaled(b: dict) -> dict:
         return {"event_type": b["event_type"],
@@ -509,7 +510,9 @@ def _q27_knn_indexed(sf_dir: str):
 def _q11_dedup_exact(sf_dir: str):
     from proj_ray.functions.dedup import dedup_exact
 
-    return dedup_exact(_read(sf_dir, "documents"), "text", "doc_id")
+    return dedup_exact(_read(sf_dir, "documents",
+                              columns=["doc_id", "text"]),
+                       "text", "doc_id")
 
 
 _Q11_SQL = "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text"
@@ -520,7 +523,7 @@ def _q12_token_stats(sf_dir: str):
 
     from proj_ray.functions.text import simple_token_count
 
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars", "text"])
 
     def feats(b: dict) -> dict:
         return {"lang": b["lang"],
@@ -554,8 +557,8 @@ def _q13_part_brand(sf_dir: str):
 
     from proj_ray.stages import BroadcastLookup
 
-    part = _read(sf_dir, "part").select_columns(
-        ["p_partkey", "p_brand"]).to_pandas()
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
     # sparse sorted-key lookup: memory O(#parts), not O(max partkey);
     # above stages.BROADCAST_ROW_LIMIT callers should switch to the
     # hash-shuffle join fallback (stages.broadcast_lookup_join)
@@ -601,7 +604,7 @@ GROUP BY p_brand
 def _q14_ann(sf_dir: str):
     from proj_ray.functions.ann import ann_brute
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
@@ -637,7 +640,7 @@ def _q15_region_nation(sf_dir: str):
     nation["r_name"] = nation["n_regionkey"].map(rn)
     import ray.data as rd
 
-    cust = _read(sf_dir, "customer")
+    cust = _read(sf_dir, "customer", columns=["c_nationkey"])
     nmap = dict(zip(nation["n_nationkey"], nation["r_name"]))
 
     def tag(b: dict) -> dict:
@@ -779,7 +782,8 @@ def _q17_geodesic(sf_dir: str):
 def _q18_text_quality(sf_dir: str):
     from proj_ray.functions.text import text_stats
 
-    out = text_stats(_read(sf_dir, "documents"))
+    out = text_stats(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]))
     return out.select_columns(["doc_id", "n_tokens", "quality",
                                "lang_guess", "fingerprint"])
 
@@ -879,8 +883,9 @@ def _q19_minhash_pairs(sf_dir: str):
     hashed-set jaccard == substring-set jaccard."""
     from proj_ray.functions.dedup import dedup_minhash_lsh
 
-    return dedup_minhash_lsh(_read(sf_dir, "documents"), "text", "doc_id",
-                             threshold=0.6)
+    return dedup_minhash_lsh(_read(sf_dir, "documents",
+                                   columns=["doc_id", "text"]),
+                             "text", "doc_id", threshold=0.6)
 
 
 _Q19_SQL = """
@@ -918,7 +923,8 @@ def _q20_simhash(sf_dir: str):
         return {"doc_id": b["doc_id"],
                 "simhash": simhash64([str(t) for t in b["text"]])}
 
-    return _read(sf_dir, "documents").map_batches(
+    return _read(sf_dir, "documents",
+                 columns=["doc_id", "text"]).map_batches(
         sh, batch_format="numpy", batch_size=2048)
 
 
@@ -1067,7 +1073,7 @@ def _q23_ivf(sf_dir: str):
     ann_ivf recall + ivf_build partition-pruned)."""
     from proj_ray.functions.ann import ann_ivf, train_centroids
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
@@ -1125,7 +1131,7 @@ def _q26_ann_ivf_indexed(sf_dir: str):
 
     from proj_ray.functions.ann import ann_ivf_index, ivf_build
 
-    ds = _read(sf_dir, "embeddings")
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
@@ -1178,8 +1184,9 @@ def _q29_ngram_jaccard(sf_dir: str):
     the dedup family, SQL-oracle-checked end to end."""
     from proj_ray.functions.dedup import dedup_ngram_jaccard
 
-    return dedup_ngram_jaccard(_read(sf_dir, "documents"), "text",
-                               "doc_id", threshold=0.5, n=2)
+    return dedup_ngram_jaccard(_read(sf_dir, "documents",
+                                     columns=["doc_id", "text"]),
+                               "text", "doc_id", threshold=0.5, n=2)
 
 
 _Q29_SQL = """
@@ -2387,17 +2394,30 @@ ORDER BY cnt DESC, l_partkey ASC LIMIT 10
 """
 
 
-def _q52_revenue_by_nation(sf_dir: str):
+def _q52_revenue_by_nation(sf_dir: str, dim_cap: int | None = None):
     """TPC-H Q5-style 6-table pipeline: lineitem JOIN orders (the one
     big-big pair -> Ray's native hash-shuffle join, partition count
-    sized to the cluster) with every dimension (customer, supplier,
-    nation x region) attached via broadcast lookups, same-nation
-    customer/supplier filter, date + region predicates, then exact
-    int64 revenue partials per nation streaming-combined to a 5-row
-    result. The shape a 100-TB fact table needs: one shuffle total."""
+    sized to the cluster) with every dimension attached via CAPPED
+    broadcast lookups — customer, supplier and orders each check
+    `stages.BROADCAST_ROW_LIMIT` (TPC-H dims scale linearly with SF,
+    so at the 100-TB target they are tens of GB and must NOT be pulled
+    to the driver) and fall back to Ray's hash-shuffle join above it.
+    Nation x region (25 x 5 rows, SF-invariant) stays broadcast.
+    Same-nation customer/supplier filter, date + region predicates,
+    then exact int64 revenue partials per nation streaming-combined to
+    a 5-row result. Below the caps: zero shuffles total.
+
+    `dim_cap` overrides the broadcast cap (pytest drives it to 0 to
+    exercise every join fallback on small data)."""
     import ray
 
-    from proj_ray.stages import BroadcastLookup
+    from proj_ray.stages import BROADCAST_ROW_LIMIT, BroadcastLookup
+
+    cap = BROADCAST_ROW_LIMIT if dim_cap is None else dim_cap
+
+    def _nparts() -> int:
+        return max(2, min(64, int(
+            ray.cluster_resources().get("CPU", 4)) - 1))
 
     nat = _read(sf_dir, "nation").to_pandas()
     reg = _read(sf_dir, "region").to_pandas()
@@ -2407,31 +2427,53 @@ def _q52_revenue_by_nation(sf_dir: str):
     nmap = BroadcastLookup(
         asia["n_nationkey"].to_numpy(),
         {"n_name": asia["n_name"].to_numpy(object)})
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
-    sup = _read(sf_dir, "supplier",
-                columns=["s_suppkey", "s_nationkey"]).to_pandas()
-    cmap = BroadcastLookup(cust["c_custkey"].to_numpy(),
-                           {"cn": cust["c_nationkey"].to_numpy()})
-    smap = BroadcastLookup(sup["s_suppkey"].to_numpy(),
-                           {"sn": sup["s_nationkey"].to_numpy()})
-    cref, sref, nref = ray.put(cmap), ray.put(smap), ray.put(nmap)
+    nref = ray.put(nmap)
 
     t0 = np.datetime64("1996-01-01").astype("datetime64[us]")
     t1 = np.datetime64("1998-01-01").astype("datetime64[us]")
 
-    def orders_filtered(b: dict) -> dict:
-        ts = np.asarray(b["o_orderdate"]).astype("datetime64[us]")
-        keep = (ts >= t0) & (ts < t1)
-        ck = np.asarray(b["o_custkey"])[keep]
-        vals, found = ray.get(cref).take(ck)
-        return {"o_orderkey": np.asarray(b["o_orderkey"])[keep][found],
-                "cn": vals["cn"][found]}
+    # --- orders (date filter) x customer: broadcast below cap, else join
+    cust_ds = _read(sf_dir, "customer",
+                    columns=["c_custkey", "c_nationkey"])
+    orders_rd = _read(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    if cust_ds.count() <= cap:
+        cust = cust_ds.to_pandas()
+        cmap = BroadcastLookup(cust["c_custkey"].to_numpy(),
+                               {"cn": cust["c_nationkey"].to_numpy()})
+        cref = ray.put(cmap)
 
-    orders = (_read(sf_dir, "orders",
-                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
-              .map_batches(orders_filtered, batch_format="numpy")
-              .materialize())
+        def orders_filtered(b: dict) -> dict:
+            ts = np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+            keep = (ts >= t0) & (ts < t1)
+            ck = np.asarray(b["o_custkey"])[keep]
+            vals, found = ray.get(cref).take(ck)
+            return {"o_orderkey":
+                    np.asarray(b["o_orderkey"])[keep][found],
+                    "cn": vals["cn"][found]}
+
+        orders = (orders_rd
+                  .map_batches(orders_filtered, batch_format="numpy")
+                  .materialize())
+    else:
+        def date_only(b: dict) -> dict:
+            ts = np.asarray(b["o_orderdate"]).astype("datetime64[us]")
+            keep = (ts >= t0) & (ts < t1)
+            return {"o_orderkey": np.asarray(b["o_orderkey"])[keep],
+                    "o_custkey": np.asarray(b["o_custkey"])[keep]}
+
+        def keep_cn(b: dict) -> dict:
+            return {"o_orderkey": b["o_orderkey"],
+                    "cn": np.asarray(b["c_nationkey"])}
+
+        orders = (orders_rd
+                  .map_batches(date_only, batch_format="numpy")
+                  .join(cust_ds, join_type="inner",
+                        num_partitions=_nparts(),
+                        on=("o_custkey",), right_on=("c_custkey",))
+                  .map_batches(keep_cn, batch_format="numpy")
+                  .materialize())
+
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_suppkey",
                         "l_extendedprice", "l_discount"])
@@ -2440,7 +2482,7 @@ def _q52_revenue_by_nation(sf_dir: str):
     # Ray's hash join (partition count sized to the cluster — each
     # partition is an aggregator actor, and actor startup dominated a
     # first version that always joined: 21-75 s for a 600k-row fact).
-    if orders.count() <= 2_000_000:
+    if orders.count() <= cap:
         odf = orders.to_pandas()
         omap = BroadcastLookup(odf["o_orderkey"].to_numpy(),
                                {"cn": odf["cn"].to_numpy()})
@@ -2454,19 +2496,39 @@ def _q52_revenue_by_nation(sf_dir: str):
             return out
 
         joined = li.map_batches(attach_orders, batch_format="numpy")
-    else:  # pragma: no cover - exercised at cluster scale
-        nparts = max(2, min(64, int(
-            ray.cluster_resources().get("CPU", 4)) - 1))
+    else:
         joined = li.join(orders, join_type="inner",
-                         num_partitions=nparts,
+                         num_partitions=_nparts(),
                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    # --- fact x supplier: broadcast below cap, else one more hash join
+    sup_ds = _read(sf_dir, "supplier",
+                   columns=["s_suppkey", "s_nationkey"])
+    if sup_ds.count() <= cap:
+        sup = sup_ds.to_pandas()
+        smap = BroadcastLookup(sup["s_suppkey"].to_numpy(),
+                               {"sn": sup["s_nationkey"].to_numpy()})
+        sref = ray.put(smap)
+
+        def attach_sn(b: dict) -> dict:
+            svals, sfound = ray.get(sref).take(
+                np.asarray(b["l_suppkey"]))
+            out = {c: np.asarray(v)[sfound] for c, v in b.items()}
+            out["sn"] = svals["sn"][sfound]
+            return out
+
+        joined = joined.map_batches(attach_sn, batch_format="numpy")
+    else:
+        joined = (joined.join(sup_ds, join_type="inner",
+                              num_partitions=_nparts(),
+                              on=("l_suppkey",),
+                              right_on=("s_suppkey",))
+                  .rename_columns({"s_nationkey": "sn"}))
 
     def partial(b: dict) -> dict:
         import pandas as pd
 
-        sk = np.asarray(b["l_suppkey"])
-        svals, sfound = ray.get(sref).take(sk)
-        same = sfound & (svals["sn"] == np.asarray(b["cn"]))
+        same = np.asarray(b["sn"]) == np.asarray(b["cn"])
         nvals, nfound = ray.get(nref).take(np.asarray(b["cn"])[same])
         rev = np.rint(np.asarray(b["l_extendedprice"])[same][nfound]
                       * (1 - np.asarray(b["l_discount"])[same][nfound])
@@ -3053,7 +3115,8 @@ def _q62_dedup_pipeline(sf_dir: str):
     from proj_ray.functions.dedup import dedup_minhash_lsh
     from proj_ray.functions.graph import connected_components
 
-    pairs = dedup_minhash_lsh(_read(sf_dir, "documents"), "text",
+    pairs = dedup_minhash_lsh(_read(sf_dir, "documents",
+                                    columns=["doc_id", "text"]), "text",
                               "doc_id", threshold=0.6)
 
     def pair_edges(b: dict) -> dict:

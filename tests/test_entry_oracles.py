@@ -69,3 +69,17 @@ def test_q17_sql_generates():
     assert "i8_" in sql and "LASTCTE" not in sql
     # reserved words must not appear as bare aliases
     assert " AS anti," not in sql and " AS inner," not in sql
+
+
+def test_q52_join_fallback_matches_broadcast(ray_session):
+    """Above BROADCAST_ROW_LIMIT the customer/supplier/orders lookups
+    must switch from driver broadcasts to hash-shuffle joins; drive
+    the cap to 0 so every fallback runs, and assert the result equals
+    the broadcast path (both oracle-checked by the driver gate)."""
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    broad = E._q52_revenue_by_nation(sf).reset_index(drop=True)
+    joined = E._q52_revenue_by_nation(sf, dim_cap=0).reset_index(drop=True)
+    assert broad.equals(joined)
+    assert len(broad) >= 1
