@@ -1091,7 +1091,11 @@ def _q24_dedup_images(sf_dir: str):
     back to pixels, RECOMPUTE the perceptual hash from the decoded
     pixels (so the codec round-trip is on the measured path — planted
     duplicates are byte-identical, hence decode-identical), key each
-    image by a 64-bit blake2b digest of its decoded pixel buffer, then
+    image by a vectorized 64-bit splitmix64 fold of its decoded pixel
+    buffer (content_digest64 — one numpy pass per size class, no
+    per-image hashlib; the oracle models content CYCLES, not the
+    digest value, so any deterministic injective-enough key works),
+    then
     keep the min image_id per content group and return the winner ids.
     The winner set is arithmetically derivable (proj_ray/images.py
     make_images_batch: row i>0 with i%97==0 duplicates row i-1), which
@@ -1101,23 +1105,27 @@ def _q24_dedup_images(sf_dir: str):
     average hash genuinely collides for unrelated tiny synthetic
     images; phash dedup stays pytest-covered in tests/test_images.py.)
     """
-    import hashlib
-
+    from proj_ray.functions._hash import content_digest64
     from proj_ray.functions.dedup import dedup_exact
     from proj_ray.images import decode, images_table
 
     n = _read(sf_dir, "documents").count()
 
-    def rehash(b: dict) -> dict:
-        ph = np.empty(len(b["image_id"]), dtype=np.int64)
-        for k in range(len(ph)):
-            px = decode(b["bytes"][k], b["fmt"][k])
-            d = hashlib.blake2b(px.tobytes(), digest_size=8).digest()
-            ph[k] = int.from_bytes(d, "little", signed=True)
-        return {"image_id": b["image_id"], "pix_key": ph}
+    class Rehash:
+        def __call__(self, b: dict) -> dict:
+            # decode is per-blob by nature (variable-length compressed
+            # input); the digest is one vectorized fold per size class.
+            bufs = [decode(b["bytes"][k], b["fmt"][k]).tobytes()
+                    for k in range(len(b["image_id"]))]
+            return {"image_id": b["image_id"],
+                    "pix_key": content_digest64(bufs)}
 
+    # decode on an actor pool: actor stages never fuse with the
+    # downstream task-based dedup combine (whose batch_size=65536
+    # coalesce would otherwise pull every decode into one task)
     ds = images_table(n, columns=["image_id", "bytes", "fmt"]) \
-        .map_batches(rehash, batch_format="numpy")
+        .map_batches(Rehash, batch_format="numpy", batch_size=512,
+                     concurrency=(1, 8))
     return dedup_exact(ds, "pix_key", "image_id") \
         .select_columns(["image_id"])
 

@@ -49,3 +49,43 @@ def stable_u64(values) -> np.ndarray:
 def stable_mod(values, m: int) -> np.ndarray:
     """Deterministic residue in [0, m) per element (int64)."""
     return (stable_u64(values) % np.uint64(m)).astype(np.int64)
+
+
+def content_digest64(buffers) -> np.ndarray:
+    """Vectorized 64-bit content digest of variable-length byte
+    buffers (int64 per buffer): group same-length buffers, stack them
+    into one contiguous uint8 matrix, view as uint64 words and fold
+    column-by-column with chained splitmix64 — the work is O(total
+    bytes) of numpy column ops across the group, with NO per-row
+    hashlib call. The chain is seeded with the buffer length so equal
+    prefixes of different lengths cannot collide trivially.
+
+    Used for content keys (e.g. decoded-pixel dedup) where the only
+    contract is deterministic equal-content -> equal-key with 64-bit
+    collision odds — not cryptographic strength.
+    """
+    n = len(buffers)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in buffers), dtype=np.int64,
+                       count=n)
+    order = np.argsort(lens, kind="stable")
+    i = 0
+    while i < n:
+        length = int(lens[order[i]])
+        j = i
+        while j < n and lens[order[j]] == length:
+            j += 1
+        idx = order[i:j]
+        pad = (-length) % 8
+        blob = b"".join(bytes(buffers[t]) + b"\x00" * pad for t in idx)
+        words = np.frombuffer(blob, dtype=np.uint64).reshape(
+            len(idx), (length + pad) // 8) if length else \
+            np.zeros((len(idx), 0), dtype=np.uint64)
+        h = splitmix64(np.full(len(idx), np.uint64(length)))
+        for c in range(words.shape[1]):
+            h = splitmix64(h ^ words[:, c])
+        out[idx] = h.view(np.int64)
+        i = j
+    return out

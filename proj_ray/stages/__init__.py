@@ -346,7 +346,7 @@ def knn_cells(ds, query_lon, query_lat, k: int = 5, level: int | None = None,
     qtx, qty, _ = C.tile_xy(qx, qy, level)
     n_tiles = 1 << level
 
-    best: list = [None] * nq
+    best_df = None  # pooled (q, nid, dist) top-k rows for ALL queries
     unresolved = np.ones(nq, dtype=bool)
     r = 1
     if _stats is not None:
@@ -403,39 +403,41 @@ def knn_cells(ds, query_lon, query_lat, k: int = 5, level: int | None = None,
         if _stats is not None:
             _stats["rounds"] += 1
             _stats["rows_scanned"] += int(scanned)
-        for li, qi in enumerate(qsel):
-            mine = got[got["qi"] == li][["nid", "dist"]]
-            merged = mine if best[qi] is None else \
-                pd.concat([best[qi], mine], ignore_index=True)
-            best[qi] = (merged.drop_duplicates("nid")
-                        .sort_values(["dist", "nid"]).head(k))
+        # ONE grouped merge for every query in the round (flat in nq):
+        # concat new candidates onto the pooled bests, dedup, sort by
+        # (q, dist, nid) and keep the per-query head(k)
+        got = got.assign(q=qsel[got["qi"].to_numpy(np.int64)])
+        pool = got[["q", "nid", "dist"]] if best_df is None else \
+            pd.concat([best_df, got[["q", "nid", "dist"]]],
+                      ignore_index=True)
+        best_df = (pool.drop_duplicates(["q", "nid"])
+                   .sort_values(["q", "dist", "nid"], kind="stable")
+                   .groupby("q", sort=False).head(k)
+                   .reset_index(drop=True))
+        sizes = best_df.groupby("q")["dist"].size().to_dict()
+        # sorted + head(k) => the per-query LAST row holds d_k
+        last = best_df.groupby("q").tail(1)
+        dk = dict(zip(last["q"].to_numpy(), last["dist"].to_numpy()))
         for qi in qsel:
-            b = best[qi]
             bnd = _window_bound(qx[qi], qy[qi], int(qtx[qi]), int(qty[qi]),
                                 r, level)
             covered_world = (2 * r + 1 >= n_tiles and qty[qi] - r <= 0
                              and qty[qi] + r + 1 >= n_tiles)
             # strict <: a point exactly at the window edge lives in an
             # unscanned cell, so d_k == bnd can't prove exactness
-            if (len(b) >= k and b["dist"].iloc[k - 1] < bnd) \
-                    or covered_world:
+            if (sizes.get(qi, 0) >= k and dk[qi] < bnd) or covered_world:
                 unresolved[qi] = False
         r *= 2
         if r > 2 * n_tiles:
             # window covered the world: everything scanned, resolve all
             unresolved[:] = False
-    parts = []
-    for qi in range(nq):
-        b = best[qi]
-        if b is None or not len(b):
-            continue
-        b = b.head(k).reset_index(drop=True)
-        b.insert(0, "q", np.int64(qi))
-        b["rank"] = np.arange(1, len(b) + 1, dtype=np.int64)
-        parts.append(b)
-    if not parts:
+    if best_df is None or not len(best_df):
         return pd.DataFrame(columns=["q", "nid", "dist", "rank"])
-    return pd.concat(parts, ignore_index=True)
+    out = (best_df.sort_values(["q", "dist", "nid"], kind="stable")
+           .reset_index(drop=True))
+    out["q"] = out["q"].astype(np.int64)
+    out["rank"] = (out.groupby("q").cumcount() + 1).astype(np.int64)
+    return out[["q", "nid", "dist", "rank"]]
 
 
 def knn_build(ds, path: str, level: int | None = None,
