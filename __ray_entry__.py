@@ -3509,6 +3509,90 @@ FROM c GROUP BY doc_id, pid HAVING COUNT(*) % 2 = 1
 """
 
 
+def _q69_bounds_cover(sf_dir: str):
+    """proj_trans_bounds on the driver surface (parity target:
+    reference src/4D_api.cpp:1480-1693 via proj_ray.bounds): n
+    deterministic lon/lat AOIs, each edge densified with 21 points and
+    pushed through sinusoidal (+proj=sinu +R=6378137) in ONE
+    (rows x 88)-point vectorized kernel call per batch — equator-
+    crossing boxes attain |x|max INSIDE an edge, so the densified
+    envelope is genuinely wider than the corners' — plus the z=6
+    webmerc tile cover of the AOI corners (the tile-assignment hand-
+    off). The SQL oracle regenerates the identical 88-point ring and
+    the closed-form sinusoidal/webmerc formulas op-for-op."""
+    import ray.data as rd
+
+    from proj_ray import cells as C
+    from proj_ray.bounds import transform_bounds_batch
+
+    n = _read(sf_dir, "documents").count()
+
+    def mk(b: dict) -> dict:
+        j = np.asarray(b["id"], dtype=np.int64)
+        x0 = (j * 61803 % 300000) / 1000.0 - 170.0
+        y0 = (j * 75487 % 140000) / 1000.0 - 75.0
+        x1 = x0 + (5.0 + (j % 7))
+        y1 = y0 + (4.0 + (j % 5))
+        bx0, by0, bx1, by1 = transform_bounds_batch(
+            "+proj=sinu +R=6378137", "fwd", x0, y0, x1, y1,
+            densify_pts=21)
+        wx0, wy0 = C.lonlat_to_webmerc(x0, y0)
+        wx1, wy1 = C.lonlat_to_webmerc(x1, y1)
+        tx0, ty1, _ = C.tile_xy(wx0, wy0, 6)
+        tx1, ty0, _ = C.tile_xy(wx1, wy1, 6)
+        return {"aoi_id": j,
+                "xmin": np.round(bx0, 4), "ymin": np.round(by0, 4),
+                "xmax": np.round(bx1, 4), "ymax": np.round(by1, 4),
+                "tx0": tx0, "ty0": ty0, "tx1": tx1, "ty1": ty1}
+
+    return rd.range(n).map_batches(mk, batch_format="numpy",
+                                   batch_size=4096)
+
+
+def _q69_tile_sql(col: str, axis: str) -> str:
+    if axis == "x":
+        f = f"(radians({col}) * 6378137.0 + pi() * 6378137.0)"
+    else:
+        f = (f"(pi() * 6378137.0 - 6378137.0 "
+             f"* ln(tan(pi()/4 + radians({col})/2)))")
+    return (f"CAST(LEAST(GREATEST(floor({f} / (2 * pi() * 6378137.0) "
+            f"* 64), 0), 63) AS BIGINT)")
+
+
+# ring + sinusoidal forward mirrored op-for-op (bounds.py
+# transform_bounds_batch: dx=(x1-x0)/22, edge walk order, then
+# x=A*(lam*cos(phi)), y=A*phi); corner tiles mirror _Q06_SQL at z=6
+_Q69_SQL = f"""
+WITH aoi AS (
+  SELECT j AS aoi_id,
+         (j*61803 % 300000)/1000.0 - 170.0 AS x0,
+         (j*75487 % 140000)/1000.0 - 75.0 AS y0,
+         (j*61803 % 300000)/1000.0 - 170.0 + (5 + j % 7) AS x1,
+         (j*75487 % 140000)/1000.0 - 75.0 + (4 + j % 5) AS y1
+  FROM (SELECT doc_id AS j FROM documents) t),
+i AS (SELECT unnest(generate_series(0, 21)) AS i),
+ring AS (
+  SELECT aoi_id, x0 AS lon, y1 - i*((y1-y0)/22.0) AS lat FROM aoi, i
+  UNION ALL SELECT aoi_id, x0 + i*((x1-x0)/22.0), y0 FROM aoi, i
+  UNION ALL SELECT aoi_id, x1, y0 + i*((y1-y0)/22.0) FROM aoi, i
+  UNION ALL SELECT aoi_id, x1 - i*((x1-x0)/22.0), y1 FROM aoi, i),
+p AS (SELECT aoi_id,
+             6378137.0 * (radians(lon) * cos(radians(lat))) AS x,
+             6378137.0 * radians(lat) AS y
+      FROM ring),
+env AS (SELECT aoi_id,
+               ROUND(MIN(x), 4) AS xmin, ROUND(MIN(y), 4) AS ymin,
+               ROUND(MAX(x), 4) AS xmax, ROUND(MAX(y), 4) AS ymax
+        FROM p GROUP BY aoi_id)
+SELECT env.aoi_id, xmin, ymin, xmax, ymax,
+       {_q69_tile_sql("a.x0", "x")} AS tx0,
+       {_q69_tile_sql("a.y1", "y")} AS ty0,
+       {_q69_tile_sql("a.x1", "x")} AS tx1,
+       {_q69_tile_sql("a.y0", "y")} AS ty1
+FROM env JOIN aoi a ON env.aoi_id = a.aoi_id
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3584,6 +3668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q66_raster_pyramid": _q66_raster_pyramid,
         "q67_track_densify": _q67_track_densify,
         "q68_pip_polygons": _q68_pip_polygons,
+        "q69_bounds_cover": _q69_bounds_cover,
     }
 
 
@@ -3656,4 +3741,5 @@ def oracle_sql() -> dict[str, str]:
         "q66_raster_pyramid": _Q66_SQL,
         "q67_track_densify": _Q67_SQL,
         "q68_pip_polygons": _q68_sql(),
+        "q69_bounds_cover": _Q69_SQL,
     }

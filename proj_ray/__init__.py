@@ -11,6 +11,7 @@ library (see SURVEY.md §1.1); everything here is batch-columnar.
 """
 
 from proj_ray.factory import create_operation, transform, Operation
+from proj_ray.bounds import trans_bounds, transform_bounds_batch
 from proj_ray.ellipsoid import Ellipsoid
 
 __version__ = "0.1.0"
