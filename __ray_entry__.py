@@ -1133,8 +1133,14 @@ def _q24_dedup_images(sf_dir: str):
 def _q26_ann_ivf_indexed(sf_dir: str):
     """The 100-TB ANN shape: vectors routed once into per-list parquet
     partitions, queries read only their nprobe list partitions
-    (I/O-pruned probe). Rows-only check; equality with the brute top-k
-    at nprobe=nlists is pytest-verified."""
+    (I/O-pruned probe). Approximate BY DESIGN at nprobe=8/32, hence
+    rows-only in the driver gate — but the approximation is bounded
+    and test-enforced: recall@5 vs the exact top-k is deterministic
+    for the fixed fixture (measured 0.76 / 0.72 / 0.76 at
+    sf0.001/0.01/0.1) and tests/test_functions.py::
+    test_q26_ivf_nprobe_recall_bound asserts recall >= 0.7; equality
+    with the brute top-k at nprobe=nlists is pytest-verified
+    (test_knn_index_exact_and_io_pruned / q23's oracle)."""
     import tempfile
 
     from proj_ray.functions.ann import ann_ivf_index, ivf_build
@@ -1421,9 +1427,12 @@ FROM geo"""
 
 def _q33_dedup_embedding(sf_dir: str):
     """Embedding-cosine near-dup pairs, EXACT mode (`cosine_pairs`
-    broadcasts the normalized matrix and streams batches against it);
-    `dedup_embedding`'s LSH buckets are the at-scale path and are
-    asserted recall-complete vs this exact set in pytest. Cosine
+    broadcasts the normalized matrix and streams batches against it) —
+    the small-to-medium-n BASELINE whose O(n^2 d) compute and O(n d)
+    driver materialization do NOT scale; the 100-TB path is
+    `dedup_embedding`'s LSH, measured and oracle-checked as
+    q70_dedup_embedding_lsh (provable recall on planted colinear dups)
+    and asserted recall-complete vs this exact set in pytest. Cosine
     rounded to 1e-7 on both sides (measured numpy-vs-DuckDB parity is
     ~3e-16; the nearest pair sits >=1e-5 from the 0.4 threshold)."""
     from proj_ray.functions.dedup import cosine_pairs
@@ -3593,6 +3602,58 @@ FROM env JOIN aoi a ON env.aoi_id = a.aoi_id
 """
 
 
+def _q70_dedup_embedding_lsh(sf_dir: str):
+    """The SCALABLE embedding-dedup path (`dedup_embedding`: random-
+    hyperplane LSH buckets + exact within-bucket verify) on the
+    oracle-checked measured surface. Fixture: every 20th vector gets a
+    planted colinear duplicate (embedding * 2, id + n). Recall is
+    PROVABLE, not probabilistic: a positive scaling preserves every
+    hyperplane sign, so a planted pair always shares its bucket; and
+    the strongest non-planted pair in the driver embeddings sits below
+    cosine 0.48 (threshold 0.9), so the >= 0.9 pair set is exactly the
+    planted set for BOTH the LSH engine and the exact SQL self-join.
+    q33 keeps the exact all-pairs baseline; this entry is the shape
+    that survives 100 TB (O(n*d) shuffle of (bucket, id, vec), O(b^2 d)
+    verify per ~target_bucket-row bucket)."""
+    from proj_ray.functions.dedup import dedup_embedding
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+
+    def plant(b: dict) -> dict:
+        import pandas as pd
+
+        ids = np.asarray(b["vec_id"], dtype=np.int64)
+        vecs = [np.asarray(v, dtype=np.float64) for v in b["embedding"]]
+        sel = np.flatnonzero(ids % 20 == 0)
+        out_ids = np.concatenate([ids, ids[sel] + n])
+        out_vecs = vecs + [vecs[k] * 2.0 for k in sel]
+        return pd.DataFrame({"vec_id": out_ids, "embedding": out_vecs})
+
+    aug = ds.map_batches(plant, batch_format="numpy", batch_size=4096)
+    out = dedup_embedding(aug, "embedding", "vec_id",
+                          threshold=0.9).to_pandas()
+    out["id_a"] = out["id_a"].astype("int64")
+    out["id_b"] = out["id_b"].astype("int64")
+    out["cosine"] = np.round(out["cosine"].astype(np.float64), 7)
+    return out.reset_index(drop=True)
+
+
+_Q70_SQL = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+aug AS (SELECT vec_id, emb FROM base
+        UNION ALL
+        SELECT vec_id + (SELECT count(*) FROM embeddings),
+               list_transform(emb, x -> x * 2)
+        FROM base WHERE vec_id % 20 = 0)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.emb, b.emb), 7) AS cosine
+FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3669,6 +3730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q67_track_densify": _q67_track_densify,
         "q68_pip_polygons": _q68_pip_polygons,
         "q69_bounds_cover": _q69_bounds_cover,
+        "q70_dedup_embedding_lsh": _q70_dedup_embedding_lsh,
     }
 
 
@@ -3742,4 +3804,5 @@ def oracle_sql() -> dict[str, str]:
         "q67_track_densify": _Q67_SQL,
         "q68_pip_polygons": _q68_sql(),
         "q69_bounds_cover": _Q69_SQL,
+        "q70_dedup_embedding_lsh": _Q70_SQL,
     }

@@ -341,3 +341,23 @@ def test_kmeans_assign_stats_matches_brute(ray_session):
     assert np.array_equal(got["cid"], exp["cid"])
     assert np.array_equal(got["n_vecs"], exp["n_vecs"])
     assert np.array_equal(got["sum_chk"], exp["sum_chk"])
+
+
+def test_q26_ivf_nprobe_recall_bound(ray_session):
+    """q26 is approximate by design (nprobe=8 of 32 lists); its recall
+    vs the exact top-k is deterministic for the fixed driver fixture.
+    Enforce the documented bound (measured 0.76/0.72/0.76 at
+    sf0.001/0.01/0.1) so a routing or probe regression fails loudly."""
+    import pandas as pd
+
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    approx = E._q26_ann_ivf_indexed(sf)
+    if not isinstance(approx, pd.DataFrame):
+        approx = approx.to_pandas()
+    approx = approx.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    exact = E._q23_ivf(sf)
+    hits = len(set(map(tuple, approx[["qid", "neighbor_id"]].values))
+               & set(map(tuple, exact[["qid", "neighbor_id"]].values)))
+    assert hits / len(exact) >= 0.7
