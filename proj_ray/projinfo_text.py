@@ -1,0 +1,792 @@
+"""Exact projinfo-style text output (WKT2:2019 / WKT2:2015 /
+WKT1:GDAL / WKT1:ESRI / PROJJSON / PROJ.4) for EPSG-registered CRSs,
+driven by the generated naming metadata (proj_ray/epsg_meta.py).
+
+Parity target: the reference's projinfo app (src/apps/projinfo.cpp)
+and WKT formatter (src/iso19111/io.cpp) — re-derived from the
+observable output format, not copied. The scoreboard is
+tools/replay_projinfo_yaml.py over the reference's own
+test/cli/test_projinfo.yaml.
+"""
+
+from __future__ import annotations
+
+from proj_ray import epsg_meta as M
+
+# ------------------------------------------------------------ numbers ----
+
+
+def wnum(v) -> str:
+    """WKT number: up to 15 significant digits, no trailing zeros
+    (PROJ io.cpp add())."""
+    if v is None:
+        return "0"
+    if isinstance(v, int) or (isinstance(v, float) and v == int(v)
+                              and abs(v) < 1e15):
+        return str(int(v))
+    s = format(float(v), ".15g")
+    return s
+
+
+def esri_num(v) -> str:
+    """ESRI WKT keeps at least one decimal (6378137.0, 0.0)."""
+    s = wnum(v)
+    return s + ".0" if "." not in s and "e" not in s else s
+
+
+def jnum(v):
+    """PROJJSON number: int when integral."""
+    f = float(v)
+    return int(f) if f == int(f) and abs(f) < 1e15 else f
+
+
+_DMS_UOMS = {9110}
+
+
+def param_deg(value: float, uom: int) -> float:
+    """Convert a stored angular parameter to degrees when its unit is
+    sexagesimal DMS (WKT has no DMS unit); other units stay as-is."""
+    if uom in _DMS_UOMS:
+        sign = -1.0 if value < 0 else 1.0
+        v = abs(value)
+        d = int(v)
+        m = int(round((v - d) * 100, 9))
+        sec = (v - d - m / 100.0) * 10000.0
+        if sec < 0:
+            sec = 0.0
+        return sign * (d + m / 60.0 + sec / 3600.0)
+    return value
+
+
+DEG_RAD = "0.0174532925199433"
+
+
+# ---------------------------------------------------------- WKT nodes ----
+
+
+class N:
+    """A WKT node: keyword, scalar args (pre-rendered strings), child
+    nodes. `bump` children indent one extra level (PROJ prints AXIS
+    nodes one level deeper than their CS sibling)."""
+
+    def __init__(self, kw: str, *args, bump: bool = False):
+        self.kw = kw
+        self.args = [a for a in args if a is not None]
+        self.bump = bump
+
+    def render(self, indent: int = 0, pretty: bool = True) -> str:
+        parts = []
+        for a in self.args:
+            if isinstance(a, N):
+                parts.append(a)
+            else:
+                parts.append(str(a))
+        if not pretty:
+            inner = ",".join(p.render(0, False) if isinstance(p, N)
+                             else p for p in parts)
+            return f"{self.kw}[{inner}]"
+        out = self.kw + "["
+        first = True
+        pad = " " * (indent + 4)
+        for p in parts:
+            if isinstance(p, N):
+                extra = "    " if p.bump else ""
+                out += ("" if first else ",") + "\n" + pad + extra + \
+                    p.render(indent + 4 + (4 if p.bump else 0), True)
+            else:
+                out += ("" if first else ",") + p
+            first = False
+        return out + "]"
+
+
+def q(s: str) -> str:
+    return '"' + str(s).replace('"', '""') + '"'
+
+
+# ------------------------------------------------------- usage lookup ----
+
+
+def crs_usage(table: str, code: int):
+    """(scope_text, area_description, (south, north, west, east)) or
+    None. Replicates the reference's 4326 hot patch (factory.cpp:4081:
+    EPSG moved 4326 to the verbose 'World (by country)' extent; PROJ
+    pins extent 1262 / scope 1183) and its best-usage pick (lowest
+    score: non-'large scale' scopes win, then first)."""
+    if table == "geodetic_crs" and code == 4326:
+        ext = M.EXTENT[1262]
+        return (M.SCOPE[1183], ext[0], (ext[1], ext[2], ext[3], ext[4]))
+    uses = M.USAGE.get((table, code))
+    if not uses:
+        return None
+    ranked = sorted(
+        (1 if "large scale" in M.SCOPE.get(sc, "") else 0, i)
+        for i, (_, sc) in enumerate(uses))
+    ext_code, sc_code = uses[ranked[0][1]]
+    ext = M.EXTENT.get(ext_code)
+    if ext is None:
+        return None
+    return (M.SCOPE.get(sc_code, "unknown"), ext[0],
+            (ext[1], ext[2], ext[3], ext[4]))
+
+
+def usage_nodes(table: str, code: int, v2019: bool) -> list:
+    u = crs_usage(table, code)
+    if u is None:
+        return []
+    scope, area, (s, n, w, e) = u
+    inner = [N("SCOPE", q(scope)), N("AREA", q(area)),
+             N("BBOX", wnum(s), wnum(w), wnum(n), wnum(e))]
+    if v2019:
+        return [N("USAGE", *inner)]
+    return inner
+
+
+# ----------------------------------------------------------- datums ------
+
+
+def ellipsoid_node(code: int, wkt1: str | None = None,
+                   with_id: bool = False) -> N:
+    name, a, inv_f, b = M.ELLIPSOID[code]
+    if inv_f is None:
+        inv_f = 0.0 if b == a else (a / (a - b))
+    if wkt1 == "gdal":
+        return N("SPHEROID", q(name), wnum(a), wnum(inv_f),
+                 N("AUTHORITY", q("EPSG"), q(str(code))))
+    if wkt1 == "esri":
+        ename = M.ESRI_ALIAS.get(("ellipsoid", code),
+                                 name.replace(" ", "_"))
+        return N("SPHEROID", q(ename), esri_num(a), esri_num(inv_f))
+    kids = [N("LENGTHUNIT", q("metre"), "1")]
+    if with_id:
+        kids.append(N("ID", q("EPSG"), str(code)))
+    return N("ELLIPSOID", q(name), wnum(a), wnum(inv_f), *kids)
+
+
+def primem_node(code: int, wkt1: str | None = None) -> N:
+    name, val, uom = M.PM[code]
+    deg = param_deg(val, uom)
+    if wkt1 == "gdal":
+        return N("PRIMEM", q(name), wnum(deg),
+                 N("AUTHORITY", q("EPSG"), q(str(code))))
+    if wkt1 == "esri":
+        return N("PRIMEM", q(name), esri_num(deg))
+    return N("PRIMEM", q(name), wnum(deg),
+             N("ANGLEUNIT", q("degree"), DEG_RAD))
+
+
+def is_ensemble(datum_code: int) -> bool:
+    return datum_code in M.ENSEMBLE_MEMBERS
+
+
+def datum_node(code: int, version: str, with_id: bool = False) -> N:
+    """DATUM / ENSEMBLE node for WKT2. version: '2019' | '2015'."""
+    name, ell, pm, acc = M.DATUM[code]
+    if version == "2019" and is_ensemble(code):
+        kids = [N("MEMBER", q(M.DATUM[m][0]))
+                for m in M.ENSEMBLE_MEMBERS[code]]
+        kids.append(ellipsoid_node(ell))
+        kids.append(N("ENSEMBLEACCURACY", acc))
+        if with_id:
+            kids.append(N("ID", q("EPSG"), str(code)))
+        return N("ENSEMBLE", q(name), *kids)
+    dname = name
+    if is_ensemble(code) and dname.endswith(" ensemble"):
+        dname = dname[: -len(" ensemble")]
+    kids = [ellipsoid_node(ell)]
+    if with_id:
+        kids.append(N("ID", q("EPSG"), str(code)))
+    return N("DATUM", q(dname), *kids)
+
+
+# ------------------------------------------------------------ CS/axes ----
+
+
+_UNIT_KW = {"angle": "ANGLEUNIT", "length": "LENGTHUNIT",
+            "scale": "SCALEUNIT", "time": "TIMEUNIT"}
+
+
+def unit_name_factor(uom: int) -> tuple[str, float | None]:
+    name, typ, factor = M.UOM[uom]
+    if typ == "angle" and name.startswith("degree"):
+        # 9122 "degree (supplier to define representation)" and kin all
+        # normalize to plain "degree" (io.cpp)
+        return "degree", 0.017453292519943295
+    return name, factor
+
+
+def unit_node(uom: int) -> N:
+    name, typ, factor = M.UOM[uom]
+    uname, ufactor = unit_name_factor(uom)
+    if uname == "degree":
+        return N("ANGLEUNIT", q("degree"), DEG_RAD)
+    return N(_UNIT_KW.get(typ, "UNIT"), q(uname), wnum(ufactor))
+
+
+def axis_nodes(cs_code: int) -> list:
+    """AXIS nodes (bumped one indent level, after the CS node)."""
+    typ, axes = M.CS[cs_code]
+    out = []
+    for order, (name, abbrev, orient, uom) in enumerate(axes, 1):
+        label = name[0].lower() + name[1:]
+        disp = f"{label} ({abbrev})" if abbrev else label
+        out.append(N("AXIS", q(disp), orient,
+                     N("ORDER", str(order)),
+                     unit_node(uom), bump=True))
+    return out
+
+
+def cs_nodes(cs_code: int) -> list:
+    typ, axes = M.CS[cs_code]
+    return [N("CS", typ, str(len(axes))), *axis_nodes(cs_code)]
+
+
+# -------------------------------------------------- geographic CRS WKT ----
+
+
+def geog_wkt2(code: int, version: str = "2019",
+              with_usage: bool = True) -> N:
+    name, kind, cs_code, datum_code, _dep = M.GEOG[code]
+    kw = "GEOGCRS" if version == "2019" else (
+        "GEODCRS" if kind.startswith("geographic") else "GEODCRS")
+    if kind == "geocentric":
+        kw = "GEODCRS"
+    kids = [datum_node(datum_code, version),
+            primem_node(M.DATUM[datum_code][2])]
+    kids += cs_nodes(cs_code)
+    if with_usage:
+        kids += usage_nodes("geodetic_crs", code, version == "2019")
+    kids.append(N("ID", q("EPSG"), str(code)))
+    return N(kw, q(name), *kids)
+
+
+def geog_wkt1_gdal(code: int) -> N:
+    name, kind, cs_code, datum_code, _dep = M.GEOG[code]
+    dname, ell, pm, _acc = M.DATUM[datum_code]
+    wkt1_dname = _wkt1_datum_name(datum_code, dname)
+    return N("GEOGCS", q(name),
+             N("DATUM", q(wkt1_dname),
+               ellipsoid_node(ell, wkt1="gdal"),
+               N("AUTHORITY", q("EPSG"), q(str(datum_code)))),
+             primem_node(pm, wkt1="gdal"),
+             N("UNIT", q("degree"), DEG_RAD,
+               N("AUTHORITY", q("EPSG"), q("9122"))),
+             N("AUTHORITY", q("EPSG"), q(str(code))))
+
+
+def _wkt1_datum_name(code: int, name: str) -> str:
+    """GDAL WKT1 datum name: the ESRI 'D_' alias without the prefix
+    (io.cpp uses a curated substitution list; the ESRI aliases encode
+    the same legacy names)."""
+    alias = M.ESRI_ALIAS.get(("geodetic_datum", code))
+    if alias and alias.startswith("D_"):
+        return alias[2:]
+    return name.replace(" ", "_")
+
+
+def geog_wkt1_esri(code: int) -> N:
+    name, kind, cs_code, datum_code, _dep = M.GEOG[code]
+    gname = M.ESRI_ALIAS.get(("geodetic_crs", code),
+                             "GCS_" + name.replace(" ", "_"))
+    dname = M.ESRI_ALIAS.get(("geodetic_datum", datum_code),
+                             "D_" + name.replace(" ", "_"))
+    _, ell, pm, _acc = M.DATUM[datum_code]
+    return N("GEOGCS", q(gname),
+             N("DATUM", q(dname), ellipsoid_node(ell, wkt1="esri")),
+             primem_node(pm, wkt1="esri"),
+             N("UNIT", q("Degree"), DEG_RAD))
+
+
+# ---------------------------------------------------------- PROJJSON -----
+
+_SCHEMA = "https://proj.org/schemas/v0.7/projjson.schema.json"
+
+
+def _json_ellipsoid(code: int) -> dict:
+    name, a, inv_f, b = M.ELLIPSOID[code]
+    out = {"name": name, "semi_major_axis": jnum(a)}
+    if inv_f is not None:
+        out["inverse_flattening"] = jnum(inv_f)
+    else:
+        out["semi_minor_axis"] = jnum(b)
+    return out
+
+
+def _json_axes(cs_code: int) -> dict:
+    typ, axes = M.CS[cs_code]
+    ax = []
+    for name, abbrev, orient, uom in axes:
+        uname, _ = unit_name_factor(uom)
+        ax.append({"name": name, "abbreviation": abbrev,
+                   "direction": orient, "unit": uname})
+    return {"subtype": typ.lower(), "axis": ax}
+
+
+def geog_projjson(code: int) -> dict:
+    name, kind, cs_code, datum_code, _dep = M.GEOG[code]
+    out: dict = {"$schema": _SCHEMA,
+                 "type": "GeographicCRS" if kind.startswith("geographic")
+                 else "GeodeticCRS",
+                 "name": name}
+    dname, ell, pm, acc = M.DATUM[datum_code]
+    if is_ensemble(datum_code):
+        out["datum_ensemble"] = {
+            "name": dname,
+            "members": [{"name": M.DATUM[m][0],
+                         "id": {"authority": "EPSG", "code": m}}
+                        for m in M.ENSEMBLE_MEMBERS[datum_code]],
+            "ellipsoid": _json_ellipsoid(ell),
+            "accuracy": acc,
+            "id": {"authority": "EPSG", "code": datum_code},
+        }
+    else:
+        out["datum"] = {
+            "type": "GeodeticReferenceFrame",
+            "name": dname,
+            "ellipsoid": _json_ellipsoid(ell),
+        }
+        if pm != 8901:
+            pname, pval, puom = M.PM[pm]
+            out["datum"]["prime_meridian"] = {
+                "name": pname, "longitude": jnum(param_deg(pval, puom))}
+    out["coordinate_system"] = _json_axes(cs_code)
+    u = crs_usage("geodetic_crs", code)
+    if u:
+        scope, area, (s, n, w, e) = u
+        if scope != "?":
+            out["scope"] = scope
+        out["area"] = area
+        out["bbox"] = {"south_latitude": jnum(s), "west_longitude":
+                       jnum(w), "north_latitude": jnum(n),
+                       "east_longitude": jnum(e)}
+    out["id"] = {"authority": "EPSG", "code": code}
+    return out
+
+
+# ------------------------------------------------- projected CRS WKT2 ----
+
+
+def conversion_node(conv_code: int, with_id: bool) -> N:
+    name, method_code, method_name, params = M.CONV[conv_code]
+    kids = [N("METHOD", q(method_name),
+              N("ID", q("EPSG"), str(method_code)))]
+    for pcode, pname, pval, puom in params:
+        uname, _ = unit_name_factor(puom)
+        typ = M.UOM[puom][1]
+        val = param_deg(pval, puom) if typ == "angle" else pval
+        kids.append(N("PARAMETER", q(pname), wnum(val),
+                      unit_node(puom if puom not in _DMS_UOMS
+                                else 9102),
+                      N("ID", q("EPSG"), str(pcode))))
+    if with_id:
+        kids.append(N("ID", q("EPSG"), str(conv_code)))
+    return N("CONVERSION", q(name), *kids)
+
+
+def base_geog_node(code: int, version: str, promote_3d: bool) -> N:
+    name, kind, cs_code, datum_code, _dep = M.GEOG[code]
+    bcode = code
+    if promote_3d:
+        # the EPSG 3D sibling of well-known 2D geographic CRSs
+        bcode = {4326: 4979, 4258: 4937, 4269: 4955}.get(code, code)
+    kw = "BASEGEOGCRS" if version == "2019" else "BASEGEODCRS"
+    return N(kw, q(name),
+             datum_node(datum_code, version),
+             primem_node(M.DATUM[datum_code][2]),
+             N("ID", q("EPSG"), str(bcode)))
+
+
+def _axis_nodes_3d_promoted() -> list:
+    """Promoted-to-3D Cartesian axes: synthetic (E)/(N) names and
+    per-axis unit IDs, as the reference emits for --3d."""
+    def unit():
+        return N("LENGTHUNIT", q("metre"), "1",
+                 N("ID", q("EPSG"), "9001"))
+
+    return [N("AXIS", q("(E)"), "east", N("ORDER", "1"), unit(),
+              bump=True),
+            N("AXIS", q("(N)"), "north", N("ORDER", "2"), unit(),
+              bump=True),
+            N("AXIS", q("ellipsoidal height (h)"), "up",
+              N("ORDER", "3"), unit(), bump=True)]
+
+
+def proj_wkt2(code: int, version: str = "2019",
+              three_d: bool = False) -> N:
+    name, cs_code, base_code, conv_code, _dep = M.PROJCRS[code]
+    kids = [base_geog_node(base_code, version, three_d),
+            conversion_node(conv_code, with_id=three_d)]
+    if three_d:
+        kids.append(N("CS", "Cartesian", "3"))
+        kids += _axis_nodes_3d_promoted()
+    else:
+        kids += cs_nodes(cs_code)
+    if three_d:
+        u = crs_usage("projected_crs", code)
+        if u:
+            _scope, area, (s, n, w, e) = u
+            kids.append(N("USAGE", N("SCOPE", q("unknown")),
+                          N("AREA", q(area)),
+                          N("BBOX", wnum(s), wnum(w), wnum(n),
+                            wnum(e))))
+        kids.append(N("REMARK", q(f"Promoted to 3D from EPSG:{code}")))
+    else:
+        kids += usage_nodes("projected_crs", code, version == "2019")
+        kids.append(N("ID", q("EPSG"), str(code)))
+    return N("PROJCRS" if version == "2019" else "PROJCRS", q(name),
+             *kids)
+
+
+# --------------------------------------------------------- PROJ.4 text ----
+
+_P4_DATUM = {6326: "WGS84", 6267: "NAD27", 6269: "NAD83",
+             6121: "GGRS87", 6223: "carthage", 6312: "hermannskogel",
+             6299: "ire65", 6272: "nzgd49", 6277: "OSGB36"}
+_P4_ELLPS = {7030: "WGS84", 7019: "GRS80", 7022: "intl",
+             7004: "bessel", 7008: "clrk66", 7012: "clrk80",
+             7043: "WGS72", 7024: "krass", 7003: "aust_SA",
+             7015: "evrst30", 7044: "clrk80ign", 7046: "bess_nam",
+             7047: "sphere", 7021: "helmert", 7020: "clrk80",
+             7002: "airy", 7001: "airy"}
+
+
+def _p4_datum_parts(datum_code: int) -> list[str]:
+    if datum_code in _P4_DATUM:
+        return [f"+datum={_P4_DATUM[datum_code]}"]
+    _, ell, pm, _acc = M.DATUM[datum_code]
+    out = []
+    if ell in _P4_ELLPS and _P4_ELLPS[ell] != "clrk80" or ell == 7012:
+        out.append(f"+ellps={_P4_ELLPS[ell]}" if ell in _P4_ELLPS
+                   else "")
+    if not out or not out[0]:
+        name, a, inv_f, b = M.ELLIPSOID[ell]
+        out = [f"+a={wnum(a)}"]
+        if inv_f:
+            out.append(f"+rf={wnum(inv_f)}")
+        else:
+            out.append(f"+b={wnum(b)}")
+    if pm != 8901:
+        pname, pval, puom = M.PM[pm]
+        out.append(f"+pm={pname.lower()}")
+    return out
+
+
+def _towgs84_of(geog_code: int, crs_table: str = "geodetic_crs",
+                crs_code: int | None = None) -> str | None:
+    """PROJ.4-compat +towgs84: the best Helmert to WGS84 for the CRS's
+    own area of use (the reference's createBoundCRSToWGS84IfPossible
+    ranks candidate transformations by extent containment then
+    accuracy — same policy as the planner's tables)."""
+    from proj_ray.epsg_ops import HELMERT
+
+    cands = HELMERT.get((geog_code, 4326), ())
+    if not cands:
+        defn_tw = None
+        from proj_ray.epsg_generated import EPSG_GENERATED
+
+        for tok in EPSG_GENERATED.get(geog_code, "").split():
+            if tok.startswith("+towgs84="):
+                defn_tw = tok[len("+towgs84="):]
+        return defn_tw
+    ext = crs_usage(crs_table, crs_code if crs_code is not None
+                    else geog_code)
+    box = None
+    if ext:
+        s, n, w, e = ext[2]
+        box = (w, s, e, n)
+
+    def contains(c) -> bool:
+        b = c.get("bbox")
+        if b is None or box is None:
+            return False
+        return (b[0] <= box[0] and b[1] <= box[1]
+                and b[2] >= box[2] and b[3] >= box[3])
+
+    pool = [c for c in cands if contains(c)] or list(cands)
+    pool.sort(key=lambda c: (c.get("acc") if c.get("acc") is not None
+                             else 999.0, c.get("code", 0)))
+    c = pool[0]
+    t = c["t"]
+    r = c.get("r", (0.0, 0.0, 0.0))
+    s = c.get("s", 0.0)
+    if c.get("conv") == "coordinate_frame":
+        r = (-r[0], -r[1], -r[2])
+    vals = (*t, *r, s)
+    return ",".join(wnum(v) for v in vals)
+
+
+def geog_proj4(code: int) -> str:
+    _name, _kind, _cs, datum_code, _dep = M.GEOG[code]
+    parts = ["+proj=longlat"] + _p4_datum_parts(datum_code)
+    if datum_code not in _P4_DATUM:
+        tw = _towgs84_of(code)
+        if tw:
+            parts.append(f"+towgs84={tw}")
+    return " ".join(parts + ["+no_defs", "+type=crs"])
+
+
+def _pd(params: tuple, code: int, default=0.0) -> float:
+    for pcode, _n, pval, puom in params:
+        if pcode == code:
+            typ = M.UOM[puom][1]
+            return param_deg(pval, puom) if typ == "angle" else \
+                pval * (M.UOM[puom][2] or 1.0) if typ == "length" \
+                else pval
+    return default
+
+
+def conversion_proj4(conv_code: int) -> list[str]:
+    """+proj parts for a conversion (the subset of methods the tests
+    exercise; extend as needed). Mirrors the reference's proj4 export
+    spellings (io.cpp exportToPROJString)."""
+    name, method, _mname, params = M.CONV[conv_code]
+    if method == 9807:  # Transverse Mercator
+        lat0 = _pd(params, 8801)
+        lon0 = _pd(params, 8802)
+        k = _pd(params, 8805, 1.0)
+        x0 = _pd(params, 8806)
+        y0 = _pd(params, 8807)
+        zone = (lon0 + 183.0) / 6.0
+        if (lat0 == 0 and k == 0.9996 and x0 == 500000
+                and zone == int(zone) and 1 <= zone <= 60
+                and y0 in (0.0, 10000000.0)):
+            out = [f"+proj=utm +zone={int(zone)}"]
+            if y0 == 10000000.0:
+                out.append("+south")
+            return out
+        return [f"+proj=tmerc +lat_0={wnum(lat0)} +lon_0={wnum(lon0)} "
+                f"+k={wnum(k)} +x_0={wnum(x0)} +y_0={wnum(y0)}"]
+    if method == 9801:  # Lambert Conic Conformal (1SP)
+        return [f"+proj=lcc +lat_1={wnum(_pd(params, 8801))} "
+                f"+lat_0={wnum(_pd(params, 8801))} "
+                f"+lon_0={wnum(_pd(params, 8802))} "
+                f"+k_0={wnum(_pd(params, 8805, 1.0))} "
+                f"+x_0={wnum(_pd(params, 8806))} "
+                f"+y_0={wnum(_pd(params, 8807))}"]
+    if method == 9802:  # Lambert Conic Conformal (2SP)
+        return [f"+proj=lcc +lat_0={wnum(_pd(params, 8821))} "
+                f"+lon_0={wnum(_pd(params, 8822))} "
+                f"+lat_1={wnum(_pd(params, 8823))} "
+                f"+lat_2={wnum(_pd(params, 8824))} "
+                f"+x_0={wnum(_pd(params, 8826))} "
+                f"+y_0={wnum(_pd(params, 8827))}"]
+    if method == 9820:  # Lambert Azimuthal Equal Area
+        return [f"+proj=laea +lat_0={wnum(_pd(params, 8801))} "
+                f"+lon_0={wnum(_pd(params, 8802))} "
+                f"+x_0={wnum(_pd(params, 8806))} "
+                f"+y_0={wnum(_pd(params, 8807))}"]
+    if method == 1024:  # Popular Visualisation Pseudo Mercator
+        return [f"+proj=webmerc +lat_0={wnum(_pd(params, 8801))} "
+                f"+lon_0={wnum(_pd(params, 8802))} "
+                f"+x_0={wnum(_pd(params, 8806))} "
+                f"+y_0={wnum(_pd(params, 8807))}"]
+    raise NotImplementedError(f"proj4 export of method {method}")
+
+
+def proj_proj4(code: int) -> str:
+    _name, cs_code, base_code, conv_code, _dep = M.PROJCRS[code]
+    _gname, _kind, _gcs, datum_code, _gdep = M.GEOG[base_code]
+    parts = conversion_proj4(conv_code)
+    ell = M.DATUM[datum_code][1]
+    if datum_code in _P4_DATUM:
+        parts.append(f"+datum={_P4_DATUM[datum_code]}")
+    else:
+        if ell in _P4_ELLPS:
+            parts.append(f"+ellps={_P4_ELLPS[ell]}")
+        else:
+            name, a, inv_f, b = M.ELLIPSOID[ell]
+            parts.append(f"+a={wnum(a)}")
+            parts.append(f"+rf={wnum(inv_f)}" if inv_f
+                         else f"+b={wnum(b)}")
+        pm = M.DATUM[datum_code][2]
+        if pm != 8901:
+            parts.append(f"+pm={M.PM[pm][0].lower()}")
+        tw = _towgs84_of(base_code, "projected_crs", code)
+        if tw:
+            parts.append(f"+towgs84={tw}")
+    # CS unit
+    _typ, axes = M.CS[cs_code]
+    uom = axes[0][3]
+    uname, ufac = unit_name_factor(uom)
+    if uom == 9001:
+        parts.append("+units=m")
+    elif uom == 9002:
+        parts.append("+units=ft")
+    elif uom == 9003:
+        parts.append("+units=us-ft")
+    else:
+        parts.append(f"+to_meter={wnum(ufac)}")
+    return " ".join(parts + ["+no_defs", "+type=crs"])
+
+
+# --------------------------------------------------------- projinfo UI ----
+
+
+def _resolve_code(spec: str) -> tuple[str, int] | None:
+    import re
+
+    m = re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+    if not m:
+        # bare CRS name from the registry
+        from proj_ray.epsg_names import CRS_NAMES
+
+        hit = CRS_NAMES.get(spec.strip().casefold())
+        if hit and hit.upper().startswith("EPSG:"):
+            m2 = re.match(r"(?i)^epsg:(\d+)$", hit)
+            if m2:
+                code = int(m2.group(1))
+                return (("geog" if code in M.GEOG else
+                         "proj" if code in M.PROJCRS else
+                         "vert" if code in M.VERT else "?"), code)
+        return None
+    code = int(m.group(1))
+    if code in M.GEOG:
+        return ("geog", code)
+    if code in M.PROJCRS:
+        return ("proj", code)
+    if code in M.VERT:
+        return ("vert", code)
+    return None
+
+
+def crs_text(kind: str, code: int, fmt: str,
+              single_line: bool = False, three_d: bool = False) -> str:
+    """One representation of a CRS, by projinfo -o format name."""
+    import json
+
+    f = fmt.upper().replace(":", "_")
+    if kind == "proj":
+        if f in ("WKT2_2019", "WKT2"):
+            return proj_wkt2(code, "2019",
+                             three_d).render(0, not single_line)
+        if f == "WKT2_2015":
+            return proj_wkt2(code, "2015",
+                             three_d).render(0, not single_line)
+        if f == "PROJ":
+            return proj_proj4(code)
+        raise NotImplementedError(f"projected CRS {fmt} output")
+    if kind != "geog":
+        raise NotImplementedError(f"{kind} CRS text output")
+    if f in ("WKT2_2019", "WKT2"):
+        return geog_wkt2(code, "2019").render(0, not single_line)
+    if f == "WKT2_2015":
+        return geog_wkt2(code, "2015").render(0, not single_line)
+    if f == "WKT1_GDAL":
+        return geog_wkt1_gdal(code).render(0, not single_line)
+    if f == "WKT1_ESRI":
+        return geog_wkt1_esri(code).render(0, False)
+    if f == "PROJJSON":
+        return json.dumps(geog_projjson(code), indent=2,
+                          ensure_ascii=False)
+    if f == "PROJ":
+        return geog_proj4(code)
+    raise NotImplementedError(f"output format {fmt}")
+
+
+def run_projinfo(args: list[str]) -> tuple[str, int]:
+    """Replicate projinfo's stdout for the supported argument shapes.
+    Returns (stdout_text, exit_code); raises NotImplementedError for
+    unsupported feature classes (itemized by the replay tool)."""
+    fmt = None
+    quiet = False
+    single_line = False
+    three_d = False
+    positional: list[str] = []
+    i = 0
+    unsupported = []
+    while i < len(args):
+        a = args[i]
+        if a == "-o":
+            fmt = args[i + 1]
+            i += 2
+            continue
+        if a == "-q":
+            quiet = True
+            i += 1
+            continue
+        if a == "--single-line":
+            single_line = True
+            i += 1
+            continue
+        if a == "--3d":
+            three_d = True
+            i += 1
+            continue
+        if a in ("-s", "--source-crs", "-t", "--target-crs", "--area",
+                 "--bbox", "--accuracy", "--authority", "--output-id",
+                 "--spatial-test", "--grid-check", "--crs-extent-use",
+                 "--s_epoch", "--t_epoch", "-k"):
+            unsupported.append(a)
+            i += 2
+            continue
+        if a.startswith("--"):
+            unsupported.append(a)
+            i += 1
+            continue
+        positional.append(a)
+        i += 1
+    if unsupported:
+        raise NotImplementedError("flag " + unsupported[0])
+    if len(positional) == 1:
+        r = _resolve_code(positional[0])
+        if r is None:
+            raise NotImplementedError("non-registry CRS input")
+        kind, code = r
+        head = ""
+        table = {"geog": "geodetic_crs", "proj": "projected_crs",
+                 "vert": "vertical_crs"}[kind]
+        dep = (M.GEOG.get(code, M.PROJCRS.get(code, (None,) * 5))[-1]
+               if kind in ("geog", "proj") else 0)
+        if dep:
+            repl = M.DEPRECATION.get((table, code), [])
+            head = "Warning: object is deprecated\n"
+            if repl:
+                head += ("Alternative non-deprecated CRS:\n"
+                         + "".join(f"  EPSG:{c}\n" for c in repl)
+                         + "\n")
+        return head + _crs_output(kind, code, fmt, quiet, single_line,
+                                  three_d), 0
+    if len(positional) == 2:
+        raise NotImplementedError("operation search")
+    if len(positional) > 2:
+        return (f"Too many parameters: {positional[1]}\n", 1)
+    raise NotImplementedError("no positional arguments")
+
+
+def _crs_output(kind: str, code: int, fmt: str | None, quiet: bool,
+                single_line: bool, three_d: bool = False) -> str:
+    blocks = []
+
+    def add(title: str, body: str, extra_nl: bool = False):
+        if quiet:
+            blocks.append(body)
+        else:
+            blocks.append(f"{title}:\n{body}" + ("\n" if extra_nl
+                                                 else ""))
+
+    f = (fmt or "default").upper().replace(":", "_")
+    if f == "DEFAULT":
+        add("PROJ.4 string", crs_text(kind, code, "PROJ"))
+        add("WKT2:2019 string",
+            crs_text(kind, code, "WKT2_2019", single_line, three_d))
+    elif f == "ALL":
+        add("PROJ.4 string", crs_text(kind, code, "PROJ"))
+        add("WKT2:2015 string",
+            crs_text(kind, code, "WKT2_2015", single_line))
+        add("WKT2:2019 string",
+            crs_text(kind, code, "WKT2_2019", single_line))
+        add("WKT1:GDAL string",
+            crs_text(kind, code, "WKT1_GDAL", single_line), True)
+        add("WKT1:ESRI string",
+            crs_text(kind, code, "WKT1_ESRI"), True)
+        add("PROJJSON", crs_text(kind, code, "PROJJSON"))
+    else:
+        label = {"WKT2_2019": "WKT2:2019 string",
+                 "WKT2_2015": "WKT2:2015 string",
+                 "WKT1_GDAL": "WKT1:GDAL string",
+                 "WKT1_ESRI": "WKT1:ESRI string",
+                 "PROJJSON": "PROJJSON",
+                 "PROJ": "PROJ.4 string"}.get(f)
+        if label is None:
+            raise NotImplementedError(f"output format {fmt}")
+        add(label, crs_text(kind, code, f))
+    return "\n\n".join(blocks) + "\n"

@@ -1,0 +1,233 @@
+"""Generate EPSG *naming/metadata* tables for exact projinfo-style WKT
+output, from the reference's public EPSG SQL distribution
+(/root/reference/data/sql/) — the same legitimate build step as
+tools/gen_epsg.py (which generates the definition registry).
+
+Emits proj_ray/epsg_meta.py with:
+  UOM        code -> (name, type, factor_to_base)
+  ELLIPSOID  code -> (name, a, inv_f | None, b | None)
+  PM         code -> (name, raw_value, uom_code)
+  DATUM      code -> (name, ellps_code, pm_code, ensemble_accuracy|None)
+  ENSEMBLE_MEMBERS  code -> [member datum codes in position order]
+  GEOG       code -> (name, kind, cs_code, datum_code, deprecated)
+  PROJCRS    code -> (name, cs_code, base_geod_code, conv_code,
+                      deprecated)
+  CONV       code -> (name, method_code, method_name,
+                      ((param_code, name, value, uom_code), ...))
+  CS         code -> (type, ((axis_name, abbrev, orientation,
+                              uom_code), ...))
+  EXTENT     code -> (name_description, south, north, west, east)
+  SCOPE      code -> text
+  USAGE      (table, code) -> ((extent_code, scope_code), ...)
+  VERT       code -> (name, cs_code, datum_code, deprecated)
+  VDATUM     code -> (name,)
+
+Usage: python tools/gen_epsg_meta.py
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from gen_epsg import SQL, _num, rows  # noqa: F401 (shared helpers)
+
+
+def opt(x: str):
+    return None if x in ("NULL", "") else x
+
+
+def main() -> None:
+    uom = {}
+    for r in rows("unit_of_measure.sql", "unit_of_measure"):
+        if r[0] != "EPSG":
+            continue
+        uom[int(r[1])] = (r[2], r[3], _num(r[4]))
+
+    ell = {}
+    for r in rows("ellipsoid.sql", "ellipsoid"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        # auth, code, name, desc, body_auth, body, a, uom_a, uom_c,
+        # inv_f, b, deprecated
+        a = _num(r[6])
+        inv_f = _num(r[9])
+        b = _num(r[10])
+        ell[int(r[1])] = (r[2], a, inv_f, b)
+
+    pm = {}
+    for r in rows("prime_meridian.sql", "prime_meridian"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        pm[int(r[1])] = (r[2], _num(r[3]), int(r[5]))
+
+    datum = {}
+    for r in rows("geodetic_datum.sql", "geodetic_datum"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        # auth, code, name, desc, ell_auth, ell, pm_auth, pm,
+        # pub_date, frame_epoch, ensemble_accuracy, anchor,
+        # anchor_epoch, deprecated
+        datum[int(r[1])] = (r[2], int(r[5]), int(r[7]), opt(r[10]))
+
+    members: dict[int, list[int]] = {}
+    for r in rows("geodetic_datum_ensemble_member.sql",
+                  "geodetic_datum_ensemble_member"):
+        members.setdefault(int(r[1]), []).append((int(r[4]), int(r[3])
+                                                  if False else int(r[3])))
+    # rows: (ens_auth, ens_code, mem_auth, mem_code, position)
+    members = {}
+    for r in rows("geodetic_datum_ensemble_member.sql",
+                  "geodetic_datum_ensemble_member"):
+        members.setdefault(int(r[1]), []).append((int(r[4]), int(r[3])))
+    ens_members = {k: [c for _, c in sorted(v)]
+                   for k, v in members.items()}
+
+    geog = {}
+    for r in rows("geodetic_crs.sql", "geodetic_crs"):
+        if r[0] != "EPSG":
+            continue
+        # auth, code, name, desc, type, cs_auth, cs, datum_auth,
+        # datum, text_def, deprecated
+        if opt(r[8]) is None:
+            continue
+        geog[int(r[1])] = (r[2], r[4], int(r[6]), int(r[8]),
+                           int(r[10] or 0))
+
+    projcrs = {}
+    for r in rows("projected_crs.sql", "projected_crs"):
+        if r[0] != "EPSG":
+            continue
+        # auth, code, name, desc, cs_auth, cs, geod_auth, geod,
+        # conv_auth, conv, text_def, deprecated
+        if opt(r[7]) is None or opt(r[9]) is None:
+            continue
+        projcrs[int(r[1])] = (r[2], int(r[5]), int(r[7]), int(r[9]),
+                              int(r[10] if r[10] in ("0", "1")
+                                  else r[11] or 0))
+
+    conv = {}
+    for r in rows("conversion.sql", "conversion"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        params = []
+        # 7 parameter slots of 6 fields each, starting at index 7
+        for k in range(7):
+            base = 7 + k * 6
+            if base + 5 >= len(r) - 1 or opt(r[base + 1]) is None:
+                continue
+            params.append((int(r[base + 1]), r[base + 2],
+                           _num(r[base + 3]), int(r[base + 5])))
+        conv[int(r[1])] = (r[2], int(r[5]), r[6], tuple(params))
+
+    cs_type = {}
+    for r in rows("coordinate_system.sql", "coordinate_system"):
+        if r[0] != "EPSG":
+            continue
+        cs_type[int(r[1])] = r[2]
+    axes: dict[int, list] = {}
+    for r in rows("axis.sql", "axis"):
+        # auth, code, name, abbrev, orientation, cs_auth, cs, order,
+        # uom_auth, uom
+        if r[0] != "EPSG":
+            continue
+        axes.setdefault(int(r[6]), []).append(
+            (int(r[7]), (r[2], r[3], r[4],
+                         int(r[9]) if opt(r[9]) else None)))
+    cs = {c: (cs_type.get(c, "Cartesian"),
+              tuple(a for _, a in sorted(v)))
+          for c, v in axes.items()}
+
+    extent = {}
+    for r in rows("extent.sql", "extent"):
+        if r[0] != "EPSG":
+            continue
+        extent[int(r[1])] = (r[3], _num(r[4]), _num(r[5]),
+                             _num(r[6]), _num(r[7]))
+
+    scope = {}
+    for r in rows("scope.sql", "scope"):
+        if r[0] != "EPSG":
+            continue
+        scope[int(r[1])] = r[2]
+
+    usage: dict[tuple, list] = {}
+    for fname in ("geodetic_crs.sql", "projected_crs.sql",
+                  "geodetic_datum.sql", "vertical_crs.sql",
+                  "compound_crs.sql", "helmert_transformation.sql",
+                  "grid_transformation.sql", "conversion.sql",
+                  "other_transformation.sql",
+                  "concatenated_operation.sql", "vertical_datum.sql"):
+        try:
+            for r in rows(fname, "usage"):
+                # auth, code, obj_table, obj_auth, obj_code,
+                # ext_auth, ext_code, scope_auth, scope_code
+                if r[3] != "EPSG" or r[5] != "EPSG" or r[7] != "EPSG":
+                    continue
+                usage.setdefault((r[2], int(r[4])), []).append(
+                    (int(r[6]), int(r[8])))
+        except FileNotFoundError:
+            continue
+
+    vert = {}
+    for r in rows("vertical_crs.sql", "vertical_crs"):
+        # auth, code, name, desc, cs_auth, cs, datum_auth, datum,
+        # deprecated
+        if r[0] != "EPSG" or opt(r[7]) is None:
+            continue
+        vert[int(r[1])] = (r[2], int(r[5]), int(r[7]), int(r[8] or 0))
+    vdatum = {}
+    for r in rows("vertical_datum.sql", "vertical_datum"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        vdatum[int(r[1])] = (r[2],)
+
+    depr: dict[tuple, list] = {}
+    for r in rows("deprecation.sql", "deprecation"):
+        # table, auth, code, repl_auth, repl_code, source
+        if r[1] != "EPSG" or r[3] != "EPSG":
+            continue
+        depr.setdefault((r[0], int(r[2])), []).append(int(r[4]))
+
+    esri: dict[tuple, str] = {}
+    import re as _re
+
+    pat = _re.compile(
+        r"INSERT INTO alias_name VALUES\('([a-z_]+)','EPSG','(\d+)',"
+        r"'([^']*)','ESRI'\);")
+    for line in (SQL / "esri.sql").open(encoding="utf-8"):
+        m = pat.match(line.strip())
+        if m:
+            esri[(m.group(1), int(m.group(2)))] = m.group(3)
+
+    dst = Path(__file__).resolve().parent.parent / "proj_ray" / \
+        "epsg_meta.py"
+    with dst.open("w", encoding="utf-8") as f:
+        f.write('"""EPSG naming/usage metadata for exact WKT output.\n'
+                "\nAUTO-GENERATED by tools/gen_epsg_meta.py from the\n"
+                "reference's public EPSG SQL distribution. Do not "
+                'edit."""\n\n')
+        for name, obj in (("UOM", uom), ("ELLIPSOID", ell), ("PM", pm),
+                          ("DATUM", datum),
+                          ("ENSEMBLE_MEMBERS", ens_members),
+                          ("GEOG", geog), ("PROJCRS", projcrs),
+                          ("CONV", conv), ("CS", cs),
+                          ("EXTENT", extent), ("SCOPE", scope),
+                          ("USAGE", {k: tuple(v)
+                                     for k, v in usage.items()}),
+                          ("VERT", vert), ("VDATUM", vdatum),
+                          ("ESRI_ALIAS", esri),
+                          ("DEPRECATION", depr)):
+            f.write(f"{name} = {{\n")
+            for k in sorted(obj):
+                f.write(f"    {k!r}: {obj[k]!r},\n")
+            f.write("}\n\n")
+    print(f"wrote {dst}: " + ", ".join(
+        f"{n}={len(o)}" for n, o in (
+            ("uom", uom), ("ell", ell), ("datum", datum),
+            ("ens", ens_members), ("geog", geog), ("proj", projcrs),
+            ("conv", conv), ("cs", cs), ("extent", extent),
+            ("usage", usage), ("vert", vert))))
+
+
+if __name__ == "__main__":
+    main()
