@@ -1,0 +1,550 @@
+"""projinfo operation search: candidate discovery + exact text
+rendering for `-s CRS -t CRS` queries.
+
+Parity target: the reference's projinfo app over proj.db
+(src/apps/projinfo.cpp outputOperations + the iso19111 operation
+factory's extent/accuracy ranking) — re-expressed over the planner's
+static tables (proj_ray/epsg_ops.py) and the naming metadata
+(proj_ray/epsg_meta.py). Scoreboard: tools/replay_projinfo_yaml.py.
+"""
+
+from __future__ import annotations
+
+from proj_ray import epsg_meta as M
+from proj_ray.projinfo_text import (N, _ellps_token, _geog_is_latlon,
+                                    crs_usage, format_proj_multiline,
+                                    geog_wkt2, q, wnum)
+
+WORLD = (-180.0, -90.0, 180.0, 90.0)
+
+
+class SearchError(Exception):
+    """Maps to a projinfo stderr message + exit code 1."""
+
+
+# ------------------------------------------------------------ extents ----
+
+
+def _lon_width(w: float, e: float) -> float:
+    return e - w if e >= w else e - w + 360.0
+
+
+def _box_area(b) -> float:
+    """Pseudo spherical area (reference operation.cpp getPseudoArea:
+    lon width x (sin(n) - sin(s)) — plain lat height would rank polar
+    extents too high)."""
+    import math
+
+    w, s, e, n = b
+    return _lon_width(w, e) * (math.sin(math.radians(n))
+                               - math.sin(math.radians(s)))
+
+
+def _lon_contains(w1, e1, w2, e2) -> bool:
+    """[w1,e1] contains [w2,e2], antimeridian-aware."""
+    if _lon_width(w1, e1) >= 360.0 - 1e-9:
+        return True
+
+    def norm(x, ref):
+        while x < ref:
+            x += 360.0
+        return x
+
+    e1n = norm(e1, w1)
+    w2n = norm(w2, w1)
+    e2n = norm(e2, w2n)
+    return w2n >= w1 and e2n <= e1n
+
+
+def _lon_intersects(w1, e1, w2, e2) -> bool:
+    segs1 = [(w1, e1)] if e1 >= w1 else [(w1, 180.0), (-180.0, e1)]
+    segs2 = [(w2, e2)] if e2 >= w2 else [(w2, 180.0), (-180.0, e2)]
+    for a0, a1 in segs1:
+        for b0, b1 in segs2:
+            if a0 <= b1 and b0 <= a1:
+                return True
+    return False
+
+
+def box_contains(big, small) -> bool:
+    return (big[1] <= small[1] and big[3] >= small[3]
+            and _lon_contains(big[0], big[2], small[0], small[2]))
+
+
+def box_intersects(a, b) -> bool:
+    return (a[1] <= b[3] and b[1] <= a[3]
+            and _lon_intersects(a[0], a[2], b[0], b[2]))
+
+
+def box_intersection(a, b):
+    """Simple (non-wrapped) intersection; falls back to the smaller
+    box when either wraps the antimeridian."""
+    if a[2] < a[0] or b[2] < b[0]:
+        return a if _box_area(a) <= _box_area(b) else b
+    w, s = max(a[0], b[0]), max(a[1], b[1])
+    e, n = min(a[2], b[2]), min(a[3], b[3])
+    if e <= w or n <= s:
+        return None
+    return (w, s, e, n)
+
+
+def _crs_bbox(table: str, code: int):
+    u = crs_usage(table, code)
+    if not u:
+        return None
+    s, n, w, e = u[2]
+    return (w, s, e, n)
+
+
+# -------------------------------------------------------- CRS resolve ----
+
+
+def resolve_crs(spec: str) -> dict:
+    import re
+
+    s = spec.strip()
+    m = re.match(r"(?i)^epsg:(\d+)$", s)
+    if not m:
+        from proj_ray.epsg_names import CRS_NAMES
+
+        hit = CRS_NAMES.get(s.casefold())
+        if hit:
+            m = re.match(r"(?i)^epsg:(\d+)$", hit)
+    if not m:
+        raise NotImplementedError(f"CRS resolve {spec!r}")
+    code = int(m.group(1))
+    if code in M.GEOG:
+        name, kind, cs, datum, dep = M.GEOG[code]
+        return {"kind": "geog", "code": code, "name": name,
+                "geog": code, "datum": datum,
+                "bbox": _crs_bbox("geodetic_crs", code)}
+    if code in M.PROJCRS:
+        name, cs, base, conv, dep = M.PROJCRS[code]
+        return {"kind": "proj", "code": code, "name": name,
+                "geog": base, "conv": conv,
+                "datum": M.GEOG[base][3],
+                "bbox": _crs_bbox("projected_crs", code)}
+    raise NotImplementedError(f"CRS kind of EPSG:{code}")
+
+
+# ----------------------------------------------------------- pipelines ----
+
+
+def _wrap_geog_io(core: list[str], src_geog: int, dst_geog: int,
+                  push_v3: bool = True) -> str:
+    parts = ["+proj=pipeline"]
+    if _geog_is_latlon(src_geog):
+        parts.append("+step +proj=axisswap +order=2,1")
+    parts.append("+step +proj=unitconvert +xy_in=deg +xy_out=rad")
+    parts += core
+    parts.append("+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    if _geog_is_latlon(dst_geog):
+        parts.append("+step +proj=axisswap +order=2,1")
+    return " ".join(parts)
+
+
+def grid_pipeline(src_geog: int, dst_geog: int, entry: dict,
+                  inverse: bool) -> str:
+    g = entry["grids"][0]
+    # NADCON5 (methods 1074/1075) exports as the generic gridshift op
+    op = "gridshift" if entry.get("method") in (1074, 1075) \
+        else "hgridshift"
+    step = f"+step +proj={op} +grids={g}"
+    if inverse:
+        step = f"+step +inv +proj={op} +grids={g}"
+    return _wrap_geog_io([step], src_geog, dst_geog)
+
+
+def helmert_core(src_geog: int, dst_geog: int, entry: dict,
+                 inverse: bool, both_2d: bool) -> list[str]:
+    from proj_ray.projinfo_text import _helmert_step
+
+    core = []
+    if both_2d:
+        core.append("+step +proj=push +v_3")
+    core.append(f"+step +proj=cart {_ellps_token(M.GEOG[src_geog][3])}")
+    h = _helmert_step(entry)
+    core.append("+step +inv " + h[len("+step "):] if False else
+                ("+step +inv " + h if inverse else "+step " + h))
+    core.append(f"+step +inv +proj=cart "
+                f"{_ellps_token(M.GEOG[dst_geog][3])}")
+    if both_2d:
+        core.append("+step +proj=pop +v_3")
+    return core
+
+
+def helmert_full_pipeline(src_geog: int, dst_geog: int, entry: dict,
+                          inverse: bool) -> str:
+    both_2d = (M.GEOG[src_geog][1] == "geographic 2D"
+               and M.GEOG[dst_geog][1] == "geographic 2D")
+    return _wrap_geog_io(
+        helmert_core(src_geog, dst_geog, entry, inverse, both_2d),
+        src_geog, dst_geog)
+
+
+# ----------------------------------------------------------- op WKT2 -----
+
+
+def _embedded_crs_node(crs: dict) -> N:
+    if crs["kind"] == "geog":
+        return geog_wkt2(crs["code"], "2019", with_usage=False)
+    from proj_ray.projinfo_text import proj_wkt2
+
+    return proj_wkt2(crs["code"], "2019")
+
+
+def _op_usage_nodes(table: str, code: int) -> list:
+    u = crs_usage(table, code)
+    if not u:
+        return []
+    scope, area, (s, n, w, e) = u
+    return [N("USAGE", N("SCOPE", q(scope)), N("AREA", q(area)),
+              N("BBOX", wnum(s), wnum(w), wnum(n), wnum(e)))]
+
+
+def grid_op_wkt(cand: dict, src: dict, dst: dict) -> N:
+    code = cand["code"]
+    name, _kind, remarks = M.OP_META[code]
+    entry = cand["entry"]
+    kids = [N("SOURCECRS", _embedded_crs_node(src)),
+            N("TARGETCRS", _embedded_crs_node(dst))]
+    if cand["derived"]:
+        mkw = ("GENERAL_SHIFT_GTIFF" if entry.get("method")
+               in (1074, 1075) else "HORIZONTAL_SHIFT_GTIFF")
+        kids.append(N("METHOD", q(mkw)))
+    else:
+        if entry.get("version"):
+            kids.insert(0, N("VERSION", q(entry["version"])))
+        kids.append(N("METHOD", q(entry["method_name"]),
+                      N("ID", q("EPSG"), str(entry["method"]))))
+    kids.append(N("PARAMETERFILE",
+                  q("Latitude and longitude difference file"),
+                  q(entry["grids"][0])))
+    acc = M.OP_ACC.get(code)
+    if acc is not None:
+        kids.append(N("OPERATIONACCURACY", acc))
+    kids += _op_usage_nodes("grid_transformation", code)
+    auth = "DERIVED_FROM(EPSG)" if cand["derived"] else "EPSG"
+    kids.append(N("ID", q(auth), str(code)))
+    if remarks:
+        kids.append(N("REMARK", q(remarks)))
+    return N("COORDINATEOPERATION", q(name), *kids)
+
+
+def ballpark_wkt(src: dict, dst: dict, name: str) -> N:
+    deg = N("ANGLEUNIT", q("degree"), "0.0174532925199433")
+
+    def pnode(pname, pid):
+        return N("PARAMETER", q(pname), "0",
+                 N("ANGLEUNIT", q("degree"), "0.0174532925199433"),
+                 N("ID", q("EPSG"), pid))
+
+    _ = deg
+    return N("COORDINATEOPERATION", q(name),
+             N("SOURCECRS", _embedded_crs_node(src)),
+             N("TARGETCRS", _embedded_crs_node(dst)),
+             N("METHOD", q("Geographic2D offsets"),
+               N("ID", q("EPSG"), "9619")),
+             pnode("Latitude offset", "8601"),
+             pnode("Longitude offset", "8602"),
+             N("USAGE", N("SCOPE", q("unknown")),
+               N("AREA", q("World")),
+               N("BBOX", "-90", "-180", "90", "180")))
+
+
+def conversion_op_wkt(conv_code: int) -> N:
+    from proj_ray.projinfo_text import conversion_node
+
+    return conversion_node(conv_code, with_id=True)
+
+
+# ------------------------------------------------------------- search ----
+
+
+def _grid_derived(entry: dict) -> bool:
+    grids = entry.get("grids", [])
+    return (len(grids) > 1 and grids[0].endswith(".tif")
+            and not grids[1].endswith(".tif"))
+
+
+def _op_bbox_from_usage(table: str, code: int):
+    u = crs_usage(table, code)
+    if not u:
+        return WORLD
+    s, n, w, e = u[2]
+    return (w, s, e, n)
+
+
+def _candidates_geog_geog(src: dict, dst: dict) -> list[dict]:
+    from proj_ray.epsg_ops import HELMERT
+
+    a, b = src["geog"], dst["geog"]
+    out = []
+    seen = set()
+    for (x, y), inverse in (((a, b), False), ((b, a), True)):
+        for e in HELMERT.get((x, y), ()):
+            code = e.get("code")
+            if code in seen:
+                continue
+            seen.add(code)
+            out.append({"type": "helmert", "code": code, "entry": e,
+                        "inverse": inverse,
+                        "bbox": _ops_bbox(e), "derived": False})
+    # grid transformations from the FULL metadata (includes methods the
+    # kernel layer does not execute, e.g. NADCON5 — projinfo must still
+    # list them)
+    for code, (gs, gd, method, mname, version, origs,
+               mapped) in M.GRID_OPS.items():
+        if code in seen:
+            continue
+        if (gs, gd) == (a, b):
+            inverse = False
+        elif (gs, gd) == (b, a):
+            inverse = True
+        else:
+            continue
+        seen.add(code)
+        out.append({"type": "grid", "code": code,
+                    "entry": {"grids": list(mapped), "origs": origs,
+                              "method": method, "method_name": mname,
+                              "version": version},
+                    "inverse": inverse,
+                    "bbox": _op_bbox_from_usage("grid_transformation",
+                                                code),
+                    "derived": tuple(mapped) != tuple(origs)})
+    return out
+
+
+def _ops_bbox(entry: dict):
+    b = entry.get("bbox")
+    return tuple(b) if b else WORLD
+
+
+def _acc_str(code: int | None) -> str:
+    if code is None:
+        return "unknown accuracy"
+    acc = M.OP_ACC.get(code)
+    return f"{acc} m" if acc is not None else "unknown accuracy"
+
+
+def _area_desc(cand: dict) -> str:
+    if cand["type"] == "ballpark":
+        return "World"
+    table = {"grid": "grid_transformation",
+             "helmert": "helmert_transformation",
+             "other": "other_transformation",
+             "concat": "concatenated_operation",
+             "conversion": "conversion"}[cand["type"]]
+    u = crs_usage(table, cand["code"])
+    return u[1] if u else "unknown domain of validity"
+
+
+def _id_str(cand: dict) -> str:
+    if cand["type"] == "ballpark":
+        return "unknown id"
+    return ("DERIVED_FROM(EPSG):" if cand.get("derived")
+            else "EPSG:") + str(cand["code"])
+
+
+def search(src: dict, dst: dict, opts: dict):
+    """Returns (cands, note_count): the filtered+sorted candidate list
+    and, when the default 'contains' test was used, how many the
+    'intersects' test would have found."""
+    same_datum = src["datum"] == dst["datum"]
+    if src["kind"] == "geog" and dst["kind"] == "proj" and same_datum:
+        conv = dst["conv"]
+        cand = {"type": "conversion", "code": conv, "inverse": False,
+                "bbox": _crs_bbox("projected_crs", dst["code"])
+                or WORLD, "derived": False}
+        return [cand], None
+    if src["kind"] != "geog" or dst["kind"] != "geog":
+        raise NotImplementedError("operation search for this CRS pair")
+
+    cands = _candidates_geog_geog(src, dst)
+    explicit_aoi = opts.get("aoi") is not None
+    if not same_datum and not opts.get("hide_ballpark") \
+            and not explicit_aoi:
+        bp = {"type": "ballpark", "code": None, "inverse": False,
+              "bbox": WORLD, "derived": False,
+              "name": f"Ballpark geographic offset from "
+                      f"{src['name']} to {dst['name']}"}
+        cands.append(bp)
+
+    if opts.get("accuracy") is not None:
+        lim = float(opts["accuracy"])
+        cands = [c for c in cands
+                 if c["code"] is not None
+                 and M.OP_ACC.get(c["code"]) is not None
+                 and float(M.OP_ACC[c["code"]]) <= lim]
+
+    aoi = opts.get("aoi")
+    use_crs_extent = opts.get("crs_extent_use", "smallest") != "none"
+    if aoi is None and use_crs_extent:
+        sb, db = src.get("bbox"), dst.get("bbox")
+        if sb and db:
+            aoi = box_intersection(sb, db)
+        else:
+            aoi = sb or db
+    test = opts.get("spatial_test", "contains")
+
+    def keep(c, mode):
+        if aoi is None:
+            return True
+        if mode == "contains":
+            return box_contains(c["bbox"], aoi)
+        return box_intersects(c["bbox"], aoi)
+
+    note = None
+    kept = [c for c in cands if keep(c, test)]
+    if test == "contains" and aoi is not None \
+            and not opts.get("area_mode"):
+        n_int = len([c for c in cands if keep(c, "intersects")])
+        if n_int > len(kept):
+            note = n_int
+
+    def sortkey(c):
+        if c["type"] == "ballpark":
+            return (1, 0.0, 1e9, 1e9)
+        acc = M.OP_ACC.get(c["code"])
+        return (0, -_box_area(c["bbox"]),
+                float(acc) if acc is not None else 1e9,
+                c["code"])
+
+    kept.sort(key=sortkey)
+    return kept, note
+
+
+# ------------------------------------------------------------ render -----
+
+
+def _cand_header(c: dict, src: dict, dst: dict) -> str:
+    if c["type"] == "ballpark":
+        return (f"unknown id, {c['name']}, unknown accuracy, World, "
+                f"has ballpark transformation")
+    if c["type"] == "conversion":
+        name = M.CONV[c["code"]][0]
+        return (f"EPSG:{c['code']}, {name}, 0 m, "
+                f"{_area_desc(c)}")
+    name = M.OP_META[c["code"]][0]
+    return (f"{_id_str(c)}, {name}, {_acc_str(c['code'])}, "
+            f"{_area_desc(c)}")
+
+
+def _cand_pipeline(c: dict, src: dict, dst: dict) -> str:
+    if c["type"] == "ballpark":
+        return "+proj=noop"
+    if c["type"] == "conversion":
+        from proj_ray.projinfo_text import conversion_proj4
+
+        parts = ["+proj=pipeline"]
+        if _geog_is_latlon(src["geog"]):
+            parts.append("+step +proj=axisswap +order=2,1")
+        parts.append("+step +proj=unitconvert +xy_in=deg +xy_out=rad")
+        core = " ".join(conversion_proj4(c["code"]))
+        parts.append("+step " + core + " "
+                     + _ellps_token(M.GEOG[src["geog"]][3]))
+        return " ".join(parts)
+    if c["type"] == "grid":
+        return grid_pipeline(src["geog"], dst["geog"], c["entry"],
+                             c["inverse"])
+    if c["type"] == "helmert":
+        return helmert_full_pipeline(src["geog"], dst["geog"],
+                                     c["entry"], c["inverse"])
+    raise NotImplementedError(f"pipeline for {c['type']}")
+
+
+def _cand_wkt(c: dict, src: dict, dst: dict) -> N:
+    if c["type"] == "ballpark":
+        return ballpark_wkt(src, dst, c["name"])
+    if c["type"] == "conversion":
+        return conversion_op_wkt(c["code"])
+    if c["type"] == "grid":
+        return grid_op_wkt(c, src, dst)
+    raise NotImplementedError(f"WKT for op type {c['type']}")
+
+
+def render(cands, note, src, dst, opts) -> str:
+    out = [f"Candidate operations found: {len(cands)}"]
+    if note is not None:
+        out.append(f"Note: using '--spatial-test intersects' would "
+                   f"bring more results ({note})")
+    quiet = opts.get("quiet")
+    fmt = (opts.get("fmt") or "default").upper().replace(":", "_")
+    if opts.get("summary"):
+        for c in cands:
+            out.append(_cand_header(c, src, dst))
+        return "\n".join(out) + "\n"
+    if quiet:
+        out = []
+    for i, c in enumerate(cands, 1):
+        if not quiet:
+            out.append("-------------------------------------")
+            out.append(f"Operation No. {i}:")
+            out.append("")
+            out.append(_cand_header(c, src, dst))
+            out.append("")
+        line = _cand_pipeline(c, src, dst)
+        body = line if opts.get("single_line") \
+            else format_proj_multiline(line)
+        if quiet:
+            out.append(body)
+        else:
+            out.append("PROJ string:")
+            out.append(body)
+        if fmt in ("DEFAULT", "ALL", "WKT2_2019") and not quiet:
+            out.append("")
+            out.append("WKT2:2019 string:")
+            out.append(_cand_wkt(c, src, dst).render(
+                0, not opts.get("single_line")))
+        if i < len(cands) and not quiet:
+            out.append("")
+    return "\n".join(out) + "\n"
+
+
+def resolve_area(area: str):
+    """--area: EPSG:code or extent-name lookup. Returns bbox."""
+    import re
+
+    m = re.match(r"(?i)^([a-z_0-9]+):(.+)$", area.strip())
+    if m:
+        if m.group(1).upper() != "EPSG" or not m.group(2).isdigit():
+            raise SearchError(
+                "Area of use retrieval failed: extent not found")
+        code = int(m.group(2))
+        e = M.EXTENT.get(code)
+        if e is None:
+            raise SearchError(
+                "Area of use retrieval failed: extent not found")
+        return (e[3], e[1], e[4], e[2])
+    # name lookup over extent NAMES: exact match wins, else substring
+    want = area.strip().casefold()
+    exact = [c for c, e in M.EXTENT.items()
+             if _extent_name(c).casefold() == want]
+    if len(exact) == 1:
+        e = M.EXTENT[exact[0]]
+        return (e[3], e[1], e[4], e[2])
+    subs = sorted(c for c in M.EXTENT
+                  if want in _extent_name(c).casefold())
+    if not subs:
+        raise SearchError("No area of use matching provided name")
+    if len(subs) > 1:
+        lines = ["Several candidates area of use matching provided "
+                 "name :"]
+        for c in subs:
+            lines.append(f"  EPSG:{c} : {M.EXTENT[c][0]}")
+        raise SearchError("\n".join(lines))
+    e = M.EXTENT[subs[0]]
+    return (e[3], e[1], e[4], e[2])
+
+
+_EXTENT_NAMES: dict[int, str] = {}
+
+
+def _extent_name(code: int) -> str:
+    """extent NAME (epsg_meta stores the description in slot 0; names
+    are loaded lazily from the generated name table)."""
+    if not _EXTENT_NAMES:
+        from proj_ray.epsg_meta import EXTENT_NAME
+
+        _EXTENT_NAMES.update(EXTENT_NAME)
+    return _EXTENT_NAMES.get(code, "")

@@ -178,13 +178,20 @@ def is_ensemble(datum_code: int) -> bool:
     return datum_code in M.ENSEMBLE_MEMBERS
 
 
-def datum_node(code: int, version: str, with_id: bool = False) -> N:
-    """DATUM / ENSEMBLE node for WKT2. version: '2019' | '2015'."""
+def datum_node(code: int, version: str, with_id: bool = False,
+               standalone: bool = False, force_datum: bool = False) -> N:
+    """DATUM / ENSEMBLE node for WKT2. version: '2019' | '2015'.
+    `standalone` objects print member/ellipsoid IDs too (the -k
+    lookups); `force_datum` degrades an ensemble to its DATUM form."""
     name, ell, pm, acc = M.DATUM[code]
-    if version == "2019" and is_ensemble(code):
-        kids = [N("MEMBER", q(M.DATUM[m][0]))
-                for m in M.ENSEMBLE_MEMBERS[code]]
-        kids.append(ellipsoid_node(ell))
+    if version == "2019" and is_ensemble(code) and not force_datum:
+        kids = []
+        for m in M.ENSEMBLE_MEMBERS[code]:
+            mk = [q(M.DATUM[m][0])]
+            if standalone:
+                mk.append(N("ID", q("EPSG"), str(m)))
+            kids.append(N("MEMBER", *mk))
+        kids.append(ellipsoid_node(ell, with_id=standalone))
         kids.append(N("ENSEMBLEACCURACY", acc))
         if with_id:
             kids.append(N("ID", q("EPSG"), str(code)))
@@ -618,6 +625,162 @@ def proj_proj4(code: int) -> str:
     return " ".join(parts + ["+no_defs", "+type=crs"])
 
 
+# ------------------------------------------------ PROJ pipeline text -----
+
+
+def format_proj_multiline(single_line: str) -> str:
+    """projinfo's multiline PROJ pipeline formatting: '+proj=pipeline'
+    alone, each '+step ...' at 2-space indent, continuation lines
+    wrapped at 80 columns with an 8-space indent (2 + len('+step '))."""
+    toks = single_line.split()
+    if not toks or toks[0] != "+proj=pipeline":
+        return single_line
+    steps: list[list[str]] = []
+    cur: list[str] = []
+    for t in toks[1:]:
+        if t == "+step":
+            if cur:
+                steps.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        steps.append(cur)
+    out = ["+proj=pipeline"]
+    for st in steps:
+        line = "  +step"
+        for t in st:
+            if len(line) + 1 + len(t) > 80:
+                out.append(line)
+                line = "        " + t
+            else:
+                line += " " + t
+        out.append(line)
+    return "\n".join(out)
+
+
+def _geog_is_latlon(code: int) -> bool:
+    typ, axes = M.CS[M.GEOG[code][2]]
+    return axes and axes[0][2] == "north"
+
+
+def _ellps_token(datum_code: int) -> str:
+    ell = M.DATUM[datum_code][1]
+    if ell in _P4_ELLPS:
+        return f"+ellps={_P4_ELLPS[ell]}"
+    name, a, inv_f, b = M.ELLIPSOID[ell]
+    return f"+a={wnum(a)} " + (f"+rf={wnum(inv_f)}" if inv_f
+                               else f"+b={wnum(b)}")
+
+
+def helmert_pipeline(src_geog: int, dst_geog: int, entry: dict) -> str:
+    """Single-line cs2cs-style pipeline for a Helmert entry from the
+    planner tables (degree I/O, authority axis order, push/pop v_3 for
+    2D geographic CRSs)."""
+    t = entry["t"]
+    r = entry.get("r")
+    s = entry.get("s")
+    h = f"+proj=helmert +x={wnum(t[0])} +y={wnum(t[1])} +z={wnum(t[2])}"
+    if r is not None:
+        conv = entry.get("conv", "position_vector")
+        h += (f" +rx={wnum(r[0])} +ry={wnum(r[1])} +rz={wnum(r[2])}"
+              f" +s={wnum(s or 0.0)} +convention={conv}")
+    parts = ["+proj=pipeline"]
+    if _geog_is_latlon(src_geog):
+        parts.append("+step +proj=axisswap +order=2,1")
+    parts.append("+step +proj=unitconvert +xy_in=deg +xy_out=rad")
+    both_2d = (M.GEOG[src_geog][1] == "geographic 2D"
+               and M.GEOG[dst_geog][1] == "geographic 2D")
+    if both_2d:
+        parts.append("+step +proj=push +v_3")
+    parts.append(f"+step +proj=cart {_ellps_token(M.GEOG[src_geog][3])}")
+    parts.append("+step " + h)
+    parts.append(f"+step +inv +proj=cart "
+                 f"{_ellps_token(M.GEOG[dst_geog][3])}")
+    if both_2d:
+        parts.append("+step +proj=pop +v_3")
+    parts.append("+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    if _geog_is_latlon(dst_geog):
+        parts.append("+step +proj=axisswap +order=2,1")
+    return " ".join(parts)
+
+
+def _helmert_step(entry: dict) -> str:
+    t = entry["t"]
+    r = entry.get("r")
+    s = entry.get("s")
+    h = f"+proj=helmert +x={wnum(t[0])} +y={wnum(t[1])} +z={wnum(t[2])}"
+    if r is not None:
+        conv = entry.get("conv", "position_vector")
+        h += (f" +rx={wnum(r[0])} +ry={wnum(r[1])} +rz={wnum(r[2])}"
+              f" +s={wnum(s or 0.0)} +convention={conv}")
+    return h
+
+
+def helmert_chain_pipeline(src_geog: int, dst_geog: int,
+                           entries: list) -> str:
+    """Pipeline for a chain of geocentric Helmert steps (concatenated
+    operation) — one cart sandwich, helmerts composed in XYZ."""
+    parts = ["+proj=pipeline"]
+    if _geog_is_latlon(src_geog):
+        parts.append("+step +proj=axisswap +order=2,1")
+    parts.append("+step +proj=unitconvert +xy_in=deg +xy_out=rad")
+    both_2d = (M.GEOG[src_geog][1] == "geographic 2D"
+               and M.GEOG[dst_geog][1] == "geographic 2D")
+    if both_2d:
+        parts.append("+step +proj=push +v_3")
+    parts.append(f"+step +proj=cart {_ellps_token(M.GEOG[src_geog][3])}")
+    for e in entries:
+        parts.append("+step " + _helmert_step(e))
+    parts.append(f"+step +inv +proj=cart "
+                 f"{_ellps_token(M.GEOG[dst_geog][3])}")
+    if both_2d:
+        parts.append("+step +proj=pop +v_3")
+    parts.append("+step +proj=unitconvert +xy_in=rad +xy_out=deg")
+    if _geog_is_latlon(dst_geog):
+        parts.append("+step +proj=axisswap +order=2,1")
+    return " ".join(parts)
+
+
+def _find_helmert_by_code(code: int):
+    from proj_ray.epsg_ops import HELMERT
+
+    for (src, dst), entries in HELMERT.items():
+        for e in entries:
+            if e.get("code") == code:
+                return src, dst, e
+    return None
+
+
+# ------------------------------------------------------ object lookup ----
+
+
+def _normname(s: str) -> str:
+    import re
+
+    return re.sub(r"[ _]", "", s).casefold()
+
+
+def _lookup_named(table: str, spec: str, pool: dict) -> int | None:
+    import re
+
+    m = re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+    if m:
+        code = int(m.group(1))
+        return code if code in pool else None
+    want = _normname(spec)
+    for (tbl, alias), code in M.ALIAS.items():
+        if tbl == table and _normname(alias) == want and code in pool:
+            return code
+    for (tbl, code), alias in M.ESRI_ALIAS.items():
+        if tbl == table and _normname(alias) == want and code in pool:
+            return code
+    for code, row in pool.items():
+        if _normname(row[0]) == want:
+            return code
+    return None
+
+
 # --------------------------------------------------------- projinfo UI ----
 
 
@@ -690,6 +853,8 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
     quiet = False
     single_line = False
     three_d = False
+    obj_kind = None
+    search_opts: dict = {}
     positional: list[str] = []
     i = 0
     unsupported = []
@@ -711,10 +876,52 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             three_d = True
             i += 1
             continue
-        if a in ("-s", "--source-crs", "-t", "--target-crs", "--area",
-                 "--bbox", "--accuracy", "--authority", "--output-id",
-                 "--spatial-test", "--grid-check", "--crs-extent-use",
-                 "--s_epoch", "--t_epoch", "-k"):
+        if a == "-k":
+            obj_kind = args[i + 1]
+            i += 2
+            continue
+        if a in ("-s", "--source-crs"):
+            search_opts["src"] = args[i + 1]
+            i += 2
+            continue
+        if a in ("-t", "--target-crs"):
+            search_opts["dst"] = args[i + 1]
+            i += 2
+            continue
+        if a == "--summary":
+            search_opts["summary"] = True
+            i += 1
+            continue
+        if a == "--hide-ballpark":
+            search_opts["hide_ballpark"] = True
+            i += 1
+            continue
+        if a == "--spatial-test":
+            search_opts["spatial_test"] = args[i + 1]
+            i += 2
+            continue
+        if a == "--grid-check":
+            i += 2
+            continue
+        if a == "--crs-extent-use":
+            search_opts["crs_extent_use"] = args[i + 1]
+            i += 2
+            continue
+        if a == "--bbox":
+            w, s, e, n = (float(v) for v in args[i + 1].split(","))
+            search_opts["aoi"] = (w, s, e, n)
+            i += 2
+            continue
+        if a == "--area":
+            search_opts["area"] = args[i + 1]
+            i += 2
+            continue
+        if a == "--accuracy":
+            search_opts["accuracy"] = float(args[i + 1])
+            i += 2
+            continue
+        if a in ("--authority", "--output-id", "--s_epoch",
+                 "--t_epoch"):
             unsupported.append(a)
             i += 2
             continue
@@ -726,6 +933,34 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
         i += 1
     if unsupported:
         raise NotImplementedError("flag " + unsupported[0])
+    if obj_kind is not None and len(positional) == 1:
+        return _object_output(obj_kind, positional[0], fmt, quiet)
+    if len(positional) == 2 and "src" not in search_opts:
+        search_opts["src"], search_opts["dst"] = positional
+        positional = []
+    if "src" in search_opts and "dst" in search_opts:
+        from proj_ray import projinfo_ops as PO
+
+        try:
+            src = PO.resolve_crs(search_opts["src"])
+            dst = PO.resolve_crs(search_opts["dst"])
+            if "area" in search_opts:
+                search_opts["aoi"] = PO.resolve_area(
+                    search_opts["area"])
+                search_opts["area_mode"] = True
+            search_opts.update(fmt=fmt, quiet=quiet,
+                               single_line=single_line)
+            cands, note = PO.search(src, dst, search_opts)
+            return PO.render(cands, note, src, dst, search_opts), 0
+        except PO.SearchError as e:
+            return (str(e) + "\n", 1)
+    if len(positional) == 1 and _resolve_code(positional[0]) is None:
+        # bare datum/ensemble name (e.g. D_WGS_1984): ensemble form
+        code = _lookup_named("geodetic_datum", positional[0], M.DATUM)
+        if code is not None:
+            body = datum_node(code, "2019", with_id=True,
+                              standalone=True).render(0, True)
+            return ("WKT2:2019 string:\n" + body + "\n", 0)
     if len(positional) == 1:
         r = _resolve_code(positional[0])
         if r is None:
@@ -750,6 +985,68 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
     if len(positional) > 2:
         return (f"Too many parameters: {positional[1]}\n", 1)
     raise NotImplementedError("no positional arguments")
+
+
+def _object_output(obj_kind: str, spec: str, fmt: str | None,
+                   quiet: bool) -> tuple[str, int]:
+    """-k {ellipsoid|datum|ensemble|operation} lookups."""
+    if obj_kind == "ellipsoid":
+        code = _lookup_named("ellipsoid", spec, M.ELLIPSOID)
+        if code is None:
+            raise NotImplementedError(f"ellipsoid lookup {spec!r}")
+        p4 = (f"+ellps={_P4_ELLPS[code]}" if code in _P4_ELLPS else
+              _ellps_token_from_ell(code))
+        wkt = ellipsoid_node(code, with_id=True).render(0, True)
+        if quiet:
+            return (wkt + "\n", 0)
+        return (f"PROJ string:\n{p4}\n\nWKT2:2019 string:\n{wkt}\n", 0)
+    if obj_kind in ("datum", "ensemble"):
+        code = _lookup_named("geodetic_datum", spec, M.DATUM)
+        if code is None:
+            raise NotImplementedError(f"datum lookup {spec!r}")
+        node = datum_node(code, "2019", with_id=True,
+                          standalone=obj_kind == "ensemble",
+                          force_datum=obj_kind == "datum")
+        return ("WKT2:2019 string:\n" + node.render(0, True) + "\n", 0)
+    if obj_kind == "operation":
+        import re
+
+        m = re.match(r"(?i)^epsg:(\d+)$", spec.strip())
+        if not m:
+            raise NotImplementedError("operation lookup by name")
+        code = int(m.group(1))
+        hit = _find_helmert_by_code(code)
+        if hit is not None:
+            src, dst, entry = hit
+            line = helmert_pipeline(src, dst, entry)
+        elif code in M.CONCAT_OPS:
+            _name, src, dst, step_codes = M.CONCAT_OPS[code]
+            entries = []
+            for sc in step_codes:
+                h = _find_helmert_by_code(sc)
+                if h is None:
+                    raise NotImplementedError(
+                        f"concat step EPSG:{sc} not in Helmert tables")
+                entries.append(h[2])
+            # helmerts compose in geocentric XYZ: one cart sandwich,
+            # identity steps (0,0,0 and no rotation) optimized away
+            live = [e for e in entries
+                    if e["t"] != (0.0, 0.0, 0.0) or e.get("r")]
+            line = helmert_chain_pipeline(src, dst, live)
+        else:
+            raise NotImplementedError(
+                f"operation EPSG:{code} not in Helmert tables")
+        body = format_proj_multiline(line)
+        if quiet:
+            return (body + "\n", 0)
+        return ("PROJ string:\n" + body + "\n", 0)
+    raise NotImplementedError(f"-k {obj_kind}")
+
+
+def _ellps_token_from_ell(ell_code: int) -> str:
+    name, a, inv_f, b = M.ELLIPSOID[ell_code]
+    return f"+a={wnum(a)} " + (f"+rf={wnum(inv_f)}" if inv_f
+                               else f"+b={wnum(b)}")
 
 
 def _crs_output(kind: str, code: int, fmt: str | None, quiet: bool,

@@ -138,11 +138,13 @@ def main() -> None:
           for c, v in axes.items()}
 
     extent = {}
+    extent_name = {}
     for r in rows("extent.sql", "extent"):
         if r[0] != "EPSG":
             continue
         extent[int(r[1])] = (r[3], _num(r[4]), _num(r[5]),
                              _num(r[6]), _num(r[7]))
+        extent_name[int(r[1])] = r[2]
 
     scope = {}
     for r in rows("scope.sql", "scope"):
@@ -156,6 +158,8 @@ def main() -> None:
                   "compound_crs.sql", "helmert_transformation.sql",
                   "grid_transformation.sql", "conversion.sql",
                   "other_transformation.sql",
+                  "grid_transformation_custom.sql",
+                  "other_transformation_custom.sql",
                   "concatenated_operation.sql", "vertical_datum.sql"):
         try:
             for r in rows(fname, "usage"):
@@ -180,6 +184,136 @@ def main() -> None:
         if r[0] != "EPSG" or r[-1] == "1":
             continue
         vdatum[int(r[1])] = (r[2],)
+
+    # transformation-op naming: code -> (name, kind); the extent/scope
+    # ride the shared USAGE table (parsed below from the same files)
+    op_meta: dict[int, tuple] = {}
+    for fname, table, kind in (
+            ("helmert_transformation.sql", "helmert_transformation",
+             "helmert"),
+            ("grid_transformation.sql", "grid_transformation", "grid"),
+            ("grid_transformation_custom.sql", "grid_transformation",
+             "grid"),
+            ("other_transformation.sql", "other_transformation",
+             "other"),
+            ("other_transformation_custom.sql", "other_transformation",
+             "other"),
+            ("concatenated_operation.sql", "concatenated_operation",
+             "concat")):
+        try:
+            for r in rows(fname, table):
+                if r[0] != "EPSG":
+                    continue
+                try:
+                    code = int(r[1])
+                except ValueError:
+                    continue
+                op_meta.setdefault(code, (r[2], kind, opt(r[3]) or ""))
+        except FileNotFoundError:
+            continue
+    # accuracy as the DB's VERBATIM string (projinfo prints '1.0 m' vs
+    # '5 m' exactly as stored), with customizations.sql UPDATEs applied
+    op_acc: dict[int, str] = {}
+    for fname, table in (
+            ("helmert_transformation.sql", "helmert_transformation"),
+            ("grid_transformation.sql", "grid_transformation"),
+            ("grid_transformation_custom.sql", "grid_transformation"),
+            ("other_transformation.sql", "other_transformation"),
+            ("concatenated_operation.sql", "concatenated_operation")):
+        try:
+            for r in rows(fname, table):
+                if r[0] != "EPSG":
+                    continue
+                idx = 8 if table == "concatenated_operation" else 11
+                if idx < len(r) and r[idx] not in ("NULL", ""):
+                    try:
+                        float(r[idx])
+                    except ValueError:
+                        continue
+                    try:
+                        op_acc[int(r[1])] = r[idx]
+                    except ValueError:
+                        continue
+        except FileNotFoundError:
+            continue
+    import re as _re2
+
+    upd = _re2.compile(
+        r"UPDATE (?:grid|helmert|other)_transformation SET accuracy = "
+        r"([0-9.]+) WHERE auth_name = 'EPSG' AND code = '(\d+)';")
+    for line in (SQL / "customizations.sql").open(encoding="utf-8"):
+        m = upd.match(line.strip())
+        if m:
+            op_acc[int(m.group(2))] = m.group(1)
+
+    grid_alt = {}
+    import re as _re3
+
+    alt_pat = _re3.compile(r"^\('([^']+)','([^']+)',")
+    for line in (SQL / "grid_alternatives.sql").open(encoding="utf-8"):
+        m = alt_pat.match(line.strip())
+        if m:
+            grid_alt[m.group(1)] = m.group(2)
+    noaa = (SQL / "grid_alternatives_generated_noaa.sql"
+            ).read_text(encoding="utf-8")
+    for m in _re3.finditer(r"VALUES\s*\('([^']+)',\s*'([^']+)'", noaa):
+        grid_alt[m.group(1)] = m.group(2)
+    grid_ops: dict[int, tuple] = {}
+    for fname in ("grid_transformation.sql",
+                  "grid_transformation_custom.sql"):
+        try:
+            it = rows(fname, "grid_transformation")
+        except FileNotFoundError:
+            continue
+        for r in it:
+            if r[0] != "EPSG" or r[-1] == "1":
+                continue
+            if r[7] != "EPSG" or r[9] != "EPSG":
+                continue
+            try:
+                code = int(r[1])
+                src, dst = int(r[8]), int(r[10])
+            except ValueError:
+                continue
+            origs = [v for v in (r[15], r[19] if len(r) > 19 else "")
+                     if v not in ("NULL", "")]
+            mapped = []
+            for g in origs:
+                alt = grid_alt.get(g, g)
+                if alt not in mapped:  # lat+lon pair -> one GTiff
+                    mapped.append(alt)
+            version = r[22] if len(r) > 23 and r[22] not in \
+                ("NULL", "") else None
+            grid_ops[code] = (src, dst, int(r[5]), r[6], version,
+                              tuple(origs), tuple(mapped))
+
+    concat: dict[int, tuple] = {}
+    steps: dict[int, list] = {}
+    for r in rows("concatenated_operation_step.sql",
+                  "concatenated_operation_step"):
+        # auth, code, step_number, step_auth, step_code[, direction?]
+        if r[0] != "EPSG" or r[3] != "EPSG":
+            continue
+        steps.setdefault(int(r[1]), []).append((int(r[2]), int(r[4])))
+    for r in rows("concatenated_operation.sql",
+                  "concatenated_operation"):
+        # auth, code, name, desc, src_auth, src, dst_auth, dst,
+        # accuracy?, scope-ish, deprecated
+        if r[0] != "EPSG" or r[4] != "EPSG" or r[6] != "EPSG":
+            continue
+        st = [c for _, c in sorted(steps.get(int(r[1]), []))]
+        if st:
+            concat[int(r[1])] = (r[2], int(r[5]), int(r[7]), tuple(st))
+
+    alias: dict[tuple, int] = {}
+    for r in rows("alias_name.sql", "alias_name"):
+        # table, auth, code, alias, source
+        if r[1] != "EPSG":
+            continue
+        try:
+            alias[(r[0], r[3].casefold())] = int(r[2])
+        except ValueError:
+            continue
 
     depr: dict[tuple, list] = {}
     for r in rows("deprecation.sql", "deprecation"):
@@ -216,7 +350,11 @@ def main() -> None:
                                      for k, v in usage.items()}),
                           ("VERT", vert), ("VDATUM", vdatum),
                           ("ESRI_ALIAS", esri),
-                          ("DEPRECATION", depr)):
+                          ("DEPRECATION", depr), ("ALIAS", alias),
+                          ("CONCAT_OPS", concat),
+                          ("OP_META", op_meta), ("OP_ACC", op_acc),
+                          ("EXTENT_NAME", extent_name),
+                          ("GRID_OPS", grid_ops)):
             f.write(f"{name} = {{\n")
             for k in sorted(obj):
                 f.write(f"    {k!r}: {obj[k]!r},\n")
