@@ -252,10 +252,20 @@ def cmd_gie(args: list[str]) -> int:
 
 
 def cmd_projinfo(args: list[str]) -> int:
-    """projinfo subset (reference src/apps/projinfo.cpp:452-540):
-    `projinfo [-o WKT2:2019|PROJJSON|PROJ] <crs>` — resolves an
-    EPSG:NNNN / proj-string / WKT / PROJJSON CRS and prints the
-    requested representation."""
+    """projinfo (reference src/apps/projinfo.cpp): EXACT-text output
+    for EPSG-registered CRSs, -k object lookups and -s/-t operation
+    search via proj_ray.projinfo_text (scoreboard:
+    tools/replay_projinfo_yaml.py, 41/84 reference cases byte-exact);
+    non-registry inputs (raw +proj strings, WKT) fall back to the
+    semantic WKT2/PROJJSON emitters below."""
+    from proj_ray.projinfo_text import run_projinfo
+
+    try:
+        out, code = run_projinfo(args)
+        sys.stdout.write(out)
+        return code
+    except NotImplementedError:
+        pass  # fall back to the semantic subset below
     import json as _json
 
     fmt = "WKT2:2019"

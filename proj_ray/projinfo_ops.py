@@ -146,6 +146,12 @@ def _wrap_geog_io(core: list[str], src_geog: int, dst_geog: int,
 def grid_pipeline(src_geog: int, dst_geog: int, entry: dict,
                   inverse: bool) -> str:
     g = entry["grids"][0]
+    if entry.get("method") == 1079:
+        # deformation model: the registered direction is the kernel's
+        # inverse (see concat_pipeline)
+        step = ("+step " if inverse else "+step +inv ") + \
+            f"+proj=defmodel +model={g}"
+        return _wrap_geog_io([step], src_geog, dst_geog)
     # NADCON5 (methods 1074/1075) exports as the generic gridshift op
     op = "gridshift" if entry.get("method") in (1074, 1075) \
         else "hgridshift"
@@ -267,6 +273,126 @@ def _grid_derived(entry: dict) -> bool:
             and not grids[1].endswith(".tif"))
 
 
+_FAMILY: dict[int, list] = {}
+
+
+def _datum_family(datum: int) -> list:
+    """All CRS codes (geographic 2D/3D, geocentric) on `datum` —
+    operations registered between any family members apply to the
+    queried CRSs (the reference's same-datum promotion)."""
+    if not _FAMILY:
+        for code, (_n, _k, _cs, d, dep) in M.GEOG.items():
+            if not dep:
+                _FAMILY.setdefault(d, []).append(code)
+    return _FAMILY.get(datum, [])
+
+
+def _uom_ratio(uom: int, target: int) -> float:
+    return M.UOM[uom][2] / M.UOM[target][2]
+
+
+_RATE_TARGETS = {"length": "metres per year",
+                 "angle": "arc-seconds per year",
+                 "scale": "parts per million per year"}
+_RATE_UOMS: dict[str, int] = {}
+
+
+def _rate_ratio(uom: int) -> float:
+    typ = M.UOM[uom][1]
+    if not _RATE_UOMS:
+        for code, (name, t, f) in M.UOM.items():
+            if name in _RATE_TARGETS.values():
+                _RATE_UOMS[name] = code
+    target = _RATE_UOMS[_RATE_TARGETS[typ]]
+    return _uom_ratio(uom, target)
+
+
+def _helmert_entry_from_meta(d: dict) -> dict:
+    """Convert a HELMERT_OPS row (raw values + uoms) to the planner
+    entry shape (m / arcsec / ppm, plus rates and epoch)."""
+    out = {"t": tuple(v * _uom_ratio(d["tu"], 9001) for v in d["t"])}
+    if "r" in d:
+        out["r"] = tuple(v * _uom_ratio(d["ru"], 9104) for v in d["r"])
+    if "s" in d:
+        out["s"] = d["s"] * _uom_ratio(d["su"], 9202)
+    method = d.get("method")
+    if method in (9607, 1032, 1038, 1056, 1057):
+        out["conv"] = "coordinate_frame"
+    elif "r" in d:
+        out["conv"] = "position_vector"
+    if "dt" in d:
+        out["dt"] = tuple(v * _rate_ratio(d["dtu"]) for v in d["dt"])
+        out["dr"] = tuple(v * _rate_ratio(d["dru"]) for v in d["dr"])
+        out["ds"] = d["ds"] * _rate_ratio(d["dsu"])
+        out["epoch"] = d["epoch"]
+    return out
+
+
+def _helmert_step_str(entry: dict, inverse: bool) -> str:
+    t = entry["t"]
+    h = f"+proj=helmert +x={wnum(t[0])} +y={wnum(t[1])} +z={wnum(t[2])}"
+    if "r" in entry:
+        r = entry["r"]
+        h += (f" +rx={wnum(r[0])} +ry={wnum(r[1])} +rz={wnum(r[2])}"
+              f" +s={wnum(entry.get('s', 0.0))}")
+    if "dt" in entry:
+        dt, dr = entry["dt"], entry["dr"]
+        h += (f" +dx={wnum(dt[0])} +dy={wnum(dt[1])} +dz={wnum(dt[2])}"
+              f" +drx={wnum(dr[0])} +dry={wnum(dr[1])}"
+              f" +drz={wnum(dr[2])} +ds={wnum(entry['ds'])}"
+              f" +t_epoch={wnum(entry['epoch'])}")
+    if "r" in entry:
+        h += f" +convention={entry.get('conv', 'position_vector')}"
+    return ("+step +inv " if inverse else "+step ") + h
+
+
+def concat_pipeline(src: dict, dst: dict, cand: dict) -> str:
+    """Pipeline for a (possibly inverted) concatenated operation whose
+    steps are Helmert / grid / deformation-model ops."""
+    steps = list(cand["steps"])
+    if cand["inverse"]:
+        steps = [(sc, not inv) for sc, inv in reversed(steps)]
+    core: list[str] = []
+    cur_datum = src["datum"]
+    i = 0
+    while i < len(steps):
+        sc, inv = steps[i]
+        if sc in M.GRID_OPS:
+            gs, gd, method, _mn, _ver, _o, mapped = M.GRID_OPS[sc]
+            if method == 1079:  # NZ deformation model (defmodel)
+                # the registered op direction (ITRF -> NZGD2000) is the
+                # kernel's INVERSE; its inverse renders forward
+                tag = "+step " if inv else "+step +inv "
+                core.append(f"{tag}+proj=defmodel +model={mapped[0]}")
+            else:
+                tag = "+step +inv " if inv else "+step "
+                core.append(f"{tag}+proj=hgridshift +grids={mapped[0]}")
+            end = gs if inv else gd
+            cur_datum = M.GEOG[end][3]
+            i += 1
+            continue
+        if sc in M.HELMERT_OPS:
+            # run of consecutive helmerts shares one cart sandwich
+            run = []
+            while i < len(steps) and steps[i][0] in M.HELMERT_OPS:
+                run.append(steps[i])
+                i += 1
+            core.append(f"+step +proj=cart "
+                        f"{_ellps_token(cur_datum)}")
+            for hc, hinv in run:
+                d = M.HELMERT_OPS[hc]
+                core.append(_helmert_step_str(
+                    _helmert_entry_from_meta(d), hinv))
+                end = d["src"] if hinv else d["dst"]
+                cur_datum = M.GEOG[end][3]
+            core.append(f"+step +inv +proj=cart "
+                        f"{_ellps_token(cur_datum)}")
+            continue
+        raise NotImplementedError(
+            f"concat step EPSG:{sc} rendering")
+    return _wrap_geog_io(core, src["geog"], dst["geog"])
+
+
 def _op_bbox_from_usage(table: str, code: int):
     u = crs_usage(table, code)
     if not u:
@@ -290,6 +416,19 @@ def _candidates_geog_geog(src: dict, dst: dict) -> list[dict]:
             out.append({"type": "helmert", "code": code, "entry": e,
                         "inverse": inverse,
                         "bbox": _ops_bbox(e), "derived": False})
+    # datum-family promotion: ops registered between any CRSs on the
+    # same datums (geographic 2D/3D, geocentric) apply to the queried
+    # pair
+    fam_a = set(_datum_family(src["datum"]))
+    fam_b = set(_datum_family(dst["datum"]))
+
+    def direction(gs, gd):
+        if gs in fam_a and gd in fam_b:
+            return False
+        if gs in fam_b and gd in fam_a:
+            return True
+        return None
+
     # grid transformations from the FULL metadata (includes methods the
     # kernel layer does not execute, e.g. NADCON5 — projinfo must still
     # list them)
@@ -297,11 +436,8 @@ def _candidates_geog_geog(src: dict, dst: dict) -> list[dict]:
                mapped) in M.GRID_OPS.items():
         if code in seen:
             continue
-        if (gs, gd) == (a, b):
-            inverse = False
-        elif (gs, gd) == (b, a):
-            inverse = True
-        else:
+        inverse = direction(gs, gd)
+        if inverse is None:
             continue
         seen.add(code)
         out.append({"type": "grid", "code": code,
@@ -312,6 +448,38 @@ def _candidates_geog_geog(src: dict, dst: dict) -> list[dict]:
                     "bbox": _op_bbox_from_usage("grid_transformation",
                                                 code),
                     "derived": tuple(mapped) != tuple(origs)})
+    # helmerts between non-hub family members (geocentric pairs,
+    # time-dependent frames) from the full metadata
+    for code, d in M.HELMERT_OPS.items():
+        if code in seen:
+            continue
+        inverse = direction(d["src"], d["dst"])
+        if inverse is None:
+            continue
+        seen.add(code)
+        out.append({"type": "helmert", "code": code,
+                    "entry": _helmert_entry_from_meta(d),
+                    "inverse": inverse,
+                    "bbox": _op_bbox_from_usage(
+                        "helmert_transformation", code),
+                    "derived": False})
+    # concatenated operations whose steps are helmert/grid ops
+    for code, (name, cs_, cd_, step_codes) in M.CONCAT_OPS.items():
+        if code in seen:
+            continue
+        inverse = direction(cs_, cd_)
+        if inverse is None:
+            continue
+        if not all(sc in M.HELMERT_OPS or sc in M.GRID_OPS
+                   for sc in step_codes):
+            continue
+        seen.add(code)
+        out.append({"type": "concat", "code": code,
+                    "steps": [(sc, False) for sc in step_codes],
+                    "inverse": inverse,
+                    "bbox": _op_bbox_from_usage(
+                        "concatenated_operation", code),
+                    "derived": False})
     return out
 
 
@@ -342,6 +510,8 @@ def _area_desc(cand: dict) -> str:
 def _id_str(cand: dict) -> str:
     if cand["type"] == "ballpark":
         return "unknown id"
+    if cand.get("inverse"):
+        return f"INVERSE(EPSG):{cand['code']}"
     return ("DERIVED_FROM(EPSG):" if cand.get("derived")
             else "EPSG:") + str(cand["code"])
 
@@ -357,18 +527,40 @@ def search(src: dict, dst: dict, opts: dict):
                 "bbox": _crs_bbox("projected_crs", dst["code"])
                 or WORLD, "derived": False}
         return [cand], None
-    if src["kind"] != "geog" or dst["kind"] != "geog":
+
+    # cross-datum pairs involving projected CRSs: every base-geog
+    # candidate wrapped with the (inverse) conversions — summaries
+    # print "Inverse of <conv> + <op> [+ <conv>]" with unknown id
+    wrap_src = wrap_dst = None
+    gsrc, gdst = src, dst
+    if src["kind"] == "proj":
+        wrap_src = M.CONV[src["conv"]][0]
+        gsrc = dict(src, kind="geog", code=src["geog"],
+                    name=M.GEOG[src["geog"]][0])
+    if dst["kind"] == "proj" and not same_datum:
+        wrap_dst = M.CONV[dst["conv"]][0]
+        gdst = dict(dst, kind="geog", code=dst["geog"],
+                    name=M.GEOG[dst["geog"]][0])
+    if gsrc["kind"] != "geog" or gdst["kind"] != "geog":
         raise NotImplementedError("operation search for this CRS pair")
+    src, dst = gsrc, gdst
 
     cands = _candidates_geog_geog(src, dst)
-    explicit_aoi = opts.get("aoi") is not None
-    if not same_datum and not opts.get("hide_ballpark") \
-            and not explicit_aoi:
-        bp = {"type": "ballpark", "code": None, "inverse": False,
-              "bbox": WORLD, "derived": False,
-              "name": f"Ballpark geographic offset from "
-                      f"{src['name']} to {dst['name']}"}
-        cands.append(bp)
+    if opts.get("grid_check") == "known_available":
+        cands = [c for c in cands if c["type"] != "grid"
+                 or c["derived"]
+                 or all(g.endswith((".tif", ".json"))
+                        for g in c["entry"]["grids"])]
+    # supersession: hide an op only when its replacement is itself an
+    # available candidate (a dropped replacement un-supersedes)
+    codes = {c["code"] for c in cands}
+    cands = [c for c in cands
+             if not any(r in codes
+                        for r in M.SUPERSEDED_BY.get(c["code"], ()))]
+    if wrap_src or wrap_dst:
+        for c in cands:
+            c["wrap_src"] = wrap_src
+            c["wrap_dst"] = wrap_dst
 
     if opts.get("accuracy") is not None:
         lim = float(opts["accuracy"])
@@ -396,17 +588,40 @@ def search(src: dict, dst: dict, opts: dict):
 
     note = None
     kept = [c for c in cands if keep(c, test)]
+    n_int = len([c for c in cands if keep(c, "intersects")])
+
+    # ballpark: only when no surviving candidate covers the whole AOI
+    # (the reference adds the no-op fallback only when nothing else is
+    # area-complete)
+    def covered(pool) -> bool:
+        return aoi is not None and any(box_contains(c["bbox"], aoi)
+                                       for c in pool)
+
+    if not same_datum and not opts.get("hide_ballpark") \
+            and opts.get("accuracy") is None:
+        bp = {"type": "ballpark", "code": None, "inverse": False,
+              "bbox": WORLD, "derived": False,
+              "name": f"Ballpark geographic offset from "
+                      f"{src['name']} to {dst['name']}"}
+        if not covered(kept):
+            kept.append(bp)
+        if not covered([c for c in cands if keep(c, "intersects")]):
+            n_int += 1
+
     if test == "contains" and aoi is not None \
-            and not opts.get("area_mode"):
-        n_int = len([c for c in cands if keep(c, "intersects")])
-        if n_int > len(kept):
-            note = n_int
+            and not opts.get("area_mode") and n_int > len(kept):
+        note = n_int
 
     def sortkey(c):
         if c["type"] == "ballpark":
             return (1, 0.0, 1e9, 1e9)
         acc = M.OP_ACC.get(c["code"])
-        return (0, -_box_area(c["bbox"]),
+        # area ranked by the overlap with the AOI (reference
+        # PrecomputedOpCharacteristics: pseudo-area of extent ∩ AOI)
+        box = c["bbox"]
+        if aoi is not None:
+            box = box_intersection(box, aoi) or (0.0, 0.0, 0.0, 0.0)
+        return (0, -_box_area(box),
                 float(acc) if acc is not None else 1e9,
                 c["code"])
 
@@ -425,19 +640,40 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
         name = M.CONV[c["code"]][0]
         return (f"EPSG:{c['code']}, {name}, 0 m, "
                 f"{_area_desc(c)}")
+    if c["type"] == "concat":
+        name = M.OP_META[c["code"]][0]
+        if c.get("inverse"):
+            name = f"Inverse of {name}"
+        return (f"{_id_str(c)}, {name}, {_acc_str(c['code'])}, "
+                f"{_area_desc(c)}")
     name = M.OP_META[c["code"]][0]
+    if c.get("inverse"):
+        name = f"Inverse of {name}"
+    if c.get("wrap_src") or c.get("wrap_dst"):
+        if c.get("wrap_src"):
+            name = f"Inverse of {c['wrap_src']} + {name}"
+        if c.get("wrap_dst"):
+            name = f"{name} + {c['wrap_dst']}"
+        # a synthesized concatenation: accuracy is the numeric sum of
+        # the steps (conversions add 0), printed via double formatting
+        # ('5' not the DB's '5.0')
+        acc = M.OP_ACC.get(c["code"])
+        acc_str = f"{wnum(float(acc))} m" if acc is not None \
+            else "unknown accuracy"
+        return (f"unknown id, {name}, {acc_str}, {_area_desc(c)}")
     return (f"{_id_str(c)}, {name}, {_acc_str(c['code'])}, "
             f"{_area_desc(c)}")
 
 
-def _cand_pipeline(c: dict, src: dict, dst: dict) -> str:
+def _cand_pipeline(c: dict, src: dict, dst: dict,
+                   normalize: bool = False) -> str:
     if c["type"] == "ballpark":
         return "+proj=noop"
     if c["type"] == "conversion":
         from proj_ray.projinfo_text import conversion_proj4
 
         parts = ["+proj=pipeline"]
-        if _geog_is_latlon(src["geog"]):
+        if _geog_is_latlon(src["geog"]) and not normalize:
             parts.append("+step +proj=axisswap +order=2,1")
         parts.append("+step +proj=unitconvert +xy_in=deg +xy_out=rad")
         core = " ".join(conversion_proj4(c["code"]))
@@ -450,6 +686,8 @@ def _cand_pipeline(c: dict, src: dict, dst: dict) -> str:
     if c["type"] == "helmert":
         return helmert_full_pipeline(src["geog"], dst["geog"],
                                      c["entry"], c["inverse"])
+    if c["type"] == "concat":
+        return concat_pipeline(src, dst, c)
     raise NotImplementedError(f"pipeline for {c['type']}")
 
 
@@ -483,7 +721,8 @@ def render(cands, note, src, dst, opts) -> str:
             out.append("")
             out.append(_cand_header(c, src, dst))
             out.append("")
-        line = _cand_pipeline(c, src, dst)
+        line = _cand_pipeline(c, src, dst,
+                              normalize=opts.get("normalize", False))
         body = line if opts.get("single_line") \
             else format_proj_multiline(line)
         if quiet:

@@ -562,6 +562,18 @@ def conversion_proj4(conv_code: int) -> list[str]:
             return out
         return [f"+proj=tmerc +lat_0={wnum(lat0)} +lon_0={wnum(lon0)} "
                 f"+k={wnum(k)} +x_0={wnum(x0)} +y_0={wnum(y0)}"]
+    if method in (9810, 9829):  # Polar Stereographic (variant A/B)
+        lat0 = _pd(params, 8801, _pd(params, 8832, 90.0))
+        lon0 = _pd(params, 8802, _pd(params, 8833))
+        out = [f"+proj=stere +lat_0={wnum(lat0)} +lon_0={wnum(lon0)}"]
+        k = _pd(params, 8805, 1.0)
+        if method == 9810:
+            out.append(f"+k={wnum(k)}")
+        else:
+            out.append(f"+lat_ts={wnum(_pd(params, 8832, lat0))}")
+        out.append(f"+x_0={wnum(_pd(params, 8806))}")
+        out.append(f"+y_0={wnum(_pd(params, 8807))}")
+        return [" ".join(out)]
     if method == 9801:  # Lambert Conic Conformal (1SP)
         return [f"+proj=lcc +lat_1={wnum(_pd(params, 8801))} "
                 f"+lat_0={wnum(_pd(params, 8801))} "
@@ -650,7 +662,10 @@ def format_proj_multiline(single_line: str) -> str:
     for st in steps:
         line = "  +step"
         for t in st:
-            if len(line) + 1 + len(t) > 80:
+            # reference wrap rule (io.cpp PROJStringFormatter): break
+            # when line length + token length (sans joining space)
+            # exceeds 80
+            if len(line) + len(t) > 80:
                 out.append(line)
                 line = "        " + t
             else:
@@ -876,6 +891,10 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             three_d = True
             i += 1
             continue
+        if a == "--normalize-axis-order":
+            search_opts["normalize"] = True
+            i += 1
+            continue
         if a == "-k":
             obj_kind = args[i + 1]
             i += 2
@@ -901,6 +920,7 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             i += 2
             continue
         if a == "--grid-check":
+            search_opts["grid_check"] = args[i + 1]
             i += 2
             continue
         if a == "--crs-extent-use":

@@ -246,6 +246,48 @@ def main() -> None:
         if m:
             op_acc[int(m.group(2))] = m.group(1)
 
+    # full helmert-op table (incl. geocentric pairs and time-dependent
+    # rates) for projinfo's operation rendering; raw values + uom codes
+    helm_ops: dict[int, dict] = {}
+    for r in rows("helmert_transformation.sql",
+                  "helmert_transformation"):
+        if r[0] != "EPSG" or r[-1] == "1":
+            continue
+        if r[7] != "EPSG" or r[9] != "EPSG":
+            continue
+        try:
+            code = int(r[1])
+        except ValueError:
+            continue
+        d = {"src": int(r[8]), "dst": int(r[10]), "method": int(r[5]),
+             "t": (_num(r[12]), _num(r[13]), _num(r[14])),
+             "tu": int(r[16])}
+        if opt(r[17]) is not None:
+            d["r"] = (_num(r[17]), _num(r[18]), _num(r[19]))
+            d["ru"] = int(r[21])
+        if opt(r[22]) is not None:
+            d["s"] = _num(r[22])
+            d["su"] = int(r[24])
+        if opt(r[25]) is not None:
+            d["dt"] = (_num(r[25]), _num(r[26]), _num(r[27]))
+            d["dtu"] = int(r[29])
+            d["dr"] = (_num(r[30]), _num(r[31]), _num(r[32]))
+            d["dru"] = int(r[34])
+            d["ds"] = _num(r[35])
+            d["dsu"] = int(r[37])
+            d["epoch"] = _num(r[38])
+        helm_ops[code] = d
+
+    superseded_by: dict[int, list] = {}
+    for r in rows("supersession.sql", "supersession"):
+        # table, auth, code, table2, auth2, replacement, source, same?
+        if r[1] != "EPSG" or r[4] != "EPSG":
+            continue
+        try:
+            superseded_by.setdefault(int(r[2]), []).append(int(r[5]))
+        except ValueError:
+            continue
+
     grid_alt = {}
     import re as _re3
 
@@ -286,6 +328,30 @@ def main() -> None:
                 ("NULL", "") else None
             grid_ops[code] = (src, dst, int(r[5]), r[6], version,
                               tuple(origs), tuple(mapped))
+
+    # other_transformation ops with a file parameter (tinshift etc.)
+    other_ops: dict[int, tuple] = {}
+    for fname in ("other_transformation.sql",
+                  "other_transformation_custom.sql"):
+        try:
+            it = rows(fname, "other_transformation")
+        except FileNotFoundError:
+            continue
+        for r in it:
+            if r[0] != "EPSG" or r[-1] == "1":
+                continue
+            if r[7] != "EPSG" or r[9] != "EPSG":
+                continue
+            try:
+                code = int(r[1])
+                method = int(r[5])
+            except ValueError:
+                continue
+            fileval = r[15] if len(r) > 15 else ""
+            if not fileval or fileval == "NULL":
+                continue
+            other_ops[code] = (int(r[8]), int(r[10]), method,
+                               grid_alt.get(fileval, fileval))
 
     concat: dict[int, tuple] = {}
     steps: dict[int, list] = {}
@@ -354,7 +420,10 @@ def main() -> None:
                           ("CONCAT_OPS", concat),
                           ("OP_META", op_meta), ("OP_ACC", op_acc),
                           ("EXTENT_NAME", extent_name),
-                          ("GRID_OPS", grid_ops)):
+                          ("GRID_OPS", grid_ops),
+                          ("HELMERT_OPS", helm_ops),
+                          ("SUPERSEDED_BY", superseded_by),
+                          ("OTHER_OPS", other_ops)):
             f.write(f"{name} = {{\n")
             for k in sorted(obj):
                 f.write(f"    {k!r}: {obj[k]!r},\n")
