@@ -170,8 +170,7 @@ def helmert_core(src_geog: int, dst_geog: int, entry: dict,
         core.append("+step +proj=push +v_3")
     core.append(f"+step +proj=cart {_ellps_token(M.GEOG[src_geog][3])}")
     h = _helmert_step(entry)
-    core.append("+step +inv " + h[len("+step "):] if False else
-                ("+step +inv " + h if inverse else "+step " + h))
+    core.append(("+step +inv " if inverse else "+step ") + h)
     core.append(f"+step +inv +proj=cart "
                 f"{_ellps_token(M.GEOG[dst_geog][3])}")
     if both_2d:
