@@ -36,6 +36,33 @@ def opt(x: str):
     return None if x in ("NULL", "") else x
 
 
+def rows_multiline(fname: str, table: str):
+    """Yield tuples from INSERT statements that may span lines, strip
+    `-- comment` tails, and fold SQL `||` string concatenation (the
+    hand-written *_custom.sql files use all three)."""
+    import re
+
+    from gen_epsg import _split_tuple
+
+    text = (SQL / fname).read_text(encoding="utf-8")
+    # strip -- comments (never inside quotes in these files' tails)
+    lines = []
+    for ln in text.split("\n"):
+        if "--" in ln:
+            # only strip when the -- is outside quotes
+            qcount = ln.split("--")[0].count("'")
+            if qcount % 2 == 0:
+                ln = ln.split("--")[0]
+        lines.append(ln)
+    text = "\n".join(lines)
+    pat = re.compile(
+        rf'INSERT INTO "?{table}"? VALUES\s*\((.*?)\);', re.S)
+    for m in pat.finditer(text):
+        body = " ".join(m.group(1).split("\n"))
+        body = re.sub(r"'\s*\|\|\s*'", "", body)  # 'a' || 'b' -> 'ab'
+        yield _split_tuple(" ".join(body.split()))
+
+
 def main() -> None:
     uom = {}
     for r in rows("unit_of_measure.sql", "unit_of_measure"):
@@ -183,7 +210,8 @@ def main() -> None:
     for r in rows("vertical_datum.sql", "vertical_datum"):
         if r[0] != "EPSG" or r[-1] == "1":
             continue
-        vdatum[int(r[1])] = (r[2],)
+        # auth, code, name, desc, pub_date, frame_epoch, ...
+        vdatum[int(r[1])] = (r[2], _num(r[5]) if opt(r[5]) else None)
 
     # transformation-op naming: code -> (name, kind); the extent/scope
     # ride the shared USAGE table (parsed below from the same files)
@@ -399,6 +427,51 @@ def main() -> None:
         if m:
             esri[(m.group(1), int(m.group(2)))] = m.group(3)
 
+    # PROJ-authority custom operations (hand-written *_custom.sql):
+    # geoid grid ops, PROJString (tinshift) ops, and concatenations.
+    proj_ops: dict[str, dict] = {}
+    for r in rows_multiline("grid_transformation_custom.sql",
+                            "grid_transformation"):
+        if r[0] != "PROJ" or r[-1] == "1":
+            continue
+        grid = r[15]
+        proj_ops[r[1]] = {
+            "kind": "grid", "name": r[2], "method": int(r[5]),
+            "method_name": r[6], "src": int(r[8]), "dst": int(r[10]),
+            "acc": opt(r[11]), "grids": (grid,),
+            "mapped": (grid_alt.get(grid, grid),)}
+    for r in rows_multiline("other_transformation_custom.sql",
+                            "other_transformation"):
+        if r[0] != "PROJ" or r[-1] == "1":
+            continue
+        proj_ops[r[1]] = {
+            "kind": "projstring", "name": r[2], "src": int(r[8]),
+            "dst": int(r[10]), "acc": opt(r[11]), "projstring": r[6]}
+    concat_steps_custom: dict[str, list] = {}
+    for r in rows_multiline("other_transformation_custom.sql",
+                            "concatenated_operation_step"):
+        if r[0] != "PROJ":
+            continue
+        step = (r[3], r[4] if r[3] != "EPSG" else int(r[4]))
+        concat_steps_custom.setdefault(r[1], []).append(
+            (int(r[2]), step))
+    for r in rows_multiline("other_transformation_custom.sql",
+                            "concatenated_operation"):
+        if r[0] != "PROJ" or r[-1] == "1":
+            continue
+        st = [s for _, s in sorted(concat_steps_custom.get(r[1], []))]
+        proj_ops[r[1]] = {
+            "kind": "concat", "name": r[2], "src": int(r[5]),
+            "dst": int(r[7]), "acc": opt(r[8]), "steps": tuple(st)}
+    # usage rows for PROJ-authority objects (keyed by string code)
+    for fname in ("grid_transformation_custom.sql",
+                  "other_transformation_custom.sql"):
+        for r in rows_multiline(fname, "usage"):
+            if r[3] != "PROJ" or r[5] != "EPSG" or r[7] != "EPSG":
+                continue
+            usage.setdefault((r[2], r[4]), []).append(
+                (int(r[6]), int(r[8])))
+
     dst = Path(__file__).resolve().parent.parent / "proj_ray" / \
         "epsg_meta.py"
     with dst.open("w", encoding="utf-8") as f:
@@ -423,9 +496,10 @@ def main() -> None:
                           ("GRID_OPS", grid_ops),
                           ("HELMERT_OPS", helm_ops),
                           ("SUPERSEDED_BY", superseded_by),
-                          ("OTHER_OPS", other_ops)):
+                          ("OTHER_OPS", other_ops),
+                          ("PROJ_OPS", proj_ops)):
             f.write(f"{name} = {{\n")
-            for k in sorted(obj):
+            for k in sorted(obj, key=lambda x: (str(type(x)), repr(x))):
                 f.write(f"    {k!r}: {obj[k]!r},\n")
             f.write("}\n\n")
     print(f"wrote {dst}: " + ", ".join(
