@@ -99,17 +99,49 @@ def _crs_bbox(table: str, code: int):
 # -------------------------------------------------------- CRS resolve ----
 
 
+def _compound_crs(horiz: dict, vert: dict, code=None) -> dict:
+    bbox = horiz.get("bbox")
+    if bbox and vert.get("bbox"):
+        bbox = box_intersection(bbox, vert["bbox"]) or bbox
+    return {"kind": "compound", "code": code,
+            "name": f"{horiz['name']} + {vert['name']}",
+            "horiz": horiz, "vert": vert, "bbox": bbox}
+
+
 def resolve_crs(spec: str) -> dict:
     import re
 
     s = spec.strip()
+    mc = re.match(r"(?i)^epsg:(\d+)\+(\d+)$", s)
+    if mc:
+        # 'EPSG:4326+3855': ad-hoc compound from two codes
+        return _compound_crs(resolve_crs(f"EPSG:{mc.group(1)}"),
+                             resolve_crs(f"EPSG:{mc.group(2)}"))
     m = re.match(r"(?i)^epsg:(\d+)$", s)
     if not m:
         from proj_ray.epsg_names import CRS_NAMES
 
         hit = CRS_NAMES.get(s.casefold())
         if hit:
+            mc = re.match(r"(?i)^epsg:(\d+)\+(\d+)$", hit)
+            if mc:
+                return _compound_crs(
+                    resolve_crs(f"EPSG:{mc.group(1)}"),
+                    resolve_crs(f"EPSG:{mc.group(2)}"))
             m = re.match(r"(?i)^epsg:(\d+)$", hit)
+        if not m:
+            # vertical CRS by exact name (epsg_names only carries
+            # horizontal + compound names)
+            want = s.casefold()
+            vhit = [c for c, v in M.VERT.items()
+                    if v[0].casefold() == want and not v[3]]
+            if vhit:
+                m = re.match(r"(\d+)", str(min(vhit)))
+        if not m and " + " in s:
+            # non-registered compound written as 'Horiz + Vert'
+            h_name, _, v_name = s.partition(" + ")
+            return _compound_crs(resolve_crs(h_name),
+                                 resolve_crs(v_name))
     if not m:
         raise NotImplementedError(f"CRS resolve {spec!r}")
     code = int(m.group(1))
@@ -124,6 +156,19 @@ def resolve_crs(spec: str) -> dict:
                 "geog": base, "conv": conv,
                 "datum": M.GEOG[base][3],
                 "bbox": _crs_bbox("projected_crs", code)}
+    if code in M.VERT:
+        name, cs, vdatum, dep = M.VERT[code]
+        return {"kind": "vert", "code": code, "name": name,
+                "vdatum": vdatum,
+                "bbox": _crs_bbox("vertical_crs", code)}
+    from proj_ray.epsg_generated import EPSG_COMPOUND
+
+    if code in EPSG_COMPOUND:
+        h, v = EPSG_COMPOUND[code]
+        out = _compound_crs(resolve_crs(f"EPSG:{h}"),
+                            resolve_crs(f"EPSG:{v}"), code)
+        out["bbox"] = _crs_bbox("compound_crs", code) or out["bbox"]
+        return out
     raise NotImplementedError(f"CRS kind of EPSG:{code}")
 
 
@@ -193,6 +238,10 @@ def helmert_full_pipeline(src_geog: int, dst_geog: int, entry: dict,
 def _embedded_crs_node(crs: dict) -> N:
     if crs["kind"] == "geog":
         return geog_wkt2(crs["code"], "2019", with_usage=False)
+    if crs["kind"] == "vert":
+        from proj_ray.projinfo_text import vert_wkt2
+
+        return vert_wkt2(crs["code"], with_usage=False)
     from proj_ray.projinfo_text import proj_wkt2
 
     return proj_wkt2(crs["code"], "2019")
@@ -234,6 +283,60 @@ def grid_op_wkt(cand: dict, src: dict, dst: dict) -> N:
     if remarks:
         kids.append(N("REMARK", q(remarks)))
     return N("COORDINATEOPERATION", q(name), *kids)
+
+
+def vgrid_op_wkt(cand: dict, src: dict, dst: dict) -> N:
+    """COORDINATEOPERATION WKT for a geoid-model (vgridshift) op."""
+    code = cand["code"]
+    entry = cand["entry"]
+    if cand.get("auth", "EPSG") == "EPSG":
+        name, _kind, remarks = M.OP_META[code]
+        acc = M.OP_ACC.get(code)
+    else:
+        d = M.PROJ_OPS[code]
+        name, remarks, acc = d["name"], "", d.get("acc")
+    if cand["inverse"]:
+        name = f"Inverse of {name}"
+    kids = [N("SOURCECRS", _embedded_crs_node(src)),
+            N("TARGETCRS", _embedded_crs_node(dst))]
+    if entry.get("version"):
+        kids.insert(0, N("VERSION", q(entry["version"])))
+    mname, mid_auth = entry["method_name"], "EPSG"
+    if cand["inverse"]:
+        mname, mid_auth = f"Inverse of {mname}", "INVERSE(EPSG)"
+    kids.append(N("METHOD", q(mname),
+                  N("ID", q(mid_auth), str(entry["method"]))))
+    kids.append(N("PARAMETERFILE",
+                  q("Geoid (height correction) model file"),
+                  q(entry["grids"][0])))
+    if acc is not None:
+        kids.append(N("OPERATIONACCURACY", acc))
+    kids += _op_usage_nodes("grid_transformation", code)
+    id_auth = cand.get("auth", "EPSG")
+    if cand.get("derived"):
+        id_auth = f"DERIVED_FROM({id_auth})"
+    if cand.get("inverse"):
+        id_auth = f"INVERSE({id_auth})"
+    id_arg = q(code) if isinstance(code, str) else str(code)
+    kids.append(N("ID", q(id_auth), id_arg))
+    if remarks:
+        kids.append(N("REMARK", q(remarks)))
+    return N("COORDINATEOPERATION", q(name), *kids)
+
+
+def ballpark_vert_wkt(src: dict, dst: dict, name: str) -> N:
+    """The no-op vertical fallback: Change of Vertical Unit, scalar 1."""
+    return N("COORDINATEOPERATION", q(name),
+             N("SOURCECRS", _embedded_crs_node(src)),
+             N("TARGETCRS", _embedded_crs_node(dst)),
+             N("METHOD", q("Change of Vertical Unit"),
+               N("ID", q("EPSG"), "1069")),
+             N("PARAMETER", q("Unit conversion scalar"), "1",
+               N("SCALEUNIT", q("unity"), "1"),
+               N("ID", q("EPSG"), "1051")),
+             N("USAGE", N("SCOPE", q("unknown")),
+               N("AREA", q("World")),
+               N("BBOX", "-90", "-180", "90", "180")))
 
 
 def ballpark_wkt(src: dict, dst: dict, name: str) -> N:
@@ -482,6 +585,58 @@ def _candidates_geog_geog(src: dict, dst: dict) -> list[dict]:
     return out
 
 
+def _vgrid_candidates(vert: dict, geog: dict,
+                      inverse_query: bool) -> list[dict]:
+    """Geoid-model grid ops between `geog`'s datum family (the
+    registered source, a geographic 3D CRS) and the vertical CRS —
+    from the EPSG registry and the PROJ-authority custom table
+    (reference grid_transformation_custom.sql). inverse_query is True
+    when the user asked vert -> geog (ops are registered geog -> vert)."""
+    fam = set(_datum_family(geog["datum"]))
+    out = []
+    for code, (gs, gd, method, mname, version, origs,
+               mapped) in M.GRID_OPS.items():
+        if gd != vert["code"] or gs not in fam:
+            continue
+        out.append({"type": "vgrid", "code": code, "auth": "EPSG",
+                    "entry": {"grids": list(mapped), "origs": origs,
+                              "method": method, "method_name": mname,
+                              "version": version, "geog": gs},
+                    "inverse": inverse_query,
+                    "bbox": _op_bbox_from_usage("grid_transformation",
+                                                code),
+                    "derived": tuple(mapped) != tuple(origs)})
+    for scode, d in M.PROJ_OPS.items():
+        if d["kind"] != "grid" or d["dst"] != vert["code"] \
+                or d["src"] not in fam:
+            continue
+        out.append({"type": "vgrid", "code": scode, "auth": "PROJ",
+                    "entry": {"grids": list(d["mapped"]),
+                              "origs": d["grids"],
+                              "method": d["method"],
+                              "method_name": d["method_name"],
+                              "version": None, "geog": d["src"],
+                              "acc": d["acc"]},
+                    "inverse": inverse_query,
+                    "bbox": _op_bbox_from_usage("grid_transformation",
+                                                scode),
+                    "derived": tuple(d["mapped"]) != tuple(d["grids"])})
+    return out
+
+
+def vgrid_pipeline(geog_code: int, entry: dict,
+                   inverse_query: bool) -> str:
+    """Geoid op as a vgridshift sandwich. The registered forward
+    direction (geographic 3D -> gravity height) subtracts the geoid
+    undulation, which PROJ exports as `+inv +proj=vgridshift`; the
+    inverse renders without +inv (reference createApproximateInverse)."""
+    g = entry["grids"][0]
+    step = f"+step +proj=vgridshift +grids={g} +multiplier=1"
+    if not inverse_query:
+        step = f"+step +inv +proj=vgridshift +grids={g} +multiplier=1"
+    return _wrap_geog_io([step], geog_code, geog_code)
+
+
 def _ops_bbox(entry: dict):
     b = entry.get("bbox")
     return tuple(b) if b else WORLD
@@ -494,10 +649,30 @@ def _acc_str(code: int | None) -> str:
     return f"{acc} m" if acc is not None else "unknown accuracy"
 
 
+def _cand_acc(c: dict) -> float | None:
+    """Numeric accuracy of a candidate (None = unknown), auth-aware."""
+    if c.get("auth", "EPSG") != "EPSG":
+        a = c.get("entry", {}).get("acc")
+        return float(a) if a is not None else None
+    acc = M.OP_ACC.get(c["code"]) if isinstance(c["code"], int) else None
+    return float(acc) if acc is not None else None
+
+
+def _cand_acc_str(c: dict) -> str:
+    """Accuracy display string, auth-aware (EPSG prints the DB's
+    verbatim accuracy text; PROJ custom ops print their own or
+    'unknown accuracy')."""
+    if c.get("auth", "EPSG") != "EPSG":
+        a = c.get("entry", {}).get("acc")
+        return f"{a} m" if a is not None else "unknown accuracy"
+    return _acc_str(c["code"] if isinstance(c["code"], int) else None)
+
+
 def _area_desc(cand: dict) -> str:
-    if cand["type"] == "ballpark":
+    if cand["type"] in ("ballpark", "ballpark_vert"):
         return "World"
     table = {"grid": "grid_transformation",
+             "vgrid": "grid_transformation",
              "helmert": "helmert_transformation",
              "other": "other_transformation",
              "concat": "concatenated_operation",
@@ -506,19 +681,42 @@ def _area_desc(cand: dict) -> str:
     return u[1] if u else "unknown domain of validity"
 
 
+def _op_name(cand: dict) -> str:
+    """Registered operation name, authority-aware."""
+    if cand.get("auth", "EPSG") != "EPSG":
+        return M.PROJ_OPS[cand["code"]]["name"]
+    return M.OP_META[cand["code"]][0]
+
+
 def _id_str(cand: dict) -> str:
-    if cand["type"] == "ballpark":
+    if cand["type"] in ("ballpark", "ballpark_vert"):
         return "unknown id"
+    auth = cand.get("auth", "EPSG")
+    if cand.get("derived"):
+        auth = f"DERIVED_FROM({auth})"
     if cand.get("inverse"):
-        return f"INVERSE(EPSG):{cand['code']}"
-    return ("DERIVED_FROM(EPSG):" if cand.get("derived")
-            else "EPSG:") + str(cand["code"])
+        auth = f"INVERSE({auth})"
+    return f"{auth}:{cand['code']}"
 
 
 def search(src: dict, dst: dict, opts: dict):
     """Returns (cands, note_count): the filtered+sorted candidate list
     and, when the default 'contains' test was used, how many the
     'intersects' test would have found."""
+    if src["kind"] == "compound" or dst["kind"] == "compound":
+        return _search_compound(src, dst, opts)
+
+    if src["kind"] == "vert" or dst["kind"] == "vert":
+        if src["kind"] == "vert" and dst["kind"] == "vert":
+            raise NotImplementedError("operation search vert-vert")
+        v, g = (src, dst) if src["kind"] == "vert" else (dst, src)
+        if g["kind"] != "geog":
+            raise NotImplementedError("operation search proj-vert")
+        cands = _vgrid_candidates(v, g,
+                                  inverse_query=src["kind"] == "vert")
+        return _filter_rank(cands, src, dst, opts, same_datum=False,
+                            vert_pair=True)
+
     same_datum = src["datum"] == dst["datum"]
     if src["kind"] == "geog" and dst["kind"] == "proj" and same_datum:
         conv = dst["conv"]
@@ -550,17 +748,47 @@ def search(src: dict, dst: dict, opts: dict):
                  or c["derived"]
                  or all(g.endswith((".tif", ".json"))
                         for g in c["entry"]["grids"])]
+    if wrap_src or wrap_dst:
+        for c in cands:
+            c["wrap_src"] = wrap_src
+            c["wrap_dst"] = wrap_dst
+
+    return _filter_rank(cands, src, dst, opts, same_datum)
+
+
+def _search_compound(src: dict, dst: dict, opts: dict):
+    """Operation search when either side is a compound CRS. Covers the
+    same-horizontal-datum shapes of the reference corpus: compound <->
+    geographic (vertical ops in compound context, reference
+    createOperationsCompoundToGeog)."""
+    comp, other = (src, dst) if src["kind"] == "compound" else (dst, src)
+    inverse_query = src["kind"] == "compound"
+    if other["kind"] == "geog":
+        if comp["horiz"].get("datum") != other.get("datum"):
+            raise NotImplementedError(
+                "operation search compound-geog cross-datum")
+        vert, g = comp["vert"], other
+        cands = _vgrid_candidates(vert, g, inverse_query)
+        for c in cands:
+            c["compound_ctx"] = True
+        vsrc, vdst = (vert, g) if inverse_query else (g, vert)
+        return _filter_rank(cands, vsrc, vdst, opts,
+                            same_datum=False, vert_pair=True)
+    raise NotImplementedError(
+        f"operation search compound-{other['kind']}")
+
+
+def _filter_rank(cands, src, dst, opts, same_datum,
+                 vert_pair: bool = False):
+    """Shared candidate filtering/ranking tail: supersession, accuracy
+    limit, AOI spatial test, ballpark fallback, pseudo-area + accuracy
+    sort."""
     # supersession: hide an op only when its replacement is itself an
     # available candidate (a dropped replacement un-supersedes)
     codes = {c["code"] for c in cands}
     cands = [c for c in cands
              if not any(r in codes
                         for r in M.SUPERSEDED_BY.get(c["code"], ()))]
-    if wrap_src or wrap_dst:
-        for c in cands:
-            c["wrap_src"] = wrap_src
-            c["wrap_dst"] = wrap_dst
-
     if opts.get("accuracy") is not None:
         lim = float(opts["accuracy"])
         cands = [c for c in cands
@@ -596,7 +824,23 @@ def search(src: dict, dst: dict, opts: dict):
         return aoi is not None and any(box_contains(c["bbox"], aoi)
                                        for c in pool)
 
-    if not same_datum and not opts.get("hide_ballpark") \
+    if vert_pair and not opts.get("hide_ballpark") \
+            and opts.get("accuracy") is None \
+            and not (kept and opts.get("grid_check") == "none"):
+        # vertical pairs get the no-op fallback whenever the geoid-grid
+        # candidates cannot be assumed usable (none of these grids ship
+        # in the test environment); '--grid-check none' declares them
+        # usable, which suppresses the fallback (reference corpus #38)
+        bp = {"type": "ballpark_vert", "code": None, "inverse": False,
+              "bbox": WORLD, "derived": False,
+              "name": f"Transformation from {src['name']} to "
+                      f"{dst['name']} (ballpark vertical "
+                      f"transformation, without ellipsoid height to "
+                      f"vertical height correction)"}
+        kept.append(bp)
+        n_int += 1
+    elif not vert_pair and not same_datum \
+            and not opts.get("hide_ballpark") \
             and opts.get("accuracy") is None:
         bp = {"type": "ballpark", "code": None, "inverse": False,
               "bbox": WORLD, "derived": False,
@@ -612,17 +856,18 @@ def search(src: dict, dst: dict, opts: dict):
         note = n_int
 
     def sortkey(c):
-        if c["type"] == "ballpark":
-            return (1, 0.0, 1e9, 1e9)
-        acc = M.OP_ACC.get(c["code"])
+        if c["type"] in ("ballpark", "ballpark_vert"):
+            return (1, 0.0, 1e9, (0, ""))
+        acc = _cand_acc(c)
         # area ranked by the overlap with the AOI (reference
         # PrecomputedOpCharacteristics: pseudo-area of extent ∩ AOI)
         box = c["bbox"]
         if aoi is not None:
             box = box_intersection(box, aoi) or (0.0, 0.0, 0.0, 0.0)
+        tie = (0, f"{c['code']:012d}") if isinstance(c["code"], int) \
+            else (1, str(c["code"]))
         return (0, -_box_area(box),
-                float(acc) if acc is not None else 1e9,
-                c["code"])
+                acc if acc is not None else 1e9, tie)
 
     kept.sort(key=sortkey)
     return kept, note
@@ -632,7 +877,7 @@ def search(src: dict, dst: dict, opts: dict):
 
 
 def _cand_header(c: dict, src: dict, dst: dict) -> str:
-    if c["type"] == "ballpark":
+    if c["type"] in ("ballpark", "ballpark_vert"):
         return (f"unknown id, {c['name']}, unknown accuracy, World, "
                 f"has ballpark transformation")
     if c["type"] == "conversion":
@@ -644,6 +889,19 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
         if c.get("inverse"):
             name = f"Inverse of {name}"
         return (f"{_id_str(c)}, {name}, {_acc_str(c['code'])}, "
+                f"{_area_desc(c)}")
+    if c["type"] == "vgrid":
+        name = _op_name(c)
+        if c.get("inverse"):
+            name = f"Inverse of {name}"
+        if c.get("compound_ctx"):
+            # component of a compound-context operation: no registry
+            # id, accuracy re-printed via double formatting
+            acc = _cand_acc(c)
+            acc_str = f"{wnum(acc)} m" if acc is not None \
+                else "unknown accuracy"
+            return f"unknown id, {name}, {acc_str}, {_area_desc(c)}"
+        return (f"{_id_str(c)}, {name}, {_cand_acc_str(c)}, "
                 f"{_area_desc(c)}")
     name = M.OP_META[c["code"]][0]
     if c.get("inverse"):
@@ -666,8 +924,11 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
 
 def _cand_pipeline(c: dict, src: dict, dst: dict,
                    normalize: bool = False) -> str:
-    if c["type"] == "ballpark":
+    if c["type"] in ("ballpark", "ballpark_vert"):
         return "+proj=noop"
+    if c["type"] == "vgrid":
+        g = src if src["kind"] == "geog" else dst
+        return vgrid_pipeline(g["geog"], c["entry"], c["inverse"])
     if c["type"] == "conversion":
         from proj_ray.projinfo_text import conversion_proj4
 
@@ -693,10 +954,14 @@ def _cand_pipeline(c: dict, src: dict, dst: dict,
 def _cand_wkt(c: dict, src: dict, dst: dict) -> N:
     if c["type"] == "ballpark":
         return ballpark_wkt(src, dst, c["name"])
+    if c["type"] == "ballpark_vert":
+        return ballpark_vert_wkt(src, dst, c["name"])
     if c["type"] == "conversion":
         return conversion_op_wkt(c["code"])
     if c["type"] == "grid":
         return grid_op_wkt(c, src, dst)
+    if c["type"] == "vgrid":
+        return vgrid_op_wkt(c, src, dst)
     raise NotImplementedError(f"WKT for op type {c['type']}")
 
 
@@ -705,14 +970,16 @@ def render(cands, note, src, dst, opts) -> str:
     if note is not None:
         out.append(f"Note: using '--spatial-test intersects' would "
                    f"bring more results ({note})")
-    quiet = opts.get("quiet")
+    quiet = opts.get("quiet") and bool(cands)
     fmt = (opts.get("fmt") or "default").upper().replace(":", "_")
-    if opts.get("summary"):
+    if opts.get("summary") and not quiet:
         for c in cands:
             out.append(_cand_header(c, src, dst))
         return "\n".join(out) + "\n"
     if quiet:
+        # reference projinfo.cpp: -q prints ONLY the best operation
         out = []
+        cands = cands[:1]
     for i, c in enumerate(cands, 1):
         if not quiet:
             out.append("-------------------------------------")

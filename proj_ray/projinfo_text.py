@@ -230,21 +230,41 @@ def unit_node(uom: int) -> N:
 
 
 def axis_nodes(cs_code: int) -> list:
-    """AXIS nodes (bumped one indent level, after the CS node)."""
+    """AXIS nodes (bumped one indent level, after the CS node). A
+    single-axis CS (vertical) omits ORDER, per WKT2 output rules."""
     typ, axes = M.CS[cs_code]
     out = []
     for order, (name, abbrev, orient, uom) in enumerate(axes, 1):
         label = name[0].lower() + name[1:]
         disp = f"{label} ({abbrev})" if abbrev else label
+        kids = [] if len(axes) == 1 else [N("ORDER", str(order))]
         out.append(N("AXIS", q(disp), orient,
-                     N("ORDER", str(order)),
-                     unit_node(uom), bump=True))
+                     *kids, unit_node(uom), bump=True))
     return out
 
 
 def cs_nodes(cs_code: int) -> list:
     typ, axes = M.CS[cs_code]
     return [N("CS", typ, str(len(axes))), *axis_nodes(cs_code)]
+
+
+# ---------------------------------------------------- vertical CRS WKT ----
+
+
+def vert_wkt2(code: int, with_usage: bool = True) -> N:
+    """VERTCRS node (reference io.cpp VerticalCRS exporter): DYNAMIC
+    frame epoch from the vertical datum, VDATUM, single-axis CS."""
+    name, cs_code, datum_code, _dep = M.VERT[code]
+    dname, epoch = M.VDATUM[datum_code]
+    kids = []
+    if epoch is not None:
+        kids.append(N("DYNAMIC", N("FRAMEEPOCH", wnum(epoch))))
+    kids.append(N("VDATUM", q(dname)))
+    kids += cs_nodes(cs_code)
+    if with_usage:
+        kids += usage_nodes("vertical_crs", code, True)
+    kids.append(N("ID", q("EPSG"), str(code)))
+    return N("VERTCRS", q(name), *kids)
 
 
 # -------------------------------------------------- geographic CRS WKT ----
