@@ -96,6 +96,24 @@ def _crs_bbox(table: str, code: int):
     return (w, s, e, n)
 
 
+_CRS_TABLE = {"geog": "geodetic_crs", "proj": "projected_crs",
+              "vert": "vertical_crs", "compound": "compound_crs"}
+
+
+def _crs_extent_code(crs: dict) -> int | None:
+    """Best-usage extent CODE of a CRS (mirrors crs_usage's pick,
+    including the reference's 4326 hot patch)."""
+    if crs["kind"] == "geog" and crs["code"] == 4326:
+        return 1262
+    uses = M.USAGE.get((_CRS_TABLE[crs["kind"]], crs.get("code")))
+    if not uses:
+        return None
+    ranked = sorted(
+        (1 if "large scale" in M.SCOPE.get(sc, "") else 0, i)
+        for i, (_, sc) in enumerate(uses))
+    return uses[ranked[0][1]][0]
+
+
 # -------------------------------------------------------- CRS resolve ----
 
 
@@ -637,6 +655,196 @@ def vgrid_pipeline(geog_code: int, entry: dict,
     return _wrap_geog_io([step], geog_code, geog_code)
 
 
+# ------------------------------------------- PROJString operation chains --
+
+
+def _split_steps(projstring: str) -> list[tuple[str, bool]]:
+    """'+proj=pipeline +step A +step +inv B' -> [(A,False),(B,True)]"""
+    out = []
+    for p in projstring.split("+step")[1:]:
+        p = " ".join(p.split())
+        inv = p.startswith("+inv")
+        if inv:
+            p = p[len("+inv"):].strip()
+        out.append((p, inv))
+    return out
+
+
+_CONV_TO_PROJ: dict[int, list] = {}
+
+
+def _conv_to_proj(conv: int, cur: int | None = None) -> int:
+    """Projected CRS using conversion `conv` (preferring the one equal
+    to the walker's current CRS when several share the conversion)."""
+    if not _CONV_TO_PROJ:
+        for c, (_n, _cs, _b, cv, dep) in M.PROJCRS.items():
+            if not dep:
+                _CONV_TO_PROJ.setdefault(cv, []).append(c)
+    cands = _CONV_TO_PROJ[conv]
+    if cur is not None and cur in cands:
+        return cur
+    return cands[0]
+
+
+def _conv_step_body(proj_code: int) -> str:
+    from proj_ray.projinfo_text import conversion_proj4
+
+    _name, _cs, base, conv, _dep = M.PROJCRS[proj_code]
+    return (" ".join(conversion_proj4(conv)) + " "
+            + _ellps_token(M.GEOG[base][3]))
+
+
+def _axis_north_first(crs: dict) -> bool:
+    k = crs["kind"]
+    if k == "compound":
+        return _axis_north_first(crs["horiz"])
+    if k == "geog":
+        return _geog_is_latlon(crs["code"])
+    if k == "proj":
+        cs = M.PROJCRS[crs["code"]][1]
+        return M.CS[cs][1][0][2] == "north"
+    return False
+
+
+def _horiz_is_geog(crs: dict) -> bool:
+    if crs["kind"] == "compound":
+        return _horiz_is_geog(crs["horiz"])
+    return crs["kind"] == "geog"
+
+
+def _crs_code_north_first(code: int) -> bool:
+    if code in M.PROJCRS:
+        return M.CS[M.PROJCRS[code][1]][1][0][2] == "north"
+    if code in M.GEOG:
+        return _geog_is_latlon(code)
+    return False  # vertical CRS: no horizontal axes
+
+
+def _projstring_op_steps(scode: str, inverse: bool) -> list:
+    """Steps of a PROJ-authority PROJString op normalized to the
+    (easting,northing) / radian convention: CRS axis-order
+    normalization axisswaps at either end are stripped (the pipeline
+    assembler re-adds them from the query CRSs; inside chains they
+    cancel, reproducing the reference pipeline optimizer)."""
+    d = M.PROJ_OPS[scode]
+    steps = _split_steps(d["projstring"])
+    if steps and steps[0] == ("+proj=axisswap +order=2,1", False) \
+            and _crs_code_north_first(d["src"]):
+        steps = steps[1:]
+    if steps and steps[-1] == ("+proj=axisswap +order=2,1", False) \
+            and _crs_code_north_first(d["dst"]):
+        steps = steps[:-1]
+    if inverse:
+        steps = [(b, not i) for b, i in reversed(steps)]
+    return steps
+
+
+def _concat_chain_steps(scode: str, inverse: bool) -> list:
+    """Resolve a PROJ-authority concatenated op (conversions +
+    PROJString steps) into normalized steps, inferring each step's
+    direction by CRS chaining (reference ConcatenatedOperation)."""
+    d = M.PROJ_OPS[scode]
+    cur = d["src"]
+    steps: list = []
+    for auth, c in d["steps"]:
+        if auth == "EPSG" and c in M.CONV:
+            pcode = _conv_to_proj(c, cur)
+            base = M.PROJCRS[pcode][2]
+            body = _conv_step_body(pcode)
+            if cur == pcode:
+                steps.append((body, True))
+                cur = base
+            else:
+                steps.append((body, False))
+                cur = pcode
+        elif auth == "PROJ" and c in M.PROJ_OPS:
+            dd = M.PROJ_OPS[c]
+            if dd["src"] == cur:
+                steps += _projstring_op_steps(c, False)
+                cur = dd["dst"]
+            else:
+                steps += _projstring_op_steps(c, True)
+                cur = dd["src"]
+        else:
+            raise NotImplementedError(f"concat step {auth}:{c}")
+    if inverse:
+        steps = [(b, not i) for b, i in reversed(steps)]
+    return steps
+
+
+def chain_pipeline(c: dict, src: dict, dst: dict) -> str:
+    """Assemble a proj_chain candidate into a pipeline: axis/unit
+    normalization of the query CRSs around the op steps, then adjacent
+    inverse-pair cancellation (the reference pipeline optimizer:
+    '+step X' next to '+step +inv X' annihilates)."""
+    pre: list = []
+    post: list = []
+    if _axis_north_first(src):
+        pre.append(("+proj=axisswap +order=2,1", False))
+    if _horiz_is_geog(src):
+        pre.append(("+proj=unitconvert +xy_in=deg +xy_out=rad", False))
+    if _horiz_is_geog(dst):
+        post.append(("+proj=unitconvert +xy_in=rad +xy_out=deg", False))
+    if _axis_north_first(dst):
+        post.append(("+proj=axisswap +order=2,1", False))
+    allsteps = pre + list(c["steps"]) + post
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(allsteps) - 1):
+            (b1, i1), (b2, i2) = allsteps[i], allsteps[i + 1]
+            if b1 == b2 and i1 != i2:
+                del allsteps[i:i + 2]
+                changed = True
+                break
+    return "+proj=pipeline " + " ".join(
+        ("+step +inv " if inv else "+step ") + b
+        for b, inv in allsteps)
+
+
+def _chain_candidates(src: dict, dst: dict) -> list[dict]:
+    """Direct PROJ-authority chain candidates between the QUERY CRSs:
+    PROJString ops matched on exact CRS codes, and concatenated ops
+    matched on geographic pairs."""
+    out = []
+    for scode, d in M.PROJ_OPS.items():
+        if d["kind"] == "projstring":
+            pair = (d["src"], d["dst"])
+            if pair == (src.get("code"), dst.get("code")):
+                inv = False
+            elif pair == (dst.get("code"), src.get("code")):
+                inv = True
+            else:
+                continue
+            steps = _projstring_op_steps(scode, inv)
+            table = "other_transformation"
+            acc = float(d["acc"]) if d["acc"] is not None else None
+        elif d["kind"] == "concat":
+            if src["kind"] != "geog" or dst["kind"] != "geog":
+                continue
+            pair = (d["src"], d["dst"])
+            if pair == (src["code"], dst["code"]):
+                inv = False
+            elif pair == (dst["code"], src["code"]):
+                inv = True
+            else:
+                continue
+            steps = _concat_chain_steps(scode, inv)
+            table = "concatenated_operation"
+            acc = float(d["acc"]) if d["acc"] is not None else sum(
+                float(M.PROJ_OPS[c]["acc"] or 0)
+                for a, c in d["steps"]
+                if a == "PROJ" and c in M.PROJ_OPS)
+        else:
+            continue
+        out.append({"type": "proj_chain", "code": scode,
+                    "auth": "PROJ", "inverse": inv, "derived": False,
+                    "steps": steps, "acc": acc, "table": table,
+                    "chain_src": dict(src), "chain_dst": dict(dst),
+                    "bbox": _op_bbox_from_usage(table, scode)})
+    return out
+
+
 def _ops_bbox(entry: dict):
     b = entry.get("bbox")
     return tuple(b) if b else WORLD
@@ -651,6 +859,8 @@ def _acc_str(code: int | None) -> str:
 
 def _cand_acc(c: dict) -> float | None:
     """Numeric accuracy of a candidate (None = unknown), auth-aware."""
+    if "acc" in c:
+        return c["acc"]
     if c.get("auth", "EPSG") != "EPSG":
         a = c.get("entry", {}).get("acc")
         return float(a) if a is not None else None
@@ -671,6 +881,13 @@ def _cand_acc_str(c: dict) -> str:
 def _area_desc(cand: dict) -> str:
     if cand["type"] in ("ballpark", "ballpark_vert"):
         return "World"
+    if cand["type"] == "null_offset_concat":
+        u = crs_usage("geodetic_crs", cand["geog"])
+        return u[1] if u else "World"
+    if cand["type"] == "proj_chain":
+        u = crs_usage(cand["table"], cand["code"]) \
+            if cand.get("code") else None
+        return u[1] if u else "unknown domain of validity"
     table = {"grid": "grid_transformation",
              "vgrid": "grid_transformation",
              "helmert": "helmert_transformation",
@@ -725,6 +942,10 @@ def search(src: dict, dst: dict, opts: dict):
                 or WORLD, "derived": False}
         return [cand], None
 
+    # PROJ-authority chain ops (tinshift PROJStrings / concats) match
+    # the ORIGINAL query CRSs, before any projected->geog rewriting
+    chain_cands = _chain_candidates(src, dst)
+
     # cross-datum pairs involving projected CRSs: every base-geog
     # candidate wrapped with the (inverse) conversions — summaries
     # print "Inverse of <conv> + <op> [+ <conv>]" with unknown id
@@ -753,7 +974,138 @@ def search(src: dict, dst: dict, opts: dict):
             c["wrap_src"] = wrap_src
             c["wrap_dst"] = wrap_dst
 
+    cands += chain_cands
     return _filter_rank(cands, src, dst, opts, same_datum)
+
+
+def _vert_chain(v1: int, v2: int):
+    """Shortest chain of PROJ-authority vertical PROJString ops from
+    vertical CRS v1 to v2 (edges walkable both ways). Returns
+    ([(scode, inverse)], acc_sum, interp_geog) or None."""
+    from collections import deque
+
+    edges = [(s, d["src"], d["dst"]) for s, d in M.PROJ_OPS.items()
+             if d["kind"] == "projstring" and d["src"] in M.VERT
+             and d["dst"] in M.VERT]
+    q = deque([(v1, [])])
+    seen = {v1}
+    while q:
+        cur, path = q.popleft()
+        if cur == v2 and path:
+            acc = sum(float(M.PROJ_OPS[s]["acc"] or 0)
+                      for s, _ in path)
+            interp = next((M.PROJ_OPS[s].get("interp")
+                           for s, _ in path
+                           if M.PROJ_OPS[s].get("interp")), None)
+            return path, acc, interp
+        if len(path) >= 3:
+            continue
+        for scode, s, d in edges:
+            for frm, nxt, inv in ((s, d, False), (d, s, True)):
+                if frm == cur and nxt not in seen:
+                    seen.add(nxt)
+                    q.append((nxt, path + [(scode, inv)]))
+    return None
+
+
+def _horiz_chain_op(h1: dict, h2: dict):
+    """PROJ-authority op linking two horizontal CRSs: ('direct', scode,
+    inv) on exact codes, ('concat', scode, inv) on geographic bases;
+    None when the CRSs are identical."""
+    if h1["code"] == h2["code"]:
+        return None
+    for scode, d in M.PROJ_OPS.items():
+        if d["kind"] != "projstring":
+            continue
+        if (d["src"], d["dst"]) == (h1["code"], h2["code"]):
+            return ("direct", scode, False)
+        if (d["src"], d["dst"]) == (h2["code"], h1["code"]):
+            return ("direct", scode, True)
+    g1 = h1["code"] if h1["kind"] == "geog" else h1["geog"]
+    g2 = h2["code"] if h2["kind"] == "geog" else h2["geog"]
+    for scode, d in M.PROJ_OPS.items():
+        if d["kind"] != "concat":
+            continue
+        if (d["src"], d["dst"]) == (g1, g2):
+            return ("concat", scode, False)
+        if (d["src"], d["dst"]) == (g2, g1):
+            return ("concat", scode, True)
+    raise NotImplementedError(
+        "operation search compound-compound horizontal")
+
+
+def _compound_compound(src: dict, dst: dict, opts: dict):
+    """compound -> compound: vertical chain applied at its
+    interpolation side + horizontal chain op, fused with the
+    step-cancellation assembler (reference
+    createOperationsCompoundToCompound + pipeline optimizer)."""
+    h1, h2 = src["horiz"], dst["horiz"]
+    chain = _vert_chain(src["vert"]["code"], dst["vert"]["code"])
+    if chain is None:
+        raise NotImplementedError("operation search compound-compound")
+    vops, vacc, interp = chain
+    hop = _horiz_chain_op(h1, h2)
+    acc = vacc
+    steps: list = []
+    ctx = dict(h1)
+
+    def bridge_to_geog():
+        nonlocal ctx
+        if ctx["kind"] == "proj":
+            steps.append((_conv_step_body(ctx["code"]), True))
+            ctx = {"kind": "geog", "code": M.PROJCRS[ctx["code"]][2]}
+
+    def emit_vertical():
+        for scode, inv in vops:
+            bridge_to_geog()
+            steps.extend(_projstring_op_steps(scode, inv))
+
+    def emit_horizontal():
+        nonlocal ctx, acc
+        if hop is None:
+            return
+        kind, scode, inv = hop
+        d = M.PROJ_OPS[scode]
+        if d["acc"] is not None:
+            acc += float(d["acc"])
+        if kind == "direct":
+            op_src = d["dst"] if inv else d["src"]
+            if ctx["code"] != op_src:
+                bridge_to_geog()
+                if op_src in M.PROJCRS:
+                    steps.append((_conv_step_body(op_src), False))
+            steps.extend(_projstring_op_steps(scode, inv))
+            op_dst = d["src"] if inv else d["dst"]
+            ctx = {"kind": "proj" if op_dst in M.PROJCRS else "geog",
+                   "code": op_dst}
+        else:
+            bridge_to_geog()
+            steps.extend(_concat_chain_steps(scode, inv))
+            ctx = {"kind": "geog",
+                   "code": d["src"] if inv else d["dst"]}
+
+    # vertical ops interpolate positions in their interpolation CRS:
+    # apply them while on that side of the horizontal transform
+    interp_datum = M.GEOG[interp][3] if interp else None
+    src_datum = h1.get("datum")
+    if interp_datum is None or interp_datum == src_datum:
+        emit_vertical()
+        emit_horizontal()
+    else:
+        emit_horizontal()
+        emit_vertical()
+    # land on the destination horizontal CRS
+    if ctx["kind"] == "proj" and h2["kind"] == "geog":
+        bridge_to_geog()
+    elif ctx["kind"] == "geog" and h2["kind"] == "proj":
+        steps.append((_conv_step_body(h2["code"]), False))
+    cand = {"type": "proj_chain", "code": None, "auth": "PROJ",
+            "inverse": False, "derived": False, "steps": steps,
+            "acc": acc, "table": "other_transformation",
+            "name": f"{src['name']} to {dst['name']}",
+            "chain_src": src, "chain_dst": dst,
+            "bbox": src.get("bbox") or WORLD}
+    return [cand], None
 
 
 def _search_compound(src: dict, dst: dict, opts: dict):
@@ -761,6 +1113,8 @@ def _search_compound(src: dict, dst: dict, opts: dict):
     same-horizontal-datum shapes of the reference corpus: compound <->
     geographic (vertical ops in compound context, reference
     createOperationsCompoundToGeog)."""
+    if src["kind"] == "compound" and dst["kind"] == "compound":
+        return _compound_compound(src, dst, opts)
     comp, other = (src, dst) if src["kind"] == "compound" else (dst, src)
     inverse_query = src["kind"] == "compound"
     if other["kind"] == "geog":
@@ -772,6 +1126,42 @@ def _search_compound(src: dict, dst: dict, opts: dict):
         for c in cands:
             c["compound_ctx"] = True
         vsrc, vdst = (vert, g) if inverse_query else (g, vert)
+        return _filter_rank(cands, vsrc, vdst, opts,
+                            same_datum=False, vert_pair=True)
+    if other["kind"] == "proj":
+        conv_name = M.CONV[other["conv"]][0]
+        gcode = other["geog"]
+        if not opts.get("three_d"):
+            # 2D context: the vertical part is dropped; the one
+            # operation is Inverse(conversion) + Inverse(null offset
+            # geog -> geog) (reference createOperationsCompoundToGeog,
+            # 2D-target branch, applied inverse)
+            if inverse_query:
+                raise NotImplementedError(
+                    "operation search compound-proj 2d forward")
+            gname = M.GEOG[gcode][0]
+            cand = {"type": "null_offset_concat", "code": None,
+                    "inverse": False, "derived": False, "geog": gcode,
+                    "bbox": _crs_bbox("geodetic_crs", gcode) or WORLD,
+                    "name": (f"Inverse of {conv_name} + Inverse of "
+                             f"Null geographic offset from {gname} "
+                             f"to {gname}")}
+            return [cand], None
+        if comp["horiz"].get("datum") != other.get("datum"):
+            raise NotImplementedError(
+                "operation search compound-proj cross-datum")
+        vert = comp["vert"]
+        gdict = {"kind": "geog", "code": gcode, "geog": gcode,
+                 "name": M.GEOG[gcode][0], "datum": other["datum"],
+                 "bbox": other.get("bbox")}
+        prefix = f"Inverse of {conv_name} + "
+        cands = _vgrid_candidates(vert, gdict,
+                                  inverse_query=inverse_query)
+        for c in cands:
+            c["compound_ctx"] = True
+            c["wrap_prefix"] = prefix
+        vsrc, vdst = (vert, gdict) if inverse_query else (gdict, vert)
+        opts = dict(opts, wrap_prefix=prefix)
         return _filter_rank(cands, vsrc, vdst, opts,
                             same_datum=False, vert_pair=True)
     raise NotImplementedError(
@@ -793,8 +1183,8 @@ def _filter_rank(cands, src, dst, opts, same_datum,
         lim = float(opts["accuracy"])
         cands = [c for c in cands
                  if c["code"] is not None
-                 and M.OP_ACC.get(c["code"]) is not None
-                 and float(M.OP_ACC[c["code"]]) <= lim]
+                 and _cand_acc(c) is not None
+                 and _cand_acc(c) <= lim]
 
     aoi = opts.get("aoi")
     use_crs_extent = opts.get("crs_extent_use", "smallest") != "none"
@@ -831,12 +1221,25 @@ def _filter_rank(cands, src, dst, opts, same_datum,
         # candidates cannot be assumed usable (none of these grids ship
         # in the test environment); '--grid-check none' declares them
         # usable, which suppresses the fallback (reference corpus #38)
+        # the reference builds vertical ops in the vert -> geog
+        # direction and inverts the lot when the query ran the other
+        # way, so a geog -> vert ballpark reads "Inverse of ..."
+        v, g = (src, dst) if src["kind"] == "vert" else (dst, src)
+        name = (f"Transformation from {v['name']} to {g['name']} "
+                f"(ballpark vertical transformation, without ellipsoid "
+                f"height to vertical height correction)")
+        if src["kind"] != "vert":
+            name = f"Inverse of {name}"
         bp = {"type": "ballpark_vert", "code": None, "inverse": False,
-              "bbox": WORLD, "derived": False,
-              "name": f"Transformation from {src['name']} to "
-                      f"{dst['name']} (ballpark vertical "
-                      f"transformation, without ellipsoid height to "
-                      f"vertical height correction)"}
+              "bbox": WORLD, "derived": False, "name": name}
+        # domain of validity: the CRS extent when both sides share one
+        # usage extent (reference: sameExtent -> sourceCRSExtent), else
+        # literal World
+        ve, ge = _crs_extent_code(v), _crs_extent_code(g)
+        if ve is not None and ve == ge:
+            bp["area"] = M.EXTENT[ve][0]
+        if opts.get("wrap_prefix"):
+            bp["wrap_prefix"] = opts["wrap_prefix"]
         kept.append(bp)
         n_int += 1
     elif not vert_pair and not same_datum \
@@ -855,9 +1258,28 @@ def _filter_rank(cands, src, dst, opts, same_datum,
             and not opts.get("area_mode") and n_int > len(kept):
         note = n_int
 
+    def _grids_known(c) -> bool:
+        """Reference gridsKnown_: every grid the op needs resolves to a
+        distributable file in the DB (grid_alternatives); proxied by
+        the mapped name being a modern .tif/.json."""
+        if c["type"] in ("grid", "vgrid"):
+            g = c["entry"]["grids"][0]
+            return g.endswith((".tif", ".json"))
+        if c["type"] == "concat":
+            for sc, _inv in c["steps"]:
+                if sc in M.GRID_OPS:
+                    m = M.GRID_OPS[sc][6][0]
+                    if not m.endswith((".tif", ".json")):
+                        return False
+        return True
+
     def sortkey(c):
+        # mirrors the reference SortFunction criterion order
+        # (coordinateoperationfactory.cpp:853): ballpark class, grids
+        # known in DB, accuracy known, AOI-overlap pseudo-area,
+        # accuracy value
         if c["type"] in ("ballpark", "ballpark_vert"):
-            return (1, 0.0, 1e9, (0, ""))
+            return (1, 1, 1, 0.0, 1e9, (0, ""))
         acc = _cand_acc(c)
         # area ranked by the overlap with the AOI (reference
         # PrecomputedOpCharacteristics: pseudo-area of extent ∩ AOI)
@@ -866,7 +1288,8 @@ def _filter_rank(cands, src, dst, opts, same_datum,
             box = box_intersection(box, aoi) or (0.0, 0.0, 0.0, 0.0)
         tie = (0, f"{c['code']:012d}") if isinstance(c["code"], int) \
             else (1, str(c["code"]))
-        return (0, -_box_area(box),
+        return (0, 0 if _grids_known(c) else 1,
+                0 if acc is not None else 1, -_box_area(box),
                 acc if acc is not None else 1e9, tie)
 
     kept.sort(key=sortkey)
@@ -878,8 +1301,22 @@ def _filter_rank(cands, src, dst, opts, same_datum,
 
 def _cand_header(c: dict, src: dict, dst: dict) -> str:
     if c["type"] in ("ballpark", "ballpark_vert"):
-        return (f"unknown id, {c['name']}, unknown accuracy, World, "
-                f"has ballpark transformation")
+        name = c.get("wrap_prefix", "") + c["name"]
+        return (f"unknown id, {name}, unknown accuracy, "
+                f"{c.get('area', 'World')}, has ballpark transformation")
+    if c["type"] == "null_offset_concat":
+        return (f"unknown id, {c['name']}, 0 m, {_area_desc(c)}")
+    if c["type"] == "proj_chain":
+        name = c.get("name") or (
+            M.PROJ_OPS[c["code"]]["name"] if c.get("code") else "")
+        if c.get("inverse"):
+            name = f"Inverse of {name}"
+        acc = _cand_acc(c)
+        acc_str = f"{wnum(acc)} m" if acc is not None \
+            else "unknown accuracy"
+        ids = "unknown id" if c.get("code") is None \
+            else _id_str(c)
+        return f"{ids}, {name}, {acc_str}, {_area_desc(c)}"
     if c["type"] == "conversion":
         name = M.CONV[c["code"]][0]
         return (f"EPSG:{c['code']}, {name}, 0 m, "
@@ -897,6 +1334,7 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
         if c.get("compound_ctx"):
             # component of a compound-context operation: no registry
             # id, accuracy re-printed via double formatting
+            name = c.get("wrap_prefix", "") + name
             acc = _cand_acc(c)
             acc_str = f"{wnum(acc)} m" if acc is not None \
                 else "unknown accuracy"
@@ -929,6 +1367,9 @@ def _cand_pipeline(c: dict, src: dict, dst: dict,
     if c["type"] == "vgrid":
         g = src if src["kind"] == "geog" else dst
         return vgrid_pipeline(g["geog"], c["entry"], c["inverse"])
+    if c["type"] == "proj_chain":
+        return chain_pipeline(c, c.get("chain_src", src),
+                              c.get("chain_dst", dst))
     if c["type"] == "conversion":
         from proj_ray.projinfo_text import conversion_proj4
 

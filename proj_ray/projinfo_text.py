@@ -989,7 +989,8 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
                     search_opts["area"])
                 search_opts["area_mode"] = True
             search_opts.update(fmt=fmt, quiet=quiet,
-                               single_line=single_line)
+                               single_line=single_line,
+                               three_d=three_d)
             cands, note = PO.search(src, dst, search_opts)
             return PO.render(cands, note, src, dst, search_opts), 0
         except PO.SearchError as e:

@@ -444,9 +444,13 @@ def main() -> None:
                             "other_transformation"):
         if r[0] != "PROJ" or r[-1] == "1":
             continue
+        interp = None
+        if len(r) >= 4 and r[-4] == "EPSG" and r[-3].isdigit():
+            interp = int(r[-3])  # interpolation CRS column
         proj_ops[r[1]] = {
             "kind": "projstring", "name": r[2], "src": int(r[8]),
-            "dst": int(r[10]), "acc": opt(r[11]), "projstring": r[6]}
+            "dst": int(r[10]), "acc": opt(r[11]), "projstring": r[6],
+            "interp": interp}
     concat_steps_custom: dict[str, list] = {}
     for r in rows_multiline("other_transformation_custom.sql",
                             "concatenated_operation_step"):
