@@ -879,7 +879,8 @@ def _cand_acc_str(c: dict) -> str:
 
 
 def _area_desc(cand: dict) -> str:
-    if cand["type"] in ("ballpark", "ballpark_vert"):
+    if cand["type"] in ("ballpark", "ballpark_vert",
+                        "ballpark_geocentric"):
         return "World"
     if cand["type"] == "null_offset_concat":
         u = crs_usage("geodetic_crs", cand["geog"])
@@ -935,6 +936,20 @@ def search(src: dict, dst: dict, opts: dict):
                             vert_pair=True)
 
     same_datum = src["datum"] == dst["datum"]
+    if src["kind"] == "geog" and dst["kind"] == "geog" \
+            and not same_datum \
+            and M.GEOG[src["code"]][1] == "geocentric" \
+            and M.GEOG[dst["code"]][1] == "geocentric":
+        # geocentric pair: only ops registered between the geocentric
+        # CRSs themselves apply (geographic-domain ops are NOT
+        # promoted); a Ballpark geocentric translation leads the list
+        # (reference createOperationsGeodToGeod + corpus #34)
+        cands = _geocentric_pair_candidates(src, dst)
+        if opts.get("hide_ballpark"):
+            cands = [c for c in cands
+                     if c["type"] != "ballpark_geocentric"]
+        return _filter_rank(cands, src, dst, opts, same_datum=True)
+
     if src["kind"] == "geog" and dst["kind"] == "proj" and same_datum:
         conv = dst["conv"]
         cand = {"type": "conversion", "code": conv, "inverse": False,
@@ -976,6 +991,43 @@ def search(src: dict, dst: dict, opts: dict):
 
     cands += chain_cands
     return _filter_rank(cands, src, dst, opts, same_datum)
+
+
+def _geocentric_pair_candidates(src: dict, dst: dict) -> list[dict]:
+    a, b = src["code"], dst["code"]
+    out = [{"type": "ballpark_geocentric", "code": None,
+            "inverse": False, "derived": False, "bbox": WORLD,
+            "sort_first": True,
+            "name": (f"Ballpark geocentric translation from "
+                     f"{src['name']} to {dst['name']}")}]
+    for code, d in M.HELMERT_OPS.items():
+        if (d["src"], d["dst"]) == (a, b):
+            inv = False
+        elif (d["src"], d["dst"]) == (b, a):
+            inv = True
+        else:
+            continue
+        out.append({"type": "helmert", "code": code,
+                    "entry": _helmert_entry_from_meta(d),
+                    "inverse": inv, "derived": False,
+                    "geocentric": True,
+                    "bbox": _op_bbox_from_usage(
+                        "helmert_transformation", code)})
+    for scode, d in M.NKG_OPS.items():
+        if (d["src"], d["dst"]) == (a, b):
+            inv = False
+        elif (d["src"], d["dst"]) == (b, a):
+            inv = True
+        else:
+            continue
+        out.append({"type": "proj_chain", "code": scode, "auth": "NKG",
+                    "inverse": inv, "derived": False, "steps": [],
+                    "name": d["name"],
+                    "acc": float(d["acc"]) if d["acc"] else None,
+                    "table": "concatenated_operation",
+                    "bbox": _op_bbox_from_usage(
+                        "concatenated_operation", scode)})
+    return out
 
 
 def _vert_chain(v1: int, v2: int):
@@ -1278,7 +1330,10 @@ def _filter_rank(cands, src, dst, opts, same_datum,
         # (coordinateoperationfactory.cpp:853): ballpark class, grids
         # known in DB, accuracy known, AOI-overlap pseudo-area,
         # accuracy value
-        if c["type"] in ("ballpark", "ballpark_vert"):
+        if c.get("sort_first"):
+            return (-1, 0, 0, 0.0, 0.0, (0, ""))
+        if c["type"] in ("ballpark", "ballpark_vert",
+                         "ballpark_geocentric"):
             return (1, 1, 1, 0.0, 1e9, (0, ""))
         acc = _cand_acc(c)
         # area ranked by the overlap with the AOI (reference
@@ -1300,7 +1355,8 @@ def _filter_rank(cands, src, dst, opts, same_datum,
 
 
 def _cand_header(c: dict, src: dict, dst: dict) -> str:
-    if c["type"] in ("ballpark", "ballpark_vert"):
+    if c["type"] in ("ballpark", "ballpark_vert",
+                     "ballpark_geocentric"):
         name = c.get("wrap_prefix", "") + c["name"]
         return (f"unknown id, {name}, unknown accuracy, "
                 f"{c.get('area', 'World')}, has ballpark transformation")
@@ -1362,7 +1418,8 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
 
 def _cand_pipeline(c: dict, src: dict, dst: dict,
                    normalize: bool = False) -> str:
-    if c["type"] in ("ballpark", "ballpark_vert"):
+    if c["type"] in ("ballpark", "ballpark_vert",
+                     "ballpark_geocentric"):
         return "+proj=noop"
     if c["type"] == "vgrid":
         g = src if src["kind"] == "geog" else dst
@@ -1385,6 +1442,9 @@ def _cand_pipeline(c: dict, src: dict, dst: dict,
         return grid_pipeline(src["geog"], dst["geog"], c["entry"],
                              c["inverse"])
     if c["type"] == "helmert":
+        if c.get("geocentric"):
+            return ("+proj=pipeline "
+                    + _helmert_step_str(c["entry"], c["inverse"]))
         return helmert_full_pipeline(src["geog"], dst["geog"],
                                      c["entry"], c["inverse"])
     if c["type"] == "concat":

@@ -63,6 +63,53 @@ def rows_multiline(fname: str, table: str):
         yield _split_tuple(" ".join(body.split()))
 
 
+def rows_multirow(fname: str, table: str):
+    """Like rows_multiline but also handles optional column lists and
+    multi-row `VALUES (...), (...)` statements (nkg.sql)."""
+    import re
+
+    from gen_epsg import _split_tuple
+
+    text = (SQL / fname).read_text(encoding="utf-8")
+    lines = []
+    for ln in text.split("\n"):
+        if "--" in ln and ln.split("--")[0].count("'") % 2 == 0:
+            ln = ln.split("--")[0]
+        lines.append(ln)
+    text = "\n".join(lines)
+    pat = re.compile(
+        rf'INSERT INTO "?{table}"?\s*(?:\([^)]*\)\s*)?VALUES\s*(.*?);',
+        re.S)
+    for m in pat.finditer(text):
+        body = " ".join(m.group(1).split())
+        body = re.sub(r"'\s*\|\|\s*'", "", body)
+        # split top-level (...),(...) groups
+        depth = 0
+        start = None
+        in_q = False
+        i = 0
+        while i < len(body):
+            ch = body[i]
+            if in_q:
+                if ch == "'":
+                    if i + 1 < len(body) and body[i + 1] == "'":
+                        i += 1
+                    else:
+                        in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
+                if depth == 0:
+                    start = i + 1
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and start is not None:
+                    yield _split_tuple(body[start:i])
+                    start = None
+            i += 1
+
+
 def main() -> None:
     uom = {}
     for r in rows("unit_of_measure.sql", "unit_of_measure"):
@@ -476,6 +523,28 @@ def main() -> None:
             usage.setdefault((r[2], r[4]), []).append(
                 (int(r[6]), int(r[8])))
 
+    # NKG-authority concatenated operations (nkg.sql): candidates for
+    # geocentric ITRF->ETRS89(country) queries. Multi-row VALUES
+    # statements with column lists.
+    nkg_ops: dict[str, dict] = {}
+    for r in rows_multirow("nkg.sql", "concatenated_operation"):
+        if r[0] != "NKG" or r[-1] == "1":
+            continue
+        if r[4] != "EPSG" or r[6] != "EPSG":
+            continue
+        nkg_ops[r[1]] = {"kind": "concat", "name": r[2],
+                         "src": int(r[5]), "dst": int(r[7]),
+                         "acc": opt(r[8])}
+    for r in rows_multirow("nkg.sql", "usage"):
+        if r[3] != "NKG" or r[5] != "EPSG":
+            continue
+        usage.setdefault((r[2], r[4]), []).append((int(r[6]), -1))
+    for r in rows_multirow("nkg.sql", "supersession"):
+        # table, auth, code, table2, auth2, replacement, source, same
+        if r[1] != "NKG" or r[4] != "NKG":
+            continue
+        superseded_by.setdefault(r[2], []).append(r[5])
+
     dst = Path(__file__).resolve().parent.parent / "proj_ray" / \
         "epsg_meta.py"
     with dst.open("w", encoding="utf-8") as f:
@@ -501,7 +570,8 @@ def main() -> None:
                           ("HELMERT_OPS", helm_ops),
                           ("SUPERSEDED_BY", superseded_by),
                           ("OTHER_OPS", other_ops),
-                          ("PROJ_OPS", proj_ops)):
+                          ("PROJ_OPS", proj_ops),
+                          ("NKG_OPS", nkg_ops)):
             f.write(f"{name} = {{\n")
             for k in sorted(obj, key=lambda x: (str(type(x)), repr(x))):
                 f.write(f"    {k!r}: {obj[k]!r},\n")
