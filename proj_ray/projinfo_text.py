@@ -816,6 +816,95 @@ def _lookup_named(table: str, spec: str, pool: dict) -> int | None:
     return None
 
 
+# ----------------------------------------------------------- list-crs ----
+
+
+_LIST_KINDS = {
+    "geodetic": {"geographic 2D", "geographic 3D", "geocentric"},
+    "geocentric": {"geocentric"},
+    "geographic": {"geographic 2D", "geographic 3D"},
+    "geographic_2d": {"geographic 2D"},
+    "geographic_3d": {"geographic 3D"},
+    "vertical": {"vertical"},
+    "projected": {"projected"},
+    "compound": {"compound"},
+}
+
+
+def _listcrs_area_filter(area: str):
+    """--area resolution for --list-crs (reference makeBboxFilter with
+    errorIfSeveralAreaMatches=false): AUTH:CODE, else unique exact
+    extent-name match, else unique approximate match, else fall back
+    to substring filtering on the CRS area description."""
+    from proj_ray.crs_list_generated import AREA_NAMES
+
+    if " " not in area and ":" in area:
+        auth, _, code = area.partition(":")
+        for a, c, _n, _d, bbox in AREA_NAMES:
+            if a == auth and c == code:
+                return ("bbox", bbox)
+        return ("error", "Area of use retrieval failed: extent not "
+                         "found")
+    exact = [r for r in AREA_NAMES if r[2] == area]
+    if len(exact) == 1:
+        return ("bbox", exact[0][4])
+    want = area.casefold()
+    approx = [r for r in AREA_NAMES if want in r[2].casefold()]
+    if len(approx) == 1:
+        return ("bbox", approx[0][4])
+    if not approx:
+        return ("error", "No area of use matching provided name")
+    return ("substr", want)
+
+
+def list_crs(filter_str: str | None, authorities: list[str] | None,
+             opts: dict) -> tuple[str, int]:
+    """projinfo --list-crs (reference projinfo.cpp:1467 over
+    AuthorityFactory::getCRSInfoList)."""
+    from proj_ray.crs_list_generated import CRS_LIST
+    from proj_ray.projinfo_ops import box_contains, box_intersects
+
+    allow_dep = False
+    kinds: set[str] = set()
+    for tok in (filter_str.split(",") if filter_str else []):
+        if tok == "allow_deprecated":
+            allow_dep = True
+        elif tok in _LIST_KINDS:
+            kinds |= _LIST_KINDS[tok]
+        else:
+            return (f"Unrecognized value for option --list-crs: "
+                    f"{tok}\n", 1)
+    mode, payload = None, None
+    if opts.get("aoi") is not None:
+        mode, payload = "bbox", opts["aoi"]
+    elif opts.get("area"):
+        mode, payload = _listcrs_area_filter(opts["area"])
+        if mode == "error":
+            return (payload + "\n", 1)
+    contains = opts.get("spatial_test", "contains") == "contains"
+    out = []
+    for auth in (authorities or [None]):
+        for a, code, name, kind, dep, bbox, desc in CRS_LIST:
+            if auth is not None and a != auth:
+                continue
+            if dep and not allow_dep:
+                continue
+            if kinds and kind not in kinds:
+                continue
+            if mode == "bbox":
+                if bbox is None:
+                    continue
+                ok = box_contains(payload, bbox) if contains \
+                    else box_intersects(payload, bbox)
+                if not ok:
+                    continue
+            elif mode == "substr" and payload not in desc.casefold():
+                continue
+            out.append(f'{a}:{code} "{name}"'
+                       + (" [deprecated]" if dep else ""))
+    return ("\n".join(out) + "\n" if out else ""), 0
+
+
 # --------------------------------------------------------- projinfo UI ----
 
 
@@ -960,8 +1049,19 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             search_opts["accuracy"] = float(args[i + 1])
             i += 2
             continue
-        if a in ("--authority", "--output-id", "--s_epoch",
-                 "--t_epoch"):
+        if a == "--list-crs":
+            list_crs_filter = ""
+            if i + 1 < len(args) and not args[i + 1].startswith("-"):
+                list_crs_filter = args[i + 1]
+                i += 1
+            search_opts["list_crs"] = list_crs_filter
+            i += 1
+            continue
+        if a == "--authority":
+            search_opts["authority"] = args[i + 1]
+            i += 2
+            continue
+        if a in ("--output-id", "--s_epoch", "--t_epoch"):
             unsupported.append(a)
             i += 2
             continue
@@ -973,6 +1073,13 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
         i += 1
     if unsupported:
         raise NotImplementedError("flag " + unsupported[0])
+    if "list_crs" in search_opts:
+        auths = search_opts.get("authority")
+        return list_crs(search_opts["list_crs"],
+                        auths.split(",") if auths else None,
+                        search_opts)
+    if "authority" in search_opts:
+        raise NotImplementedError("flag --authority")
     if obj_kind is not None and len(positional) == 1:
         return _object_output(obj_kind, positional[0], fmt, quiet)
     if len(positional) == 2 and "src" not in search_opts:

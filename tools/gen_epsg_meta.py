@@ -78,21 +78,20 @@ def rows_multirow(fname: str, table: str):
         lines.append(ln)
     text = "\n".join(lines)
     pat = re.compile(
-        rf'INSERT INTO "?{table}"?\s*(?:\([^)]*\)\s*)?VALUES\s*(.*?);',
-        re.S)
+        rf'INSERT INTO "?{table}"?\s*(?:\([^)]*\)\s*)?VALUES', re.S)
     for m in pat.finditer(text):
-        body = " ".join(m.group(1).split())
-        body = re.sub(r"'\s*\|\|\s*'", "", body)
-        # split top-level (...),(...) groups
+        # scan from the VALUES keyword to the statement-terminating ';'
+        # (quotes may contain ';' and ')'), yielding each top-level
+        # parenthesized row group
+        i = m.end()
         depth = 0
         start = None
         in_q = False
-        i = 0
-        while i < len(body):
-            ch = body[i]
+        while i < len(text):
+            ch = text[i]
             if in_q:
                 if ch == "'":
-                    if i + 1 < len(body) and body[i + 1] == "'":
+                    if i + 1 < len(text) and text[i + 1] == "'":
                         i += 1
                     else:
                         in_q = False
@@ -105,8 +104,12 @@ def rows_multirow(fname: str, table: str):
             elif ch == ")":
                 depth -= 1
                 if depth == 0 and start is not None:
-                    yield _split_tuple(body[start:i])
+                    body = " ".join(text[start:i].split())
+                    body = re.sub(r"'\s*\|\|\s*'", "", body)
+                    yield _split_tuple(body)
                     start = None
+            elif ch == ";" and depth == 0:
+                break
             i += 1
 
 

@@ -79,6 +79,16 @@ def parse_yaml(path: Path):
                 cur[k] = text
                 key = None
                 continue
+            elif v == "" and i + 1 < len(lines) \
+                    and lines[i + 1].startswith("  - "):
+                # list-valued key (e.g. grep with several patterns)
+                items = []
+                i += 1
+                while i < len(lines) and lines[i].startswith("  - "):
+                    items.append(lines[i][4:])
+                    i += 1
+                cur[k] = items
+                continue
             else:
                 cur[k] = v
         i += 1
@@ -86,6 +96,29 @@ def parse_yaml(path: Path):
     if cur:
         tests.append(cur)
     return [t for t in tests if "args" in t]
+
+
+def postprocess(got: str, t: dict) -> str:
+    """Apply the reference cli-test runner's post-processing commands
+    (grep / sort / head / tail) to captured output."""
+    import re
+
+    lines = got.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    greps = t.get("grep")
+    if greps is not None:
+        pats = greps if isinstance(greps, list) else [greps]
+        for p in pats:
+            rx = re.compile(p)
+            lines = [ln for ln in lines if rx.search(ln)]
+    if "sort" in t:
+        lines = sorted(lines)
+    if "head" in t:
+        lines = lines[: int(t["head"])]
+    if "tail" in t:
+        lines = lines[-int(t["tail"]):]
+    return "\n".join(lines)
 
 
 def main() -> int:
@@ -108,13 +141,18 @@ def main() -> int:
             continue
         except Exception as e:  # noqa: BLE001 - scoreboard tool
             got, code = f"<exception: {type(e).__name__}: {e}>", 1
+        post = any(k in t for k in ("grep", "sort", "head", "tail"))
+        if post:
+            got_cmp = postprocess(got, t)
+        else:
+            got_cmp = got
         ok = True
         if want is not None:
-            ok &= got.rstrip("\n") == want.rstrip("\n")
+            ok &= got_cmp.rstrip("\n") == want.rstrip("\n")
         if "stderr" in t and want is None:
             ok &= code != 0
         if "grep" in t and want is None and "stderr" not in t:
-            ok &= t["grep"] in got
+            ok &= bool(got_cmp.strip())
         if "exitcode" in t:
             ok &= code == int(t["exitcode"])
         if ok:
@@ -124,7 +162,7 @@ def main() -> int:
             print(f"FAIL #{idx}: {t['args'][:100]}")
             if verbose and want is not None:
                 for dl in difflib.unified_diff(
-                        want.splitlines(), got.splitlines(),
+                        want.splitlines(), got_cmp.splitlines(),
                         "expected", "got", lineterm=""):
                     print("   " + dl)
     nskip = sum(len(v) for v in skipped.values())
