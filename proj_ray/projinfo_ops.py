@@ -135,6 +135,14 @@ def resolve_crs(spec: str) -> dict:
         # 'EPSG:4326+3855': ad-hoc compound from two codes
         return _compound_crs(resolve_crs(f"EPSG:{mc.group(1)}"),
                              resolve_crs(f"EPSG:{mc.group(2)}"))
+    if s.startswith("+proj=longlat") and "+type=crs" in s \
+            and "+geoidgrids=" in s and "+datum=WGS84" in s:
+        # '+proj=longlat +datum=WGS84 +geoidgrids=G +type=crs': a bound
+        # compound CRS — WGS84 lon-lat horizontal + geoid heights
+        grids = re.search(r"\+geoidgrids=(\S+)", s).group(1)
+        return {"kind": "geoid_bound", "code": None, "grids": grids,
+                "name": "WGS 84 + unknown height", "bbox": None,
+                "datum": M.GEOG[4326][3]}
     m = re.match(r"(?i)^epsg:(\d+)$", s)
     if not m:
         from proj_ray.epsg_names import CRS_NAMES
@@ -709,7 +717,7 @@ def _axis_north_first(crs: dict) -> bool:
 def _horiz_is_geog(crs: dict) -> bool:
     if crs["kind"] == "compound":
         return _horiz_is_geog(crs["horiz"])
-    return crs["kind"] == "geog"
+    return crs["kind"] in ("geog", "geog_ll")
 
 
 def _crs_code_north_first(code: int) -> bool:
@@ -891,6 +899,7 @@ def _area_desc(cand: dict) -> str:
         return u[1] if u else "unknown domain of validity"
     table = {"grid": "grid_transformation",
              "vgrid": "grid_transformation",
+             "point_motion": "grid_transformation",
              "helmert": "helmert_transformation",
              "other": "other_transformation",
              "concat": "concatenated_operation",
@@ -921,6 +930,26 @@ def search(src: dict, dst: dict, opts: dict):
     """Returns (cands, note_count): the filtered+sorted candidate list
     and, when the default 'contains' test was used, how many the
     'intersects' test would have found."""
+    if src["kind"] == "geoid_bound" or dst["kind"] == "geoid_bound":
+        gb, other = (src, dst) if src["kind"] == "geoid_bound" \
+            else (dst, src)
+        if other["kind"] != "geog" or other["datum"] != gb["datum"]:
+            raise NotImplementedError(
+                "operation search geoid-bound CRS pair")
+        inv = dst is gb  # registered shape: bound-CRS -> geog 3D
+        cand = {"type": "proj_chain", "code": None, "auth": "PROJ",
+                "inverse": False, "derived": False,
+                "name": f"{src['name']} to {dst['name']}",
+                "steps": [(f"+proj=vgridshift +grids={gb['grids']} "
+                           f"+multiplier=1", inv)],
+                "acc": None, "table": "other_transformation",
+                "chain_src": dict(src, kind="geog_ll")
+                if src is gb else src,
+                "chain_dst": dict(dst, kind="geog_ll")
+                if dst is gb else dst,
+                "bbox": WORLD}
+        return [cand], None
+
     if src["kind"] == "compound" or dst["kind"] == "compound":
         return _search_compound(src, dst, opts)
 
@@ -936,6 +965,33 @@ def search(src: dict, dst: dict, opts: dict):
                             vert_pair=True)
 
     same_datum = src["datum"] == dst["datum"]
+    if opts.get("s_epoch") is not None \
+            and opts.get("t_epoch") is not None and same_datum \
+            and src["kind"] == "geog" and dst["kind"] == "geog":
+        # same-frame pair at two coordinate epochs: point-motion
+        # (velocity grid) operations (reference
+        # createOperationsGeodToGeod point-motion branch)
+        cands = []
+        for code, (gs, gd, method, mname, _ver, origs,
+                   mapped) in M.GRID_OPS.items():
+            if gs != gd or "Point motion" not in mname:
+                continue
+            if M.GEOG[gs][3] != src["datum"]:
+                continue
+            cands.append({
+                "type": "point_motion", "code": code, "auth": "EPSG",
+                "inverse": False,
+                "derived": tuple(mapped) != tuple(origs),
+                "entry": {"grids": list(mapped), "origs": origs,
+                          "method": method, "method_name": mname,
+                          "geog": gs},
+                "s_epoch": opts["s_epoch"], "t_epoch": opts["t_epoch"],
+                "wrap2d": gs != src["code"],
+                "geog_name": src["name"],
+                "bbox": _op_bbox_from_usage("grid_transformation",
+                                            code)})
+        return _filter_rank(cands, src, dst, opts, same_datum=True)
+
     if src["kind"] == "geog" and dst["kind"] == "geog" \
             and not same_datum \
             and M.GEOG[src["code"]][1] == "geocentric" \
@@ -1373,6 +1429,18 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
         ids = "unknown id" if c.get("code") is None \
             else _id_str(c)
         return f"{ids}, {name}, {acc_str}, {_area_desc(c)}"
+    if c["type"] == "point_motion":
+        name = (f"{M.OP_META[c['code']][0]} from epoch "
+                f"{wnum(c['s_epoch'])} to epoch {wnum(c['t_epoch'])}")
+        if c.get("wrap2d"):
+            g = c["geog_name"]
+            name = (f"Null geographic offset from {g} (geog2D) to "
+                    f"{g} (geog3D) + {name} + Null geographic offset "
+                    f"from {g} (geog3D) to {g} (geog2D)")
+        acc = _cand_acc(c)
+        acc_str = f"{wnum(acc)} m" if acc is not None \
+            else "unknown accuracy"
+        return f"unknown id, {name}, {acc_str}, {_area_desc(c)}"
     if c["type"] == "conversion":
         name = M.CONV[c["code"]][0]
         return (f"EPSG:{c['code']}, {name}, 0 m, "

@@ -1049,6 +1049,20 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             search_opts["accuracy"] = float(args[i + 1])
             i += 2
             continue
+        if a == "--searchpaths":
+            from proj_ray.ops.gridshift import GRID_SEARCH_PATH
+
+            return "".join(str(p) + "\n"
+                           for p in GRID_SEARCH_PATH), 0
+        if a == "--remote-data":
+            import os
+
+            if os.environ.get("PROJ_NETWORK", "").upper() == "ON":
+                return ("Status: enabled\n"
+                        "URL: https://cdn.proj.org\n"), 0
+            return ("Status: disabled\n"
+                    "Reason: not enabled in proj.ini or PROJ_NETWORK=ON "
+                    "not specified\n"), 0
         if a == "--list-crs":
             list_crs_filter = ""
             if i + 1 < len(args) and not args[i + 1].startswith("-"):
@@ -1061,7 +1075,11 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             search_opts["authority"] = args[i + 1]
             i += 2
             continue
-        if a in ("--output-id", "--s_epoch", "--t_epoch"):
+        if a in ("--s_epoch", "--t_epoch"):
+            search_opts[a.lstrip("-")] = float(args[i + 1])
+            i += 2
+            continue
+        if a == "--output-id":
             unsupported.append(a)
             i += 2
             continue
