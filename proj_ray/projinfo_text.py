@@ -969,6 +969,23 @@ def crs_text(kind: str, code: int, fmt: str,
     raise NotImplementedError(f"output format {fmt}")
 
 
+def _object_sql(spec: str, oauth: str, ocode: str,
+                authority: str | None) -> list[str]:
+    """SQL INSERT statements for a CRS object under --output-id."""
+    import re
+
+    from proj_ray import projinfo_sql as PS
+
+    s = spec.strip()
+    if s.startswith("+proj=") and "+type=crs" in s:
+        return PS.projstring_projected_sql(
+            s, oauth, ocode, materialize=authority is not None)
+    m = re.match(r"(?i)^epsg:(\d+)$", s)
+    if m and int(m.group(1)) in M.GEOG:
+        return PS.registry_geog_sql(int(m.group(1)), oauth, ocode)
+    raise NotImplementedError(f"SQL output for {spec!r}")
+
+
 def run_projinfo(args: list[str]) -> tuple[str, int]:
     """Replicate projinfo's stdout for the supported argument shapes.
     Returns (stdout_text, exit_code); raises NotImplementedError for
@@ -1080,8 +1097,12 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             i += 2
             continue
         if a == "--output-id":
-            unsupported.append(a)
+            search_opts["output_id"] = args[i + 1]
             i += 2
+            continue
+        if a == "--dump-db-structure":
+            search_opts["dump_db"] = True
+            i += 1
             continue
         if a.startswith("--"):
             unsupported.append(a)
@@ -1091,6 +1112,23 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
         i += 1
     if unsupported:
         raise NotImplementedError("flag " + unsupported[0])
+    sql_out = fmt is not None and fmt.upper() == "SQL"
+    if search_opts.get("dump_db") or \
+            (sql_out and "output_id" in search_opts):
+        out = []
+        if search_opts.get("dump_db"):
+            from proj_ray.db_structure_generated import DB_STRUCTURE
+
+            out.extend(DB_STRUCTURE)
+        if len(positional) == 1:
+            oid = search_opts.get("output_id")
+            if oid is None:
+                raise NotImplementedError(
+                    "SQL output without --output-id")
+            oauth, _, ocode = oid.partition(":")
+            out.extend(_object_sql(positional[0], oauth, ocode,
+                                   search_opts.get("authority")))
+        return "\n".join(out) + "\n", 0
     if "list_crs" in search_opts:
         auths = search_opts.get("authority")
         return list_crs(search_opts["list_crs"],
