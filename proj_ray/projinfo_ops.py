@@ -593,7 +593,7 @@ def _candidates_geog_geog(src: dict, dst: dict) -> list[dict]:
                     "derived": False})
     # concatenated operations whose steps are helmert/grid ops
     for code, (name, cs_, cd_, step_codes) in M.CONCAT_OPS.items():
-        if code in seen:
+        if code in seen or code in M.CONCAT_DEPRECATED:
             continue
         inverse = direction(cs_, cd_)
         if inverse is None:
@@ -1046,7 +1046,320 @@ def search(src: dict, dst: dict, opts: dict):
             c["wrap_dst"] = wrap_dst
 
     cands += chain_cands
+    if not cands and not same_datum:
+        # no registry op links the two datums: datum-pivot synthesis
+        cands = _pivot_candidates(src, dst)
     return _filter_rank(cands, src, dst, opts, same_datum)
+
+
+_CRS_FORM = {"geographic 2D": "geog2D", "geographic 3D": "geog3D",
+             "geocentric": "geocentric"}
+
+
+def _registry_ops_between(a: int, b: int) -> list[tuple]:
+    """Registry ops with exact CRS endpoints a -> b (either direction):
+    (kind, code, inverse) after within-set supersession."""
+    res = []
+    for code, (gs, gd, _m, _mn, _v, _o, _mp) in M.GRID_OPS.items():
+        if (gs, gd) == (a, b):
+            res.append(("grid", code, False))
+        elif (gs, gd) == (b, a):
+            res.append(("grid", code, True))
+    for code, d in M.HELMERT_OPS.items():
+        if (d["src"], d["dst"]) == (a, b):
+            res.append(("helmert", code, False))
+        elif (d["src"], d["dst"]) == (b, a):
+            res.append(("helmert", code, True))
+    for code, (_n, cs_, cd_, _steps) in M.CONCAT_OPS.items():
+        if code in M.CONCAT_DEPRECATED:
+            continue
+        if (cs_, cd_) == (a, b):
+            res.append(("concat", code, False))
+        elif (cs_, cd_) == (b, a):
+            res.append(("concat", code, True))
+    codes = {c for _k, c, _i in res}
+    return [r for r in res
+            if not any(s in codes
+                       for s in M.SUPERSEDED_BY.get(r[1], ()))]
+
+
+def _op_endpoints(code: int):
+    if code in M.GRID_OPS:
+        return M.GRID_OPS[code][0], M.GRID_OPS[code][1]
+    if code in M.HELMERT_OPS:
+        return M.HELMERT_OPS[code]["src"], M.HELMERT_OPS[code]["dst"]
+    if code in M.CONCAT_OPS:
+        return M.CONCAT_OPS[code][1], M.CONCAT_OPS[code][2]
+    return None
+
+
+def _op_table(code: int) -> str:
+    if code in M.GRID_OPS:
+        return "grid_transformation"
+    if code in M.HELMERT_OPS:
+        return "helmert_transformation"
+    return "concatenated_operation"
+
+
+def _conv_name(geog_code: int, from_form: str, to_form: str) -> str:
+    name = M.GEOG[geog_code][0]
+    return (f"Conversion from {name} ({from_form}) to "
+            f"{name} ({to_form})")
+
+
+def _flatten_leg(kind: str, code: int, inv: bool,
+                 declared_dst: int | None = None):
+    """A registry op as displayed inside a synthesized concatenation:
+    (names, accs) where a registered concatenated op expands into its
+    steps with geog<->geocentric conversion steps instantiated (the
+    reference ConcatenatedOperation::createComputeMetadata). A
+    conversion's accuracy is None — it makes the total UNKNOWN for
+    ranking while the summary still prints the sum of the known step
+    accuracies."""
+    if kind != "concat":
+        acc = M.OP_ACC.get(code)
+        name = M.OP_META[code][0]
+        if inv:
+            name = f"Inverse of {name}"
+        return [name], [float(acc) if acc is not None else None], False
+    cname, cs_, cd_, steps = M.CONCAT_OPS[code]
+    names: list[str] = []
+    accs: list = []
+    has_conv = False
+    cur = cs_
+    for sc in steps:
+        ends = _op_endpoints(sc)
+        if ends is None:
+            # unexpandable step: present the concat by its own name
+            acc = M.OP_ACC.get(code)
+            nm = f"Inverse of {cname}" if inv else cname
+            return [nm], [float(acc) if acc is not None else None], \
+                False
+        s, d = ends
+        step_inv = False
+        if s != cur:
+            if d == cur:
+                step_inv = True
+                s, d = d, s
+            elif cur in M.GEOG and s in M.GEOG \
+                    and M.GEOG[cur][3] == M.GEOG[s][3]:
+                # same-datum form change: instantiated conversion
+                names.append(_conv_name(
+                    cur, _CRS_FORM.get(M.GEOG[cur][1], "geog2D"),
+                    _CRS_FORM.get(M.GEOG[s][1], "geog2D")))
+                accs.append(None)
+                has_conv = True
+            else:
+                acc = M.OP_ACC.get(code)
+                nm = f"Inverse of {cname}" if inv else cname
+                return [nm], \
+                    [float(acc) if acc is not None else None], False
+        nm = M.OP_META[sc][0]
+        if step_inv:
+            nm = f"Inverse of {nm}"
+        names.append(nm)
+        acc = M.OP_ACC.get(sc)
+        accs.append(float(acc) if acc is not None else None)
+        cur = d
+    if cur != cd_ and cur in M.GEOG and cd_ in M.GEOG \
+            and M.GEOG[cur][3] == M.GEOG[cd_][3]:
+        names.append(_conv_name(
+            cur, _CRS_FORM.get(M.GEOG[cur][1], "geog2D"),
+            _CRS_FORM.get(M.GEOG[cd_][1], "geog2D")))
+        accs.append(None)
+        has_conv = True
+    if inv:
+        names = [n[len("Inverse of "):]
+                 if n.startswith("Inverse of ") else f"Inverse of {n}"
+                 for n in reversed(names)]
+        accs = list(reversed(accs))
+    return names, accs, has_conv
+
+
+def _leg_extent(kind: str, code: int):
+    """(bbox, description) of a registry op's usage."""
+    table = _op_table(code)
+    u = crs_usage(table, code)
+    if not u:
+        return WORLD, "World"
+    s, n, w, e = u[2]
+    return (w, s, e, n), u[1]
+
+
+def _grids_of(code: int) -> list[str]:
+    if code in M.GRID_OPS:
+        return [M.GRID_OPS[code][6][0]]
+    if code in M.CONCAT_OPS:
+        out = []
+        for sc in M.CONCAT_OPS[code][3]:
+            out += _grids_of(sc)
+        return out
+    return []
+
+
+def _pivot_candidates(src: dict, dst: dict) -> list[dict]:
+    """No registry op links the two datums directly: synthesize
+    concatenations (reference createOperationsWithDatumPivot +
+    findsOpsInRegistryWithIntermediate):
+      (a) datum-ensemble bridge: registry ops to a CRS of the ensemble
+          the target datum belongs to, plus a null ensemble->member
+          transformation carrying the ensemble accuracy;
+      (b) one-intermediate joins: registry op pairs (src -> X) and
+          (X -> dst) matched on exact CRS codes."""
+    out = []
+    seen_names = set()
+
+    def add(legs, bridge_name=None, bridge_acc=None):
+        names: list[str] = []
+        accs: list = []
+        has_conv = False
+        boxes = []
+        grids_known = True
+        has_grids = False
+        for kind, code, inv in legs:
+            n, a, hc = _flatten_leg(kind, code, inv)
+            names += n
+            accs += a
+            has_conv = has_conv or hc
+            boxes.append(_leg_extent(kind, code))
+            for g in _grids_of(code):
+                has_grids = True
+                if not g.endswith((".tif", ".json")):
+                    grids_known = False
+        if bridge_name:
+            names.append(bridge_name)
+            accs.append(bridge_acc)
+        name = " + ".join(names)
+        if name in seen_names:
+            return
+        seen_names.add(name)
+        # extent: intersection — when one leg's extent contains the
+        # other, the contained extent (with its description) survives
+        bbox, desc = boxes[0]
+        for b2, d2 in boxes[1:]:
+            if box_contains(bbox, b2):
+                bbox, desc = b2, d2
+            elif not box_contains(b2, bbox):
+                inter = box_intersection(bbox, b2)
+                if inter is not None:
+                    bbox = inter
+        known = [a for a in accs if a is not None]
+        acc_sort = sum(known) if not has_conv \
+            and len(known) == len(accs) else None
+        acc_disp = sum(known) if known else None
+        # reference ranking for pivot syntheses (SortFunction
+        # gridsAvailable in a no-grids-installed environment): gridless
+        # concatenations sort before grid-bearing ones
+        rank = 1 if has_grids else 0
+        out.append({"type": "pivot_chain", "code": None,
+                    "inverse": False, "derived": False, "name": name,
+                    "acc": acc_sort, "acc_display": acc_disp,
+                    "bbox": bbox, "area": desc, "pivot_rank": rank,
+                    "grids_known": grids_known})
+
+    # (a) ensemble bridges
+    for ens, members in M.ENSEMBLE_MEMBERS.items():
+        fam = _datum_family(ens)
+        if dst.get("datum") in members and src.get("datum") != ens:
+            ename = M.GEOG[fam[0]][0] if fam else ""
+            eacc = float(M.DATUM[ens][3]) if M.DATUM[ens][3] else None
+            for m in fam:
+                for kind, code, inv in _registry_ops_between(
+                        src["code"], m):
+                    add([(kind, code, inv)],
+                        bridge_name=f"{ename} to {dst['name']}",
+                        bridge_acc=eacc)
+        if src.get("datum") in members and dst.get("datum") != ens:
+            ename = M.GEOG[fam[0]][0] if fam else ""
+            eacc = float(M.DATUM[ens][3]) if M.DATUM[ens][3] else None
+            for m in fam:
+                for kind, code, inv in _registry_ops_between(
+                        m, dst["code"]):
+                    legs = [(kind, code, inv)]
+                    n, a, hc = _flatten_leg(*legs[0])
+                    nm = f"{src['name']} to {ename} + " + " + ".join(n)
+                    if nm in seen_names:
+                        continue
+                    seen_names.add(nm)
+                    bbox, desc = _leg_extent(kind, code)
+                    known = [x for x in a if x is not None]
+                    legs_grids = _grids_of(code)
+                    out.append({
+                        "type": "pivot_chain", "code": None,
+                        "inverse": False, "derived": False,
+                        "name": nm,
+                        "acc": (eacc or 0) + sum(known)
+                        if not hc and len(known) == len(a)
+                        and eacc is not None else None,
+                        "acc_display": (eacc or 0) + sum(known),
+                        "bbox": bbox, "area": desc,
+                        "pivot_rank": 1 if legs_grids else 0,
+                        "grids_known": all(
+                            g.endswith((".tif", ".json"))
+                            for g in legs_grids)})
+
+    # (b) one-intermediate joins on exact CRS codes
+    touch_src: dict[int, list] = {}
+    touch_dst: dict[int, list] = {}
+    for store, crs_code in ((touch_src, src["code"]),
+                            (touch_dst, dst["code"])):
+        for code, (gs, gd, *_r) in M.GRID_OPS.items():
+            if gs == crs_code:
+                store.setdefault(gd, []).append(("grid", code, False))
+            elif gd == crs_code:
+                store.setdefault(gs, []).append(("grid", code, True))
+        for code, d in M.HELMERT_OPS.items():
+            if d["src"] == crs_code:
+                store.setdefault(d["dst"], []).append(
+                    ("helmert", code, False))
+            elif d["dst"] == crs_code:
+                store.setdefault(d["src"], []).append(
+                    ("helmert", code, True))
+        for code, (_n, cs_, cd_, _st) in M.CONCAT_OPS.items():
+            if code in M.CONCAT_DEPRECATED:
+                continue
+            if cs_ == crs_code:
+                store.setdefault(cd_, []).append(
+                    ("concat", code, False))
+            elif cd_ == crs_code:
+                store.setdefault(cs_, []).append(
+                    ("concat", code, True))
+    # ensemble CRSs already bridged above: a chain leg duplicated by a
+    # registered parameter-identical "approximation twin" toward the
+    # bridge family adds nothing (EPSG registers e.g. AGD66 to WGS 84
+    # (16) as the WGS84 copy of AGD66 to GDA94 (1); the reference lists
+    # only the twin's concatenation)
+    bridge_fams: set[int] = set()
+    for ens, members in M.ENSEMBLE_MEMBERS.items():
+        if dst.get("datum") in members or src.get("datum") in members:
+            bridge_fams.update(_datum_family(ens))
+
+    def has_param_twin(kind: str, code) -> bool:
+        if kind != "helmert":
+            return False
+        d = M.HELMERT_OPS.get(code)
+        if d is None or "r" in d:
+            return False
+        for c2, d2 in M.HELMERT_OPS.items():
+            if c2 != code and d2["src"] == d["src"] \
+                    and d2["dst"] in bridge_fams and "r" not in d2 \
+                    and d2["t"] == d["t"]:
+                return True
+        return False
+
+    for x in sorted(set(touch_src) & set(touch_dst)):
+        if x in (src["code"], dst["code"]):
+            continue
+        # the dst-side ops are inverted in touch_dst's indexing (they
+        # were matched on dst): re-read direction x -> dst
+        o1s = _registry_ops_between(src["code"], x)
+        o2s = _registry_ops_between(x, dst["code"])
+        for o1 in o1s:
+            if has_param_twin(o1[0], o1[1]):
+                continue
+            for o2 in o2s:
+                add([o1, o2])
+    return out
 
 
 def _geocentric_pair_candidates(src: dict, dst: dict) -> list[dict]:
@@ -1370,6 +1683,8 @@ def _filter_rank(cands, src, dst, opts, same_datum,
         """Reference gridsKnown_: every grid the op needs resolves to a
         distributable file in the DB (grid_alternatives); proxied by
         the mapped name being a modern .tif/.json."""
+        if "grids_known" in c:
+            return c["grids_known"]
         if c["type"] in ("grid", "vgrid"):
             g = c["entry"]["grids"][0]
             return g.endswith((".tif", ".json"))
@@ -1388,6 +1703,13 @@ def _filter_rank(cands, src, dst, opts, same_datum,
         # accuracy value
         if c.get("sort_first"):
             return (-1, 0, 0, 0.0, 0.0, (0, ""))
+        if c["type"] == "pivot_chain":
+            acc = c.get("acc_display")
+            box = c["bbox"]
+            if aoi is not None:
+                box = box_intersection(box, aoi) or (0.0,) * 4
+            return (0, c["pivot_rank"], 0, -_box_area(box),
+                    acc if acc is not None else 1e9, (1, c["name"]))
         if c["type"] in ("ballpark", "ballpark_vert",
                          "ballpark_geocentric"):
             return (1, 1, 1, 0.0, 1e9, (0, ""))
@@ -1429,6 +1751,12 @@ def _cand_header(c: dict, src: dict, dst: dict) -> str:
         ids = "unknown id" if c.get("code") is None \
             else _id_str(c)
         return f"{ids}, {name}, {acc_str}, {_area_desc(c)}"
+    if c["type"] == "pivot_chain":
+        acc = c.get("acc_display")
+        acc_str = f"{wnum(acc)} m" if acc is not None \
+            else "unknown accuracy"
+        return (f"unknown id, {c['name']}, {acc_str}, "
+                f"{c.get('area', 'unknown domain of validity')}")
     if c["type"] == "point_motion":
         name = (f"{M.OP_META[c['code']][0]} from epoch "
                 f"{wnum(c['s_epoch'])} to epoch {wnum(c['t_epoch'])}")

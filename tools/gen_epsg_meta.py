@@ -439,6 +439,7 @@ def main() -> None:
         if r[0] != "EPSG" or r[3] != "EPSG":
             continue
         steps.setdefault(int(r[1]), []).append((int(r[2]), int(r[4])))
+    concat_deprecated: set[int] = set()
     for r in rows("concatenated_operation.sql",
                   "concatenated_operation"):
         # auth, code, name, desc, src_auth, src, dst_auth, dst,
@@ -448,6 +449,8 @@ def main() -> None:
         st = [c for _, c in sorted(steps.get(int(r[1]), []))]
         if st:
             concat[int(r[1])] = (r[2], int(r[5]), int(r[7]), tuple(st))
+            if r[-1] == "1":
+                concat_deprecated.add(int(r[1]))
 
     alias: dict[tuple, int] = {}
     for r in rows("alias_name.sql", "alias_name"):
@@ -574,7 +577,9 @@ def main() -> None:
                           ("SUPERSEDED_BY", superseded_by),
                           ("OTHER_OPS", other_ops),
                           ("PROJ_OPS", proj_ops),
-                          ("NKG_OPS", nkg_ops)):
+                          ("NKG_OPS", nkg_ops),
+                          ("CONCAT_DEPRECATED",
+                           {c: 1 for c in sorted(concat_deprecated)})):
             f.write(f"{name} = {{\n")
             for k in sorted(obj, key=lambda x: (str(type(x)), repr(x))):
                 f.write(f"    {k!r}: {obj[k]!r},\n")
