@@ -969,6 +969,82 @@ def crs_text(kind: str, code: int, fmt: str,
     raise NotImplementedError(f"output format {fmt}")
 
 
+def _wkt1_geogcs_output(text: str) -> tuple[str, int]:
+    """A WKT1 GEOGCS given as the object: tolerant parse (the
+    reference recovers from a missing PRIMEM with a warning and a
+    bison-style grammar error showing an ±40-char context window),
+    then PROJ.4 + WKT2:2019 output."""
+    from proj_ray.wkt import _parse_wkt
+
+    node = _parse_wkt(text)
+    if node.name.upper() != "GEOGCS":
+        raise NotImplementedError("non-registry CRS input")
+    datum_in = node.find("DATUM")
+    primem = node.find("PRIMEM")
+    unit = node.find("UNIT")
+    if datum_in is None:
+        raise NotImplementedError("non-registry CRS input")
+    head = ""
+    if primem is None and unit is not None:
+        head += "Warning: GEOGCS should have a PRIMEM node\n"
+        pos = text.index("UNIT[", text.index("DATUM"))
+        start = max(0, pos - 40)
+        window = text[start:min(len(text), pos + 40)]
+        head += ("Grammar error: Parsing error : syntax error, "
+                 "unexpected UNIT, expecting PRIMEM. Error occurred "
+                 "around:\n" + window + "\n"
+                 + " " * (pos - start) + "^\n")
+    name = str(node.args[0])
+    dname = str(datum_in.args[0])
+    sph = datum_in.find("SPHEROID", "ELLIPSOID")
+    ename, a, rf = str(sph.args[0]), sph.args[1], sph.args[2]
+    def _dnorm(s: str) -> str:
+        s = s[2:] if s.startswith("D_") else s
+        return s.replace("_", " ").casefold()
+
+    want = _dnorm(dname)
+    dcode = M.ALIAS.get(("geodetic_datum", want))
+    if dcode is None:
+        dcode = next((c for (tbl, c), alias in M.ESRI_ALIAS.items()
+                      if tbl == "geodetic_datum"
+                      and _dnorm(alias) == want), None)
+    if dcode is None:
+        dcode = next((c for c, d in M.DATUM.items()
+                      if _dnorm(d[0]) == want), None)
+    if dcode is not None:
+        dname = M.DATUM[dcode][0]
+        if dname.endswith(" ensemble"):
+            dname = dname[: -len(" ensemble")]
+    uname = str(unit.args[0]) if unit else "degree"
+    uval = unit.args[1] if unit else 0.0174532925199433
+
+    def au():
+        return N("ANGLEUNIT", q(uname), wnum(uval))
+
+    geog = N(
+        "GEOGCRS", q(name),
+        N("DATUM", q(dname),
+          N("ELLIPSOID", q(ename), wnum(a), wnum(rf),
+            N("LENGTHUNIT", q("metre"), "1",
+              N("ID", q("EPSG"), "9001")))),
+        N("PRIMEM", q("Greenwich"), "0",
+          N("ANGLEUNIT", q("degree"), DEG_RAD),
+          N("ID", q("EPSG"), "8901")),
+        N("CS", "ellipsoidal", "2"),
+        N("AXIS", q("longitude"), "east", N("ORDER", "1"), au(),
+          bump=True),
+        N("AXIS", q("latitude"), "north", N("ORDER", "2"), au(),
+          bump=True))
+    if dcode is not None:
+        p4 = "+proj=longlat " + " ".join(_p4_datum_parts(dcode)) \
+            + " +no_defs +type=crs"
+    else:
+        p4 = (f"+proj=longlat +a={wnum(a)} +rf={wnum(rf)} "
+              f"+no_defs +type=crs")
+    return (head + "PROJ.4 string:\n" + p4 + "\n\n"
+            + "WKT2:2019 string:\n" + geog.render(0, True) + "\n"), 0
+
+
 def _object_sql(spec: str, oauth: str, ocode: str,
                 authority: str | None) -> list[str]:
     """SQL INSERT statements for a CRS object under --output-id."""
@@ -1167,6 +1243,9 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             return ("WKT2:2019 string:\n" + body + "\n", 0)
     if len(positional) == 1:
         r = _resolve_code(positional[0])
+        if r is None and positional[0].lstrip().upper().startswith(
+                "GEOGCS["):
+            return _wkt1_geogcs_output(positional[0])
         if r is None:
             raise NotImplementedError("non-registry CRS input")
         kind, code = r

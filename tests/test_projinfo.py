@@ -1,5 +1,5 @@
 """projinfo exact-text regression: replay the reference's
-test_projinfo.yaml and pin the pass floor (41/84 byte-exact as of
+test_projinfo.yaml and pin the pass floor (84/84 byte-exact as of
 round 4; failures and skips are itemized missing-feature classes,
 never wrong silent output on the passing set)."""
 import subprocess
@@ -15,8 +15,8 @@ def test_projinfo_yaml_floor():
     # "projinfo yaml: P pass / F fail / S skip of 84"
     parts = line.split()
     npass, nfail = int(parts[2]), int(parts[5])
-    assert npass >= 41, line
-    assert nfail <= 5, line
+    assert npass == 84, line
+    assert nfail == 0, line
 
 
 def test_projinfo_crs_exact_4326():
