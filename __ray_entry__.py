@@ -3654,6 +3654,161 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= 0.9
 """
 
 
+def _event_rects(sf_dir: str):
+    """Event footprint rectangles: deterministic center + half-extent
+    from event_id (integer milli-degree arithmetic, exact in both
+    numpy float64 and the SQL mirror)."""
+    ev = _read(sf_dir, "events", columns=["event_id"])
+
+    def rects(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        cx = (i * 61803 % 360000) / 1000.0 - 180.0
+        cy = (i * 75487 % 170000) / 1000.0 - 85.0
+        hw = (i * 7919 % 400 + 50) / 1000.0
+        hh = (i * 104729 % 300 + 50) / 1000.0
+        return {"event_id": i, "x0": cx - hw, "y0": cy - hh,
+                "x1": cx + hw, "y1": cy + hh}
+
+    return ev.map_batches(rects, batch_format="numpy")
+
+
+def _supplier_rects(sf_dir: str):
+    """Supplier coverage rectangles (the wider layer: 1.8-3.0 deg
+    half-width) from s_suppkey by the same integer recipe."""
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey"])
+
+    def rects(b: dict) -> dict:
+        s = np.asarray(b["s_suppkey"], dtype=np.int64)
+        cx = (s * 48271 % 360000) / 1000.0 - 180.0
+        cy = (s * 69621 % 170000) / 1000.0 - 85.0
+        hw = (s * 7919 % 1200 + 1800) / 1000.0
+        hh = (s * 69997 % 900 + 1500) / 1000.0
+        return {"s_suppkey": s, "x0": cx - hw, "y0": cy - hh,
+                "x1": cx + hw, "y1": cy + hh}
+
+    return sup.map_batches(rects, batch_format="numpy")
+
+
+def _q71_overlay_area(sf_dir: str):
+    """Rectangle intersection-area overlay join (PBSM shape on the
+    measured surface): event footprints x supplier coverage rects ->
+    every STRICTLY overlapping pair with the exact integer
+    intersection area in milli-degree^2 units. The partitioned path
+    is forced so the oracle gate exercises the 100-TB plan — both
+    sides flat-mapped to 4-degree grid cells, ONE co-partitioned
+    all-to-all, per-cell vectorized pairing with REFERENCE-POINT
+    duplicate avoidance (a pair overlapping k cells is claimed only by
+    the cell containing the intersection's min corner; Patel & DeWitt
+    PBSM, SIGMOD 1996). Broadcast-path parity is pytest-asserted
+    (proj_ray/functions/overlay.py)."""
+    from proj_ray.functions.overlay import rect_overlay_join
+
+    return rect_overlay_join(
+        _event_rects(sf_dir), _supplier_rects(sf_dir),
+        "event_id", "s_suppkey", scale=1000, cell_deg=4.0,
+        force="partitioned")
+
+
+_Q71_SQL = """
+WITH ev AS (
+  SELECT event_id,
+         event_id*61803 % 360000 - 180000 AS cx,
+         event_id*75487 % 170000 - 85000  AS cy,
+         event_id*7919 % 400 + 50         AS hw,
+         event_id*104729 % 300 + 50       AS hh
+  FROM events),
+sup AS (
+  SELECT s_suppkey,
+         s_suppkey*48271 % 360000 - 180000 AS cx,
+         s_suppkey*69621 % 170000 - 85000  AS cy,
+         s_suppkey*7919 % 1200 + 1800      AS hw,
+         s_suppkey*69997 % 900 + 1500      AS hh
+  FROM supplier)
+SELECT e.event_id, s.s_suppkey,
+       CAST((LEAST(e.cx+e.hw, s.cx+s.hw) - GREATEST(e.cx-e.hw, s.cx-s.hw))
+          * (LEAST(e.cy+e.hh, s.cy+s.hh) - GREATEST(e.cy-e.hh, s.cy-s.hh))
+          AS BIGINT) AS area
+FROM ev e, sup s
+WHERE LEAST(e.cx+e.hw, s.cx+s.hw) > GREATEST(e.cx-e.hw, s.cx-s.hw)
+  AND LEAST(e.cy+e.hh, s.cy+s.hh) > GREATEST(e.cy-e.hh, s.cy-s.hh)
+"""
+
+
+_FENCES_N = 24
+
+
+def _fence_segments(n: int = _FENCES_N):
+    """n deterministic long fence segments spanning the globe (integer
+    milli-degree endpoints /1000)."""
+    i = np.arange(n, dtype=np.int64)
+    x0 = (i * 15077 % 360000) / 1000.0 - 180.0
+    y0 = (i * 26947 % 170000) / 1000.0 - 85.0
+    x1 = (i * 40093 % 360000) / 1000.0 - 180.0
+    y1 = (i * 56099 % 170000) / 1000.0 - 85.0
+    return x0, y0, x1, y1
+
+
+def _q72_track_crossings(sf_dir: str):
+    """Trajectory-vs-fence segment-intersection join: each user's
+    event track (ordered by ts, event_id; points derived from
+    event_id by the _docs_geo integer recipe) is cut into consecutive
+    legs, and PROPER crossings (strict straddle both ways — exact
+    int64 cross-product signs at milli-degree precision) are counted
+    against 24 broadcast fence segments. Shuffle plan: ONE hash-bucket
+    all-to-all on a bucket of user_id + a vectorized legs x fences
+    orientation pass per bucket; fences ride ray.put
+    (proj_ray/functions/overlay.py segment_crossings)."""
+    from proj_ray.functions.overlay import segment_crossings
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def pts(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        return {"event_id": i,
+                "user_id": np.asarray(b["user_id"], dtype=np.int64),
+                "ts": np.asarray(b["ts"]),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    return segment_crossings(
+        ev.map_batches(pts, batch_format="numpy"),
+        "user_id", ["ts", "event_id"], "lon", "lat",
+        _fence_segments(), scale=1000)
+
+
+_Q72_SQL = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         event_id*61803 % 360000 - 180000 AS x,
+         event_id*75487 % 170000 - 85000  AS y
+  FROM events),
+legs AS (
+  SELECT user_id, x AS bx, y AS by,
+         LAG(x) OVER w AS ax, LAG(y) OVER w AS ay
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+f AS (
+  SELECT i AS fence,
+         i*15077 % 360000 - 180000 AS fx0,
+         i*26947 % 170000 - 85000  AS fy0,
+         i*40093 % 360000 - 180000 AS fx1,
+         i*56099 % 170000 - 85000  AS fy1
+  FROM range({_FENCES_N}) t(i)),
+d AS (
+  SELECT user_id, fence,
+         (fx1-fx0)*(ay-fy0) - (fy1-fy0)*(ax-fx0) AS d1,
+         (fx1-fx0)*(by-fy0) - (fy1-fy0)*(bx-fx0) AS d2,
+         (bx-ax)*(fy0-ay) - (by-ay)*(fx0-ax) AS d3,
+         (bx-ax)*(fy1-ay) - (by-ay)*(fx1-ax) AS d4
+  FROM legs, f WHERE ax IS NOT NULL)
+SELECT user_id, fence, CAST(COUNT(*) AS BIGINT) AS n_cross
+FROM d
+WHERE ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
+  AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0))
+GROUP BY user_id, fence
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3731,6 +3886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_pip_polygons": _q68_pip_polygons,
         "q69_bounds_cover": _q69_bounds_cover,
         "q70_dedup_embedding_lsh": _q70_dedup_embedding_lsh,
+        "q71_overlay_area": _q71_overlay_area,
+        "q72_track_crossings": _q72_track_crossings,
     }
 
 
@@ -3805,4 +3962,6 @@ def oracle_sql() -> dict[str, str]:
         "q68_pip_polygons": _q68_sql(),
         "q69_bounds_cover": _Q69_SQL,
         "q70_dedup_embedding_lsh": _Q70_SQL,
+        "q71_overlay_area": _Q71_SQL,
+        "q72_track_crossings": _Q72_SQL,
     }
