@@ -216,6 +216,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q51_heavy_hitters(sf_dir)))
     timed("q52_revenue_by_nation",
           lambda: consume(E._q52_revenue_by_nation(sf_dir)))
+    timed("q71_overlay_area",
+          lambda: consume(E._q71_overlay_area(sf_dir)))
+    timed("q72_track_crossings",
+          lambda: consume(E._q72_track_crossings(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -199,16 +199,21 @@ def rect_overlay_join(left, right, left_id: str, right_id: str,
             probe, batch_format="numpy", batch_size=8192)
 
     # ---- partitioned (PBSM): flat-map both sides to covered cells,
-    # ONE co-partitioned all-to-all, per-cell vectorized pairing with
-    # reference-point dedup.
+    # ONE co-partitioned all-to-all on a HASH BUCKET of the cell (not
+    # the raw cell — thousands of tiny map_groups would pay per-group
+    # scheduling; a cell never splits across buckets so the per-cell
+    # reference-point dedup stays exact), then a grouped-starts
+    # segment pass pairs each distinct cell inside the bucket with one
+    # vectorized left x right test.
     def expand(side_val):
         def fn(batch):
             idc = left_id if side_val == 0 else right_id
             b = fixed(batch, idc)
             row, cx, cy = _covered_cells(b["x0"], b["y0"], b["x1"],
                                          b["y1"], cell)
+            bk = ((cx * 73856093) ^ (cy * 19349663)) % n_partitions
             return pd.DataFrame({
-                "_cx": cx, "_cy": cy,
+                "_bk": bk, "_cx": cx, "_cy": cy,
                 "_side": np.full(len(row), side_val, dtype=np.int8),
                 "id": b["id"][row],
                 "x0": b["x0"][row], "y0": b["y0"][row],
@@ -220,28 +225,46 @@ def rect_overlay_join(left, right, left_id: str, right_id: str,
     rexp = right.select_columns([right_id, *need]).map_batches(
         expand(1), batch_format="numpy", batch_size=65536)
 
-    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
-        cx = int(g["_cx"].iloc[0])
-        cy = int(g["_cy"].iloc[0])
-        ls = g[g["_side"].to_numpy() == 0]
-        rs = g[g["_side"].to_numpy() == 1]
-        if not len(ls) or not len(rs):
-            return pd.DataFrame({left_id: np.empty(0, np.int64),
-                                 right_id: np.empty(0, np.int64),
-                                 "area": np.empty(0, np.int64)})
-        li, ri, ar = _pair_rects(
-            ls["x0"].to_numpy(), ls["y0"].to_numpy(),
-            ls["x1"].to_numpy(), ls["y1"].to_numpy(),
-            ls["id"].to_numpy(),
-            rs["x0"].to_numpy(), rs["y0"].to_numpy(),
-            rs["x1"].to_numpy(), rs["y1"].to_numpy(),
-            rs["id"].to_numpy(),
-            cell=cell, cx=cx, cy=cy)
-        return pd.DataFrame({left_id: li, right_id: ri, "area": ar})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({left_id: np.empty(0, np.int64),
+                              right_id: np.empty(0, np.int64),
+                              "area": np.empty(0, np.int64)})
+        cx = g["_cx"].to_numpy()
+        cy = g["_cy"].to_numpy()
+        side = g["_side"].to_numpy()
+        ids = g["id"].to_numpy()
+        x0 = g["x0"].to_numpy()
+        y0 = g["y0"].to_numpy()
+        x1 = g["x1"].to_numpy()
+        y1 = g["y1"].to_numpy()
+        order = np.lexsort((side, cy, cx))
+        cxs, cys, sides = cx[order], cy[order], side[order]
+        starts = np.flatnonzero(
+            np.r_[True, (np.diff(cxs) != 0) | (np.diff(cys) != 0)])
+        starts = np.append(starts, len(cxs))
+        out = []
+        for si in range(len(starts) - 1):
+            a, b = starts[si], starts[si + 1]
+            rows = order[a:b]
+            sd = sides[a:b]
+            ls = rows[sd == 0]
+            rs = rows[sd == 1]
+            if not len(ls) or not len(rs):
+                continue
+            out.append(_pair_rects(
+                x0[ls], y0[ls], x1[ls], y1[ls], ids[ls],
+                x0[rs], y0[rs], x1[rs], y1[rs], ids[rs],
+                cell=cell, cx=cxs[a], cy=cys[a]))
+        if not out:
+            return empty
+        return pd.DataFrame({
+            left_id: np.concatenate([o[0] for o in out]),
+            right_id: np.concatenate([o[1] for o in out]),
+            "area": np.concatenate([o[2] for o in out])})
 
     return (lexp.union(rexp)
-            .groupby(["_cx", "_cy"])
-            .map_groups(per_cell, batch_format="pandas"))
+            .groupby("_bk")
+            .map_groups(per_bucket, batch_format="pandas"))
 
 
 def segment_crossings(ds, key_col: str, order_cols,
