@@ -374,18 +374,61 @@ class Geodesic:
         sb2 = sb2 * latsign
         lam12 = np.radians(lon12a)
 
-        # start guess: spherical great-circle azimuth on reduced latitudes
+        # start guess: spherical great-circle azimuth on reduced
+        # latitudes (Karney sec. 5; the clam12-sign split avoids
+        # cancellation near sig12 ~ 0 and ~ pi)
         sl, cl = np.sin(lam12), np.cos(lam12)
         salp1 = cb2 * sl
-        calp1 = sb2 * cb1 - cb2 * sb1 * cl
+        sbet12 = sb2 * cb1 - cb2 * sb1
+        sbet12a = sb2 * cb1 + cb2 * sb1
+        with np.errstate(divide="ignore", invalid="ignore"):
+            calp1 = np.where(
+                cl >= 0,
+                sbet12 + cb2 * sb1 * np.where(cl > -1.0,
+                                              sl * sl / (1 + cl), 0.0),
+                sbet12a - cb2 * sb1 * np.where(cl < 1.0,
+                                               sl * sl / (1 - cl), 0.0))
+        ssig12 = np.hypot(salp1, calp1)
+        csig12 = sb1 * sb2 + cb1 * cb2 * cl
+        # near-antipodal: the spherical guess sits at a stationary
+        # point (for equatorial pairs it degenerates to the FALSE
+        # azi=90 root, which returns s12 = pi*b). Use Karney sec. 7's
+        # astroid construction: in scaled coordinates (x, y) the
+        # correct start azimuth comes from the positive root k of
+        # k^4 + 2k^3 - (x^2+y^2-1)k^2 - 2y^2 k - y^2 = 0.
+        anti = (csig12 < 0) & (ssig12 < 6 * abs(self.n) * np.pi
+                               * cb1 * cb1)
+        if anti.any():
+            err0 = np.seterr(divide="ignore", invalid="ignore")
+            k2a = sb1 * sb1 * self.ep2
+            eps0 = k2a / (2 * (1 + np.sqrt(1 + k2a)) + k2a)
+            lamscale = self.f * cb1 * self._A3f(eps0) * np.pi
+            lamscale = np.where(lamscale == 0, 1e-300, lamscale)
+            betscale = lamscale * cb1
+            x = (lam12 - np.pi) / lamscale
+            y = sbet12a / betscale
+            tol1 = 200 * np.finfo(float).eps
+            xthresh = 1000 * np.sqrt(np.finfo(float).eps)
+            simple = (y > -tol1) & (x > -1 - xthresh)
+            salp1_s = np.minimum(1.0, -np.clip(x, -1.0, 0.0))
+            calp1_s = -np.sqrt(np.maximum(1 - salp1_s * salp1_s, 0.0))
+            k = _astroid(x, y)
+            omg12a = lamscale * np.where(
+                self.f >= 0, -x * k / (1 + k),
+                -y * (1 + k) / np.where(k == 0, 1.0, k))
+            somg12 = np.sin(omg12a)
+            comg12 = -np.cos(omg12a)
+            salp1_a = cb2 * somg12
+            calp1_a = sbet12a - cb2 * sb1 * np.where(
+                comg12 > -1.0, somg12 * somg12 / (1 + comg12), 0.0)
+            salp1 = np.where(anti, np.where(simple, salp1_s, salp1_a),
+                             salp1)
+            calp1 = np.where(anti, np.where(simple, calp1_s, calp1_a),
+                             calp1)
+            np.seterr(**err0)
         nz = np.hypot(salp1, calp1)
         nz = np.where(nz == 0, 1.0, nz)
         salp1, calp1 = salp1 / nz, calp1 / nz
-        # near-antipodal: bias the guess off the stationary point
-        anti = (lam12 > np.pi * (1 - 3 * self.f)) & (np.abs(sb1 + sb2) < 0.1)
-        salp1 = np.where(anti & (salp1 < 1e-6), 1e-3, salp1)
-        calp1 = np.where(anti, -np.sqrt(np.maximum(1 - salp1**2, 0.0)),
-                         calp1)
 
         shape = salp1.shape
         salp1_f = salp1.copy()
@@ -603,6 +646,43 @@ class Geodesic:
             np.full_like(d, float(lat1)), np.full_like(d, float(lon1)),
             np.full_like(d, float(azi1)), d)
         return lat2, lon2, azi2
+
+
+def _astroid(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Positive root k of k^4 + 2k^3 - (x^2+y^2-1)k^2 - 2y^2 k - y^2
+    = 0 (Karney 2013 eq. 57 discussion) — the solution of the astroid
+    equation giving the near-antipodal start azimuth. Vectorized
+    closed form via the resolvent cubic; follows the published
+    algorithm's branch structure to avoid cancellation."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    p = x * x
+    q = y * y
+    r = (p + q - 1) / 6
+    S = p * q / 4
+    r2 = r * r
+    r3 = r * r2
+    disc = S * (S + 2 * r3)
+    # disc >= 0: one real root of the resolvent cubic, with the sign
+    # of the sqrt chosen to avoid cancellation in T3
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    T3 = S + r3
+    T3 = T3 + np.where(T3 < 0, -sq, sq)
+    T = np.cbrt(T3)
+    u_pos = r + T + np.where(T != 0, r2 / np.where(T == 0, 1.0, T), 0.0)
+    # disc < 0: three real roots; the angle form picks the one needed
+    ang = np.arctan2(np.sqrt(np.maximum(-disc, 0.0)), -(S + r3))
+    u_neg = r + 2 * r * np.cos(ang / 3)
+    u = np.where(disc >= 0, u_pos, u_neg)
+    v = np.sqrt(u * u + q)
+    uv = np.where(u < 0, q / np.where(v - u == 0, 1.0, v - u), u + v)
+    w = (uv - q) / (2 * np.where(v == 0, 1.0, v))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        k = np.where(uv > 0, uv / (np.sqrt(np.maximum(uv, 0.0) + w * w)
+                                   + w), 0.0)
+    # q == 0 and r <= 0: y = 0 with |x| <= 1 -> k = 0 (handled by the
+    # caller's "simple" branch)
+    return np.where((q == 0) & (r <= 0), 0.0, k)
 
 
 def math_remainder(x: float, y: float) -> float:
