@@ -107,7 +107,16 @@ def _ctran(pole_lat, pole_lon, lam, phi, lon0):
 class Isea(Operation):
     """Icosahedral Snyder Equal Area (src/projections/isea.cpp).
     mode=plane is fully vectorized; the dd/di/hex grid-addressing modes
-    run per-row (discrete cell output, not a bulk-transform path)."""
+    run per-row (discrete cell output, not a bulk-transform path).
+
+    Parity note: with a non-zero eccentricity the reference mixes
+    scales between forward and inverse — the forward treats geodetic
+    latitude as spherical and its output is scaled by raw `a`
+    (isea.cpp's own TODO at isea_s_forward), while the inverse's
+    planar constants derive from the AUTHALIC radius but rescale the
+    input by `a` (isea.cpp:1342-1356 vs :1380) — so fwd/inv roundtrip
+    closes only for spherical definitions (+R/+a), exactly as in the
+    reference; the gie corpus tests isea only on spheres."""
 
     name = "isea"
 

@@ -798,6 +798,12 @@ def _robin_dpoly(tbl: np.ndarray, i: np.ndarray, zdeg: np.ndarray):
 
 
 class Robin(Operation):
+    """Robinson (src/projections/robin.cpp). Parity note: the
+    reference's spline table is stored in SINGLE precision (float
+    literals), so fwd/inv roundtrip closure is limited to ~1e-7
+    relative (~2e-5 deg of longitude at the dateline) by design; this
+    port keeps the same table for coordinate parity."""
+
     name = "robin"
 
     def setup(self, ps) -> None:
