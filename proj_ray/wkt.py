@@ -22,13 +22,15 @@ _METHOD_BY_CODE = {
     9807: ("tmerc", []), 9808: ("tmerc", ["axis=wsu"]),
     9802: ("lcc", []), 9801: ("lcc", []), 1051: ("lcc", []),
     9804: ("merc", []), 9805: ("merc", []), 1024: ("webmerc", []),
-    9806: ("cass", []), 9809: ("sterea", []), 9810: ("stere", []),
+    9806: ("cass", []), 9833: ("cass", ["hyperbolic"]),
+    9809: ("sterea", []), 9810: ("stere", []),
     9829: ("stere", []), 9812: ("omerc", ["no_uoff"]), 9815: ("omerc", []),
     9818: ("poly", []), 9820: ("laea", []), 9822: ("aea", []),
     9832: ("aeqd", []), 9831: ("aeqd", ["guam"]), 9835: ("cea", []),
     1028: ("eqc", []), 1029: ("eqc", []), 9823: ("eqc", []),
     9811: ("nzmg", []), 9819: ("krovak", []), 1041: ("krovak", []),
     1042: ("mod_krovak", []), 1043: ("mod_krovak", []),
+    1052: ("col_urban", []),
 }
 
 _METHOD_BY_NAME = {
@@ -47,6 +49,7 @@ _METHOD_BY_NAME = {
     "albers conic equal area": 9822, "albers_conic_equal_area": 9822,
     "albers equal area": 9822,
     "cassini_soldner": 9806, "cassini-soldner": 9806,
+    "hyperbolic cassini-soldner": 9833,
     "oblique stereographic": 9809, "oblique_stereographic": 9809,
     "double_stereographic": 9809,
     "polar stereographic (variant a)": 9810, "polar_stereographic": 9810,
@@ -63,7 +66,9 @@ _METHOD_BY_NAME = {
     "cylindrical_equal_area": 9835,
     "equidistant cylindrical": 1028, "equirectangular": 1028,
     "new zealand map grid": 9811, "new_zealand_map_grid": 9811,
-    "krovak": 9819,
+    "krovak": 9819, "modified krovak": 1042,
+    "lambert conic conformal (2sp michigan)": 1051,
+    "colombia urban": 1052, "guam projection": 9831,
 }
 
 # EPSG parameter code / WKT name -> proj key
@@ -73,7 +78,7 @@ _PARAM_BY_CODE = {
     8815: "k", 8816: "x_0", 8817: "y_0",
     8821: "lat_0", 8822: "lon_0", 8823: "lat_1", 8824: "lat_2",
     8826: "x_0", 8827: "y_0", 8832: "lat_ts", 8833: "lon_0",
-    1036: "alpha", 8818: "lat_1", 8819: "k", 1038: "k",
+    1036: "alpha", 8818: "lat_1", 8819: "k", 1038: "k", 1039: "h_0",
 }
 _PARAM_BY_NAME = {
     "latitude_of_origin": "lat_0", "latitude of natural origin": "lat_0",
@@ -260,7 +265,71 @@ def _geog_base(node: _Node) -> str:
 
 def wkt_to_proj(text: str) -> str:
     """Translate a WKT1/WKT2 CRS string to a proj string (subset)."""
-    root = _parse_wkt(text)
+    return _node_to_proj(_parse_wkt(text))
+
+
+def _bound_to_proj(root: _Node) -> str:
+    """BOUNDCRS[SOURCECRS[...], TARGETCRS[...], ABRIDGEDTRANSFORMATION
+    [...]] -> source proj string + +towgs84 (inverting wkt_export's
+    abridged conventions: Scale difference carried as 1 + ppm*1e-6)."""
+    src = root.find("SOURCECRS")
+    if src is None:
+        raise NotImplementedError("BOUNDCRS without SOURCECRS")
+    inner = next((a for a in src.args if isinstance(a, _Node)), None)
+    if inner is None:
+        raise NotImplementedError("BOUNDCRS: empty SOURCECRS")
+    base = _node_to_proj(inner)
+    tr = root.find("ABRIDGEDTRANSFORMATION")
+    if tr is None:
+        return base
+    names = {"x-axis translation": 0, "y-axis translation": 1,
+             "z-axis translation": 2, "x-axis rotation": 3,
+             "y-axis rotation": 4, "z-axis rotation": 5,
+             "scale difference": 6}
+    vals = [0.0] * 7
+    seven = False
+    for p in tr.find_all("PARAMETER"):
+        i = names.get(str(p.args[0]).strip().lower())
+        if i is None:
+            continue
+        v = float(p.args[1])
+        if i == 6:
+            v = (v - 1.0) * 1e6
+        vals[i] = v
+        if i >= 3:
+            seven = True
+    n = 7 if seven else 3
+    tow = ",".join(f"{v:.15g}" for v in vals[:n])
+    return f"{base} +towgs84={tow}"
+
+
+_AXIS_CHAR = {"east": "e", "west": "w", "north": "n", "south": "s"}
+
+
+def _axis_string(root: _Node) -> str | None:
+    """Derive a +axis= value from a projected CRS's AXIS nodes; None
+    when default easting/northing (or not derivable)."""
+    axes = root.find_all("AXIS")
+    if len(axes) < 2:
+        return None
+    ordered = []
+    for i, ax in enumerate(axes[:2]):
+        d = next((str(a).lower() for a in ax.args[1:]
+                  if isinstance(a, str)), None)
+        o = ax.find("ORDER")
+        try:
+            pos = int(float(o.args[0])) if o is not None else i + 1
+        except (TypeError, ValueError, IndexError):
+            pos = i + 1
+        ordered.append((pos, d))
+    ordered.sort()
+    chars = [_AXIS_CHAR.get(d) for _, d in ordered]
+    if None in chars or chars == ["e", "n"]:
+        return None
+    return "".join(chars) + "u"
+
+
+def _node_to_proj(root: _Node) -> str:
     name = root.name.upper()
     # authority shortcut: trust an explicit EPSG id when resolvable
     code = _epsg_id_of(root)
@@ -271,6 +340,17 @@ def wkt_to_proj(text: str) -> str:
             return resolve_init(f"epsg:{code}")
         except NotImplementedError:
             pass
+    if name == "BOUNDCRS":
+        return _bound_to_proj(root)
+    if name in ("GEOCCS", "GEODCRS", "GEODETICCRS"):
+        # geocentric when the CS is 3-axis Cartesian (GEODCRS can also
+        # express geographic; those carry an ellipsoidal CS)
+        cs = root.find("CS")
+        geocentric = name == "GEOCCS" or (
+            cs is not None and str(cs.args[0]).lower() == "cartesian")
+        if geocentric:
+            return f"+proj=geocent {_geog_base(root)} +units=m"
+        return f"+proj=longlat {_geog_base(root)}"
     if name in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
         return f"+proj=longlat {_geog_base(root)}"
     if name not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
@@ -313,7 +393,7 @@ def wkt_to_proj(text: str) -> str:
     _method_post_fix(mcode, kv)
     parts = [f"+proj={proj}"]
     for k in ("lat_0", "lon_0", "lonc", "lat_1", "lat_2", "lat_ts",
-              "alpha", "gamma", "k", "x_0", "y_0"):
+              "alpha", "gamma", "k", "x_0", "y_0", "h_0"):
         if k in kv:
             parts.append(f"+{k}={kv[k]:.15g}")
     parts += [f"+{e}" for e in extras]
@@ -336,6 +416,9 @@ def wkt_to_proj(text: str) -> str:
         parts.append("+units=m")
     else:
         parts.append(f"+to_meter={unit:.15g}")
+    ax = _axis_string(root)
+    if ax is not None and f"+axis={ax}" not in parts:
+        parts.append(f"+axis={ax}")
     return " ".join(parts)
 
 
@@ -353,6 +436,29 @@ def projjson_to_proj(obj) -> str:
         except NotImplementedError:
             pass
     t = obj.get("type", "")
+    if t == "GeodeticCRS":
+        sub = (obj.get("coordinate_system") or {}).get("subtype", "")
+        if str(sub).lower() == "cartesian":
+            return f"+proj=geocent {_json_geog(obj)} +units=m"
+        return f"+proj=longlat {_json_geog(obj)}"
+    if t == "BoundCRS":
+        base = projjson_to_proj(obj.get("source_crs", {}))
+        names = {"x-axis translation": 0, "y-axis translation": 1,
+                 "z-axis translation": 2, "x-axis rotation": 3,
+                 "y-axis rotation": 4, "z-axis rotation": 5,
+                 "scale difference": 6}
+        vals = [0.0] * 7
+        seven = False
+        for p in (obj.get("transformation") or {}).get("parameters", []):
+            i = names.get(str(p.get("name", "")).strip().lower())
+            if i is None:
+                continue
+            vals[i] = float(p.get("value", 0.0))
+            if i >= 3:
+                seven = True
+        tow = ",".join(f"{v:.15g}" for v in
+                       vals[:7 if seven else 3])
+        return f"{base} +towgs84={tow}"
     if t == "GeographicCRS":
         return f"+proj=longlat {_json_geog(obj)}"
     if t != "ProjectedCRS":
@@ -388,12 +494,27 @@ def projjson_to_proj(obj) -> str:
     _method_post_fix(mcode, kv)
     parts = [f"+proj={proj}"]
     for k in ("lat_0", "lon_0", "lonc", "lat_1", "lat_2", "lat_ts",
-              "alpha", "gamma", "k", "x_0", "y_0"):
+              "alpha", "gamma", "k", "x_0", "y_0", "h_0"):
         if k in kv:
             parts.append(f"+{k}={kv[k]:.15g}")
     parts += [f"+{e}" for e in extras]
     parts.append(geog)
-    parts.append("+units=m")
+    axes = (obj.get("coordinate_system") or {}).get("axis", [])
+    unit = axes[0].get("unit", "metre") if axes else "metre"
+    if isinstance(unit, dict):
+        f = float(unit.get("conversion_factor", 1.0))
+        parts.append("+units=m" if f == 1.0 else f"+to_meter={f:.15g}")
+    elif str(unit) in ("metre", "meter", "m"):
+        parts.append("+units=m")
+    else:
+        raise NotImplementedError(f"PROJJSON unit {unit!r}")
+    if len(axes) >= 2:
+        chars = [_AXIS_CHAR.get(str(a.get("direction", "")).lower())
+                 for a in axes[:2]]
+        if None not in chars and chars != ["e", "n"]:
+            ax = "".join(chars) + "u"
+            if f"+axis={ax}" not in parts:
+                parts.append(f"+axis={ax}")
     return " ".join(parts)
 
 

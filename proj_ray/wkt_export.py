@@ -10,10 +10,13 @@ exactly (round-trip pytest over every supported method). Unknown
 projections raise NotImplementedError — never a silent wrong answer.
 
 Notes vs the full reference writers:
-- +towgs84 would need a BOUNDCRS wrapper; it is intentionally not
-  exported (datum shifts are planned via the registry instead).
-- axis order is always CRS-normalized easting/northing (lat/lon for
-  geographic), matching how the engine consumes coordinates.
+- +towgs84 exports as a BOUNDCRS wrapper (WKT2) / BoundCRS (PROJJSON)
+  with the reference's abridged-transformation conventions
+  (Geocentric translations 9603 for 3-param, Position Vector 9606
+  for 7-param with Scale difference carried as 1 + ppm*1e-6).
+- +axis (2-of-{e,w,n,s} + u, the registry's full inventory) drives
+  the emitted CS AXIS directions/order; the default is easting/
+  northing (lat/lon for geographic).
 """
 
 from __future__ import annotations
@@ -74,6 +77,12 @@ _EXPORT: dict[str, tuple[str, int, list]] = {
         ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
         ("False easting", 8806, "x_0", 0.0, _LEN),
         ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "col_urban": ("Colombia Urban", 1052, [
+        ("Latitude of natural origin", 8801, "lat_0", 0.0, _ANG),
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN),
+        ("Projection plane origin height", 1039, "h_0", 0.0, _LEN)]),
     "krovak": ("Krovak", 9819, [
         ("Latitude of projection centre", 8811, "lat_0", 49.5, _ANG),
         ("Longitude of origin", None, "lon_0", 24.833333333333332, _ANG),
@@ -86,6 +95,8 @@ _EXPORT: dict[str, tuple[str, int, list]] = {
         ("False easting", 8806, "x_0", 0.0, _LEN),
         ("False northing", 8807, "y_0", 0.0, _LEN)]),
 }
+# Modified Krovak (EPSG 1042) shares Krovak's parameter set
+_EXPORT["mod_krovak"] = ("Modified Krovak", 1042, _EXPORT["krovak"][2])
 
 
 def _select_method(proj: str, kv: dict):
@@ -93,6 +104,11 @@ def _select_method(proj: str, kv: dict):
     their EPSG variant from the parameters present."""
     if proj == "lcc":
         if "lat_2" in kv:
+            if "k" in kv and float(kv["k"]) != 1.0:
+                return ("Lambert Conic Conformal (2SP Michigan)", 1051,
+                        _P_FALSE_ORIGIN + [
+                            ("Ellipsoid scaling factor", 1038, "k",
+                             1.0, _SCL)])
             return ("Lambert Conic Conformal (2SP)", 9802,
                     _P_FALSE_ORIGIN)
         if "lat_1" in kv and float(kv["lat_1"]) != \
@@ -104,9 +120,22 @@ def _select_method(proj: str, kv: dict):
         lat0 = float(kv.get("lat_0", 0.0) if kv.get("lat_0") is not True
                      else 0.0)
         if abs(lat0) == 90.0:
+            if "lat_ts" in kv:
+                return ("Polar Stereographic (variant B)", 9829, [
+                    ("Latitude of standard parallel", 8832, "lat_ts",
+                     0.0, _ANG),
+                    ("Longitude of origin", 8833, "lon_0", 0.0, _ANG),
+                    ("False easting", 8806, "x_0", 0.0, _LEN),
+                    ("False northing", 8807, "y_0", 0.0, _LEN)])
             return ("Polar Stereographic (variant A)", 9810, _P_NAT)
         raise NotImplementedError(
             "WKT export: oblique stere has no EPSG method (use sterea)")
+    if proj == "cass" and "hyperbolic" in kv:
+        return ("Hyperbolic Cassini-Soldner", 9833, _P_NOK)
+    if proj == "omerc" and "no_uoff" in kv:
+        return ("Hotine Oblique Mercator (variant A)", 9812, _P_CENTRE)
+    if proj == "aeqd" and "guam" in kv:
+        return ("Guam Projection", 9831, _P_NOK)
     if proj == "merc":
         if "lat_ts" in kv:
             return ("Mercator (variant B)", 9805, [
@@ -216,9 +245,81 @@ def _unit_wkt(kv) -> str:
     return f'LENGTHUNIT["{u}",{_num(fv)}]'
 
 
+_AXIS_DIR = {"e": ("(E)", "east"), "w": ("(W)", "west"),
+             "n": ("(N)", "north"), "s": ("(S)", "south")}
+
+
+def _cs_wkt(kv, unit: str) -> str:
+    """Cartesian CS with AXIS entries honoring +axis (default enu)."""
+    ax = str(kv.get("axis", "enu"))
+    if len(ax) != 3 or ax[0] not in _AXIS_DIR or ax[1] not in _AXIS_DIR \
+            or ax[2] not in "ud":
+        raise NotImplementedError(f"WKT export: axis {ax!r} unsupported")
+    parts = [f'AXIS["{_AXIS_DIR[c][0]}",{_AXIS_DIR[c][1]},'
+             f'ORDER[{i + 1}],{unit}]' for i, c in enumerate(ax[:2])]
+    return "CS[Cartesian,2]," + ",".join(parts)
+
+
+_WGS84_GEOG_WKT = (
+    'GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+    'ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],'
+    'PRIMEM["Greenwich",0,ANGLEUNIT["degree",0.0174532925199433]],'
+    'CS[ellipsoidal,2],'
+    'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
+    'ANGLEUNIT["degree",0.0174532925199433]],'
+    'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
+    'ANGLEUNIT["degree",0.0174532925199433]],ID["EPSG",4326]]')
+
+_TOW_NAMES = ("X-axis translation", "Y-axis translation",
+              "Z-axis translation", "X-axis rotation", "Y-axis rotation",
+              "Z-axis rotation", "Scale difference")
+_TOW_CODES = (8605, 8606, 8607, 8608, 8609, 8610, 8611)
+
+
+def _towgs84_vals(kv) -> list | None:
+    if "towgs84" not in kv:
+        return None
+    vals = [float(v) for v in str(kv["towgs84"]).split(",")]
+    vals += [0.0] * (7 - len(vals))
+    return vals[:7]
+
+
+def _bound_wrap_wkt(vals: list, inner: str) -> str:
+    """BOUNDCRS wrapper carrying +towgs84 as the reference's abridged
+    transformation (io.cpp BoundCRS export: 3-param -> Geocentric
+    translations 9603; 7-param -> Position Vector 9606 with Scale
+    difference expressed as 1 + ppm*1e-6)."""
+    seven = any(v != 0.0 for v in vals[3:])
+    if seven:
+        mname, mcode, n = ("Position Vector transformation "
+                           "(geog2D domain)", 9606, 7)
+    else:
+        mname, mcode, n = ("Geocentric translations (geog2D domain)",
+                           9603, 3)
+    ps = []
+    for i in range(n):
+        v = vals[i]
+        if i == 6:
+            v = 1.0 + v * 1e-6
+        ps.append(f'PARAMETER["{_TOW_NAMES[i]}",{_num(v)},'
+                  f'ID["EPSG",{_TOW_CODES[i]}]]')
+    return (f'BOUNDCRS[SOURCECRS[{inner}],'
+            f'TARGETCRS[{_WGS84_GEOG_WKT}],'
+            f'ABRIDGEDTRANSFORMATION['
+            f'"Transformation from unknown to WGS84",'
+            f'METHOD["{mname}",ID["EPSG",{mcode}]],{",".join(ps)}]]')
+
+
 def proj_to_wkt2(defn: str, name: str = "unknown") -> str:
     """proj string -> WKT2:2019 (subset; see module docstring)."""
     kv = _tok(defn)
+    tow = _towgs84_vals(kv)
+    if tow is not None:
+        import re
+
+        inner = proj_to_wkt2(
+            re.sub(r"\+towgs84=\S+", "", defn).strip(), name)
+        return _bound_wrap_wkt(tow, inner)
     proj = str(kv.get("proj", ""))
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
         return (f'GEOGCRS["{name}",{_geog_wkt(kv)},'
@@ -227,6 +328,13 @@ def proj_to_wkt2(defn: str, name: str = "unknown") -> str:
                 f'{DEG_UNIT}],'
                 f'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
                 f'{DEG_UNIT}]]')
+    if proj == "geocent":
+        unit = _unit_wkt(kv)
+        return (f'GEODCRS["{name}",{_geog_wkt(kv)},'
+                f'CS[Cartesian,3],'
+                f'AXIS["(X)",geocentricX,ORDER[1],{unit}],'
+                f'AXIS["(Y)",geocentricY,ORDER[2],{unit}],'
+                f'AXIS["(Z)",geocentricZ,ORDER[3],{unit}]]')
     if proj == "utm":
         zone = int(_f(kv, "zone"))
         south = "south" in kv
@@ -251,14 +359,70 @@ def proj_to_wkt2(defn: str, name: str = "unknown") -> str:
     unit = _unit_wkt(kv)
     return (f'PROJCRS["{name}",BASEGEOGCRS["unknown",{_geog_wkt(kv)}],'
             f'CONVERSION["unknown",{",".join(lines)}],'
-            f'CS[Cartesian,2],'
-            f'AXIS["(E)",east,ORDER[1],{unit}],'
-            f'AXIS["(N)",north,ORDER[2],{unit}]]')
+            f'{_cs_wkt(kv, unit)}]')
+
+
+_AXIS_JSON = {"e": ("Easting", "E", "east"),
+              "w": ("Westing", "W", "west"),
+              "n": ("Northing", "N", "north"),
+              "s": ("Southing", "S", "south")}
+
+
+def _bound_wrap_json(vals: list, inner: dict) -> dict:
+    seven = any(v != 0.0 for v in vals[3:])
+    if seven:
+        mname, mcode, n = ("Position Vector transformation "
+                           "(geog2D domain)", 9606, 7)
+    else:
+        mname, mcode, n = ("Geocentric translations (geog2D domain)",
+                           9603, 3)
+    units = ("metre", "metre", "metre", "arc-second", "arc-second",
+             "arc-second", "parts per million")
+    params = [{"name": _TOW_NAMES[i], "value": vals[i],
+               "unit": units[i],
+               "id": {"authority": "EPSG", "code": _TOW_CODES[i]}}
+              for i in range(n)]
+    schema = inner.pop("$schema", None)
+    target = {
+        "type": "GeographicCRS", "name": "WGS 84",
+        "datum": {"type": "GeodeticReferenceFrame",
+                  "name": "World Geodetic System 1984",
+                  "ellipsoid": {"name": "WGS 84",
+                                "semi_major_axis": 6378137,
+                                "inverse_flattening": 298.257223563}},
+        "coordinate_system": {
+            "subtype": "ellipsoidal",
+            "axis": [
+                {"name": "Geodetic latitude", "abbreviation": "Lat",
+                 "direction": "north", "unit": "degree"},
+                {"name": "Geodetic longitude", "abbreviation": "Lon",
+                 "direction": "east", "unit": "degree"}]},
+        "id": {"authority": "EPSG", "code": 4326}}
+    out = {
+        "type": "BoundCRS",
+        "name": inner.get("name", "unknown"),
+        "source_crs": inner,
+        "target_crs": target,
+        "transformation": {
+            "name": "Transformation from unknown to WGS84",
+            "method": {"name": mname,
+                       "id": {"authority": "EPSG", "code": mcode}},
+            "parameters": params}}
+    if schema:
+        out["$schema"] = schema
+    return out
 
 
 def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
     """proj string -> PROJJSON dict (subset; metre projected CS)."""
     kv = _tok(defn)
+    tow = _towgs84_vals(kv)
+    if tow is not None:
+        import re
+
+        inner = proj_to_projjson(
+            re.sub(r"\+towgs84=\S+", "", defn).strip(), name)
+        return _bound_wrap_json(tow, inner)
     proj = str(kv.get("proj", ""))
 
     def geog_json():
@@ -298,6 +462,22 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
         out["$schema"] = ("https://proj.org/schemas/v0.7/projjson."
                           "schema.json")
         return out
+    if proj == "geocent":
+        out = geog_json()
+        out["type"] = "GeodeticCRS"
+        out["name"] = name
+        out["coordinate_system"] = {
+            "subtype": "Cartesian",
+            "axis": [
+                {"name": "Geocentric X", "abbreviation": "X",
+                 "direction": "geocentricX", "unit": "metre"},
+                {"name": "Geocentric Y", "abbreviation": "Y",
+                 "direction": "geocentricY", "unit": "metre"},
+                {"name": "Geocentric Z", "abbreviation": "Z",
+                 "direction": "geocentricZ", "unit": "metre"}]}
+        out["$schema"] = ("https://proj.org/schemas/v0.7/projjson."
+                          "schema.json")
+        return out
     if proj == "utm":
         zone = int(_f(kv, "zone"))
         south = "south" in kv
@@ -305,9 +485,6 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
         kv.update(lat_0=0.0, lon_0=zone * 6 - 183, k=0.9996,
                   x_0=500000.0, y_0=10000000.0 if south else 0.0)
         proj = "tmerc"
-    if str(kv.get("units", "m")) != "m" or "to_meter" in kv:
-        raise NotImplementedError(
-            "PROJJSON export: only metre projected CS supported")
     mname, mcode, params = _select_method(proj, kv)
     plist = []
     for pname, pcode, key, default, kind in params:
@@ -332,12 +509,31 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
             "parameters": plist},
         "coordinate_system": {
             "subtype": "Cartesian",
-            "axis": [
-                {"name": "Easting", "abbreviation": "E",
-                 "direction": "east", "unit": "metre"},
-                {"name": "Northing", "abbreviation": "N",
-                 "direction": "north", "unit": "metre"}]},
+            "axis": _json_axes(kv)},
     }
+
+
+def _json_axes(kv) -> list:
+    ax = str(kv.get("axis", "enu"))
+    if len(ax) != 3 or ax[0] not in _AXIS_JSON or ax[1] not in _AXIS_JSON \
+            or ax[2] not in "ud":
+        raise NotImplementedError(
+            f"PROJJSON export: axis {ax!r} unsupported")
+    from proj_ray.params import UNITS_TO_METER
+
+    if "to_meter" in kv:
+        unit = {"type": "LinearUnit", "name": "unknown",
+                "conversion_factor": float(kv["to_meter"])}
+    else:
+        u = str(kv.get("units", "m"))
+        f = UNITS_TO_METER.get(u)
+        if f is None:
+            raise NotImplementedError(f"PROJJSON export: unit {u!r}")
+        unit = "metre" if f == 1.0 else \
+            {"type": "LinearUnit", "name": u, "conversion_factor": f}
+    return [{"name": _AXIS_JSON[c][0], "abbreviation": _AXIS_JSON[c][1],
+             "direction": _AXIS_JSON[c][2], "unit": unit}
+            for c in ax[:2]]
 
 
 # WKT1-GDAL projection names per EPSG method code (the names
