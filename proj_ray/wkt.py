@@ -110,6 +110,8 @@ _PARAM_BY_NAME = {
     "angle from rectified to skew grid": "gamma",
     "rectified_grid_angle": "gamma",
     "pseudo_standard_parallel_1": "lat_1",
+    "projection plane origin height": "h_0",
+    "projection_plane_origin_height": "h_0",
 }
 _ANGLE_KEYS = {"lat_0", "lon_0", "lonc", "alpha", "gamma", "lat_1",
                "lat_2", "lat_ts"}
@@ -120,6 +122,9 @@ def _method_post_fix(mcode: int, kv: dict) -> None:
     PROJJSON importers."""
     if mcode == 9801 and "lat_1" not in kv and "lat_0" in kv:
         kv["lat_1"] = kv["lat_0"]  # LCC 1SP
+    if mcode == 9829 and "lat_1" in kv and "lat_ts" not in kv:
+        # WKT1 writes the standard parallel as standard_parallel_1
+        kv["lat_ts"] = kv.pop("lat_1")
     if mcode == 9829 and "lat_0" not in kv:
         kv["lat_0"] = 90.0 if kv.get("lat_ts", 90.0) >= 0 else -90.0
     if mcode in (9805, 1028, 9835) and "lat_1" in kv:

@@ -568,6 +568,7 @@ _WKT1_PARAM = {
     "x_0": "false_easting", "y_0": "false_northing",
     "lat_1": "standard_parallel_1", "lat_2": "standard_parallel_2",
     "lat_ts": "standard_parallel_1",
+    "h_0": "projection_plane_origin_height",
 }
 
 
@@ -583,8 +584,14 @@ def _geog_wkt1(kv, name="unknown") -> str:
         pm = f'PRIMEM["{pmname}",{_num(pmv)}]'
     else:
         pm = 'PRIMEM["Greenwich",0]'
+    tow = _towgs84_vals(kv)
+    towtxt = ""
+    if tow is not None:
+        n = 7 if any(v != 0.0 for v in tow[3:]) else 3
+        towtxt = (',TOWGS84[' +
+                  ",".join(_num(v) for v in tow[:n]) + ']')
     return (f'GEOGCS["{name}",DATUM["unknown",'
-            f'SPHEROID["{ename}",{_num(a)},{_num(rf)}]],{pm},'
+            f'SPHEROID["{ename}",{_num(a)},{_num(rf)}]{towtxt}],{pm},'
             f'UNIT["degree",0.0174532925199433]]')
 
 
@@ -596,6 +603,20 @@ def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
     proj = str(kv.get("proj", ""))
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
         return _geog_wkt1(kv, name)
+    if proj == "geocent":
+        a, rf, ename = _ellipsoid_parts(kv)
+        tow = _towgs84_vals(kv)
+        towtxt = ""
+        if tow is not None:
+            nt = 7 if any(v != 0.0 for v in tow[3:]) else 3
+            towtxt = (',TOWGS84[' +
+                      ",".join(_num(v) for v in tow[:nt]) + ']')
+        return (f'GEOCCS["{name}",DATUM["unknown",'
+                f'SPHEROID["{ename}",{_num(a)},{_num(rf)}]{towtxt}],'
+                f'PRIMEM["Greenwich",0],UNIT["metre",1],'
+                f'AXIS["Geocentric X",OTHER],'
+                f'AXIS["Geocentric Y",OTHER],'
+                f'AXIS["Geocentric Z",NORTH]]')
     if proj == "utm":
         zone = int(_f(kv, "zone"))
         south = "south" in kv
@@ -607,10 +628,10 @@ def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
         kv["y_0"] = 10000000.0 if south else 0.0
         proj = "tmerc"
     _mname, mcode, params = _select_method(proj, kv)
-    wname = _WKT1_PROJECTION.get(mcode)
-    if wname is None:
-        raise NotImplementedError(
-            f"WKT1 export: no GDAL projection name for method {mcode}")
+    # GDAL WKT1 name when one exists, else the EPSG method name (the
+    # reference's WKT1 writer does the same for GDAL-nameless methods;
+    # the importer resolves both via _METHOD_BY_NAME)
+    wname = _WKT1_PROJECTION.get(mcode, _mname)
     lines = [f'PROJECTION["{wname}"]']
     for _pname, _pcode, key, default, _kind in params:
         if default is None and key not in kv:
@@ -628,5 +649,16 @@ def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
             raise NotImplementedError(f"unknown unit {u}")
         unit = ('UNIT["metre",1]' if fv == 1.0
                 else f'UNIT["{u}",{_num(fv)}]')
+    ax = str(kv.get("axis", "enu"))
+    axtxt = ""
+    if ax != "enu":
+        if len(ax) != 3 or ax[0] not in _AXIS_DIR \
+                or ax[1] not in _AXIS_DIR or ax[2] not in "ud":
+            raise NotImplementedError(
+                f"WKT1 export: axis {ax!r} unsupported")
+        names = {"e": ("Easting", "EAST"), "w": ("Westing", "WEST"),
+                 "n": ("Northing", "NORTH"), "s": ("Southing", "SOUTH")}
+        axtxt = "," + ",".join(
+            f'AXIS["{names[c][0]}",{names[c][1]}]' for c in ax[:2])
     return (f'PROJCS["{name}",{_geog_wkt1(kv)},'
-            f'{",".join(lines)},{unit}]')
+            f'{",".join(lines)},{unit}{axtxt}]')

@@ -157,7 +157,8 @@ def test_registry_sample_transform_equivalent_roundtrip():
     import proj_ray.epsg_generated as m
     from proj_ray import create_operation, transform
     from proj_ray.wkt import projjson_to_proj, wkt_to_proj
-    from proj_ray.wkt_export import proj_to_projjson, proj_to_wkt2
+    from proj_ray.wkt_export import (proj_to_projjson, proj_to_wkt1,
+                                     proj_to_wkt2)
 
     codes = sorted(m.EPSG_GENERATED)
     sample = set(codes[::17]) | {2002, 2044, 2046, 3031, 3078, 3139,
@@ -178,6 +179,7 @@ def test_registry_sample_transform_equivalent_roundtrip():
             continue
         checked += 1
         for conv in (lambda d: wkt_to_proj(proj_to_wkt2(d)),
+                     lambda d: wkt_to_proj(proj_to_wkt1(d)),
                      lambda d: projjson_to_proj(proj_to_projjson(d))):
             d2 = conv(defn)
             x2, y2 = transform(create_operation(d2), "fwd",
