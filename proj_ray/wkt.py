@@ -31,6 +31,10 @@ _METHOD_BY_CODE = {
     9811: ("nzmg", []), 9819: ("krovak", []), 1041: ("krovak", []),
     1042: ("mod_krovak", []), 1043: ("mod_krovak", []),
     1052: ("col_urban", []),
+    9840: ("ortho", []), 9827: ("bonne", []),
+    # synthetic negative codes: EPSG-codeless methods resolved by name
+    -1: ("sinu", []), -2: ("moll", []), -3: ("robin", []),
+    -4: ("mill", []), -5: ("gstmerc", []),
 }
 
 _METHOD_BY_NAME = {
@@ -69,6 +73,11 @@ _METHOD_BY_NAME = {
     "krovak": 9819, "modified krovak": 1042,
     "lambert conic conformal (2sp michigan)": 1051,
     "colombia urban": 1052, "guam projection": 9831,
+    "sinusoidal": -1, "mollweide": -2, "robinson": -3,
+    "miller cylindrical": -4, "miller_cylindrical": -4,
+    "orthographic": 9840, "bonne": 9827,
+    "gauss schreiber transverse mercator": -5,
+    "gauss_schreiber_transverse_mercator": -5,
 }
 
 # EPSG parameter code / WKT name -> proj key
@@ -127,6 +136,9 @@ def _method_post_fix(mcode: int, kv: dict) -> None:
         kv["lat_ts"] = kv.pop("lat_1")
     if mcode == 9829 and "lat_0" not in kv:
         kv["lat_0"] = 90.0 if kv.get("lat_ts", 90.0) >= 0 else -90.0
+    if mcode == 9827 and "lat_0" in kv:
+        # Bonne's EPSG "Latitude of natural origin" is proj's +lat_1
+        kv["lat_1"] = kv.pop("lat_0")
     if mcode in (9805, 1028, 9835) and "lat_1" in kv:
         # EPSG 8823 ("1st standard parallel") is proj's +lat_ts for
         # Mercator variant B / eqc / cea
@@ -311,6 +323,30 @@ def _bound_to_proj(root: _Node) -> str:
 _AXIS_CHAR = {"east": "e", "west": "w", "north": "n", "south": "s"}
 
 
+def _geographic_to_proj(root: _Node) -> str:
+    """GEOGCS/GEOGCRS -> +proj=longlat, reconstructing +geoc from a
+    spherical (planetocentric) CS and +axis from non-standard AXIS
+    directions/order. The standard lat-north/lon-east declaration is
+    the engine's CRS-normalized default (no +axis emitted)."""
+    out = f"+proj=longlat {_geog_base(root)}"
+    cs = root.find("CS")
+    geoc = (cs is not None and str(cs.args[0]).lower() == "spherical") \
+        or any("planetocentric" in str(ax.args[0]).lower()
+               for ax in root.find_all("AXIS"))
+    if geoc:
+        out += " +geoc"
+    axes = root.find_all("AXIS")
+    if len(axes) >= 2:
+        chars = []
+        for ax in axes[:2]:
+            d = next((str(a).lower() for a in ax.args[1:]
+                      if isinstance(a, str)), None)
+            chars.append(_AXIS_CHAR.get(d))
+        if None not in chars and "".join(chars) not in ("ne", "en"):
+            out += f" +axis={''.join(chars)}u"
+    return out
+
+
 def _axis_string(root: _Node) -> str | None:
     """Derive a +axis= value from a projected CRS's AXIS nodes; None
     when default easting/northing (or not derivable)."""
@@ -355,9 +391,9 @@ def _node_to_proj(root: _Node) -> str:
             cs is not None and str(cs.args[0]).lower() == "cartesian")
         if geocentric:
             return f"+proj=geocent {_geog_base(root)} +units=m"
-        return f"+proj=longlat {_geog_base(root)}"
+        return _geographic_to_proj(root)
     if name in ("GEOGCS", "GEOGCRS", "GEOGRAPHICCRS"):
-        return f"+proj=longlat {_geog_base(root)}"
+        return _geographic_to_proj(root)
     if name not in ("PROJCS", "PROJCRS", "PROJECTEDCRS"):
         raise NotImplementedError(f"WKT node {root.name} not supported")
     base = root.find("GEOGCS", "BASEGEOGCRS", "GEOGCRS")
@@ -441,11 +477,23 @@ def projjson_to_proj(obj) -> str:
         except NotImplementedError:
             pass
     t = obj.get("type", "")
-    if t == "GeodeticCRS":
-        sub = (obj.get("coordinate_system") or {}).get("subtype", "")
-        if str(sub).lower() == "cartesian":
+    if t in ("GeodeticCRS", "GeographicCRS"):
+        cs = obj.get("coordinate_system") or {}
+        sub = str(cs.get("subtype", "")).lower()
+        if sub == "cartesian":
             return f"+proj=geocent {_json_geog(obj)} +units=m"
-        return f"+proj=longlat {_json_geog(obj)}"
+        out = f"+proj=longlat {_json_geog(obj)}"
+        axes = cs.get("axis", [])
+        if sub == "spherical" or any(
+                "planetocentric" in str(a.get("name", "")).lower()
+                for a in axes):
+            out += " +geoc"
+        if len(axes) >= 2:
+            chars = [_AXIS_CHAR.get(str(a.get("direction", "")).lower())
+                     for a in axes[:2]]
+            if None not in chars and "".join(chars) not in ("ne", "en"):
+                out += f" +axis={''.join(chars)}u"
+        return out
     if t == "BoundCRS":
         base = projjson_to_proj(obj.get("source_crs", {}))
         names = {"x-axis translation": 0, "y-axis translation": 1,

@@ -77,6 +77,33 @@ _EXPORT: dict[str, tuple[str, int, list]] = {
         ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
         ("False easting", 8806, "x_0", 0.0, _LEN),
         ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    # EPSG-codeless methods (WKT2 names per the reference's
+    # esriMappings/otherMethods tables) carry synthetic negative codes
+    # internally: no ID[] node is emitted and the importer resolves
+    # them by name.
+    "sinu": ("Sinusoidal", -1, [
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "moll": ("Mollweide", -2, [
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "robin": ("Robinson", -3, [
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "mill": ("Miller Cylindrical", -4, [
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
+    "gstmerc": ("Gauss Schreiber Transverse Mercator", -5, _P_NAT),
+    "ortho": ("Orthographic", 9840, _P_NOK),
+    "bonne": ("Bonne", 9827, [
+        ("Latitude of natural origin", 8801, "lat_1", 0.0, _ANG),
+        ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
+        ("False easting", 8806, "x_0", 0.0, _LEN),
+        ("False northing", 8807, "y_0", 0.0, _LEN)]),
     "col_urban": ("Colombia Urban", 1052, [
         ("Latitude of natural origin", 8801, "lat_0", 0.0, _ANG),
         ("Longitude of natural origin", 8802, "lon_0", 0.0, _ANG),
@@ -249,6 +276,33 @@ _AXIS_DIR = {"e": ("(E)", "east"), "w": ("(W)", "west"),
              "n": ("(N)", "north"), "s": ("(S)", "south")}
 
 
+def _geo_cs_wkt(kv) -> str:
+    """Ellipsoidal (or spherical-planetocentric, +geoc) CS for a
+    geographic CRS, honoring +axis tuple order and directions (the
+    IAU registry's nwu planetographic convention). The standard
+    lat-north / lon-east declaration maps back to the engine's
+    CRS-normalized default on import."""
+    geoc = "geoc" in kv
+    latn = "planetocentric latitude" if geoc else "geodetic latitude (Lat)"
+    lonn = "planetocentric longitude" if geoc else \
+        "geodetic longitude (Lon)"
+    cs = "CS[spherical,2]" if geoc else "CS[ellipsoidal,2]"
+    ax = str(kv.get("axis", "enu"))
+    if len(ax) != 3 or ax[2] not in "ud" or any(
+            c not in "ewns" for c in ax[:2]):
+        raise NotImplementedError(f"WKT export: axis {ax!r} unsupported")
+    pair = ax[:2]
+    if pair in ("en", "ne"):
+        entries = [(latn, "north"), (lonn, "east")]
+    else:
+        dirs = {"e": "east", "w": "west", "n": "north", "s": "south"}
+        entries = [((latn if c in "ns" else lonn), dirs[c])
+                   for c in pair]
+    return cs + "," + ",".join(
+        f'AXIS["{n}",{d},ORDER[{i + 1}],{DEG_UNIT}]'
+        for i, (n, d) in enumerate(entries))
+
+
 def _cs_wkt(kv, unit: str) -> str:
     """Cartesian CS with AXIS entries honoring +axis (default enu)."""
     ax = str(kv.get("axis", "enu"))
@@ -323,11 +377,7 @@ def proj_to_wkt2(defn: str, name: str = "unknown") -> str:
     proj = str(kv.get("proj", ""))
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
         return (f'GEOGCRS["{name}",{_geog_wkt(kv)},'
-                f'CS[ellipsoidal,2],'
-                f'AXIS["geodetic latitude (Lat)",north,ORDER[1],'
-                f'{DEG_UNIT}],'
-                f'AXIS["geodetic longitude (Lon)",east,ORDER[2],'
-                f'{DEG_UNIT}]]')
+                f'{_geo_cs_wkt(kv)}]')
     if proj == "geocent":
         unit = _unit_wkt(kv)
         return (f'GEODCRS["{name}",{_geog_wkt(kv)},'
@@ -346,7 +396,8 @@ def proj_to_wkt2(defn: str, name: str = "unknown") -> str:
         kv["y_0"] = 10000000.0 if south else 0.0
         proj = "tmerc"
     mname, mcode, params = _select_method(proj, kv)
-    lines = [f'METHOD["{mname}",ID["EPSG",{mcode}]]']
+    mid = f',ID["EPSG",{mcode}]' if mcode > 0 else ""
+    lines = [f'METHOD["{mname}"{mid}]']
     for pname, pcode, key, default, kind in params:
         if default is None and key not in kv:
             continue
@@ -425,7 +476,7 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
         return _bound_wrap_json(tow, inner)
     proj = str(kv.get("proj", ""))
 
-    def geog_json():
+    def geog_json(with_axis: bool = True):
         a, rf, ename = _ellipsoid_parts(kv)
         ell = {"name": ename, "semi_major_axis": a}
         if rf:
@@ -443,17 +494,31 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
                 "name": raw if val is not None else "unknown",
                 "longitude": dms_to_deg(val) if val is not None
                 else float(raw)}
+        geoc = "geoc" in kv
+        latn = ("Planetocentric latitude" if geoc
+                else "Geodetic latitude")
+        lonn = ("Planetocentric longitude" if geoc
+                else "Geodetic longitude")
+        ax = str(kv.get("axis", "enu")) if with_axis else "enu"
+        if len(ax) != 3 or ax[2] not in "ud" or any(
+                c not in "ewns" for c in ax[:2]):
+            raise NotImplementedError(
+                f"PROJJSON export: axis {ax!r} unsupported")
+        if ax[:2] in ("en", "ne"):
+            entries = [(latn, "Lat", "north"), (lonn, "Lon", "east")]
+        else:
+            dirs = {"e": "east", "w": "west", "n": "north", "s": "south"}
+            entries = [((latn, "Lat", dirs[c]) if c in "ns"
+                        else (lonn, "Lon", dirs[c])) for c in ax[:2]]
         return {
             "type": "GeographicCRS",
             "name": "unknown",
             "datum": datum,
             "coordinate_system": {
-                "subtype": "ellipsoidal",
+                "subtype": "spherical" if geoc else "ellipsoidal",
                 "axis": [
-                    {"name": "Geodetic latitude", "abbreviation": "Lat",
-                     "direction": "north", "unit": "degree"},
-                    {"name": "Geodetic longitude", "abbreviation": "Lon",
-                     "direction": "east", "unit": "degree"}]},
+                    {"name": n, "abbreviation": ab, "direction": d,
+                     "unit": "degree"} for n, ab, d in entries]},
         }
 
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
@@ -501,11 +566,12 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
         "$schema": "https://proj.org/schemas/v0.7/projjson.schema.json",
         "type": "ProjectedCRS",
         "name": name,
-        "base_crs": geog_json(),
+        "base_crs": geog_json(with_axis=False),
         "conversion": {
             "name": "unknown",
-            "method": {"name": mname,
-                       "id": {"authority": "EPSG", "code": mcode}},
+            "method": ({"name": mname,
+                        "id": {"authority": "EPSG", "code": mcode}}
+                       if mcode > 0 else {"name": mname}),
             "parameters": plist},
         "coordinate_system": {
             "subtype": "Cartesian",
@@ -557,6 +623,9 @@ _WKT1_PROJECTION = {
     9811: "New_Zealand_Map_Grid",
     1024: "Mercator_Auxiliary_Sphere",
     9819: "Krovak",
+    -1: "Sinusoidal", -2: "Mollweide", -3: "Robinson",
+    -4: "Miller_Cylindrical", -5: "Gauss_Schreiber_Transverse_Mercator",
+    9840: "Orthographic", 9827: "Bonne",
 }
 # proj key -> WKT1-GDAL parameter name; lat_ts maps to
 # standard_parallel_1 (EPSG 8823), which the importer's method post-fix
@@ -602,7 +671,22 @@ def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
     kv = _tok(defn)
     proj = str(kv.get("proj", ""))
     if proj in ("longlat", "latlong", "lonlat", "latlon"):
-        return _geog_wkt1(kv, name)
+        if "geoc" in kv:
+            raise NotImplementedError(
+                "WKT1 cannot express a planetocentric (+geoc) CRS")
+        g = _geog_wkt1(kv, name)
+        ax = str(kv.get("axis", "enu"))
+        if ax[:2] not in ("en", "ne"):
+            if len(ax) != 3 or ax[2] not in "ud" or any(
+                    c not in "ewns" for c in ax[:2]):
+                raise NotImplementedError(
+                    f"WKT1 export: axis {ax!r} unsupported")
+            names = {"e": ("Long", "EAST"), "w": ("Long", "WEST"),
+                     "n": ("Lat", "NORTH"), "s": ("Lat", "SOUTH")}
+            axtxt = ",".join(f'AXIS["{names[c][0]}",{names[c][1]}]'
+                             for c in ax[:2])
+            g = g[:-1] + "," + axtxt + "]"
+        return g
     if proj == "geocent":
         a, rf, ename = _ellipsoid_parts(kv)
         tow = _towgs84_vals(kv)
@@ -611,9 +695,19 @@ def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
             nt = 7 if any(v != 0.0 for v in tow[3:]) else 3
             towtxt = (',TOWGS84[' +
                       ",".join(_num(v) for v in tow[:nt]) + ']')
+        from proj_ray.params import PRIME_MERIDIANS, dms_to_deg
+
+        if "pm" in kv:
+            raw = str(kv["pm"])
+            val = PRIME_MERIDIANS.get(raw)
+            pmv = dms_to_deg(val) if val is not None else float(raw)
+            pmname = raw if val is not None else "unknown"
+            pmtxt = f'PRIMEM["{pmname}",{_num(pmv)}]'
+        else:
+            pmtxt = 'PRIMEM["Greenwich",0]'
         return (f'GEOCCS["{name}",DATUM["unknown",'
                 f'SPHEROID["{ename}",{_num(a)},{_num(rf)}]{towtxt}],'
-                f'PRIMEM["Greenwich",0],UNIT["metre",1],'
+                f'{pmtxt},UNIT["metre",1],'
                 f'AXIS["Geocentric X",OTHER],'
                 f'AXIS["Geocentric Y",OTHER],'
                 f'AXIS["Geocentric Z",NORTH]]')

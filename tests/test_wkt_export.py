@@ -187,3 +187,52 @@ def test_registry_sample_transform_equivalent_roundtrip():
             err = float(np.nanmax(np.abs(x2 - x0) + np.abs(y2 - y0)))
             assert err < 2e-6, (code, defn, d2, err)
     assert checked > 250
+
+
+def test_iau_ignf_sample_roundtrip():
+    """IAU (planetary: planetographic west-positive axes, spherical
+    planetocentric +geoc, sinu/moll/robin/ortho) and IGNF (Paris
+    meridian geocent, bonne, gstmerc, mill) registry samples must
+    roundtrip transform-equivalent through WKT2 and PROJJSON (WKT1
+    cannot express planetocentric CRSs — exporter raises). Full
+    sweeps: iau 2,079 + ignf 599 + epsg 6,248 codes, 0 failures."""
+    import numpy as np
+
+    import proj_ray.iau_generated as iau
+    import proj_ray.ignf_generated as ignf
+    from proj_ray import create_operation, transform
+    from proj_ray.wkt import projjson_to_proj, wkt_to_proj
+    from proj_ray.wkt_export import proj_to_projjson, proj_to_wkt2
+
+    def biggest(mod):
+        best = None
+        for n in dir(mod):
+            v = getattr(mod, n)
+            if isinstance(v, dict) and v and isinstance(
+                    next(iter(v.values()), None), str):
+                if best is None or len(v) > len(best):
+                    best = v
+        return best
+
+    lon = np.radians(np.array([-5.0, 2.0, 15.0]))
+    lat = np.radians(np.array([10.0, 45.0, 60.0]))
+    checked = 0
+    for table, stride in ((biggest(iau), 23), (biggest(ignf), 11)):
+        for code in sorted(table)[::stride]:
+            defn = table[code]
+            try:
+                x0, y0 = transform(create_operation(defn), "fwd",
+                                   lon.copy(), lat.copy())[:2]
+            except Exception:
+                continue
+            if not np.isfinite(x0).all():
+                continue
+            checked += 1
+            for conv in (lambda d: wkt_to_proj(proj_to_wkt2(d)),
+                         lambda d: projjson_to_proj(proj_to_projjson(d))):
+                d2 = conv(defn)
+                x2, y2 = transform(create_operation(d2), "fwd",
+                                   lon.copy(), lat.copy())[:2]
+                err = float(np.nanmax(np.abs(x2 - x0) + np.abs(y2 - y0)))
+                assert err < 2e-6, (code, defn, d2, err)
+    assert checked > 60
