@@ -110,3 +110,59 @@ def test_overlay_reference_point_exact(data):
         ((ix1[bl, br] - ix0[bl, br]) * (iy1[bl, br] - iy0[bl, br]))
         .tolist()))
     assert got == want
+
+
+def test_conformal_projections_zero_angular_distortion():
+    """Conformal family invariant: angular distortion omega ~ 0 at
+    interior points (numerical-derivative tolerance ~1e-7). lcca is
+    excluded by design: the reference's truncated series is only
+    locally conformal near lat_0 (parity, gie-pinned); nzmg is
+    excluded as a bounded-domain complex series."""
+    from proj_ray.factors import factors
+
+    defs = [
+        "+proj=merc +ellps=WGS84",
+        "+proj=tmerc +lon_0=9 +ellps=WGS84",
+        "+proj=etmerc +lon_0=9 +ellps=WGS84",
+        "+proj=lcc +lat_1=33 +lat_2=45 +lon_0=-96 +ellps=WGS84",
+        "+proj=stere +lat_0=90 +lat_ts=70 +ellps=WGS84",
+        "+proj=sterea +lat_0=52 +lon_0=5 +ellps=WGS84",
+        "+proj=omerc +lat_0=4 +lonc=102 +alpha=323 +ellps=WGS84",
+        "+proj=somerc +lat_0=46.95 +lon_0=7.44 +ellps=bessel",
+        "+proj=gstmerc +lat_0=-21 +lon_0=55 +ellps=intl",
+    ]
+    lon = np.radians(np.array([-5.0, 2.0, 15.0, 30.0]))
+    lat = np.radians(np.array([20.0, 40.0, 55.0, 70.0]))
+    for d in defs:
+        f = factors(d, lon, lat)
+        assert np.nanmax(f["angular_distortion"]) < 1e-6, d
+
+
+def test_equal_area_projections_unit_areal_scale():
+    """Equal-area family invariant: areal scale s == 1 everywhere
+    (boggs tolerance reflects the reference's fixed-iteration
+    arithmetic-mean solve)."""
+    from proj_ray.factors import factors
+
+    defs = [
+        "+proj=laea +lat_0=45 +lon_0=10 +ellps=WGS84",
+        "+proj=aea +lat_1=29.5 +lat_2=45.5 +lon_0=-96 +ellps=WGS84",
+        "+proj=cea +ellps=WGS84",
+        "+proj=moll +ellps=WGS84",
+        "+proj=sinu +ellps=WGS84",
+        "+proj=eck4 +ellps=WGS84",
+        "+proj=eck6 +ellps=WGS84",
+        "+proj=hammer +ellps=WGS84",
+        "+proj=mbtfpq +ellps=WGS84",
+        "+proj=qua_aut +ellps=WGS84",
+        "+proj=collg +ellps=WGS84",
+        "+proj=bonne +lat_1=45 +ellps=WGS84",
+        "+proj=leac +lat_1=30 +ellps=WGS84",
+    ]
+    lon = np.radians(np.array([-5.0, 2.0, 15.0, 30.0]))
+    lat = np.radians(np.array([20.0, 40.0, 55.0, 70.0]))
+    for d in defs:
+        f = factors(d, lon, lat)
+        assert np.nanmax(np.abs(f["areal_scale"] - 1)) < 1e-8, d
+    f = factors("+proj=boggs +ellps=WGS84", lon, lat)
+    assert np.nanmax(np.abs(f["areal_scale"] - 1)) < 1e-5
