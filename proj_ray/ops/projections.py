@@ -362,10 +362,18 @@ class Tmerc(Operation):
             x, y = self._exact_fwd(lam, phi)
         else:  # auto: exact only beyond 3 degrees from central meridian
             near = np.abs(lam) <= 3 * math.pi / 180
-            xa, ya = self._approx_fwd(lam, phi)
-            xe, ye = self._exact_fwd(lam, phi)
-            x = np.where(near, xa, xe)
-            y = np.where(near, ya, ye)
+            if near.all():
+                x, y = self._approx_fwd(lam, phi)
+            elif not near.any():
+                x, y = self._exact_fwd(lam, phi)
+            else:
+                # mixed batch: each algorithm runs only on its subset
+                x = np.empty_like(lam)
+                y = np.empty_like(lam)
+                m = near
+                x[m], y[m] = self._approx_fwd(lam[m], phi[m])
+                m = ~near
+                x[m], y[m] = self._exact_fwd(lam[m], phi[m])
         return x, y, z, t
 
     def _inv(self, x, y, z, t) -> Coords:
@@ -377,10 +385,17 @@ class Tmerc(Operation):
             lam, phi = self._exact_inv(x, y)
         else:
             near = np.abs(x) <= 0.053 - 0.022 * y * y
-            la, pa = self._approx_inv(x, y)
-            le, pe = self._exact_inv(x, y)
-            lam = np.where(near, la, le)
-            phi = np.where(near, pa, pe)
+            if near.all():
+                lam, phi = self._approx_inv(x, y)
+            elif not near.any():
+                lam, phi = self._exact_inv(x, y)
+            else:
+                lam = np.empty_like(x)
+                phi = np.empty_like(x)
+                m = near
+                lam[m], phi[m] = self._approx_inv(x[m], y[m])
+                m = ~near
+                lam[m], phi[m] = self._exact_inv(x[m], y[m])
         return lam, phi, z, t
 
 
