@@ -3809,6 +3809,48 @@ GROUP BY user_id, fence
 """
 
 
+_SUBDUP_K = 30
+
+
+def _q73_substring_dedup(sf_dir: str):
+    """Exact substring-duplication stats (Lee et al. 2022,
+    arXiv:2107.06499): per document, the character coverage (interval
+    union) and count of all 30-char windows occurring >= 2 times
+    anywhere in the corpus. Two hash-bucket all-to-alls over
+    pre-hashed integers — the substring text never crosses a shuffle;
+    `stride` documents the 100-TB subsampling path
+    (proj_ray/functions/text.py substring_dup_stats)."""
+    from proj_ray.functions.text import substring_dup_stats
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dup_stats(docs, k=_SUBDUP_K)
+
+
+_Q73_SQL = f"""
+WITH g AS (
+  -- constant-bound series + filter (DuckDB's range() takes no
+  -- column parameters); 4096 comfortably exceeds the max doc length
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         substr(text, CAST(i AS INT), {_SUBDUP_K}) AS gram
+  FROM documents, range(1, 4096) t(i)
+  WHERE i <= length(text) - {_SUBDUP_K} + 1
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+u AS (
+  SELECT doc_id,
+         GREATEST(0, pos + {_SUBDUP_K} - GREATEST(pos,
+             COALESCE(MAX(pos + {_SUBDUP_K}) OVER (
+                 PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0))) AS contrib
+  FROM m)
+SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS dup_chars,
+       CAST(COUNT(*) AS BIGINT) AS dup_grams
+FROM u GROUP BY doc_id
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3888,6 +3930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_dedup_embedding_lsh": _q70_dedup_embedding_lsh,
         "q71_overlay_area": _q71_overlay_area,
         "q72_track_crossings": _q72_track_crossings,
+        "q73_substring_dedup": _q73_substring_dedup,
     }
 
 
@@ -3964,4 +4007,5 @@ def oracle_sql() -> dict[str, str]:
         "q70_dedup_embedding_lsh": _Q70_SQL,
         "q71_overlay_area": _Q71_SQL,
         "q72_track_crossings": _Q72_SQL,
+        "q73_substring_dedup": _Q73_SQL,
     }

@@ -220,6 +220,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q71_overlay_area(sf_dir)))
     timed("q72_track_crossings",
           lambda: consume(E._q72_track_crossings(sf_dir)))
+    timed("q73_substring_dedup",
+          lambda: consume(E._q73_substring_dedup(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

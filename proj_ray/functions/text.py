@@ -379,3 +379,116 @@ def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,
                              kind="stable")
             .head(k).reset_index(drop=True)
             [["ta", "tb", "c_ab", "pmi_f"]])
+
+
+def substring_dup_stats(ds, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 30,
+                        min_count: int = 2, n_buckets: int = 64,
+                        stride: int = 1):
+    """Exact substring-duplication stats per document: the character
+    coverage (union of intervals) and count of all length-`k`
+    substrings that occur at least `min_count` times ANYWHERE in the
+    corpus — the exact-substring dedup primitive of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499), re-expressed for Ray Data.
+
+    Scale shape: TWO hash-bucket all-to-alls, both on pre-hashed
+    integers — no substring text ever crosses a shuffle.
+    1. Every window position emits (h, doc, pos) where h is a
+       vectorized 64-bit polynomial rolling hash over the batch's
+       concatenated bytes (k strided adds, no per-doc loop); rows
+       co-partition on h % n_buckets, so per-gram GLOBAL counts are
+       exact within one bucket pass, which keeps only duplicated
+       positions.
+    2. Surviving (doc, pos) rows co-partition on doc % n_buckets and
+       one vectorized segment pass computes the per-doc interval
+       union (running-max with per-doc offset isolation).
+    `stride` > 1 subsamples window starts for the 100-TB path (the
+    gram stream is total_chars/stride rows); stride=1 is exact and
+    SQL-oracle-reproducible. Hash equality stands in for string
+    equality (collision odds ~n^2/2^65; deterministic per fixture).
+
+    Returns (doc_id, dup_chars, dup_grams) for documents with at
+    least one duplicated window.
+    """
+    import pandas as pd
+
+    B = np.uint64(1099511628211)  # FNV-1a prime as the poly base
+    pows = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        pows[j] = p
+        p = p * B
+
+    def grams(batch) -> pd.DataFrame:
+        texts = batch[text_col]
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        bs = [str(t).encode("utf-8") for t in texts]
+        lens = np.array([len(b) for b in bs], dtype=np.int64)
+        total = int(lens.sum())
+        empty = pd.DataFrame({"_h": np.empty(0, np.int64),
+                              "_bk": np.empty(0, np.int64),
+                              "doc": np.empty(0, np.int64),
+                              "pos": np.empty(0, np.int64)})
+        if total < k:
+            return empty
+        buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        nw = total - k + 1
+        with np.errstate(over="ignore"):
+            h = np.zeros(nw, dtype=np.uint64)
+            for j in range(k):
+                h += buf[j:nw + j].astype(np.uint64) * pows[j]
+        offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        doc_of = np.repeat(np.arange(len(bs), dtype=np.int64), lens)[:nw]
+        pos = np.arange(nw, dtype=np.int64) - offs[doc_of]
+        ok = pos + k <= lens[doc_of]
+        if stride > 1:
+            ok &= pos % stride == 0
+        if not ok.any():
+            return empty
+        hv = h[ok].view(np.int64)
+        return pd.DataFrame({
+            "_h": hv,
+            "_bk": (hv % n_buckets + n_buckets) % n_buckets,
+            "doc": ids[doc_of[ok]],
+            "pos": pos[ok]})
+
+    def keep_dups(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["_h"].to_numpy()
+        _, inv, cnt = np.unique(h, return_inverse=True,
+                                return_counts=True)
+        m = cnt[inv] >= min_count
+        return pd.DataFrame({
+            "doc": g["doc"].to_numpy()[m],
+            "pos": g["pos"].to_numpy()[m],
+            "_bk2": (g["doc"].to_numpy()[m] % n_buckets)})
+
+    def union_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc"].to_numpy()
+        pos = g["pos"].to_numpy()
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        # per-doc isolation: offset positions by rank * BIG so one
+        # global running max never crosses documents
+        BIG = np.int64(1) << 32
+        new = np.r_[True, doc[1:] != doc[:-1]]
+        rank = np.cumsum(new) - 1
+        p = pos + rank * BIG
+        e = p + k
+        prev_end = np.r_[np.int64(0),
+                         np.maximum.accumulate(e)[:-1]]
+        contrib = np.maximum(e - np.maximum(p, prev_end), 0)
+        out = pd.DataFrame({"doc_id": doc, "c": contrib})
+        agg = out.groupby("doc_id", as_index=False).agg(
+            dup_chars=("c", "sum"), dup_grams=("c", "size"))
+        agg["dup_chars"] = agg["dup_chars"].astype(np.int64)
+        agg["dup_grams"] = agg["dup_grams"].astype(np.int64)
+        return agg
+
+    return (ds.select_columns([id_col, text_col])
+            .map_batches(grams, batch_format="numpy", batch_size=4096)
+            .groupby("_bk")
+            .map_groups(keep_dups, batch_format="pandas")
+            .groupby("_bk2")
+            .map_groups(lambda g: union_per_doc(g.drop(columns=["_bk2"])),
+                        batch_format="pandas"))

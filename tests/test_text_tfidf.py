@@ -89,3 +89,77 @@ def test_cooccurrence_pmi_matches_brute(ray_session):
     assert list(got["tb"]) == list(exp["tb"])
     assert np.array_equal(got["c_ab"], exp["c_ab"])
     assert np.array_equal(got["pmi_f"], exp["pmi_f"])
+
+
+def test_substring_dup_stats_matches_brute(ray_session):
+    """Planted exact duplicates across documents: per-doc duplicated
+    coverage and gram counts must equal a brute-force dict-of-grams
+    computation (interval union semantics, min_count=2 global)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.text import substring_dup_stats
+
+    rng = np.random.default_rng(13)
+    alpha = np.array(list("abcdefghij"))
+    shared = "the quick brown fox jumps over the lazy dog again"
+    docs = []
+    for i in range(40):
+        base = "".join(rng.choice(alpha, rng.integers(60, 200)))
+        if i % 3 == 0:
+            at = int(rng.integers(0, max(1, len(base) - 1)))
+            base = base[:at] + shared + base[at:]
+        if i % 7 == 0:
+            base = base + base[:35]  # intra-doc repeat
+        docs.append(base)
+    k = 12
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64),
+                       "text": docs})
+    got = substring_dup_stats(
+        rd.from_pandas(df), k=k).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    from collections import Counter
+    c = Counter()
+    for t in docs:
+        for i in range(len(t) - k + 1):
+            c[t[i:i + k]] += 1
+    rows = []
+    for d, t in enumerate(docs):
+        pos = [i for i in range(len(t) - k + 1) if c[t[i:i + k]] >= 2]
+        if not pos:
+            continue
+        cover = 0
+        prev_end = -1
+        for p in pos:
+            cover += max(0, p + k - max(p, prev_end))
+            prev_end = max(prev_end, p + k)
+        rows.append((d, cover, len(pos)))
+    want = pd.DataFrame(rows, columns=["doc_id", "dup_chars",
+                                       "dup_grams"])
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["dup_chars"].tolist() == want["dup_chars"].tolist()
+    assert got["dup_grams"].tolist() == want["dup_grams"].tolist()
+
+
+def test_substring_dup_stride_subsample(ray_session):
+    """stride=3 keeps only every 3rd window start: dup_grams shrinks
+    accordingly and coverage never exceeds the exact run's."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.text import substring_dup_stats
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["abcdefghijklmnopqrstuvwxyz0123456789" * 3] * 2})
+    exact = substring_dup_stats(rd.from_pandas(df), k=10).to_pandas()
+    sub = substring_dup_stats(rd.from_pandas(df), k=10,
+                              stride=3).to_pandas()
+    e = exact.set_index("doc_id")
+    s = sub.set_index("doc_id")
+    assert (s["dup_grams"] < e["dup_grams"]).all()
+    assert (s["dup_chars"] <= e["dup_chars"]).all()
+    assert (s["dup_chars"] > 0).all()
