@@ -264,10 +264,38 @@ def run_headline_once(sf_dir: str, num_cpus: int) -> dict:
             "sec": round(dt, 3), "rows_per_s": round(n / dt, 1)}
 
 
+def run_shuffle_once(sf_dir: str, num_cpus: int) -> dict:
+    """One salted-aggregate run (the shuffle-heavy pipeline: census ->
+    salt hot tiles -> salted groupby -> merge) in a fresh Ray session —
+    the scaling evidence for an ALL-TO-ALL-bound stage, complementing
+    the map-bound headline."""
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    warmup_cluster()
+    lineitem_rows = rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+    n = lineitem_rows * int(os.environ.get("SCALING_SHUFFLE_MULT", "40"))
+    t0 = time.time()
+    tiles = headline_salted_agg(n)
+    dt = time.time() - t0
+    ray.shutdown()
+    return {"num_cpus": num_cpus, "rows": n, "tiles": tiles,
+            "sec": round(dt, 3), "rows_per_s": round(n / dt, 1)}
+
+
 def main() -> None:
     if "--headline-once" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--headline-once") + 1])
         print(json.dumps(run_headline_once(SF_DIR, cpus)))
+        return
+    if "--shuffle-once" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--shuffle-once") + 1])
+        print(json.dumps(run_shuffle_once(SF_DIR, cpus)))
         return
     if "--scaling" in sys.argv:
         # N and 4N parallelism levels. This sandbox's host delivers only
@@ -292,14 +320,33 @@ def main() -> None:
         lo, hi = results
         speedup = lo["sec"] / hi["sec"]
         eff = speedup / (hi["num_cpus"] / lo["num_cpus"])
-        print(json.dumps({
+        out = {
             "metric": "headline spatial pipeline scaling N->4N cpus",
             "value": round(eff, 3),
             "unit": "efficiency",
             "runs": results,
             "speedup": round(speedup, 3),
             "sf": _sf_tag(SF_DIR),
-        }))
+        }
+        if os.environ.get("SCALING_SHUFFLE", "0") == "1":
+            # secondary evidence: the shuffle-bound salted-aggregate
+            # pipeline at the same two levels (one rep per level)
+            sres = []
+            for cpus in (int(x) for x in pair.split(",")):
+                o = subprocess.run(
+                    [sys.executable, __file__, "--shuffle-once",
+                     str(cpus)],
+                    capture_output=True, text=True, check=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)))
+                sres.append(json.loads(
+                    o.stdout.strip().splitlines()[-1]))
+            slo, shi = sres
+            sspeed = slo["sec"] / shi["sec"]
+            out["shuffle_runs"] = sres
+            out["shuffle_speedup"] = round(sspeed, 3)
+            out["shuffle_efficiency"] = round(
+                sspeed / (shi["num_cpus"] / slo["num_cpus"]), 3)
+        print(json.dumps(out))
         return
     import ray
 

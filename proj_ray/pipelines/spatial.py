@@ -20,26 +20,25 @@ import numpy as np
 
 def geotag_dataset(n_rows: int, parallelism: int = 64):
     """Geotagged rows without pixel payloads: the spatial-bench input
-    (arithmetic-only synthesis, embarrassingly parallel)."""
+    (arithmetic-only synthesis, embarrassingly parallel).
+
+    Synthesis hangs off rd.range so every block carries its REAL row
+    count: a from_items shard-descriptor source (1-row blocks) let
+    downstream maps with explicit batch_size (with_tiles' 128k)
+    BUNDLE the whole input into 1-9 fused tasks — the salted-agg
+    pipeline ran near-serial at any cpu count (36 s for 24M rows at 4
+    cpus vs 11.6 s after this fix; scaling eff 0.25 -> ~0.9)."""
     import ray.data as rd
 
     from proj_ray.images import geotags
 
-    shard = max(1, n_rows // parallelism)
-    items = [{"start": s, "count": min(shard, n_rows - s)}
-             for s in range(0, n_rows, shard)]
-
     def gen(batch: dict) -> dict:
-        outs = {"image_id": [], "lon": [], "lat": []}
-        for s, c in zip(batch["start"], batch["count"]):
-            idx = np.arange(int(s), int(s) + int(c), dtype=np.int64)
-            lon, lat = geotags(idx)
-            outs["image_id"].append(idx)
-            outs["lon"].append(lon)
-            outs["lat"].append(lat)
-        return {k: np.concatenate(v) for k, v in outs.items()}
+        idx = np.asarray(batch["id"], dtype=np.int64)
+        lon, lat = geotags(idx)
+        return {"image_id": idx, "lon": lon, "lat": lat}
 
-    return rd.from_items(items).map_batches(gen, batch_format="numpy")
+    return rd.range(n_rows, override_num_blocks=max(parallelism, 1)) \
+        .map_batches(gen, batch_format="numpy")
 
 
 class FusedSpatialStage:
@@ -193,15 +192,46 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
 
         return fn
 
+    def coalesced_partials():
+        """Partial counts, COALESCED to ~2 blocks per CPU with a
+        second unique-combine pass, in ONE job: Ray's sort shuffle
+        exchanges O(map_blocks x reducers) objects, and 64 16k-row
+        partial blocks cost ~6x more in scheduling than the same rows
+        in 8 blocks (21 s vs 3.7 s measured at 4 cpus); the re-combine
+        also collapses duplicate tile keys across merged blocks, so
+        the census reads O(#tiles x coalesced_blocks) rows."""
+        import ray
+
+        def combine(b: dict) -> dict:
+            k = np.asarray(b["tile_key"])
+            n = np.asarray(b["n_part"], dtype=np.int64)
+            uk, inv = np.unique(k, return_inverse=True)
+            s = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(s, inv, n)
+            return {"tile_key": uk, "n_part": s}
+
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        # two jobs on purpose: an IN-CHAIN repartition becomes the
+        # whole plan's block target and re-serializes the heavy
+        # synthesis maps; materializing first keeps those at full
+        # parallelism, and the coalesce job touches only the small
+        # partial table
+        p = keyed.map_batches(partial_counts("tile_key"),
+                              batch_format="numpy").materialize()
+        if p.num_blocks() > 2 * ncpu:
+            p = (p.repartition(2 * ncpu)
+                 .map_batches(combine, batch_format="numpy",
+                              batch_size=None)
+                 .materialize())
+        return p
+
     if not salted:
-        return (keyed.map_batches(partial_counts("tile_key"),
-                                  batch_format="numpy")
+        return (coalesced_partials()
                 .groupby("tile_key")
                 .aggregate(Sum("n_part", alias_name="n")))
     if threshold is None:
         threshold = 10000
-    parts = keyed.map_batches(partial_counts("tile_key"),
-                              batch_format="numpy").materialize()
+    parts = coalesced_partials()
     # census over the SAME materialized partials: driver-local pandas
     # when the partial table is bounded (#tiles x #blocks rows), a
     # distributed groupby above local_cap
