@@ -416,9 +416,10 @@ def substring_dup_stats(ds, text_col: str = "text",
     B = np.uint64(1099511628211)  # FNV-1a prime as the poly base
     pows = np.empty(k, dtype=np.uint64)
     p = np.uint64(1)
-    for j in range(k - 1, -1, -1):
-        pows[j] = p
-        p = p * B
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound intended
+        for j in range(k - 1, -1, -1):
+            pows[j] = p
+            p = p * B
 
     def grams(batch) -> pd.DataFrame:
         texts = batch[text_col]
