@@ -292,7 +292,15 @@ def _geo_cs_wkt(kv) -> str:
             c not in "ewns" for c in ax[:2]):
         raise NotImplementedError(f"WKT export: axis {ax!r} unsupported")
     pair = ax[:2]
-    if pair in ("en", "ne"):
+    if pair == "ne":
+        # WKT's standard lat-first declaration is indistinguishable
+        # from the engine-normalized default on re-import, so the
+        # lat-lon TUPLE order of +axis=neu cannot round-trip — refuse
+        # rather than silently drop it
+        raise NotImplementedError(
+            "WKT export: geographic +axis=neu (lat,lon tuple order) "
+            "is not distinguishable from the normalized default")
+    if pair == "en":
         entries = [(latn, "north"), (lonn, "east")]
     else:
         dirs = {"e": "east", "w": "west", "n": "north", "s": "south"}
@@ -504,7 +512,12 @@ def proj_to_projjson(defn: str, name: str = "unknown") -> dict:
                 c not in "ewns" for c in ax[:2]):
             raise NotImplementedError(
                 f"PROJJSON export: axis {ax!r} unsupported")
-        if ax[:2] in ("en", "ne"):
+        if ax[:2] == "ne":
+            raise NotImplementedError(
+                "PROJJSON export: geographic +axis=neu (lat,lon tuple "
+                "order) is not distinguishable from the normalized "
+                "default")
+        if ax[:2] == "en":
             entries = [(latn, "Lat", "north"), (lonn, "Lon", "east")]
         else:
             dirs = {"e": "east", "w": "west", "n": "north", "s": "south"}
@@ -676,7 +689,12 @@ def proj_to_wkt1(defn: str, name: str = "unknown") -> str:
                 "WKT1 cannot express a planetocentric (+geoc) CRS")
         g = _geog_wkt1(kv, name)
         ax = str(kv.get("axis", "enu"))
-        if ax[:2] not in ("en", "ne"):
+        if ax[:2] == "ne":
+            raise NotImplementedError(
+                "WKT1 export: geographic +axis=neu (lat,lon tuple "
+                "order) is not distinguishable from the normalized "
+                "default")
+        if ax[:2] != "en":
             if len(ax) != 3 or ax[2] not in "ud" or any(
                     c not in "ewns" for c in ax[:2]):
                 raise NotImplementedError(
