@@ -1133,27 +1133,71 @@ def _q24_dedup_images(sf_dir: str):
 def _q26_ann_ivf_indexed(sf_dir: str):
     """The 100-TB ANN shape: vectors routed once into per-list parquet
     partitions, queries read only their nprobe list partitions
-    (I/O-pruned probe). Approximate BY DESIGN at nprobe=8/32, hence
-    rows-only in the driver gate — but the approximation is bounded
-    and test-enforced: recall@5 vs the exact top-k is deterministic
-    for the fixed fixture (measured 0.76 / 0.72 / 0.76 at
-    sf0.001/0.01/0.1) and tests/test_functions.py::
-    test_q26_ivf_nprobe_recall_bound asserts recall >= 0.7; equality
-    with the brute top-k at nprobe=nlists is pytest-verified
-    (test_knn_index_exact_and_io_pruned / q23's oracle)."""
-    import tempfile
-
-    from proj_ray.functions.ann import ann_ivf_index, ivf_build
+    (I/O-pruned probe; still approximate at nprobe=12/32 lists —
+    recall@5 vs the exact top-k measured 0.68/0.80/0.72 at the three
+    scales, bound pytest-enforced; the trained-centroid path with
+    better partitions stays covered by q23 + pytest). Routing runs
+    in ORACLE-EXACT mode: centroids are the deterministic equal-norm
+    +-1 formula basis (proj_ray/functions/ann.py formula_centroids)
+    and both vector assignment and probe-list selection use exact
+    int64 dot products on 1e6-quantized vectors with the SQL
+    ROW_NUMBER tie-break, so a DuckDB oracle reproduces the probed
+    candidate set and the final cosine top-k bit-for-bit — the
+    formerly rows-only entry is now fully value-checked."""
+    from proj_ray.functions.ann import (ann_ivf_index, formula_centroids,
+                                        ivf_build)
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
-    path, ready = _index_dir("ivf", sf_dir)
+    path, ready = _index_dir("ivff", sf_dir)
     if not ready:
-        ivf_build(ds, path, n_centroids=32)
-        _mark_ready("ivf", path)
-    return ann_ivf_index(path, Q, k=5, nprobe=8)
+        ivf_build(ds, path, centroids=formula_centroids(32, Q.shape[1]),
+                  quantize=1_000_000)
+        _mark_ready("ivff", path)
+    res = ann_ivf_index(path, Q, k=5, nprobe=12, quantize=1_000_000)
+    res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    res["qid"] = res["qid"].astype("int64")
+    res["neighbor_id"] = res["neighbor_id"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return res[["qid", "neighbor_id", "rank"]]
+
+
+_Q26_SQL = """
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+              FROM embeddings),
+vq AS (SELECT vec_id, d.i AS d,
+              CAST(round(emb[CAST(d.i AS INT) + 1] * 1000000) AS BIGINT)
+                  AS v
+       FROM base, range(64) d(i)),
+cent AS (SELECT l.i AS l, d.i AS d,
+                CAST(((l.i*2654435761 + d.i*40503) % 97) % 2 * 2 - 1
+                     AS BIGINT) AS s
+         FROM range(32) l(i), range(64) d(i)),
+adot AS (SELECT vec_id, l, SUM(v * s) AS dot
+         FROM vq JOIN cent USING (d) GROUP BY vec_id, l),
+alist AS (SELECT vec_id, l FROM (
+            SELECT vec_id, l, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, l) AS rn
+            FROM adot) WHERE rn = 1),
+probe AS (SELECT vec_id AS qid, l FROM (
+            SELECT vec_id, l, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY dot DESC, l) AS rn
+            FROM adot WHERE vec_id < 5) WHERE rn <= 12),
+d2 AS (SELECT p.qid, a.vec_id AS neighbor_id,
+              list_cosine_similarity(q.emb, b.emb) AS cos
+       FROM probe p
+       JOIN base q ON q.vec_id = p.qid
+       JOIN alist a ON a.l = p.l
+       JOIN base b ON b.vec_id = a.vec_id),
+r AS (SELECT qid, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM d2)
+SELECT qid, neighbor_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 5
+"""
 
 
 def _q25_merc_scale(sf_dir: str):
@@ -3957,6 +4001,7 @@ def oracle_sql() -> dict[str, str]:
         "q21_images_tiles": _Q21_SQL,
         "q22_images_join": _Q22_SQL,
         "q25_merc_scale": _Q25_SQL,
+        "q26_ann_ivf_indexed": _Q26_SQL,
         "q16_utm": _Q16_SQL,
         "q17_geodesic": _gen_q17_sql(),
         "q23_ann_ivf": _Q14_SQL,

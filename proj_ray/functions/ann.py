@@ -162,6 +162,30 @@ def _membership(Q, C, nprobe: int):
     return member
 
 
+def formula_centroids(n_centroids: int, dim: int) -> np.ndarray:
+    """Deterministic +-1 routing basis with EQUAL row norms: entry
+    (l, d) = ((l*2654435761 + d*40503) % 97) % 2 * 2 - 1. Equal norms
+    make nearest-centroid assignment scale-invariant, so routing can
+    run on int-quantized raw vectors with EXACT integer dot products —
+    the SQL-oracle-reproducible IVF mode (see ivf_build quantize=)."""
+    li = np.arange(n_centroids, dtype=np.int64)[:, None]
+    di = np.arange(dim, dtype=np.int64)[None, :]
+    return (((li * 2654435761 + di * 40503) % 97) % 2 * 2 - 1) \
+        .astype(np.float64)
+
+
+def _quantized_membership(Q, C, nprobe: int, quantize: int):
+    """Probe-list selection on exact integer dots (ties -> lower list
+    id), mirroring a SQL ROW_NUMBER() OVER (ORDER BY dot DESC, l)."""
+    Qq = np.rint(np.asarray(Q, dtype=np.float64) * quantize) \
+        .astype(np.int64)
+    dots = Qq @ np.rint(C).astype(np.int64).T
+    probe = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+    member = np.zeros((Q.shape[0], C.shape[0]), dtype=bool)
+    member[np.arange(Q.shape[0])[:, None], probe] = True
+    return member
+
+
 def ann_ivf(ds, queries: np.ndarray, k: int = 10, centroids=None,
             nprobe: int = 4, vec_col: str = "embedding",
             id_col: str = "vec_id", batch_size: int = 8192):
@@ -186,7 +210,8 @@ def ann_ivf(ds, queries: np.ndarray, k: int = 10, centroids=None,
 
 
 def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
-              vec_col: str = "embedding", id_col: str = "vec_id"):
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              quantize: int | None = None):
     """Route every vector to its nearest-centroid list and write one
     parquet partition per list (`ivf_list=<id>/`). One shuffle-free
     pass; the index directory is the persistent IVF structure a query
@@ -202,6 +227,14 @@ def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
 
     def assign(batch):
         Cm = ray.get(cref)
+        if quantize:
+            # exact integer routing (equal-norm centroids assumed):
+            # np.argmax takes the FIRST max = SQL's dot DESC, l ASC
+            Vq = np.rint(_as_matrix(batch[vec_col]) * quantize) \
+                .astype(np.int64)
+            dots = Vq @ np.rint(Cm).astype(np.int64).T
+            batch["ivf_list"] = np.argmax(dots, axis=1).astype(np.int64)
+            return batch
         V = _normalize(_as_matrix(batch[vec_col]))
         batch["ivf_list"] = np.argmax(V @ Cm.T, axis=1).astype(np.int64)
         return batch
@@ -219,7 +252,8 @@ def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
 
 def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
                   nprobe: int = 4, vec_col: str = "embedding",
-                  id_col: str = "vec_id", batch_size: int = 8192):
+                  id_col: str = "vec_id", batch_size: int = 8192,
+                  quantize: int | None = None):
     """Query a built IVF directory: reads ONLY the union of the queries'
     `nprobe` list partitions — I/O scales with nprobe/nlists, not with
     the corpus. Returns DataFrame (q, nid, cosine, rank)."""
@@ -230,7 +264,10 @@ def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
 
     C = np.load(f"{path}/centroids.npy")
     Q = _normalize(np.asarray(queries, dtype=np.float64))
-    member = _membership(Q, C, nprobe)
+    if quantize:
+        member = _quantized_membership(queries, C, nprobe, quantize)
+    else:
+        member = _membership(Q, C, nprobe)
     needed = np.flatnonzero(member.any(axis=0))
     dirs = [os.path.join(path, f"ivf_list={li}") for li in needed
             if os.path.isdir(os.path.join(path, f"ivf_list={li}"))]
