@@ -168,11 +168,19 @@ def rect_overlay_join(left, right, left_id: str, right_id: str,
     need = [c0, c1, c2, c3]
 
     def fixed(batch, idc):
-        return {"x0": _to_fixed(batch[c0], scale),
-                "y0": _to_fixed(batch[c1], scale),
-                "x1": _to_fixed(batch[c2], scale),
-                "y1": _to_fixed(batch[c3], scale),
-                "id": np.asarray(batch[idc], dtype=np.int64)}
+        raw = [np.asarray(batch[c], dtype=np.float64) for c in need]
+        finite = np.isfinite(raw[0]) & np.isfinite(raw[1]) \
+            & np.isfinite(raw[2]) & np.isfinite(raw[3])
+        x0 = _to_fixed(raw[0][finite], scale)
+        y0 = _to_fixed(raw[1][finite], scale)
+        x1 = _to_fixed(raw[2][finite], scale)
+        y1 = _to_fixed(raw[3][finite], scale)
+        # empty/inverted rects can never strictly overlap — drop them
+        # (also keeps _covered_cells' repeat counts non-negative)
+        ok = (x1 > x0) & (y1 > y0)
+        return {"x0": x0[ok], "y0": y0[ok], "x1": x1[ok], "y1": y1[ok],
+                "id": np.asarray(batch[idc],
+                                 dtype=np.int64)[finite][ok]}
 
     path = force
     if path is None:

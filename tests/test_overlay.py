@@ -163,3 +163,20 @@ def test_segment_crossings_touch_excluded(ray_session):
     assert len(got) == 1
     assert int(got["user_id"].iloc[0]) == 1
     assert int(got["n_cross"].iloc[0]) == 1
+
+
+def test_overlay_degenerate_rects_dropped(ray_session):
+    """Inverted, zero-width, and non-finite rectangles never match and
+    must not break either path."""
+    lp = pd.DataFrame({"lid": np.arange(4, dtype=np.int64),
+                       "x0": [0.0, 5.0, np.nan, 2.0],
+                       "y0": [0.0, 5.0, 0.0, 2.0],
+                       "x1": [3.0, 4.0, 1.0, 2.0],   # 1: inverted, 3: zero
+                       "y1": [3.0, 6.0, 1.0, 5.0]})
+    rp = pd.DataFrame({"rid": np.array([0], dtype=np.int64),
+                       "x0": [1.0], "y0": [1.0], "x1": [6.0],
+                       "y1": [6.0]})
+    for force in ("broadcast", "partitioned"):
+        got = rect_overlay_join(rd.from_pandas(lp), rd.from_pandas(rp),
+                                "lid", "rid", force=force).to_pandas()
+        assert sorted(got["lid"].tolist()) == [0]
