@@ -1133,17 +1133,17 @@ def _q24_dedup_images(sf_dir: str):
 def _q26_ann_ivf_indexed(sf_dir: str):
     """The 100-TB ANN shape: vectors routed once into per-list parquet
     partitions, queries read only their nprobe list partitions
-    (I/O-pruned probe; still approximate at nprobe=12/32 lists —
-    recall@5 vs the exact top-k measured 0.68/0.80/0.72 at the three
+    (I/O-pruned probe; still approximate at nprobe=14/32 lists —
+    recall@5 vs the exact top-k measured 0.76/0.88/0.72 at the three
     scales, bound pytest-enforced; the trained-centroid path with
     better partitions stays covered by q23 + pytest). Routing runs
     in ORACLE-EXACT mode: centroids are the deterministic equal-norm
-    +-1 formula basis (proj_ray/functions/ann.py formula_centroids)
-    and both vector assignment and probe-list selection use exact
-    int64 dot products on 1e6-quantized vectors with the SQL
-    ROW_NUMBER tie-break, so a DuckDB oracle reproduces the probed
-    candidate set and the final cosine top-k bit-for-bit — the
-    formerly rows-only entry is now fully value-checked."""
+    distinct-row Hadamard +-1 basis (proj_ray/functions/ann.py
+    formula_centroids) and both vector assignment and probe-list
+    selection use exact int64 dot products on floor(v*1e6+0.5)
+    quantized vectors with the SQL ROW_NUMBER tie-break, so a DuckDB
+    oracle reproduces the probed candidate set and the final cosine
+    top-k bit-for-bit."""
     from proj_ray.functions.ann import (ann_ivf_index, formula_centroids,
                                         ivf_build)
 
@@ -1151,12 +1151,14 @@ def _q26_ann_ivf_indexed(sf_dir: str):
     qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
     Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                   for r in qrows])
-    path, ready = _index_dir("ivff", sf_dir)
+    # kind tag versioned: v2 = distinct-row Hadamard centroid basis +
+    # floor(v*scale+0.5) quantization (stale v1 caches must not serve)
+    path, ready = _index_dir("ivff2", sf_dir)
     if not ready:
         ivf_build(ds, path, centroids=formula_centroids(32, Q.shape[1]),
                   quantize=1_000_000)
-        _mark_ready("ivff", path)
-    res = ann_ivf_index(path, Q, k=5, nprobe=12, quantize=1_000_000)
+        _mark_ready("ivff2", path)
+    res = ann_ivf_index(path, Q, k=5, nprobe=14, quantize=1_000_000)
     res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
     res["qid"] = res["qid"].astype("int64")
     res["neighbor_id"] = res["neighbor_id"].astype("int64")
@@ -1168,11 +1170,11 @@ _Q26_SQL = """
 WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
               FROM embeddings),
 vq AS (SELECT vec_id, d.i AS d,
-              CAST(round(emb[CAST(d.i AS INT) + 1] * 1000000) AS BIGINT)
-                  AS v
+              CAST(floor(emb[CAST(d.i AS INT) + 1] * 1000000 + 0.5)
+                   AS BIGINT) AS v
        FROM base, range(64) d(i)),
 cent AS (SELECT l.i AS l, d.i AS d,
-                CAST(((l.i*2654435761 + d.i*40503) % 97) % 2 * 2 - 1
+                CAST(1 - 2 * (bit_count(l.i & (d.i % 32)) % 2)
                      AS BIGINT) AS s
          FROM range(32) l(i), range(64) d(i)),
 adot AS (SELECT vec_id, l, SUM(v * s) AS dot
@@ -1184,7 +1186,7 @@ alist AS (SELECT vec_id, l FROM (
 probe AS (SELECT vec_id AS qid, l FROM (
             SELECT vec_id, l, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY dot DESC, l) AS rn
-            FROM adot WHERE vec_id < 5) WHERE rn <= 12),
+            FROM adot WHERE vec_id < 5) WHERE rn <= 14),
 d2 AS (SELECT p.qid, a.vec_id AS neighbor_id,
               list_cosine_similarity(q.emb, b.emb) AS cos
        FROM probe p

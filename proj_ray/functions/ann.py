@@ -128,14 +128,26 @@ def train_centroids(ds, vec_col: str = "embedding", id_col: str = "vec_id",
     return C
 
 
-def _probe_topk(batch, Qm, Cm, member, k, vec_col, id_col):
+def _probe_topk(batch, Qm, Cm, member, k, vec_col, id_col,
+                quantize=None):
     """Shared per-batch kernel: prune rows to probed lists, then apply
-    per-query list visibility with one (nq, n) mask — no per-query scan."""
+    per-query list visibility with one (nq, n) mask — no per-query scan.
+
+    In quantize mode, each stored vector's list is recomputed with the
+    IDENTICAL floor(v*scale+0.5) int64 routing `ivf_build` used to
+    partition it (a float argmax here could disagree with the stored
+    partition when the top-2 centroid gap is below quantization error,
+    wrongly masking probed candidates)."""
     import pandas as pd
 
-    V = _normalize(_as_matrix(batch[vec_col]))
+    Vraw = _as_matrix(batch[vec_col])
+    V = _normalize(Vraw)
     ids = np.asarray(batch[id_col])
-    lists = np.argmax(V @ Cm.T, axis=1)
+    if quantize:
+        Vq = np.floor(Vraw * float(quantize) + 0.5).astype(np.int64)
+        lists = np.argmax(Vq @ np.rint(Cm).astype(np.int64).T, axis=1)
+    else:
+        lists = np.argmax(V @ Cm.T, axis=1)
     keep = member.any(axis=0)[lists]
     if not keep.any():
         return pd.DataFrame({"q": np.empty(0, np.int64),
@@ -163,21 +175,42 @@ def _membership(Q, C, nprobe: int):
 
 
 def formula_centroids(n_centroids: int, dim: int) -> np.ndarray:
-    """Deterministic +-1 routing basis with EQUAL row norms: entry
-    (l, d) = ((l*2654435761 + d*40503) % 97) % 2 * 2 - 1. Equal norms
-    make nearest-centroid assignment scale-invariant, so routing can
-    run on int-quantized raw vectors with EXACT integer dot products —
-    the SQL-oracle-reproducible IVF mode (see ivf_build quantize=)."""
+    """Deterministic +-1 routing basis with EQUAL row norms AND
+    GUARANTEED-DISTINCT rows: Hadamard-style entries
+    (l, d) = 1 - 2*(popcount(l & (d % n)) % 2). Rows l != l' differ at
+    d = lowest set bit of l XOR l' (< n <= dim), so no two rows can
+    coincide; the first n columns are the order-n Sylvester-Hadamard
+    block, so routing directions are mutually orthogonal — maximally
+    spread. (An earlier mod-97 formula produced duplicate rows — lists
+    17,18,19,26,27 of (32, 64) duplicated 1,2,3,10,11 — leaving 5
+    lists permanently empty and wasting probe slots.) Equal norms make
+    nearest-centroid assignment scale-invariant, so routing can run on
+    int-quantized raw vectors with EXACT integer dot products — the
+    SQL-oracle-reproducible IVF mode (see ivf_build quantize=).
+    SQL mirror: 1 - 2*(bit_count(l & (d % n)) % 2)."""
+    if n_centroids > dim:
+        raise ValueError(f"need dim >= n_centroids for distinct rows "
+                         f"(got {n_centroids} > {dim})")
     li = np.arange(n_centroids, dtype=np.int64)[:, None]
     di = np.arange(dim, dtype=np.int64)[None, :]
-    return (((li * 2654435761 + di * 40503) % 97) % 2 * 2 - 1) \
-        .astype(np.float64)
+    masked = li & (di % n_centroids)
+    pop = np.zeros_like(masked)
+    m = masked.copy()
+    while m.any():
+        pop += m & 1
+        m >>= 1
+    C = (1 - 2 * (pop % 2)).astype(np.float64)
+    assert len(np.unique(C, axis=0)) == n_centroids
+    return C
 
 
 def _quantized_membership(Q, C, nprobe: int, quantize: int):
     """Probe-list selection on exact integer dots (ties -> lower list
-    id), mirroring a SQL ROW_NUMBER() OVER (ORDER BY dot DESC, l)."""
-    Qq = np.rint(np.asarray(Q, dtype=np.float64) * quantize) \
+    id), mirroring a SQL ROW_NUMBER() OVER (ORDER BY dot DESC, l).
+    Quantization is floor(v*scale+0.5) — the same half-up convention
+    as ivf_build/kmeans_assign_stats and the SQL oracle (np.rint's
+    half-even would diverge for components exactly on the grid)."""
+    Qq = np.floor(np.asarray(Q, dtype=np.float64) * quantize + 0.5) \
         .astype(np.int64)
     dots = Qq @ np.rint(C).astype(np.int64).T
     probe = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
@@ -229,8 +262,9 @@ def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
         Cm = ray.get(cref)
         if quantize:
             # exact integer routing (equal-norm centroids assumed):
-            # np.argmax takes the FIRST max = SQL's dot DESC, l ASC
-            Vq = np.rint(_as_matrix(batch[vec_col]) * quantize) \
+            # np.argmax takes the FIRST max = SQL's dot DESC, l ASC;
+            # floor(v*scale+0.5) matches the SQL oracle's half-up
+            Vq = np.floor(_as_matrix(batch[vec_col]) * quantize + 0.5) \
                 .astype(np.int64)
             dots = Vq @ np.rint(Cm).astype(np.int64).T
             batch["ivf_list"] = np.argmax(dots, axis=1).astype(np.int64)
@@ -282,7 +316,8 @@ def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
 
     def local(batch):
         return _probe_topk(batch, ray.get(qref), ray.get(cref),
-                           ray.get(mref), k, vec_col, id_col)
+                           ray.get(mref), k, vec_col, id_col,
+                           quantize=quantize)
 
     cand = ds.map_batches(local, batch_format="numpy",
                           batch_size=batch_size)

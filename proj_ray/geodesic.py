@@ -213,6 +213,26 @@ class Geodesic:
         M21 = csig12 - (t * ssig1 - csig1 * J12) * ssig2 / dn2
         return m12b, M12, M21
 
+    def _lengths_m0(self, eps, sig12, ssig1, csig1, ssig2, csig2,
+                    dn1, dn2):
+        """Reduced length m12/b plus m0, with EXPLICIT dn factors —
+        the form InverseStart's prolate branch needs, where Lengths()
+        is called with eps=n and (ssig, csig) = (sbet, -/+cbet) so dn
+        must be sqrt(1 + ep2*sbet^2), not derived from eps
+        (reference: src/geodesic.c:1305-1308 Lengths call)."""
+        A1 = 1 + self._A1m1(eps)
+        A2 = 1 + self._A2m1(eps)
+        m0 = A1 - A2
+        C1, C2 = self._C1(eps), self._C2(eps)
+        B11 = self._sin_cos_series(True, ssig1, csig1, C1)
+        B12 = self._sin_cos_series(True, ssig2, csig2, C1)
+        B21 = self._sin_cos_series(True, ssig1, csig1, C2)
+        B22 = self._sin_cos_series(True, ssig2, csig2, C2)
+        J12 = m0 * sig12 + (A1 * (B12 - B11) - A2 * (B22 - B21))
+        m12b = (dn2 * (csig1 * ssig2) - dn1 * (ssig1 * csig2)
+                - csig1 * csig2 * J12)
+        return m12b, m0
+
     # ---- direct problem --------------------------------------------------
     def direct(self, lat1, lon1, azi1, s12, extra: bool = False):
         """Returns (lat2, lon2, azi2), degrees; with extra=True also
@@ -397,21 +417,45 @@ class Geodesic:
         # correct start azimuth comes from the positive root k of
         # k^4 + 2k^3 - (x^2+y^2-1)k^2 - 2y^2 k - y^2 = 0.
         anti = (csig12 < 0) & (ssig12 < 6 * abs(self.n) * np.pi
-                               * cb1 * cb1)
+                               * cb1 * cb1) & (abs(self.n) <= 0.1)
         if anti.any():
             err0 = np.seterr(divide="ignore", invalid="ignore")
-            k2a = sb1 * sb1 * self.ep2
-            eps0 = k2a / (2 * (1 + np.sqrt(1 + k2a)) + k2a)
-            lamscale = self.f * cb1 * self._A3f(eps0) * np.pi
-            lamscale = np.where(lamscale == 0, 1e-300, lamscale)
-            betscale = lamscale * cb1
-            x = (lam12 - np.pi) / lamscale
-            y = sbet12a / betscale
             tol1 = 200 * np.finfo(float).eps
+            if self.f >= 0:
+                # oblate: x = scaled dlong, y = scaled dlat
+                k2a = sb1 * sb1 * self.ep2
+                eps0 = k2a / (2 * (1 + np.sqrt(1 + k2a)) + k2a)
+                lamscale = self.f * cb1 * self._A3f(eps0) * np.pi
+                lamscale = np.where(lamscale == 0, 1e-300, lamscale)
+                betscale = lamscale * cb1
+                x = (lam12 - np.pi) / lamscale
+                y = sbet12a / betscale
+            else:
+                # prolate (f < 0): the roles of x and y SWAP — x is the
+                # scaled latitude difference measured through the
+                # reduced length at the antipode, y the scaled
+                # longitude (src/geodesic.c:1297-1313)
+                cbet12a = cb2 * cb1 - sb2 * sb1
+                bet12a = np.arctan2(sbet12a, cbet12a)
+                dn1 = np.sqrt(1 + self.ep2 * sb1 * sb1)
+                dn2 = np.sqrt(1 + self.ep2 * sb2 * sb2)
+                m12b, m0 = self._lengths_m0(
+                    self.n, np.pi + bet12a, sb1, -cb1, sb2, cb2,
+                    dn1, dn2)
+                x = -1 + m12b / (cb1 * cb2 * m0 * np.pi)
+                betscale = np.where(x < -0.01, sbet12a / x,
+                                    -self.f * cb1 * cb1 * np.pi)
+                lamscale = betscale / cb1
+                lamscale = np.where(lamscale == 0, 1e-300, lamscale)
+                y = (lam12 - np.pi) / lamscale
             xthresh = 1000 * np.sqrt(np.finfo(float).eps)
             simple = (y > -tol1) & (x > -1 - xthresh)
-            salp1_s = np.minimum(1.0, -np.clip(x, -1.0, 0.0))
-            calp1_s = -np.sqrt(np.maximum(1 - salp1_s * salp1_s, 0.0))
+            if self.f >= 0:
+                salp1_s = np.minimum(1.0, -np.clip(x, -1.0, 0.0))
+                calp1_s = -np.sqrt(np.maximum(1 - salp1_s * salp1_s, 0.0))
+            else:
+                calp1_s = np.maximum(np.where(x > -tol1, 0.0, -1.0), x)
+                salp1_s = np.sqrt(np.maximum(1 - calp1_s * calp1_s, 0.0))
             k = _astroid(x, y)
             omg12a = lamscale * np.where(
                 self.f >= 0, -x * k / (1 + k),
@@ -442,8 +486,19 @@ class Geodesic:
         salp2_f = np.zeros(shape)
         calp2_f = np.ones(shape)
 
+        # bracketed Newton (geodesic.c:1430-1470): in the canonical
+        # arrangement v = lam12(alp1) - lam12 has a single root in
+        # (0, pi) with v < 0 left of it and v > 0 right of it, so every
+        # evaluation tightens an [alp1a, alp1b] bracket; when the Newton
+        # step leaves the bracket (or dv <= 0 — nonmonotone tail past
+        # the root), bisect instead. A bare step-clipped Newton can
+        # limit-cycle across the root (seen on prolate near-antipodal
+        # starts: +-0.5-rad-clipped steps jumping 83deg <-> 112deg over
+        # a root at 97.7deg forever).
         active = np.ones(shape, dtype=bool)
-        for _it in range(50):
+        alp1a = np.zeros(shape)
+        alp1b = np.full(shape, np.pi)
+        for _it in range(80):
             if not active.any():
                 break
             (v, dv, sig12, ssig1, csig1, ssig2, csig2, eps,
@@ -464,11 +519,18 @@ class Geodesic:
             active = active & ~conv
             if not active.any():
                 break
+            alp1c = np.arctan2(salp1, calp1)
+            alp1a = np.where(active & (v < 0),
+                             np.maximum(alp1a, alp1c), alp1a)
+            alp1b = np.where(active & (v > 0),
+                             np.minimum(alp1b, alp1c), alp1b)
             with np.errstate(divide="ignore", invalid="ignore"):
-                dalp1 = np.where(np.abs(dv) > 1e-16, -v / dv,
-                                 np.where(v > 0, -0.1, 0.1))
-            dalp1 = np.clip(dalp1, -0.5, 0.5)
-            alp1 = np.arctan2(salp1, calp1) + np.where(active, dalp1, 0.0)
+                newton = alp1c - v / dv
+            ok = ((dv > 0) & np.isfinite(newton)
+                  & (newton > alp1a) & (newton < alp1b))
+            alp1 = np.where(active,
+                            np.where(ok, newton, 0.5 * (alp1a + alp1b)),
+                            alp1c)
             # keep alp1 in (0, pi): geodesic goes eastward after canonical
             alp1 = np.clip(alp1, 1e-12, np.pi - 1e-12)
             salp1 = np.sin(alp1)

@@ -344,11 +344,12 @@ def test_kmeans_assign_stats_matches_brute(ray_session):
 
 
 def test_q26_ivf_nprobe_recall_bound(ray_session):
-    """q26 is approximate by design (nprobe=12 of 32 formula-centroid
-    lists; the routing is oracle-exact, the recall is not 1); its
-    recall vs the exact top-k is deterministic for the fixed driver
-    fixture. Enforce the documented bound (measured 0.68/0.80/0.72 at
-    sf0.001/0.01/0.1) so a routing or probe regression fails loudly."""
+    """q26 is approximate by design (nprobe=14 of 32 distinct-row
+    Hadamard-centroid lists; the routing is oracle-exact, the recall
+    is not 1); its recall vs the exact top-k is deterministic for the
+    fixed driver fixture. Enforce the documented bound (measured
+    0.76/0.88/0.72 at sf0.001/0.01/0.1) so a routing or probe
+    regression fails loudly."""
     import pandas as pd
 
     import __ray_entry__ as E
@@ -361,4 +362,4 @@ def test_q26_ivf_nprobe_recall_bound(ray_session):
     exact = E._q23_ivf(sf)
     hits = len(set(map(tuple, approx[["qid", "neighbor_id"]].values))
                & set(map(tuple, exact[["qid", "neighbor_id"]].values)))
-    assert hits / len(exact) >= 0.65
+    assert hits / len(exact) >= 0.7
