@@ -1471,20 +1471,34 @@ FROM geo"""
             + _layered_ctes(base, steps, final))
 
 
+_EXACT_COSINE_CAP = 500_000  # n*d broadcast = 256 MB of doubles at d=64
+
+
 def _q33_dedup_embedding(sf_dir: str):
-    """Embedding-cosine near-dup pairs, EXACT mode (`cosine_pairs`
-    broadcasts the normalized matrix and streams batches against it) —
-    the small-to-medium-n BASELINE whose O(n^2 d) compute and O(n d)
-    driver materialization do NOT scale; the 100-TB path is
-    `dedup_embedding`'s LSH, measured and oracle-checked as
-    q70_dedup_embedding_lsh (provable recall on planted colinear dups)
-    and asserted recall-complete vs this exact set in pytest. Cosine
-    rounded to 1e-7 on both sides (measured numpy-vs-DuckDB parity is
-    ~3e-16; the nearest pair sits >=1e-5 from the 0.4 threshold)."""
-    from proj_ray.functions.dedup import cosine_pairs
+    """Embedding-cosine near-dup pairs, dispatched BY SIZE: at or
+    below _EXACT_COSINE_CAP rows, EXACT mode (`cosine_pairs`
+    broadcasts the normalized matrix once and streams batches against
+    it — O(n d) broadcast, O(n^2 d) compute, exact by construction,
+    and the mode every test scale runs: sf0.1 has 2,000 vectors);
+    above the cap the same call routes through `dedup_embedding`'s
+    bucketed LSH — the 100-TB shape measured and oracle-checked as
+    q70_dedup_embedding_lsh (provable recall on planted colinear dups,
+    asserted recall-complete vs the exact set in pytest; at threshold
+    0.4 the LSH trades recall for scale — documented, and the cap
+    keeps every oracle-checked scale on the exact path). The dispatch
+    removes the one unconditional driver-side full-table pull from the
+    query surface. Cosine rounded to 1e-7 on both sides (measured
+    numpy-vs-DuckDB parity is ~3e-16; the nearest pair sits >=1e-5
+    from the 0.4 threshold)."""
+    from proj_ray.functions.dedup import cosine_pairs, dedup_embedding
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = cosine_pairs(ds, "embedding", "vec_id", threshold=0.4).to_pandas()
+    if ds.count() > _EXACT_COSINE_CAP:
+        out = dedup_embedding(ds, "embedding", "vec_id",
+                              threshold=0.4).to_pandas()
+    else:
+        out = cosine_pairs(ds, "embedding", "vec_id",
+                           threshold=0.4).to_pandas()
     out["id_a"] = out["id_a"].astype("int64")
     out["id_b"] = out["id_b"].astype("int64")
     out["cosine"] = np.round(out["cosine"], 7)
@@ -3869,7 +3883,11 @@ def _q73_substring_dedup(sf_dir: str):
     from proj_ray.functions.text import substring_dup_stats
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return substring_dup_stats(docs, k=_SUBDUP_K)
+    # the SQL oracle enumerates CHARACTER positions 1..4095: hold the
+    # engine to that contract (pure ASCII, max 4095 bytes) so any
+    # fixture drift fails loudly instead of silently hash-mismatching
+    return substring_dup_stats(docs, k=_SUBDUP_K,
+                               assert_max_len=4095, assert_ascii=True)
 
 
 _Q73_SQL = f"""

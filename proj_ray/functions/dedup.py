@@ -68,13 +68,10 @@ def dedup_exact(ds, key_col: str, id_col: str, n_buckets: int = 64):
               .map_groups(combine, batch_format="pandas"))
 
 
-def dedup_exact_rows(ds, key_col: str, id_col: str):
-    """Full-row variant: per-group first row by id (map_groups)."""
-
-    def first(g):
-        return g.sort_values(id_col).head(1)
-
-    return ds.groupby(key_col).map_groups(first, batch_format="pandas")
+# (a former dedup_exact_rows full-row groupby variant was deleted: it
+# shuffled entire rows through groupby(key).map_groups — the exact
+# anti-pattern dedup_exact's (key, id) projection exists to avoid —
+# and had no callers; semi-join dedup_exact's winners back instead)
 
 
 # ---------------------------------------------------------- shingling -----
@@ -698,14 +695,24 @@ def dedup_simhash(ds, text_col: str, id_col: str, max_hamming: int = 3,
         g = group.drop_duplicates("rid").sort_values("rid")
         ids = g["rid"].to_numpy()
         hs = g["simhash"].to_numpy()
-        out = []
-        for i in range(len(ids)):
-            if i + 1 < len(ids):
-                d = hamming64(np.full(len(ids) - i - 1, hs[i]), hs[i + 1:])
-                for joff in np.flatnonzero(d <= max_hamming):
-                    out.append((ids[i], ids[i + 1 + joff],
-                                int(d[joff])))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        n = len(ids)
+        frames = []
+        # chunked (ch x n) SWAR hamming matrix — one vectorized pass
+        # per 2048-row stripe, no per-row Python loop; memory bounded
+        # at ch*n uint64s per stripe regardless of bucket size
+        CH = 2048
+        for lo in range(0, n, CH):
+            d = hamming64(hs[lo:lo + CH, None], hs[None, :])
+            r, c = np.nonzero(d <= max_hamming)
+            keep = (lo + r) < c  # strict upper triangle, global index
+            r, c = r[keep], c[keep]
+            if len(r):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[lo + r], "id_b": ids[c],
+                    "hamming": d[r, c].astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+        return pd.concat(frames, ignore_index=True)
 
     pairs = sigs.groupby("band").map_groups(verify, batch_format="pandas")
 

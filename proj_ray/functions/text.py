@@ -384,7 +384,8 @@ def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,
 def substring_dup_stats(ds, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 30,
                         min_count: int = 2, n_buckets: int = 64,
-                        stride: int = 1):
+                        stride: int = 1, assert_max_len: int = 0,
+                        assert_ascii: bool = False):
     """Exact substring-duplication stats per document: the character
     coverage (union of intervals) and count of all length-`k`
     substrings that occur at least `min_count` times ANYWHERE in the
@@ -408,6 +409,15 @@ def substring_dup_stats(ds, text_col: str = "text",
     SQL-oracle-reproducible. Hash equality stands in for string
     equality (collision odds ~n^2/2^65; deterministic per fixture).
 
+    Byte-hash contract: windows are hashed over UTF-8 BYTES and `pos`
+    is a byte offset, while a SQL `substr` oracle indexes CHARACTERS —
+    the two agree only for pure-ASCII text. A caller holding the
+    engine to a character-indexed oracle must pass
+    `assert_ascii=True` (and `assert_max_len=N` when the oracle's
+    position series has a constant bound N); each guard is a cheap
+    vectorized per-batch check that raises loudly on violation
+    instead of silently diverging from the oracle.
+
     Returns (doc_id, dup_chars, dup_grams) for documents with at
     least one duplicated window.
     """
@@ -426,6 +436,11 @@ def substring_dup_stats(ds, text_col: str = "text",
         ids = np.asarray(batch[id_col], dtype=np.int64)
         bs = [str(t).encode("utf-8") for t in texts]
         lens = np.array([len(b) for b in bs], dtype=np.int64)
+        if assert_max_len and len(lens) and lens.max() > assert_max_len:
+            raise ValueError(
+                f"substring_dup_stats: document of {int(lens.max())} "
+                f"bytes exceeds the oracle position bound "
+                f"{assert_max_len}; raise the SQL series bound")
         total = int(lens.sum())
         empty = pd.DataFrame({"_h": np.empty(0, np.int64),
                               "_bk": np.empty(0, np.int64),
@@ -434,6 +449,11 @@ def substring_dup_stats(ds, text_col: str = "text",
         if total < k:
             return empty
         buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        if assert_ascii and (buf >= 128).any():
+            raise ValueError(
+                "substring_dup_stats: non-ASCII text under a "
+                "character-indexed SQL oracle (byte positions would "
+                "diverge from substr() character positions)")
         nw = total - k + 1
         with np.errstate(over="ignore"):
             h = np.zeros(nw, dtype=np.uint64)

@@ -153,6 +153,23 @@ def test_cosine_pairs_exact_vs_lsh(ray_session):
     assert len(lsh) / len(exact) >= 0.5  # recall on clustered data
 
 
+def test_q33_dispatches_to_lsh_above_cap(ray_session, monkeypatch):
+    """q33 routes through the LSH scale path when the table exceeds
+    _EXACT_COSINE_CAP (so no driver-side full-table pull happens above
+    the documented bound) and through the exact path below it."""
+    import __ray_entry__ as E
+
+    sf = "/root/testdata/sf0.001"
+    exact = E._q33_dedup_embedding(sf)
+    monkeypatch.setattr(E, "_EXACT_COSINE_CAP", 10)
+    lsh = E._q33_dedup_embedding(sf)
+    truth = {(a, b): c for a, b, c in
+             zip(exact["id_a"], exact["id_b"], exact["cosine"])}
+    assert len(lsh) > 0
+    for a, b, c in zip(lsh["id_a"], lsh["id_b"], lsh["cosine"]):
+        assert (a, b) in truth and abs(truth[(a, b)] - c) < 1e-6
+
+
 def test_ivf_build_partition_pruned(ray_session, tmp_path):
     import os
 
