@@ -330,16 +330,23 @@ def main() -> None:
         }
         if os.environ.get("SCALING_SHUFFLE", "0") == "1":
             # secondary evidence: the shuffle-bound salted-aggregate
-            # pipeline at the same two levels (one rep per level)
+            # pipeline at the same two levels (best of SCALING_REPEATS
+            # per level — same protocol as the headline pairs; the
+            # shared host's minute-scale load swings otherwise
+            # dominate a single 5-15 s run)
             sres = []
             for cpus in (int(x) for x in pair.split(",")):
-                o = subprocess.run(
-                    [sys.executable, __file__, "--shuffle-once",
-                     str(cpus)],
-                    capture_output=True, text=True, check=True,
-                    cwd=os.path.dirname(os.path.abspath(__file__)))
-                sres.append(json.loads(
-                    o.stdout.strip().splitlines()[-1]))
+                best = None
+                for _ in range(repeats):
+                    o = subprocess.run(
+                        [sys.executable, __file__, "--shuffle-once",
+                         str(cpus)],
+                        capture_output=True, text=True, check=True,
+                        cwd=os.path.dirname(os.path.abspath(__file__)))
+                    r = json.loads(o.stdout.strip().splitlines()[-1])
+                    if best is None or r["sec"] < best["sec"]:
+                        best = r
+                sres.append(best)
             slo, shi = sres
             sspeed = slo["sec"] / shi["sec"]
             out["shuffle_runs"] = sres

@@ -1,8 +1,8 @@
 """Composed end-to-end pipelines (the north-star flows)."""
 
-from proj_ray.pipelines.spatial import (FusedSpatialStage, geotag_dataset,
-                                        headline_spatial,
+from proj_ray.pipelines.spatial import (FusedSpatialStage, bucketed_sum,
+                                        geotag_dataset, headline_spatial,
                                         tile_counts_salted)
 
-__all__ = ["FusedSpatialStage", "geotag_dataset", "headline_spatial",
-           "tile_counts_salted"]
+__all__ = ["FusedSpatialStage", "bucketed_sum", "geotag_dataset",
+           "headline_spatial", "tile_counts_salted"]

@@ -137,16 +137,53 @@ def headline_spatial(n_rows: int, num_cpus: int = 32, zoom: int = 10,
     ds = rd.from_items(items).map_batches(
         stage, batch_format="numpy", batch_size=4)
     if combine == "tiles":
-        from ray.data.aggregate import Sum
-
-        agg = (ds.groupby("tile_key")
-                 .aggregate(Sum("partial_n", alias_name="n"))
-                 .to_pandas())
+        agg = bucketed_sum(ds, "tile_key", "partial_n", "n").to_pandas()
         return int(agg["n"].sum()), agg
     total = 0
     for b in ds.iter_batches(batch_format="numpy"):
         total += int(b["partial_n"].sum())
     return total, None
+
+
+def bucketed_sum(parts, key_col: str, val_col: str, out_col: str,
+                 n_buckets: int | None = None):
+    """Distributed sum-combine of a (key, partial) table: hash keys
+    into a SMALL int bucket domain, co-partition on the bucket, one
+    vectorized unique+add.at pass per bucket.
+
+    This deliberately avoids `groupby(key).aggregate(Sum(...))`:
+    ray.data's sort-aggregate runs a Python loop over every KEY on
+    both the map and reduce sides (~80 us/row measured — 4.9 s for a
+    131k-row partial table at 4 cpus), while this shape prices the
+    same all-to-all at ~1 s because the sort domain is `n_buckets`
+    small ints and all per-key work is NumPy. Size `n_buckets` so
+    distinct-keys / n_buckets rows fit a worker heap (defaults to
+    4 x cluster CPUs; thousands at the 100-TB target)."""
+    import pandas as pd
+    import ray
+
+    from proj_ray.functions._hash import splitmix64
+
+    if n_buckets is None:
+        n_buckets = 4 * max(1, int(ray.cluster_resources().get("CPU", 8)))
+
+    def add_bk(b: dict) -> dict:
+        k = np.asarray(b[key_col], dtype=np.int64)
+        bk = (splitmix64(k) % np.uint64(n_buckets)).astype(np.int64)
+        return {key_col: k, val_col: b[val_col], "_bk": bk}
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        k = g[key_col].to_numpy()
+        n = g[val_col].to_numpy()
+        uk, inv = np.unique(k, return_inverse=True)
+        s = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(s, inv, n)
+        return pd.DataFrame({key_col: uk, out_col: s})
+
+    return (parts.map_batches(add_bk, batch_format="numpy")
+            .groupby("_bk")
+            .map_groups(lambda g: comb(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
 
 
 def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
@@ -171,35 +208,36 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
     all-to-alls move pre-combined partials. Hot tiles' partials are
     salted with a per-batch deterministic sub-key (a hot reducer group
     has one row per contributing block; the salt splits it `salt`
-    ways)."""
-    from ray.data.aggregate import Sum
+    ways).
 
-    from proj_ray import stages as S
+    Round-5 fusion: tile assignment, key packing and the per-block
+    unique-combine run in ONE map_batches fn on whole blocks
+    (batch_size=None). Three separate map operators, even auto-fused
+    by Ray into one task, paid an Arrow block build + batch slice at
+    EVERY operator boundary — measured ~0.3 us/row/boundary, 22 s of
+    the 33 s single-cpu map phase at 24 M rows; the hand-fused fn is
+    wall-time ~= UDF-time."""
 
-    ds = S.with_tiles(ds, zoom=zoom)
+    def tile_partials(b: dict) -> dict:
+        from proj_ray.tiles import tile_assign
 
-    def keyify(b: dict) -> dict:
-        return {key_col: b[key_col],
-                "tile_key": (b["tile_x"] * np.int64(1 << 30)
-                             + b["tile_y"])}
+        tx, ty, _valid = tile_assign(b["lon"], b["lat"], zoom)
+        key = tx * np.int64(1 << 30) + ty
+        keys, counts = np.unique(key, return_counts=True)
+        return {"tile_key": keys, "n_part": counts.astype(np.int64)}
 
-    keyed = ds.map_batches(keyify, batch_format="numpy")
-
-    def partial_counts(col):
-        def fn(b: dict) -> dict:
-            keys, counts = np.unique(b[col], return_counts=True)
-            return {col: keys, "n_part": counts.astype(np.int64)}
-
-        return fn
+    keyed = ds.map_batches(tile_partials, batch_format="numpy",
+                           batch_size=None)
 
     def coalesced_partials():
         """Partial counts, COALESCED to ~2 blocks per CPU with a
-        second unique-combine pass, in ONE job: Ray's sort shuffle
-        exchanges O(map_blocks x reducers) objects, and 64 16k-row
-        partial blocks cost ~6x more in scheduling than the same rows
-        in 8 blocks (21 s vs 3.7 s measured at 4 cpus); the re-combine
-        also collapses duplicate tile keys across merged blocks, so
-        the census reads O(#tiles x coalesced_blocks) rows."""
+        second unique-combine pass: the downstream groupby's sort
+        exchange prices O(map_blocks x reducers) objects whichever
+        combine implementation consumes it (64 16k-row partial blocks
+        measured ~5 s slower end-to-end than the same rows in 8
+        blocks, even under bucketed_sum), and the re-combine also
+        collapses duplicate tile keys across merged blocks so the
+        census reads O(#tiles x coalesced_blocks) rows."""
         import ray
 
         def combine(b: dict) -> dict:
@@ -216,8 +254,7 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
         # synthesis maps; materializing first keeps those at full
         # parallelism, and the coalesce job touches only the small
         # partial table
-        p = keyed.map_batches(partial_counts("tile_key"),
-                              batch_format="numpy").materialize()
+        p = keyed.materialize()
         if p.num_blocks() > 2 * ncpu:
             p = (p.repartition(2 * ncpu)
                  .map_batches(combine, batch_format="numpy",
@@ -226,9 +263,8 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
         return p
 
     if not salted:
-        return (coalesced_partials()
-                .groupby("tile_key")
-                .aggregate(Sum("n_part", alias_name="n")))
+        return bucketed_sum(coalesced_partials(),
+                            "tile_key", "n_part", "n")
     if threshold is None:
         threshold = 10000
     parts = coalesced_partials()
@@ -247,8 +283,7 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
             cen.index.to_numpy()[cen.to_numpy() >= threshold]
             .astype(np.int64))
     else:
-        census = parts.groupby("tile_key").aggregate(
-            Sum("n_part", alias_name="n"))
+        census = bucketed_sum(parts, "tile_key", "n_part", "n")
         hot: set[int] = set()
         for b in census.iter_batches(batch_format="numpy"):
             sel = np.asarray(b["n"]) >= threshold
@@ -276,10 +311,9 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
                 + np.where(is_hot, sub, np.int64(0)),
                 "n_part": n}
 
-    part = (parts.map_batches(salt_parts, batch_format="numpy")
-            .groupby("cell_salted")
-            .aggregate(Sum("n_part", alias_name="n_sub"))
-            .materialize())
+    part = bucketed_sum(parts.map_batches(salt_parts,
+                                          batch_format="numpy"),
+                        "cell_salted", "n_part", "n_sub").materialize()
     # un-salt merge: the salted output is <= #tiles + #hot*salt rows;
     # merge driver-local under the cap, distributed groupby above it
     if part.count() <= local_cap:
@@ -298,5 +332,5 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
         return {"tile_key": np.asarray(b["cell_salted"]) // salt,
                 "n_sub": b["n_sub"]}
 
-    return (part.map_batches(unsalt, batch_format="numpy")
-            .groupby("tile_key").aggregate(Sum("n_sub", alias_name="n")))
+    return bucketed_sum(part.map_batches(unsalt, batch_format="numpy"),
+                        "tile_key", "n_sub", "n")
