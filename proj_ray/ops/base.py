@@ -89,7 +89,45 @@ class Operation:
         raise NotImplementedError(f"{self.name} has no inverse")
 
     # -- public batch API --------------------------------------------------
+    # Large inputs run in cache-sized chunks: every NumPy ufunc on an
+    # N-point array allocates a fresh temporary, and beyond glibc's
+    # mmap threshold (~128 KB) each allocation is a new mmap whose
+    # pages fault in on first touch — measured 35x slower than the
+    # same kernel on small chunks (etmerc fwd: 0.12 M pts/s on a
+    # 2M-point array vs 4.4 M on 32k chunks). 32k points = 256 KB per
+    # temporary keeps the whole working set in L2 and allocations in
+    # the malloc arena. Pipelines chunk per STEP (each step's public
+    # fwd/inv chunks independently), which preserves push/pop stack
+    # semantics.
+    CHUNK = 32768
+
     def fwd(self, c: Coords) -> Coords:
+        return self._chunked(self._fwd_whole, c)
+
+    def inv(self, c: Coords) -> Coords:
+        return self._chunked(self._inv_whole, c)
+
+    def _chunked(self, fn, c: Coords) -> Coords:
+        x = np.asarray(c[0])
+        if x.ndim == 0 or x.shape[0] <= 2 * self.CHUNK:
+            return fn(c)
+        n = x.shape[0]
+        outs: tuple[list, list, list, list] = ([], [], [], [])
+        for s in range(0, n, self.CHUNK):
+            e = min(s + self.CHUNK, n)
+            sub = tuple(
+                a[s:e] if getattr(a, "ndim", 0) >= 1
+                and getattr(a, "shape", (0,))[0] == n else a
+                for a in c)
+            res = fn(sub)
+            for lst, comp in zip(outs, res):
+                arr = np.asarray(comp, dtype=np.float64)
+                if arr.ndim == 0:
+                    arr = np.full(e - s, float(arr))
+                lst.append(arr)
+        return tuple(np.concatenate(lst) for lst in outs)
+
+    def _fwd_whole(self, c: Coords) -> Coords:
         P = self.P
         x, y, z, t = (np.asarray(a, dtype=np.float64) for a in c)
         nan_in = np.isnan(x) | np.isnan(y)
@@ -134,7 +172,7 @@ class Operation:
                 x, y, z, t = _axis_fwd(P.axis, x, y, z, t)
         return apply_error(bad, (x, y, z, t), nan_in)
 
-    def inv(self, c: Coords) -> Coords:
+    def _inv_whole(self, c: Coords) -> Coords:
         P = self.P
         x, y, z, t = (np.asarray(a, dtype=np.float64) for a in c)
         nan_in = np.isnan(x) | np.isnan(y)
