@@ -312,6 +312,10 @@ def resolve_operation(ref: str) -> str:
     s = ref.strip()
     code = None
     up = s.upper()
+    if up.startswith(("NKG:", "URN:OGC:DEF:COORDINATEOPERATION:NKG::")):
+        from proj_ray.nkg import resolve_nkg
+
+        return resolve_nkg(s.split(":")[-1])
     if up.startswith(("EPSG:", "URN:OGC:DEF:COORDINATEOPERATION:EPSG::")):
         tail = s.split(":")[-1]
         try:

@@ -22,6 +22,7 @@ Operators not implemented in this engine are reported as `unsupported`
 from __future__ import annotations
 
 import math
+import os
 import re
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -31,6 +32,12 @@ import numpy as np
 from proj_ray.factory import create_operation
 from proj_ray.ops.base import UNITS_RADIANS
 from proj_ray.params import dms_to_deg
+
+
+def _synth_grid_names() -> set[str]:
+    from proj_ray.nkg import nkg_grid_names
+
+    return nkg_grid_names()
 
 DEG = math.pi / 180.0
 GRS80_DEG = 111319.4908  # deg-to-m at equator (gie.cpp:499)
@@ -98,12 +105,18 @@ class GieResult:
     fail: int = 0
     skip: int = 0
     unsupported: int = 0
+    # expects executed end-to-end on SYNTHESIZED stand-in grids
+    # (PROJ_RAY_SYNTH_GRIDS=1): finite + inverse-closure checked, but
+    # the corpus' expect values reference real PROJ-data grids so the
+    # values themselves cannot be asserted
+    unasserted: int = 0
     failures: list[str] = field(default_factory=list)
     unsupported_ops: dict[str, int] = field(default_factory=dict)
 
     @property
     def total(self) -> int:
-        return self.ok + self.fail + self.skip + self.unsupported
+        return (self.ok + self.fail + self.skip + self.unsupported
+                + self.unasserted)
 
 
 def _iter_commands(text: str):
@@ -232,19 +245,58 @@ class GieRunner:
         # ';' separators (GDA.gie): normalize before deciding whether
         # this is a proj-string or a database ref
         normalized = re.sub(r"\s*=\s*", "=", args.replace(";", " "))
+        self.op_synth = False
         if "proj=" not in normalized and "init=" not in normalized:
-            # urn:/WKT/EPSG-code style definitions need the CRS database
-            self.op_error = "unsupported"
-            self.res.unsupported_ops["crs_database"] = \
-                self.res.unsupported_ops.get("crs_database", 0) + 1
-            return
+            # urn:/EPSG-code operation references resolve through the
+            # static registries (EPSG geocentric Helmerts + the NKG
+            # concatenated-operation registry)
+            try:
+                from proj_ray.epsg import resolve_operation
+
+                normalized = resolve_operation(normalized.strip())
+            except NotImplementedError:
+                self.op_error = "unsupported"
+                self.res.unsupported_ops["crs_database"] = \
+                    self.res.unsupported_ops.get("crs_database", 0) + 1
+                return
+            except Exception:
+                self.op_error = "invalid"
+                return
+        synth_on = os.environ.get("PROJ_RAY_SYNTH_GRIDS") == "1"
         try:
             self.op = create_operation(normalized)
+            self.op_synth = self._uses_synth_grid(normalized)
+            if self.op_synth and not synth_on:
+                # a prior opt-in run left the synth dir on the search
+                # path: without the flag these sections must stay
+                # grid_missing (reference-ctest parity), never
+                # value-compare against fixture grids
+                self.op = None
+                self.op_synth = False
+                self.op_error = "grid_missing"
+                key = "synthesized fixture grids (flag off)"
+                self.res.unsupported_ops[key] = \
+                    self.res.unsupported_ops.get(key, 0) + 1
         except NotImplementedError as exc:
             # a missing grid file is a real runtime failure (the op IS
             # implemented): expect-failure sections should match it
             from proj_ray.ops.gridshift import GridUnavailable
 
+            if isinstance(exc, GridUnavailable) and synth_on \
+                    and any(n in str(exc) for n in _synth_grid_names()):
+                # opt-in fixture path: synthesize the PROJ-data grids
+                # the reference's own ctest skips without, so the
+                # pipeline executes end-to-end (expects become
+                # finite+closure checks counted as `unasserted`)
+                from proj_ray.nkg import ensure_synth_grids
+
+                ensure_synth_grids()
+                try:
+                    self.op = create_operation(normalized)
+                    self.op_synth = True
+                    return
+                except Exception:
+                    pass
             self.op_error = "grid_missing" \
                 if isinstance(exc, GridUnavailable) else "unsupported"
             key = str(exc).replace("operator not implemented: ", "")
@@ -252,6 +304,27 @@ class GieRunner:
                 self.res.unsupported_ops.get(key, 0) + 1
         except Exception:
             self.op_error = "invalid"
+
+    @staticmethod
+    def _uses_synth_grid(defn: str) -> bool:
+        """True iff a grid named in `defn` actually resolves to a
+        synthesized fixture (real files shadow the synth dir, which
+        sits LAST on the search path) — such sections must be
+        closure-checked, never value-asserted."""
+        from proj_ray import nkg
+        from proj_ray.ops.defmodel import _resolve_file
+        from proj_ray.ops.gridshift import GridUnavailable
+
+        if nkg._synth_dir is None:
+            return False
+        for name in _synth_grid_names():
+            if name in defn:
+                try:
+                    if _resolve_file(name).startswith(nkg._synth_dir):
+                        return True
+                except GridUnavailable:
+                    pass
+        return False
 
     def do_expect(self, args: str) -> None:
         res = self.res
@@ -313,6 +386,32 @@ class GieRunner:
         ce = self._torad(e, True) if self._angular_output() else e
         ci = self._torad(self.accepted, False) if self._angular_input() \
             else list(self.accepted)
+        if getattr(self, "op_synth", False):
+            # synthesized-grid fixture: the corpus expect values
+            # reference real PROJ-data grids, so execute end-to-end
+            # and assert finiteness + inverse closure instead
+            try:
+                co = self._trans(ci, self.dir)
+            except NotImplementedError:
+                res.unsupported += 1
+                return
+            if not all(map(math.isfinite, co[:3])):
+                res.fail += 1
+                res.failures.append(
+                    f"synth-grid run non-finite: {self.op_str[:80]}")
+                return
+            if self.op.has_inverse:
+                back = self._trans(list(co), "inv" if self.dir == "fwd"
+                                   else "fwd")
+                d = max(abs(b - a) for b, a in zip(back[:3], ci[:3]))
+                if not (d < 1e-3):
+                    res.fail += 1
+                    res.failures.append(
+                        f"synth-grid closure {d:.3g}: "
+                        f"{self.op_str[:80]}")
+                    return
+            res.unasserted += 1
+            return
         try:
             co = self._trans(ci, self.dir)
         except NotImplementedError:

@@ -362,3 +362,88 @@ def read_geotiff_grids(path: str) -> list[TiffGrid]:
         if not placed:
             roots.append(g)
     return roots
+
+
+def write_geotiff_grid(path: str, samples: np.ndarray, west: float,
+                       north: float, res: float,
+                       band_descriptions: list[str],
+                       metadata: dict | None = None) -> None:
+    """Minimal GeoTIFF WRITER (the reader's inverse, for synthesized
+    test fixtures — e.g. the NKG deformation grids PROJ-data does not
+    ship; see proj_ray.nkg). Classic little-endian TIFF, one IFD,
+    single strip, uncompressed float32, PixelIsArea geographic
+    georeferencing via ModelPixelScale + ModelTiepoint, GDAL_METADATA
+    with per-sample DESCRIPTION items.
+
+    `samples` is (height, width, nsamples) with row 0 at the NORTH
+    edge (standard TIFF image order); `west`/`north` are the CENTER of
+    the top-left pixel in degrees (the PixelIsArea half-pixel shift is
+    applied here so the reader recovers them exactly)."""
+    h, w, spp = samples.shape
+    assert len(band_descriptions) == spp
+    arr = np.ascontiguousarray(samples, dtype="<f4")
+    items = []
+    for k, v in (metadata or {}).items():
+        items.append(f'<Item name="{k}">{v}</Item>')
+    for i, d in enumerate(band_descriptions):
+        items.append(f'<Item name="DESCRIPTION" sample="{i}" '
+                     f'role="description">{d}</Item>')
+    gdal_xml = ("<GDALMetadata>\n" + "\n".join(items)
+                + "\n</GDALMetadata>\n").encode() + b"\x00"
+    geokeys = [1, 1, 0, 2,
+               1024, 0, 1, 2,   # ModelTypeGeographic
+               1025, 0, 1, 1]   # RasterPixelIsArea
+    pixel_scale = [res, res, 0.0]
+    # PixelIsArea: tiepoint references the OUTER corner of pixel (0,0)
+    tiepoint = [0.0, 0.0, 0.0, west - 0.5 * res, north + 0.5 * res, 0.0]
+    strip = arr.tobytes()
+
+    entries = []  # (tag, type, count, payload-bytes)
+
+    def entry(tag, typ, values, fmt):
+        payload = struct.pack("<" + fmt * len(values), *values)
+        entries.append((tag, typ, len(values), payload))
+
+    entry(256, 3, [w], "H")
+    entry(257, 3, [h], "H")
+    entry(258, 3, [32] * spp, "H")
+    entry(259, 3, [1], "H")
+    entry(262, 3, [1], "H")
+    entry(273, 4, [0], "I")  # patched below
+    entry(277, 3, [spp], "H")
+    entry(278, 3, [h], "H")
+    entry(279, 4, [len(strip)], "I")
+    entry(284, 3, [1], "H")
+    entry(339, 3, [3] * spp, "H")
+    entry(33550, 12, pixel_scale, "d")
+    entry(33922, 12, tiepoint, "d")
+    entry(34735, 3, geokeys, "H")
+    entries.append((42112, 2, len(gdal_xml), gdal_xml))
+
+    n = len(entries)
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n + 4
+    blobs = []
+    fixed = []
+    for tag, typ, cnt, payload in entries:
+        if len(payload) <= 4:
+            fixed.append((tag, typ, cnt, payload.ljust(4, b"\x00")))
+        else:
+            fixed.append((tag, typ, cnt,
+                          struct.pack("<I", data_off + sum(
+                              len(b) for b in blobs))))
+            blobs.append(payload + (b"\x00" if len(payload) % 2 else b""))
+    strip_off = data_off + sum(len(b) for b in blobs)
+    # patch StripOffsets (tag 273) with the final strip position
+    for idx, (tag, typ, cnt, raw) in enumerate(fixed):
+        if tag == 273:
+            fixed[idx] = (tag, typ, cnt, struct.pack("<I", strip_off))
+    out = [b"II*\x00", struct.pack("<I", ifd_off),
+           struct.pack("<H", n)]
+    for tag, typ, cnt, raw in fixed:
+        out.append(struct.pack("<HHI", tag, typ, cnt) + raw)
+    out.append(struct.pack("<I", 0))  # next IFD
+    out.extend(blobs)
+    out.append(strip)
+    with open(path, "wb") as f:
+        f.write(b"".join(out))

@@ -32,3 +32,32 @@ def test_total_coverage_floor():
     """Guard against regressions in how many assertions we actually run."""
     total_ok = sum(run_gie_file(p).ok for p in GIE_FILES)
     assert total_ok >= 560, f"gie coverage dropped: {total_ok}"
+
+
+def test_nkg_urn_ops_synth_grids(monkeypatch):
+    """The nkg.gie urn operations resolve from the static NKG registry
+    and, with PROJ_RAY_SYNTH_GRIDS=1, execute end-to-end on
+    synthesized deformation grids (finite + inverse-closure checked,
+    counted `unasserted` because the corpus expect values reference
+    real PROJ-data grids). Without the flag the file stays
+    reference-ctest parity: skipped for the named missing grids."""
+    path = "/root/reference/test/gie/nkg.gie"
+    r0 = run_gie_file(path)
+    assert (r0.fail, r0.unasserted) == (0, 0)
+    assert r0.unsupported == 31
+    assert all("grid" in k for k in r0.unsupported_ops)
+    monkeypatch.setenv("PROJ_RAY_SYNTH_GRIDS", "1")
+    r1 = run_gie_file(path)
+    assert (r1.ok + r1.unasserted, r1.fail, r1.unsupported) == (31, 0, 0)
+    assert r1.unasserted >= 24
+
+
+def test_nkg_registry_chains_all_ops():
+    """Every NKG concatenated operation resolves to a pipeline whose
+    steps chain source->target CRSs exactly (direction inference)."""
+    from proj_ray.nkg import resolve_nkg
+    from proj_ray.nkg_generated import NKG_CONCAT
+
+    for code in NKG_CONCAT:
+        s = resolve_nkg(code)
+        assert s.startswith("+proj=pipeline +step ")
