@@ -46,8 +46,13 @@ def warmup_cluster() -> float:
     t0 = time.time()
 
     def _imports(b):
+        import pandas  # noqa: F401
+        import ray.data  # noqa: F401
+
         import proj_ray.stages  # noqa: F401
+        from proj_ray.functions._hash import splitmix64  # noqa: F401
         from proj_ray.images import geotags  # noqa: F401
+        from proj_ray.tiles import tile_assign  # noqa: F401
 
         return b
 
