@@ -307,6 +307,36 @@ def cmd_projinfo(args: list[str]) -> int:
     return 0
 
 
+def cmd_projdb(args: list[str]) -> int:
+    """Arbitrary read-only SQL over the bundled live proj.db — the
+    registry-as-a-database surface the reference services through
+    src/iso19111/factory.cpp (every lookup there is a SQL statement
+    against proj.db). Output is sqlite3-CLI style: one row per line,
+    columns pipe-separated, NULL empty. `projdb --structure` prints
+    the schema the way factory.cpp's getDatabaseStructure does."""
+    from proj_ray import projdb
+
+    if not args:
+        print("usage: projdb [--structure | SQL...]", file=sys.stderr)
+        return 2
+    if args[0] == "--structure":
+        for stmt in projdb.database_structure():
+            print(stmt)
+        return 0
+    sql = " ".join(args)
+    try:
+        _, rows = projdb.query(sql)
+    except FileNotFoundError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    except Exception as exc:  # sqlite errors -> CLI diagnostics
+        print(f"SQL error: {exc}", file=sys.stderr)
+        return 1
+    for row in rows:
+        print("|".join("" if v is None else str(v) for v in row))
+    return 0
+
+
 def cmd_cct(args: list[str]) -> int:
     """cct subset (reference src/apps/cct.cpp): 4D filter applying a
     coordinate operation given as +proj tokens, an EPSG operation code
@@ -464,10 +494,17 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_projinfo(rest)
     if cmd == "cct":
         return cmd_cct(rest)
+    if cmd == "projdb":
+        return cmd_projdb(rest)
     print(f"unknown command {cmd!r}; one of: proj cs2cs geod gie "
-          "projinfo cct", file=sys.stderr)
+          "projinfo cct projdb", file=sys.stderr)
     return 2
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        code = main()
+        sys.stdout.flush()
+    except BrokenPipeError:
+        code = 0  # downstream pipe (e.g. `| head`) closed early
+    raise SystemExit(code)

@@ -1193,9 +1193,17 @@ def run_projinfo(args: list[str]) -> tuple[str, int]:
             (sql_out and "output_id" in search_opts):
         out = []
         if search_opts.get("dump_db"):
-            from proj_ray.db_structure_generated import DB_STRUCTURE
+            # Prefer the live bundled proj.db (full sqlite_master text,
+            # exactly factory.cpp getDatabaseStructure); fall back to
+            # the generated static schema dump when the db is absent.
+            from proj_ray import projdb
 
-            out.extend(DB_STRUCTURE)
+            if projdb.available():
+                out.extend(projdb.database_structure())
+            else:
+                from proj_ray.db_structure_generated import DB_STRUCTURE
+
+                out.extend(DB_STRUCTURE)
         if len(positional) == 1:
             oid = search_opts.get("output_id")
             if oid is None:
