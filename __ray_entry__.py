@@ -3915,6 +3915,92 @@ FROM u GROUP BY doc_id
 """
 
 
+def _q74_cube(sf_dir: str):
+    """GROUP BY CUBE over three keys (returnflag, linestatus,
+    ship-year): exact int64 quantity sums + counts at ALL 2^3 grouping
+    sets from ONE data pass — finest-level streaming associative
+    partials (no sort shuffle), the 8-set expansion runs on the
+    driver over the finest aggregate, bounded by the key-domain
+    product, never the row count
+    (proj_ray/functions/stats.py cube_sums)."""
+    from proj_ray.functions.stats import cube_sums
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_shipdate",
+                        "l_quantity"])
+
+    def add_year(b: dict) -> dict:
+        yr = (np.asarray(b["l_shipdate"]).astype("datetime64[Y]")
+              .astype(np.int64) + 1970)
+        return {"l_returnflag": np.asarray(b["l_returnflag"]),
+                "l_linestatus": np.asarray(b["l_linestatus"]),
+                "shipyear": yr.astype("U4"),
+                "l_quantity": np.asarray(b["l_quantity"])}
+
+    ds = li.map_batches(add_year, batch_format="numpy")
+    return cube_sums(ds, ["l_returnflag", "l_linestatus", "shipyear"],
+                     "l_quantity", scale=100)
+
+
+_Q74_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       COALESCE(CAST(year(l_shipdate) AS VARCHAR), 'ALL') AS shipyear,
+       CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_c,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus, year(l_shipdate))
+"""
+
+
+def _q75_grouped_stats(sf_dir: str):
+    """Grouped sample stddev + Pearson correlation from ONE pass of
+    mergeable exact int64 fixed-point moments (n, Sx, Sy, Sxx, Syy,
+    Sxy per group; streaming associative combines, no sort shuffle).
+    The closed forms are evaluated in float64 over those exact
+    integers with the SAME expression tree as the SQL oracle, so the
+    match is bit-for-bit — the oracle recomputes the moments, not
+    DuckDB's stddev/corr aggregates
+    (proj_ray/functions/stats.py grouped_moment_stats)."""
+    from proj_ray.functions.stats import grouped_moment_stats
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_discount"])
+    return grouped_moment_stats(li, "l_returnflag", "l_quantity",
+                                "l_discount", scale=100)
+
+
+_Q75_SQL = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sx,
+         SUM(CAST(round(l_discount * 100) AS BIGINT)) AS sy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_quantity * 100) AS BIGINT)) AS sxx,
+         SUM(CAST(round(l_discount * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS syy,
+         SUM(CAST(round(l_quantity * 100) AS BIGINT)
+             * CAST(round(l_discount * 100) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+       n AS n_rows,
+       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / 100
+         AS stddev_x,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS corr_xy
+FROM s
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -3995,6 +4081,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q71_overlay_area": _q71_overlay_area,
         "q72_track_crossings": _q72_track_crossings,
         "q73_substring_dedup": _q73_substring_dedup,
+        "q74_cube": _q74_cube,
+        "q75_grouped_stats": _q75_grouped_stats,
     }
 
 
@@ -4073,4 +4161,6 @@ def oracle_sql() -> dict[str, str]:
         "q71_overlay_area": _Q71_SQL,
         "q72_track_crossings": _Q72_SQL,
         "q73_substring_dedup": _Q73_SQL,
+        "q74_cube": _Q74_SQL,
+        "q75_grouped_stats": _Q75_SQL,
     }

@@ -227,6 +227,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q72_track_crossings(sf_dir)))
     timed("q73_substring_dedup",
           lambda: consume(E._q73_substring_dedup(sf_dir)))
+    timed("q74_cube",
+          lambda: consume(E._q74_cube(sf_dir)))
+    timed("q75_grouped_stats",
+          lambda: consume(E._q75_grouped_stats(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

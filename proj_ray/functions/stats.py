@@ -179,18 +179,11 @@ def pivot_counts(ds, key_col: str, pivot_col: str,
                         batch_format="pandas"))
 
 
-def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
-                all_label: str = "ALL"):
-    """SQL GROUP BY ROLLUP: exact int64 sums + counts at every rollup
-    level (k1..kn), (k1..kn-1), ..., (). Rolled-up key positions carry
-    `all_label` (not NULL — stable hashing across engines).
-
-    ONE pass over the data: per-batch partials at the finest level,
-    two streaming combine stages (no sort shuffle — sums are
-    associative), then the driver derives every coarser level from the
-    finest aggregate, which is bounded by the key-domain product, not
-    the row count.
-    """
+def _finest_sums(ds, keys: list, value_col: str, scale: int):
+    """ONE data pass: exact int64 fixed-point sums + counts at the
+    finest (k1..kn) level. Per-batch partials, two streaming combine
+    stages (no sort shuffle — sums are associative); the returned
+    pandas frame is bounded by the key-domain product, not rows."""
     import pandas as pd
 
     def partial(batch):
@@ -214,8 +207,23 @@ def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
            .map_batches(combine, batch_format="pandas",
                         batch_size=65536)
            .to_pandas())
-    fin = fin.groupby(keys, sort=False, as_index=False).agg(
+    return fin.groupby(keys, sort=False, as_index=False).agg(
         s=("s", "sum"), n=("n", "sum"))
+
+
+def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
+                all_label: str = "ALL"):
+    """SQL GROUP BY ROLLUP: exact int64 sums + counts at every rollup
+    level (k1..kn), (k1..kn-1), ..., (). Rolled-up key positions carry
+    `all_label` (not NULL — stable hashing across engines).
+
+    ONE pass over the data (see _finest_sums), then the driver derives
+    every coarser level from the finest aggregate, which is bounded by
+    the key-domain product, not the row count.
+    """
+    import pandas as pd
+
+    fin = _finest_sums(ds, keys, value_col, scale)
 
     levels = []
     for lvl in range(len(keys), -1, -1):
@@ -234,3 +242,111 @@ def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
     out["sum_c"] = out["sum_c"].astype(np.int64)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
+def cube_sums(ds, keys: list, value_col: str, scale: int = 100,
+              all_label: str = "ALL"):
+    """SQL GROUP BY CUBE: exact int64 sums + counts at EVERY of the
+    2^d grouping sets over `keys`. Rolled-up key positions carry
+    `all_label` (not NULL — stable hashing across engines).
+
+    Same scale shape as rollup_sums: ONE pass over the data computes
+    the finest aggregate (streaming associative combines, no sort
+    shuffle); the driver then expands all 2^d subsets from that finest
+    frame — work bounded by 2^d x key-domain product, independent of
+    the row count."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    fin = _finest_sums(ds, keys, value_col, scale)
+
+    sets = []
+    for lvl in range(len(keys), -1, -1):
+        for kept in combinations(keys, lvl):
+            kept = list(kept)
+            rolled = [k for k in keys if k not in kept]
+            if kept:
+                g = fin.groupby(kept, as_index=False).agg(
+                    s=("s", "sum"), n=("n", "sum"))
+            else:
+                g = pd.DataFrame({"s": [fin["s"].sum()],
+                                  "n": [fin["n"].sum()]})
+            for k in rolled:
+                g[k] = all_label
+            sets.append(g[keys + ["s", "n"]])
+    out = pd.concat(sets, ignore_index=True).rename(
+        columns={"s": "sum_c", "n": "n_rows"})
+    out["sum_c"] = out["sum_c"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
+def grouped_moment_stats(ds, group_col: str, x_col: str, y_col: str,
+                         scale: int = 100):
+    """Grouped sample standard deviation of x and Pearson corr(x, y)
+    from ONE pass of mergeable fixed-point moments.
+
+    Per batch: int64 partials n, Sx, Sy, Sxx, Syy, Sxy over
+    round(v*scale) integers — exact (no float summation order issues),
+    associative, streaming-combined with no sort shuffle. The driver
+    then evaluates the closed forms
+
+        stddev_samp = sqrt((n*Sxx - Sx^2) / (n*(n-1))) / scale
+        corr        = (n*Sxy - Sx*Sy) /
+                      (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2))
+
+    in float64. Because the inputs are exact integers and the
+    expression tree is fixed, a SQL oracle computing the SAME
+    expressions over the SAME integer sums matches bit-for-bit
+    (IEEE-deterministic /, *, sqrt) — no tolerance needed.
+    Values must be exact multiples of 1/scale (money at scale=100);
+    int64 partials hold up to ~3e18, so per-group n*mean(x^2)*scale^2
+    must stay below that (true for TPC-H money columns through SF100).
+    """
+    import pandas as pd
+
+    def partial(batch):
+        g = np.asarray(batch[group_col])
+        x = np.rint(np.asarray(batch[x_col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        y = np.rint(np.asarray(batch[y_col], dtype=np.float64)
+                    * scale).astype(np.int64)
+        df = pd.DataFrame({group_col: g, "sx": x, "sy": y,
+                           "sxx": x * x, "syy": y * y, "sxy": x * y})
+        out = df.groupby(group_col, sort=False, as_index=False).sum()
+        out["n"] = df.groupby(group_col, sort=False,
+                              as_index=False).size()["size"] \
+            .astype(np.int64).to_numpy()
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(group_col, sort=False, as_index=False).sum()
+
+    fin = (ds.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    fin = fin.groupby(group_col, sort=False, as_index=False).sum()
+
+    n = fin["n"].to_numpy(np.float64)
+    sx = fin["sx"].to_numpy(np.float64)
+    sy = fin["sy"].to_numpy(np.float64)
+    sxx = fin["sxx"].to_numpy(np.float64)
+    syy = fin["syy"].to_numpy(np.float64)
+    sxy = fin["sxy"].to_numpy(np.float64)
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    import pandas as pd
+
+    out = pd.DataFrame({
+        group_col: fin[group_col],
+        "n_rows": fin["n"].astype(np.int64),
+        "stddev_x": np.sqrt(vx / (n * (n - 1.0))) / scale,
+        "corr_xy": (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy)),
+    })
+    return out.sort_values(group_col, kind="stable").reset_index(
+        drop=True)

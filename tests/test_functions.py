@@ -380,3 +380,74 @@ def test_q26_ivf_nprobe_recall_bound(ray_session):
     hits = len(set(map(tuple, approx[["qid", "neighbor_id"]].values))
                & set(map(tuple, exact[["qid", "neighbor_id"]].values)))
     assert hits / len(exact) >= 0.7
+
+
+def test_cube_sums_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.stats import cube_sums
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], 500),
+        "b": rng.choice(["p", "q"], 500),
+        "c": rng.choice(["m", "n"], 500),
+        "v": rng.integers(0, 10000, 500) / 100.0,
+    })
+    got = cube_sums(rd.from_pandas(df), ["a", "b", "c"], "v", scale=100)
+    # 8 grouping sets, every one checked against a pandas groupby
+    cents = np.rint(df["v"].to_numpy() * 100).astype(np.int64)
+    dfc = df.assign(_c=cents)
+    from itertools import combinations
+    n_sets = 0
+    for lvl in range(3, -1, -1):
+        for kept in combinations(["a", "b", "c"], lvl):
+            kept = list(kept)
+            sel = got
+            for k in ["a", "b", "c"]:
+                sel = sel[sel[k] == "ALL"] if k not in kept \
+                    else sel[sel[k] != "ALL"]
+            if kept:
+                exp = dfc.groupby(kept, as_index=False).agg(
+                    sum_c=("_c", "sum"), n_rows=("_c", "size"))
+                merged = sel.merge(exp, on=kept, suffixes=("", "_e"))
+                assert len(merged) == len(exp) == len(sel)
+                assert (merged["sum_c"] == merged["sum_c_e"]).all()
+                assert (merged["n_rows"] == merged["n_rows_e"]).all()
+            else:
+                assert len(sel) == 1
+                assert sel["sum_c"].iloc[0] == cents.sum()
+                assert sel["n_rows"].iloc[0] == len(df)
+            n_sets += 1
+    assert n_sets == 8
+
+
+def test_grouped_moment_stats_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.stats import grouped_moment_stats
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 5000, 800) / 100.0
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c", "d"], 800),
+        # correlated pair so corr is far from 0 and sign-checked
+        "x": base,
+        "y": np.rint((base * 0.6 + rng.integers(0, 2000, 800) / 100.0)
+                     * 100) / 100.0,
+    })
+    got = grouped_moment_stats(rd.from_pandas(df), "g", "x", "y",
+                               scale=100).set_index("g")
+    # exact fixed-point moments -> compare against pandas on the SAME
+    # quantized integers (ddof=1 sample statistics)
+    dfq = df.assign(xq=np.rint(df.x * 100) / 100,
+                    yq=np.rint(df.y * 100) / 100)
+    for g, grp in dfq.groupby("g"):
+        assert got.loc[g, "n_rows"] == len(grp)
+        assert got.loc[g, "stddev_x"] == pytest.approx(
+            grp["xq"].std(ddof=1), rel=1e-12)
+        assert got.loc[g, "corr_xy"] == pytest.approx(
+            grp["xq"].corr(grp["yq"]), rel=1e-10)
+        assert got.loc[g, "corr_xy"] > 0.3  # planted correlation
