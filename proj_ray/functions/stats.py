@@ -211,23 +211,26 @@ def _finest_sums(ds, keys: list, value_col: str, scale: int):
         s=("s", "sum"), n=("n", "sum"))
 
 
-def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
-                all_label: str = "ALL"):
-    """SQL GROUP BY ROLLUP: exact int64 sums + counts at every rollup
-    level (k1..kn), (k1..kn-1), ..., (). Rolled-up key positions carry
+def grouping_set_sums(ds, keys: list, sets: list, value_col: str,
+                      scale: int = 100, all_label: str = "ALL"):
+    """SQL GROUP BY GROUPING SETS: exact int64 sums + counts at each
+    listed grouping set (a subset of `keys`; a repeated set yields
+    repeated rows, as in SQL). Rolled-up key positions carry
     `all_label` (not NULL — stable hashing across engines).
 
     ONE pass over the data (see _finest_sums), then the driver derives
-    every coarser level from the finest aggregate, which is bounded by
-    the key-domain product, not the row count.
+    every requested set from the finest aggregate — work bounded by
+    len(sets) x key-domain product, never the row count. ROLLUP and
+    CUBE are the two canonical instances (rollup_sums / cube_sums).
     """
     import pandas as pd
 
     fin = _finest_sums(ds, keys, value_col, scale)
 
-    levels = []
-    for lvl in range(len(keys), -1, -1):
-        kept, rolled = keys[:lvl], keys[lvl:]
+    blocks = []
+    for kept in sets:
+        kept = list(kept)
+        rolled = [k for k in keys if k not in kept]
         if kept:
             g = fin.groupby(kept, as_index=False).agg(
                 s=("s", "sum"), n=("n", "sum"))
@@ -236,50 +239,33 @@ def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
                               "n": [fin["n"].sum()]})
         for k in rolled:
             g[k] = all_label
-        levels.append(g[keys + ["s", "n"]])
-    out = pd.concat(levels, ignore_index=True).rename(
+        blocks.append(g[keys + ["s", "n"]])
+    out = pd.concat(blocks, ignore_index=True).rename(
         columns={"s": "sum_c", "n": "n_rows"})
     out["sum_c"] = out["sum_c"].astype(np.int64)
     out["n_rows"] = out["n_rows"].astype(np.int64)
     return out.sort_values(keys, kind="stable").reset_index(drop=True)
+
+
+def rollup_sums(ds, keys: list, value_col: str, scale: int = 100,
+                all_label: str = "ALL"):
+    """SQL GROUP BY ROLLUP: grouping sets (k1..kn), (k1..kn-1), ...,
+    () — see grouping_set_sums for the one-pass scale shape."""
+    sets = [keys[:lvl] for lvl in range(len(keys), -1, -1)]
+    return grouping_set_sums(ds, keys, sets, value_col, scale,
+                             all_label)
 
 
 def cube_sums(ds, keys: list, value_col: str, scale: int = 100,
               all_label: str = "ALL"):
-    """SQL GROUP BY CUBE: exact int64 sums + counts at EVERY of the
-    2^d grouping sets over `keys`. Rolled-up key positions carry
-    `all_label` (not NULL — stable hashing across engines).
-
-    Same scale shape as rollup_sums: ONE pass over the data computes
-    the finest aggregate (streaming associative combines, no sort
-    shuffle); the driver then expands all 2^d subsets from that finest
-    frame — work bounded by 2^d x key-domain product, independent of
-    the row count."""
+    """SQL GROUP BY CUBE: all 2^d grouping sets over `keys` — see
+    grouping_set_sums for the one-pass scale shape."""
     from itertools import combinations
 
-    import pandas as pd
-
-    fin = _finest_sums(ds, keys, value_col, scale)
-
-    sets = []
-    for lvl in range(len(keys), -1, -1):
-        for kept in combinations(keys, lvl):
-            kept = list(kept)
-            rolled = [k for k in keys if k not in kept]
-            if kept:
-                g = fin.groupby(kept, as_index=False).agg(
-                    s=("s", "sum"), n=("n", "sum"))
-            else:
-                g = pd.DataFrame({"s": [fin["s"].sum()],
-                                  "n": [fin["n"].sum()]})
-            for k in rolled:
-                g[k] = all_label
-            sets.append(g[keys + ["s", "n"]])
-    out = pd.concat(sets, ignore_index=True).rename(
-        columns={"s": "sum_c", "n": "n_rows"})
-    out["sum_c"] = out["sum_c"].astype(np.int64)
-    out["n_rows"] = out["n_rows"].astype(np.int64)
-    return out.sort_values(keys, kind="stable").reset_index(drop=True)
+    sets = [list(kept) for lvl in range(len(keys), -1, -1)
+            for kept in combinations(keys, lvl)]
+    return grouping_set_sums(ds, keys, sets, value_col, scale,
+                             all_label)
 
 
 def grouped_moment_stats(ds, group_col: str, x_col: str, y_col: str,

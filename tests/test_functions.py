@@ -451,3 +451,32 @@ def test_grouped_moment_stats_matches_pandas(ray_session):
         assert got.loc[g, "corr_xy"] == pytest.approx(
             grp["xq"].corr(grp["yq"]), rel=1e-10)
         assert got.loc[g, "corr_xy"] > 0.3  # planted correlation
+
+
+def test_grouping_set_sums_arbitrary_sets(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.stats import grouping_set_sums
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 300),
+        "b": rng.choice(["p", "q", "r"], 300),
+        "v": rng.integers(0, 1000, 300) / 100.0,
+    })
+    # SQL: GROUP BY GROUPING SETS ((a), (b), ()) — not a rollup/cube
+    got = grouping_set_sums(rd.from_pandas(df), ["a", "b"],
+                            [["a"], ["b"], []], "v", scale=100)
+    cents = np.rint(df["v"].to_numpy() * 100).astype(np.int64)
+    dfc = df.assign(_c=cents)
+    by_a = got[(got["a"] != "ALL") & (got["b"] == "ALL")]
+    assert len(by_a) == dfc["a"].nunique()
+    exp_a = dfc.groupby("a")["_c"].sum()
+    for _, row in by_a.iterrows():
+        assert row["sum_c"] == exp_a[row["a"]]
+    by_b = got[(got["b"] != "ALL") & (got["a"] == "ALL")]
+    assert len(by_b) == dfc["b"].nunique()
+    total = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
+    assert len(total) == 1 and total["sum_c"].iloc[0] == cents.sum()
+    assert len(got) == len(by_a) + len(by_b) + 1  # no finest level
