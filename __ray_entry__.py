@@ -4001,6 +4001,36 @@ FROM s
 """
 
 
+def _q76_gram_matrix(sf_dir: str):
+    """Distributed Gram (second-moment) matrix over the embedding
+    column — the accumulate step of covariance/PCA/linear probes at
+    corpus scale. Each block contributes one d x d int64 partial
+    (X^T X, single matmul on half-up fixed-point components), so the
+    all-to-all moves d^2-sized partial frames, never vectors; the SQL
+    oracle unnests and re-joins the same quantized components, so the
+    match is exact (proj_ray/functions/ann.py gram_matrix)."""
+    from proj_ray.functions.ann import gram_matrix
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+    return gram_matrix(emb, "embedding", scale=1_000_000)
+
+
+_Q76_SQL = """
+WITH q AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           generate_subscripts(embedding, 1) AS i
+    FROM embeddings)
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s
+FROM q a JOIN q b USING (vec_id)
+WHERE a.i <= b.i
+GROUP BY a.i, b.i
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4083,6 +4113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q73_substring_dedup": _q73_substring_dedup,
         "q74_cube": _q74_cube,
         "q75_grouped_stats": _q75_grouped_stats,
+        "q76_gram_matrix": _q76_gram_matrix,
     }
 
 
@@ -4163,4 +4194,5 @@ def oracle_sql() -> dict[str, str]:
         "q73_substring_dedup": _Q73_SQL,
         "q74_cube": _Q74_SQL,
         "q75_grouped_stats": _Q75_SQL,
+        "q76_gram_matrix": _Q76_SQL,
     }

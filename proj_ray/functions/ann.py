@@ -391,3 +391,59 @@ def kmeans_assign_stats(ds, n_centroids: int = 8,
     res["n_vecs"] = res["n_vecs"].astype(np.int64)
     res["sum_chk"] = res["sum_chk"].astype(np.int64)
     return res
+
+
+def gram_matrix(ds, vec_col: str = "embedding",
+                scale: int = 1_000_000, batch_size: int = 8192):
+    """Distributed Gram (raw second-moment) matrix of an embedding
+    column: G[i, j] = sum over rows of q(x_i) * q(x_j), with
+    q = floor(v * scale + 0.5) int64 — the repo-wide half-up
+    fixed-point convention (shared with kmeans_assign_stats and the
+    SQL oracle), so the distributed sum is order-free EXACT.
+
+    This is the building block for covariance / PCA / linear probes at
+    corpus scale: each block contributes one d x d partial via a
+    single int64 matmul (X^T X), so the all-to-all moves d*d-sized
+    partial frames — never vectors — and the driver's final combine is
+    bounded by the upper-triangle size, not the row count.
+
+    Returns the upper triangle as rows (i, j, s) with 1-based indices
+    (matching SQL generate_subscripts). int64 bound: scale^2 *
+    max|v|^2 * n_rows must stay below 2^63 (~2e5-quantized components
+    hold to ~2e8 rows; raise batch/driver combine to python ints past
+    that — documented scale path).
+    """
+    import pandas as pd
+
+    def partial(b: dict) -> dict:
+        M = _as_matrix(b[vec_col])
+        Q = np.floor(M.astype(np.float64) * float(scale)
+                     + 0.5).astype(np.int64)
+        G = Q.T @ Q
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        return {"i": (iu + 1).astype(np.int64),
+                "j": (ju + 1).astype(np.int64),
+                "s": G[iu, ju].astype(np.int64)}
+
+    def combine(b: dict) -> dict:
+        g = (pd.DataFrame({"i": b["i"], "j": b["j"], "s": b["s"]})
+             .groupby(["i", "j"], as_index=False).sum())
+        return {"i": g["i"].to_numpy(np.int64),
+                "j": g["j"].to_numpy(np.int64),
+                "s": g["s"].to_numpy(np.int64)}
+
+    parts = (ds.select_columns([vec_col])
+             .map_batches(partial, batch_format="numpy",
+                          batch_size=batch_size)
+             .map_batches(combine, batch_format="numpy",
+                          batch_size=65536)
+             .map_batches(combine, batch_format="numpy",
+                          batch_size=65536)
+             .to_pandas())
+    fin = parts.groupby(["i", "j"], as_index=False).sum()
+    fin = fin.sort_values(["i", "j"], kind="stable").reset_index(
+        drop=True)
+    for c in ("i", "j", "s"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin

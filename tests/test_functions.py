@@ -480,3 +480,24 @@ def test_grouping_set_sums_arbitrary_sets(ray_session):
     total = got[(got["a"] == "ALL") & (got["b"] == "ALL")]
     assert len(total) == 1 and total["sum_c"].iloc[0] == cents.sum()
     assert len(got) == len(by_a) + len(by_b) + 1  # no finest level
+
+
+def test_gram_matrix_matches_numpy(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.ann import gram_matrix
+
+    rng = np.random.default_rng(5)
+    d, n = 8, 300
+    M = (rng.standard_normal((n, d)) * 0.2).astype(np.float32)
+    df = pd.DataFrame({"embedding": list(M)})
+    got = gram_matrix(rd.from_pandas(df), "embedding",
+                      scale=1_000_000, batch_size=64)
+    Q = np.floor(M.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    G = Q.T @ Q
+    assert len(got) == d * (d + 1) // 2
+    for _, r in got.iterrows():
+        assert r["s"] == G[r["i"] - 1, r["j"] - 1]
+    # symmetric part never emitted
+    assert (got["i"] <= got["j"]).all()
