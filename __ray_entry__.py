@@ -4031,6 +4031,30 @@ GROUP BY a.i, b.i
 """
 
 
+_Q77_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+def _q77_profile(sf_dir: str):
+    """One-pass numeric table profile (warehouse stats collector):
+    per column row/null counts, exact min/max (copied, never
+    arithmetic) and exact fixed-point sums — the whole profile is a
+    single map_batches pass whose all-to-all moves len(cols)-row
+    partial frames (proj_ray/functions/stats.py profile_numeric)."""
+    from proj_ray.functions.stats import profile_numeric
+
+    li = _read(sf_dir, "lineitem", columns=_Q77_COLS)
+    return profile_numeric(li, _Q77_COLS, scale=100)
+
+
+_Q77_SQL = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(MIN({c}) AS DOUBLE) AS vmin,
+       CAST(MAX({c}) AS DOUBLE) AS vmax,
+       CAST(SUM(CAST(round({c} * 100) AS BIGINT)) AS BIGINT) AS sum_c
+FROM lineitem""" for c in _Q77_COLS)
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4114,6 +4138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q74_cube": _q74_cube,
         "q75_grouped_stats": _q75_grouped_stats,
         "q76_gram_matrix": _q76_gram_matrix,
+        "q77_profile": _q77_profile,
     }
 
 
@@ -4195,4 +4220,5 @@ def oracle_sql() -> dict[str, str]:
         "q74_cube": _Q74_SQL,
         "q75_grouped_stats": _Q75_SQL,
         "q76_gram_matrix": _Q76_SQL,
+        "q77_profile": _Q77_SQL,
     }

@@ -233,6 +233,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q75_grouped_stats(sf_dir)))
     timed("q76_gram_matrix",
           lambda: consume(E._q76_gram_matrix(sf_dir)))
+    timed("q77_profile",
+          lambda: consume(E._q77_profile(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

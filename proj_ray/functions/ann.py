@@ -447,3 +447,34 @@ def gram_matrix(ds, vec_col: str = "embedding",
     for c in ("i", "j", "s"):
         fin[c] = fin[c].astype(np.int64)
     return fin
+
+
+def pca_from_gram(gram_df, n_rows: int, mean_counts=None,
+                  scale: int = 1_000_000, k: int = 8):
+    """Driver-side completion of distributed PCA: turn the upper-
+    triangle Gram frame from :func:`gram_matrix` (plus the per-
+    dimension quantized component sums, if centering is wanted) into
+    the top-k eigenvalues/eigenvectors of the covariance matrix.
+
+    The distributed work IS gram_matrix (+ a trivial column-sum pass
+    for the mean); this step is an O(d^3) eigh on the d x d matrix —
+    driver-bounded by the embedding dimension, never the corpus. With
+    mean_counts=None the decomposition is of the RAW second-moment
+    matrix (uncentered PCA / Gram spectrum)."""
+    d = int(gram_df["j"].max())
+    G = np.zeros((d, d), dtype=np.float64)
+    i = gram_df["i"].to_numpy() - 1
+    j = gram_df["j"].to_numpy() - 1
+    s = gram_df["s"].to_numpy(dtype=np.float64)
+    G[i, j] = s
+    G[j, i] = s
+    M = G / (float(scale) ** 2)
+    if mean_counts is not None:
+        mu = np.asarray(mean_counts, dtype=np.float64) / (
+            float(scale) * n_rows)
+        M = M / n_rows - np.outer(mu, mu)
+    else:
+        M = M / n_rows
+    w, V = np.linalg.eigh(M)
+    order = np.argsort(w)[::-1][:k]
+    return w[order], V[:, order]

@@ -336,3 +336,55 @@ def grouped_moment_stats(ds, group_col: str, x_col: str, y_col: str,
     })
     return out.sort_values(group_col, kind="stable").reset_index(
         drop=True)
+
+
+def profile_numeric(ds, cols: list, scale: int = 100):
+    """One-pass data profile of numeric columns: per column row count,
+    null count, exact min / max, and exact fixed-point int64 sum
+    (values must be exact multiples of 1/scale for the sum — money and
+    quantities at scale=100).
+
+    The whole profile is ONE map_batches pass emitting len(cols)
+    partial rows per batch (streaming associative combines, no sort
+    shuffle); min/max are copied, never computed with float
+    arithmetic, so results match a SQL MIN/MAX bit-for-bit. The shape
+    every warehouse stats collector uses — at 100 TB the all-to-all
+    moves len(cols)-row frames only."""
+    import pandas as pd
+
+    def partial(b: dict) -> dict:
+        rows = []
+        for c in cols:
+            v = np.asarray(b[c], dtype=np.float64)
+            ok = ~np.isnan(v)
+            vv = v[ok]
+            s = int(np.rint(vv * scale).astype(np.int64).sum()) \
+                if len(vv) else 0
+            rows.append((c, len(v), int((~ok).sum()),
+                         float(vv.min()) if len(vv) else np.inf,
+                         float(vv.max()) if len(vv) else -np.inf, s))
+        df = pd.DataFrame(rows, columns=["col", "n_rows", "n_nulls",
+                                         "vmin", "vmax", "sum_c"])
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("col", sort=False, as_index=False).agg(
+            n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+            vmin=("vmin", "min"), vmax=("vmax", "max"),
+            sum_c=("sum_c", "sum"))
+
+    fin = (ds.select_columns(cols)
+           .map_batches(partial, batch_format="numpy",
+                        batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    fin = fin.groupby("col", sort=False, as_index=False).agg(
+        n_rows=("n_rows", "sum"), n_nulls=("n_nulls", "sum"),
+        vmin=("vmin", "min"), vmax=("vmax", "max"),
+        sum_c=("sum_c", "sum"))
+    for c in ("n_rows", "n_nulls", "sum_c"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin.sort_values("col", kind="stable").reset_index(drop=True)

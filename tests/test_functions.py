@@ -501,3 +501,43 @@ def test_gram_matrix_matches_numpy(ray_session):
         assert r["s"] == G[r["i"] - 1, r["j"] - 1]
     # symmetric part never emitted
     assert (got["i"] <= got["j"]).all()
+
+
+def test_profile_numeric_with_nulls(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.stats import profile_numeric
+
+    df = pd.DataFrame({
+        "a": [1.25, np.nan, -3.5, 7.0, np.nan],
+        "b": [0.01, 0.02, 0.03, 0.04, 0.05],
+    })
+    got = profile_numeric(rd.from_pandas(df), ["a", "b"],
+                          scale=100).set_index("col")
+    assert got.loc["a", "n_rows"] == 5
+    assert got.loc["a", "n_nulls"] == 2
+    assert got.loc["a", "vmin"] == -3.5 and got.loc["a", "vmax"] == 7.0
+    assert got.loc["a", "sum_c"] == round(1.25 * 100) + round(-3.5 * 100) + 700
+    assert got.loc["b", "n_nulls"] == 0
+    assert got.loc["b", "sum_c"] == 15
+
+
+def test_pca_from_gram_recovers_principal_axis(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.ann import gram_matrix, pca_from_gram
+
+    rng = np.random.default_rng(9)
+    d, n = 6, 2000
+    axis = np.zeros(d)
+    axis[2] = 1.0  # variance planted on dimension 3
+    M = (rng.standard_normal((n, 1)) * 0.3) @ axis[None, :] \
+        + rng.standard_normal((n, d)) * 0.01
+    df = pd.DataFrame({"embedding": list(M.astype(np.float32))})
+    gram = gram_matrix(rd.from_pandas(df), "embedding",
+                       scale=1_000_000, batch_size=256)
+    w, V = pca_from_gram(gram, n_rows=n, k=2)
+    assert w[0] > 10 * w[1]  # one dominant direction
+    assert abs(V[2, 0]) > 0.99  # and it is the planted axis
