@@ -4055,6 +4055,78 @@ SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
 FROM lineitem""" for c in _Q77_COLS)
 
 
+_HEX_SIZE_M = 250000.0
+
+
+def _q78_hex_bin(sf_dir: str):
+    """H3-style hexagonal binning: every geotag is assigned a
+    pointy-top axial hex cell on the Web-Mercator plane (cube
+    rounding) and counted per cell. Assignment + per-block partial
+    counts fuse into ONE map_batches pass; the combines are streaming
+    and associative, so the all-to-all moves (cell, n) partials only —
+    the same shuffle discipline as the Morton-cell headline. The SQL
+    oracle mirrors the projection + cube rounding op-for-op in CASE
+    expressions (proj_ray/cells.py hex_axial)."""
+    import pandas as pd
+
+    from proj_ray.cells import hex_axial
+
+    ds = _docs_geo(sf_dir)
+
+    def partial(b: dict) -> dict:
+        hq, hr = hex_axial(b["lon"], b["lat"], _HEX_SIZE_M)
+        g = (pd.DataFrame({"hq": hq, "hr": hr})
+             .groupby(["hq", "hr"], as_index=False).size())
+        return {"hq": g["hq"].to_numpy(np.int64),
+                "hr": g["hr"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64)}
+
+    def combine(df):
+        return df.groupby(["hq", "hr"], as_index=False)["n"].sum()
+
+    fin = (ds.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    fin = fin.groupby(["hq", "hr"], as_index=False)["n"].sum()
+    for c in ("hq", "hr", "n"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin.sort_values(["hq", "hr"],
+                           kind="stable").reset_index(drop=True)
+
+
+_Q78_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+m AS (SELECT doc_id,
+        6378137.0 * (lon * (pi()/180.0)) AS x,
+        6378137.0 * ln(tan(pi()/4.0 + (lat * (pi()/180.0))/2.0)) AS y
+      FROM geo),
+f AS (SELECT doc_id,
+        (sqrt(3.0)/3.0 * x - y/3.0) / {_HEX_SIZE_M!r} AS xf,
+        (2.0/3.0 * y) / {_HEX_SIZE_M!r} AS zf
+      FROM m),
+g AS (SELECT doc_id, xf, zf, -xf - zf AS yf,
+        floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5) AS ry,
+        floor(zf + 0.5) AS rz
+      FROM f),
+h AS (SELECT doc_id,
+        CASE WHEN abs(rx - xf) > abs(ry - yf)
+                  AND abs(rx - xf) > abs(rz - zf)
+             THEN -ry - rz ELSE rx END AS hq,
+        CASE WHEN NOT (abs(rx - xf) > abs(ry - yf)
+                       AND abs(rx - xf) > abs(rz - zf))
+                  AND NOT (abs(ry - yf) > abs(rz - zf))
+             THEN -rx - ry ELSE rz END AS hr
+      FROM g)
+SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM h GROUP BY hq, hr
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4139,6 +4211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_grouped_stats": _q75_grouped_stats,
         "q76_gram_matrix": _q76_gram_matrix,
         "q77_profile": _q77_profile,
+        "q78_hex_bin": _q78_hex_bin,
     }
 
 
@@ -4221,4 +4294,5 @@ def oracle_sql() -> dict[str, str]:
         "q75_grouped_stats": _Q75_SQL,
         "q76_gram_matrix": _Q76_SQL,
         "q77_profile": _Q77_SQL,
+        "q78_hex_bin": _Q78_SQL,
     }

@@ -235,6 +235,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q76_gram_matrix(sf_dir)))
     timed("q77_profile",
           lambda: consume(E._q77_profile(sf_dir)))
+    timed("q78_hex_bin",
+          lambda: consume(E._q78_hex_bin(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -161,6 +161,38 @@ def grid_cell(lon_deg, lat_deg, res_deg: float = 1.0) -> np.ndarray:
     return (ix * nlat + iy).astype(np.int64)
 
 
+def hex_axial(lon_deg, lat_deg, size_m: float = 250000.0):
+    """Pointy-top hexagonal axial cell assignment on the Web-Mercator
+    plane — the H3-style equal-planar-size hex binning primitive
+    (axial coordinates + cube rounding, Amit Patel's construction).
+
+    Returns (hq, hr) int64 axial coordinates. Every expression is
+    written in SQL-reproducible form (explicit ln/tan Mercator, the
+    exact same operation tree the oracle mirrors; rounding is
+    floor(v + 0.5), the repo-wide half-up convention), so a DuckDB
+    CASE-expression oracle matches the assignment op-for-op."""
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    x = WEBMERC_A * (lon * (np.pi / 180.0))
+    y = WEBMERC_A * np.log(np.tan(np.pi / 4.0
+                                  + (lat * (np.pi / 180.0)) / 2.0))
+    xf = (np.sqrt(3.0) / 3.0 * x - y / 3.0) / size_m
+    zf = (2.0 / 3.0 * y) / size_m
+    yf = -xf - zf
+    rx = np.floor(xf + 0.5)
+    ry = np.floor(yf + 0.5)
+    rz = np.floor(zf + 0.5)
+    dx = np.abs(rx - xf)
+    dy = np.abs(ry - yf)
+    dz = np.abs(rz - zf)
+    # cube rounding: recompute only the axis with the largest residual
+    cond_q = (dx > dy) & (dx > dz)
+    cond_r = (~cond_q) & ~(dy > dz)
+    hq = np.where(cond_q, -ry - rz, rx)
+    hr = np.where(cond_r, -rx - ry, rz)
+    return hq.astype(np.int64), hr.astype(np.int64)
+
+
 def salt_cells(cell: np.ndarray, row_key: np.ndarray,
                hot_cells: set | dict, salt: int) -> np.ndarray:
     """Split hot cells into `salt` sub-keys: salted = cell * salt + h.

@@ -120,3 +120,46 @@ def test_tiles_covering_bbox_brute():
                     and (y + 1) / n > v(lat1[i]) and y / n < v(lat0[i]):
                 exp.add((i, x, y))
     assert got == exp
+
+
+def test_hex_axial_centers_roundtrip():
+    """Hex centers (axial -> plane -> assign) land in their own cell,
+    and cube rounding always repairs the q+r+s=0 invariant."""
+    import numpy as np
+
+    from proj_ray.cells import WEBMERC_A, hex_axial
+
+    size = 250000.0
+    rng = np.random.default_rng(2)
+    hq = rng.integers(-20, 21, 200).astype(np.float64)
+    hr = rng.integers(-15, 16, 200).astype(np.float64)
+    # axial -> plane (pointy-top): x = size*sqrt(3)*(q + r/2), y = size*1.5*r
+    x = size * np.sqrt(3.0) * (hq + hr / 2.0)
+    y = size * 1.5 * hr
+    # keep centers on the Mercator-representable band
+    lat = np.degrees(2.0 * np.arctan(np.exp(y / WEBMERC_A)) - np.pi / 2)
+    lon = np.degrees(x / WEBMERC_A)
+    ok = (np.abs(lon) < 179.9) & (np.abs(lat) < 84.9)
+    gq, gr = hex_axial(lon[ok], lat[ok], size)
+    assert np.array_equal(gq, hq[ok].astype(np.int64))
+    assert np.array_equal(gr, hr[ok].astype(np.int64))
+
+
+def test_hex_axial_partitions_plane():
+    """Random points: every point gets exactly one finite cell and
+    jittering by a tiny epsilon never moves it more than one ring."""
+    import numpy as np
+
+    from proj_ray.cells import hex_axial
+
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-179, 179, 5000)
+    lat = rng.uniform(-80, 80, 5000)
+    hq, hr = hex_axial(lon, lat)
+    hq2, hr2 = hex_axial(lon + 1e-9, lat + 1e-9)
+    # axial distance = (|dq| + |dr| + |dq+dr|) / 2 — epsilon jitter
+    # crosses at most one boundary
+    dq, dr = hq2 - hq, hr2 - hr
+    dist = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+    assert dist.max() <= 1
+    assert (dist == 0).mean() > 0.999
