@@ -79,12 +79,13 @@ def headline_salted_agg(n_rows: int) -> int:
     from proj_ray.pipelines import geotag_dataset as _gd
     from proj_ray.pipelines import tile_counts_salted
 
+    from proj_ray.pipelines.spatial import pull_pandas
+
     ds = tile_counts_salted(_gd(n_rows), zoom=7,
                             threshold=max(1000, n_rows // 200), salt=16)
-    n = 0
-    for b in ds.iter_batches(batch_format="numpy"):
-        n += len(b["tile_key"])
-    return n
+    # block-ref pull: iter_batches on the (already materialized) result
+    # would spin a fresh streaming execution (~0.5-1 s fixed)
+    return len(pull_pandas(ds))
 
 
 def run_suite(sf_dir: str) -> dict:

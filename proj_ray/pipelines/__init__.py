@@ -2,7 +2,7 @@
 
 from proj_ray.pipelines.spatial import (FusedSpatialStage, bucketed_sum,
                                         geotag_dataset, headline_spatial,
-                                        tile_counts_salted)
+                                        pull_pandas, tile_counts_salted)
 
 __all__ = ["FusedSpatialStage", "bucketed_sum", "geotag_dataset",
-           "headline_spatial", "tile_counts_salted"]
+           "headline_spatial", "pull_pandas", "tile_counts_salted"]

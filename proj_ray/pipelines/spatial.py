@@ -18,7 +18,35 @@ from __future__ import annotations
 import numpy as np
 
 
-def geotag_dataset(n_rows: int, parallelism: int = 64):
+def pull_pandas(ds):
+    """Driver-side pull of a SMALL table as pandas without spinning up
+    a fresh streaming execution.
+
+    `iter_batches`/`to_pandas` on an already-materialized dataset
+    builds and tears down a whole new executor (~0.5-1 s fixed,
+    measured: 0.92 s vs 0.007 s for the same 200k-row 8-block pull) —
+    `ray.get` on the materialized block refs is milliseconds. Only for
+    tables known to fit the driver; every caller gates on a row cap.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    refs = [r for bun in mat.iter_internal_ref_bundles()
+            for r in bun.block_refs]
+    blocks = ray.get(refs)
+    dfs = [b.to_pandas() if isinstance(b, pa.Table) else pd.DataFrame(b)
+           for b in blocks if len(b)]
+    if not dfs:
+        cols = mat.schema().names if mat.schema() is not None else []
+        return pd.DataFrame({c: [] for c in cols})
+    return pd.concat(dfs, ignore_index=True) if len(dfs) > 1 else \
+        dfs[0].reset_index(drop=True)
+
+
+def geotag_dataset(n_rows: int, parallelism: int | None = None):
     """Geotagged rows without pixel payloads: the spatial-bench input
     (arithmetic-only synthesis, embarrassingly parallel).
 
@@ -31,6 +59,13 @@ def geotag_dataset(n_rows: int, parallelism: int = 64):
     import ray.data as rd
 
     from proj_ray.images import geotags
+
+    if parallelism is None:
+        # size by BLOCK ROWS, not block count: ~384k rows/block keeps
+        # every per-block temporary under glibc's mmap threshold (the
+        # round-5 chunking lesson) at any input size, with a floor of
+        # 64 blocks so small inputs still parallelize
+        parallelism = max(64, (n_rows + 384_000 - 1) // 384_000)
 
     def gen(batch: dict) -> dict:
         idx = np.asarray(batch["id"], dtype=np.int64)
@@ -273,11 +308,7 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
     # distributed groupby above local_cap
     local_cap = 4_000_000
     if parts.count() <= local_cap:
-        import pandas as pd
-
-        cdf = pd.concat([pd.DataFrame(b) for b in
-                         parts.iter_batches(batch_format="numpy")],
-                        ignore_index=True)
+        cdf = pull_pandas(parts)
         cen = cdf.groupby("tile_key")["n_part"].sum()
         hot_sorted = np.sort(
             cen.index.to_numpy()[cen.to_numpy() >= threshold]
@@ -317,12 +348,9 @@ def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
     # un-salt merge: the salted output is <= #tiles + #hot*salt rows;
     # merge driver-local under the cap, distributed groupby above it
     if part.count() <= local_cap:
-        import pandas as pd
         import ray.data as rd
 
-        mdf = pd.concat([pd.DataFrame(b) for b in
-                         part.iter_batches(batch_format="numpy")],
-                        ignore_index=True)
+        mdf = pull_pandas(part)
         mdf["tile_key"] = mdf["cell_salted"] // salt
         out = (mdf.groupby("tile_key", as_index=False)["n_sub"].sum()
                .rename(columns={"n_sub": "n"}))
