@@ -2560,7 +2560,9 @@ def _q52_revenue_by_nation(sf_dir: str, dim_cap: int | None = None):
     # partition is an aggregator actor, and actor startup dominated a
     # first version that always joined: 21-75 s for a 600k-row fact).
     if orders.count() <= cap:
-        odf = orders.to_pandas()
+        from proj_ray.dsutil import pull_pandas
+
+        odf = pull_pandas(orders)
         omap = BroadcastLookup(odf["o_orderkey"].to_numpy(),
                                {"cn": odf["cn"].to_numpy()})
         oref = ray.put(omap)

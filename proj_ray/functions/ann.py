@@ -68,6 +68,8 @@ def _merge_topk(cand, k: int, merge_cap: int = 500_000):
     driver receives <= nq*k rows regardless of block count."""
     import pandas as pd
 
+    from proj_ray.dsutil import pull_pandas
+
     cand = cand.materialize()
     if cand.count() > merge_cap:
         def topk(g):
@@ -75,9 +77,9 @@ def _merge_topk(cand, k: int, merge_cap: int = 500_000):
                                  ascending=[False, True]).head(k)
 
         cand = cand.groupby("q").map_groups(topk, batch_format="pandas")
-    frames = [b for b in cand.iter_batches(batch_format="pandas")]
-    allc = pd.concat(frames, ignore_index=True) if frames else \
-        pd.DataFrame(columns=["q", "nid", "cosine"])
+    allc = pull_pandas(cand)
+    if allc.empty:
+        allc = pd.DataFrame(columns=["q", "nid", "cosine"])
     allc = (allc.sort_values(["q", "cosine", "nid"],
                              ascending=[True, False, True])
                 .groupby("q").head(k))

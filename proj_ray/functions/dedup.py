@@ -324,9 +324,11 @@ def _verify_pairs_exact(docs, pairs, text_col: str, id_col: str,
         small = len(pdf) <= broadcast_pairs_cap
         pairs_ds = None
     else:
+        from proj_ray.dsutil import pull_pandas
+
         pairs_ds = pairs.materialize()
         small = pairs_ds.count() <= broadcast_pairs_cap
-        pdf = pairs_ds.to_pandas().drop_duplicates(["id_a", "id_b"]) \
+        pdf = pull_pandas(pairs_ds).drop_duplicates(["id_a", "id_b"]) \
             if small else None
     if small:
         if len(pdf) == 0:

@@ -666,6 +666,8 @@ def knn_brute(ds, query_lon, query_lat, k: int = 5,
     # the driver receives <= nq*k rows regardless of block count
     import pandas as pd
 
+    from proj_ray.dsutil import pull_pandas
+
     merge_cap = 500_000
     cand = cand.materialize()
     if cand.count() > merge_cap:
@@ -673,11 +675,9 @@ def knn_brute(ds, query_lon, query_lat, k: int = 5,
             return g.sort_values(["dist", "nid"]).head(k)
 
         cand = cand.groupby("q").map_groups(topk, batch_format="pandas")
-    frames = [pd.DataFrame(b) for b in cand.iter_batches(
-        batch_format="pandas")]
-    if not frames:
+    allc = pull_pandas(cand)
+    if allc.empty:
         return pd.DataFrame(columns=["q", "nid", "dist", "rank"])
-    allc = pd.concat(frames, ignore_index=True)
     allc = allc.sort_values(["q", "dist", "nid"]).groupby("q").head(k)
     allc["rank"] = allc.groupby("q").cumcount() + 1
     return allc.reset_index(drop=True)
