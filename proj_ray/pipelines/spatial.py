@@ -196,6 +196,124 @@ def bucketed_sum(parts, key_col: str, val_col: str, out_col: str,
                         batch_format="pandas"))
 
 
+class FusedSaltedTileStage:
+    """One fused stage for the shuffle bench: synth geotags -> tile
+    assignment -> per-batch unique-combine -> UNCONDITIONAL two-level
+    salt, over {start, count} shard descriptors (so no row-wide data
+    ever crosses an operator boundary — the round-5 lesson: each
+    boundary pays an Arrow block build + batch re-slice ~0.3 us/row,
+    which HALVED the map phase's throughput when synthesis and tiling
+    were separate operators).
+
+    Census-free salting: every key gets a per-batch deterministic
+    sub-key (not only census-detected hot keys). Because the stage
+    emits pre-combined partials, the salt inflates only the final
+    merged table (<= #tiles x salt rows), never the shuffle volume —
+    each partial row carries exactly one salted key. Skew bound: a hot
+    tile's partials (one row per contributing batch) split across
+    `salt` reducer sub-keys, same guarantee the censused path gives,
+    with zero barrier jobs. This is the classic two-phase/salted
+    aggregation (pre-aggregate locally, re-aggregate by salted key)."""
+
+    CHUNK = 384_000  # rows per inner pass: temporaries stay under
+    # glibc's mmap threshold (the round-5 kernel-chunking lesson)
+
+    def __init__(self, zoom: int, salt: int):
+        self.zoom = zoom
+        self.salt = salt
+
+    def __call__(self, batch: dict) -> dict:
+        from proj_ray.functions._hash import splitmix64
+        from proj_ray.images import geotags
+        from proj_ray.tiles import tile_assign
+
+        ks, ns = [], []
+        for s, c in zip(batch["start"], batch["count"]):
+            s = int(s)
+            c = int(c)
+            for cs in range(s, s + c, self.CHUNK):
+                idx = np.arange(cs, min(cs + self.CHUNK, s + c),
+                                dtype=np.int64)
+                lon, lat = geotags(idx)
+                tx, ty, _valid = tile_assign(lon, lat, self.zoom)
+                key = tx * np.int64(1 << 30) + ty
+                uk, cnt = np.unique(key, return_counts=True)
+                ks.append(uk)
+                ns.append(cnt.astype(np.int64))
+        k = np.concatenate(ks) if ks else np.empty(0, np.int64)
+        n = np.concatenate(ns) if ns else np.empty(0, np.int64)
+        # combine across the batch's chunks, then salt with one
+        # deterministic content-derived sub-key per batch
+        uk, inv = np.unique(k, return_inverse=True)
+        sm = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sm, inv, n)
+        sub = np.int64(splitmix64(np.asarray(
+            [abs(int(sm.sum())) + len(sm)], dtype=np.uint64))[0]
+            % np.uint64(self.salt))
+        return {"cell_salted": uk * np.int64(self.salt) + sub,
+                "n_part": sm}
+
+
+def tile_counts_salted_fused(n_rows: int, zoom: int = 7, salt: int = 16,
+                             num_cpus: int | None = None):
+    """Census-free salted per-tile counts in ONE streaming execution:
+    fused shard-descriptor stage (synthesis + tiling + local combine +
+    salt) -> bucketed_sum all-to-all -> driver un-salt merge.
+
+    The censused `tile_counts_salted` needs three executions (map+
+    materialize, coalesce, salted combine) around the census barrier;
+    this path needs one, because unconditional salting removes the
+    need to KNOW which keys are hot before the shuffle. Returns a
+    pandas DataFrame of (tile_key, n) — counts are identical to the
+    censused and unsalted paths (tests assert parity).
+
+    Two measured scheduling decisions (each worth >2x wall time at
+    small cpu counts):
+    - op resource reservation OFF for this execution: with an
+      all-to-all (Sort) in the plan, Ray Data's reservation allocator
+      pins most CPUs for downstream ops and runs the map stage nearly
+      serially at <=4 cpus (measured 12 tasks x 0.57 s CPU taking
+      6.9 s wall on 4 cpus; 1.9 s with reservation off). The plan here
+      is map -> tiny sort -> map with bounded partial tables, so
+      starvation protection buys nothing.
+    - coarse shards, one task per cpu: tasks = num_cpus (par = 2x
+      shards bundled 2/batch), since the synthetic work is perfectly
+      uniform; more shards only multiply partial rows (one row per
+      distinct salted key PER BATCH) and task-launch gaps. Shard size
+      is capped at 24 M rows so a 100-TB input still gets balanced,
+      retryable tasks rather than hour-long ones."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    if num_cpus is None:
+        num_cpus = int(ray.cluster_resources().get("CPU", 8))
+    par = max(2 * num_cpus, 2, -(-n_rows // 24_000_000))
+    shard = max(1, n_rows // par)
+    items = [{"start": s, "count": min(shard, n_rows - s)}
+             for s in range(0, n_rows, shard)]
+    stage = FusedSaltedTileStage(zoom, salt)
+    ctx = DataContext.get_current()
+    saved = ctx.op_resource_reservation_enabled
+    ctx.op_resource_reservation_enabled = False
+    try:
+        parts = rd.from_items(items).map_batches(
+            stage, batch_format="numpy", batch_size=2)
+        merged = bucketed_sum(parts, "cell_salted", "n_part", "n_sub")
+        outs = []
+        for b in merged.iter_batches(batch_format="numpy"):
+            outs.append(pd.DataFrame({
+                "tile_key": np.asarray(b["cell_salted"]) // salt,
+                "n_sub": np.asarray(b["n_sub"], dtype=np.int64)}))
+    finally:
+        ctx.op_resource_reservation_enabled = saved
+    mdf = pd.concat(outs, ignore_index=True) if outs else \
+        pd.DataFrame({"tile_key": [], "n_sub": []})
+    return (mdf.groupby("tile_key", as_index=False)["n_sub"].sum()
+            .rename(columns={"n_sub": "n"}))
+
+
 def tile_counts_salted(ds, zoom: int = 7, threshold: int | None = None,
                        salt: int = 16, key_col: str = "image_id",
                        salted: bool = True, cache: bool = True):

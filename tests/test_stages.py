@@ -158,6 +158,29 @@ def test_salted_tile_counts_parity(ray_session):
     _ = pd
 
 
+def test_fused_salted_tile_counts_parity(ray_session):
+    """The census-free fused path (one streaming execution,
+    unconditional two-level salt) must count identically to the
+    censused and unsalted paths over the same synthetic geotags."""
+    from proj_ray.pipelines import (geotag_dataset, tile_counts_salted,
+                                    tile_counts_salted_fused)
+
+    n = 30000
+    fused = tile_counts_salted_fused(n, zoom=5, salt=8)
+    plain = tile_counts_salted(geotag_dataset(n, parallelism=8), zoom=5,
+                               salted=False).to_pandas()
+    a = fused.sort_values("tile_key").reset_index(drop=True)
+    b = plain.sort_values("tile_key").reset_index(drop=True)
+    assert a["tile_key"].tolist() == b["tile_key"].tolist()
+    assert a["n"].tolist() == b["n"].tolist()
+    # tiny n exercises the par floor; salt=1 the degenerate salt
+    f1 = tile_counts_salted_fused(997, zoom=3, salt=1)
+    p1 = tile_counts_salted(geotag_dataset(997, parallelism=2), zoom=3,
+                            salted=False).to_pandas()
+    assert (f1.sort_values("tile_key")["n"].tolist()
+            == p1.sort_values("tile_key")["n"].tolist())
+
+
 def test_headline_combine_modes_agree(ray_session):
     from proj_ray.pipelines import headline_spatial
 
