@@ -400,6 +400,12 @@ def main() -> None:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    if os.environ.get("BENCH_NO_RESERVATION", "0") == "1":
+        # A/B probe: Ray Data's op resource reservation measurably
+        # starves map stages feeding an all-to-all at small cpu counts
+        # (see tile_counts_salted_fused); this flag measures the same
+        # effect on the whole suite
+        DataContext.get_current().op_resource_reservation_enabled = False
     result = run_suite(SF_DIR)
     ray.shutdown()
     print(json.dumps(result))
