@@ -4129,6 +4129,98 @@ FROM h GROUP BY hq, hr
 """
 
 
+def _q79_inverted_index(sf_dir: str):
+    """Inverted-index integrity view: per-term document frequency plus
+    integer posting checksums (sum/min/max of doc ids), min_df=2. The
+    build is per-batch partial aggregation (each doc lives in exactly
+    one batch, so partial DFs are disjoint and sum exactly) -> term-hash
+    bucket co-partition -> vectorized within-bucket combine: one row per
+    (batch, term) crosses the shuffle, never the token stream
+    (proj_ray/functions/invindex.py). The persisted posting index +
+    bucket-pruned lookup path is exercised in tests/test_invindex.py."""
+    from proj_ray.functions.invindex import inverted_index_stats
+
+    out = inverted_index_stats(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]),
+        min_df=2).to_pandas()
+    return out.sort_values("term", kind="stable",
+                           ignore_index=True)
+
+
+_Q79_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+d AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS id_min,
+       CAST(MAX(doc_id) AS BIGINT) AS id_max
+FROM d GROUP BY term HAVING COUNT(*) >= 2
+"""
+
+
+_Q80_TERMS = ("data", "merge", "table")
+
+
+def _q80_bm25(sf_dir: str):
+    """BM25 ranked retrieval: top-10 documents for a fixed 3-term
+    query. One DF pass (doc + token counts piggybacked as sentinels,
+    so avgdl is free) + one scoring pass with the tiny query-idf
+    table broadcast; each batch prunes to a local top-k before the
+    final sort, which therefore moves <= k rows per block. Per-term
+    contributions are fixed-pointed independently and summed as
+    int64, so engine and oracle rank bit-identical integers
+    (proj_ray/functions/text.py bm25_topk)."""
+    from proj_ray.functions.text import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents",
+                           columns=["doc_id", "text"]),
+                     _Q80_TERMS, k=10)
+
+
+_Q80_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dln
+       FROM tok GROUP BY doc_id),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+ad AS (SELECT CAST(SUM(dln) AS DOUBLE) / (SELECT nd FROM nn) AS avgdl
+       FROM dl),
+q(term) AS (VALUES {", ".join(f"('{t}')" for t in _Q80_TERMS)}),
+dfq AS (
+  SELECT q.term, CAST(COUNT(DISTINCT tok.doc_id) AS DOUBLE) AS dfc
+  FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY q.term
+),
+tf AS (
+  SELECT tok.doc_id, tok.term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok JOIN q ON tok.term = q.term
+  GROUP BY tok.doc_id, tok.term
+),
+w AS (
+  SELECT tf.doc_id,
+    CAST(floor(
+      ln(1 + ((SELECT nd FROM nn) - dfq.dfc + 0.5) / (dfq.dfc + 0.5))
+      * ((tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * ((1 - 0.75) + 0.75
+              * (CAST(dl.dln AS DOUBLE) / (SELECT avgdl FROM ad)))))
+      * 1000000.0 + 0.5) AS BIGINT) AS wf
+  FROM tf
+  JOIN dfq ON tf.term = dfq.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+),
+s AS (SELECT doc_id, CAST(SUM(wf) AS BIGINT) AS score_f
+      FROM w GROUP BY doc_id)
+SELECT CAST(row_number() OVER (ORDER BY score_f DESC, doc_id)
+            AS BIGINT) AS rk,
+       doc_id, score_f
+FROM s ORDER BY score_f DESC, doc_id LIMIT 10
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4214,6 +4306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_gram_matrix": _q76_gram_matrix,
         "q77_profile": _q77_profile,
         "q78_hex_bin": _q78_hex_bin,
+        "q79_inverted_index": _q79_inverted_index,
+        "q80_bm25": _q80_bm25,
     }
 
 
@@ -4297,4 +4391,6 @@ def oracle_sql() -> dict[str, str]:
         "q76_gram_matrix": _Q76_SQL,
         "q77_profile": _Q77_SQL,
         "q78_hex_bin": _Q78_SQL,
+        "q79_inverted_index": _Q79_SQL,
+        "q80_bm25": _Q80_SQL,
     }

@@ -238,6 +238,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q77_profile(sf_dir)))
     timed("q78_hex_bin",
           lambda: consume(E._q78_hex_bin(sf_dir)))
+    timed("q79_inverted_index",
+          lambda: consume(E._q79_inverted_index(sf_dir)))
+    timed("q80_bm25",
+          lambda: consume(E._q80_bm25(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

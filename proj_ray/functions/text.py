@@ -135,12 +135,18 @@ def text_stats(ds, concurrency=(2, 8), batch_size: int = 4096):
                           batch_size=batch_size, concurrency=concurrency)
 
 
-_NDOCS_SENTINEL = "\x00#docs"  # NUL never appears in split() tokens
+# Sentinel "terms" must be impossible outputs of text.split(" ") —
+# any string containing a space qualifies. (NUL prefixes are NOT safe
+# here: pandas' object-key hashtable truncates at the first NUL, so
+# two NUL-containing sentinels would merge into one group.)
+_NDOCS_SENTINEL = "# docs #"
+_NTOKENS_SENTINEL = "# tokens #"
 
 
 def document_frequencies(ds, text_col: str = "text",
                          vocab_cap: int = 2_000_000,
-                         count_docs: bool = False):
+                         count_docs: bool = False,
+                         count_tokens: bool = False):
     """Corpus document frequencies: (term, df) as a driver-side dict.
 
     Scale shape: per-batch partials (each doc's DISTINCT terms counted
@@ -154,6 +160,8 @@ def document_frequencies(ds, text_col: str = "text",
     count_docs=True piggybacks the corpus document count on the same
     pass (a NUL-prefixed sentinel term) and returns (df, n_docs) —
     one Ray job instead of two for callers that need both (tfidf).
+    count_tokens=True piggybacks the corpus TOKEN count the same way
+    (for BM25's avgdl) and appends it to the return tuple.
     """
     import pandas as pd
 
@@ -165,11 +173,18 @@ def document_frequencies(ds, text_col: str = "text",
             .get_level_values(1).value_counts()
         terms = vc.index.to_numpy(dtype=object)
         dfp = vc.to_numpy(dtype=np.int64)
+        sent_t, sent_v = [], []
         if count_docs:
+            sent_t.append(_NDOCS_SENTINEL)
+            sent_v.append(len(s))
+        if count_tokens:
+            sent_t.append(_NTOKENS_SENTINEL)
+            sent_v.append(int(s.str.len().sum()))
+        if sent_t:
             terms = np.concatenate(
-                [terms, np.array([_NDOCS_SENTINEL], dtype=object)])
+                [terms, np.array(sent_t, dtype=object)])
             dfp = np.concatenate(
-                [dfp, np.array([len(s)], dtype=np.int64)])
+                [dfp, np.array(sent_v, dtype=np.int64)])
         return {"term": terms, "df_part": dfp}
 
     def combine(b: dict) -> dict:
@@ -185,16 +200,21 @@ def document_frequencies(ds, text_col: str = "text",
                           batch_size=65536)
              .take_all())
     df: dict = {}
-    cap = vocab_cap + (1 if count_docs else 0)  # sentinel slot
+    cap = vocab_cap + int(count_docs) + int(count_tokens)  # sentinels
     for row in parts:
         df[row["term"]] = df.get(row["term"], 0) + int(row["df_part"])
         if len(df) > cap:
             raise ValueError(
                 f"vocabulary exceeds vocab_cap={vocab_cap}; use the "
                 "groupby('term') shuffle path for this corpus")
+    n_tokens = df.pop(_NTOKENS_SENTINEL, 0) if count_tokens else None
     if count_docs:
         n_docs = df.pop(_NDOCS_SENTINEL, 0)
+        if count_tokens:
+            return df, n_docs, n_tokens
         return df, n_docs
+    if count_tokens:
+        return df, n_tokens
     return df
 
 
@@ -278,6 +298,89 @@ def tfidf_topk(ds, k: int = 3, scale: int = 1_000_000,
         {"concurrency": concurrency}
     return ds.select_columns(["doc_id", "text"]).map_batches(
         score, batch_format="numpy", batch_size=4096, **kwargs)
+
+
+def bm25_topk(ds, query_terms, k: int = 10, k1: float = 1.2,
+              b: float = 0.75, scale: int = 1_000_000):
+    """Top-k documents for a bag-of-terms query by BM25 (Robertson /
+    Okapi), the ranked-retrieval capstone of the text family (tfidf
+    ranks terms per doc; this ranks DOCS for a query).
+
+      idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+      w(D, t)   = idf(t) * (tf * (k1+1)) / (tf + k1*((1-b) + b*dl/avgdl))
+      score(D)  = sum_t floor(w(D, t) * scale + 0.5)     [int64]
+
+    Each TERM's contribution is fixed-pointed independently and the
+    per-document sum is integer, so the engine and a SQL oracle rank
+    bit-identical integers regardless of float summation order.
+
+    Scale shape: one DF pass (stream-combined partials; doc + token
+    counts piggybacked as sentinels — avgdl costs nothing extra), then
+    one scoring pass with the tiny (term, idf) query table broadcast;
+    each batch prunes to its local top-k, so the final sort moves at
+    most k rows per block. No token stream ever crosses a shuffle.
+    Returns a pandas frame (rk, doc_id, score_f), k rows max; docs
+    containing none of the query terms never appear (parity with the
+    SQL formulation's inner join)."""
+    import pandas as pd
+
+    qterms = np.array(sorted(set(query_terms)), dtype=object)
+    if len(qterms) == 0:
+        return pd.DataFrame({"rk": pd.Series(dtype=np.int64),
+                             "doc_id": pd.Series(dtype=np.int64),
+                             "score_f": pd.Series(dtype=np.int64)})
+    df, n_docs, n_tokens = document_frequencies(
+        ds, count_docs=True, count_tokens=True)
+    nd = float(n_docs)
+    avgdl = float(n_tokens) / nd
+    dfc = np.array([df.get(t, 0) for t in qterms], dtype=np.float64)
+    idf = np.log(1.0 + (nd - dfc + 0.5) / (dfc + 0.5))
+    nq = len(qterms)
+    k1 = float(k1)
+    bb = float(b)
+    one_minus_b = 1.0 - bb
+    k1p1 = k1 + 1.0
+
+    def score(batch: dict) -> dict:
+        s = pd.Series(batch["text"]).str.split(" ")
+        lens = s.str.len().to_numpy(np.int64)
+        drow = np.repeat(np.arange(len(s), dtype=np.int64), lens)
+        term = s.explode().to_numpy(dtype=object)
+        pos = np.searchsorted(qterms, term)
+        posc = np.minimum(pos, nq - 1)
+        hit = qterms[posc] == term
+        acc = np.zeros(len(s), dtype=np.int64)
+        matched = np.zeros(len(s), dtype=bool)
+        if hit.any():
+            key = drow[hit] * nq + posc[hit]
+            key_u, tf = np.unique(key, return_counts=True)
+            row_u = (key_u // nq).astype(np.int64)
+            t_u = (key_u % nq).astype(np.int64)
+            tff = tf.astype(np.float64)
+            dl = lens[row_u].astype(np.float64)
+            w = idf[t_u] * ((tff * k1p1)
+                            / (tff + k1 * (one_minus_b
+                                           + bb * (dl / avgdl))))
+            wf = np.floor(w * float(scale) + 0.5).astype(np.int64)
+            np.add.at(acc, row_u, wf)
+            matched[row_u] = True
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[matched]
+        sc = acc[matched]
+        order = np.lexsort((ids, -sc))[:k]  # local top-k prune
+        return {"doc_id": ids[order], "score_f": sc[order]}
+
+    top = (ds.select_columns(["doc_id", "text"])
+           .map_batches(score, batch_format="numpy", batch_size=4096)
+           .sort(["score_f", "doc_id"], descending=[True, False])
+           .limit(k)
+           .to_pandas())
+    if top.empty:  # no doc matched any query term: schema-less frame
+        top = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                            "score_f": pd.Series(dtype=np.int64)})
+    top.insert(0, "rk", np.arange(1, len(top) + 1, dtype=np.int64))
+    for c in ("doc_id", "score_f"):
+        top[c] = top[c].astype(np.int64)
+    return top
 
 
 def cooccurrence_pmi(ds, k: int = 25, scale: int = 1_000_000,

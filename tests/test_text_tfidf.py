@@ -163,3 +163,73 @@ def test_substring_dup_stride_subsample(ray_session):
     assert (s["dup_grams"] < e["dup_grams"]).all()
     assert (s["dup_chars"] <= e["dup_chars"]).all()
     assert (s["dup_chars"] > 0).all()
+
+
+def test_document_frequencies_count_tokens(ray_session):
+    """Both sentinels must survive the combine's pandas groupby —
+    regression for the NUL-truncating object-key hashtable (two
+    NUL-prefixed sentinels used to merge into one group)."""
+    import ray.data as rd
+
+    from proj_ray.functions.text import document_frequencies
+
+    df_in = pd.DataFrame({"doc_id": [0, 1], "text": ["a b c", "b c d"]})
+    df, n_docs, n_tokens = document_frequencies(
+        rd.from_pandas(df_in), count_docs=True, count_tokens=True)
+    assert df == {"a": 1, "b": 2, "c": 2, "d": 1}
+    assert n_docs == 2 and n_tokens == 6
+    df2, n_tokens2 = document_frequencies(
+        rd.from_pandas(df_in), count_tokens=True)
+    assert df2 == df and n_tokens2 == 6
+
+
+def test_bm25_topk_matches_brute(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.text import bm25_topk
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(15)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(2, 40)))
+            for _ in range(250)]
+    df_in = pd.DataFrame({"doc_id": np.arange(250, dtype=np.int64),
+                          "text": docs})
+    q = ["w1", "w9", "w14"]
+    got = bm25_topk(rd.from_pandas(df_in).repartition(6), q, k=8)
+
+    # brute force with the same fixed-point-per-term convention
+    k1, b, scale = 1.2, 0.75, 1_000_000
+    tok = df_in.assign(term=df_in["text"].str.split(" ")) \
+        .explode("term")
+    n = float(len(df_in))
+    dl = tok.groupby("doc_id").size()
+    avgdl = float(dl.sum()) / n
+    dfc = tok.drop_duplicates(["doc_id", "term"]).groupby("term").size()
+    scores = {}
+    for t in q:
+        idf = np.log(1.0 + (n - float(dfc[t]) + 0.5)
+                     / (float(dfc[t]) + 0.5))
+        tf = tok[tok["term"] == t].groupby("doc_id").size()
+        for d, c in tf.items():
+            tff = float(c)
+            dld = float(dl[d])
+            w = idf * ((tff * (k1 + 1.0))
+                       / (tff + k1 * ((1.0 - b) + b * (dld / avgdl))))
+            scores[d] = scores.get(d, 0) \
+                + int(np.floor(w * scale + 0.5))
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    assert list(got["doc_id"]) == [d for d, _ in exp]
+    assert list(got["score_f"]) == [s for _, s in exp]
+    assert list(got["rk"]) == list(range(1, 9))
+
+
+def test_bm25_topk_empty_query_and_no_matches(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.text import bm25_topk
+
+    df_in = pd.DataFrame({"doc_id": [0, 1], "text": ["a b", "c d"]})
+    out = bm25_topk(rd.from_pandas(df_in), [], k=5)
+    assert len(out) == 0
+    out = bm25_topk(rd.from_pandas(df_in), ["zzz"], k=5)
+    assert len(out) == 0
