@@ -166,3 +166,54 @@ def test_equal_area_projections_unit_areal_scale():
         assert np.nanmax(np.abs(f["areal_scale"] - 1)) < 1e-8, d
     f = factors("+proj=boggs +ellps=WGS84", lon, lat)
     assert np.nanmax(np.abs(f["areal_scale"] - 1)) < 1e-5
+
+
+# ---- inverted-index partial-aggregation algebra (Ray-free) ----------
+#
+# The scale-correctness claim of inverted_index_stats is that per-batch
+# partials are DISJOINT (each doc lives in exactly one batch) so
+# partial dfs/sums/mins/maxes combine exactly. Hypothesis hammers
+# arbitrary corpora and arbitrary batch boundaries.
+
+@settings(max_examples=30, deadline=None)
+@given(docs=st.lists(
+           st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8),
+           min_size=1, max_size=24),
+       seed=st.integers(0, 2**31 - 1))
+def test_invindex_partials_combine_exactly(docs, seed):
+    import pandas as pd
+
+    from proj_ray.functions.invindex import _pairs_batch
+
+    texts = np.array([" ".join(d) for d in docs], dtype=object)
+    ids = np.arange(len(docs), dtype=np.int64)
+
+    # arbitrary contiguous batch split
+    rng = np.random.default_rng(seed)
+    n_cuts = int(rng.integers(0, min(4, len(docs))))
+    cuts = np.sort(rng.choice(np.arange(1, len(docs)),
+                              size=n_cuts, replace=False)) \
+        if n_cuts else np.array([], dtype=np.int64)
+    bounds = np.r_[0, cuts, len(docs)]
+
+    parts = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        parts.append(_pairs_batch(
+            {"text": texts[lo:hi], "doc_id": ids[lo:hi]},
+            "text", "doc_id", n_buckets=8))
+    got = (pd.concat(parts, ignore_index=True)
+           .groupby("term", as_index=False)
+           .agg(df=("doc_id", "size"), id_sum=("doc_id", "sum"),
+                id_min=("doc_id", "min"), id_max=("doc_id", "max"))
+           .sort_values("term", ignore_index=True))
+
+    tok = pd.DataFrame({"doc_id": ids, "text": texts})
+    tok = tok.assign(term=tok["text"].str.split(" ")).explode("term") \
+        .drop_duplicates(["doc_id", "term"])
+    exp = (tok.groupby("term", as_index=False)
+           .agg(df=("doc_id", "size"), id_sum=("doc_id", "sum"),
+                id_min=("doc_id", "min"), id_max=("doc_id", "max"))
+           .sort_values("term", ignore_index=True))
+    assert got["term"].tolist() == exp["term"].tolist()
+    for c in ("df", "id_sum", "id_min", "id_max"):
+        assert got[c].tolist() == exp[c].tolist()

@@ -233,3 +233,22 @@ def test_bm25_topk_empty_query_and_no_matches(ray_session):
     assert len(out) == 0
     out = bm25_topk(rd.from_pandas(df_in), ["zzz"], k=5)
     assert len(out) == 0
+
+
+def test_bm25_partitioning_invariance(ray_session):
+    """The per-batch top-k prune must never change the global top-k:
+    identical results whatever the block layout."""
+    import ray.data as rd
+
+    from proj_ray.functions.text import bm25_topk
+
+    rng = np.random.default_rng(21)
+    vocab = [f"w{j}" for j in range(10)]
+    docs = [" ".join(rng.choice(vocab, rng.integers(2, 30)))
+            for _ in range(300)]
+    df_in = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                          "text": docs})
+    q = ["w2", "w8"]
+    a = bm25_topk(rd.from_pandas(df_in).repartition(1), q, k=7)
+    b = bm25_topk(rd.from_pandas(df_in).repartition(11), q, k=7)
+    pd.testing.assert_frame_equal(a, b)
