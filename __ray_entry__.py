@@ -4221,6 +4221,154 @@ FROM s ORDER BY score_f DESC, doc_id LIMIT 10
 """
 
 
+def _parity_split(ds, id_col: str = "doc_id"):
+    """(even, odd) id halves — history vs delta for the
+    incremental operators, as vectorized Arrow filters."""
+    def parity(rem: int):
+        def f(b):
+            import pyarrow.compute as pc
+
+            ids = pc.cast(b.column(id_col), "int64")
+            return b.filter(pc.equal(
+                pc.bit_wise_and(ids, 1), rem))
+        return f
+
+    return (ds.map_batches(parity(0), batch_format="pyarrow"),
+            ds.map_batches(parity(1), batch_format="pyarrow"))
+
+
+def _q81_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup — the daily-increment shape: the even
+    doc_ids play the accumulated HISTORY (persisted once as a
+    bucket-partitioned (text, canonical_id) parquet index), the odd
+    doc_ids play the new shard. Resolution co-partitions the delta's
+    per-block partial mins by the index's bucket hash, so each reducer
+    reads exactly ONE index partition — history I/O scales with the
+    delta, never the corpus (proj_ray/functions/dedup.py
+    dedup_index_build / dedup_exact_incremental)."""
+    import shutil
+    import tempfile
+
+    from proj_ray.functions.dedup import (dedup_exact_incremental,
+                                          dedup_index_build)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    old, new = _parity_split(ds)
+    tmp = tempfile.mkdtemp(prefix="q81_dedup_idx_")
+    try:
+        dedup_index_build(old, "text", "doc_id", tmp)
+        out = dedup_exact_incremental(new, tmp, "text", "doc_id") \
+            .to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    for c in ("canonical_id", "from_index", "n_new"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("text", kind="stable", ignore_index=True)
+
+
+_Q81_SQL = """
+WITH old AS (SELECT text, doc_id FROM documents WHERE doc_id % 2 = 0),
+     neu AS (SELECT text, doc_id FROM documents WHERE doc_id % 2 = 1),
+o AS (SELECT text, CAST(MIN(doc_id) AS BIGINT) AS canon_old
+      FROM old GROUP BY text),
+n AS (SELECT text, CAST(MIN(doc_id) AS BIGINT) AS canon_new,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM neu GROUP BY text)
+SELECT n.text AS text,
+       CAST(COALESCE(o.canon_old, n.canon_new) AS BIGINT)
+         AS canonical_id,
+       CAST(o.canon_old IS NOT NULL AS BIGINT) AS from_index,
+       n.n_new
+FROM n LEFT JOIN o ON n.text = o.text
+"""
+
+
+def _q82_minhash_incremental(sf_dir: str):
+    """Incremental MinHash near-dup: the even doc_ids' LSH state is
+    persisted once (band partitions to probe + hashed shingle sets to
+    verify — never text), then the odd-doc delta finds its near-dups
+    against history by reading ONLY the band/shingle buckets it hashes
+    to. The oracle computes the exact cross-shard substring-5-gram
+    Jaccard pair set, so the gate also proves the incremental probe
+    loses no pair at this threshold (planted near-dups sit at
+    J >= 0.9; q19's band-miss and hash-collision arguments carry over
+    verbatim — proj_ray/functions/dedup.py minhash_index_build /
+    minhash_incremental)."""
+    import shutil
+    import tempfile
+
+    from proj_ray.functions.dedup import (minhash_incremental,
+                                          minhash_index_build)
+
+    old, new = _parity_split(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    tmp = tempfile.mkdtemp(prefix="q82_minhash_idx_")
+    try:
+        minhash_index_build(old, "text", "doc_id", tmp)
+        out = minhash_incremental(new, tmp, "text", "doc_id",
+                                  threshold=0.6)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_Q82_SQL = """
+WITH nums AS (
+  SELECT unnest(generate_series(
+      1, (SELECT max(length(text)) FROM documents))) AS i
+),
+g AS (
+  SELECT DISTINCT d.doc_id, substr(d.text, n.i::INT, 5) AS gram
+  FROM documents d JOIN nums n ON n.i <= length(d.text) - 4
+),
+c AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS shared
+  FROM g a JOIN g b ON a.gram = b.gram
+  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+  GROUP BY 1, 2)
+SELECT p.id_new, p.id_old,
+       CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) AS jaccard
+FROM p
+JOIN c ca ON ca.doc_id = p.id_new
+JOIN c cb ON cb.doc_id = p.id_old
+WHERE CAST(p.shared AS DOUBLE) / (ca.sz + cb.sz - p.shared) >= 0.6
+"""
+
+
+def _q83_ivf_append(sf_dir: str):
+    """Incremental IVF — the daily-increment shape for vectors: the
+    index is BUILT from the even vec_ids only, then the odd shard is
+    APPENDED via `ivf_append` (routed against the persisted centroids,
+    written into the same ivf_list partitions; history never rewritten
+    or rescanned). Because the routing rule depends only on the
+    centroids, probing build+append must equal a single build over the
+    union — so the oracle is q26's full-table SQL verbatim, and the
+    gate proves the append path is lossless
+    (proj_ray/functions/ann.py ivf_append)."""
+    from proj_ray.functions.ann import (ann_ivf_index, formula_centroids,
+                                        ivf_append, ivf_build)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qrows = _query_rows(sf_dir, "embeddings", "vec_id", 5)
+    Q = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                  for r in qrows])
+    old, new = _parity_split(ds, "vec_id")
+    path, ready = _index_dir("ivffa1", sf_dir)
+    if not ready:
+        ivf_build(old, path,
+                  centroids=formula_centroids(32, Q.shape[1]),
+                  quantize=1_000_000)
+        ivf_append(new, path, quantize=1_000_000)
+        _mark_ready("ivffa1", path)
+    res = ann_ivf_index(path, Q, k=5, nprobe=14, quantize=1_000_000)
+    res = res.rename(columns={"q": "qid", "nid": "neighbor_id"})
+    res["qid"] = res["qid"].astype("int64")
+    res["neighbor_id"] = res["neighbor_id"].astype("int64")
+    res["rank"] = res["rank"].astype("int64")
+    return res[["qid", "neighbor_id", "rank"]]
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4308,6 +4456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_hex_bin": _q78_hex_bin,
         "q79_inverted_index": _q79_inverted_index,
         "q80_bm25": _q80_bm25,
+        "q81_dedup_incremental": _q81_dedup_incremental,
+        "q82_minhash_incremental": _q82_minhash_incremental,
+        "q83_ivf_append": _q83_ivf_append,
     }
 
 
@@ -4393,4 +4544,7 @@ def oracle_sql() -> dict[str, str]:
         "q78_hex_bin": _Q78_SQL,
         "q79_inverted_index": _Q79_SQL,
         "q80_bm25": _Q80_SQL,
+        "q81_dedup_incremental": _Q81_SQL,
+        "q82_minhash_incremental": _Q82_SQL,
+        "q83_ivf_append": _Q26_SQL,
     }

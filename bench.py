@@ -242,6 +242,12 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q79_inverted_index(sf_dir)))
     timed("q80_bm25",
           lambda: consume(E._q80_bm25(sf_dir)))
+    timed("q81_dedup_incremental",
+          lambda: consume(E._q81_dedup_incremental(sf_dir)))
+    timed("q82_minhash_incremental",
+          lambda: consume(E._q82_minhash_incremental(sf_dir)))
+    timed("q83_ivf_append",
+          lambda: consume(E._q83_ivf_append(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

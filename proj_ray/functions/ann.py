@@ -286,6 +286,22 @@ def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
     return C
 
 
+def ivf_append(ds, path: str, vec_col: str = "embedding",
+               id_col: str = "vec_id", quantize: int | None = None):
+    """Append a NEW shard to an existing IVF directory — the
+    daily-increment shape for vectors: the delta routes against the
+    PERSISTED centroids (`<path>/centroids.npy`) with the identical
+    assignment rule the build used, and writes into the same
+    `ivf_list=<id>/` partition layout (Ray's unique file names never
+    clobber history). Because routing depends only on the centroids,
+    probe results over build+append equal a single build over the
+    union — history is never rewritten or rescanned. Returns the
+    centroid matrix."""
+    C = np.load(f"{path}/centroids.npy")
+    return ivf_build(ds, path, centroids=C, vec_col=vec_col,
+                     id_col=id_col, quantize=quantize)
+
+
 def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
                   nprobe: int = 4, vec_col: str = "embedding",
                   id_col: str = "vec_id", batch_size: int = 8192,

@@ -74,6 +74,332 @@ def dedup_exact(ds, key_col: str, id_col: str, n_buckets: int = 64):
 # and had no callers; semi-join dedup_exact's winners back instead)
 
 
+# ------------------------------------------------- incremental exact ------
+#
+# The daily-increment shape of a 100-TB corpus: dedup a NEW shard
+# against the accumulated history without re-scanning it. The history
+# lives as a bucket-partitioned (key, canonical_id) parquet index;
+# resolving a delta co-partitions the delta's per-block partial mins
+# by the SAME bucket hash, so each reducer reads exactly one index
+# partition — history I/O scales with the delta's bucket fan-out,
+# never with history size.
+
+
+def dedup_index_build(ds, key_col: str, id_col: str, path: str,
+                      n_buckets: int = 64):
+    """Persist the exact-dedup state of `ds` as a bucket-partitioned
+    (key, canonical_id=min id) parquet index under `path`.
+
+    Same shuffle discipline as dedup_exact: projection -> per-block
+    partial min per key -> hash-bucket co-partition -> one vectorized
+    min-per-key pass per bucket, which then writes ONE sorted parquet
+    partition (resumable per-bucket, no giant file). Returns a pandas
+    manifest (bucket, n_keys, bytes)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+
+    def partial(b: dict) -> dict:
+        df = pd.DataFrame({key_col: b[key_col], id_col: b[id_col]})
+        g = df.groupby(key_col, as_index=False)[id_col].min()
+        bk = (_stable_u64(g[key_col].to_numpy())
+              % np.uint64(n_buckets)).astype(np.int64)
+        return {key_col: g[key_col].to_numpy(),
+                id_col: g[id_col].to_numpy(), "_bk": bk}
+
+    def write_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        bk = int(g["_bk"].iloc[0])
+        out = (g.drop(columns=["_bk"])
+                .groupby(key_col, as_index=False)[id_col].min()
+                .sort_values(key_col, ignore_index=True))
+        part = os.path.join(path, f"bucket={bk:05d}")
+        os.makedirs(part, exist_ok=True)
+        f = os.path.join(part, "keys.parquet")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       f)
+        return pd.DataFrame({"bucket": [bk], "n_keys": [len(out)],
+                             "bytes": [os.path.getsize(f)]})
+
+    man = (ds.select_columns([key_col, id_col])
+           .map_batches(partial, batch_format="numpy",
+                        batch_size=65536)
+           .groupby("_bk")
+           .map_groups(write_bucket, batch_format="pandas")
+           .to_pandas())
+    return man.sort_values("bucket", ignore_index=True)
+
+
+def dedup_exact_incremental(ds_new, path: str, key_col: str,
+                            id_col: str, n_buckets: int = 64):
+    """Resolve a NEW shard against the persistent index at `path`.
+
+    Returns a Dataset with one row per DISTINCT new key:
+      (key_col, canonical_id, from_index, n_new)
+    where canonical_id is the historical min id when the key exists in
+    the index (from_index=1) else the new shard's min id (from_index=0),
+    and n_new counts the shard's rows under that key. A row of the new
+    shard is a duplicate iff its id != its key's canonical_id — derive
+    per-row marks by broadcast/hash-joining this (distinct-keys-sized)
+    result back; the all-to-all here moves one row per (block, key).
+
+    `n_buckets` must equal the index build's."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def partial(b: dict) -> dict:
+        df = pd.DataFrame({key_col: b[key_col], id_col: b[id_col]})
+        g = df.groupby(key_col, as_index=False).agg(
+            _min=(id_col, "min"), _cnt=(id_col, "size"))
+        bk = (_stable_u64(g[key_col].to_numpy())
+              % np.uint64(n_buckets)).astype(np.int64)
+        return {key_col: g[key_col].to_numpy(),
+                "_min": g["_min"].to_numpy(np.int64),
+                "_cnt": g["_cnt"].to_numpy(np.int64), "_bk": bk}
+
+    def resolve(g: "pd.DataFrame") -> "pd.DataFrame":
+        bk = int(g["_bk"].iloc[0])
+        new = (g.drop(columns=["_bk"])
+               .groupby(key_col, as_index=False)
+               .agg(_min=("_min", "min"), n_new=("_cnt", "sum")))
+        f = os.path.join(path, f"bucket={bk:05d}", "keys.parquet")
+        if os.path.exists(f):
+            old = pq.read_table(f).to_pandas() \
+                .rename(columns={id_col: "_old"})
+            new = new.merge(old, on=key_col, how="left")
+        else:
+            new["_old"] = np.nan
+        hit = new["_old"].notna()
+        new["canonical_id"] = np.where(
+            hit, new["_old"].fillna(0), new["_min"]).astype(np.int64)
+        new["from_index"] = hit.to_numpy().astype(np.int64)
+        new["n_new"] = new["n_new"].astype(np.int64)
+        return new[[key_col, "canonical_id", "from_index", "n_new"]]
+
+    return (ds_new.select_columns([key_col, id_col])
+            .map_batches(partial, batch_format="numpy",
+                         batch_size=65536)
+            .groupby("_bk")
+            .map_groups(resolve, batch_format="pandas"))
+
+
+# --------------------------------------------- incremental near-dup -------
+
+
+def minhash_index_build(ds, text_col: str, id_col: str, path: str,
+                        num_perm: int = 64, bands: int = 16,
+                        n_buckets: int = 64, shingle_k: int = 5):
+    """Persist the MinHash near-dup state of a corpus under `path`:
+
+    - `bands/bucket=K/` — (band, rid) rows, partitioned by
+      band-key hash: the LSH probe surface. ~10 B/row x bands crosses
+      the build shuffle; never text.
+    - `shingles/bucket=K/` — one (rid, shingles list<int64>) row per
+      doc, partitioned by rid: the verify surface (hashed shingle
+      sets, NOT text — exact Jaccard over them equals substring-gram
+      Jaccard while the rolling hash stays collision-free on the
+      corpus alphabet, the same contract q19 documents).
+
+    Both components are bucket-partitioned parquet (resumable, and a
+    delta's probe/verify reads ONLY the buckets it hashes to).
+    Returns a pandas manifest (component, bucket, n_rows, bytes)."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+
+    def sign(batch: dict) -> dict:
+        mh = _minhasher(num_perm, bands)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keys = mh.band_keys_batch(mh.signatures(batch[text_col]))
+        band = keys.ravel()
+        return {"band": band, "rid": np.repeat(ids, bands),
+                "_bk": (band % n_buckets).astype(np.int64)}
+
+    def write_bands(g: "pd.DataFrame") -> "pd.DataFrame":
+        bk = int(g["_bk"].iloc[0])
+        out = g.drop(columns=["_bk"]).drop_duplicates(
+            ["band", "rid"]).sort_values(["band", "rid"],
+                                         ignore_index=True)
+        part = os.path.join(path, "bands", f"bucket={bk:05d}")
+        os.makedirs(part, exist_ok=True)
+        f = os.path.join(part, "bands.parquet")
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       f)
+        return pd.DataFrame({"component": ["bands"], "bucket": [bk],
+                             "n_rows": [len(out)],
+                             "bytes": [os.path.getsize(f)]})
+
+    def shingle_rows(batch: dict) -> "pd.DataFrame":
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        sets = [np.unique(_shingles(str(t), shingle_k))
+                .view(np.int64) for t in batch[text_col]]
+        return pd.DataFrame({
+            "rid": ids, "shingles": sets,
+            "_bk": (ids % n_buckets).astype(np.int64)})
+
+    def write_shingles(g: "pd.DataFrame") -> "pd.DataFrame":
+        bk = int(g["_bk"].iloc[0])
+        g = g.sort_values("rid", ignore_index=True)
+        part = os.path.join(path, "shingles", f"bucket={bk:05d}")
+        os.makedirs(part, exist_ok=True)
+        f = os.path.join(part, "shingles.parquet")
+        pq.write_table(pa.table({
+            "rid": pa.array(g["rid"].to_numpy(np.int64)),
+            "shingles": pa.array([s.tolist() for s in g["shingles"]],
+                                 type=pa.large_list(pa.int64()))}), f)
+        return pd.DataFrame({"component": ["shingles"], "bucket": [bk],
+                             "n_rows": [len(g)],
+                             "bytes": [os.path.getsize(f)]})
+
+    src = ds.select_columns([id_col, text_col])
+    man_b = (src.map_batches(sign, batch_format="numpy",
+                             batch_size=1024)
+             .groupby("_bk")
+             .map_groups(write_bands, batch_format="pandas")
+             .to_pandas())
+    man_s = (src.map_batches(shingle_rows, batch_format="pandas",
+                             batch_size=1024)
+             .groupby("_bk")
+             .map_groups(write_shingles, batch_format="pandas")
+             .to_pandas())
+    return (pd.concat([man_b, man_s], ignore_index=True)
+            .sort_values(["component", "bucket"], ignore_index=True))
+
+
+def minhash_incremental(ds_new, path: str, text_col: str, id_col: str,
+                        threshold: float = 0.6, num_perm: int = 64,
+                        bands: int = 16, n_buckets: int = 64,
+                        shingle_k: int = 5, pairs_cap: int = 100_000):
+    """Near-dup pairs between a NEW shard and the history persisted by
+    `minhash_index_build` — without rescanning history.
+
+    Probe: the delta's (band, rid) rows co-partition by the SAME
+    band-key hash the index used, so each reducer inner-joins against
+    exactly ONE `bands/` partition — candidate discovery I/O scales
+    with the delta's bucket fan-out. Verify: candidates are bounded
+    (LSH collisions, enforced by `pairs_cap`); the old sides' hashed
+    shingle sets are read from ONLY the `shingles/` buckets the
+    candidate ids hash to, the new sides' are recomputed in one
+    shuffle-free filtered pass over the delta, and the exact Jaccard
+    judge runs vectorized per pair. Returns a pandas frame
+    (id_new, id_old, jaccard) with jaccard >= threshold.
+
+    Parameters must match the build's (num_perm/bands/n_buckets/
+    shingle_k)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    def sign(batch: dict) -> dict:
+        mh = _minhasher(num_perm, bands)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keys = mh.band_keys_batch(mh.signatures(batch[text_col]))
+        band = keys.ravel()
+        return {"band": band, "rid": np.repeat(ids, bands),
+                "_bk": (band % n_buckets).astype(np.int64)}
+
+    def probe(g: "pd.DataFrame") -> "pd.DataFrame":
+        bk = int(g["_bk"].iloc[0])
+        f = os.path.join(path, "bands", f"bucket={bk:05d}",
+                         "bands.parquet")
+        empty = pd.DataFrame({"id_new": pd.Series(dtype=np.int64),
+                              "id_old": pd.Series(dtype=np.int64)})
+        if not os.path.exists(f):
+            return empty
+        old = pq.read_table(f).to_pandas() \
+            .rename(columns={"rid": "id_old"})
+        new = (g.drop(columns=["_bk"])
+               .drop_duplicates(["band", "rid"])
+               .rename(columns={"rid": "id_new"}))
+        m = new.merge(old, on="band")
+        if m.empty:
+            return empty
+        return m[["id_new", "id_old"]].drop_duplicates(
+            ignore_index=True)
+
+    cand = (ds_new.select_columns([id_col, text_col])
+            .map_batches(sign, batch_format="numpy", batch_size=1024)
+            .groupby("_bk")
+            .map_groups(probe, batch_format="pandas"))
+    from proj_ray.dsutil import pull_pandas
+
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand > pairs_cap:
+        raise ValueError(
+            f"{n_cand} LSH candidates exceed pairs_cap={pairs_cap}; "
+            "raise the cap or tighten bands — the verify below "
+            "broadcasts the candidate sides")
+    pairs = pull_pandas(cand).drop_duplicates(["id_new", "id_old"],
+                                              ignore_index=True)
+    if pairs.empty:
+        return pd.DataFrame({"id_new": pd.Series(dtype=np.int64),
+                             "id_old": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+
+    # old shingle sets: only the buckets the candidate old-ids hash to
+    old_sets: dict = {}
+    need_old = np.unique(pairs["id_old"].to_numpy(np.int64))
+    for bk in np.unique(need_old % n_buckets):
+        f = os.path.join(path, "shingles", f"bucket={int(bk):05d}",
+                         "shingles.parquet")
+        if not os.path.exists(f):
+            continue
+        t = pq.read_table(f)
+        rids = t.column("rid").to_numpy()
+        keep = np.isin(rids, need_old)
+        for r, s, k in zip(rids, t.column("shingles").to_pylist(),
+                           keep):
+            if k:
+                old_sets[int(r)] = set(s)
+
+    # new shingle sets: one shuffle-free filtered pass over the delta
+    need_new = np.unique(pairs["id_new"].to_numpy(np.int64))
+    need_ref = ray.put(need_new)  # sorted by np.unique
+
+    def pick(batch: dict) -> "pd.DataFrame":
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        srt = ray.get(need_ref)
+        pos = np.searchsorted(srt, ids)
+        pos[pos >= len(srt)] = 0
+        m = srt[pos] == ids
+        return pd.DataFrame({
+            "rid": ids[m],
+            "shingles": [np.unique(_shingles(str(t), shingle_k))
+                         .view(np.int64)
+                         for t in np.asarray(batch[text_col],
+                                             dtype=object)[m]]})
+
+    got = (ds_new.select_columns([id_col, text_col])
+           .map_batches(pick, batch_format="numpy", batch_size=1024)
+           .to_pandas())
+    new_sets = {int(r): set(s.tolist())
+                for r, s in zip(got["rid"], got["shingles"])}
+
+    ja = np.empty(len(pairs), dtype=np.float64)
+    for i, (a, b) in enumerate(zip(pairs["id_new"].to_numpy(),
+                                   pairs["id_old"].to_numpy())):
+        sa = new_sets.get(int(a), set())
+        sb = old_sets.get(int(b), set())
+        inter = len(sa & sb)
+        ja[i] = inter / max(1, len(sa) + len(sb) - inter)
+    out = pairs.assign(jaccard=ja)
+    out = out[out["jaccard"] >= threshold]
+    return out.sort_values(["id_new", "id_old"],
+                           ignore_index=True)
+
+
 # ---------------------------------------------------------- shingling -----
 
 

@@ -541,3 +541,142 @@ def test_pca_from_gram_recovers_principal_axis(ray_session):
     w, V = pca_from_gram(gram, n_rows=n, k=2)
     assert w[0] > 10 * w[1]  # one dominant direction
     assert abs(V[2, 0]) > 0.99  # and it is the planted axis
+
+
+def test_dedup_incremental_matches_brute(ray_session, tmp_path):
+    """Index build + delta resolution vs a brute pandas resolution,
+    with keys engineered to hit every case: key only in history, key
+    only in the delta (with and without internal dups), key in both."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import (dedup_exact_incremental,
+                                          dedup_index_build)
+
+    rng = np.random.default_rng(13)
+    keys = [f"k{j}" for j in range(40)]
+    old = pd.DataFrame({
+        "key": rng.choice(keys[:25], 300),
+        "id": np.arange(1000, 1300, dtype=np.int64)})
+    new = pd.DataFrame({
+        "key": rng.choice(keys[10:], 200),
+        "id": np.arange(2000, 2200, dtype=np.int64)})
+
+    path = str(tmp_path / "idx")
+    man = dedup_index_build(rd.from_pandas(old).repartition(5),
+                            "key", "id", path, n_buckets=8)
+    assert int(man["n_keys"].sum()) == old["key"].nunique()
+
+    got = dedup_exact_incremental(
+        rd.from_pandas(new).repartition(7), path, "key", "id",
+        n_buckets=8).to_pandas().sort_values("key", ignore_index=True)
+
+    canon_old = old.groupby("key")["id"].min()
+    exp = new.groupby("key", as_index=False).agg(
+        canon_new=("id", "min"), n_new=("id", "size"))
+    exp["canonical_id"] = np.where(
+        exp["key"].isin(canon_old.index),
+        canon_old.reindex(exp["key"]).fillna(0).to_numpy(),
+        exp["canon_new"]).astype(np.int64)
+    exp["from_index"] = exp["key"].isin(canon_old.index) \
+        .to_numpy().astype(np.int64)
+    exp = exp.sort_values("key", ignore_index=True)
+    assert got["key"].tolist() == exp["key"].tolist()
+    assert got["canonical_id"].tolist() == exp["canonical_id"].tolist()
+    assert got["from_index"].tolist() == exp["from_index"].tolist()
+    assert got["n_new"].tolist() == exp["n_new"].tolist()
+
+
+def test_minhash_incremental_matches_brute(ray_session, tmp_path):
+    """Index build + delta probe/verify vs a brute cross-shard exact
+    n-gram Jaccard; planted near-dups sit well above threshold so the
+    LSH probe must find every pair (q19's band-miss bound)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import (jaccard_ngrams,
+                                          minhash_incremental,
+                                          minhash_index_build)
+
+    rng = np.random.default_rng(31)
+    alpha = np.array(list("abcdefghij "))
+    base = ["".join(rng.choice(alpha, 80)) for _ in range(30)]
+    texts = list(base)
+    # plant near-dups of old docs (even ids) into the new shard slots
+    texts += [base[2 * j][:-3] + "xyz" for j in range(5)]
+    ids = np.arange(len(texts), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    old_df = df[df["doc_id"] % 2 == 0]
+    new_df = df[df["doc_id"] % 2 == 1]
+
+    path = str(tmp_path / "mh")
+    minhash_index_build(rd.from_pandas(old_df).repartition(4),
+                        "text", "doc_id", path, n_buckets=8)
+    got = minhash_incremental(rd.from_pandas(new_df).repartition(3),
+                              path, "text", "doc_id",
+                              threshold=0.6, n_buckets=8)
+
+    exp = []
+    for _, nr in new_df.iterrows():
+        for _, orow in old_df.iterrows():
+            j = jaccard_ngrams(nr["text"], orow["text"])
+            if j >= 0.6:
+                exp.append((nr["doc_id"], orow["doc_id"], j))
+    exp = sorted(exp)
+    assert list(map(tuple, got[["id_new", "id_old"]].values)) \
+        == [(a, b) for a, b, _ in exp]
+    assert np.allclose(got["jaccard"].to_numpy(),
+                       [j for _, _, j in exp], rtol=0, atol=0)
+
+
+def test_minhash_incremental_pairs_cap(ray_session, tmp_path):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from proj_ray.functions.dedup import (minhash_incremental,
+                                          minhash_index_build)
+
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": ["same text for everyone here ok"] * 6})
+    path = str(tmp_path / "mh")
+    minhash_index_build(rd.from_pandas(df[df.doc_id % 2 == 0]),
+                        "text", "doc_id", path, n_buckets=4)
+    with pytest.raises(ValueError, match="pairs_cap"):
+        minhash_incremental(rd.from_pandas(df[df.doc_id % 2 == 1]),
+                            path, "text", "doc_id", n_buckets=4,
+                            pairs_cap=2)
+
+
+def test_ivf_append_equals_full_build(ray_session, tmp_path):
+    """Probing a build+append index must equal probing a single build
+    over the union — the losslessness contract of ivf_append."""
+    import pandas as pd
+    import ray.data as rd
+
+    from proj_ray.functions.ann import (ann_ivf_index,
+                                        formula_centroids, ivf_append,
+                                        ivf_build)
+
+    rng = np.random.default_rng(17)
+    n, d = 600, 16
+    M = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(M.astype(np.float64))})
+    C = formula_centroids(8, d)
+    Q = M[:4] + 0.01
+
+    p_full = str(tmp_path / "full")
+    ivf_build(rd.from_pandas(df), p_full, centroids=C,
+              quantize=1_000_000)
+    full = ann_ivf_index(p_full, Q, k=5, nprobe=3, quantize=1_000_000)
+
+    p_inc = str(tmp_path / "inc")
+    ivf_build(rd.from_pandas(df[df.vec_id % 2 == 0]), p_inc,
+              centroids=C, quantize=1_000_000)
+    ivf_append(rd.from_pandas(df[df.vec_id % 2 == 1]), p_inc,
+               quantize=1_000_000)
+    inc = ann_ivf_index(p_inc, Q, k=5, nprobe=3, quantize=1_000_000)
+
+    pd.testing.assert_frame_equal(full.reset_index(drop=True),
+                                  inc.reset_index(drop=True))
