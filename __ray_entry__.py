@@ -4256,9 +4256,11 @@ def _q81_dedup_incremental(sf_dir: str):
     old, new = _parity_split(ds)
     tmp = tempfile.mkdtemp(prefix="q81_dedup_idx_")
     try:
-        dedup_index_build(old, "text", "doc_id", tmp)
-        out = dedup_exact_incremental(new, tmp, "text", "doc_id") \
-            .to_pandas()
+        # 16 buckets: ample for the fixture's distinct-key count (the
+        # default 64 just multiplies tiny-file write/read latency)
+        dedup_index_build(old, "text", "doc_id", tmp, n_buckets=16)
+        out = dedup_exact_incremental(new, tmp, "text", "doc_id",
+                                      n_buckets=16).to_pandas()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     for c in ("canonical_id", "from_index", "n_new"):
@@ -4302,11 +4304,15 @@ def _q82_minhash_incremental(sf_dir: str):
 
     old, new = _parity_split(
         _read(sf_dir, "documents", columns=["doc_id", "text"]))
+    # materialize the halves once: build/resolve each run several
+    # executions over their input (count + sign + shingle/pick), and
+    # a lazy filter chain would re-read the parquet for every one
+    old, new = old.materialize(), new.materialize()
     tmp = tempfile.mkdtemp(prefix="q82_minhash_idx_")
     try:
-        minhash_index_build(old, "text", "doc_id", tmp)
+        minhash_index_build(old, "text", "doc_id", tmp, n_buckets=16)
         out = minhash_incremental(new, tmp, "text", "doc_id",
-                                  threshold=0.6)
+                                  threshold=0.6, n_buckets=16)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out

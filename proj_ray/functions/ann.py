@@ -251,7 +251,12 @@ def ivf_build(ds, path: str, centroids=None, n_centroids: int = 64,
     parquet partition per list (`ivf_list=<id>/`). One shuffle-free
     pass; the index directory is the persistent IVF structure a query
     then probes partially. Returns the centroid matrix (also saved to
-    `<path>/centroids.npy`)."""
+    `<path>/centroids.npy`).
+
+    Partitioning assumption (all persistent indexes in this repo): on
+    a multi-node cluster `path` must be cluster-shared storage
+    (NFS/S3-fuse) — writer tasks and later probe tasks land on
+    different nodes."""
     import ray
 
     if centroids is None:

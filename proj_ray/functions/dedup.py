@@ -94,7 +94,8 @@ def dedup_index_build(ds, key_col: str, id_col: str, path: str,
     partial min per key -> hash-bucket co-partition -> one vectorized
     min-per-key pass per bucket, which then writes ONE sorted parquet
     partition (resumable per-bucket, no giant file). Returns a pandas
-    manifest (bucket, n_keys, bytes)."""
+    manifest (bucket, n_keys, bytes). On a multi-node cluster `path`
+    must be cluster-shared storage (NFS/S3-fuse)."""
     import os
 
     import pandas as pd
@@ -193,7 +194,8 @@ def dedup_exact_incremental(ds_new, path: str, key_col: str,
 
 def minhash_index_build(ds, text_col: str, id_col: str, path: str,
                         num_perm: int = 64, bands: int = 16,
-                        n_buckets: int = 64, shingle_k: int = 5):
+                        n_buckets: int = 64, shingle_k: int = 5,
+                        local_cap: int = 100_000):
     """Persist the MinHash near-dup state of a corpus under `path`:
 
     - `bands/bucket=K/` — (band, rid) rows, partitioned by
@@ -207,7 +209,16 @@ def minhash_index_build(ds, text_col: str, id_col: str, path: str,
 
     Both components are bucket-partitioned parquet (resumable, and a
     delta's probe/verify reads ONLY the buckets it hashes to).
-    Returns a pandas manifest (component, bucket, n_rows, bytes)."""
+    Returns a pandas manifest (component, bucket, n_rows, bytes).
+    On a multi-node cluster `path` must be cluster-shared storage
+    (NFS/S3-fuse).
+
+    Adaptive shape (same trade as dedup_minhash_lsh's local_sig_cap):
+    at or under `local_cap` source rows the signing/shingling passes
+    still run distributed but the bucket partitioning happens
+    driver-local (the two groupby all-to-alls cost seconds of fixed
+    exchange latency that dwarf small corpora); above the cap the
+    bucket co-partitioning is a distributed groupby."""
     import os
 
     import pandas as pd
@@ -254,13 +265,24 @@ def minhash_index_build(ds, text_col: str, id_col: str, path: str,
         f = os.path.join(part, "shingles.parquet")
         pq.write_table(pa.table({
             "rid": pa.array(g["rid"].to_numpy(np.int64)),
-            "shingles": pa.array([s.tolist() for s in g["shingles"]],
-                                 type=pa.large_list(pa.int64()))}), f)
+            "shingles": pa.array(
+                [list(s) for s in g["shingles"]],
+                type=pa.large_list(pa.int64()))}), f)
         return pd.DataFrame({"component": ["shingles"], "bucket": [bk],
                              "n_rows": [len(g)],
                              "bytes": [os.path.getsize(f)]})
 
     src = ds.select_columns([id_col, text_col])
+    if ds.count() <= local_cap:
+        bands_df = src.map_batches(sign, batch_format="numpy",
+                                   batch_size=256).to_pandas()
+        sh_df = src.map_batches(shingle_rows, batch_format="pandas",
+                                batch_size=256).to_pandas()
+        mans = [write_bands(g) for _, g in bands_df.groupby("_bk")]
+        mans += [write_shingles(g) for _, g in sh_df.groupby("_bk")]
+        man = pd.concat(mans, ignore_index=True)
+        return man.sort_values(["component", "bucket"],
+                               ignore_index=True)
     man_b = (src.map_batches(sign, batch_format="numpy",
                              batch_size=1024)
              .groupby("_bk")
@@ -278,7 +300,9 @@ def minhash_index_build(ds, text_col: str, id_col: str, path: str,
 def minhash_incremental(ds_new, path: str, text_col: str, id_col: str,
                         threshold: float = 0.6, num_perm: int = 64,
                         bands: int = 16, n_buckets: int = 64,
-                        shingle_k: int = 5, pairs_cap: int = 100_000):
+                        shingle_k: int = 5,
+                        pairs_cap: int = 1_000_000,
+                        local_cap: int = 100_000):
     """Near-dup pairs between a NEW shard and the history persisted by
     `minhash_index_build` — without rescanning history.
 
@@ -286,11 +310,14 @@ def minhash_incremental(ds_new, path: str, text_col: str, id_col: str,
     band-key hash the index used, so each reducer inner-joins against
     exactly ONE `bands/` partition — candidate discovery I/O scales
     with the delta's bucket fan-out. Verify: candidates are bounded
-    (LSH collisions, enforced by `pairs_cap`); the old sides' hashed
-    shingle sets are read from ONLY the `shingles/` buckets the
-    candidate ids hash to, the new sides' are recomputed in one
-    shuffle-free filtered pass over the delta, and the exact Jaccard
-    judge runs vectorized per pair. Returns a pandas frame
+    (LSH collisions, enforced by `pairs_cap` — recall is NEVER traded,
+    the guard raises instead); the old sides' hashed shingle sets are
+    read from ONLY the `shingles/` buckets the candidate ids hash to,
+    the new sides' are recomputed in one shuffle-free filtered pass
+    over the delta, and the exact Jaccard judge runs as a distributed
+    map_batches stage over the candidate pairs with both lookup
+    tables broadcast via ray.put (the same shape as
+    `_verify_pairs_exact`'s broadcast path). Returns a pandas frame
     (id_new, id_old, jaccard) with jaccard >= threshold.
 
     Parameters must match the build's (num_perm/bands/n_buckets/
@@ -328,21 +355,37 @@ def minhash_incremental(ds_new, path: str, text_col: str, id_col: str,
         return m[["id_new", "id_old"]].drop_duplicates(
             ignore_index=True)
 
-    cand = (ds_new.select_columns([id_col, text_col])
-            .map_batches(sign, batch_format="numpy", batch_size=1024)
-            .groupby("_bk")
-            .map_groups(probe, batch_format="pandas"))
-    from proj_ray.dsutil import pull_pandas
+    sigs = ds_new.select_columns([id_col, text_col]) \
+        .map_batches(sign, batch_format="numpy", batch_size=256)
+    if ds_new.count() <= local_cap:
+        # bounded delta: sign distributed, probe driver-local (skips
+        # the band groupby's fixed all-to-all latency); each needed
+        # bucket partition is still read exactly once
+        sdf = sigs.to_pandas()
+        pairs = pd.concat(
+            [probe(g) for _, g in sdf.groupby("_bk")],
+            ignore_index=True)
+    else:
+        from proj_ray.dsutil import pull_pandas
 
-    cand = cand.materialize()
-    n_cand = cand.count()
-    if n_cand > pairs_cap:
+        cand = (sigs.groupby("_bk")
+                .map_groups(probe, batch_format="pandas")
+                .materialize())
+        n_cand = cand.count()
+        if n_cand > pairs_cap:
+            raise ValueError(
+                f"{n_cand} LSH candidates exceed "
+                f"pairs_cap={pairs_cap}; raise the cap or tighten "
+                "bands — the verify below broadcasts the candidate "
+                "sides")
+        pairs = pull_pandas(cand)
+    if len(pairs) > pairs_cap:
         raise ValueError(
-            f"{n_cand} LSH candidates exceed pairs_cap={pairs_cap}; "
-            "raise the cap or tighten bands — the verify below "
-            "broadcasts the candidate sides")
-    pairs = pull_pandas(cand).drop_duplicates(["id_new", "id_old"],
-                                              ignore_index=True)
+            f"{len(pairs)} LSH candidates exceed "
+            f"pairs_cap={pairs_cap}; raise the cap or tighten bands "
+            "— the verify below broadcasts the candidate sides")
+    pairs = pairs.drop_duplicates(["id_new", "id_old"],
+                                  ignore_index=True)
     if pairs.empty:
         return pd.DataFrame({"id_new": pd.Series(dtype=np.int64),
                              "id_old": pd.Series(dtype=np.int64),
@@ -387,15 +430,48 @@ def minhash_incremental(ds_new, path: str, text_col: str, id_col: str,
     new_sets = {int(r): set(s.tolist())
                 for r, s in zip(got["rid"], got["shingles"])}
 
-    ja = np.empty(len(pairs), dtype=np.float64)
-    for i, (a, b) in enumerate(zip(pairs["id_new"].to_numpy(),
-                                   pairs["id_old"].to_numpy())):
-        sa = new_sets.get(int(a), set())
-        sb = old_sets.get(int(b), set())
-        inter = len(sa & sb)
-        ja[i] = inter / max(1, len(sa) + len(sb) - inter)
-    out = pairs.assign(jaccard=ja)
-    out = out[out["jaccard"] >= threshold]
+    # exact size-ratio prune before the judge: J(A,B) <= min/max of
+    # the set sizes, so pairs failing min >= t*max can never reach the
+    # threshold — zero recall loss (the AllPairs length filter q29's
+    # n-gram join uses)
+    sa = np.array([len(new_sets.get(int(i), ()))
+                   for i in pairs["id_new"]], dtype=np.int64)
+    sb = np.array([len(old_sets.get(int(i), ()))
+                   for i in pairs["id_old"]], dtype=np.int64)
+    pairs = pairs[np.minimum(sa, sb)
+                  >= threshold * np.maximum(sa, sb)]
+    if pairs.empty:
+        return pd.DataFrame({"id_new": pd.Series(dtype=np.int64),
+                             "id_old": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
+
+    import ray.data as rd
+
+    old_ref = ray.put(old_sets)
+    new_ref = ray.put(new_sets)
+
+    def judge(b: "pd.DataFrame") -> "pd.DataFrame":
+        olds = ray.get(old_ref)
+        news = ray.get(new_ref)
+        ja = np.empty(len(b), dtype=np.float64)
+        for i, (a, o) in enumerate(zip(b["id_new"].to_numpy(),
+                                       b["id_old"].to_numpy())):
+            sa = news.get(int(a), set())
+            sb = olds.get(int(o), set())
+            inter = len(sa & sb)
+            ja[i] = inter / max(1, len(sa) + len(sb) - inter)
+        out = b.assign(jaccard=ja)
+        return out[out["jaccard"] >= threshold]
+
+    out = (rd.from_pandas(pairs)
+           .repartition(max(1, min(64, len(pairs) // 8192 + 1)))
+           .map_batches(judge, batch_format="pandas",
+                        batch_size=8192)
+           .to_pandas())
+    if out.empty:  # every candidate judged below threshold
+        return pd.DataFrame({"id_new": pd.Series(dtype=np.int64),
+                             "id_old": pd.Series(dtype=np.int64),
+                             "jaccard": pd.Series(dtype=np.float64)})
     return out.sort_values(["id_new", "id_old"],
                            ignore_index=True)
 

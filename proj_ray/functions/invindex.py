@@ -55,7 +55,10 @@ def build_inverted_index(ds, path: str, text_col: str = "text",
 
     Returns a pandas manifest (bucket, n_terms, n_postings, bytes).
     Size `n_buckets` so one bucket's postings fit a worker heap
-    (thousands at web scale; the per-bucket write is the reducer)."""
+    (thousands at web scale; the per-bucket write is the reducer).
+    On a multi-node cluster `path` must be cluster-shared storage
+    (NFS/S3-fuse) — writers and later lookups land on different
+    nodes."""
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq

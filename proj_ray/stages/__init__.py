@@ -451,7 +451,9 @@ def knn_build(ds, path: str, level: int | None = None,
     `ivf_build`/`ann_ivf_index` (functions/ann.py). Reference
     precedent: tinshift's quadtree point location
     (src/transformations/tinshift_impl.hpp:386-500). Returns the cell
-    level used (also stored in ``<path>/knn_meta.json``)."""
+    level used (also stored in ``<path>/knn_meta.json``). On a
+    multi-node cluster `path` must be cluster-shared storage
+    (NFS/S3-fuse)."""
     import json
     import os
 
