@@ -4375,6 +4375,138 @@ def _q83_ivf_append(sf_dir: str):
     return res[["qid", "neighbor_id", "rank"]]
 
 
+def _q84_json_stats(sf_dir: str):
+    """Semi-structured column surface: vectorized JSON field extraction
+    (regex fast path + loads fallback) -> per-event_type int stats.
+    Engine-added (closest reference analogue: the +key=value grammar of
+    src/pj_param.cpp). proj_ray/functions/jsonops.py."""
+    from proj_ray.functions.jsonops import json_key_stats
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    return json_key_stats(ds, "props", "k", "event_type")
+
+
+_Q84_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(coalesce(json_extract_string(props,'$.k')::BIGINT, 0))
+            AS BIGINT) AS sum_k,
+       max(coalesce(json_extract_string(props,'$.k')::BIGINT, 0)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def _q85_pack_sequences(sf_dir: str):
+    """Training-sequence packing (concat-and-chunk, seq_len=256) as a
+    distributed prefix sum: per-bucket token sums -> driver cumsum of
+    the tiny offset vector -> co-partitioned emit -> per-sequence agg.
+    proj_ray/functions/packing.py."""
+    from proj_ray.functions.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, "doc_id", "text", seq_len=256,
+                          bucket_size=1 << 10)
+
+
+_Q85_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN length(text) - length(replace(text, ' ', '')) + 1
+              ELSE 0 END AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM tok WHERE t > 0
+), span AS (
+  SELECT doc_id, s, t,
+         unnest(generate_series(s // 256, (s + t - 1) // 256)) AS seq_id
+  FROM pos
+)
+SELECT seq_id, count(*) AS n_docs, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(sum(least(s + t, (seq_id + 1) * 256)
+                - greatest(s, seq_id * 256)) AS BIGINT) AS n_tokens
+FROM span GROUP BY seq_id
+"""
+
+
+def _q86_bloom_semi_join(sf_dir: str):
+    """Bloom-pruned EXACT semi-join: lineitem rows whose order is a
+    high-value order (o_totalprice > 450000). The bloom (2^20 bits,
+    k=4) is built via fixed-size bitmap partials + OR-combine and
+    broadcast once; survivors are exactly verified in a bucketed
+    co-partition, so the result is exact and the bloom only prunes the
+    exchange. proj_ray/functions/bloomjoin.py."""
+    import pandas as pd
+
+    from proj_ray.functions.bloomjoin import bloom_semi_join
+
+    probe = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_quantity", "l_returnflag"])
+    build = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_totalprice"]).filter(
+        lambda r: r["o_totalprice"] > 450000.0)
+    sj = bloom_semi_join(probe, build, "l_orderkey", "o_orderkey")
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "n": [np.int64(len(g))],
+            "sum_qty_c": [np.int64(round(g["l_quantity"].sum() * 100))]})
+
+    return sj.groupby("l_returnflag").map_groups(agg,
+                                                 batch_format="pandas")
+
+
+_Q86_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       CAST(round(sum(l_quantity) * 100) AS BIGINT) AS sum_qty_c
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 450000.0)
+GROUP BY l_returnflag
+"""
+
+
+def _q87_gopher_quality(sf_dir: str):
+    """Gopher-style quality rules (Rae et al. 2021 table A1 subset):
+    word count, mean word length, distinct stopwords, top-word
+    repetition ppm, pass flag — integer arithmetic end-to-end.
+    proj_ray/functions/text.py gopher_quality."""
+    from proj_ray.functions.text import gopher_quality
+
+    return gopher_quality(_read(sf_dir, "documents",
+                                columns=["doc_id", "text"]))
+
+
+_Q87_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word
+), per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(length(word) * c) AS BIGINT) AS wchars,
+         CAST(max(c) AS BIGINT) AS topc,
+         CAST(count(CASE WHEN word IN ({{stop}}) THEN 1 END)
+              AS BIGINT) AS n_stop_distinct
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_words, wchars * 1000 // n_words AS mean_wlen_milli,
+       n_stop_distinct, topc * 1000000 // n_words AS top_word_ppm,
+       CAST((n_words >= 10
+             AND wchars * 1000 // n_words BETWEEN 3000 AND 10000
+             AND n_stop_distinct >= 2
+             AND topc * 1000000 // n_words <= 200000)
+            AS BIGINT) AS passes
+FROM per
+""".replace("{stop}", _STOPLIST_SQL)
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4465,6 +4597,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q81_dedup_incremental": _q81_dedup_incremental,
         "q82_minhash_incremental": _q82_minhash_incremental,
         "q83_ivf_append": _q83_ivf_append,
+        "q84_json_stats": _q84_json_stats,
+        "q85_pack_sequences": _q85_pack_sequences,
+        "q86_bloom_semi_join": _q86_bloom_semi_join,
+        "q87_gopher_quality": _q87_gopher_quality,
     }
 
 
@@ -4553,4 +4689,8 @@ def oracle_sql() -> dict[str, str]:
         "q81_dedup_incremental": _Q81_SQL,
         "q82_minhash_incremental": _Q82_SQL,
         "q83_ivf_append": _Q26_SQL,
+        "q84_json_stats": _Q84_SQL,
+        "q85_pack_sequences": _Q85_SQL,
+        "q86_bloom_semi_join": _Q86_SQL,
+        "q87_gopher_quality": _Q87_SQL,
     }

@@ -616,3 +616,65 @@ def substring_dup_stats(ds, text_col: str = "text",
             .groupby("_bk2")
             .map_groups(lambda g: union_per_doc(g.drop(columns=["_bk2"])),
                         batch_format="pandas"))
+
+
+def gopher_quality(ds, id_col: str = "doc_id", text_col: str = "text",
+                   batch_size: int = 4096,
+                   min_words: int = 10, wlen_lo_milli: int = 3000,
+                   wlen_hi_milli: int = 10000, min_stop_distinct: int = 2,
+                   max_top_word_ppm: int = 200_000):
+    """Gopher-style document quality rules (Rae et al. 2021, table A1),
+    restricted to the signals a [a-z ]-alphabet corpus can express:
+
+      n_words            count of [a-z]+ runs
+      mean_wlen_milli    1000 * total word chars // n_words
+      n_stop_distinct    DISTINCT stopwords present
+      top_word_ppm       1e6 * max single-word count // n_words
+                         (the "repetition" rule: one token dominating)
+      passes             all four bounds hold (0/1)
+
+    Integer arithmetic end-to-end so a SQL oracle reproduces every
+    value bit-exactly. Stateless map_batches — nothing shuffles; the
+    per-batch tokenization is pandas `str.findall` + one explode +
+    one C-level groupby, no Python loop over rows.
+
+    Documents with zero [a-z] words are dropped (mirrors the SQL
+    word-unnest inner join).
+    """
+    import pandas as pd
+
+    stop = sorted(STOPWORDS)
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        words = df[text_col].astype(str).str.findall(r"[a-z]+")
+        lens = words.str.len().to_numpy(np.int64)
+        flat = pd.DataFrame({
+            "_i": np.repeat(np.arange(len(df)), lens),
+            "_w": np.concatenate([np.asarray(w, dtype=object)
+                                  for w in words])
+            if lens.sum() else np.empty(0, dtype=object)})
+        wc = (flat.groupby(["_i", "_w"], sort=False).size()
+                  .reset_index(name="_c"))
+        wc["_wl"] = wc["_w"].str.len().to_numpy(np.int64) * wc["_c"]
+        wc["_stop"] = wc["_w"].isin(stop)
+        per = wc.groupby("_i", sort=False).agg(
+            n_words=("_c", "sum"), wchars=("_wl", "sum"),
+            topc=("_c", "max"), n_stop_distinct=("_stop", "sum"))
+        per = per[per["n_words"] > 0]
+        i = per.index.to_numpy(np.int64)
+        nw = per["n_words"].to_numpy(np.int64)
+        mw = per["wchars"].to_numpy(np.int64) * 1000 // nw
+        ppm = per["topc"].to_numpy(np.int64) * 1_000_000 // nw
+        nstop = per["n_stop_distinct"].to_numpy(np.int64)
+        passes = ((nw >= min_words) & (mw >= wlen_lo_milli)
+                  & (mw <= wlen_hi_milli) & (nstop >= min_stop_distinct)
+                  & (ppm <= max_top_word_ppm)).astype(np.int64)
+        return pd.DataFrame({
+            id_col: ids[i], "n_words": nw, "mean_wlen_milli": mw,
+            "n_stop_distinct": nstop, "top_word_ppm": ppm,
+            "passes": passes})
+
+    return (ds.select_columns([id_col, text_col])
+              .map_batches(rules, batch_format="pandas",
+                           batch_size=batch_size))

@@ -1,0 +1,140 @@
+"""Round-5 additions: JSON extraction, sequence packing, bloom
+semi-join, gopher quality rules."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return "/root/testdata/sf0.001"
+
+
+def test_extract_json_int64_flat_and_nested():
+    from proj_ray.functions.jsonops import extract_json_int64
+
+    s = pd.Series([
+        '{"k": 87}',
+        '{"a": 1, "k": -3}',
+        '{"a": 1}',                       # missing -> default
+        '{"outer": {"k": 9}, "k": 5}',    # nested: loads fallback
+        '{"k": "text"}',                  # non-int -> default
+        '{"esc": "\\"k\\": 7", "k": 2}',  # escaped quote trap
+        'not json',
+    ])
+    out = extract_json_int64(s, "k", default=0)
+    assert out.tolist() == [87, -3, 0, 5, 0, 2, 0]
+    assert out.dtype == np.int64
+
+
+def test_json_key_stats_matches_pandas(ray_session, sf_dir):
+    import json
+
+    import ray.data as rd
+
+    from proj_ray.functions.jsonops import json_key_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+    out = json_key_stats(ds, "props", "k", "event_type").to_pandas()
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "props"])
+    raw["k"] = raw["props"].map(lambda t: json.loads(t).get("k", 0))
+    exp = raw.groupby("event_type")["k"].agg(
+        ["count", "sum", "max"]).reset_index()
+    m = out.sort_values("event_type").reset_index(drop=True)
+    e = exp.sort_values("event_type").reset_index(drop=True)
+    assert m["n"].tolist() == e["count"].tolist()
+    assert m["sum_k"].tolist() == e["sum"].tolist()
+    assert m["max_k"].tolist() == e["max"].tolist()
+
+
+def test_pack_sequences_prefix_sum_parity(ray_session):
+    """Distributed packing == single-process concat-and-chunk."""
+    import ray.data as rd
+
+    from proj_ray.functions.packing import pack_sequences
+    from proj_ray.functions.text import simple_token_count
+
+    rng = np.random.RandomState(7)
+    rows = [{"doc_id": int(i),
+             "text": " ".join(["w"] * int(rng.randint(0, 40)))}
+            for i in range(500)]
+    L = 32
+    out = (pack_sequences(rd.from_items(rows), "doc_id", "text",
+                          seq_len=L, bucket_size=64)
+           .to_pandas().sort_values("seq_id").reset_index(drop=True))
+
+    # serial oracle
+    df = pd.DataFrame(rows)
+    df["t"] = simple_token_count(df["text"])
+    df = df[df["t"] > 0].sort_values("doc_id")
+    end = df["t"].cumsum().to_numpy()
+    start = end - df["t"].to_numpy()
+    recs = []
+    for d, s, e in zip(df["doc_id"], start, end):
+        for seq in range(s // L, (e - 1) // L + 1):
+            recs.append((seq, d, min(e, (seq + 1) * L)
+                         - max(s, seq * L)))
+    ser = pd.DataFrame(recs, columns=["seq_id", "doc", "fill"])
+    exp = ser.groupby("seq_id").agg(
+        n_docs=("doc", "size"), min_doc=("doc", "min"),
+        max_doc=("doc", "max"), n_tokens=("fill", "sum")).reset_index()
+    pd.testing.assert_frame_equal(
+        out.astype(np.int64), exp.astype(np.int64))
+    # every sequence except the last is exactly full
+    full = out.sort_values("seq_id")["n_tokens"].to_numpy()
+    assert (full[:-1] == L).all()
+
+
+def test_bloom_semi_join_exact_and_pruning(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.bloomjoin import (bloom_build,
+                                              bloom_filter_ds,
+                                              bloom_semi_join)
+
+    build_keys = list(range(0, 10000, 97))  # 104 keys
+    probe = rd.from_items(
+        [{"k": int(i), "v": int(i) * 2} for i in range(10000)])
+    build = rd.from_items([{"bk": int(k)} for k in build_keys])
+
+    out = bloom_semi_join(probe, build, "k", "bk").to_pandas()
+    assert sorted(out["k"]) == build_keys           # exact, no FPs
+    assert (out["v"] == out["k"] * 2).all()         # payload intact
+
+    # the bloom itself prunes hard: candidates ~= matches at this m/n
+    ref, m, k = bloom_build(build, "bk")
+    cand = bloom_filter_ds(probe, "k", ref, m, k).count()
+    assert cand < 2 * len(build_keys)
+
+
+def test_gopher_quality_rules(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.text import gopher_quality
+
+    rows = [
+        # healthy doc: passes
+        {"doc_id": 0, "text": "the quick brown fox jumps over the "
+                              "lazy dog and runs into deep forest"},
+        # one word repeated: repetition rule fails
+        {"doc_id": 1, "text": " ".join(["spam"] * 50) + " the and"},
+        # too few words
+        {"doc_id": 2, "text": "tiny doc"},
+        # no [a-z] words at all -> dropped
+        {"doc_id": 3, "text": "12345 67890"},
+    ]
+    out = (gopher_quality(rd.from_items(rows)).to_pandas()
+           .set_index("doc_id"))
+    assert 3 not in out.index
+    assert out.loc[0, "passes"] == 1
+    assert out.loc[1, "passes"] == 0
+    assert out.loc[1, "top_word_ppm"] > 900_000
+    assert out.loc[2, "passes"] == 0
+    # integer contracts
+    d0 = out.loc[0]
+    assert d0["mean_wlen_milli"] == (
+        sum(len(w) for w in rows[0]["text"].split()) * 1000
+        // len(rows[0]["text"].split()))
