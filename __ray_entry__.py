@@ -4451,14 +4451,28 @@ def _q86_bloom_semi_join(sf_dir: str):
         lambda r: r["o_totalprice"] > 450000.0)
     sj = bloom_semi_join(probe, build, "l_orderkey", "o_orderkey")
 
-    def agg(g: pd.DataFrame) -> pd.DataFrame:
+    # Aggregation pushed down to per-block partials (Ray fuses this
+    # into the verify stage), then a tiny driver combine over
+    # (flag, n, cents) rows — the whole query runs ONE all-to-all.
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        # per-VALUE cents (quantities sit on the 0.01 grid) so the
+        # int64 partial sums are blocking-invariant
+        d["_c"] = np.rint(d["l_quantity"].to_numpy() * 100).astype(np.int64)
+        g = d.groupby("l_returnflag", sort=False).agg(
+            n=("_c", "size"), sum_qty_c=("_c", "sum"))
         return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "n": [np.int64(len(g))],
-            "sum_qty_c": [np.int64(round(g["l_quantity"].sum() * 100))]})
+            "l_returnflag": g.index.to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "sum_qty_c": g["sum_qty_c"].to_numpy(np.int64)})
 
-    return sj.groupby("l_returnflag").map_groups(agg,
-                                                 batch_format="pandas")
+    parts = sj.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    out = parts.groupby("l_returnflag", sort=False).agg(
+        n=("n", "sum"), sum_qty_c=("sum_qty_c", "sum")).reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_qty_c"] = out["sum_qty_c"].astype(np.int64)
+    return out
 
 
 _Q86_SQL = """

@@ -8,8 +8,13 @@ that gates the expensive path); this generalizes it to key semi-joins.
 
 Scale shape:
   build   per-block BITMAP partials (fixed `m_bits/8` bytes each,
-          independent of row count) -> one small OR-combine stage over
-          `combine_ways` groups -> driver ORs `combine_ways` bitmaps.
+          independent of row count). Default path pulls the partials
+          straight to the driver and ORs them there — zero shuffles;
+          the driver sees `n_blocks * m_bits/8` bytes (128 KiB/block at
+          the default 2^20 bits — fine into the tens of thousands of
+          blocks). For build sides with very many blocks pass
+          `combine_ways=K` to insert one small OR-combine groupby so
+          the driver only ORs K bitmaps.
   probe   bitmap broadcast once via `ray.put`; each batch tests k bits
           vectorized. Survivors (true matches + false positives) are
           then EXACTLY verified with a bucketed co-partition `isin`
@@ -40,9 +45,14 @@ def _positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
 
 
 def bloom_build(build_ds, key_col: str, m_bits: int = 1 << 20,
-                k: int = 4, combine_ways: int = 32):
+                k: int = 4, combine_ways: int = 0):
     """Return (bitmap_object_ref, m_bits, k). The exchange carries
-    fixed-size bitmap partials only."""
+    fixed-size bitmap partials only.
+
+    combine_ways=0 (default): per-block partials are pulled to the
+    driver and OR-ed there — no shuffle. combine_ways=K>0: one small
+    groupby OR-combines the partials into K bitmaps first (the
+    many-thousand-block scale path)."""
     import ray
 
     nbytes = m_bits // 8
@@ -55,23 +65,26 @@ def bloom_build(build_ds, key_col: str, m_bits: int = 1 << 20,
         pos = _positions(keys, m_bits, k).ravel()
         bm = np.zeros(m_bits, dtype=bool)
         bm[pos] = True
-        w = int(stable_u64(keys[:1])[0] % np.uint64(combine_ways))
+        w = (int(stable_u64(keys[:1])[0] % np.uint64(combine_ways))
+             if combine_ways else 0)
         return pd.DataFrame({"_w": [w], "_bm": [np.packbits(bm).tobytes()]})
 
-    def or_group(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(nbytes, dtype=np.uint8)
-        for buf in g["_bm"]:
-            acc |= np.frombuffer(buf, dtype=np.uint8)
-        return pd.DataFrame({"_w": [int(g["_w"].iloc[0])],
-                             "_bm": [acc.tobytes()]})
+    parts_ds = build_ds.map_batches(partial, batch_format="pandas",
+                                    batch_size=None)
+    if combine_ways:
+        def or_group(g: pd.DataFrame) -> pd.DataFrame:
+            acc = np.zeros(nbytes, dtype=np.uint8)
+            for buf in g["_bm"]:
+                acc |= np.frombuffer(buf, dtype=np.uint8)
+            return pd.DataFrame({"_w": [int(g["_w"].iloc[0])],
+                                 "_bm": [acc.tobytes()]})
 
-    parts = (build_ds.map_batches(partial, batch_format="pandas")
-                     .groupby("_w").map_groups(or_group,
-                                               batch_format="pandas")
-                     .to_pandas())  # <= combine_ways rows, fixed size
+        parts_ds = parts_ds.groupby("_w").map_groups(
+            or_group, batch_format="pandas")  # <= combine_ways rows
+
     acc = np.zeros(nbytes, dtype=np.uint8)
-    for buf in parts["_bm"]:
-        acc |= np.frombuffer(buf, dtype=np.uint8)
+    for row in parts_ds.iter_rows():
+        acc |= np.frombuffer(row["_bm"], dtype=np.uint8)
     return ray.put(acc), m_bits, k
 
 
@@ -92,10 +105,12 @@ def bloom_filter_ds(probe_ds, key_col: str, bitmap_ref, m_bits: int,
 
 def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
                     m_bits: int = 1 << 20, k: int = 4,
-                    n_buckets: int = 64):
+                    n_buckets: int = 64, combine_ways: int = 0):
     """EXACT semi-join (probe rows whose key exists in build), bloom-
-    pruned: only bloom survivors enter the verification co-partition."""
-    ref, m, kk = bloom_build(build_ds, build_key, m_bits, k)
+    pruned: only bloom survivors enter the verification co-partition.
+    The whole join runs ONE all-to-all (the verify co-partition)."""
+    ref, m, kk = bloom_build(build_ds, build_key, m_bits, k,
+                             combine_ways=combine_ways)
     cand = bloom_filter_ds(probe_ds, probe_key, ref, m, kk)
 
     def tag(df: pd.DataFrame, key: str, side: int) -> pd.DataFrame:

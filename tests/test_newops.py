@@ -109,6 +109,11 @@ def test_bloom_semi_join_exact_and_pruning(ray_session):
     cand = bloom_filter_ds(probe, "k", ref, m, k).count()
     assert cand < 2 * len(build_keys)
 
+    # scale path (groupby OR-combine) builds the identical bitmap
+    import ray
+    ref2, _, _ = bloom_build(build, "bk", combine_ways=4)
+    assert np.array_equal(ray.get(ref), ray.get(ref2))
+
 
 def test_gopher_quality_rules(ray_session):
     import ray.data as rd
