@@ -248,6 +248,14 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q82_minhash_incremental(sf_dir)))
     timed("q83_ivf_append",
           lambda: consume(E._q83_ivf_append(sf_dir)))
+    timed("q84_json_stats",
+          lambda: consume(E._q84_json_stats(sf_dir)))
+    timed("q85_pack_sequences",
+          lambda: consume(E._q85_pack_sequences(sf_dir)))
+    timed("q86_bloom_semi_join",
+          lambda: consume(E._q86_bloom_semi_join(sf_dir)))
+    timed("q87_gopher_quality",
+          lambda: consume(E._q87_gopher_quality(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
