@@ -4521,6 +4521,98 @@ FROM per
 """.replace("{stop}", _STOPLIST_SQL)
 
 
+def _q88_anti_join(sf_dir: str):
+    """Bloom-pruned EXACT anti-join: orders with no lineitem, aggregated
+    by priority. Bloom-negative orders (certain non-members) resolve in
+    the stateless probe map with NO exchange; only bloom positives are
+    verified in the bucketed co-partition. Aggregation is pushed down
+    to per-block partials on both branches + a tiny driver combine.
+    proj_ray/functions/bloomjoin.py bloom_anti_join."""
+    import pandas as pd
+
+    from proj_ray.functions.bloomjoin import bloom_anti_join
+
+    probe = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderpriority",
+                           "o_totalprice"])
+    build = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    aj = bloom_anti_join(probe, build, "o_orderkey", "l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["_c"] = np.rint(d["o_totalprice"].to_numpy() * 100).astype(
+            np.int64)
+        g = d.groupby("o_orderpriority", sort=False).agg(
+            n=("_c", "size"), sum_price_c=("_c", "sum"))
+        return pd.DataFrame({
+            "o_orderpriority": g.index.to_numpy(),
+            "n": g["n"].to_numpy(np.int64),
+            "sum_price_c": g["sum_price_c"].to_numpy(np.int64)})
+
+    parts = aj.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    out = parts.groupby("o_orderpriority", sort=False).agg(
+        n=("n", "sum"), sum_price_c=("sum_price_c", "sum")).reset_index()
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_price_c"] = out["sum_price_c"].astype(np.int64)
+    return out
+
+
+_Q88_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_c
+FROM orders
+WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+GROUP BY o_orderpriority
+"""
+
+
+def _q89_decontaminate(sf_dir: str):
+    """Test-set decontamination: corpus docs (source <> 'src0') sharing
+    any word 4-gram with the 'src0' benchmark slice. Benchmark gram
+    hashes broadcast once; the corpus is scored in ONE stateless
+    map_batches pass — nothing shuffles.
+    proj_ray/functions/decontam.py."""
+    import pandas as pd
+
+    from proj_ray.functions.decontam import ngram_decontaminate
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "source"])
+
+    def side(df: pd.DataFrame, bench: bool) -> pd.DataFrame:
+        m = df["source"] == "src0"
+        return df[m if bench else ~m][["doc_id", "text"]]
+
+    bench = docs.map_batches(lambda d: side(d, True),
+                             batch_format="pandas")
+    corpus = docs.map_batches(lambda d: side(d, False),
+                              batch_format="pandas")
+    return ngram_decontaminate(corpus, bench, n=4)
+
+
+_Q89_SQL = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(ws[i.i:i.i+3], ' ') AS gram
+  FROM w JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+  ) AS i ON true
+), bg AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 END)
+            AS BIGINT) AS n_contam
+FROM g WHERE source <> 'src0'
+GROUP BY doc_id
+HAVING count(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 END) > 0
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4615,6 +4707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q85_pack_sequences": _q85_pack_sequences,
         "q86_bloom_semi_join": _q86_bloom_semi_join,
         "q87_gopher_quality": _q87_gopher_quality,
+        "q88_anti_join": _q88_anti_join,
+        "q89_decontaminate": _q89_decontaminate,
     }
 
 
@@ -4707,4 +4801,6 @@ def oracle_sql() -> dict[str, str]:
         "q85_pack_sequences": _Q85_SQL,
         "q86_bloom_semi_join": _Q86_SQL,
         "q87_gopher_quality": _Q87_SQL,
+        "q88_anti_join": _Q88_SQL,
+        "q89_decontaminate": _Q89_SQL,
     }

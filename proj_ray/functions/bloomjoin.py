@@ -30,7 +30,8 @@ import pandas as pd
 
 from ._hash import splitmix64, stable_u64
 
-__all__ = ["bloom_build", "bloom_filter_ds", "bloom_semi_join"]
+__all__ = ["bloom_build", "bloom_filter_ds", "bloom_semi_join",
+           "bloom_anti_join"]
 
 _K_SEEDS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9,
             0x94D049BB133111EB, 0xD6E8FEB86659FD93)
@@ -136,3 +137,61 @@ def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
 
     return bkeys.union(pkeys).groupby("_bk").map_groups(
         verify, batch_format="pandas")
+
+
+def bloom_anti_join(probe_ds, build_ds, probe_key: str, build_key: str,
+                    m_bits: int = 1 << 20, k: int = 4,
+                    n_buckets: int = 64, combine_ways: int = 0):
+    """EXACT anti-join: probe rows whose key does NOT exist in build.
+
+    A bloom NEGATIVE is a certain non-member, so bloom-negative rows
+    (the bulk of the anti result) resolve inside the stateless probe
+    map with no exchange at all; only bloom POSITIVES — true matches
+    plus ~fpr false positives, i.e. rows that are mostly NOT in the
+    result — enter the verify co-partition, where the kept rows are the
+    ones absent from the build keys.
+
+    The probe dataset is planned twice (negative branch + candidate
+    branch). With column-pruned parquet reads that second distributed
+    scan is far cheaper at scale than the alternative of shipping the
+    whole anti result (≈ the whole probe table) through the all-to-all
+    just to carry the negatives alongside the candidates.
+    """
+    ref, m, kk = bloom_build(build_ds, build_key, m_bits, k,
+                             combine_ways=combine_ways)
+
+    def probe_split(df: pd.DataFrame, keep_hit: bool) -> pd.DataFrame:
+        import ray
+        bm = np.unpackbits(ray.get(ref)).view(bool)
+        pos = _positions(df[probe_key].to_numpy(), m, kk)
+        hit = bm[pos].all(axis=1)
+        return df[hit] if keep_hit else df[~hit]
+
+    resolved = probe_ds.map_batches(
+        lambda d: probe_split(d, keep_hit=False), batch_format="pandas")
+    cand = probe_ds.map_batches(
+        lambda d: probe_split(d, keep_hit=True), batch_format="pandas")
+
+    def tag(df: pd.DataFrame, key: str, side: int) -> pd.DataFrame:
+        out = df.copy()
+        out["_bk"] = (stable_u64(df[key].to_numpy())
+                      % np.uint64(n_buckets)).astype(np.int64)
+        out["_side"] = np.int64(side)
+        return out
+
+    bkeys = build_ds.map_batches(
+        lambda d: tag(pd.DataFrame({probe_key: d[build_key]}),
+                      probe_key, 0),
+        batch_format="pandas")
+    pkeys = cand.map_batches(lambda d: tag(d, probe_key, 1),
+                             batch_format="pandas")
+
+    def verify_absent(g: pd.DataFrame) -> pd.DataFrame:
+        build_vals = g.loc[g["_side"] == 0, probe_key].to_numpy()
+        probe = g[g["_side"] == 1]
+        keep = ~probe[probe_key].isin(build_vals)
+        return probe[keep].drop(columns=["_bk", "_side"])
+
+    confirmed = bkeys.union(pkeys).groupby("_bk").map_groups(
+        verify_absent, batch_format="pandas")
+    return resolved.union(confirmed)

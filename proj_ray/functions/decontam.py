@@ -1,0 +1,109 @@
+"""Test-set decontamination: find corpus documents that share any word
+n-gram with a (small) benchmark set — the Dolma/C4-style "remove eval
+contamination" pass every LLM training pipeline runs.
+
+Engine-added operator (no reference counterpart; closest analogue is
+the reference's grid-extent membership pre-check in `src/grids.cpp`).
+
+Scale shape:
+  benchmark  distributed gram extraction -> per-block DISTINCT gram
+             hashes (u64) -> driver union -> one sorted array broadcast
+             via `ray.put`. Benchmarks are small by definition (eval
+             sets), so the broadcast is MBs even when the corpus is
+             100 TB.
+  corpus     one stateless `map_batches` pass: per-doc distinct gram
+             hashes, membership via binary search against the broadcast
+             array. NOTHING shuffles — the corpus is touched exactly
+             once and only (doc_id, counts) rows leave the map.
+
+Gram identity is a 64-bit chained splitmix over the per-word SipHash
+values (`_hash.stable_u64`), so equal word sequences hash equal and
+the 100-TB path never materializes gram strings. A 64-bit collision
+can mark a clean doc contaminated; at eval-set gram counts (<= 1e8)
+the collision odds are ~1e-3 over the whole corpus and false POSITIVES
+only (safe direction for decontamination).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ._hash import splitmix64, stable_u64
+
+__all__ = ["gram_hashes", "ngram_decontaminate"]
+
+_SEED = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def gram_hashes(texts: pd.Series, n: int):
+    """Per-row word n-gram hashes.
+
+    Returns (doc_idx, gram_hash): int64 row index into `texts` and
+    uint64 hash per gram occurrence (NOT deduplicated). Words are
+    single-space splits (`str.split(' ')`), mirroring SQL
+    `string_split(text, ' ')` including empty tokens from runs of
+    spaces.
+    """
+    words = texts.astype(str).str.split(" ")
+    lens = words.str.len().to_numpy(np.int64)
+    L = int(lens.sum())
+    if L == 0:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    flat = np.concatenate([np.asarray(w, dtype=object) for w in words])
+    di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    wh = stable_u64(flat)
+    if L < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+    # chained splitmix over the n window positions (n vector passes)
+    h = np.full(L - n + 1, _SEED, dtype=np.uint64)
+    for j in range(n):
+        h = splitmix64(h ^ wh[j:L - n + 1 + j])
+    valid = di[:L - n + 1] == di[n - 1:]
+    return di[:L - n + 1][valid], h[valid]
+
+
+def _distinct_doc_grams(df: pd.DataFrame, id_col: str, text_col: str,
+                        n: int) -> pd.DataFrame:
+    di, h = gram_hashes(df[text_col], n)
+    ids = df[id_col].to_numpy()
+    g = pd.DataFrame({"_id": ids[di], "_g": h}).drop_duplicates()
+    return g
+
+
+def ngram_decontaminate(corpus_ds, bench_ds, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 4,
+                        batch_size: int = 4096):
+    """Return one row per CONTAMINATED corpus document:
+    (id_col, n_grams, n_contam) with n_grams = distinct word n-grams in
+    the doc and n_contam = how many of those also occur anywhere in the
+    benchmark set (> 0 by construction of the output)."""
+    import ray
+
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, h = gram_hashes(df[text_col], n)
+        return pd.DataFrame({"_g": np.unique(h)})
+
+    parts = bench_ds.map_batches(bench_partial, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    bench = np.unique(parts["_g"].to_numpy(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        bg = ray.get(bench_ref)
+        g = _distinct_doc_grams(df, id_col, text_col, n)
+        gh = g["_g"].to_numpy(np.uint64)
+        idx = np.searchsorted(bg, gh)
+        idx[idx == len(bg)] = 0 if len(bg) else 0
+        hit = (bg[idx] == gh) if len(bg) else np.zeros(len(gh), bool)
+        per = pd.DataFrame({"_id": g["_id"].to_numpy(), "_hit": hit})
+        agg = per.groupby("_id", sort=False).agg(
+            n_grams=("_hit", "size"), n_contam=("_hit", "sum"))
+        agg = agg[agg["n_contam"] > 0].reset_index()
+        return pd.DataFrame({
+            id_col: agg["_id"],
+            "n_grams": agg["n_grams"].to_numpy(np.int64),
+            "n_contam": agg["n_contam"].to_numpy(np.int64)})
+
+    return corpus_ds.map_batches(score, batch_format="pandas",
+                                 batch_size=batch_size)

@@ -115,6 +115,61 @@ def test_bloom_semi_join_exact_and_pruning(ray_session):
     assert np.array_equal(ray.get(ref), ray.get(ref2))
 
 
+def test_bloom_anti_join_exact(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.bloomjoin import bloom_anti_join
+
+    probe = rd.from_items(
+        [{"k": int(i), "v": int(i) * 3} for i in range(5000)])
+    build_keys = set(range(0, 5000, 3))
+    build = rd.from_items([{"bk": int(k)} for k in build_keys])
+
+    out = bloom_anti_join(probe, build, "k", "bk").to_pandas()
+    exp = sorted(set(range(5000)) - build_keys)
+    assert sorted(out["k"]) == exp
+    assert (out["v"] == out["k"] * 3).all()
+
+
+def test_ngram_decontaminate_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.decontam import ngram_decontaminate
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    bench_rows = [{"doc_id": 1000 + i,
+                   "text": " ".join(rng.choice(vocab, 12))}
+                  for i in range(20)]
+    corpus_rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, 15))}
+                   for i in range(200)]
+    # plant a verbatim 4-gram from bench doc 0 into corpus doc 7
+    planted = " ".join(bench_rows[0]["text"].split(" ")[3:7])
+    corpus_rows[7]["text"] += " " + planted
+
+    n = 4
+    out = (ngram_decontaminate(rd.from_items(corpus_rows),
+                               rd.from_items(bench_rows), n=n)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+    bg = set().union(*(grams(r["text"]) for r in bench_rows))
+    exp = {}
+    for r in corpus_rows:
+        g = grams(r["text"])
+        c = len(g & bg)
+        if c:
+            exp[r["doc_id"]] = (len(g), c)
+    assert 7 in exp
+    assert sorted(out.index) == sorted(exp)
+    for d, (ng, nc) in exp.items():
+        assert out.loc[d, "n_grams"] == ng
+        assert out.loc[d, "n_contam"] == nc
+
+
 def test_gopher_quality_rules(ray_session):
     import ray.data as rd
 
