@@ -4613,6 +4613,76 @@ HAVING count(CASE WHEN gram IN (SELECT gram FROM bg) THEN 1 END) > 0
 """
 
 
+def _q90_centroid_outliers(sf_dir: str):
+    """Hard-example mining: top-5 vectors farthest from their own
+    label's centroid, per label — exact int64 distances in quantized
+    space, centroid = truncated integer mean (mirrors DuckDB `//`).
+    proj_ray/functions/ann.py label_centroid_outliers."""
+    from proj_ray.functions.ann import label_centroid_outliers
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    return label_centroid_outliers(ds, k=5)
+
+
+_Q90_SQL = """
+WITH base AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+  FROM embeddings
+), q AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         generate_subscripts(emb, 1) AS d,
+         CAST(floor(unnest(emb) * 1000000 + 0.5) AS BIGINT) AS x
+  FROM base
+), c AS (
+  SELECT label, d, CAST(sum(x) AS BIGINT) // count(*) AS cx
+  FROM q GROUP BY label, d
+), dist AS (
+  SELECT q.vec_id, q.label,
+         CAST(sum((q.x - c.cx) * (q.x - c.cx)) AS BIGINT) AS dist2
+  FROM q JOIN c ON q.label = c.label AND q.d = c.d
+  GROUP BY q.vec_id, q.label
+), r AS (
+  SELECT label, vec_id, dist2,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id) AS rk
+  FROM dist
+)
+SELECT label, vec_id, dist2, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 5
+"""
+
+
+def _q91_gram_coverage(sf_dir: str):
+    """LM-quality proxy: per-doc ppm of bigram occurrences that are
+    corpus-frequent (global count >= 40). One distributed count over
+    (hash, count) pairs, broadcast frequent set, stateless scoring.
+    proj_ray/functions/decontam.py frequent_gram_coverage."""
+    from proj_ray.functions.decontam import frequent_gram_coverage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return frequent_gram_coverage(ds, n=2, min_count=40)
+
+
+_Q91_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i.i:i.i+1], ' ') AS gram
+  FROM w JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+  ) AS i ON true
+), f AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(*) >= 40
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(1000000 * count(CASE WHEN gram IN (SELECT gram FROM f)
+                            THEN 1 END) // count(*) AS BIGINT)
+           AS freq_ppm
+FROM g GROUP BY doc_id
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4709,6 +4779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q87_gopher_quality": _q87_gopher_quality,
         "q88_anti_join": _q88_anti_join,
         "q89_decontaminate": _q89_decontaminate,
+        "q90_centroid_outliers": _q90_centroid_outliers,
+        "q91_gram_coverage": _q91_gram_coverage,
     }
 
 
@@ -4803,4 +4875,6 @@ def oracle_sql() -> dict[str, str]:
         "q87_gopher_quality": _Q87_SQL,
         "q88_anti_join": _Q88_SQL,
         "q89_decontaminate": _Q89_SQL,
+        "q90_centroid_outliers": _Q90_SQL,
+        "q91_gram_coverage": _Q91_SQL,
     }

@@ -260,6 +260,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q88_anti_join(sf_dir)))
     timed("q89_decontaminate",
           lambda: consume(E._q89_decontaminate(sf_dir)))
+    timed("q90_centroid_outliers",
+          lambda: consume(E._q90_centroid_outliers(sf_dir)))
+    timed("q91_gram_coverage",
+          lambda: consume(E._q91_gram_coverage(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

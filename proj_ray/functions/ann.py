@@ -501,3 +501,80 @@ def pca_from_gram(gram_df, n_rows: int, mean_counts=None,
     w, V = np.linalg.eigh(M)
     order = np.argsort(w)[::-1][:k]
     return w[order], V[:, order]
+
+
+def label_centroid_outliers(ds, k: int = 5, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            label_col: str = "label",
+                            quantize: int = 1_000_000):
+    """Hard-example mining: the k vectors farthest from their own
+    label's centroid, per label — the "drop samples far from the class
+    centroid" curation pass.
+
+    Fixed-point contract (bit-exact SQL parity): components quantize
+    with the module's floor(v*scale+0.5) half-up convention; the
+    centroid is the per-dimension TRUNCATED integer mean (DuckDB's
+    `//` truncates toward zero, so the engine mirrors sign*(|S|//n)
+    rather than numpy floor division); dist2 is the exact int64
+    squared distance in the quantized space.
+
+    Scale shape: pass 1 ships one (label, n, component-sum) partial
+    per block per label — the centroid table is labels x dim, driver-
+    small; pass 2 is a stateless scored map; the top-k reduction ships
+    per-block (label, id, dist2) candidates capped at k per label per
+    block into a tiny per-label combine.
+    """
+    import pandas as pd
+    import ray
+
+    def _quant(col):
+        return np.floor(_as_matrix(col) * float(quantize) + 0.5) \
+            .astype(np.int64)
+
+    def partial_sums(batch: pd.DataFrame) -> pd.DataFrame:
+        Vq = _quant(batch[vec_col])
+        lab = batch[label_col].to_numpy(np.int64)
+        rows = []
+        for lv in np.unique(lab):
+            m = lab == lv
+            rows.append((int(lv), int(m.sum()),
+                         Vq[m].sum(axis=0).astype(np.int64).tobytes()))
+        return pd.DataFrame(rows, columns=["_l", "_n", "_s"])
+
+    parts = ds.map_batches(partial_sums, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    cents = {}
+    for lv, grp in parts.groupby("_l"):
+        n = int(grp["_n"].sum())
+        S = np.zeros(len(np.frombuffer(grp["_s"].iloc[0],
+                                       dtype=np.int64)), dtype=np.int64)
+        for buf in grp["_s"]:
+            S += np.frombuffer(buf, dtype=np.int64)
+        cents[int(lv)] = np.sign(S) * (np.abs(S) // n)  # trunc toward 0
+    cent_ref = ray.put(cents)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        C = ray.get(cent_ref)
+        Vq = _quant(batch[vec_col])
+        lab = batch[label_col].to_numpy(np.int64)
+        ids = batch[id_col].to_numpy(np.int64)
+        d2 = np.empty(len(batch), dtype=np.int64)
+        for lv in np.unique(lab):
+            m = lab == lv
+            diff = Vq[m] - C[int(lv)][None, :]
+            d2[m] = (diff * diff).sum(axis=1)
+        out = pd.DataFrame({"label": lab, id_col: ids, "dist2": d2})
+        # per-block pre-prune: only k candidates per label survive
+        out = out.sort_values(["label", "dist2", id_col],
+                              ascending=[True, False, True])
+        return out.groupby("label", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["dist2", id_col],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["label", id_col, "dist2", "rk"]]
+
+    return (ds.map_batches(score, batch_format="pandas")
+              .groupby("label").map_groups(final, batch_format="pandas"))

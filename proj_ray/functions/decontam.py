@@ -31,7 +31,8 @@ import pandas as pd
 
 from ._hash import splitmix64, stable_u64
 
-__all__ = ["gram_hashes", "ngram_decontaminate"]
+__all__ = ["gram_hashes", "ngram_decontaminate",
+           "frequent_gram_coverage"]
 
 _SEED = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -104,6 +105,69 @@ def ngram_decontaminate(corpus_ds, bench_ds, id_col: str = "doc_id",
             id_col: agg["_id"],
             "n_grams": agg["n_grams"].to_numpy(np.int64),
             "n_contam": agg["n_contam"].to_numpy(np.int64)})
+
+    return corpus_ds.map_batches(score, batch_format="pandas",
+                                 batch_size=batch_size)
+
+
+def frequent_gram_coverage(corpus_ds, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 2,
+                           min_count: int = 40,
+                           batch_size: int = 4096):
+    """Cheap LM-quality proxy: per document, what fraction (ppm) of its
+    word n-gram OCCURRENCES are corpus-frequent (global count >=
+    min_count)? Low coverage = unusual token sequences (gibberish,
+    boilerplate soup); the common-crawl-style filter without a model.
+
+    Scale shape:
+      count   per-block partial (gram_hash, count) rows -> ONE
+              distributed groupby over the distinct-gram domain ->
+              HAVING count >= min_count. Only (hash, count) pairs
+              cross the wire; at a high threshold the surviving
+              frequent set is small and is broadcast sorted.
+      score   one stateless map_batches pass: per-doc occurrence count
+              and frequent-occurrence count via binary search; integer
+              ppm = 1e6 * n_freq // n_grams.
+    """
+    import ray
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, h = gram_hashes(df[text_col], n)
+        u, c = np.unique(h, return_counts=True)
+        return pd.DataFrame({"_g": u, "_c": c.astype(np.int64)})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        tot = int(g["_c"].sum())
+        if tot < min_count:
+            return pd.DataFrame({"_g": pd.Series([], dtype=np.uint64)})
+        return pd.DataFrame({"_g": [g["_g"].iloc[0]]})
+
+    freq = (corpus_ds.map_batches(count_partial, batch_format="pandas",
+                                  batch_size=None)
+            .groupby("_g").map_groups(combine, batch_format="pandas")
+            .to_pandas())
+    fset = np.sort(freq["_g"].to_numpy(np.uint64))
+    fref = ray.put(fset)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        fs = ray.get(fref)
+        di, h = gram_hashes(df[text_col], n)
+        ids = df[id_col].to_numpy()
+        if len(fs):
+            idx = np.searchsorted(fs, h)
+            idx[idx == len(fs)] = 0
+            hit = fs[idx] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        per = pd.DataFrame({"_id": ids[di], "_hit": hit})
+        agg = per.groupby("_id", sort=False).agg(
+            n_grams=("_hit", "size"), n_freq=("_hit", "sum"))
+        ng = agg["n_grams"].to_numpy(np.int64)
+        nf = agg["n_freq"].to_numpy(np.int64)
+        return pd.DataFrame({
+            id_col: agg.index.to_numpy(),
+            "n_grams": ng,
+            "freq_ppm": 1_000_000 * nf // ng})
 
     return corpus_ds.map_batches(score, batch_format="pandas",
                                  batch_size=batch_size)

@@ -170,6 +170,67 @@ def test_ngram_decontaminate_matches_bruteforce(ray_session):
         assert out.loc[d, "n_contam"] == nc
 
 
+def test_label_centroid_outliers_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.ann import label_centroid_outliers
+
+    rng = np.random.RandomState(3)
+    V = rng.randn(300, 8).astype(np.float32)
+    lab = rng.randint(0, 4, 300)
+    rows = [{"vec_id": int(i), "embedding": V[i].tolist(),
+             "label": int(lab[i])} for i in range(300)]
+    out = (label_centroid_outliers(rd.from_items(rows), k=3)
+           .to_pandas().sort_values(["label", "rk"])
+           .reset_index(drop=True))
+
+    Q = np.floor(V.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    exp = []
+    for lv in range(4):
+        m = lab == lv
+        S = Q[m].sum(axis=0)
+        c = np.sign(S) * (np.abs(S) // m.sum())
+        d2 = ((Q[m] - c) ** 2).sum(axis=1)
+        ids = np.arange(300)[m]
+        order = np.lexsort((ids, -d2))[:3]
+        for rk, o in enumerate(order, 1):
+            exp.append((lv, ids[o], d2[o], rk))
+    expdf = (pd.DataFrame(exp, columns=["label", "vec_id",
+                                        "dist2", "rk"])
+             .astype(np.int64))
+    pd.testing.assert_frame_equal(out.astype(np.int64), expdf)
+
+
+def test_frequent_gram_coverage_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.decontam import frequent_gram_coverage
+
+    rng = np.random.RandomState(5)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [{"doc_id": i, "text": " ".join(rng.choice(vocab, 20))}
+            for i in range(150)]
+    T = 25
+    out = (frequent_gram_coverage(rd.from_items(rows), n=2,
+                                  min_count=T)
+           .to_pandas().set_index("doc_id").sort_index())
+
+    from collections import Counter
+    cnt = Counter()
+    for r in rows:
+        ws = r["text"].split(" ")
+        cnt.update(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+    freq = {g for g, c in cnt.items() if c >= T}
+    assert freq and len(freq) < len(cnt)
+    for r in rows:
+        ws = r["text"].split(" ")
+        grams = [" ".join(ws[i:i + 2]) for i in range(len(ws) - 1)]
+        nf = sum(g in freq for g in grams)
+        assert out.loc[r["doc_id"], "n_grams"] == len(grams)
+        assert out.loc[r["doc_id"], "freq_ppm"] == (
+            1_000_000 * nf // len(grams))
+
+
 def test_gopher_quality_rules(ray_session):
     import ray.data as rd
 
