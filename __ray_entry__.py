@@ -4521,7 +4521,7 @@ FROM per
 """.replace("{stop}", _STOPLIST_SQL)
 
 
-def _q88_anti_join(sf_dir: str):
+def _q88_bloom_anti_join(sf_dir: str):
     """Bloom-pruned EXACT anti-join: orders with no lineitem, aggregated
     by priority. Bloom-negative orders (certain non-members) resolve in
     the stateless probe map with NO exchange; only bloom positives are
@@ -4777,7 +4777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q85_pack_sequences": _q85_pack_sequences,
         "q86_bloom_semi_join": _q86_bloom_semi_join,
         "q87_gopher_quality": _q87_gopher_quality,
-        "q88_anti_join": _q88_anti_join,
+        "q88_bloom_anti_join": _q88_bloom_anti_join,
         "q89_decontaminate": _q89_decontaminate,
         "q90_centroid_outliers": _q90_centroid_outliers,
         "q91_gram_coverage": _q91_gram_coverage,
@@ -4873,7 +4873,7 @@ def oracle_sql() -> dict[str, str]:
         "q85_pack_sequences": _Q85_SQL,
         "q86_bloom_semi_join": _Q86_SQL,
         "q87_gopher_quality": _Q87_SQL,
-        "q88_anti_join": _Q88_SQL,
+        "q88_bloom_anti_join": _Q88_SQL,
         "q89_decontaminate": _Q89_SQL,
         "q90_centroid_outliers": _Q90_SQL,
         "q91_gram_coverage": _Q91_SQL,

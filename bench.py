@@ -256,8 +256,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q86_bloom_semi_join(sf_dir)))
     timed("q87_gopher_quality",
           lambda: consume(E._q87_gopher_quality(sf_dir)))
-    timed("q88_anti_join",
-          lambda: consume(E._q88_anti_join(sf_dir)))
+    timed("q88_bloom_anti_join",
+          lambda: consume(E._q88_bloom_anti_join(sf_dir)))
     timed("q89_decontaminate",
           lambda: consume(E._q89_decontaminate(sf_dir)))
     timed("q90_centroid_outliers",
