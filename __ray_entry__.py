@@ -4683,6 +4683,71 @@ FROM g GROUP BY doc_id
 """
 
 
+def _q92_clip_retrieval(sf_dir: str):
+    """CLIP-shaped image retrieval: decode -> integer stub encoder
+    (weights built once per actor in __init__; swap for a model and
+    nothing else changes) -> broadcast query matrix -> blocked int64
+    matmul with per-block top-k pruning -> per-query combine. Top-3
+    most-aligned other images for query images 0..7; the SQL oracle
+    regenerates the decoded pixels AND the embedding arithmetically
+    (q34's reconstruction extended by the projection), so any codec,
+    resample, or encoder drift fails the hash.
+    proj_ray/images.py ImageEmbedder / clip_image_topk."""
+    from proj_ray.images import ImageEmbedder, clip_image_topk, \
+        images_table
+
+    n = _read(sf_dir, "documents").count()
+    emb = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        ImageEmbedder, batch_format="numpy", batch_size=256,
+        concurrency=(2, 8))
+    return clip_image_topk(emb, np.arange(8), k=3)
+
+
+_Q92_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, y.y AS y, x.x AS x,
+              (y.y * h) // 12 AS sy, (x.x * w) // 16 AS sx
+       FROM dim CROSS JOIN range(12) y(y) CROSS JOIN range(16) x(x)),
+raw AS (SELECT i, f, y, x,
+               (src*37 + sy*11 + sx*7) % 256 AS r,
+               (src*53 + sy*5 + sx*13) % 256 AS g,
+               (src*97 + (sy+sx)*3) % 256 AS b
+        FROM px),
+dec AS (SELECT i, y, x,
+               CASE WHEN f = 1 THEN (r // 4) * 4 + 2 ELSE r END AS r,
+               CASE WHEN f = 1 THEN (g // 4) * 4 + 2 ELSE g END AS g,
+               CASE WHEN f = 1 THEN (b // 4) * 4 + 2 ELSE b END AS b
+        FROM raw),
+emb AS (SELECT i, d.d AS d,
+               CAST(SUM(r * (((d.d + 1) * (y + 2 * x)) % 7 - 3)
+                      + g * (((d.d + 2) * (2 * y + x)) % 7 - 3)
+                      + b * (((d.d + 3) * (y + x)) % 7 - 3))
+                    AS BIGINT) AS e
+        FROM dec CROSS JOIN range(16) d(d) GROUP BY i, d.d),
+sc AS (SELECT q.i AS qid, a.i AS ai,
+              CAST(SUM(a.e * q.e) AS BIGINT) AS score
+       FROM emb a JOIN emb q ON a.d = q.d AND q.i < 8 AND a.i <> q.i
+       GROUP BY q.i, a.i),
+r AS (SELECT qid,
+             'img' || lpad(CAST(ai AS VARCHAR), 12, '0') AS image_id,
+             score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC,
+                                'img' || lpad(CAST(ai AS VARCHAR), 12, '0')
+                                ) AS rk
+      FROM sc)
+SELECT qid, image_id, score, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4781,6 +4846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q89_decontaminate": _q89_decontaminate,
         "q90_centroid_outliers": _q90_centroid_outliers,
         "q91_gram_coverage": _q91_gram_coverage,
+        "q92_clip_retrieval": _q92_clip_retrieval,
     }
 
 
@@ -4877,4 +4943,5 @@ def oracle_sql() -> dict[str, str]:
         "q89_decontaminate": _Q89_SQL,
         "q90_centroid_outliers": _Q90_SQL,
         "q91_gram_coverage": _Q91_SQL,
+        "q92_clip_retrieval": _Q92_SQL,
     }

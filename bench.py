@@ -264,6 +264,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q90_centroid_outliers(sf_dir)))
     timed("q91_gram_coverage",
           lambda: consume(E._q91_gram_coverage(sf_dir)))
+    timed("q92_clip_retrieval",
+          lambda: consume(E._q92_clip_retrieval(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -420,3 +420,105 @@ def images_table(n_rows: int, columns: list | None = None,
     path = cached_table(images_dataset, "images", n_rows,
                         parallelism=parallelism)
     return rd.read_parquet(path, columns=columns)
+
+
+# -------------------------------------------------- CLIP-shaped encoder ---
+
+
+class ImageEmbedder:
+    """CLIP-shaped image-encoder stage: decode -> fixed-grid resample ->
+    integer linear projection to a dim-D embedding.
+
+    The ENCODER ITSELF IS A DETERMINISTIC STUB (the container has no
+    vision model; weights are a small-integer formula so the SQL oracle
+    can reproduce every embedding bit-for-bit). Everything around it is
+    the real scale plumbing a learned encoder would use: an actor-pool
+    map_batches stage whose weight tensor is built ONCE per actor in
+    __init__, real codec decode per image, and an (n, dim) int64 tensor
+    column out — swap `self.W` for loaded model weights and nothing
+    else changes.
+
+    Weight formula (mirrored in the q92 SQL oracle):
+      w_r(d,y,x) = ((d+1)*(y + 2x)) % 7 - 3
+      w_g(d,y,x) = ((d+2)*(2y + x)) % 7 - 3
+      w_b(d,y,x) = ((d+3)*(y + x))  % 7 - 3
+    e_d = sum over the out_h x out_w grid of r*w_r + g*w_g + b*w_b.
+    """
+
+    def __init__(self, dim: int = 16, out_w: int = 16, out_h: int = 12):
+        self.dim, self.out_w, self.out_h = dim, out_w, out_h
+        d = np.arange(dim, dtype=np.int64)[:, None, None]
+        y = np.arange(out_h, dtype=np.int64)[None, :, None]
+        x = np.arange(out_w, dtype=np.int64)[None, None, :]
+        self.W = np.stack([
+            ((d + 1) * (y + 2 * x)) % 7 - 3,
+            ((d + 2) * (2 * y + x)) % 7 - 3,
+            ((d + 3) * (y + x)) % 7 - 3,
+        ], axis=-1)  # (dim, out_h, out_w, 3)
+
+    def embed_pixels(self, px: np.ndarray) -> np.ndarray:
+        rp = resize_nearest(px, self.out_w, self.out_h).astype(np.int64)
+        return np.einsum("dyxc,yxc->d", self.W, rp)
+
+    def __call__(self, b: dict) -> dict:
+        n = len(b["image_id"])
+        E = np.empty((n, self.dim), dtype=np.int64)
+        for k in range(n):
+            E[k] = self.embed_pixels(decode(b["bytes"][k], b["fmt"][k]))
+        return {"image_id": b["image_id"], "emb": E}
+
+
+def clip_image_topk(emb_ds, query_ids: np.ndarray, k: int = 3,
+                    dim: int = 16):
+    """Retrieval over the embedding column: for each query image id,
+    the top-k most-aligned OTHER images by exact int64 dot product
+    (ties broken by image_id asc).
+
+    The query matrix is synthesized driver-side from the deterministic
+    fixture contract (any worker/driver can synthesize any row) and
+    broadcast once; each batch does one (B, dim) x (dim, Q) int matmul
+    and pre-prunes to k candidates per query per block, so the final
+    per-query combine sees k * n_blocks rows, not n."""
+    import pandas as pd
+    import ray
+
+    enc = ImageEmbedder(dim=dim)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qsrc = make_images_for(qids)
+    Q = np.stack([enc.embed_pixels(decode(qsrc["bytes"][j],
+                                          qsrc["fmt"][j]))
+                  for j in range(len(qids))])
+    qnames = [f"img{int(i):012d}" for i in qids]
+    ref = ray.put((Q, qids, qnames))
+
+    def score(b: dict) -> pd.DataFrame:
+        Qm, qi, qn = ray.get(ref)
+        E = np.asarray(b["emb"], dtype=np.int64)
+        ids = np.asarray(b["image_id"], dtype=object)
+        S = E @ Qm.T  # (B, Q) exact int64
+        out = []
+        for j in range(len(qi)):
+            s = S[:, j]
+            notself = ids != qn[j]
+            cand = np.flatnonzero(notself)
+            if len(cand) == 0:
+                continue
+            # top-k by (score desc, image_id asc): sort candidates
+            srt = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            for c in srt:
+                out.append((int(qi[j]), ids[c], int(s[c])))
+        return pd.DataFrame(out, columns=["qid", "image_id", "score"]) \
+            if out else pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                                      "image_id": pd.Series([], dtype=object),
+                                      "score": pd.Series([], dtype=np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "image_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "image_id", "score", "rk"]]
+
+    return (emb_ds.map_batches(score, batch_format="numpy")
+                  .groupby("qid").map_groups(final,
+                                             batch_format="pandas"))

@@ -231,6 +231,39 @@ def test_frequent_gram_coverage_bruteforce(ray_session):
             1_000_000 * nf // len(grams))
 
 
+def test_clip_retrieval_matches_bruteforce(ray_session):
+    """Distributed MIPS top-k == driver-side exact computation, and
+    dup pairs (img97 duplicates img96) embed identically."""
+    from proj_ray.images import (ImageEmbedder, clip_image_topk, decode,
+                                 images_dataset, make_images_for)
+
+    N, QIDS, K = 200, np.array([5, 96]), 3
+    emb = images_dataset(N, parallelism=4).map_batches(
+        ImageEmbedder, batch_format="numpy", batch_size=64,
+        concurrency=2)
+    out = (clip_image_topk(emb, QIDS, k=K).to_pandas()
+           .sort_values(["qid", "rk"]).reset_index(drop=True))
+
+    enc = ImageEmbedder()
+    src = make_images_for(np.arange(N))
+    E = np.stack([enc.embed_pixels(decode(src["bytes"][j],
+                                          src["fmt"][j]))
+                  for j in range(N)])
+    assert (E[96] == E[97]).all()  # duplicate invariant
+
+    ids = np.array([f"img{i:012d}" for i in range(N)], dtype=object)
+    exp = []
+    for q in QIDS:
+        s = E @ E[q]
+        cand = np.flatnonzero(np.arange(N) != q)
+        srt = cand[np.lexsort((ids[cand], -s[cand]))][:K]
+        for rk, c in enumerate(srt, 1):
+            exp.append((int(q), ids[c], int(s[c]), rk))
+    expdf = pd.DataFrame(exp, columns=["qid", "image_id",
+                                       "score", "rk"])
+    pd.testing.assert_frame_equal(out, expdf)
+
+
 def test_gopher_quality_rules(ray_session):
     import ray.data as rd
 
