@@ -4748,6 +4748,83 @@ FROM r WHERE rk <= 3
 """
 
 
+def _q93_geo_clip_retrieval(sf_dir: str):
+    """The geospatial x image FUSION query: for each of the first 8
+    valid-geotag query images, the top-3 most-aligned other images
+    whose z7 tile lies in the 3x3 ring around the query's tile —
+    spatial prune first, exact int64 MIPS re-rank second. One fused
+    actor-pool pass computes embedding + carries lon/lat; queries
+    broadcast once as (emb, tile) rows.
+    proj_ray/images.py clip_geo_topk."""
+    from proj_ray.images import (ImageEmbedder, clip_geo_topk,
+                                 images_table, make_images_for)
+
+    n = _read(sf_dir, "documents").count()
+    emb = images_table(
+        n, columns=["image_id", "bytes", "fmt", "lon", "lat"]) \
+        .map_batches(ImageEmbedder,
+                     fn_constructor_kwargs=dict(
+                         passthrough=("lon", "lat")),
+                     batch_format="numpy", batch_size=256,
+                     concurrency=(2, 8))
+    probe = make_images_for(np.arange(32))
+    valid = np.flatnonzero(np.asarray(probe["lat"]) != 91.0)[:8]
+    return clip_geo_topk(emb, valid, k=3, zoom=7)
+
+
+_Q93_SQL = f"""
+WITH geo AS ({_IMG_GEO_SQL.format(mult=1)}),
+t AS (SELECT i, lat, {_TILE_SQL.format(n=128)} FROM geo),
+qs AS (SELECT i AS qid, tile_x AS qtx, tile_y AS qty
+       FROM t WHERE lat <> 91.0 ORDER BY i LIMIT 8),
+seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dims AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, y.y AS y, x.x AS x,
+              (y.y * h) // 12 AS sy, (x.x * w) // 16 AS sx
+       FROM dims CROSS JOIN range(12) y(y) CROSS JOIN range(16) x(x)),
+raw AS (SELECT i, f, y, x,
+               (src*37 + sy*11 + sx*7) % 256 AS r,
+               (src*53 + sy*5 + sx*13) % 256 AS g,
+               (src*97 + (sy+sx)*3) % 256 AS b
+        FROM px),
+dec AS (SELECT i, y, x,
+               CASE WHEN f = 1 THEN (r // 4) * 4 + 2 ELSE r END AS r,
+               CASE WHEN f = 1 THEN (g // 4) * 4 + 2 ELSE g END AS g,
+               CASE WHEN f = 1 THEN (b // 4) * 4 + 2 ELSE b END AS b
+        FROM raw),
+emb AS (SELECT i, d.d AS d,
+               CAST(SUM(r * (((d.d + 1) * (y + 2 * x)) % 7 - 3)
+                      + g * (((d.d + 2) * (2 * y + x)) % 7 - 3)
+                      + b * (((d.d + 3) * (y + x)) % 7 - 3))
+                    AS BIGINT) AS e
+        FROM dec CROSS JOIN range(16) d(d) GROUP BY i, d.d),
+sc AS (SELECT q.qid, a.i AS ai,
+              CAST(SUM(a.e * qe.e) AS BIGINT) AS score
+       FROM emb a
+       JOIN emb qe ON a.d = qe.d
+       JOIN qs q ON qe.i = q.qid
+       JOIN t at ON at.i = a.i
+       WHERE a.i <> q.qid
+         AND abs(at.tile_x - q.qtx) <= 1 AND abs(at.tile_y - q.qty) <= 1
+       GROUP BY q.qid, a.i),
+r AS (SELECT qid,
+             'img' || lpad(CAST(ai AS VARCHAR), 12, '0') AS image_id,
+             score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC,
+                                'img' || lpad(CAST(ai AS VARCHAR), 12, '0')
+                                ) AS rk
+      FROM sc)
+SELECT qid, image_id, score, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4847,6 +4924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q90_centroid_outliers": _q90_centroid_outliers,
         "q91_gram_coverage": _q91_gram_coverage,
         "q92_clip_retrieval": _q92_clip_retrieval,
+        "q93_geo_clip_retrieval": _q93_geo_clip_retrieval,
     }
 
 
@@ -4944,4 +5022,5 @@ def oracle_sql() -> dict[str, str]:
         "q90_centroid_outliers": _Q90_SQL,
         "q91_gram_coverage": _Q91_SQL,
         "q92_clip_retrieval": _Q92_SQL,
+        "q93_geo_clip_retrieval": _Q93_SQL,
     }

@@ -445,8 +445,10 @@ class ImageEmbedder:
     e_d = sum over the out_h x out_w grid of r*w_r + g*w_g + b*w_b.
     """
 
-    def __init__(self, dim: int = 16, out_w: int = 16, out_h: int = 12):
+    def __init__(self, dim: int = 16, out_w: int = 16, out_h: int = 12,
+                 passthrough: tuple = ()):
         self.dim, self.out_w, self.out_h = dim, out_w, out_h
+        self.passthrough = tuple(passthrough)
         d = np.arange(dim, dtype=np.int64)[:, None, None]
         y = np.arange(out_h, dtype=np.int64)[None, :, None]
         x = np.arange(out_w, dtype=np.int64)[None, None, :]
@@ -465,7 +467,10 @@ class ImageEmbedder:
         E = np.empty((n, self.dim), dtype=np.int64)
         for k in range(n):
             E[k] = self.embed_pixels(decode(b["bytes"][k], b["fmt"][k]))
-        return {"image_id": b["image_id"], "emb": E}
+        out = {"image_id": b["image_id"], "emb": E}
+        for c in self.passthrough:
+            out[c] = b[c]
+        return out
 
 
 def clip_image_topk(emb_ds, query_ids: np.ndarray, k: int = 3,
@@ -504,6 +509,68 @@ def clip_image_topk(emb_ds, query_ids: np.ndarray, k: int = 3,
             if len(cand) == 0:
                 continue
             # top-k by (score desc, image_id asc): sort candidates
+            srt = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            for c in srt:
+                out.append((int(qi[j]), ids[c], int(s[c])))
+        return pd.DataFrame(out, columns=["qid", "image_id", "score"]) \
+            if out else pd.DataFrame({"qid": pd.Series([], dtype=np.int64),
+                                      "image_id": pd.Series([], dtype=object),
+                                      "score": pd.Series([], dtype=np.int64)})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "image_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["qid", "image_id", "score", "rk"]]
+
+    return (emb_ds.map_batches(score, batch_format="numpy")
+                  .groupby("qid").map_groups(final,
+                                             batch_format="pandas"))
+
+
+def clip_geo_topk(emb_ds, query_ids: np.ndarray, k: int = 3,
+                  zoom: int = 7, dim: int = 16):
+    """Geo-constrained retrieval (the geospatial x image fusion shape):
+    for each query image, the top-k most-aligned OTHER images whose
+    z/x/y tile lies in the 3x3 ring around the query's tile — spatial
+    prune first, exact int64 MIPS re-rank second.
+
+    `emb_ds` must carry image_id, emb, lon, lat (ImageEmbedder with
+    passthrough=("lon", "lat")). The ring test is plain |dx|<=1 and
+    |dy|<=1 at `zoom` with NO antimeridian wrap (mirrored verbatim in
+    the SQL oracle). Queries broadcast once as (emb, tile) rows; each
+    batch masks candidates per query before the matmul score, and
+    pre-prunes to k per query per block."""
+    import pandas as pd
+    import ray
+
+    from .tiles import tile_assign
+
+    enc = ImageEmbedder(dim=dim)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qsrc = make_images_for(qids)
+    Q = np.stack([enc.embed_pixels(decode(qsrc["bytes"][j],
+                                          qsrc["fmt"][j]))
+                  for j in range(len(qids))])
+    qtx, qty, _ = tile_assign(qsrc["lon"], qsrc["lat"], zoom)
+    qnames = [f"img{int(i):012d}" for i in qids]
+    ref = ray.put((Q, qids, qnames, qtx, qty))
+
+    def score(b: dict) -> pd.DataFrame:
+        Qm, qi, qn, qx, qy = ray.get(ref)
+        E = np.asarray(b["emb"], dtype=np.int64)
+        ids = np.asarray(b["image_id"], dtype=object)
+        tx, ty, _ = tile_assign(np.asarray(b["lon"]),
+                                np.asarray(b["lat"]), zoom)
+        S = E @ Qm.T
+        out = []
+        for j in range(len(qi)):
+            ring = (np.abs(tx - qx[j]) <= 1) & (np.abs(ty - qy[j]) <= 1)
+            cand = np.flatnonzero(ring & (ids != qn[j]))
+            if len(cand) == 0:
+                continue
+            s = S[:, j]
             srt = cand[np.lexsort((ids[cand], -s[cand]))][:k]
             for c in srt:
                 out.append((int(qi[j]), ids[c], int(s[c])))

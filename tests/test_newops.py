@@ -264,6 +264,47 @@ def test_clip_retrieval_matches_bruteforce(ray_session):
     pd.testing.assert_frame_equal(out, expdf)
 
 
+def test_geo_clip_retrieval_matches_bruteforce(ray_session):
+    """Tile-ring spatial prune + MIPS re-rank == driver-side exact."""
+    from proj_ray.images import (ImageEmbedder, clip_geo_topk, decode,
+                                 images_dataset, make_images_for)
+    from proj_ray.tiles import tile_assign
+
+    N, K, Z = 400, 3, 7
+    src = make_images_for(np.arange(N))
+    lat = np.asarray(src["lat"])
+    # hotspot rows guarantee ring neighbors
+    hot = np.flatnonzero(((np.arange(N) * 2654435761) % 1000 < 180)
+                         & (lat != 91.0))
+    QIDS = hot[:3]
+
+    emb = images_dataset(N, parallelism=4).map_batches(
+        ImageEmbedder,
+        fn_constructor_kwargs=dict(passthrough=("lon", "lat")),
+        batch_format="numpy", batch_size=64, concurrency=2)
+    out = (clip_geo_topk(emb, QIDS, k=K, zoom=Z).to_pandas()
+           .sort_values(["qid", "rk"]).reset_index(drop=True))
+
+    enc = ImageEmbedder()
+    E = np.stack([enc.embed_pixels(decode(src["bytes"][j],
+                                          src["fmt"][j]))
+                  for j in range(N)])
+    tx, ty, _ = tile_assign(src["lon"], src["lat"], Z)
+    ids = np.array([f"img{i:012d}" for i in range(N)], dtype=object)
+    exp = []
+    for q in QIDS:
+        ring = (np.abs(tx - tx[q]) <= 1) & (np.abs(ty - ty[q]) <= 1)
+        cand = np.flatnonzero(ring & (np.arange(N) != q))
+        s = E @ E[q]
+        srt = cand[np.lexsort((ids[cand], -s[cand]))][:K]
+        for rk, c in enumerate(srt, 1):
+            exp.append((int(q), ids[c], int(s[c]), rk))
+    expdf = pd.DataFrame(exp, columns=["qid", "image_id",
+                                       "score", "rk"])
+    assert len(expdf) > 0
+    pd.testing.assert_frame_equal(out, expdf)
+
+
 def test_gopher_quality_rules(ray_session):
     import ray.data as rd
 
