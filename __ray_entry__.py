@@ -4446,9 +4446,13 @@ def _q86_bloom_semi_join(sf_dir: str):
 
     probe = _read(sf_dir, "lineitem",
                   columns=["l_orderkey", "l_quantity", "l_returnflag"])
+
+    def high_value(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["o_totalprice"] > 450000.0, ["o_orderkey"]]
+
     build = _read(sf_dir, "orders",
-                  columns=["o_orderkey", "o_totalprice"]).filter(
-        lambda r: r["o_totalprice"] > 450000.0)
+                  columns=["o_orderkey", "o_totalprice"]).map_batches(
+        high_value, batch_format="pandas")
     sj = bloom_semi_join(probe, build, "l_orderkey", "o_orderkey")
 
     # Aggregation pushed down to per-block partials (Ray fuses this

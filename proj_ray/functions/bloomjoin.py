@@ -121,10 +121,11 @@ def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
         out["_side"] = np.int64(side)
         return out
 
-    # build side ships (key, bucket) only
+    # build side ships per-block DISTINCT (key, bucket) only — presence
+    # is all the verify needs
     bkeys = build_ds.map_batches(
-        lambda d: tag(pd.DataFrame({probe_key: d[build_key]}),
-                      probe_key, 0),
+        lambda d: tag(pd.DataFrame(
+            {probe_key: d[build_key].drop_duplicates()}), probe_key, 0),
         batch_format="pandas")
     pkeys = cand.map_batches(lambda d: tag(d, probe_key, 1),
                              batch_format="pandas")
@@ -180,8 +181,8 @@ def bloom_anti_join(probe_ds, build_ds, probe_key: str, build_key: str,
         return out
 
     bkeys = build_ds.map_batches(
-        lambda d: tag(pd.DataFrame({probe_key: d[build_key]}),
-                      probe_key, 0),
+        lambda d: tag(pd.DataFrame(
+            {probe_key: d[build_key].drop_duplicates()}), probe_key, 0),
         batch_format="pandas")
     pkeys = cand.map_batches(lambda d: tag(d, probe_key, 1),
                              batch_format="pandas")
