@@ -104,12 +104,29 @@ def bloom_filter_ds(probe_ds, key_col: str, bitmap_ref, m_bits: int,
                                 batch_size=batch_size)
 
 
+def _probe_dtypes(probe_ds) -> dict:
+    """Pandas dtypes of the probe columns, from schema metadata only.
+
+    The verify co-partition unions build-key frames (which lack the
+    probe payload columns) with probe frames; Ray null-fills the
+    missing columns, which silently upcasts int64 payloads to float64
+    in the merged groups. The verify fns cast the surviving probe rows
+    back to these dtypes so the join's output schema is independent of
+    bloom parameters."""
+    import pyarrow as pa
+
+    sch = probe_ds.schema()
+    return dict(pa.schema(list(zip(sch.names, sch.types)))
+                .empty_table().to_pandas().dtypes)
+
+
 def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
                     m_bits: int = 1 << 20, k: int = 4,
                     n_buckets: int = 64, combine_ways: int = 0):
     """EXACT semi-join (probe rows whose key exists in build), bloom-
     pruned: only bloom survivors enter the verification co-partition.
     The whole join runs ONE all-to-all (the verify co-partition)."""
+    pdt = _probe_dtypes(probe_ds)
     ref, m, kk = bloom_build(build_ds, build_key, m_bits, k,
                              combine_ways=combine_ways)
     cand = bloom_filter_ds(probe_ds, probe_key, ref, m, kk)
@@ -134,7 +151,7 @@ def bloom_semi_join(probe_ds, build_ds, probe_key: str, build_key: str,
         build_vals = g.loc[g["_side"] == 0, probe_key].to_numpy()
         probe = g[g["_side"] == 1]
         keep = probe[probe_key].isin(build_vals)
-        return probe[keep].drop(columns=["_bk", "_side"])
+        return probe[keep].drop(columns=["_bk", "_side"]).astype(pdt)
 
     return bkeys.union(pkeys).groupby("_bk").map_groups(
         verify, batch_format="pandas")
@@ -158,6 +175,7 @@ def bloom_anti_join(probe_ds, build_ds, probe_key: str, build_key: str,
     whole anti result (≈ the whole probe table) through the all-to-all
     just to carry the negatives alongside the candidates.
     """
+    pdt = _probe_dtypes(probe_ds)
     ref, m, kk = bloom_build(build_ds, build_key, m_bits, k,
                              combine_ways=combine_ways)
 
@@ -191,7 +209,7 @@ def bloom_anti_join(probe_ds, build_ds, probe_key: str, build_key: str,
         build_vals = g.loc[g["_side"] == 0, probe_key].to_numpy()
         probe = g[g["_side"] == 1]
         keep = ~probe[probe_key].isin(build_vals)
-        return probe[keep].drop(columns=["_bk", "_side"])
+        return probe[keep].drop(columns=["_bk", "_side"]).astype(pdt)
 
     confirmed = bkeys.union(pkeys).groupby("_bk").map_groups(
         verify_absent, batch_format="pandas")

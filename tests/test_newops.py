@@ -333,3 +333,58 @@ def test_gopher_quality_rules(ray_session):
     assert d0["mean_wlen_milli"] == (
         sum(len(w) for w in rows[0]["text"].split()) * 1000
         // len(rows[0]["text"].split()))
+
+
+def test_pack_sequences_partition_invariance(ray_session):
+    """The packed output is a pure function of (docs, seq_len): bucket
+    granularity and input blocking must not change a single row."""
+    import ray.data as rd
+
+    from proj_ray.functions.packing import pack_sequences
+
+    rng = np.random.RandomState(13)
+    rows = [{"doc_id": int(i),
+             "text": " ".join(["x"] * int(rng.randint(0, 25)))}
+            for i in range(400)]
+
+    def run(bucket_size, parallelism):
+        ds = rd.from_items(rows, override_num_blocks=parallelism)
+        return (pack_sequences(ds, "doc_id", "text", seq_len=64,
+                               bucket_size=bucket_size)
+                .to_pandas().sort_values("seq_id")
+                .reset_index(drop=True).astype(np.int64))
+
+    base = run(1 << 6, 2)
+    for bs, par in [(1 << 4, 7), (1 << 10, 3), (37, 5)]:
+        pd.testing.assert_frame_equal(run(bs, par), base)
+
+
+def test_bloom_joins_parameter_invariance(ray_session):
+    """Semi/anti results are exact regardless of bloom size, hash
+    count, or verify bucket count (the bloom only prunes)."""
+    import ray.data as rd
+
+    from proj_ray.functions.bloomjoin import (bloom_anti_join,
+                                              bloom_semi_join)
+
+    probe = rd.from_items(
+        [{"k": int(i % 700), "v": int(i)} for i in range(3000)])
+    build = rd.from_items([{"bk": int(k)} for k in range(0, 700, 5)])
+
+    def semi(m, kk, nb):
+        out = bloom_semi_join(probe, build, "k", "bk", m_bits=m, k=kk,
+                              n_buckets=nb).to_pandas()
+        return out.sort_values(["k", "v"]).reset_index(drop=True)
+
+    def anti(m, kk, nb):
+        out = bloom_anti_join(probe, build, "k", "bk", m_bits=m, k=kk,
+                              n_buckets=nb).to_pandas()
+        return out.sort_values(["k", "v"]).reset_index(drop=True)
+
+    s0 = semi(1 << 20, 4, 64)
+    a0 = anti(1 << 20, 4, 64)
+    assert len(s0) + len(a0) == 3000
+    assert set(s0["k"]) == {k for k in range(700) if k % 5 == 0}
+    # tiny bloom = high fpr: more verify work, same exact answer
+    pd.testing.assert_frame_equal(semi(1 << 8, 2, 7), s0)
+    pd.testing.assert_frame_equal(anti(1 << 8, 2, 7), a0)
