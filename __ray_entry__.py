@@ -4829,6 +4829,51 @@ FROM r WHERE rk <= 3
 """
 
 
+def _q94_resample_ffill(sf_dir: str):
+    """Time-series gap fill: per-user DAILY resample of event values
+    with forward fill over empty days. Per-block (user, day) partials
+    are the only thing that shuffles; each key group materializes its
+    own day range and fills vectorized. Carrying the (n, sum) pair
+    instead of a mean keeps the contract integer-exact.
+    proj_ray/functions/temporal.py resample_ffill."""
+    from proj_ray.functions.temporal import resample_ffill
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return resample_ffill(ds, "user_id", "ts", "value")
+
+
+_Q94_SQL = """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS bucket,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), agg AS (
+  SELECT user_id, bucket, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sum_c
+  FROM e GROUP BY user_id, bucket
+), span AS (
+  SELECT user_id, min(bucket) AS d0, max(bucket) AS d1
+  FROM agg GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1)) AS bucket FROM span
+), j AS (
+  SELECT g.user_id, g.bucket,
+         coalesce(a.n, 0) AS n, coalesce(a.sum_c, 0) AS sum_c
+  FROM grid g LEFT JOIN agg a USING (user_id, bucket)
+)
+SELECT user_id, bucket, CAST(n AS BIGINT) AS n,
+       CAST(sum_c AS BIGINT) AS sum_c,
+       CAST(last_value(CASE WHEN n > 0 THEN n END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT)
+           AS filled_n,
+       CAST(last_value(CASE WHEN n > 0 THEN sum_c END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY bucket) AS BIGINT)
+           AS filled_sum_c
+FROM j
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4929,6 +4974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q91_gram_coverage": _q91_gram_coverage,
         "q92_clip_retrieval": _q92_clip_retrieval,
         "q93_geo_clip_retrieval": _q93_geo_clip_retrieval,
+        "q94_resample_ffill": _q94_resample_ffill,
     }
 
 
@@ -5027,4 +5073,5 @@ def oracle_sql() -> dict[str, str]:
         "q91_gram_coverage": _Q91_SQL,
         "q92_clip_retrieval": _Q92_SQL,
         "q93_geo_clip_retrieval": _Q93_SQL,
+        "q94_resample_ffill": _Q94_SQL,
     }

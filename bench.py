@@ -268,6 +268,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q92_clip_retrieval(sf_dir)))
     timed("q93_geo_clip_retrieval",
           lambda: consume(E._q93_geo_clip_retrieval(sf_dir)))
+    timed("q94_resample_ffill",
+          lambda: consume(E._q94_resample_ffill(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -475,3 +475,68 @@ def track_densify(ds, key_col: str, order_col: str,
             .groupby("_bk")
             .map_groups(lambda g: expand(g.drop(columns=["_bk"])),
                         batch_format="pandas"))
+
+
+def resample_ffill(ds, key_col: str, ts_col: str, value_col: str,
+                   bucket_us: int = 86_400_000_000, scale: int = 100,
+                   batch_size: int = 8192):
+    """Regular-grid resample with forward fill (the time-series
+    gap-fill primitive): per key, one row per `bucket_us` bucket from
+    the key's first to last event, carrying
+
+      n, sum_c            this bucket's event count and fixed-point
+                          value sum (floor(v*scale + 0.5) per event —
+                          the repo's half-up convention)
+      filled_n, filled_sum_c
+                          the most recent NON-EMPTY bucket's (n, sum_c)
+                          at or before this one (carrying the pair
+                          instead of a mean keeps everything integer —
+                          no division, no float drift)
+
+    Scale shape: a stateless pre-aggregation map ships only per-block
+    (key, bucket, n, sum_c) partials; ONE co-partition on the key
+    combines partials, materializes each key's bucket range and
+    forward-fills it vectorized (pandas reindex + ffill). Grid size is
+    bounded by the time span / bucket_us per key, independent of event
+    count."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = _ts_us(df[ts_col])
+        c = np.floor(df[value_col].to_numpy(np.float64) * scale
+                     + 0.5).astype(np.int64)
+        g = pd.DataFrame({
+            "_k": df[key_col].to_numpy(),
+            "_b": t // np.int64(bucket_us),
+            "_c": c,
+        }).groupby(["_k", "_b"], sort=False).agg(
+            n=("_c", "size"), sum_c=("_c", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_c"] = g["sum_c"].astype(np.int64)
+        return g
+
+    def fill(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby("_b", sort=True).agg(
+            n=("n", "sum"), sum_c=("sum_c", "sum"))
+        full = np.arange(int(agg.index.min()), int(agg.index.max()) + 1,
+                         dtype=np.int64)
+        r = agg.reindex(full)
+        n = r["n"].fillna(0).to_numpy(np.int64)
+        sum_c = r["sum_c"].fillna(0).to_numpy(np.int64)
+        nonempty = n > 0
+        src = pd.DataFrame({
+            "fn": np.where(nonempty, n, np.int64(0)),
+            "fs": np.where(nonempty, sum_c, np.int64(0))})
+        src[~nonempty] = np.nan
+        f = src.ffill()
+        return pd.DataFrame({
+            key_col: np.repeat(group["_k"].iloc[0], len(full)),
+            "bucket": full,
+            "n": n,
+            "sum_c": sum_c,
+            "filled_n": f["fn"].to_numpy(np.int64),
+            "filled_sum_c": f["fs"].to_numpy(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+    return parts.groupby("_k").map_groups(fill, batch_format="pandas")

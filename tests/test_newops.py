@@ -388,3 +388,38 @@ def test_bloom_joins_parameter_invariance(ray_session):
     # tiny bloom = high fpr: more verify work, same exact answer
     pd.testing.assert_frame_equal(semi(1 << 8, 2, 7), s0)
     pd.testing.assert_frame_equal(anti(1 << 8, 2, 7), a0)
+
+
+def test_resample_ffill_gaps(ray_session):
+    """Gap-fill parity vs a hand-built expectation with multi-bucket
+    holes, and partition invariance of the partial pre-aggregation."""
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import resample_ffill
+
+    rows = []
+    # user 1: events in buckets 10, 13 (gap 11-12), 14
+    for b, v in [(10, 1.0), (10, 2.0), (13, 5.0), (14, 0.5)]:
+        rows.append({"user_id": 1, "ts": b * 86_400_000_000 + 42,
+                     "value": v})
+    # user 2: single bucket (no grid beyond itself)
+    rows.append({"user_id": 2, "ts": 7 * 86_400_000_000, "value": 9.99})
+
+    def run(par):
+        ds = rd.from_items(rows, override_num_blocks=par)
+        return (resample_ffill(ds, "user_id", "ts", "value")
+                .to_pandas().sort_values(["user_id", "bucket"])
+                .reset_index(drop=True).astype(np.int64))
+
+    out = run(1)
+    exp = pd.DataFrame(
+        [(1, 10, 2, 300, 2, 300),
+         (1, 11, 0, 0, 2, 300),
+         (1, 12, 0, 0, 2, 300),
+         (1, 13, 1, 500, 1, 500),
+         (1, 14, 1, 50, 1, 50),
+         (2, 7, 1, 999, 1, 999)],
+        columns=["user_id", "bucket", "n", "sum_c",
+                 "filled_n", "filled_sum_c"]).astype(np.int64)
+    pd.testing.assert_frame_equal(out, exp)
+    pd.testing.assert_frame_equal(run(3), exp)
