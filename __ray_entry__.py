@@ -4874,6 +4874,76 @@ FROM j
 """
 
 
+def _q95_top_percentile(sf_dir: str):
+    """Curation filter by global order statistics: lineitem rows whose
+    price is >= the EXACT 99th-percentile cutoff, ranked. Cutoff via a
+    two-level distributed histogram (coarse buckets -> one refined
+    bucket) — both exchanged tables are bounded histograms, never n
+    rows. proj_ray/functions/percentile.py."""
+    from proj_ray.functions.percentile import top_percentile_filter
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+    return top_percentile_filter(
+        ds, ["l_orderkey", "l_linenumber"], "l_extendedprice", q=0.99)
+
+
+_Q95_SQL = """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), nn AS (SELECT count(*) AS n FROM v),
+kk AS (SELECT CAST(floor(0.99 * (n - 1)) AS BIGINT) AS k FROM nn),
+hist AS (SELECT cents AS c, count(*) AS cnt FROM v GROUP BY cents),
+cc AS (SELECT c, sum(cnt) OVER (ORDER BY c) AS cum FROM hist),
+cutoff AS (SELECT min(c) AS cut FROM cc, kk WHERE cum >= k + 1)
+SELECT l_orderkey, l_linenumber, cents,
+       CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, l_orderkey,
+                               l_linenumber) AS BIGINT) AS rk
+FROM v, cutoff WHERE cents >= cut
+"""
+
+
+def _q96_latest_by_key(sf_dir: str):
+    """CDC / upsert compaction: the most recent event per user (latest
+    ts, event_id breaking hypothetical ties). Per-block partial argmax
+    means one candidate per user per block crosses the exchange.
+    proj_ray/functions/temporal.py latest_by_key."""
+    import pandas as pd
+
+    from proj_ray.functions.temporal import latest_by_key
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type",
+                        "value"])
+    out = latest_by_key(ds, "user_id", "ts", order_cols=("event_id",))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "last_ts_us": df["ts"].to_numpy("datetime64[us]")
+                            .astype(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "value_c": np.floor(df["value"].to_numpy(np.float64) * 100
+                                + 0.5).astype(np.int64)})
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+_Q96_SQL = """
+SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS last_ts_us, event_id,
+       event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -4975,6 +5045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q92_clip_retrieval": _q92_clip_retrieval,
         "q93_geo_clip_retrieval": _q93_geo_clip_retrieval,
         "q94_resample_ffill": _q94_resample_ffill,
+        "q95_top_percentile": _q95_top_percentile,
+        "q96_latest_by_key": _q96_latest_by_key,
     }
 
 
@@ -5074,4 +5146,6 @@ def oracle_sql() -> dict[str, str]:
         "q92_clip_retrieval": _Q92_SQL,
         "q93_geo_clip_retrieval": _Q93_SQL,
         "q94_resample_ffill": _Q94_SQL,
+        "q95_top_percentile": _Q95_SQL,
+        "q96_latest_by_key": _Q96_SQL,
     }

@@ -270,6 +270,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q93_geo_clip_retrieval(sf_dir)))
     timed("q94_resample_ffill",
           lambda: consume(E._q94_resample_ffill(sf_dir)))
+    timed("q95_top_percentile",
+          lambda: consume(E._q95_top_percentile(sf_dir)))
+    timed("q96_latest_by_key",
+          lambda: consume(E._q96_latest_by_key(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -540,3 +540,26 @@ def resample_ffill(ds, key_col: str, ts_col: str, value_col: str,
     parts = ds.map_batches(partial, batch_format="pandas",
                            batch_size=batch_size)
     return parts.groupby("_k").map_groups(fill, batch_format="pandas")
+
+
+def latest_by_key(ds, key_col: str, ts_col: str, order_cols=(),
+                  batch_size: int = 8192):
+    """CDC / upsert compaction: the single most recent row per key,
+    ordered by (ts, *order_cols) with the last tuple winning.
+
+    Per-block partial argmax first — only one candidate row per key
+    per block crosses the exchange — then a per-key combine applies
+    the identical rule, so the result is blocking-invariant.
+    """
+    import pandas as pd
+
+    sort_cols = [ts_col, *order_cols]
+
+    def pick_last(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values([key_col] + sort_cols, kind="stable")
+        return d.groupby(key_col, sort=False).tail(1)
+
+    parts = ds.map_batches(pick_last, batch_format="pandas",
+                           batch_size=batch_size)
+    return parts.groupby(key_col).map_groups(pick_last,
+                                             batch_format="pandas")

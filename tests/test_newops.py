@@ -423,3 +423,57 @@ def test_resample_ffill_gaps(ray_session):
                  "filled_n", "filled_sum_c"]).astype(np.int64)
     pd.testing.assert_frame_equal(out, exp)
     pd.testing.assert_frame_equal(run(3), exp)
+
+
+def test_top_percentile_filter_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.percentile import (percentile_cutoff,
+                                               top_percentile_filter)
+
+    rng = np.random.RandomState(17)
+    vals = np.round(rng.uniform(0, 5000, 4000), 2)
+    rows = [{"rid": int(i), "score": float(vals[i])}
+            for i in range(4000)]
+    ds = rd.from_items(rows, override_num_blocks=5)
+
+    out = top_percentile_filter(ds, ["rid"], "score", q=0.95)
+
+    cents = np.floor(vals * 100 + 0.5).astype(np.int64)
+    k = int(np.floor(0.95 * (len(cents) - 1)))
+    cut = np.sort(cents)[k]
+    keep = np.flatnonzero(cents >= cut)
+    order = keep[np.lexsort((keep, -cents[keep]))]
+    assert out["rid"].tolist() == order.tolist()
+    assert out["cents"].tolist() == cents[order].tolist()
+    assert out["rk"].tolist() == list(range(1, len(order) + 1))
+
+    # distributed-combine scale path picks the identical cutoff
+    def val(df):
+        return np.floor(df["score"].to_numpy(np.float64) * 100
+                        + 0.5).astype(np.int64)
+
+    c1, n1, k1 = percentile_cutoff(ds, val, 0.95)
+    c2, n2, k2 = percentile_cutoff(ds, val, 0.95,
+                                   distributed_combine=True)
+    assert (c1, n1, k1) == (c2, n2, k2) == (int(cut), 4000, k)
+
+
+def test_latest_by_key_tiebreak(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import latest_by_key
+
+    rows = [
+        {"k": 1, "ts": 100, "eid": 7, "v": "a"},
+        {"k": 1, "ts": 200, "eid": 3, "v": "b"},
+        {"k": 1, "ts": 200, "eid": 9, "v": "c"},  # tie: eid wins
+        {"k": 2, "ts": 50, "eid": 1, "v": "d"},
+        {"k": 3, "ts": 10, "eid": 2, "v": "e"},
+        {"k": 3, "ts": 9, "eid": 99, "v": "f"},   # later eid, older ts
+    ]
+    for par in (1, 4):
+        ds = rd.from_items(rows, override_num_blocks=par)
+        out = (latest_by_key(ds, "k", "ts", order_cols=("eid",))
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        assert out["v"].tolist() == ["c", "d", "e"]
