@@ -4944,6 +4944,94 @@ FROM (
 """
 
 
+def _q97_curation_pipeline(sf_dir: str):
+    """The composed flagship curation flow: Gopher quality filter +
+    4-gram decontamination vs the src0 benchmark slice (FUSED into one
+    stateless map — text tokenized once for both), exact dedup (min
+    doc_id per text, one co-partition), then concat-and-chunk packing
+    at seq_len=256. proj_ray/functions/curation.py."""
+    import pandas as pd
+
+    from proj_ray.functions.curation import curation_pipeline
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "source"])
+
+    def side(df: pd.DataFrame, bench: bool) -> pd.DataFrame:
+        m = df["source"] == "src0"
+        return df[m if bench else ~m][["doc_id", "text"]]
+
+    bench = docs.map_batches(lambda d: side(d, True),
+                             batch_format="pandas")
+    corpus = docs.map_batches(lambda d: side(d, False),
+                              batch_format="pandas")
+    return curation_pipeline(corpus, bench, seq_len=256,
+                             bucket_size=1 << 10)
+
+
+_Q97_SQL = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+), gw AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z]+')) AS word
+  FROM corpus
+), gwc AS (
+  SELECT doc_id, word, count(*) AS c FROM gw GROUP BY doc_id, word
+), gper AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(length(word) * c) AS BIGINT) AS wchars,
+         CAST(max(c) AS BIGINT) AS topc,
+         CAST(count(CASE WHEN word IN ({stop}) THEN 1 END)
+              AS BIGINT) AS nstop
+  FROM gwc GROUP BY doc_id
+), gpass AS (
+  SELECT doc_id FROM gper
+  WHERE n_words >= 10
+    AND wchars * 1000 // n_words BETWEEN 3000 AND 10000
+    AND nstop >= 2 AND topc * 1000000 // n_words <= 200000
+), aw AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), ag AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(ws[i.i:i.i+3], ' ') AS gram
+  FROM aw JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+  ) AS i ON true
+), bg AS (
+  SELECT DISTINCT gram FROM ag WHERE source = 'src0'
+), contam AS (
+  SELECT DISTINCT doc_id FROM ag
+  WHERE source <> 'src0' AND gram IN (SELECT gram FROM bg)
+), surv AS (
+  SELECT c.doc_id, c.text FROM corpus c JOIN gpass USING (doc_id)
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+), ded AS (
+  SELECT MIN(doc_id) AS doc_id, text FROM surv GROUP BY text
+), tok AS (
+  SELECT doc_id,
+         CASE WHEN length(text) > 0
+              THEN length(text) - length(replace(text, ' ', '')) + 1
+              ELSE 0 END AS t
+  FROM ded
+), pos AS (
+  SELECT doc_id, t,
+         CAST(coalesce(sum(t) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS s
+  FROM tok WHERE t > 0
+), span AS (
+  SELECT doc_id, s, t,
+         unnest(generate_series(s // 256, (s + t - 1) // 256)) AS seq_id
+  FROM pos
+)
+SELECT seq_id, count(*) AS n_docs, min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc,
+       CAST(sum(least(s + t, (seq_id + 1) * 256)
+                - greatest(s, seq_id * 256)) AS BIGINT) AS n_tokens
+FROM span GROUP BY seq_id
+""".replace("{stop}", _STOPLIST_SQL)
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5047,6 +5135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q94_resample_ffill": _q94_resample_ffill,
         "q95_top_percentile": _q95_top_percentile,
         "q96_latest_by_key": _q96_latest_by_key,
+        "q97_curation_pipeline": _q97_curation_pipeline,
     }
 
 
@@ -5148,4 +5237,5 @@ def oracle_sql() -> dict[str, str]:
         "q94_resample_ffill": _Q94_SQL,
         "q95_top_percentile": _Q95_SQL,
         "q96_latest_by_key": _Q96_SQL,
+        "q97_curation_pipeline": _Q97_SQL,
     }

@@ -274,6 +274,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q95_top_percentile(sf_dir)))
     timed("q96_latest_by_key",
           lambda: consume(E._q96_latest_by_key(sf_dir)))
+    timed("q97_curation_pipeline",
+          lambda: consume(E._q97_curation_pipeline(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

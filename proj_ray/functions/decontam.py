@@ -32,7 +32,8 @@ import pandas as pd
 from ._hash import splitmix64, stable_u64
 
 __all__ = ["gram_hashes", "ngram_decontaminate",
-           "frequent_gram_coverage"]
+           "frequent_gram_coverage", "bench_gram_set",
+           "contaminated_mask"]
 
 _SEED = np.uint64(0xC2B2AE3D27D4EB4F)
 
@@ -171,3 +172,33 @@ def frequent_gram_coverage(corpus_ds, id_col: str = "doc_id",
 
     return corpus_ds.map_batches(score, batch_format="pandas",
                                  batch_size=batch_size)
+
+
+def bench_gram_set(bench_ds, text_col: str = "text", n: int = 4):
+    """Broadcastable sorted array of the benchmark's distinct gram
+    hashes (the build side of both the flag and filter forms)."""
+    def bench_partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, h = gram_hashes(df[text_col], n)
+        return pd.DataFrame({"_g": np.unique(h)})
+
+    parts = bench_ds.map_batches(bench_partial, batch_format="pandas",
+                                 batch_size=None).to_pandas()
+    return np.unique(parts["_g"].to_numpy(np.uint64))
+
+
+def contaminated_mask(texts, bench_sorted: np.ndarray,
+                      n: int = 4) -> np.ndarray:
+    """Per-row bool: does this text share ANY word n-gram with the
+    benchmark set? Vectorized binary search per gram occurrence."""
+    import pandas as pd
+
+    texts = pd.Series(texts).reset_index(drop=True)
+    out = np.zeros(len(texts), dtype=bool)
+    di, h = gram_hashes(texts, n)
+    if len(h) == 0 or len(bench_sorted) == 0:
+        return out
+    idx = np.searchsorted(bench_sorted, h)
+    idx[idx == len(bench_sorted)] = 0
+    hit = bench_sorted[idx] == h
+    np.logical_or.at(out, di[hit], True)
+    return out

@@ -643,38 +643,61 @@ def gopher_quality(ds, id_col: str = "doc_id", text_col: str = "text",
     """
     import pandas as pd
 
-    stop = sorted(STOPWORDS)
-
     def rules(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy(np.int64)
-        words = df[text_col].astype(str).str.findall(r"[a-z]+")
-        lens = words.str.len().to_numpy(np.int64)
-        flat = pd.DataFrame({
-            "_i": np.repeat(np.arange(len(df)), lens),
-            "_w": np.concatenate([np.asarray(w, dtype=object)
-                                  for w in words])
-            if lens.sum() else np.empty(0, dtype=object)})
-        wc = (flat.groupby(["_i", "_w"], sort=False).size()
-                  .reset_index(name="_c"))
-        wc["_wl"] = wc["_w"].str.len().to_numpy(np.int64) * wc["_c"]
-        wc["_stop"] = wc["_w"].isin(stop)
-        per = wc.groupby("_i", sort=False).agg(
-            n_words=("_c", "sum"), wchars=("_wl", "sum"),
-            topc=("_c", "max"), n_stop_distinct=("_stop", "sum"))
-        per = per[per["n_words"] > 0]
-        i = per.index.to_numpy(np.int64)
-        nw = per["n_words"].to_numpy(np.int64)
-        mw = per["wchars"].to_numpy(np.int64) * 1000 // nw
-        ppm = per["topc"].to_numpy(np.int64) * 1_000_000 // nw
-        nstop = per["n_stop_distinct"].to_numpy(np.int64)
-        passes = ((nw >= min_words) & (mw >= wlen_lo_milli)
-                  & (mw <= wlen_hi_milli) & (nstop >= min_stop_distinct)
-                  & (ppm <= max_top_word_ppm)).astype(np.int64)
-        return pd.DataFrame({
-            id_col: ids[i], "n_words": nw, "mean_wlen_milli": mw,
-            "n_stop_distinct": nstop, "top_word_ppm": ppm,
-            "passes": passes})
+        i, sig = gopher_signals(
+            df[text_col], min_words=min_words,
+            wlen_lo_milli=wlen_lo_milli, wlen_hi_milli=wlen_hi_milli,
+            min_stop_distinct=min_stop_distinct,
+            max_top_word_ppm=max_top_word_ppm)
+        out = pd.DataFrame({id_col: ids[i]})
+        for c in sig.columns:
+            out[c] = sig[c].to_numpy()
+        return out
 
     return (ds.select_columns([id_col, text_col])
               .map_batches(rules, batch_format="pandas",
                            batch_size=batch_size))
+
+
+def gopher_signals(texts, min_words: int = 10,
+                   wlen_lo_milli: int = 3000, wlen_hi_milli: int = 10000,
+                   min_stop_distinct: int = 2,
+                   max_top_word_ppm: int = 200_000):
+    """Per-row Gopher signal computation (the reusable batch kernel
+    behind gopher_quality): returns (positions, signals DataFrame)
+    where positions are the row indices of texts WITH >=1 [a-z] word
+    and signals carries n_words / mean_wlen_milli / n_stop_distinct /
+    top_word_ppm / passes for exactly those rows."""
+    import pandas as pd
+
+    stop = sorted(STOPWORDS)
+    texts = pd.Series(texts).reset_index(drop=True)
+    words = texts.astype(str).str.findall(r"[a-z]+")
+    lens = words.str.len().to_numpy(np.int64)
+    flat = pd.DataFrame({
+        "_i": np.repeat(np.arange(len(texts)), lens),
+        "_w": np.concatenate([np.asarray(w, dtype=object)
+                              for w in words])
+        if lens.sum() else np.empty(0, dtype=object)})
+    wc = (flat.groupby(["_i", "_w"], sort=False).size()
+              .reset_index(name="_c"))
+    wc["_wl"] = wc["_w"].str.len().to_numpy(np.int64) * wc["_c"]
+    wc["_stop"] = wc["_w"].isin(stop)
+    per = wc.groupby("_i", sort=False).agg(
+        n_words=("_c", "sum"), wchars=("_wl", "sum"),
+        topc=("_c", "max"), n_stop_distinct=("_stop", "sum"))
+    per = per[per["n_words"] > 0]
+    i = per.index.to_numpy(np.int64)
+    nw = per["n_words"].to_numpy(np.int64)
+    mw = per["wchars"].to_numpy(np.int64) * 1000 // nw
+    ppm = per["topc"].to_numpy(np.int64) * 1_000_000 // nw
+    nstop = per["n_stop_distinct"].to_numpy(np.int64)
+    passes = ((nw >= min_words) & (mw >= wlen_lo_milli)
+              & (mw <= wlen_hi_milli) & (nstop >= min_stop_distinct)
+              & (ppm <= max_top_word_ppm)).astype(np.int64)
+    sig = pd.DataFrame({
+        "n_words": nw, "mean_wlen_milli": mw,
+        "n_stop_distinct": nstop, "top_word_ppm": ppm,
+        "passes": passes})
+    return i, sig

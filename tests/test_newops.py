@@ -477,3 +477,60 @@ def test_latest_by_key_tiebreak(ray_session):
         out = (latest_by_key(ds, "k", "ts", order_cols=("eid",))
                .to_pandas().sort_values("k").reset_index(drop=True))
         assert out["v"].tolist() == ["c", "d", "e"]
+
+
+def test_curation_pipeline_stages_and_invariance(ray_session):
+    """Composed curation flow == serially applied stage logic, and the
+    result is blocking-invariant."""
+    import ray.data as rd
+
+    from proj_ray.functions.curation import curation_pipeline
+    from proj_ray.functions.text import gopher_signals
+
+    rng = np.random.RandomState(23)
+    vocab = ("the and for with data point value from where test "
+             "alpha beta gamma delta epsilon").split()
+    corpus = [{"doc_id": i, "text": " ".join(rng.choice(vocab, 30))}
+              for i in range(300)]
+    corpus[5]["text"] = corpus[4]["text"]          # exact dup
+    corpus[9]["text"] = " ".join(["spam"] * 40)    # fails repetition
+    bench = [{"doc_id": 900, "text": " ".join(rng.choice(vocab, 20))}]
+    # contaminate doc 17 with a bench 4-gram
+    corpus[17]["text"] += " " + " ".join(
+        bench[0]["text"].split(" ")[2:6])
+
+    def run(par):
+        return (curation_pipeline(
+            rd.from_items(corpus, override_num_blocks=par),
+            rd.from_items(bench), seq_len=64, bucket_size=32)
+            .to_pandas().sort_values("seq_id")
+            .reset_index(drop=True).astype(np.int64))
+
+    out = run(2)
+    pd.testing.assert_frame_equal(run(5), out)
+
+    # serial reference: gopher pass -> not contaminated -> dedup -> pack
+    import pandas as pd2
+    texts = pd2.Series([r["text"] for r in corpus])
+    pos, sig = gopher_signals(texts)
+    ok = set(np.asarray([corpus[p]["doc_id"] for p in pos])[
+        sig["passes"].to_numpy() == 1])
+    bgrams = {" ".join(bench[0]["text"].split(" ")[i:i + 4])
+              for i in range(len(bench[0]["text"].split(" ")) - 3)}
+
+    def grams(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i + 4]) for i in range(len(ws) - 3)}
+
+    surv = [r for r in corpus
+            if r["doc_id"] in ok and not (grams(r["text"]) & bgrams)]
+    assert 9 not in {r["doc_id"] for r in surv}
+    assert 17 not in {r["doc_id"] for r in surv}
+    best = {}
+    for r in surv:
+        best.setdefault(r["text"], r["doc_id"])
+    assert 5 not in set(best.values()) and 4 in set(best.values())
+    toks = sorted((d, len(t.split(" "))) for t, d in best.items())
+    total = sum(t for _, t in toks)
+    assert out["n_tokens"].sum() == total
+    assert (out["n_tokens"].to_numpy()[:-1] == 64).all()
