@@ -5032,6 +5032,34 @@ FROM span GROUP BY seq_id
 """.replace("{stop}", _STOPLIST_SQL)
 
 
+def _q98_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (8/1/1 by Knuth hash of
+    doc_id — stable across runs/re-shards) with per-(lang, split)
+    count + char-sum stats. One stateless pass ships only partials.
+    proj_ray/functions/sample.py hash_split_stats."""
+    from proj_ray.functions.sample import hash_split_stats
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    return hash_split_stats(ds, "doc_id", "lang", "n_chars")
+
+
+_Q98_SQL = """
+WITH s AS (
+  SELECT lang, n_chars,
+         CASE WHEN ((doc_id % 4294967296) * 2654435761)
+                   % 4294967296 % 10 <= 7 THEN 'train'
+              WHEN ((doc_id % 4294967296) * 2654435761)
+                   % 4294967296 % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_chars) AS BIGINT) AS w
+FROM s GROUP BY lang, split
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5136,6 +5164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q95_top_percentile": _q95_top_percentile,
         "q96_latest_by_key": _q96_latest_by_key,
         "q97_curation_pipeline": _q97_curation_pipeline,
+        "q98_split_assign": _q98_split_assign,
     }
 
 
@@ -5238,4 +5267,5 @@ def oracle_sql() -> dict[str, str]:
         "q95_top_percentile": _Q95_SQL,
         "q96_latest_by_key": _Q96_SQL,
         "q97_curation_pipeline": _Q97_SQL,
+        "q98_split_assign": _Q98_SQL,
     }

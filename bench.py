@@ -276,6 +276,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q96_latest_by_key(sf_dir)))
     timed("q97_curation_pipeline",
           lambda: consume(E._q97_curation_pipeline(sf_dir)))
+    timed("q98_split_assign",
+          lambda: consume(E._q98_split_assign(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

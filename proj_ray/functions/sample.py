@@ -84,3 +84,50 @@ def top_k_per_group(ds, group_col: str, value_col: str, id_col: str,
             .map_batches(prune, batch_format="numpy")
             .groupby(group_col)
             .map_groups(pick, batch_format="pandas"))
+
+
+def hash_split_stats(ds, id_col: str, group_col: str, weight_col: str,
+                     n_splits: int = 10, split_names=None,
+                     batch_size: int = 8192):
+    """Deterministic train/val/test split assignment + per-(group,
+    split) stats: split = knuth_hash(id) % n_splits, mapped through
+    `split_names` (a list of n_splits labels; default
+    8/1/1 train/val/test). The assignment is a pure function of the
+    id — stable across runs, machines and re-shards, which is the
+    property a split must have.
+
+    One stateless pass ships only (group, split, n, weight-sum)
+    partials; a small combine groupby finishes. Mirrorable in SQL via
+    the same `(id * 2654435761) % 2^32 % n_splits` arithmetic.
+    """
+    import pandas as pd
+
+    if split_names is None:
+        split_names = ["train"] * 8 + ["val", "test"]
+    assert len(split_names) == n_splits
+    names = np.asarray(split_names, dtype=object)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        s = (_mix(ids) % n_splits).astype(np.int64)
+        g = pd.DataFrame({
+            group_col: df[group_col].to_numpy(),
+            "split": names[s],
+            "_w": df[weight_col].to_numpy(np.int64)})
+        agg = g.groupby([group_col, "split"], sort=False).agg(
+            n=("_w", "size"), w=("_w", "sum")).reset_index()
+        agg["n"] = agg["n"].astype(np.int64)
+        agg["w"] = agg["w"].astype(np.int64)
+        return agg
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "split": [g["split"].iloc[0]],
+            "n": [np.int64(g["n"].sum())],
+            "w": [np.int64(g["w"].sum())]})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size)
+    return parts.groupby([group_col, "split"]).map_groups(
+        combine, batch_format="pandas")

@@ -534,3 +534,38 @@ def test_curation_pipeline_stages_and_invariance(ray_session):
     total = sum(t for _, t in toks)
     assert out["n_tokens"].sum() == total
     assert (out["n_tokens"].to_numpy()[:-1] == 64).all()
+
+
+def test_hash_split_stats_deterministic(ray_session):
+    """Split assignment is a pure function of id: stable across
+    re-sharding, proportions near 8/1/1, stats exact vs pandas."""
+    import ray.data as rd
+
+    from proj_ray.functions.sample import _mix, hash_split_stats
+
+    rows = [{"rid": int(i), "grp": f"g{i % 3}", "w": int(i) % 7}
+            for i in range(3000)]
+
+    def run(par):
+        ds = rd.from_items(rows, override_num_blocks=par)
+        return (hash_split_stats(ds, "rid", "grp", "w")
+                .to_pandas().sort_values(["grp", "split"])
+                .reset_index(drop=True))
+
+    out = run(2)
+    pd.testing.assert_frame_equal(run(6), out)
+
+    ids = np.arange(3000)
+    s = _mix(ids) % 10
+    names = np.array(["train"] * 8 + ["val", "test"], dtype=object)[s]
+    df = pd.DataFrame({"grp": [r["grp"] for r in rows],
+                       "split": names,
+                       "w": [r["w"] for r in rows]})
+    exp = (df.groupby(["grp", "split"])
+             .agg(n=("w", "size"), w=("w", "sum")).reset_index()
+             .sort_values(["grp", "split"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out.astype({"n": np.int64, "w": np.int64}),
+        exp.astype({"n": np.int64, "w": np.int64}))
+    frac = (names == "train").mean()
+    assert 0.75 < frac < 0.85
