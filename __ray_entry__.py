@@ -5060,6 +5060,63 @@ FROM s GROUP BY lang, split
 """
 
 
+def _q99_bpe_pairs(sf_dir: str):
+    """First BPE merge step of tokenizer training: corpus-wide counts
+    of adjacent [a-z][a-z] character pairs, top-20. Per-block partials
+    are <= 676 rows, so the driver combines directly — no shuffle at
+    any corpus size. proj_ray/functions/text.py bpe_pair_counts."""
+    from proj_ray.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(_read(sf_dir, "documents",
+                                 columns=["text"]), k=20)
+
+
+_Q99_SQL = """
+WITH p AS (
+  SELECT substr(text, i.i, 2) AS pair
+  FROM documents JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(length(text) - 1, 0)))
+        AS i
+  ) AS i ON true
+), ok AS (
+  SELECT pair FROM p WHERE pair NOT LIKE '% %'
+), c AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n FROM ok GROUP BY pair
+)
+SELECT pair, n,
+       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rk
+FROM c ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+def _q100_source_overlap(sf_dir: str):
+    """Cross-partition contamination matrix: distinct word-4-grams
+    shared by each unordered source pair — the "how much do my crawl
+    snapshots overlap" diagnostic. Only distinct (gram_hash, source)
+    rows cross the exchange.
+    proj_ray/functions/decontam.py cross_source_gram_overlap."""
+    from proj_ray.functions.decontam import cross_source_gram_overlap
+
+    return cross_source_gram_overlap(
+        _read(sf_dir, "documents", columns=["source", "text"]), n=4)
+
+
+_Q100_SQL = """
+WITH w AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), g AS (
+  SELECT DISTINCT source, array_to_string(ws[i.i:i.i+3], ' ') AS gram
+  FROM w JOIN LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+  ) AS i ON true
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5165,6 +5222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q96_latest_by_key": _q96_latest_by_key,
         "q97_curation_pipeline": _q97_curation_pipeline,
         "q98_split_assign": _q98_split_assign,
+        "q99_bpe_pairs": _q99_bpe_pairs,
+        "q100_source_overlap": _q100_source_overlap,
     }
 
 
@@ -5268,4 +5327,6 @@ def oracle_sql() -> dict[str, str]:
         "q96_latest_by_key": _Q96_SQL,
         "q97_curation_pipeline": _Q97_SQL,
         "q98_split_assign": _Q98_SQL,
+        "q99_bpe_pairs": _Q99_SQL,
+        "q100_source_overlap": _Q100_SQL,
     }

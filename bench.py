@@ -278,6 +278,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q97_curation_pipeline(sf_dir)))
     timed("q98_split_assign",
           lambda: consume(E._q98_split_assign(sf_dir)))
+    timed("q99_bpe_pairs",
+          lambda: consume(E._q99_bpe_pairs(sf_dir)))
+    timed("q100_source_overlap",
+          lambda: consume(E._q100_source_overlap(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -202,3 +202,52 @@ def contaminated_mask(texts, bench_sorted: np.ndarray,
     hit = bench_sorted[idx] == h
     np.logical_or.at(out, di[hit], True)
     return out
+
+
+def cross_source_gram_overlap(ds, source_col: str = "source",
+                              text_col: str = "text", n: int = 4,
+                              batch_size: int = 4096):
+    """Cross-partition contamination matrix: for each unordered source
+    pair (a < b), how many DISTINCT word n-grams occur in BOTH — the
+    "how much do my crawl snapshots overlap" diagnostic.
+
+    Per-block distinct (gram_hash, source) rows co-partition by a
+    HASH BUCKET of the gram (one all-to-all over `n_buckets` groups,
+    NOT one Python group per gram); inside each bucket the per-gram
+    source pairs come from a vectorized pandas self-merge, and the
+    per-bucket (pair, count) partials combine in a tiny final groupby.
+    """
+    import pandas as pd
+
+    n_buckets = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        di, h = gram_hashes(df[text_col], n)
+        src = df[source_col].to_numpy(object)
+        g = pd.DataFrame({"_g": h, "_s": src[di]}).drop_duplicates()
+        g["_bk"] = (g["_g"].to_numpy(np.uint64)
+                    % np.uint64(n_buckets)).astype(np.int64)
+        return g
+
+    def bucket_pairs(grp: pd.DataFrame) -> pd.DataFrame:
+        g = grp[["_g", "_s"]].drop_duplicates()
+        m = g.merge(g, on="_g")
+        m = m[m["_s_x"] < m["_s_y"]]
+        agg = (m.groupby(["_s_x", "_s_y"], sort=False).size()
+                 .reset_index(name="_c"))
+        return pd.DataFrame({
+            "src_a": agg["_s_x"], "src_b": agg["_s_y"],
+            "_c": agg["_c"].astype(np.int64)})
+
+    def combine(grp: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src_a": [grp["src_a"].iloc[0]],
+            "src_b": [grp["src_b"].iloc[0]],
+            "n_shared_grams": [np.int64(grp["_c"].sum())]})
+
+    per_bucket = (ds.map_batches(partial, batch_format="pandas",
+                                 batch_size=batch_size)
+                    .groupby("_bk").map_groups(bucket_pairs,
+                                               batch_format="pandas"))
+    return per_bucket.groupby(["src_a", "src_b"]).map_groups(
+        combine, batch_format="pandas")

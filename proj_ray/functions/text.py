@@ -701,3 +701,45 @@ def gopher_signals(texts, min_words: int = 10,
         "n_stop_distinct": nstop, "top_word_ppm": ppm,
         "passes": passes})
     return i, sig
+
+
+def bpe_pair_counts(ds, text_col: str = "text", k: int = 20,
+                    batch_size: int = 4096):
+    """The first BPE merge step of tokenizer training: corpus-wide
+    counts of adjacent [a-z][a-z] character pairs, top-k by count
+    (ties to the lexicographically smaller pair).
+
+    Per batch the texts are joined with a space separator and scanned
+    as ONE uint8 array (pairs across the separator self-exclude since
+    space is not [a-z]); the per-block partial is at most 26^2 = 676
+    rows, so the driver combines partials directly — no shuffle at
+    any corpus size.
+    """
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        blob = " ".join(df[text_col].astype(str).tolist()).encode()
+        a = np.frombuffer(blob, dtype=np.uint8)
+        if len(a) < 2:
+            return pd.DataFrame({"_p": pd.Series([], dtype=np.int64),
+                                 "_c": pd.Series([], dtype=np.int64)})
+        lo, hi = np.uint8(ord("a")), np.uint8(ord("z"))
+        ok = (a >= lo) & (a <= hi)
+        m = ok[:-1] & ok[1:]
+        pairs = (a[:-1][m].astype(np.int64) * 256
+                 + a[1:][m].astype(np.int64))
+        u, c = np.unique(pairs, return_counts=True)
+        return pd.DataFrame({"_p": u, "_c": c.astype(np.int64)})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    agg = (parts.groupby("_p")["_c"].sum().astype(np.int64)
+                .reset_index())
+    agg["pair"] = [chr(p >> 8) + chr(p & 0xFF) for p in agg["_p"]]
+    agg = agg.sort_values(["_c", "pair"],
+                          ascending=[False, True]).head(k)
+    agg = agg.reset_index(drop=True)
+    return pd.DataFrame({
+        "pair": agg["pair"],
+        "n": agg["_c"].to_numpy(np.int64),
+        "rk": np.arange(1, len(agg) + 1, dtype=np.int64)})

@@ -569,3 +569,62 @@ def test_hash_split_stats_deterministic(ray_session):
         exp.astype({"n": np.int64, "w": np.int64}))
     frac = (names == "train").mean()
     assert 0.75 < frac < 0.85
+
+
+def test_bpe_pair_counts_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.text import bpe_pair_counts
+
+    rng = np.random.RandomState(29)
+    vocab = ["abba", "cab", "dede", "abc"]
+    rows = [{"text": " ".join(rng.choice(vocab, 12))}
+            for _ in range(120)]
+    out = bpe_pair_counts(rd.from_items(rows, override_num_blocks=4),
+                          k=5)
+
+    from collections import Counter
+    cnt = Counter()
+    for r in rows:
+        t = r["text"]
+        for i in range(len(t) - 1):
+            p = t[i:i + 2]
+            if p.isalpha():
+                cnt[p] += 1
+    exp = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["pair"], out["n"])) == exp
+    assert out["rk"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_cross_source_gram_overlap_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.decontam import cross_source_gram_overlap
+
+    rng = np.random.RandomState(31)
+    vocab = [f"v{i}" for i in range(8)]
+    rows = [{"source": f"s{i % 3}",
+             "text": " ".join(rng.choice(vocab, 10))}
+            for i in range(150)]
+    out = (cross_source_gram_overlap(
+        rd.from_items(rows, override_num_blocks=4), n=3)
+        .to_pandas().sort_values(["src_a", "src_b"])
+        .reset_index(drop=True))
+
+    per_src = {}
+    for r in rows:
+        ws = r["text"].split(" ")
+        per_src.setdefault(r["source"], set()).update(
+            " ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+    exp = []
+    srcs = sorted(per_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            c = len(per_src[a] & per_src[b])
+            if c:
+                exp.append((a, b, c))
+    expdf = pd.DataFrame(exp, columns=["src_a", "src_b",
+                                       "n_shared_grams"])
+    assert len(expdf) > 0
+    pd.testing.assert_frame_equal(
+        out.astype({"n_shared_grams": np.int64}), expdf)
