@@ -4531,6 +4531,12 @@ def _q88_bloom_anti_join(sf_dir: str):
     the stateless probe map with NO exchange; only bloom positives are
     verified in the bucketed co-partition. Aggregation is pushed down
     to per-block partials on both branches + a tiny driver combine.
+    Honest caveat for THIS data: most orders DO have lineitems, so the
+    bloom prunes little here and the verify shuffle carries ~the whole
+    probe side — the bloom-anti shape pays off when the probe is
+    mostly absent from the build (e.g. yesterday's keys against
+    today's increment); this query exists to exercise the operator
+    end-to-end against a SQL oracle.
     proj_ray/functions/bloomjoin.py bloom_anti_join."""
     import pandas as pd
 
