@@ -474,6 +474,79 @@ def cmd_cct(args: list[str]) -> int:
     return 0
 
 
+def cmd_projsync(args: list[str]) -> int:
+    """projsync (reference src/apps/projsync.cpp): sync grid files from
+    a CDN endpoint (or local mirror directory) per the manifest
+    `files.geojson`, with the reference's filter options."""
+    from proj_ray.sources.netgrids import projsync
+
+    kw: dict = {}
+    i = 0
+    try:
+        while i < len(args):
+            a = args[i]
+            if a == "--endpoint":
+                i += 1
+                kw["endpoint"] = args[i]
+            elif a == "--target-dir":
+                i += 1
+                kw["target_dir"] = args[i]
+            elif a == "--user-writable-directory":
+                pass  # the default target
+            elif a == "--local-geojson-file":
+                i += 1
+                kw["local_geojson_file"] = args[i]
+            elif a == "--bbox":
+                i += 1
+                parts = args[i].split(",")
+                if len(parts) != 4:
+                    print(f"Incorrect number of values for option "
+                          f"--bbox: {args[i]}", file=sys.stderr)
+                    return 2
+                kw["bbox"] = tuple(float(x) for x in parts)
+            elif a == "--spatial-test":
+                i += 1
+                if args[i] not in ("contains", "intersects"):
+                    print(f"Unrecognized value for option --spatial-test: "
+                          f"{args[i]}", file=sys.stderr)
+                    return 2
+                kw["spatial_test"] = args[i]
+            elif a == "--source-id":
+                i += 1
+                kw["source_id"] = args[i]
+            elif a == "--area-of-use":
+                i += 1
+                kw["area_of_use"] = args[i]
+            elif a == "--file":
+                i += 1
+                kw["file"] = args[i]
+            elif a == "--all":
+                kw["all_files"] = True
+            elif a == "--exclude-world-coverage":
+                kw["exclude_world_coverage"] = True
+            elif a == "--list-files":
+                kw["list_files"] = True
+            elif a == "--dry-run":
+                kw["dry_run"] = True
+            elif a in ("-q", "--quiet"):
+                kw["quiet"] = True
+            elif a == "--verbose":
+                pass
+            else:
+                print(f"Unrecognized option: {a}", file=sys.stderr)
+                return 2
+            i += 1
+    except IndexError:
+        print(f"Missing value for option {args[-1]}", file=sys.stderr)
+        return 2
+    try:
+        projsync(**kw)
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 2
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
@@ -496,8 +569,10 @@ def main(argv: list[str] | None = None) -> int:
         return cmd_cct(rest)
     if cmd == "projdb":
         return cmd_projdb(rest)
+    if cmd == "projsync":
+        return cmd_projsync(rest)
     print(f"unknown command {cmd!r}; one of: proj cs2cs geod gie "
-          "projinfo cct projdb", file=sys.stderr)
+          "projinfo cct projdb projsync", file=sys.stderr)
     return 2
 
 

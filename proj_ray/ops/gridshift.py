@@ -330,6 +330,17 @@ def load_grids(names: str) -> list[ShiftGrid]:
                 path = cand
                 break
         if path is None:
+            # PROJ_NETWORK=ON fallback: fetch from the CDN endpoint into
+            # the user cache dir (reference: pj_open_lib -> network file
+            # manager, src/filemanager.cpp + networkfilemanager.cpp)
+            from proj_ray.sources import netgrids
+            if netgrids.network_enabled():
+                try:
+                    path = netgrids.NetworkFileManager.default() \
+                        .ensure_local(name)
+                except Exception:  # noqa: BLE001 - endpoint missing file
+                    path = None
+        if path is None:
             if not optional:
                 any_required_missing = name
             continue
