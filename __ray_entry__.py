@@ -1518,7 +1518,7 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 
 def _q34_images_resize(sf_dir: str):
     """Multimodal resize stage on the measured path: decode every blob
-    (real BMP/PNG codecs, deterministic FJPG stub for jpeg), nearest-
+    (real BMP/PNG codecs, SQL-mirrorable qjpg for the lossy rows), nearest-
     neighbor resize to 16x12 (floor index mapping — integer-exact), and
     emit per-channel pixel sums. The SQL oracle regenerates the sampled
     source pixels arithmetically from the synth formula
@@ -2346,7 +2346,7 @@ def _q49_zonal_stats(sf_dir: str):
     + per-batch partial aggregation happen in ONE map_batches pass, so
     the all-to-all moves (tile, sum, n) partials — never pixels. The
     SQL oracle regenerates each source image's pixel sum arithmetically
-    (synth formula + FJPG quantize-decode) and the tile from the
+    (synth formula + qjpg quantize-decode) and the tile from the
     geotag formula, so codec, tiling, or dup-row drift fails the
     hash."""
     from ray.data.aggregate import Sum
@@ -5123,6 +5123,47 @@ GROUP BY a.source, b.source
 """
 
 
+def _q101_jpeg_fidelity(sf_dir: str):
+    """Real-JPEG fidelity gate: decode every stored image (png/qjpg/
+    bmp), re-encode it with the REAL baseline JPEG codec
+    (proj_ray/jpeg.py — ITU-T T.81 sequential DCT, 4:4:4, per-image
+    optimized Huffman tables; replaces the round-1..4 quantize stub for
+    fmt='jpeg'), decode that, and count per source format the rows
+    whose round-trip PSNR clears the north-rule 40 dB lossy bar. The
+    SQL oracle states the INVARIANT — n_psnr_ge_40 == n, with the
+    per-format counts derived from the fixture's dup-adjusted format
+    rotation — so a codec regression below the bar fails the value
+    hash mechanically. The exchange ships (fmt, n, ok) counter
+    partials from the actor pool; pixels never move."""
+    from proj_ray.images import JpegFidelity, images_table
+
+    n = _read(sf_dir, "documents").count()
+    ds = images_table(n, columns=["bytes", "fmt"])
+    parts = ds.map_batches(JpegFidelity, batch_format="numpy",
+                           batch_size=256, concurrency=(2, 8)).to_pandas()
+    out = (parts.groupby("fmt", as_index=False)
+           .agg(n=("n_part", "sum"), n_psnr_ge_40=("ok_part", "sum"))
+           .sort_values("fmt").reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    out["n_psnr_ge_40"] = out["n_psnr_ge_40"].astype("int64")
+    return out
+
+
+_Q101_SQL = """
+WITH ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+f AS (
+  SELECT CASE (CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END) % 3
+         WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END AS fmt
+  FROM ids
+)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_psnr_ge_40
+FROM f GROUP BY fmt ORDER BY fmt
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5230,6 +5271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_split_assign": _q98_split_assign,
         "q99_bpe_pairs": _q99_bpe_pairs,
         "q100_source_overlap": _q100_source_overlap,
+        "q101_jpeg_fidelity": _q101_jpeg_fidelity,
     }
 
 
@@ -5335,4 +5377,5 @@ def oracle_sql() -> dict[str, str]:
         "q98_split_assign": _Q98_SQL,
         "q99_bpe_pairs": _Q99_SQL,
         "q100_source_overlap": _Q100_SQL,
+        "q101_jpeg_fidelity": _Q101_SQL,
     }

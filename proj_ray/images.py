@@ -5,13 +5,20 @@ Input shape is the BASELINE input_hint:
   caption:string, phash:int64  (+ geotag lon/lat synthesized
   deterministically).
 
-Container constraints: no PIL/libjpeg, so
-  - bmp: real 24-bit uncompressed BMP encode/decode (pure NumPy)
+Container constraints: no PIL/libjpeg, so every codec is pure NumPy:
+  - bmp: real 24-bit uncompressed BMP encode/decode
   - png: real PNG encode/decode (zlib, filter 0, 8-bit RGB)
-  - jpeg: STUB — a deterministic fake lossy codec ("quantize each channel
-    to a step", PSNR ~ 48 dB) behind the same API, clearly marked. The
-    Ray-side plumbing (schema, batch sizing, actor signature) is real;
-    swap `_fake_jpeg_*` for a libjpeg binding in production.
+  - jpeg: REAL baseline JPEG (proj_ray/jpeg.py — ITU-T T.81 sequential
+    DCT, 4:4:4, optimized Huffman tables), quality 98 on the fixture
+    path so the lossy invariant (PSNR >= 40 dB) holds with margin even
+    on the worst-case modular-sawtooth synthetic patterns
+  - qjpg: the round-1..4 quantize-to-a-step stand-in, kept as its own
+    honestly-named format because its decode is EXACT integer
+    arithmetic a SQL oracle can mirror ((c//4)*4+2) — the stored
+    synthetic table uses it for its lossy rows so the pixel-decoding
+    oracles (q22/q24/q49/q92/q93) stay value-exact; real-JPEG fidelity
+    is oracle-gated separately (q101: SQL states the >=40 dB
+    invariant, the engine measures it).
 
 Everything is seeded by row index only (seed=42 convention) so any worker
 can regenerate any row — the basis for resumable synthesis at scale.
@@ -161,22 +168,25 @@ def png_decode(data: bytes) -> np.ndarray:
     return px.astype(np.uint8)
 
 
-# ------------------------------------------------------- fake lossy codec --
+# -------------------------------------------- quantize stand-in codec --
 
 _FJPG_MAGIC = b"FJPG"
 _FJPG_STEP = 4  # quantization step -> PSNR ~ 48 dB
 
 
-def _fake_jpeg_encode(px: np.ndarray) -> bytes:
-    """STUB lossy codec (no libjpeg in this container): deterministic
-    channel quantization + zlib. NOT a real JPEG — marked by magic."""
+def _qjpg_encode(px: np.ndarray) -> bytes:
+    """Deterministic SQL-mirrorable lossy codec: channel quantization +
+    zlib. Decode is exact integer arithmetic ((c//4)*4+2), which is why
+    the synthetic table's lossy rows use it — pixel-decoding SQL
+    oracles stay value-exact. NOT a JPEG (magic FJPG); the real JPEG
+    codec is proj_ray/jpeg.py."""
     h, w, _ = px.shape
     q = (px.astype(np.int32) // _FJPG_STEP).astype(np.uint8)
     return (_FJPG_MAGIC + struct.pack(">HHB", w, h, _FJPG_STEP)
             + zlib.compress(q.tobytes(), 6))
 
 
-def _fake_jpeg_decode(data: bytes) -> np.ndarray:
+def _qjpg_decode(data: bytes) -> np.ndarray:
     if data[:4] != _FJPG_MAGIC:
         raise ValueError("not a FJPG blob")
     w, h, step = struct.unpack(">HHB", data[4:9])
@@ -185,7 +195,9 @@ def _fake_jpeg_decode(data: bytes) -> np.ndarray:
     return np.clip(px, 0, 255).astype(np.uint8)
 
 
-FORMATS = ("png", "jpeg", "bmp")
+FORMATS = ("png", "qjpg", "bmp")
+
+JPEG_FIXTURE_QUALITY = 98  # clears the 40 dB bar on worst-case synth
 
 
 def encode(px: np.ndarray, fmt: str) -> bytes:
@@ -194,7 +206,10 @@ def encode(px: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(px)
     if fmt == "jpeg":
-        return _fake_jpeg_encode(px)
+        from proj_ray.jpeg import jpeg_encode
+        return jpeg_encode(px, quality=JPEG_FIXTURE_QUALITY)
+    if fmt == "qjpg":
+        return _qjpg_encode(px)
     raise NotImplementedError(f"codec {fmt} not available in this container")
 
 
@@ -204,7 +219,10 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(data)
     if fmt == "jpeg":
-        return _fake_jpeg_decode(data)
+        from proj_ray.jpeg import jpeg_decode
+        return jpeg_decode(data)
+    if fmt == "qjpg":
+        return _qjpg_decode(data)
     raise NotImplementedError(f"codec {fmt} not available in this container")
 
 
@@ -417,7 +435,9 @@ def images_table(n_rows: int, columns: list | None = None,
     tiling needs only lon/lat — the blobs never leave storage)."""
     import ray.data as rd
 
-    path = cached_table(images_dataset, "images", n_rows,
+    # tag bumped when the codec set changed (jpeg -> real T.81; the
+    # fixture's lossy rows renamed to qjpg) so stale caches regenerate
+    path = cached_table(images_dataset, "images_v2", n_rows,
                         parallelism=parallelism)
     return rd.read_parquet(path, columns=columns)
 
@@ -589,3 +609,44 @@ def clip_geo_topk(emb_ds, query_ids: np.ndarray, k: int = 3,
     return (emb_ds.map_batches(score, batch_format="numpy")
                   .groupby("qid").map_groups(final,
                                              batch_format="pandas"))
+
+
+# -------------------------------------------------- real-JPEG fidelity --
+
+
+class JpegFidelity:
+    """Actor-pool stage gating the lossy-codec invariant (north rule:
+    decoded-pixel PSNR >= 40 dB for lossy formats) on the REAL baseline
+    JPEG codec (proj_ray/jpeg.py): decode each stored blob with its own
+    codec, re-encode as real JPEG, decode that, and count rows whose
+    round-trip PSNR clears the threshold.
+
+    Emits per-batch partials (fmt, n_part, ok_part) — the exchange
+    carries a handful of counter rows, never pixels. The q101 SQL
+    oracle states the INVARIANT (ok == n for every format); the engine
+    measures it, so a codec regression below the bar fails the
+    value-hash gate mechanically.
+    """
+
+    def __init__(self, quality: int = JPEG_FIXTURE_QUALITY,
+                 threshold_db: float = 40.0):
+        from proj_ray.jpeg import jpeg_decode, jpeg_encode
+        self.enc, self.dec = jpeg_encode, jpeg_decode
+        self.quality = quality
+        self.threshold_db = threshold_db
+
+    def __call__(self, b: dict) -> dict:
+        import pandas as pd
+
+        m = len(b["fmt"])
+        ok = np.empty(m, dtype=np.int64)
+        for k in range(m):
+            px = decode(b["bytes"][k], b["fmt"][k])
+            rt = self.dec(self.enc(px, self.quality))
+            ok[k] = psnr(px, rt) >= self.threshold_db
+        g = (pd.DataFrame({"fmt": b["fmt"], "ok": ok})
+             .groupby("fmt", as_index=False)
+             .agg(n_part=("ok", "size"), ok_part=("ok", "sum")))
+        return {"fmt": g["fmt"].to_numpy(dtype=object),
+                "n_part": g["n_part"].to_numpy(np.int64),
+                "ok_part": g["ok_part"].to_numpy(np.int64)}

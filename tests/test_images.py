@@ -9,10 +9,17 @@ def test_bmp_png_lossless_roundtrip():
     assert np.array_equal(I.png_decode(I.png_encode(px)), px)
 
 
-def test_fake_jpeg_psnr():
+def test_qjpg_psnr():
     px = I.synth_pixels(9, 64, 48)
-    out = I._fake_jpeg_decode(I._fake_jpeg_encode(px))
+    out = I._qjpg_decode(I._qjpg_encode(px))
     assert I.psnr(px, out) >= 40.0
+
+
+def test_real_jpeg_psnr_via_dispatch():
+    px = I.synth_pixels(9, 64, 48)
+    blob = I.encode(px, "jpeg")
+    assert blob[:2] == b"\xff\xd8"        # actual JPEG, not the stand-in
+    assert I.psnr(px, I.decode(blob, "jpeg")) >= 40.0
 
 
 def test_images_batch_invariants():
@@ -22,7 +29,7 @@ def test_images_batch_invariants():
         px = I.decode(b["bytes"][k], b["fmt"][k])
         src = k if (k % 97 != 0 or k == 0) else k - 1
         ref = I.synth_pixels(src, int(b["w"][k]), int(b["h"][k]))
-        if b["fmt"][k] == "jpeg":
+        if b["fmt"][k] in ("jpeg", "qjpg"):
             assert I.psnr(ref, px) >= 40
         else:
             assert np.array_equal(ref, px)
