@@ -5134,13 +5134,13 @@ def _q101_jpeg_fidelity(sf_dir: str):
     per-format counts derived from the fixture's dup-adjusted format
     rotation — so a codec regression below the bar fails the value
     hash mechanically. The exchange ships (fmt, n, ok) counter
-    partials from the actor pool; pixels never move."""
-    from proj_ray.images import JpegFidelity, images_table
+    partials from the task pool; pixels never move."""
+    from proj_ray.images import images_table, jpeg_fidelity_partials
 
     n = _read(sf_dir, "documents").count()
     ds = images_table(n, columns=["bytes", "fmt"])
-    parts = ds.map_batches(JpegFidelity, batch_format="numpy",
-                           batch_size=256, concurrency=(2, 8)).to_pandas()
+    parts = ds.map_batches(jpeg_fidelity_partials, batch_format="numpy",
+                           batch_size=64).to_pandas()
     out = (parts.groupby("fmt", as_index=False)
            .agg(n=("n_part", "sum"), n_psnr_ge_40=("ok_part", "sum"))
            .sort_values("fmt").reset_index(drop=True))

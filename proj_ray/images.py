@@ -614,8 +614,9 @@ def clip_geo_topk(emb_ds, query_ids: np.ndarray, k: int = 3,
 # -------------------------------------------------- real-JPEG fidelity --
 
 
-class JpegFidelity:
-    """Actor-pool stage gating the lossy-codec invariant (north rule:
+def jpeg_fidelity_partials(b: dict, quality: int = JPEG_FIXTURE_QUALITY,
+                           threshold_db: float = 40.0) -> dict:
+    """Task-pool stage gating the lossy-codec invariant (north rule:
     decoded-pixel PSNR >= 40 dB for lossy formats) on the REAL baseline
     JPEG codec (proj_ray/jpeg.py): decode each stored blob with its own
     codec, re-encode as real JPEG, decode that, and count rows whose
@@ -626,27 +627,26 @@ class JpegFidelity:
     oracle states the INVARIANT (ok == n for every format); the engine
     measures it, so a codec regression below the bar fails the
     value-hash gate mechanically.
-    """
 
-    def __init__(self, quality: int = JPEG_FIXTURE_QUALITY,
-                 threshold_db: float = 40.0):
-        from proj_ray.jpeg import jpeg_decode, jpeg_encode
-        self.enc, self.dec = jpeg_encode, jpeg_decode
-        self.quality = quality
-        self.threshold_db = threshold_db
+    Deliberately a plain function, not an actor class: the stage holds
+    no per-worker state worth amortizing (the codec is a module
+    import), and at 5k images the task pool reaches full width
+    immediately while an autoscaling actor pool spends most of the
+    wall-clock ramping (measured 11.5 s actor vs 3.5 s task at sf0.1,
+    32 cpus)."""
+    import pandas as pd
 
-    def __call__(self, b: dict) -> dict:
-        import pandas as pd
+    from proj_ray.jpeg import jpeg_decode, jpeg_encode
 
-        m = len(b["fmt"])
-        ok = np.empty(m, dtype=np.int64)
-        for k in range(m):
-            px = decode(b["bytes"][k], b["fmt"][k])
-            rt = self.dec(self.enc(px, self.quality))
-            ok[k] = psnr(px, rt) >= self.threshold_db
-        g = (pd.DataFrame({"fmt": b["fmt"], "ok": ok})
-             .groupby("fmt", as_index=False)
-             .agg(n_part=("ok", "size"), ok_part=("ok", "sum")))
-        return {"fmt": g["fmt"].to_numpy(dtype=object),
-                "n_part": g["n_part"].to_numpy(np.int64),
-                "ok_part": g["ok_part"].to_numpy(np.int64)}
+    m = len(b["fmt"])
+    ok = np.empty(m, dtype=np.int64)
+    for k in range(m):
+        px = decode(b["bytes"][k], b["fmt"][k])
+        rt = jpeg_decode(jpeg_encode(px, quality))
+        ok[k] = psnr(px, rt) >= threshold_db
+    g = (pd.DataFrame({"fmt": b["fmt"], "ok": ok})
+         .groupby("fmt", as_index=False)
+         .agg(n_part=("ok", "size"), ok_part=("ok", "sum")))
+    return {"fmt": g["fmt"].to_numpy(dtype=object),
+            "n_part": g["n_part"].to_numpy(np.int64),
+            "ok_part": g["ok_part"].to_numpy(np.int64)}

@@ -279,16 +279,21 @@ def _entropy_segments(data: bytes, pos: int) -> list[np.ndarray]:
     return segs
 
 
-_POW2_16 = (1 << np.arange(15, -1, -1).astype(np.int64))
-
-
 def _bit_windows(seg: np.ndarray) -> np.ndarray:
     """val16[i] = the 16 bits starting at bit offset i, as an int —
-    one vectorized pass; the decode loop then peeks in O(1)."""
-    bits = np.unpackbits(seg)
-    padded = np.concatenate([bits, np.zeros(128, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, 16)
-    return win.astype(np.int64) @ _POW2_16
+    one vectorized pass; the decode loop then peeks in O(1).
+
+    Built from a per-byte rolling 32-bit word (b[j]<<24 | b[j+1]<<16 |
+    b[j+2]<<8 | b[j+3]) shifted by the intra-byte offset — n x 8 int
+    ops total, no (n_bits x 16) sliding-window materialization (which
+    made decode superlinear in image size)."""
+    # 20 trailing zero bytes pad val16 by 128 bit positions past the
+    # segment end, so a truncated scan reaches the bp >= bit_limit
+    # ValueError check instead of an IndexError on the peek
+    b = np.concatenate([seg, np.zeros(20, dtype=np.uint8)]).astype(np.int64)
+    w = (b[:-4] << 24) | (b[1:-3] << 16) | (b[2:-2] << 8) | b[3:-1]
+    return (((w[:, None] << np.arange(8, dtype=np.int64)[None, :])
+             >> 16) & 0xFFFF).reshape(-1)
 
 
 def _extend(v: int, t: int) -> int:
@@ -338,6 +343,114 @@ def _component_symbols(zz: np.ndarray):
     return dc_syms, dc_vals, ac_streams
 
 
+def _category_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized T.81 SSSS category: |v|.bit_length(). Exact for
+    |v| < 2**52 (log2 of exact ints is float-exact at the boundaries
+    that matter: 2**k -> k, and 2**k + 1 rounds strictly above k)."""
+    return np.ceil(np.log2(np.abs(v) + 1.0)).astype(np.int64)
+
+
+def _symbol_stream(comp_zz: list[np.ndarray]):
+    """Vectorized F.1.2 symbol enumeration for the interleaved 1x1
+    scan — the all-NumPy replacement for per-block _component_symbols
+    (kept for the conformance tests).
+
+    Emission order is encoded in a sort key (mcu, component, slot):
+    slot 0/1 = DC symbol / DC appended bits, 8k+0..2 = ZRLs preceding
+    the coefficient at zigzag position k, 8k+4/+5 = its RRRRSSSS
+    symbol / appended bits, 512 = EOB. Returns (vals, lens, is_sym,
+    tsel) in stream order: is_sym rows are Huffman symbols (vals =
+    symbol byte; tsel = table 0 luma-DC / 1 luma-AC / 2 chroma-DC /
+    3 chroma-AC), the rest raw appended-bit entries (vals, lens)."""
+    nc = len(comp_zz)
+    nb = comp_zz[0].shape[0]
+    kspan = np.int64(8 * 64 + 8)
+    keys, vals, lens, is_sym, tsel = [], [], [], [], []
+
+    def add(k, v, ln, sym, t):
+        keys.append(k.astype(np.int64))
+        vals.append(v.astype(np.int64))
+        lens.append(ln.astype(np.int64))
+        is_sym.append(sym)
+        tsel.append(t.astype(np.int64))
+
+    one = np.int64(1)
+    for ci, zz in enumerate(comp_zz):
+        base = (np.arange(nb, dtype=np.int64) * nc + ci) * kspan
+        tdc = 0 if ci == 0 else 2
+        tac = tdc + 1
+
+        # DC: differential across scan order, prev = 0 at start
+        diff = np.diff(zz[:, 0], prepend=np.int64(0))
+        t = _category_vec(diff)
+        add(base, t, np.zeros(nb, np.int64), np.ones(nb, bool),
+            np.full(nb, tdc, np.int64))
+        m = t > 0
+        dcv = np.where(diff >= 0, diff, diff + (one << t) - 1)
+        nm = int(m.sum())
+        add(base[m] + 1, dcv[m], t[m], np.zeros(nm, bool),
+            np.zeros(nm, np.int64))
+
+        # AC: runs between nonzeros, ZRL for each full 16-run, EOB
+        acs = zz[:, 1:]
+        bi, j = np.nonzero(acs)                  # row-major = scan order
+        k = (j + 1).astype(np.int64)
+        v = acs[bi, j]
+        if len(bi):
+            first = np.r_[True, bi[1:] != bi[:-1]]
+            prevk = np.where(first, 0, np.r_[np.int64(0), k[:-1]])
+        else:
+            prevk = k
+        run = k - prevk - 1
+        s = _category_vec(v)
+        nzrl = run >> 4
+        if int(nzrl.sum()):
+            zi = np.repeat(np.arange(len(k)), nzrl)
+            zoff = (np.arange(len(zi), dtype=np.int64)
+                    - np.repeat(np.cumsum(nzrl) - nzrl, nzrl))
+            nz = len(zi)
+            add(base[bi[zi]] + 8 * k[zi] + zoff,
+                np.full(nz, 0xF0, np.int64), np.zeros(nz, np.int64),
+                np.ones(nz, bool), np.full(nz, tac, np.int64))
+        add(base[bi] + 8 * k + 4, ((run & 15) << 4) | s,
+            np.zeros(len(k), np.int64), np.ones(len(k), bool),
+            np.full(len(k), tac, np.int64))
+        av = np.where(v >= 0, v, v + (one << s) - 1)
+        add(base[bi] + 8 * k + 5, av, s, np.zeros(len(k), bool),
+            np.zeros(len(k), np.int64))
+        lastk = np.max(np.where(acs != 0,
+                                np.arange(1, 64, dtype=np.int64)[None, :],
+                                0), axis=1)
+        e = lastk < 63
+        ne = int(e.sum())
+        add(base[e] + 8 * 64, np.zeros(ne, np.int64),
+            np.zeros(ne, np.int64), np.ones(ne, bool),
+            np.full(ne, tac, np.int64))
+
+    order = np.argsort(np.concatenate(keys), kind="stable")
+    return (np.concatenate(vals)[order], np.concatenate(lens)[order],
+            np.concatenate(is_sym)[order], np.concatenate(tsel)[order])
+
+
+def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized MSB-first bit packing: 1-padding to the byte
+    boundary and T.81 0xFF00 stuffing, matching _BitWriter bit for
+    bit."""
+    total = int(lens.sum())
+    starts = np.cumsum(lens) - lens
+    j = np.repeat(np.arange(len(vals)), lens)
+    within = np.arange(total, dtype=np.int64) - starts[j]
+    bits = ((vals[j] >> (lens[j] - 1 - within)) & 1).astype(np.uint8)
+    pad = (-total) % 8
+    if pad:
+        bits = np.concatenate([bits, np.ones(pad, np.uint8)])
+    by = np.packbits(bits)
+    stuff = np.nonzero(by == 0xFF)[0]
+    if len(stuff):
+        by = np.insert(by, stuff + 1, 0)
+    return by.tobytes()
+
+
 def jpeg_encode(px: np.ndarray, quality: int = 92) -> bytes:
     """Encode (h, w, 3) or (h, w) uint8 pixels as baseline JFIF JPEG
     with per-image optimized Huffman tables."""
@@ -363,27 +476,22 @@ def jpeg_encode(px: np.ndarray, quality: int = 92) -> bytes:
         q = np.round(coefs / qt).astype(np.int64)
         comp_zz.append(q.reshape(-1, 64)[:, ZZ])
 
-    streams = [_component_symbols(zz) for zz in comp_zz]
+    svals, slens, s_is_sym, s_tsel = _symbol_stream(comp_zz)
 
     # gather symbol statistics -> optimized tables (luma: comp 0;
     # chroma: comps 1+2 share, as SOF0's table-id convention expects)
-    def table_for(idxs, kind):
-        freq = np.zeros(256, dtype=np.int64)
-        for ci in idxs:
-            dc_syms, _, ac = streams[ci]
-            if kind == "dc":
-                np.add.at(freq, dc_syms, 1)
-            else:
-                for acs in ac:
-                    for sym, _, _ in acs:
-                        freq[sym] += 1
-        return build_huff_table(freq)
-
-    groups = [[0]] if gray else [[0], [1, 2]]
-    dc_tabs = [table_for(g, "dc") for g in groups]
-    ac_tabs = [table_for(g, "ac") for g in groups]
-    dc_codes = [_assign_codes(*t) for t in dc_tabs]
-    ac_codes = [_assign_codes(*t) for t in ac_tabs]
+    ntab = 2 if gray else 4
+    tabs = [build_huff_table(np.bincount(svals[s_is_sym & (s_tsel == t)],
+                                         minlength=256))
+            for t in range(ntab)]
+    dc_tabs = [tabs[0]] + ([] if gray else [tabs[2]])
+    ac_tabs = [tabs[1]] + ([] if gray else [tabs[3]])
+    code_lut = np.zeros((ntab, 256), dtype=np.int64)
+    len_lut = np.zeros((ntab, 256), dtype=np.int64)
+    for t in range(ntab):
+        for symv, (code, ln) in _assign_codes(*tabs[t]).items():
+            code_lut[t, symv] = code
+            len_lut[t, symv] = ln
 
     # ---- headers --------------------------------------------------
     out = bytearray()
@@ -420,24 +528,12 @@ def jpeg_encode(px: np.ndarray, quality: int = 92) -> bytes:
     out += b"\xFF\xDA" + (len(sos) + 2).to_bytes(2, "big") + sos
 
     # ---- entropy-coded segment (interleaved MCUs, 1x1 => one block
-    # of each component per MCU) ------------------------------------
-    bw = _BitWriter()
-    nb = comp_zz[0].shape[0]
-    for i in range(nb):
-        for ci in range(nc):
-            ti = 0 if ci == 0 else 1
-            dc_syms, dc_vals, ac = streams[ci]
-            code, ln = dc_codes[ti][int(dc_syms[i])]
-            bw.put(code, ln)
-            if dc_syms[i]:
-                bw.put(int(dc_vals[i]), int(dc_syms[i]))
-            for sym, s, v in ac[i]:
-                code, ln = ac_codes[ti][sym]
-                bw.put(code, ln)
-                if s:
-                    bw.put(v, s)
-    bw.flush()
-    out += bw.buf
+    # of each component per MCU): symbols -> canonical codes, then one
+    # vectorized bit-pack ---------------------------------------------
+    sidx = np.where(s_is_sym, svals, 0)      # raw bit patterns can be >255
+    out_vals = np.where(s_is_sym, code_lut[s_tsel, sidx], svals)
+    out_lens = np.where(s_is_sym, len_lut[s_tsel, sidx], slens)
+    out += _pack_bits(out_vals, out_lens)
     out += b"\xFF\xD9"                                    # EOI
     return bytes(out)
 
