@@ -5164,6 +5164,83 @@ FROM f GROUP BY fmt ORDER BY fmt
 """
 
 
+def _q102_pii_redact(sf_dir: str):
+    """PII scan + redaction stats per source (the scrubbing pass of
+    web-curation pipelines). The fixture corpus has no natural PII, so
+    the query injects deterministic contact tokens (email for
+    doc_id%3==0, IPv4 for %5==0, phone for %7==0) by the same
+    arithmetic formula the SQL oracle uses — the images-fixture
+    pattern of deterministic augmentation — then runs the engine's
+    regex scan/redact operator (functions/text.py pii_scan_redact,
+    RE2-compatible patterns). All regex work is pandas-C inside one
+    map_batches; only per-source counter partials cross the
+    exchange."""
+    import pandas as pd
+    from proj_ray.functions.text import pii_scan_redact
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.Series(df["doc_id"].to_numpy(np.int64))
+        t = df["text"].astype(str).reset_index(drop=True)
+        em = (" mail u" + d.astype(str) + "@ex" + (d % 7).astype(str)
+              + ".com").where(d % 3 == 0, "")
+        ip = (" ip 10." + (d % 256).astype(str) + "."
+              + ((d // 7) % 256).astype(str) + "."
+              + (d % 100).astype(str)).where(d % 5 == 0, "")
+        ph = (" tel +1-555-" + (1000 + d % 9000).astype(str)
+              ).where(d % 7 == 0, "")
+        return pd.DataFrame({
+            "source": df["source"].to_numpy(dtype=object),
+            "text": t + em + ip + ph})
+
+    return pii_scan_redact(ds.map_batches(aug, batch_format="pandas"))
+
+
+_Q102_SQL = r"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' mail u'
+                 || CAST(doc_id AS VARCHAR) || '@ex'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.'
+                 || CAST(doc_id % 256 AS VARCHAR) || '.'
+                 || CAST((doc_id // 7) % 256 AS VARCHAR) || '.'
+                 || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-'
+                 || CAST(1000 + doc_id % 9000 AS VARCHAR) ELSE '' END AS t
+  FROM documents
+),
+m AS (
+  SELECT source, t,
+         len(regexp_extract_all(t,
+             '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}')) AS c_email,
+         len(regexp_extract_all(t,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS c_ipv4,
+         len(regexp_extract_all(t, '\+1-555-\d{4}')) AS c_phone
+  FROM aug
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_email,
+       CAST(sum(CASE WHEN c_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_ipv4,
+       CAST(sum(CASE WHEN c_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_phone,
+       CAST(sum(c_email) AS BIGINT) AS tok_email,
+       CAST(sum(c_ipv4) AS BIGINT) AS tok_ipv4,
+       CAST(sum(c_phone) AS BIGINT) AS tok_phone,
+       CAST(sum(length(regexp_replace(regexp_replace(regexp_replace(t,
+            '[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+            '\+1-555-\d{4}', '<PHONE>', 'g'))) AS BIGINT)
+           AS redacted_len_sum
+FROM m GROUP BY source ORDER BY source
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5272,6 +5349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q99_bpe_pairs": _q99_bpe_pairs,
         "q100_source_overlap": _q100_source_overlap,
         "q101_jpeg_fidelity": _q101_jpeg_fidelity,
+        "q102_pii_redact": _q102_pii_redact,
     }
 
 
@@ -5378,4 +5456,5 @@ def oracle_sql() -> dict[str, str]:
         "q99_bpe_pairs": _Q99_SQL,
         "q100_source_overlap": _Q100_SQL,
         "q101_jpeg_fidelity": _Q101_SQL,
+        "q102_pii_redact": _Q102_SQL,
     }

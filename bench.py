@@ -284,6 +284,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q100_source_overlap(sf_dir)))
     timed("q101_jpeg_fidelity",
           lambda: consume(E._q101_jpeg_fidelity(sf_dir)))
+    timed("q102_pii_redact",
+          lambda: consume(E._q102_pii_redact(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -743,3 +743,58 @@ def bpe_pair_counts(ds, text_col: str = "text", k: int = 20,
         "pair": agg["pair"],
         "n": agg["_c"].to_numpy(np.int64),
         "rk": np.arange(1, len(agg) + 1, dtype=np.int64)})
+
+
+# PII scan + redaction (the scrubbing pass of web-curation pipelines
+# like Dolma/RedPajama): regexes are RE2-compatible (no lookaround) so
+# a DuckDB oracle runs the exact same patterns.
+PII_PATTERNS = (
+    ("email", r"[a-z0-9._]+@[a-z0-9.]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+1-555-\d{4}", "<PHONE>"),
+)
+
+
+def pii_scan_redact(ds, text_col: str = "text",
+                    group_col: str = "source",
+                    patterns=PII_PATTERNS, batch_size: int = 4096):
+    """Scan for PII tokens and measure the redacted corpus, grouped.
+
+    One stateless map_batches does everything per batch — pandas
+    C-level `str.count` per pattern, chained `str.replace` redaction
+    in declaration order, then a per-batch groupby to partials — so
+    the exchange carries ~|groups| counter rows per batch, never text.
+    Partials combine on the driver (the repo's default for bounded
+    group domains). Per group: n_docs, docs_<kind> (documents with a
+    hit), tok_<kind> (total occurrences), redacted_len_sum (length of
+    the corpus after all redactions — the value a downstream tokenizer
+    sees). At 100 TB the only change is routing the partials through
+    bucketed_sum instead of the driver."""
+    import pandas as pd
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[text_col].astype(str)
+        agg = pd.DataFrame(
+            {group_col: df[group_col].to_numpy(dtype=object)})
+        red = s
+        for kind, pat, rep in patterns:
+            c = s.str.count(pat).to_numpy(np.int64)
+            agg[f"docs_{kind}"] = (c > 0).astype(np.int64)
+            agg[f"tok_{kind}"] = c
+            red = red.str.replace(pat, rep, regex=True)
+        agg["redacted_len"] = red.str.len().to_numpy(np.int64)
+        agg["n_docs"] = np.int64(1)
+        return agg.groupby(group_col, as_index=False).sum()
+
+    parts = ds.map_batches(scan, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    out = parts.groupby(group_col, as_index=False).sum()
+    for c in out.columns:
+        if c != group_col:
+            out[c] = out[c].astype(np.int64)
+    cols = ([group_col, "n_docs"]
+            + [f"docs_{k}" for k, _, _ in patterns]
+            + [f"tok_{k}" for k, _, _ in patterns]
+            + ["redacted_len"])
+    return (out[cols].sort_values(group_col).reset_index(drop=True)
+            .rename(columns={"redacted_len": "redacted_len_sum"}))

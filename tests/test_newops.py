@@ -628,3 +628,45 @@ def test_cross_source_gram_overlap_bruteforce(ray_session):
     assert len(expdf) > 0
     pd.testing.assert_frame_equal(
         out.astype({"n_shared_grams": np.int64}), expdf)
+
+
+def test_pii_scan_redact_bruteforce(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from proj_ray.functions.text import PII_PATTERNS, pii_scan_redact
+
+    rows = [
+        {"source": "a", "text": "write to bob.r@mail.example.org now"},
+        {"source": "a", "text": "hosts 10.0.0.1 and 192.168.7.250 up"},
+        {"source": "b", "text": "call +1-555-0199 or +1-555-7210"},
+        {"source": "b", "text": "no pii here at all"},
+        {"source": "b", "text": "x@y.io via 8.8.8.8 tel +1-555-1234"},
+    ]
+    out = pii_scan_redact(rd.from_items(rows, override_num_blocks=3),
+                          batch_size=2)
+
+    exp = {}
+    for r in rows:
+        g = exp.setdefault(r["source"],
+                           {"n_docs": 0, "docs_email": 0, "docs_ipv4": 0,
+                            "docs_phone": 0, "tok_email": 0,
+                            "tok_ipv4": 0, "tok_phone": 0,
+                            "redacted_len_sum": 0})
+        g["n_docs"] += 1
+        red = r["text"]
+        for kind, pat, rep in PII_PATTERNS:
+            c = len(re.findall(pat, red))
+            g[f"docs_{kind}"] += int(c > 0)
+            g[f"tok_{kind}"] += c
+            red = re.sub(pat, rep, red)
+        g["redacted_len_sum"] += len(red)
+
+    for _, row in out.iterrows():
+        for k, v in exp[row["source"]].items():
+            assert row[k] == v, (row["source"], k, row[k], v)
+    assert set(out["source"]) == set(exp)
+    # redaction leaves no residual matches
+    assert (out["tok_email"] + out["tok_ipv4"] + out["tok_phone"]).sum() \
+        == 2 + 3 + 3
