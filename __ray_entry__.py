@@ -5241,6 +5241,71 @@ FROM m GROUP BY source ORDER BY source
 """
 
 
+def _q103_repetition_filter(sf_dir: str):
+    """Gopher repetition filters (duplicate-n-gram family, Rae et al.
+    2021 table A1): per-source mean duplicate-2gram / duplicate-3gram
+    ppm and flag counts above 10% — the repetition signal set
+    complementing q87's gopher_quality rules. One stateless
+    map_batches builds grams from shifted views of the flattened word
+    array (no per-row Python); only per-source counter partials cross
+    the exchange. Integer ppm arithmetic end-to-end so the SQL oracle
+    (unnest-by-generate_series gram assembly) is bit-exact."""
+    from proj_ray.functions.text import repetition_signals
+
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+    return repetition_signals(ds)
+
+
+_Q103_SQL = """
+WITH arrs AS (
+  SELECT doc_id, source, regexp_extract_all(text, '[a-z]+') AS arr
+  FROM documents
+),
+p2 AS (
+  SELECT doc_id, any_value(source) AS source, count(*) AS tot,
+         count(DISTINCT g) AS dist
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(arr) - 1),
+                      i -> arr[i] || ' ' || arr[i + 1])) AS g
+        FROM arrs)
+  GROUP BY doc_id
+),
+p3 AS (
+  SELECT doc_id, any_value(source) AS source, count(*) AS tot,
+         count(DISTINCT g) AS dist
+  FROM (SELECT doc_id, source,
+               unnest(list_transform(generate_series(1, len(arr) - 2),
+                      i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]))
+               AS g
+        FROM arrs)
+  GROUP BY doc_id
+),
+s2 AS (
+  SELECT source, count(*) AS n_docs2,
+         sum((tot - dist) * 1000000 // tot) AS sum2,
+         sum(CASE WHEN (tot - dist) * 1000000 // tot >= 100000
+             THEN 1 ELSE 0 END) AS flag2
+  FROM p2 GROUP BY source
+),
+s3 AS (
+  SELECT source, count(*) AS n_docs3,
+         sum((tot - dist) * 1000000 // tot) AS sum3,
+         sum(CASE WHEN (tot - dist) * 1000000 // tot >= 100000
+             THEN 1 ELSE 0 END) AS flag3
+  FROM p3 GROUP BY source
+)
+SELECT COALESCE(s2.source, s3.source) AS source,
+       CAST(COALESCE(n_docs2, 0) AS BIGINT) AS n_docs2,
+       CAST(COALESCE(sum2 // n_docs2, 0) AS BIGINT) AS mean_dup2_ppm,
+       CAST(COALESCE(flag2, 0) AS BIGINT) AS flag2,
+       CAST(COALESCE(n_docs3, 0) AS BIGINT) AS n_docs3,
+       CAST(COALESCE(sum3 // n_docs3, 0) AS BIGINT) AS mean_dup3_ppm,
+       CAST(COALESCE(flag3, 0) AS BIGINT) AS flag3
+FROM s2 FULL OUTER JOIN s3 USING (source)
+ORDER BY source
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5350,6 +5415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q100_source_overlap": _q100_source_overlap,
         "q101_jpeg_fidelity": _q101_jpeg_fidelity,
         "q102_pii_redact": _q102_pii_redact,
+        "q103_repetition_filter": _q103_repetition_filter,
     }
 
 
@@ -5457,4 +5523,5 @@ def oracle_sql() -> dict[str, str]:
         "q100_source_overlap": _Q100_SQL,
         "q101_jpeg_fidelity": _Q101_SQL,
         "q102_pii_redact": _Q102_SQL,
+        "q103_repetition_filter": _Q103_SQL,
     }

@@ -286,6 +286,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q101_jpeg_fidelity(sf_dir)))
     timed("q102_pii_redact",
           lambda: consume(E._q102_pii_redact(sf_dir)))
+    timed("q103_repetition_filter",
+          lambda: consume(E._q103_repetition_filter(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -798,3 +798,88 @@ def pii_scan_redact(ds, text_col: str = "text",
             + ["redacted_len"])
     return (out[cols].sort_values(group_col).reset_index(drop=True)
             .rename(columns={"redacted_len": "redacted_len_sum"}))
+
+
+def repetition_signals(ds, text_col: str = "text",
+                       group_col: str = "source",
+                       flag_ppm: int = 100_000,
+                       batch_size: int = 4096):
+    """Gopher repetition filters (Rae et al. 2021 table A1, the
+    duplicate-n-gram family): per document, the fraction of 2-gram and
+    3-gram occurrences that are repeats — (total - distinct) / total —
+    in integer ppm, aggregated per source with a flag count above
+    `flag_ppm`. Complements gopher_quality (which covers the
+    word-count/length/stopword/top-word rules).
+
+    One stateless map_batches per batch does findall + shifted-array
+    gram assembly + two C-level groupbys, emitting per-source counter
+    partials; the driver combines over the bounded source domain.
+    Integer arithmetic end-to-end so the SQL oracle is bit-exact.
+    Documents with fewer than n words are excluded from the n-gram
+    stats (mirrors the SQL inner join), hence separate n_docs2 /
+    n_docs3 denominators."""
+    import pandas as pd
+
+    def dup_ppm(grp, words, lens, n):
+        cols = [f"n_docs{n}", f"sum_dup{n}_ppm", f"flag{n}"]
+        m = lens >= n
+        lm = lens[m]
+        k = lm - (n - 1)
+        total = int(k.sum())
+        if total == 0:
+            return pd.DataFrame({group_col: np.empty(0, dtype=object),
+                                 **{c: np.empty(0, np.int64)
+                                    for c in cols}})
+        orig = np.nonzero(m)[0]
+        di = np.repeat(orig, k)
+        flat = np.concatenate(
+            [np.asarray(w, dtype=object) for w in words[m]])
+        # gram j of doc i = words j..j+n-1: assemble via shifted views
+        # of the flattened (masked) word array
+        off = (np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(k) - k, k))
+        starts = np.repeat(np.cumsum(lm) - lm, k) + off
+        g = flat[starts]
+        for j in range(1, n):
+            g = g + " " + flat[starts + j]
+        per = (pd.DataFrame({"_i": di, "_g": g})
+               .groupby("_i")["_g"].agg(["size", "nunique"]))
+        tot = per["size"].to_numpy(np.int64)
+        ppm = (tot - per["nunique"].to_numpy(np.int64)) * 1_000_000 // tot
+        return pd.DataFrame({
+            group_col: grp[per.index.to_numpy(np.int64)],
+            f"n_docs{n}": np.int64(1),
+            f"sum_dup{n}_ppm": ppm,
+            f"flag{n}": (ppm >= flag_ppm).astype(np.int64)})
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        grp = df[group_col].to_numpy(dtype=object)
+        words = df[text_col].astype(str).str.findall(r"[a-z]+")
+        lens = words.str.len().to_numpy(np.int64)
+        words = words.to_numpy(dtype=object)
+        p2 = dup_ppm(grp, words, lens, 2).groupby(
+            group_col, as_index=False).sum()
+        p3 = dup_ppm(grp, words, lens, 3).groupby(
+            group_col, as_index=False).sum()
+        out = p2.merge(p3, on=group_col, how="outer").fillna(0)
+        for c in out.columns:
+            if c != group_col:
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    parts = ds.select_columns([text_col, group_col]) \
+              .map_batches(scan, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    out = parts.groupby(group_col, as_index=False).sum()
+    for n in (2, 3):
+        nd = out[f"n_docs{n}"].to_numpy(np.int64)
+        out[f"mean_dup{n}_ppm"] = np.where(
+            nd > 0, out[f"sum_dup{n}_ppm"].to_numpy(np.int64)
+            // np.maximum(nd, 1), 0)
+    cols = [group_col]
+    for n in (2, 3):
+        cols += [f"n_docs{n}", f"mean_dup{n}_ppm", f"flag{n}"]
+    out = out[cols]
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)

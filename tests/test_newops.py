@@ -670,3 +670,23 @@ def test_pii_scan_redact_bruteforce(ray_session):
     # redaction leaves no residual matches
     assert (out["tok_email"] + out["tok_ipv4"] + out["tok_phone"]).sum() \
         == 2 + 3 + 3
+
+
+def test_repetition_signals_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.text import repetition_signals
+
+    rows = [
+        {"source": "a", "text": "x y x y x y"},   # 2g: tot5 dist2, 3g: tot4 dist2
+        {"source": "a", "text": "a b c d"},       # 2g: 0 ppm, 3g: 0 ppm
+        {"source": "b", "text": "q q q q q"},     # 2g: 750000, 3g: 666666
+        {"source": "b", "text": "one"},           # <2 words: excluded
+    ]
+    out = repetition_signals(rd.from_items(rows, override_num_blocks=2),
+                             batch_size=2).set_index("source")
+    a, b = out.loc["a"], out.loc["b"]
+    assert (a["n_docs2"], a["mean_dup2_ppm"], a["flag2"]) == (2, 300000, 1)
+    assert (a["n_docs3"], a["mean_dup3_ppm"], a["flag3"]) == (2, 250000, 1)
+    assert (b["n_docs2"], b["mean_dup2_ppm"], b["flag2"]) == (1, 750000, 1)
+    assert (b["n_docs3"], b["mean_dup3_ppm"], b["flag3"]) == (1, 666666, 1)
