@@ -5306,6 +5306,153 @@ ORDER BY source
 """
 
 
+def _q104_pagerank(sf_dir: str, iters: int = 5, dim_cap=None):
+    """Iterative distributed PageRank over the customer<->supplier
+    trade graph (distinct (o_custkey, l_suppkey) pairs from
+    orders x lineitem, both directions, suppliers namespaced +1e6),
+    5 fixed iterations in integer fixed-point so the SQL oracle —
+    chained CTEs, one per iteration — is bit-exact. Returns the
+    top-20 nodes by final rank (ties broken by node id).
+
+    Scale shape: the orders->custkey side broadcasts below
+    stages.BROADCAST_ROW_LIMIT and falls back to a bucketed
+    co-partition join above it; pair-dedup is bucketed drop-duplicates.
+    The iteration loop runs on the driver below an explicit edge cap
+    (numpy fixed-point, bit-identical) and as the distributed
+    functions/graph.py pagerank above it — two hash-bucket all-to-alls
+    per iteration over (node, contrib) messages, never a driver-side
+    graph. dim_cap=0 in pytest drives BOTH fallbacks."""
+    import pandas as pd
+    import ray
+
+    from proj_ray.functions.graph import pagerank
+    from proj_ray.stages import BROADCAST_ROW_LIMIT, BroadcastLookup
+
+    cap = BROADCAST_ROW_LIMIT if dim_cap is None else dim_cap
+    ns = 1_000_000
+    nb = 64
+    orders_ds = _read(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    if orders_ds.count() <= cap:
+        od = orders_ds.to_pandas()
+        omap = BroadcastLookup(od["o_orderkey"].to_numpy(),
+                               {"ck": od["o_custkey"].to_numpy()})
+        oref = ray.put(omap)
+
+        def pairs(b: dict) -> dict:
+            vals, found = ray.get(oref).take(
+                np.asarray(b["l_orderkey"], dtype=np.int64))
+            return {"c": vals["ck"][found].astype(np.int64),
+                    "s": np.asarray(b["l_suppkey"],
+                                    dtype=np.int64)[found]}
+
+        pr = li.map_batches(pairs, batch_format="numpy")
+    else:
+        def li_rows(b: dict) -> dict:
+            k = np.asarray(b["l_orderkey"], dtype=np.int64)
+            return {"k": k,
+                    "v": np.asarray(b["l_suppkey"], dtype=np.int64),
+                    "side": np.zeros(len(k), np.int8),
+                    "_bk": (k % nb + nb) % nb}
+
+        def o_rows(b: dict) -> dict:
+            k = np.asarray(b["o_orderkey"], dtype=np.int64)
+            return {"k": k,
+                    "v": np.asarray(b["o_custkey"], dtype=np.int64),
+                    "side": np.ones(len(k), np.int8),
+                    "_bk": (k % nb + nb) % nb}
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            left = g[g["side"] == 0]
+            right = g[g["side"] == 1]
+            m = left.merge(right[["k", "v"]].rename(columns={"v": "c"}),
+                           on="k")
+            return pd.DataFrame({"c": m["c"].to_numpy(np.int64),
+                                 "s": m["v"].to_numpy(np.int64)})
+
+        pr = (li.map_batches(li_rows, batch_format="numpy")
+              .union(orders_ds.map_batches(o_rows, batch_format="numpy"))
+              .groupby("_bk").map_groups(merge, batch_format="pandas"))
+
+    pr = pr.materialize()
+    edge_cap = 5_000_000 if dim_cap is None else dim_cap
+    if pr.count() <= edge_cap:
+        # raw pair list fits the driver: dedup + numpy fixed-point
+        # loop here (bit-identical to the distributed path,
+        # pytest-enforced)
+        from proj_ray.functions.graph import pagerank_numpy
+        ep = pr.to_pandas().drop_duplicates(["c", "s"])
+        c = ep["c"].to_numpy(np.int64)
+        s = ep["s"].to_numpy(np.int64) + ns
+        nodes_a, r_a = pagerank_numpy(np.concatenate([c, s]),
+                                      np.concatenate([s, c]),
+                                      iters=iters)
+        order = np.lexsort((nodes_a, -r_a))[:20]
+        return pd.DataFrame({"node": nodes_a[order],
+                             "r": r_a[order]})
+
+    def tag_pair(b: dict) -> dict:
+        c = np.asarray(b["c"], dtype=np.int64)
+        s = np.asarray(b["s"], dtype=np.int64)
+        return {"c": c, "s": s, "_bk": ((c * 31 + s) % nb + nb) % nb}
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["c", "s"])[["c", "s"]]
+
+    pairs_d = (pr.map_batches(tag_pair, batch_format="numpy")
+               .groupby("_bk").map_groups(dedup, batch_format="pandas"))
+
+    def both(b: dict) -> dict:
+        c = np.asarray(b["c"], dtype=np.int64)
+        s = np.asarray(b["s"], dtype=np.int64) + ns
+        return {"src": np.concatenate([c, s]),
+                "dst": np.concatenate([s, c])}
+
+    ranks = pagerank(pairs_d.map_batches(both, batch_format="numpy"),
+                     iters=iters)
+    top = (ranks.sort(["r", "node"], descending=[True, False])
+           .limit(20).to_pandas())
+    top["node"] = top["node"].astype(np.int64)
+    top["r"] = top["r"].astype(np.int64)
+    return top[["node", "r"]]
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    sql = """
+WITH pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT c AS src, s + 1000000 AS dst FROM pairs
+  UNION ALL SELECT s + 1000000, c FROM pairs
+),
+outd AS (SELECT src, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY src),
+nodes AS (SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e),
+r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+m{i} AS (
+  SELECT e.dst AS v, sum(r{i - 1}.r // outd.o) AS c
+  FROM e JOIN outd USING (src) JOIN r{i - 1} ON r{i - 1}.v = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.v,
+         CAST(150000 + (85 * COALESCE(m{i}.c, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN m{i} ON m{i}.v = n.v
+)"""
+    return sql + f"""
+SELECT v AS node, r FROM r{iters} ORDER BY r DESC, v LIMIT 20
+"""
+
+
+_Q104_SQL = _pagerank_oracle_sql(5)
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5416,6 +5563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q101_jpeg_fidelity": _q101_jpeg_fidelity,
         "q102_pii_redact": _q102_pii_redact,
         "q103_repetition_filter": _q103_repetition_filter,
+        "q104_pagerank": _q104_pagerank,
     }
 
 
@@ -5524,4 +5672,5 @@ def oracle_sql() -> dict[str, str]:
         "q101_jpeg_fidelity": _Q101_SQL,
         "q102_pii_redact": _Q102_SQL,
         "q103_repetition_filter": _Q103_SQL,
+        "q104_pagerank": _Q104_SQL,
     }

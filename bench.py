@@ -288,6 +288,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q102_pii_redact(sf_dir)))
     timed("q103_repetition_filter",
           lambda: consume(E._q103_repetition_filter(sf_dir)))
+    timed("q104_pagerank",
+          lambda: consume(E._q104_pagerank(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

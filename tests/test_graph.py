@@ -61,3 +61,32 @@ def test_connected_components_chain(ray_session):
         max_iters=20, n_buckets=4).to_pandas()
     assert len(got) == 11
     assert (got["label"] == 0).all()
+
+
+def test_pagerank_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.graph import pagerank, pagerank_numpy
+
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 80, 600)
+    dst = rng.randint(0, 80, 600)
+    edges = rd.from_items(
+        [{"src": int(a), "dst": int(b)} for a, b in zip(src, dst)],
+        override_num_blocks=4)
+    out = (pagerank(edges, iters=5, n_buckets=8).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    nodes, r = pagerank_numpy(src, dst, iters=5)
+    assert out["node"].tolist() == nodes.tolist()
+    assert out["r"].tolist() == r.tolist()
+    # fixed-point sanity: every rank >= teleport, total mass bounded
+    assert (r >= 150_000).all()
+
+
+def test_pagerank_q104_driver_vs_distributed(ray_session):
+    import __ray_entry__ as E
+
+    a = E._q104_pagerank("/root/testdata/sf0.001")
+    b = E._q104_pagerank("/root/testdata/sf0.001", dim_cap=0)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
