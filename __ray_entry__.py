@@ -5453,6 +5453,46 @@ SELECT v AS node, r FROM r{iters} ORDER BY r DESC, v LIMIT 20
 _Q104_SQL = _pagerank_oracle_sql(5)
 
 
+def _q105_funnel(sf_dir: str):
+    """Ordered funnel analysis over the events stream (first-match
+    semantics): users progressing view -> click -> purchase in strict
+    timestamp order, plus total view->purchase conversion latency in
+    integer microseconds. n_users counts distinct users within the
+    funnel-universe event types (the pruned read both sides use).
+    One hash-bucket all-to-all co-partitions events by user; the
+    per-bucket pass is pandas-C groupby-min chains; one counter row
+    per bucket reaches the driver (functions/temporal.py
+    funnel_counts)."""
+    from proj_ray.functions.temporal import funnel_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+_Q105_SQL = """
+WITH f AS (SELECT user_id, event_type, ts FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+s0 AS (SELECT user_id, min(ts) AS t0 FROM f
+       WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT f.user_id, min(f.ts) AS t1 FROM f
+       JOIN s0 ON f.user_id = s0.user_id AND f.ts > s0.t0
+       WHERE f.event_type = 'click' GROUP BY f.user_id),
+s2 AS (SELECT f.user_id, min(f.ts) AS t2 FROM f
+       JOIN s1 ON f.user_id = s1.user_id AND f.ts > s1.t1
+       WHERE f.event_type = 'purchase' GROUP BY f.user_id)
+SELECT CAST((SELECT count(DISTINCT user_id) FROM f) AS BIGINT)
+           AS n_users,
+       CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_view_click,
+       CAST((SELECT count(*) FROM s2) AS BIGINT)
+           AS n_view_click_purchase,
+       CAST(COALESCE((SELECT sum(epoch_us(s2.t2) - epoch_us(s0.t0))
+                      FROM s2 JOIN s0 ON s2.user_id = s0.user_id), 0)
+            AS BIGINT) AS sum_convert_us
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5564,6 +5604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_pii_redact": _q102_pii_redact,
         "q103_repetition_filter": _q103_repetition_filter,
         "q104_pagerank": _q104_pagerank,
+        "q105_funnel": _q105_funnel,
     }
 
 
@@ -5673,4 +5714,5 @@ def oracle_sql() -> dict[str, str]:
         "q102_pii_redact": _Q102_SQL,
         "q103_repetition_filter": _Q103_SQL,
         "q104_pagerank": _Q104_SQL,
+        "q105_funnel": _Q105_SQL,
     }

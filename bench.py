@@ -290,6 +290,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q103_repetition_filter(sf_dir)))
     timed("q104_pagerank",
           lambda: consume(E._q104_pagerank(sf_dir)))
+    timed("q105_funnel",
+          lambda: consume(E._q105_funnel(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -563,3 +563,71 @@ def latest_by_key(ds, key_col: str, ts_col: str, order_cols=(),
                            batch_size=batch_size)
     return parts.groupby(key_col).map_groups(pick_last,
                                              batch_format="pandas")
+
+
+def funnel_counts(ds, stages, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  n_buckets: int = 32, batch_size: int = 65536):
+    """Ordered funnel analysis (first-match semantics): for each user,
+    stage k matches the EARLIEST event of stages[k] strictly after the
+    user's stage-(k-1) match. Returns one row of exact counters:
+    n_users (distinct users seen), n_<s1>, n_<s1>_<s2>, ... (users
+    reaching each stage prefix), and sum_convert_us (total
+    first-stage -> last-stage latency in integer microseconds over
+    completing users) — all integers, so the SQL oracle (chained
+    min-over-filtered-join CTEs + epoch_us) is bit-exact.
+
+    Scale shape: events are pre-filtered to the stage types at the
+    map (column- and row-pruned), then ONE hash-bucket all-to-all
+    co-partitions by user; the per-bucket pass is pandas-C groupby
+    mins and merges, emitting one counter row per bucket that the
+    driver sums. Order never matters within the exchange — matching
+    is by timestamps, not arrival order."""
+    import pandas as pd
+
+    stages = list(stages)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[type_col].isin(stages)][
+            [user_col, type_col, ts_col]].copy()
+        u = d[user_col].to_numpy(np.int64)
+        d["_bk"] = (u % n_buckets + n_buckets) % n_buckets
+        return d
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        counts = {}
+        counts["n_users_part"] = np.int64(g[user_col].nunique())
+        cur = (g[g[type_col] == stages[0]]
+               .groupby(user_col)[ts_col].min())
+        first = cur
+        counts["c0_part"] = np.int64(len(cur))
+        for i, st in enumerate(stages[1:], 1):
+            e = (g[g[type_col] == st][[user_col, ts_col]]
+                 .merge(cur.rename("_prev"), left_on=user_col,
+                        right_index=True))
+            e = e[e[ts_col] > e["_prev"]]
+            cur = e.groupby(user_col)[ts_col].min()
+            counts[f"c{i}_part"] = np.int64(len(cur))
+        done = cur
+        if len(done):
+            lat = (done.to_numpy("datetime64[us]").astype(np.int64)
+                   - first.loc[done.index].to_numpy("datetime64[us]")
+                   .astype(np.int64))
+            counts["sum_convert_us_part"] = np.int64(lat.sum())
+        else:
+            counts["sum_convert_us_part"] = np.int64(0)
+        return pd.DataFrame({k: [v] for k, v in counts.items()})
+
+    parts = (ds.map_batches(prune, batch_format="pandas",
+                            batch_size=batch_size)
+             .groupby("_bk")
+             .map_groups(lambda g: bucket_funnel(
+                 g.drop(columns=["_bk"])), batch_format="pandas")
+             .to_pandas())
+    out = {"n_users": np.int64(parts["n_users_part"].sum())}
+    name = ""
+    for i, st in enumerate(stages):
+        name = f"{name}_{st}" if name else st
+        out[f"n_{name}"] = np.int64(parts[f"c{i}_part"].sum())
+    out["sum_convert_us"] = np.int64(parts["sum_convert_us_part"].sum())
+    return pd.DataFrame({k: [v] for k, v in out.items()})

@@ -239,3 +239,52 @@ def test_track_densify_slerp_properties(ray_session):
     # antimeridian leg interpolates across 180, not the long way
     am = out[out["k"] == 2]
     assert (np.abs(np.abs(am["lon_f"] / 1e7) - 180.0) < 15.0).all()
+
+
+def test_funnel_counts_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import funnel_counts
+
+    rng = np.random.RandomState(9)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    for i in range(2000):
+        rows.append({
+            "user_id": int(rng.randint(0, 60)),
+            "event_type": ["view", "click", "purchase",
+                           "error"][rng.randint(0, 4)],
+            "ts": base + np.timedelta64(int(rng.randint(0, 10**9)), "us"),
+        })
+    out = funnel_counts(
+        rd.from_items(rows, override_num_blocks=4),
+        ["view", "click", "purchase"], n_buckets=8).iloc[0]
+
+    # serial first-match reference
+    import collections
+    by_user = collections.defaultdict(list)
+    for r in rows:
+        if r["event_type"] in ("view", "click", "purchase"):
+            by_user[r["user_id"]].append((r["ts"], r["event_type"]))
+    n0 = n1 = n2 = 0
+    tot = 0
+    for u, evs in by_user.items():
+        t0 = min((t for t, e in evs if e == "view"), default=None)
+        if t0 is None:
+            continue
+        n0 += 1
+        t1 = min((t for t, e in evs if e == "click" and t > t0),
+                 default=None)
+        if t1 is None:
+            continue
+        n1 += 1
+        t2 = min((t for t, e in evs if e == "purchase" and t > t1),
+                 default=None)
+        if t2 is None:
+            continue
+        n2 += 1
+        tot += int((t2 - t0) / np.timedelta64(1, "us"))
+    assert out["n_users"] == len(by_user)
+    assert (out["n_view"], out["n_view_click"],
+            out["n_view_click_purchase"]) == (n0, n1, n2)
+    assert out["sum_convert_us"] == tot
