@@ -5493,6 +5493,36 @@ SELECT CAST((SELECT count(DISTINCT user_id) FROM f) AS BIGINT)
 """
 
 
+def _q106_retention(sf_dir: str):
+    """Cohort retention matrix over the events stream: cohort = the
+    epoch DAY of each user's first event (the fixture spans one
+    calendar month, so daily periods give a real matrix); count
+    distinct cohort users active at each day offset 0..14. One
+    hash-bucket all-to-all over per-batch-deduped (user, day) pairs;
+    (cohort, offset, count) partials over the bounded domain reach the
+    driver (functions/temporal.py retention_cohorts)."""
+    from proj_ray.functions.temporal import retention_cohorts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds, max_offset=14,
+                             period_us=86_400_000_000)
+
+
+_Q106_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS mon
+  FROM events
+),
+c AS (SELECT user_id, min(mon) AS m0 FROM um GROUP BY user_id)
+SELECT c.m0 AS cohort_mon, um.mon - c.m0 AS off,
+       CAST(count(DISTINCT um.user_id) AS BIGINT) AS n_users
+FROM um JOIN c USING (user_id)
+WHERE um.mon - c.m0 <= 14
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5605,6 +5635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q103_repetition_filter": _q103_repetition_filter,
         "q104_pagerank": _q104_pagerank,
         "q105_funnel": _q105_funnel,
+        "q106_retention": _q106_retention,
     }
 
 
@@ -5715,4 +5746,5 @@ def oracle_sql() -> dict[str, str]:
         "q103_repetition_filter": _Q103_SQL,
         "q104_pagerank": _Q104_SQL,
         "q105_funnel": _Q105_SQL,
+        "q106_retention": _Q106_SQL,
     }

@@ -292,6 +292,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q104_pagerank(sf_dir)))
     timed("q105_funnel",
           lambda: consume(E._q105_funnel(sf_dir)))
+    timed("q106_retention",
+          lambda: consume(E._q106_retention(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -631,3 +631,61 @@ def funnel_counts(ds, stages, user_col: str = "user_id",
         out[f"n_{name}"] = np.int64(parts[f"c{i}_part"].sum())
     out["sum_convert_us"] = np.int64(parts["sum_convert_us_part"].sum())
     return pd.DataFrame({k: [v] for k, v in out.items()})
+
+
+def retention_cohorts(ds, user_col: str = "user_id",
+                      ts_col: str = "ts", max_offset: int = 5,
+                      period_us: int | None = None,
+                      n_buckets: int = 32, batch_size: int = 65536):
+    """Cohort retention matrix: cohort = the period index of each
+    user's first event — calendar month (year*12 + month) by default,
+    or fixed-width epoch periods (epoch_us // period_us, e.g. days)
+    when `period_us` is given; for every offset 0..max_offset, the
+    number of distinct cohort users active in cohort period + offset.
+    All integer arithmetic, bit-exact against the SQL oracle
+    (distinct user-periods -> min -> offset counts).
+
+    Scale shape: events prune to (user, month) per batch (per-batch
+    dedup shrinks the exchange to <= one row per user-month per
+    batch), ONE hash-bucket all-to-all co-partitions by user, and the
+    per-bucket pass emits (cohort, offset, count) partials over the
+    bounded months x offsets domain that the driver sums."""
+    import pandas as pd
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df[ts_col])
+        if period_us is None:
+            mon = (ts.dt.year * 12 + ts.dt.month).to_numpy(np.int64)
+        else:
+            mon = (ts.to_numpy("datetime64[us]").astype(np.int64)
+                   // period_us)
+        u = df[user_col].to_numpy(np.int64)
+        d = pd.DataFrame({"u": u, "mon": mon}).drop_duplicates()
+        d["_bk"] = (d["u"].to_numpy(np.int64) % n_buckets
+                    + n_buckets) % n_buckets
+        return d
+
+    def bucket_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["u", "mon"])
+        m0 = d.groupby("u")["mon"].transform("min")
+        off = d["mon"].to_numpy(np.int64) - m0.to_numpy(np.int64)
+        keep = off <= max_offset
+        out = pd.DataFrame({"cohort_mon": m0.to_numpy(np.int64)[keep],
+                            "off": off[keep]})
+        # distinct users per (cohort, off) within the bucket: (u, mon)
+        # rows are already distinct, so each row IS one user-offset
+        return (out.groupby(["cohort_mon", "off"], as_index=False)
+                .size().rename(columns={"size": "n_part"}))
+
+    parts = (ds.map_batches(prune, batch_format="pandas",
+                            batch_size=batch_size)
+             .groupby("_bk")
+             .map_groups(lambda g: bucket_counts(
+                 g.drop(columns=["_bk"])), batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["cohort_mon", "off"], as_index=False)
+           ["n_part"].sum().rename(columns={"n_part": "n_users"}))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return (out.sort_values(["cohort_mon", "off"])
+            .reset_index(drop=True))

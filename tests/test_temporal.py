@@ -288,3 +288,36 @@ def test_funnel_counts_bruteforce(ray_session):
     assert (out["n_view"], out["n_view_click"],
             out["n_view_click_purchase"]) == (n0, n1, n2)
     assert out["sum_convert_us"] == tot
+
+
+def test_retention_cohorts_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import retention_cohorts
+
+    rng = np.random.RandomState(13)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    rows = [{"user_id": int(rng.randint(0, 40)),
+             "ts": base + int(rng.randint(0, 20)) * day
+             + np.timedelta64(int(rng.randint(0, 10**6)), "us")}
+            for _ in range(1500)]
+    out = retention_cohorts(
+        rd.from_items(rows, override_num_blocks=4),
+        max_offset=7, period_us=86_400_000_000, n_buckets=8)
+
+    import collections
+    per_user = collections.defaultdict(set)
+    for r in rows:
+        per_user[r["user_id"]].add(
+            int(r["ts"].astype("datetime64[us]").astype(np.int64)
+                // 86_400_000_000))
+    exp = collections.Counter()
+    for u, days in per_user.items():
+        m0 = min(days)
+        for d in days:
+            if d - m0 <= 7:
+                exp[(m0, d - m0)] += 1
+    got = {(int(r.cohort_mon), int(r.off)): int(r.n_users)
+           for r in out.itertuples()}
+    assert got == dict(exp)
