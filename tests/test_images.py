@@ -138,3 +138,13 @@ def test_resizer_stage_bytes(ray_session):
     for r in out:
         assert r["fmt"] == "png" and r["w"] == 8 and r["h"] == 8
         assert decode(r["bytes"], "png").shape == (8, 8, 3)
+
+
+def test_jpeg_fidelity_negative_control():
+    # the PSNR>=40 gate must be able to FAIL: a deliberately bad
+    # quality setting pushes round-trips below the bar, so ok < n
+    b = I.make_images_batch(0, 48)
+    good = I.jpeg_fidelity_partials(b)
+    assert good["ok_part"].sum() == good["n_part"].sum()
+    bad = I.jpeg_fidelity_partials(b, quality=3)
+    assert bad["ok_part"].sum() < bad["n_part"].sum()
