@@ -5523,6 +5523,50 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q107_snapshot_diff(sf_dir: str):
+    """CDC snapshot diff over the append-only events stream: the
+    latest-per-user state (max (ts, event_id) tuple wins, q96's rule)
+    at two cut timestamps, diffed — keys at each cut, keys added
+    between cuts, surviving keys whose fixed-point value changed vs
+    stayed. ONE hash-bucket all-to-all on user after row/column
+    pruning; each bucket computes both snapshots and emits one counter
+    row (functions/temporal.py snapshot_diff). The SQL oracle builds
+    the two snapshots with QUALIFY row_number()=1 windows and left-
+    joins them."""
+    from proj_ray.functions.temporal import snapshot_diff
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+    return snapshot_diff(ds, "user_id", "ts", "value",
+                         "2024-01-11T00:00:00", "2024-01-21T00:00:00",
+                         order_cols=("event_id",))
+
+
+_Q107_SQL = """
+WITH s1 AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE ts <= TIMESTAMP '2024-01-11 00:00:00'
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+),
+s2 AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE ts <= TIMESTAMP '2024-01-21 00:00:00'
+  QUALIFY row_number() OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC) = 1
+)
+SELECT CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_keys_t1,
+       CAST((SELECT count(*) FROM s2) AS BIGINT) AS n_keys_t2,
+       CAST(sum(CASE WHEN s1.user_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN s1.user_id IS NOT NULL AND s1.v <> s2.v
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(sum(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unchanged
+FROM s2 LEFT JOIN s1 USING (user_id)
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5636,6 +5680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_pagerank": _q104_pagerank,
         "q105_funnel": _q105_funnel,
         "q106_retention": _q106_retention,
+        "q107_snapshot_diff": _q107_snapshot_diff,
     }
 
 
@@ -5747,4 +5792,5 @@ def oracle_sql() -> dict[str, str]:
         "q104_pagerank": _Q104_SQL,
         "q105_funnel": _Q105_SQL,
         "q106_retention": _Q106_SQL,
+        "q107_snapshot_diff": _Q107_SQL,
     }

@@ -294,6 +294,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q105_funnel(sf_dir)))
     timed("q106_retention",
           lambda: consume(E._q106_retention(sf_dir)))
+    timed("q107_snapshot_diff",
+          lambda: consume(E._q107_snapshot_diff(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -689,3 +689,66 @@ def retention_cohorts(ds, user_col: str = "user_id",
         out[c] = out[c].astype(np.int64)
     return (out.sort_values(["cohort_mon", "off"])
             .reset_index(drop=True))
+
+
+def snapshot_diff(ds, key_col: str, ts_col: str, value_col: str,
+                  cut1, cut2, order_cols=(), scale: int = 100,
+                  n_buckets: int = 32, batch_size: int = 65536):
+    """CDC snapshot diff: compare the latest-per-key state (same
+    ordering rule as latest_by_key: max (ts, *order_cols) tuple wins)
+    at two cut timestamps over an append-only stream. Returns one row
+    of exact counters — n_keys_t1, n_keys_t2, n_added (keys born
+    between the cuts), n_changed / n_unchanged (surviving keys whose
+    fixed-point value did / did not change). Values compare as
+    floor(v*scale + 0.5) int64, the repo's half-up convention, so the
+    SQL oracle (two QUALIFY row_number()=1 snapshots + a left join)
+    is bit-exact.
+
+    Scale shape: rows prune to ts <= cut2 and project to
+    (key, sort-tuple, quantized value) at the map; ONE hash-bucket
+    all-to-all co-partitions by key; each bucket computes both
+    snapshots with sort + groupby-tail and emits one counter row."""
+    import pandas as pd
+
+    t1 = np.datetime64(cut1, "us")
+    t2 = np.datetime64(cut2, "us")
+    sort_cols = [ts_col, *order_cols]
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy("datetime64[us]")
+        keep = ts <= t2
+        d = df[keep][[key_col, *sort_cols]].copy()
+        d["_v"] = np.floor(
+            df[value_col].to_numpy(np.float64)[keep] * scale
+            + 0.5).astype(np.int64)
+        k = d[key_col].to_numpy(np.int64)
+        d["_bk"] = (k % n_buckets + n_buckets) % n_buckets
+        return d
+
+    def bucket_diff(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values([key_col] + sort_cols, kind="stable")
+        ts = d[ts_col].to_numpy("datetime64[us]")
+        s1 = (d[ts <= t1].groupby(key_col, sort=False).tail(1)
+              .set_index(key_col)["_v"])
+        s2 = (d.groupby(key_col, sort=False).tail(1)
+              .set_index(key_col)["_v"])
+        j = s2.to_frame("v2").join(s1.to_frame("v1"), how="left")
+        added = j["v1"].isna()
+        changed = (~added) & (j["v1"] != j["v2"])
+        return pd.DataFrame({
+            "n_keys_t1": [np.int64(len(s1))],
+            "n_keys_t2": [np.int64(len(s2))],
+            "n_added": [np.int64(added.sum())],
+            "n_changed": [np.int64(changed.sum())],
+            "n_unchanged": [np.int64((~added & ~changed).sum())]})
+
+    parts = (ds.map_batches(prune, batch_format="pandas",
+                            batch_size=batch_size)
+             .groupby("_bk")
+             .map_groups(lambda g: bucket_diff(
+                 g.drop(columns=["_bk"])), batch_format="pandas")
+             .to_pandas())
+    out = parts.sum()
+    return pd.DataFrame({c: [np.int64(out[c])] for c in
+                         ["n_keys_t1", "n_keys_t2", "n_added",
+                          "n_changed", "n_unchanged"]})

@@ -321,3 +321,41 @@ def test_retention_cohorts_bruteforce(ray_session):
     got = {(int(r.cohort_mon), int(r.off)): int(r.n_users)
            for r in out.itertuples()}
     assert got == dict(exp)
+
+
+def test_snapshot_diff_bruteforce(ray_session):
+    import ray.data as rd
+
+    from proj_ray.functions.temporal import snapshot_diff
+
+    rng = np.random.RandomState(21)
+    base = np.datetime64("2024-06-01T00:00:00", "us")
+    rows = [{"k": int(rng.randint(0, 30)), "eid": i,
+             "ts": base + np.timedelta64(int(rng.randint(0, 20 * 86400))
+                                         * 10**6, "us"),
+             "v": float(np.round(rng.uniform(-50, 50), 2))}
+            for i in range(800)]
+    t1 = "2024-06-08T00:00:00"
+    t2 = "2024-06-15T00:00:00"
+    out = snapshot_diff(rd.from_items(rows, override_num_blocks=4),
+                        "k", "ts", "v", t1, t2, order_cols=("eid",),
+                        n_buckets=8).iloc[0]
+
+    def snap(cut):
+        cutd = np.datetime64(cut, "us")
+        best = {}
+        for r in rows:
+            if r["ts"] <= cutd:
+                cur = best.get(r["k"])
+                if cur is None or (r["ts"], r["eid"]) > (cur[0], cur[1]):
+                    best[r["k"]] = (r["ts"], r["eid"],
+                                    int(np.floor(r["v"] * 100 + 0.5)))
+        return {k: t[2] for k, t in best.items()}
+
+    s1, s2 = snap(t1), snap(t2)
+    added = sum(1 for k in s2 if k not in s1)
+    changed = sum(1 for k in s2 if k in s1 and s1[k] != s2[k])
+    unchanged = sum(1 for k in s2 if k in s1 and s1[k] == s2[k])
+    assert (out["n_keys_t1"], out["n_keys_t2"]) == (len(s1), len(s2))
+    assert (out["n_added"], out["n_changed"],
+            out["n_unchanged"]) == (added, changed, unchanged)
