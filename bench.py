@@ -6,8 +6,9 @@ Prints ONE JSON line:
    "headline_rows": R, "headline_rows_per_s": T}
 
 --scaling: runs the headline spatial pipeline twice in fresh processes
-(num_cpus=8 then 32) on the same input and reports both throughputs plus
-scaling efficiency (speedup / cpu-ratio).
+(SCALING_CPUS pair, default 1,4 — the N vs 4N criterion) on the same
+input and reports both throughputs plus scaling efficiency
+(speedup / cpu-ratio).
 """
 
 from __future__ import annotations
