@@ -5567,6 +5567,34 @@ FROM s2 LEFT JOIN s1 USING (user_id)
 """
 
 
+def _q108_salted_join(sf_dir: str):
+    """Skew-aware salted JOIN with fused aggregation: events (fact,
+    user_id is a hot key — cardinality far below row count) joined to
+    customer (dim) on user_id = c_custkey, grouped by market segment.
+    A bounded Misra-Gries census finds hot keys, their dim rows are
+    replicated `salt` ways and the fact rows spread across the salted
+    partitions, so no reducer sees more than ~1/salt of a hot key's
+    rows; ONE all-to-all total, value pre-quantized to int64 so the
+    partial sums are exact (functions/skewjoin.py). pytest asserts
+    salt=1 == salt=8 == broadcast-join parity."""
+    from proj_ray.functions.skewjoin import salted_join_agg
+
+    fact = _read(sf_dir, "events", columns=["user_id", "value"])
+    dim = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    return salted_join_agg(fact, dim, "user_id", "c_custkey",
+                           "c_mktsegment", "value", scale=100, salt=8)
+
+
+_Q108_SQL = """
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_value_q
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5681,6 +5709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q105_funnel": _q105_funnel,
         "q106_retention": _q106_retention,
         "q107_snapshot_diff": _q107_snapshot_diff,
+        "q108_salted_join": _q108_salted_join,
     }
 
 
@@ -5793,4 +5822,5 @@ def oracle_sql() -> dict[str, str]:
         "q105_funnel": _Q105_SQL,
         "q106_retention": _Q106_SQL,
         "q107_snapshot_diff": _Q107_SQL,
+        "q108_salted_join": _Q108_SQL,
     }
