@@ -5595,6 +5595,57 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q109_map_match(sf_dir: str):
+    """Map-matching: snap each document geotag to the nearest of 64
+    synthetic road segments and report per-segment point counts + the
+    summed snap metric. The metric is an EXACT integer (deci-degree
+    coords, floor-scaled rational point-to-segment distance — see
+    stages/mapmatch.py), so argmin has no float ties and the SQL
+    oracle reproduces the assignment bit-for-bit. Segments broadcast
+    once via ray.put; each batch emits <=64 partial rows."""
+    from proj_ray.stages.mapmatch import demo_segments, segment_snap_stats
+
+    return segment_snap_stats(_docs_geo(sf_dir), "lon", "lat",
+                              demo_segments(64))
+
+
+_Q109_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+pts AS (
+  SELECT doc_id,
+         CAST(floor(lon * 10 + 0.5) AS BIGINT) AS px,
+         CAST(floor(lat * 10 + 0.5) AS BIGINT) AS py
+  FROM geo),
+segs AS (
+  SELECT s,
+         (s * 127) % 3600 - 1800 AS ax,
+         (s * 211) % 1700 - 850 AS ay,
+         (s * 127) % 3600 - 1800 + (s * 89) % 200 - 100 AS bx,
+         (s * 211) % 1700 - 850 + (s * 53) % 200 - 100 AS by
+  FROM (SELECT CAST(range AS BIGINT) AS s FROM range(64))),
+cand AS (
+  SELECT doc_id, s,
+         CASE WHEN len2 = 0 OR dot <= 0 THEN d2a * 65536
+              WHEN dot >= len2 THEN d2b * 65536
+              ELSE ((d2a * len2 - dot * dot) * 65536) // len2
+         END AS mq
+  FROM (
+    SELECT p.doc_id, g.s,
+           (g.bx-g.ax)*(g.bx-g.ax) + (g.by-g.ay)*(g.by-g.ay) AS len2,
+           (p.px-g.ax)*(g.bx-g.ax) + (p.py-g.ay)*(g.by-g.ay) AS dot,
+           (p.px-g.ax)*(p.px-g.ax) + (p.py-g.ay)*(p.py-g.ay) AS d2a,
+           (p.px-g.bx)*(p.px-g.bx) + (p.py-g.by)*(p.py-g.by) AS d2b
+    FROM pts p CROSS JOIN segs g)),
+best AS (
+  SELECT doc_id, s, mq,
+         row_number() OVER (PARTITION BY doc_id ORDER BY mq, s) AS rn
+  FROM cand)
+SELECT s AS seg_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(mq) AS BIGINT) AS sum_mq
+FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5710,6 +5761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q106_retention": _q106_retention,
         "q107_snapshot_diff": _q107_snapshot_diff,
         "q108_salted_join": _q108_salted_join,
+        "q109_map_match": _q109_map_match,
     }
 
 
@@ -5823,4 +5875,5 @@ def oracle_sql() -> dict[str, str]:
         "q106_retention": _Q106_SQL,
         "q107_snapshot_diff": _Q107_SQL,
         "q108_salted_join": _Q108_SQL,
+        "q109_map_match": _Q109_SQL,
     }
