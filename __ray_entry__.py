@@ -5646,6 +5646,55 @@ FROM best WHERE rn = 1 GROUP BY 1 ORDER BY 1
 """
 
 
+def _q110_idw_grid(sf_dir: str):
+    """IDW interpolation of document geotag values (n_chars) onto a
+    10-degree lattice — the vector -> raster surface-fitting operator.
+    Weights are integer-quantized (W // d2) so per-node accumulators
+    are order-free exact int64 sums (functions/interpolate.py); the
+    SQL oracle mirrors the quantization with BIGINT floor division."""
+    from proj_ray.functions.interpolate import idw_grid_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0,
+                "v": np.asarray(b["n_chars"], dtype=np.int64)}
+
+    return idw_grid_stats(ds.map_batches(add_geo, batch_format="numpy"),
+                          "lon", "lat", "v")
+
+
+_Q110_SQL = """
+WITH geo AS (
+  SELECT CAST(floor(((doc_id*61803 % 360000)/1000.0 - 180.0) * 10 + 0.5)
+              AS BIGINT) AS px,
+         CAST(floor(((doc_id*75487 % 170000)/1000.0 - 85.0) * 10 + 0.5)
+              AS BIGINT) AS py,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents),
+nodes AS (
+  SELECT -1800 + 100 * i AS gx, -800 + 100 * j AS gy
+  FROM (SELECT CAST(range AS BIGINT) AS i FROM range(36)),
+       (SELECT CAST(range AS BIGINT) AS j FROM range(17))),
+pairs AS (
+  SELECT gx, gy, v,
+         (px-gx)*(px-gx) + (py-gy)*(py-gy) AS d2
+  FROM geo CROSS JOIN nodes
+  WHERE (px-gx)*(px-gx) + (py-gy)*(py-gy) <= 22500),
+agg AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_pts,
+         CAST(sum(1073741824 // greatest(d2, 1)) AS BIGINT) AS sum_wq,
+         CAST(sum((1073741824 // greatest(d2, 1)) * v) AS BIGINT)
+             AS sum_wqv
+  FROM pairs GROUP BY 1, 2)
+SELECT gx, gy, n_pts, sum_wq, sum_wqv,
+       CAST(sum_wqv // greatest(sum_wq, 1) AS BIGINT) AS est_q
+FROM agg ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5762,6 +5811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q107_snapshot_diff": _q107_snapshot_diff,
         "q108_salted_join": _q108_salted_join,
         "q109_map_match": _q109_map_match,
+        "q110_idw_grid": _q110_idw_grid,
     }
 
 
@@ -5876,4 +5926,5 @@ def oracle_sql() -> dict[str, str]:
         "q107_snapshot_diff": _Q107_SQL,
         "q108_salted_join": _Q108_SQL,
         "q109_map_match": _Q109_SQL,
+        "q110_idw_grid": _Q110_SQL,
     }
