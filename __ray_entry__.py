@@ -5695,6 +5695,50 @@ FROM agg ORDER BY 1, 2
 """
 
 
+def _q111_contours(sf_dir: str):
+    """Marching-squares contour extraction stats over DEM tiles: for
+    the iso-line at 128, each tile reports how many 2x2 cells the
+    contour crosses, the segment count (saddles = 2), and a position-
+    weighted case checksum pinning every cell's classification
+    (proj_ray/raster.py contour_stats). Raster -> vector shape:
+    pixels never leave the task; 4 ints per tile cross the wire. The
+    SQL oracle re-derives the synthetic DEM and the case bitmask
+    arithmetically per cell."""
+    from proj_ray.raster import contour_stats, dem_table
+
+    n = _read(sf_dir, "documents").count()
+    return contour_stats(dem_table(n, columns=["tile_id", "bytes"]))
+
+
+# case bit order mirrors raster.marching_cases: SW + 2*SE + 4*NE +
+# 8*NW over v[r,c] = (i*31 + r*7 + c*13) % 256 (row 0 = south edge)
+_Q111_SQL = """
+WITH ids AS (
+  SELECT CAST(ROW_NUMBER() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+cells AS (
+  SELECT i, r.r AS r, c.c AS c,
+     (CASE WHEN (i*31 + r.r*7 + c.c*13) % 256 >= 128
+           THEN 1 ELSE 0 END)
+   + 2*(CASE WHEN (i*31 + r.r*7 + (c.c+1)*13) % 256 >= 128
+             THEN 1 ELSE 0 END)
+   + 4*(CASE WHEN (i*31 + (r.r+1)*7 + (c.c+1)*13) % 256 >= 128
+             THEN 1 ELSE 0 END)
+   + 8*(CASE WHEN (i*31 + (r.r+1)*7 + c.c*13) % 256 >= 128
+             THEN 1 ELSE 0 END) AS cs
+  FROM ids CROSS JOIN range(0, 31) r(r) CROSS JOIN range(0, 31) c(c)
+)
+SELECT i AS tile_id,
+       CAST(sum(CASE WHEN cs NOT IN (0, 15) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cross,
+       CAST(sum(CASE WHEN cs IN (0, 15) THEN 0
+                     WHEN cs IN (5, 10) THEN 2 ELSE 1 END)
+            AS BIGINT) AS n_seg,
+       CAST(sum(cs * (r * 31 + c + 1)) AS BIGINT) AS case_chk
+FROM cells GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5812,6 +5856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q108_salted_join": _q108_salted_join,
         "q109_map_match": _q109_map_match,
         "q110_idw_grid": _q110_idw_grid,
+        "q111_contours": _q111_contours,
     }
 
 
@@ -5927,4 +5972,5 @@ def oracle_sql() -> dict[str, str]:
         "q108_salted_join": _Q108_SQL,
         "q109_map_match": _Q109_SQL,
         "q110_idw_grid": _Q110_SQL,
+        "q111_contours": _Q111_SQL,
     }

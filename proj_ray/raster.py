@@ -318,6 +318,47 @@ def hillshade_stats(ds, scale: int = 1000):
     return ds.map_batches(stage, batch_format="numpy", batch_size=256)
 
 
+def marching_cases(px: np.ndarray, threshold: int = 128) -> np.ndarray:
+    """Marching-squares case index per 2x2 pixel cell of one or more
+    tiles. px: (..., H, W) uint8 -> (..., H-1, W-1) int64 in [0, 15]
+    with bit 0 = SW corner, 1 = SE, 2 = NE, 3 = NW (row 0 is the
+    south edge in the FDEM layout). Cases 0/15 carry no contour;
+    5/10 are saddles (two segments); the rest carry one."""
+    b = (np.asarray(px).astype(np.int64) >= threshold).astype(np.int64)
+    return (b[..., :-1, :-1] + 2 * b[..., :-1, 1:]
+            + 4 * b[..., 1:, 1:] + 8 * b[..., 1:, :-1])
+
+
+def contour_stats(ds, threshold: int = 128):
+    """Per-tile marching-squares contour statistics for the iso-line
+    at `threshold`: number of cells the contour crosses, number of
+    contour segments (saddles count 2), and a position-weighted case
+    checksum that pins every cell's classification. Raster -> vector
+    extraction shape: embarrassingly parallel, pixels never leave the
+    task — only 4 integers per tile cross the wire."""
+    ch, cw = SRC_H - 1, SRC_W - 1
+
+    def stage(batch: dict) -> dict:
+        blobs = batch["bytes"]
+        v = np.empty((len(blobs), SRC_H, SRC_W), dtype=np.uint8)
+        for k in range(len(blobs)):
+            v[k] = dem_decode(blobs[k])
+        cs = marching_cases(v, threshold)
+        crossed = (cs != 0) & (cs != 15)
+        saddle = (cs == 5) | (cs == 10)
+        pos = np.arange(ch * cw, dtype=np.int64).reshape(1, ch, cw) + 1
+        return {
+            "tile_id": np.asarray(batch["tile_id"], dtype=np.int64),
+            "n_cross": crossed.sum(axis=(1, 2)).astype(np.int64),
+            "n_seg": (crossed.astype(np.int64)
+                      + saddle.astype(np.int64)).sum(axis=(1, 2)),
+            "case_chk": (cs.reshape(len(blobs), -1)
+                         * pos.reshape(1, -1)).sum(axis=1),
+        }
+
+    return ds.map_batches(stage, batch_format="numpy", batch_size=256)
+
+
 def blob_stats(ds, threshold: int = 240):
     """Per-tile blob statistics: 4-connected components of pixels with
     value >= threshold. Labels are propagated with whole-batch
