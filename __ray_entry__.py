@@ -5739,6 +5739,63 @@ FROM cells GROUP BY 1
 """
 
 
+def _q112_triangles(sf_dir: str):
+    """Market-basket graph analysis: build the co-purchase graph
+    (parts sharing an order become edges) with a bucketed per-order
+    pair expansion, then count triangles EXACTLY with the degree-
+    oriented wedge-closing algorithm (Suri & Vassilvitskii WWW'11,
+    functions/graph.py triangle_count) — orientation from the lower
+    (degree, id) endpoint bounds out-degrees at O(sqrt(m)), so no
+    reducer sees a hub's full neighborhood. Every exchange ships
+    (int, int) rows only."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import _bucket, _pair_expand, \
+        triangle_count
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        o = np.asarray(b["l_orderkey"], dtype=np.int64)
+        return {"o": o, "p": np.asarray(b["l_partkey"], dtype=np.int64),
+                "_bk": _bucket(o, nb)}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["o", "p"])
+        o = d["o"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        idx = np.lexsort((p, o))
+        a, b2 = _pair_expand(o[idx], p[idx])
+        return pd.DataFrame({"u": a, "v": b2})
+
+    edges = (li.map_batches(tag, batch_format="numpy")
+             .groupby("_bk")
+             .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                         batch_format="pandas"))
+    return triangle_count(edges, n_buckets=nb)
+
+
+_Q112_SQL = """
+WITH pp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST((SELECT count(DISTINCT node) FROM
+             (SELECT u AS node FROM e UNION ALL SELECT v FROM e))
+            AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5857,6 +5914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q109_map_match": _q109_map_match,
         "q110_idw_grid": _q110_idw_grid,
         "q111_contours": _q111_contours,
+        "q112_triangles": _q112_triangles,
     }
 
 
@@ -5973,4 +6031,5 @@ def oracle_sql() -> dict[str, str]:
         "q109_map_match": _Q109_SQL,
         "q110_idw_grid": _Q110_SQL,
         "q111_contours": _Q111_SQL,
+        "q112_triangles": _Q112_SQL,
     }

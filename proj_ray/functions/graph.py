@@ -268,3 +268,169 @@ def pagerank_numpy(src: np.ndarray, dst: np.ndarray, iters: int = 5,
         np.add.at(sums, dst_i, contrib)
         r = teleport + d_pct * sums // 100
     return nodes, r
+
+
+def _pair_expand(sorted_src: np.ndarray, sorted_dst: np.ndarray):
+    """All unordered out-neighbor pairs per src, fully vectorized
+    (no per-node loop): inputs sorted by src; returns (a, b) arrays,
+    one row per wedge. Element i with in-segment index t pairs with
+    the t elements before it in the same segment."""
+    n = len(sorted_src)
+    if n == 0:
+        return (np.empty(0, np.int64),) * 2
+    new_seg = np.r_[True, sorted_src[1:] != sorted_src[:-1]]
+    seg_start = np.maximum.accumulate(np.where(new_seg, np.arange(n), 0))
+    idx = np.arange(n) - seg_start           # in-segment index t
+    i_rep = np.repeat(np.arange(n), idx)     # current element, t times
+    base = np.repeat(seg_start, idx)
+    j = np.arange(len(i_rep)) - np.repeat(np.cumsum(idx) - idx, idx)
+    partner = base + j
+    a = sorted_dst[partner]
+    b = sorted_dst[i_rep]
+    return np.minimum(a, b), np.maximum(a, b)
+
+
+def triangle_count(edges, n_buckets: int = 64):
+    """Exact distributed triangle count (Suri & Vassilvitskii,
+    WWW'11 node-iterator++): orient every edge from its lower-
+    (degree, id) endpoint so out-degrees are O(sqrt(m)), generate
+    wedges per source, and close them against the canonical edge set
+    in one hash-bucket co-partition. edges: Dataset (u:int64,
+    v:int64), any orientation, dups/self-loops dropped here.
+
+    Returns one-row pandas (n_nodes, n_edges, n_triangles).
+
+    Exchanges: edge dedup (1), degree sum (2), degree attach u / v
+    (3, 4), wedge close (5) — each ships (int, int) rows only; wedge
+    volume is bounded by the orientation (no hub explosion)."""
+    import pandas as pd
+
+    def canon(b: dict) -> dict:
+        u = np.asarray(b["u"], dtype=np.int64)
+        v = np.asarray(b["v"], dtype=np.int64)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        lo, hi = np.minimum(u, v), np.maximum(u, v)
+        return {"u": lo, "v": hi, "_bk": _bucket(lo * 31 + hi, n_buckets)}
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["u", "v"])[["u", "v"]]
+
+    E = (edges.map_batches(canon, batch_format="numpy",
+                           batch_size=65536)
+         .groupby("_bk").map_groups(dedup, batch_format="pandas")
+         .materialize())
+    n_edges = E.count()
+
+    # degrees: per-block partial counts -> per-node sum
+    def deg_partial(b: dict) -> dict:
+        n, c = np.unique(np.concatenate(
+            [np.asarray(b["u"], np.int64),
+             np.asarray(b["v"], np.int64)]), return_counts=True)
+        return {"node": n, "deg": c.astype(np.int64),
+                "_bk": _bucket(n, n_buckets)}
+
+    def deg_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", as_index=False)["deg"].sum()
+        return s
+
+    deg = (E.map_batches(deg_partial, batch_format="numpy",
+                         batch_size=65536)
+           .groupby("_bk").map_groups(
+               lambda g: deg_sum(g.drop(columns=["_bk"])),
+               batch_format="pandas")
+           .materialize())
+    n_nodes = deg.count()
+
+    # attach deg(u) then deg(v) via two co-partitions
+    def attach(col: str, out: str, ecols: list):
+        def tag_e(b: dict) -> pd.DataFrame:
+            df = pd.DataFrame({k: np.asarray(b[k], np.int64)
+                               for k in ecols})
+            df["_side"] = np.int64(1)
+            df["node"] = df[col]
+            df["deg"] = np.int64(0)
+            df["_bk"] = _bucket(df[col].to_numpy(), n_buckets)
+            return df
+
+        def tag_d(b: dict) -> pd.DataFrame:
+            # same columns, same order, so the union schemas line up
+            n = len(np.asarray(b["node"]))
+            df = pd.DataFrame({k: np.zeros(n, dtype=np.int64)
+                               for k in ecols})
+            df["_side"] = np.int64(0)
+            df["node"] = np.asarray(b["node"], np.int64)
+            df["deg"] = np.asarray(b["deg"], np.int64)
+            df["_bk"] = _bucket(df["node"].to_numpy(), n_buckets)
+            return df
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[g["_side"] == 0][["node", "deg"]]
+            e = g[g["_side"] == 1].drop(columns=["deg", "_side", "_bk"])
+            m = e.merge(d, on="node").drop(columns=["node"])
+            return m.rename(columns={"deg": out})
+
+        return tag_e, tag_d, join
+
+    cur = E
+    for col, out, ecols in (("u", "du", ["u", "v"]),
+                            ("v", "dv", ["u", "v", "du"])):
+        tag_e, tag_d, join = attach(col, out, ecols)
+        cur = (cur.map_batches(tag_e, batch_format="numpy",
+                               batch_size=65536)
+               .union(deg.map_batches(tag_d, batch_format="numpy",
+                                      batch_size=65536))
+               .groupby("_bk").map_groups(join, batch_format="pandas")
+               .materialize())
+
+    # orient from lower (deg, id); generate wedges per source bucket
+    def orient(b: dict) -> dict:
+        u = np.asarray(b["u"], np.int64)
+        v = np.asarray(b["v"], np.int64)
+        du = np.asarray(b["du"], np.int64)
+        dv = np.asarray(b["dv"], np.int64)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        return {"src": src, "dst": dst,
+                "_bk": _bucket(src, n_buckets)}
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy(np.int64)
+        d = g["dst"].to_numpy(np.int64)
+        o = np.lexsort((d, s))
+        a, b = _pair_expand(s[o], d[o])
+        return pd.DataFrame({"u": a, "v": b,
+                             "_c": np.ones(len(a), dtype=np.int64),
+                             "_bk": _bucket(a * 31 + b, n_buckets)})
+
+    W = (cur.map_batches(orient, batch_format="numpy",
+                         batch_size=65536)
+         .groupby("_bk").map_groups(
+             lambda g: wedges(g.drop(columns=["_bk"])),
+             batch_format="pandas"))
+
+    def edge_rows(b: dict) -> pd.DataFrame:
+        u = np.asarray(b["u"], np.int64)
+        v = np.asarray(b["v"], np.int64)
+        return pd.DataFrame({"u": u, "v": v,
+                             "_c": np.zeros(len(u), dtype=np.int64),
+                             "_bk": _bucket(u * 31 + v, n_buckets)})
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_c"] == 0][["u", "v"]]
+        w = g[g["_c"] == 1]
+        if not len(e) or not len(w):
+            return pd.DataFrame({"t": pd.Series([], dtype=np.int64)})
+        m = w.merge(e.assign(_hit=np.int64(1)), on=["u", "v"],
+                    how="inner")
+        return pd.DataFrame({"t": [np.int64(len(m))]})
+
+    parts = (W.union(E.map_batches(edge_rows, batch_format="pandas",
+                                   batch_size=65536))
+             .groupby("_bk").map_groups(close, batch_format="pandas")
+             .to_pandas())
+    n_tri = int(parts["t"].sum()) if len(parts) else 0
+    return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                         "n_edges": [np.int64(n_edges)],
+                         "n_triangles": [np.int64(n_tri)]})
