@@ -5796,6 +5796,52 @@ FROM tri
 """
 
 
+def _q113_image_patches(sf_dir: str):
+    """ViT-style patchify pass: decode every image (real codecs incl.
+    the lossy qjpg rows), split into a 4x4 patch grid, and accumulate
+    exact integer per-patch luminance statistics (lum = 2r+3g+b) plus
+    an image-index-weighted checksum that pins every image's per-patch
+    contribution (proj_ray/images.py PatchStats). Pixels never leave
+    the task; the exchange carries 16 accumulator rows per block. The
+    SQL oracle regenerates source pixels + the lossy quantize-decode
+    arithmetically, so codec or patch-boundary drift fails the hash."""
+    from proj_ray.images import images_table, patch_stats
+
+    n = _read(sf_dir, "documents").count()
+    return patch_stats(
+        images_table(n, columns=["image_id", "bytes", "fmt"]), grid=4)
+
+
+_Q113_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, w, h, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, (y*4)//h AS pr, (x*4)//w AS pc,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+dec AS (SELECT i, pr, pc,
+               2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+             + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+             +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END) AS lum
+        FROM raw),
+per AS (SELECT i, pr, pc, SUM(lum) AS slum FROM dec GROUP BY 1, 2, 3)
+SELECT CAST(pr AS BIGINT) AS pr, CAST(pc AS BIGINT) AS pc,
+       CAST(count(*) AS BIGINT) AS n_imgs,
+       CAST(SUM(slum) AS BIGINT) AS sum_lum,
+       CAST(SUM(slum * (i + 1)) AS BIGINT) AS chk
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5915,6 +5961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_idw_grid": _q110_idw_grid,
         "q111_contours": _q111_contours,
         "q112_triangles": _q112_triangles,
+        "q113_image_patches": _q113_image_patches,
     }
 
 
@@ -6032,4 +6079,5 @@ def oracle_sql() -> dict[str, str]:
         "q110_idw_grid": _Q110_SQL,
         "q111_contours": _Q111_SQL,
         "q112_triangles": _Q112_SQL,
+        "q113_image_patches": _Q113_SQL,
     }

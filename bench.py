@@ -297,6 +297,16 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q106_retention(sf_dir)))
     timed("q107_snapshot_diff",
           lambda: consume(E._q107_snapshot_diff(sf_dir)))
+    timed("q108_salted_join",
+          lambda: consume(E._q108_salted_join(sf_dir)))
+    timed("q109_map_match",
+          lambda: consume(E._q109_map_match(sf_dir)))
+    timed("q110_idw_grid",
+          lambda: consume(E._q110_idw_grid(sf_dir)))
+    timed("q111_contours",
+          lambda: consume(E._q111_contours(sf_dir)))
+    timed("q112_triangles",
+          lambda: consume(E._q112_triangles(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

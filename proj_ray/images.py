@@ -650,3 +650,53 @@ def jpeg_fidelity_partials(b: dict, quality: int = JPEG_FIXTURE_QUALITY,
     return {"fmt": g["fmt"].to_numpy(dtype=object),
             "n_part": g["n_part"].to_numpy(np.int64),
             "ok_part": g["ok_part"].to_numpy(np.int64)}
+
+
+class PatchStats:
+    """Actor-pool stage: decode -> patchify into a g x g grid -> exact
+    integer per-patch luminance partials (the ViT-style "patch token"
+    statistics pass a vision-training pipeline runs before embedding).
+
+    lum = 2r + 3g + b (integer); per batch the stage emits at most
+    g*g rows (pr, pc, n_imgs, sum_lum, chk) where chk =
+    sum(per-image patch lum * (image index + 1)) pins each image's
+    contribution position-wise. Pixels never leave the task; the
+    exchange carries g*g bounded accumulator rows per block."""
+
+    def __init__(self, grid: int = 4):
+        self.g = grid
+
+    def __call__(self, b: dict) -> dict:
+        g = self.g
+        n_imgs = np.zeros((g, g), dtype=np.int64)
+        sum_lum = np.zeros((g, g), dtype=np.int64)
+        chk = np.zeros((g, g), dtype=np.int64)
+        for k in range(len(b["image_id"])):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            h, w, _ = px.shape
+            lum = 2 * px[..., 0] + 3 * px[..., 1] + px[..., 2]
+            p = lum.reshape(g, h // g, g, w // g).sum(axis=(1, 3))
+            i = int(str(b["image_id"][k])[3:])
+            n_imgs += 1
+            sum_lum += p
+            chk += p * (i + 1)
+        pr, pc = np.meshgrid(np.arange(g, dtype=np.int64),
+                             np.arange(g, dtype=np.int64), indexing="ij")
+        return {"pr": pr.ravel(), "pc": pc.ravel(),
+                "n_imgs": n_imgs.ravel(), "sum_lum": sum_lum.ravel(),
+                "chk": chk.ravel()}
+
+
+def patch_stats(ds, grid: int = 4):
+    """Combine PatchStats partials -> pandas (pr, pc, n_imgs, sum_lum,
+    chk) sorted by (pr, pc). One tiny driver combine; no shuffle."""
+    import pandas as pd
+
+    parts = ds.map_batches(PatchStats,
+                           fn_constructor_kwargs=dict(grid=grid),
+                           batch_format="numpy", batch_size=256,
+                           concurrency=(2, 8)).to_pandas()
+    out = parts.groupby(["pr", "pc"], sort=True).sum().reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
