@@ -5842,6 +5842,52 @@ FROM per GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q114_scd2(sf_dir: str):
+    """SCD type-2 interval-ization of the events change log: per user,
+    consecutive rows (ordered by ts, event_id) collapse into versions
+    wherever the value-band state (floor(value/50)) changes; one row per version with
+    a 1-based version number and its start timestamp
+    (functions/temporal.py scd2_versions). ONE hash-bucket all-to-all
+    on the key; per-bucket vectorized multi-key segment pass."""
+    from proj_ray.functions.temporal import scd2_versions
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def add_state(b: dict) -> dict:
+        return {"user_id": b["user_id"], "event_id": b["event_id"],
+                "ts": b["ts"],
+                "state": np.floor(np.asarray(b["value"])
+                                  / 50.0).astype(np.int64)}
+
+    return scd2_versions(
+        ds.map_batches(add_state, batch_format="numpy"),
+        "user_id", "ts", "state", "event_id")
+
+
+_Q114_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value / 50.0) AS BIGINT) AS state
+  FROM events),
+o AS (
+  SELECT user_id, ts, event_id, state,
+         lag(state) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS prev
+  FROM e),
+s AS (
+  SELECT user_id, ts, event_id, state
+  FROM o WHERE prev IS NULL OR state <> prev)
+SELECT user_id,
+       CAST(row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT)
+           AS ver_no,
+       CAST(state AS BIGINT) AS state,
+       ts AS ts_from
+FROM s
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -5962,6 +6008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q111_contours": _q111_contours,
         "q112_triangles": _q112_triangles,
         "q113_image_patches": _q113_image_patches,
+        "q114_scd2": _q114_scd2,
     }
 
 
@@ -6080,4 +6127,5 @@ def oracle_sql() -> dict[str, str]:
         "q111_contours": _Q111_SQL,
         "q112_triangles": _Q112_SQL,
         "q113_image_patches": _Q113_SQL,
+        "q114_scd2": _Q114_SQL,
     }

@@ -752,3 +752,59 @@ def snapshot_diff(ds, key_col: str, ts_col: str, value_col: str,
     return pd.DataFrame({c: [np.int64(out[c])] for c in
                          ["n_keys_t1", "n_keys_t2", "n_added",
                           "n_changed", "n_unchanged"]})
+
+
+def scd2_versions(ds, key_col: str, ts_col: str, state_col: str,
+                  order_col: str, n_buckets: int = 64):
+    """Slowly-changing-dimension (type 2) version extraction: per key,
+    rows ordered by (ts, order_col) collapse into VERSIONS — a new
+    version starts at the first row and wherever `state_col` differs
+    from the previous row of the same key. Emits one row per version:
+    (key, ver_no 1-based, state, ts_from).
+
+    The interval-ize counterpart of snapshot_diff/latest-per-key: it
+    turns an append-only change log into the dimension-history table a
+    lakehouse MERGE maintains.
+
+    Shape: ONE hash-bucket all-to-all on the key (sessionize's rule —
+    keys never split across buckets; per-bucket multi-key vectorized
+    segment pass, no per-key Python)."""
+    import pandas as pd
+
+    need = [key_col, ts_col, state_col, order_col]
+
+    def tag(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        k = np.asarray(batch[key_col])
+        if not np.issubdtype(k.dtype, np.integer):
+            k = pd.util.hash_array(k)
+        df["_bk"] = (k.astype(np.int64) % n_buckets + n_buckets) \
+            % n_buckets
+        return df
+
+    def versions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, ts_col, order_col],
+                              kind="stable")
+        k = g[key_col].to_numpy()
+        s = g[state_col].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        key_start = np.ones(n, dtype=bool)
+        if n > 1:
+            key_start[1:] = k[1:] != k[:-1]
+        # version number: cumulative count of starts, rebased per key
+        cum = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(key_start, cum - 1, 0))
+        out = g.loc[new, [key_col, ts_col, state_col]].copy()
+        out["ver_no"] = (cum - base)[new]
+        out = out.rename(columns={ts_col: "ts_from",
+                                  state_col: "state"})
+        out["ver_no"] = out["ver_no"].astype(np.int64)
+        return out[[key_col, "ver_no", "state", "ts_from"]]
+
+    return (ds.map_batches(tag, batch_format="numpy")
+            .groupby("_bk")
+            .map_groups(lambda g: versions(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
