@@ -307,6 +307,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q111_contours(sf_dir)))
     timed("q112_triangles",
           lambda: consume(E._q112_triangles(sf_dir)))
+    timed("q113_image_patches",
+          lambda: consume(E._q113_image_patches(sf_dir)))
+    timed("q114_scd2",
+          lambda: consume(E._q114_scd2(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -290,19 +290,25 @@ def _pair_expand(sorted_src: np.ndarray, sorted_dst: np.ndarray):
     return np.minimum(a, b), np.maximum(a, b)
 
 
-def triangle_count(edges, n_buckets: int = 64):
+def triangle_count(edges, n_buckets: int = 64,
+                   broadcast_cap: int = 5_000_000):
     """Exact distributed triangle count (Suri & Vassilvitskii,
     WWW'11 node-iterator++): orient every edge from its lower-
     (degree, id) endpoint so out-degrees are O(sqrt(m)), generate
-    wedges per source, and close them against the canonical edge set
-    in one hash-bucket co-partition. edges: Dataset (u:int64,
-    v:int64), any orientation, dups/self-loops dropped here.
+    wedges per source, and close them against the canonical edge set.
+    edges: Dataset (u:int64, v:int64), any orientation, dups/
+    self-loops dropped here.
 
     Returns one-row pandas (n_nodes, n_edges, n_triangles).
 
-    Exchanges: edge dedup (1), degree sum (2), degree attach u / v
-    (3, 4), wedge close (5) — each ships (int, int) rows only; wedge
-    volume is bounded by the orientation (no hub explosion)."""
+    Closing paths (parity-tested): at or below `broadcast_cap` edges
+    (and 32-bit ids) the canonical edge set broadcasts ONCE as a
+    sorted packed-key array and wedges close inside the generating
+    task — the O(sum C(out,2)) wedge volume never crosses the wire.
+    Above the cap, wedges compact per (pair) within each source
+    bucket and close in one hash-bucket co-partition. Fixed
+    exchanges either way: edge dedup, degree sum, degree attach x2,
+    (+ wedge close above cap) — each ships int rows only."""
     import pandas as pd
 
     def canon(b: dict) -> dict:
@@ -395,20 +401,68 @@ def triangle_count(edges, n_buckets: int = 64):
         return {"src": src, "dst": dst,
                 "_bk": _bucket(src, n_buckets)}
 
+    oriented = cur.map_batches(orient, batch_format="numpy",
+                               batch_size=65536)
+
+    if 0 < n_edges <= broadcast_cap:
+        # broadcast close: the canonical edge set ships ONCE as a
+        # sorted packed-key array; wedges are generated AND closed
+        # inside the same task, so the O(sum C(out,2)) wedge volume
+        # never crosses the wire — only one int per bucket does.
+        # (packing needs 32-bit ids; fall through to the exchange
+        # path for wider id spaces)
+        import ray
+
+        ekeys = E.to_pandas()
+        mx = max(int(ekeys["u"].max()), int(ekeys["v"].max()), 0)
+        if mx < (1 << 31):
+            keys = np.sort((ekeys["u"].to_numpy(np.uint64) << np.uint64(32))
+                           | ekeys["v"].to_numpy(np.uint64))
+            keys_ref = ray.put(keys)
+
+            def close_local(g: pd.DataFrame) -> pd.DataFrame:
+                s = g["src"].to_numpy(np.int64)
+                d = g["dst"].to_numpy(np.int64)
+                o = np.lexsort((d, s))
+                a, b = _pair_expand(s[o], d[o])
+                if not len(a):
+                    return pd.DataFrame({"t": [np.int64(0)]})
+                wk = (a.astype(np.uint64) << np.uint64(32)) \
+                    | b.astype(np.uint64)
+                ks = ray.get(keys_ref)
+                pos = np.searchsorted(ks, wk)
+                pos = np.minimum(pos, len(ks) - 1)
+                hits = int((ks[pos] == wk).sum())
+                return pd.DataFrame({"t": [np.int64(hits)]})
+
+            parts = (oriented.groupby("_bk")
+                     .map_groups(lambda g: close_local(
+                         g.drop(columns=["_bk"])),
+                         batch_format="pandas")
+                     .to_pandas())
+            n_tri = int(parts["t"].sum()) if len(parts) else 0
+            return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                                 "n_edges": [np.int64(n_edges)],
+                                 "n_triangles": [np.int64(n_tri)]})
+
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         s = g["src"].to_numpy(np.int64)
         d = g["dst"].to_numpy(np.int64)
         o = np.lexsort((d, s))
         a, b = _pair_expand(s[o], d[o])
-        return pd.DataFrame({"u": a, "v": b,
-                             "_c": np.ones(len(a), dtype=np.int64),
-                             "_bk": _bucket(a * 31 + b, n_buckets)})
+        # compact repeated (a, b) wedges before the exchange: apexes
+        # in this bucket sharing an endpoint pair collapse to a count
+        df = pd.DataFrame({"u": a, "v": b})
+        df = df.groupby(["u", "v"], as_index=False, sort=False).size()
+        df = df.rename(columns={"size": "_c"})
+        df["_c"] = df["_c"].astype(np.int64)
+        df["_bk"] = _bucket(df["u"].to_numpy() * 31
+                            + df["v"].to_numpy(), n_buckets)
+        return df
 
-    W = (cur.map_batches(orient, batch_format="numpy",
-                         batch_size=65536)
-         .groupby("_bk").map_groups(
-             lambda g: wedges(g.drop(columns=["_bk"])),
-             batch_format="pandas"))
+    W = (oriented.groupby("_bk").map_groups(
+        lambda g: wedges(g.drop(columns=["_bk"])),
+        batch_format="pandas"))
 
     def edge_rows(b: dict) -> pd.DataFrame:
         u = np.asarray(b["u"], np.int64)
@@ -419,12 +473,12 @@ def triangle_count(edges, n_buckets: int = 64):
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
         e = g[g["_c"] == 0][["u", "v"]]
-        w = g[g["_c"] == 1]
+        w = g[g["_c"] > 0]
         if not len(e) or not len(w):
             return pd.DataFrame({"t": pd.Series([], dtype=np.int64)})
         m = w.merge(e.assign(_hit=np.int64(1)), on=["u", "v"],
                     how="inner")
-        return pd.DataFrame({"t": [np.int64(len(m))]})
+        return pd.DataFrame({"t": [np.int64(m["_c"].sum())]})
 
     parts = (W.union(E.map_batches(edge_rows, batch_format="pandas",
                                    batch_size=65536))

@@ -40,10 +40,14 @@ def test_triangle_count_matches_brute(ray_session):
         u = rng.integers(0, n, m).astype(np.int64)
         v = rng.integers(0, n, m).astype(np.int64)
         df = pd.DataFrame({"u": u, "v": v})
-        out = triangle_count(rd.from_pandas(df).repartition(4)).iloc[0]
         nn, ne, nt = _brute(u, v, n)
-        assert (out["n_nodes"], out["n_edges"], out["n_triangles"]) \
-            == (nn, ne, nt)
+        # both closing paths: broadcast (default) and co-partition
+        # exchange (forced with broadcast_cap=0)
+        for cap in (5_000_000, 0):
+            out = triangle_count(rd.from_pandas(df).repartition(4),
+                                 broadcast_cap=cap).iloc[0]
+            assert (out["n_nodes"], out["n_edges"],
+                    out["n_triangles"]) == (nn, ne, nt)
 
 
 def test_triangle_count_planted_clique(ray_session):
