@@ -58,7 +58,59 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs):
     if low.endswith((".json", ".jsonl")):
         ds = rd.read_json(path, **kwargs)
         return ds.select_columns(list(columns)) if columns else ds
+    if low.endswith((".orc", ".feather", ".arrow", ".ipc")):
+        return _read_arrow_files(path, columns)
+    if isinstance(path, str) and os.path.isdir(path):
+        import glob as _glob
+
+        if any(_glob.glob(os.path.join(path, pat))
+               for pat in ("*.orc", "*.feather", "*.arrow", "*.ipc")):
+            return _read_arrow_files(path, columns)
     return rd.read_parquet(path, columns=columns, **kwargs)
+
+
+def _read_arrow_files(path: str, columns: list[str] | None = None):
+    """ORC / Feather (Arrow IPC) reader: Ray Data ships no built-in
+    for these, so files distribute one-per-task via from_items and
+    each task reads its file with pyarrow, column pruning pushed to
+    the format reader (ORC reads only the selected column streams;
+    Feather/IPC memory-maps and slices). Scale shape: parallelism =
+    file count — the same contract as read_parquet over a sharded
+    directory; single giant files should be sharded at write time
+    (write_table does)."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    if _os.path.isdir(path):
+        files = sorted(f for pat in ("*.orc", "*.feather", "*.arrow",
+                                     "*.ipc")
+                       for f in _glob.glob(_os.path.join(path, pat)))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no ORC/Feather files under {path}")
+
+    def read_one(b: dict):
+        import pyarrow as pa
+
+        tabs = []
+        for p in b["item"]:
+            p = str(p)
+            if p.lower().endswith(".orc"):
+                import pyarrow.orc as orc
+
+                tabs.append(orc.read_table(p, columns=columns))
+            else:
+                import pyarrow.feather as fe
+
+                t = fe.read_table(p, columns=columns, memory_map=True)
+                tabs.append(t)
+        return pa.concat_tables(tabs)
+
+    return rd.from_items(files, override_num_blocks=len(files)) \
+        .map_batches(read_one, batch_format="numpy", batch_size=1)
 
 
 def write_table(ds, path: str, fmt: str = "auto",
@@ -78,7 +130,42 @@ def write_table(ds, path: str, fmt: str = "auto",
     if fmt in ("json", "jsonl") or (fmt == "auto" and
                                     path.endswith((".json", ".jsonl"))):
         return ds.write_json(path, **kwargs)
+    if fmt in ("orc", "feather") or (
+            fmt == "auto" and path.endswith((".orc", ".feather"))):
+        return _write_arrow_files(ds, path, fmt if fmt != "auto"
+                                  else ("orc" if path.endswith(".orc")
+                                        else "feather"))
     if partition_cols:
         return ds.write_parquet(path, partition_cols=partition_cols,
                                 **kwargs)
     return ds.write_parquet(path, **kwargs)
+
+
+def _write_arrow_files(ds, path: str, fmt: str):
+    """Sharded ORC / Feather writer: one file per block, written where
+    the block lives (map_batches side-effect per task, the same
+    pattern as Ray's file datasinks), so a later _read_arrow_files
+    gets file-count parallelism back."""
+    import os as _os
+
+    _os.makedirs(path, exist_ok=True)
+
+    def write_one(b):
+        import uuid
+
+        import pyarrow as pa
+
+        t = pa.table({k: b[k] for k in b})
+        name = _os.path.join(path, f"part-{uuid.uuid4().hex}.{fmt}")
+        if fmt == "orc":
+            import pyarrow.orc as orc
+
+            orc.write_table(t, name)
+        else:
+            import pyarrow.feather as fe
+
+            fe.write_feather(t, name)
+        return {"_written": [name]}
+
+    return ds.map_batches(write_one, batch_format="numpy",
+                          batch_size=None).to_pandas()
