@@ -5888,6 +5888,67 @@ FROM s
 """
 
 
+def _q115_hilbert(sf_dir: str):
+    """Hilbert-curve spatial keying: every document geotag encoded to
+    the order-8 Hilbert index (cells.py hilbert_cell — the locality-
+    preserving alternative to the Z-order cell_id: consecutive
+    indices are always grid neighbors, so RANGE-partitioning by the
+    key keeps spatial neighbors co-located), then per-cell counts.
+    Per-block bounded (cell, n) partials; one small combine. The SQL
+    oracle unrolls the 8 bit-transform levels as chained CTEs,
+    mirroring the rot/reflect algebra op-for-op."""
+    from proj_ray.cells import hilbert_cell
+
+    ds = _docs_geo(sf_dir)
+
+    def partial(b: dict) -> dict:
+        d = hilbert_cell(b["lon"], b["lat"], 8)
+        cells, counts = np.unique(d, return_counts=True)
+        return {"hcell": cells, "n": counts.astype(np.int64)}
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    out = parts.groupby("hcell", sort=True)["n"].sum() \
+        .reset_index(name="n_docs")
+    out["hcell"] = out["hcell"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out
+
+
+def _hilbert_sql_steps() -> str:
+    steps = []
+    for k, s in enumerate((128, 64, 32, 16, 8, 4, 2, 1)):
+        steps.append(f"""h{k + 1} AS (
+  SELECT doc_id,
+    CASE WHEN (y // {s}) % 2 = 0 THEN
+      CASE WHEN (x // {s}) % 2 = 1 THEN 255 - y ELSE y END
+    ELSE x END AS x,
+    CASE WHEN (y // {s}) % 2 = 0 THEN
+      CASE WHEN (x // {s}) % 2 = 1 THEN 255 - x ELSE x END
+    ELSE y END AS y,
+    d + {s * s} * (CASE
+        WHEN (x // {s}) % 2 = 1 AND (y // {s}) % 2 = 1 THEN 2
+        WHEN (x // {s}) % 2 = 1 THEN 3
+        WHEN (y // {s}) % 2 = 1 THEN 1 ELSE 0 END) AS d
+  FROM h{k})""")
+    return ",\n".join(steps)
+
+
+_Q115_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+h0 AS (
+  SELECT doc_id,
+         CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256), 0),
+                    255) AS BIGINT) AS x,
+         CAST(least(greatest(floor((lat + 85.0) / 170.0 * 256), 0),
+                    255) AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM geo),
+{_hilbert_sql_steps()}
+SELECT d AS hcell, CAST(count(*) AS BIGINT) AS n_docs
+FROM h8 GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6009,6 +6070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q112_triangles": _q112_triangles,
         "q113_image_patches": _q113_image_patches,
         "q114_scd2": _q114_scd2,
+        "q115_hilbert": _q115_hilbert,
     }
 
 
@@ -6128,4 +6190,5 @@ def oracle_sql() -> dict[str, str]:
         "q112_triangles": _Q112_SQL,
         "q113_image_patches": _Q113_SQL,
         "q114_scd2": _Q114_SQL,
+        "q115_hilbert": _Q115_SQL,
     }
