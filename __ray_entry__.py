@@ -5949,6 +5949,40 @@ FROM h8 GROUP BY 1 ORDER BY 1
 """
 
 
+def _q116_late_events(sf_dir: str):
+    """Watermark / late-event accounting over the stored event stream:
+    the watermark at arrival position i (arrival order = event_id) is
+    the running max event-time; an event is LATE when it arrives more
+    than 2 days behind the watermark. Per event type: totals, late
+    counts, worst lateness. Distributed prefix-max with range buckets
+    on the arrival position + a driver-side B-row carry scan — ONE
+    bucketed all-to-all (functions/temporal.py watermark_lateness)."""
+    from proj_ray.functions.temporal import watermark_lateness
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type"])
+    return watermark_lateness(ds, "event_id", "ts", "event_type",
+                              late_us=2 * 86400 * 1_000_000)
+
+
+_Q116_SQL = """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS wm
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN date_diff('microsecond', ts, wm)
+                          > 172800000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       CAST(max(date_diff('microsecond', ts, wm)) AS BIGINT)
+           AS max_late_us
+FROM w GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6071,6 +6105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q113_image_patches": _q113_image_patches,
         "q114_scd2": _q114_scd2,
         "q115_hilbert": _q115_hilbert,
+        "q116_late_events": _q116_late_events,
     }
 
 
@@ -6191,4 +6226,5 @@ def oracle_sql() -> dict[str, str]:
         "q113_image_patches": _Q113_SQL,
         "q114_scd2": _Q114_SQL,
         "q115_hilbert": _Q115_SQL,
+        "q116_late_events": _Q116_SQL,
     }

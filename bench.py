@@ -311,6 +311,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q113_image_patches(sf_dir)))
     timed("q114_scd2",
           lambda: consume(E._q114_scd2(sf_dir)))
+    timed("q115_hilbert",
+          lambda: consume(E._q115_hilbert(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

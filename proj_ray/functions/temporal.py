@@ -808,3 +808,81 @@ def scd2_versions(ds, key_col: str, ts_col: str, state_col: str,
             .groupby("_bk")
             .map_groups(lambda g: versions(g.drop(columns=["_bk"])),
                         batch_format="pandas"))
+
+
+def watermark_lateness(ds, order_col: str, ts_col: str, group_col: str,
+                       late_us: int, n_buckets: int = 64):
+    """Streaming-style late-event accounting over a stored stream: the
+    WATERMARK at arrival position i is max(ts) over all rows arriving
+    at or before i (`order_col` is the arrival order); an event is
+    LATE when watermark - ts > late_us. Returns pandas
+    (group_col, n_events, n_late, max_late_us).
+
+    Distributed prefix-max (the q85 prefix-sum shape with max):
+    arrival positions range-bucket by order_col // span, a per-block
+    partial pass ships one (bucket, max_ts) row per bucket touched,
+    the driver scans the B-row carry vector (exclusive cumulative
+    max), and ONE bucketed all-to-all sorts each bucket by arrival,
+    applies carry + running max, and emits per-group partials."""
+    import pandas as pd
+
+    # bounds pass: per-block partials -> driver max (no shuffle)
+    def bounds(b: dict) -> dict:
+        e = np.asarray(b[order_col], dtype=np.int64)
+        return {"mx": np.array([e.max() if len(e) else -1], np.int64)}
+
+    mx = int(ds.map_batches(bounds, batch_format="numpy")
+             .to_pandas()["mx"].max())
+    span = max((mx + n_buckets) // n_buckets, 1)
+
+    # carry pass: per-block per-bucket max ts -> driver exclusive
+    # cumulative max across buckets
+    def carry_partial(b: dict) -> pd.DataFrame:
+        e = np.asarray(b[order_col], dtype=np.int64)
+        t = _ts_us(np.asarray(b[ts_col]))
+        bk = e // span
+        g = pd.DataFrame({"bk": bk, "t": t}).groupby(
+            "bk", as_index=False)["t"].max()
+        return g
+
+    parts = ds.map_batches(carry_partial,
+                           batch_format="numpy").to_pandas()
+    bmax = np.full(n_buckets, np.iinfo(np.int64).min, dtype=np.int64)
+    agg = parts.groupby("bk")["t"].max()
+    bmax[agg.index.to_numpy(np.int64)] = agg.to_numpy(np.int64)
+    carry = np.maximum.accumulate(
+        np.r_[np.iinfo(np.int64).min, bmax[:-1]])
+
+    def tag(b: dict) -> pd.DataFrame:
+        e = np.asarray(b[order_col], dtype=np.int64)
+        return pd.DataFrame({
+            order_col: e,
+            "_t": _ts_us(np.asarray(b[ts_col])),
+            group_col: np.asarray(b[group_col]),
+            "_bk": e // span})
+
+    def late_stats(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_col, kind="stable")
+        t = g["_t"].to_numpy(np.int64)
+        bk = int(g["_bk"].iloc[0])
+        wm = np.maximum.accumulate(np.r_[carry[bk], t])[1:]
+        lateness = wm - t
+        out = pd.DataFrame({group_col: g[group_col].to_numpy(),
+                            "_late": (lateness > late_us),
+                            "_lat": lateness})
+        s = out.groupby(group_col, sort=False).agg(
+            n_events=("_lat", "size"), n_late=("_late", "sum"),
+            max_late_us=("_lat", "max")).reset_index()
+        return s
+
+    parts2 = (ds.map_batches(tag, batch_format="numpy")
+              .groupby("_bk")
+              .map_groups(lambda g: late_stats(g),
+                          batch_format="pandas")
+              .to_pandas())
+    out = parts2.groupby(group_col, sort=True).agg(
+        n_events=("n_events", "sum"), n_late=("n_late", "sum"),
+        max_late_us=("max_late_us", "max")).reset_index()
+    for c in ("n_events", "n_late", "max_late_us"):
+        out[c] = out[c].astype(np.int64)
+    return out
