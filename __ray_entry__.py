@@ -5983,6 +5983,62 @@ FROM w GROUP BY 1 ORDER BY 1
 """
 
 
+def _q117_cross_track(sf_dir: str):
+    """Great-circle corridor assignment: each geotag joins the route
+    (of 8 deterministic great circles) minimizing its spherical
+    CROSS-TRACK distance asin(sin(d13) * sin(th13 - th12)) * R, kept
+    when within 500 km; per-route counts + meter-quantized distance
+    sums (stages/mapmatch.py cross_track_stats). The SQL oracle
+    mirrors every transcendental op-for-op (the q57/q58 float
+    contract), so the argmin, the corridor filter, and the sums are
+    reproduced exactly."""
+    from proj_ray.stages.mapmatch import cross_track_stats, \
+        route_endpoints
+
+    return cross_track_stats(_docs_geo(sf_dir), "lon", "lat",
+                             route_endpoints(8), max_m=500_000)
+
+
+_Q117_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+routes AS (
+  SELECT CAST(range AS BIGINT) AS r,
+         (range * 29) % 140 - 70 + 0.5 AS lat_a,
+         (range * 47) % 340 - 170 + 0.5 AS lon_a,
+         (range * 61 + 37) % 140 - 70 + 0.5 AS lat_b,
+         (range * 83 + 59) % 340 - 170 + 0.5 AS lon_b
+  FROM range(8)),
+cand AS (
+  SELECT doc_id, r,
+    CAST(floor(abs(asin(least(greatest(
+      sin(acos(least(greatest(
+        sin(radians(lat_a)) * sin(radians(lat))
+        + cos(radians(lat_a)) * cos(radians(lat))
+          * cos(radians(lon) - radians(lon_a)), -1.0), 1.0)))
+      * sin(atan2(sin(radians(lon) - radians(lon_a))
+                    * cos(radians(lat)),
+                  cos(radians(lat_a)) * sin(radians(lat))
+                  - sin(radians(lat_a)) * cos(radians(lat))
+                    * cos(radians(lon) - radians(lon_a)))
+            - atan2(sin(radians(lon_b) - radians(lon_a))
+                      * cos(radians(lat_b)),
+                    cos(radians(lat_a)) * sin(radians(lat_b))
+                    - sin(radians(lat_a)) * cos(radians(lat_b))
+                      * cos(radians(lon_b) - radians(lon_a))))
+      , -1.0), 1.0)) * 6371000.0) + 0.5) AS BIGINT) AS mq
+  FROM geo CROSS JOIN routes),
+best AS (
+  SELECT doc_id, r, mq,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY mq, r) AS rn
+  FROM cand)
+SELECT r AS route_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(mq) AS BIGINT) AS sum_dxt_q
+FROM best WHERE rn = 1 AND mq <= 500000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6106,6 +6162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q114_scd2": _q114_scd2,
         "q115_hilbert": _q115_hilbert,
         "q116_late_events": _q116_late_events,
+        "q117_cross_track": _q117_cross_track,
     }
 
 
@@ -6227,4 +6284,5 @@ def oracle_sql() -> dict[str, str]:
         "q114_scd2": _Q114_SQL,
         "q115_hilbert": _Q115_SQL,
         "q116_late_events": _Q116_SQL,
+        "q117_cross_track": _Q117_SQL,
     }

@@ -105,3 +105,79 @@ def demo_segments(m: int = 64) -> np.ndarray:
     bx = ax + (s * 89) % 200 - 100
     by = ay + (s * 53) % 200 - 100
     return np.stack([s, ax, ay, bx, by], axis=1)
+
+
+def route_endpoints(m: int = 8):
+    """Deterministic great-circle routes (degrees), mirrored verbatim
+    by the q117 SQL oracle."""
+    r = np.arange(m, dtype=np.int64)
+    lat_a = (r * 29) % 140 - 70 + 0.5
+    lon_a = (r * 47) % 340 - 170 + 0.5
+    lat_b = (r * 61 + 37) % 140 - 70 + 0.5
+    lon_b = (r * 83 + 59) % 340 - 170 + 0.5
+    return np.stack([r.astype(np.float64), lat_a, lon_a, lat_b, lon_b],
+                    axis=1)
+
+
+def cross_track_stats(ds, lon_col: str, lat_col: str,
+                      routes: np.ndarray, max_m: int = 500_000):
+    """Assign each point to the great-circle ROUTE with the smallest
+    absolute cross-track distance (spherical: asin(sin(d13) *
+    sin(theta13 - theta12)) * R, the standard corridor test an AIS /
+    flight-track pipeline runs), keep points within `max_m` meters of
+    their route, and return pandas (route_id, n_pts, sum_dxt_q) with
+    dxt quantized to whole meters (floor(|dxt| + 0.5)) so the argmin
+    and the sums are integer-exact.
+
+    Float contract: every transcendental is composed in exactly the
+    SQL oracle's op order (the q57/q58 convention — numpy and DuckDB
+    share libm, so mirrored expressions match bit-for-bit); acos
+    arguments clamp to [-1, 1] on both sides. Routes broadcast via
+    closure (tiny); each batch computes points x routes and ships
+    <= |routes| partial rows."""
+    import pandas as pd
+
+    rid = routes[:, 0].astype(np.int64)
+    phi1 = np.radians(routes[:, 1])[None, :]
+    lam1 = np.radians(routes[:, 2])[None, :]
+    phi2 = np.radians(routes[:, 3])[None, :]
+    lam2 = np.radians(routes[:, 4])[None, :]
+    th12 = np.arctan2(
+        np.sin(lam2 - lam1) * np.cos(phi2),
+        np.cos(phi1) * np.sin(phi2)
+        - np.sin(phi1) * np.cos(phi2) * np.cos(lam2 - lam1))
+
+    def partial(b: dict) -> pd.DataFrame:
+        phip = np.radians(np.asarray(b[lat_col], np.float64))[:, None]
+        lamp = np.radians(np.asarray(b[lon_col], np.float64))[:, None]
+        cosd = (np.sin(phi1) * np.sin(phip)
+                + np.cos(phi1) * np.cos(phip) * np.cos(lamp - lam1))
+        d13 = np.arccos(np.minimum(np.maximum(cosd, -1.0), 1.0))
+        th13 = np.arctan2(
+            np.sin(lamp - lam1) * np.cos(phip),
+            np.cos(phi1) * np.sin(phip)
+            - np.sin(phi1) * np.cos(phip) * np.cos(lamp - lam1))
+        dxt = np.arcsin(np.minimum(np.maximum(
+            np.sin(d13) * np.sin(th13 - th12), -1.0), 1.0)) * 6371000.0
+        mq = np.floor(np.abs(dxt) + 0.5).astype(np.int64)
+        best = np.argmin(mq, axis=1)  # ties -> lowest route id
+        rows = np.arange(len(best))
+        bm = mq[rows, best]
+        keep = bm <= max_m
+        g = pd.DataFrame({"route_id": rid[best[keep]],
+                          "_mq": bm[keep]}).groupby(
+            "route_id", sort=False).agg(n_pts=("_mq", "size"),
+                                        sum_dxt_q=("_mq", "sum"))
+        return g.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="numpy").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in ("route_id", "n_pts",
+                                       "sum_dxt_q")})
+    out = parts.groupby("route_id", sort=True).agg(
+        n_pts=("n_pts", "sum"), sum_dxt_q=("sum_dxt_q", "sum")) \
+        .reset_index()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
