@@ -6039,6 +6039,54 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q118_kmeans_lloyd(sf_dir: str):
+    """Full iterative Lloyd k-means (3 iterations, k=8) over the
+    embeddings table in exact integer arithmetic: quantized elements,
+    exact squared-Euclidean argmin, truncated-integer-mean M-step
+    (DuckDB // semantics), empty clusters dropped — so the SQL
+    oracle's chained-CTE mirror is bit-exact across ALL iterations
+    (functions/ann.py kmeans_lloyd). Per iteration, one pass ships
+    k x (dim+2) accumulator rows per block; vectors never shuffle."""
+    from proj_ray.functions.ann import kmeans_lloyd
+
+    return kmeans_lloyd(_read(sf_dir, "embeddings",
+                              columns=["vec_id", "embedding"]),
+                        k=8, iters=3)
+
+
+def _lloyd_sql_iters(iters: int = 3) -> str:
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""a{i} AS (
+  SELECT e.vec_id, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY sum((e.v - c.v) * (e.v - c.v)), c.cid) AS rnk
+  FROM eq e JOIN c{i - 1} c USING (dim)
+  GROUP BY e.vec_id, c.cid),
+s{i} AS (SELECT vec_id, cid FROM a{i} WHERE rnk = 1),
+c{i} AS (
+  SELECT s.cid, e.dim, CAST(sum(e.v) // count(*) AS BIGINT) AS v
+  FROM s{i} s JOIN eq e USING (vec_id) GROUP BY 1, 2)""")
+    return ",\n".join(steps)
+
+
+_Q118_SQL = f"""
+WITH eq AS (
+  SELECT vec_id, d.i AS dim,
+         CAST(floor(CAST(embedding[CAST(d.i AS INT)] AS DOUBLE)
+                    * 1000000.0 + 0.5) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN range(1, 65) d(i)),
+c0 AS (SELECT vec_id AS cid, dim, v FROM eq WHERE vec_id < 8),
+{_lloyd_sql_iters(3)}
+SELECT n.cid, n.n_vecs, k.cchk
+FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM s3 GROUP BY 1) n
+JOIN (SELECT cid, CAST(sum(v * dim) AS BIGINT) AS cchk
+      FROM c3 GROUP BY 1) k USING (cid)
+ORDER BY cid
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6163,6 +6211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_hilbert": _q115_hilbert,
         "q116_late_events": _q116_late_events,
         "q117_cross_track": _q117_cross_track,
+        "q118_kmeans_lloyd": _q118_kmeans_lloyd,
     }
 
 
@@ -6285,4 +6334,5 @@ def oracle_sql() -> dict[str, str]:
         "q115_hilbert": _Q115_SQL,
         "q116_late_events": _Q116_SQL,
         "q117_cross_track": _Q117_SQL,
+        "q118_kmeans_lloyd": _Q118_SQL,
     }

@@ -313,6 +313,12 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q114_scd2(sf_dir)))
     timed("q115_hilbert",
           lambda: consume(E._q115_hilbert(sf_dir)))
+    timed("q116_late_events",
+          lambda: consume(E._q116_late_events(sf_dir)))
+    timed("q117_cross_track",
+          lambda: consume(E._q117_cross_track(sf_dir)))
+    timed("q118_kmeans_lloyd",
+          lambda: consume(E._q118_kmeans_lloyd(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

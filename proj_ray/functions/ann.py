@@ -578,3 +578,79 @@ def label_centroid_outliers(ds, k: int = 5, vec_col: str = "embedding",
 
     return (ds.map_batches(score, batch_format="pandas")
               .groupby("label").map_groups(final, batch_format="pandas"))
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero — DuckDB's `//` on
+    BIGINT (numpy's // floors, which differs on negative sums)."""
+    q = np.abs(s) // n
+    return np.where(s >= 0, q, -q).astype(np.int64)
+
+
+def kmeans_lloyd(ds, k: int = 8, iters: int = 3,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 scale: int = 1_000_000):
+    """Full iterative Lloyd k-means in exact integer arithmetic:
+    elements quantize once to floor(v*scale+0.5) int64; assignment is
+    the exact squared-Euclidean argmin in quantized space (ties ->
+    lowest cluster id); the M-step centroid is the per-dim TRUNCATED
+    integer mean (DuckDB `//`), so every iteration — and therefore the
+    SQL oracle's chained-CTE mirror — is bit-reproducible. Clusters
+    that lose all members drop out (mirrored).
+
+    Per iteration: centroids broadcast via ray.put, one pass emits
+    k x (2 + dim) partial accumulator rows per block, the driver
+    reduces k rows and updates centroids — vectors never cross an
+    all-to-all (the kmeans_assign_stats contract, iterated).
+
+    Returns pandas (cid, n_vecs, cchk) after `iters` updates, where
+    cchk = sum(centroid_d * (d+1)) pins every dimension."""
+    import pandas as pd
+    import ray
+
+    cent = ds.filter(expr=f"{id_col} < {k}").take_all()
+    cent.sort(key=lambda r: r[id_col])
+    C = np.floor(np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                           for r in cent]) * float(scale)
+                 + 0.5).astype(np.int64)
+    cids = np.arange(k, dtype=np.int64)
+    d = C.shape[1]
+
+    n_last = None
+    for _ in range(iters):
+        ref = ray.put((cids.copy(), C.copy()))
+
+        def partial(b: dict) -> pd.DataFrame:
+            ids, cc = ray.get(ref)
+            V = np.floor(_as_matrix(b[vec_col]) * float(scale)
+                         + 0.5).astype(np.int64)
+            # exact integer distances: |v|^2 - 2 v.c + |c|^2
+            dist = ((V * V).sum(axis=1, keepdims=True)
+                    - 2 * (V @ cc.T) + (cc * cc).sum(axis=1)[None, :])
+            a = np.argmin(dist, axis=1)  # first hit = lowest position
+            rows = []
+            for j in range(len(ids)):
+                m = a == j
+                nj = int(m.sum())
+                if nj:
+                    rows.append(np.r_[ids[j], nj, V[m].sum(axis=0)])
+            if not rows:
+                return pd.DataFrame(
+                    np.empty((0, d + 2), dtype=np.int64),
+                    columns=["cid", "n"] + [f"s{i}" for i in range(d)])
+            return pd.DataFrame(np.stack(rows).astype(np.int64),
+                                columns=["cid", "n"]
+                                + [f"s{i}" for i in range(d)])
+
+        parts = ds.map_batches(partial,
+                               batch_format="numpy").to_pandas()
+        agg = parts.groupby("cid", sort=True).sum()
+        n = agg["n"].to_numpy(np.int64)
+        sums = agg[[f"s{i}" for i in range(d)]].to_numpy(np.int64)
+        cids = agg.index.to_numpy(np.int64)   # empty clusters drop
+        C = _trunc_div(sums, n[:, None])
+        n_last = n
+
+    w = np.arange(1, d + 1, dtype=np.int64)
+    return pd.DataFrame({"cid": cids, "n_vecs": n_last,
+                         "cchk": C @ w})
