@@ -6087,6 +6087,48 @@ ORDER BY cid
 """
 
 
+def _q119_dbscan_core(sf_dir: str):
+    """Grid-based DBSCAN core-point classification over document
+    geotags (eps = 2 deg, min_pts = 4, count includes self): the PBSM
+    plan — every point ships once to its home eps-cell and as a ghost
+    to the 8 ring cells, ONE all-to-all, per-cell vectorized exact
+    integer neighbor counting (functions/dbscan.py). Coordinates
+    shift non-negative before the cell floor-division so numpy //
+    (floor) and DuckDB // (trunc) agree."""
+    from proj_ray.functions.dbscan import dbscan_core_stats
+
+    return dbscan_core_stats(_docs_geo(sf_dir), "lon", "lat",
+                             "doc_id", eps_mdeg=2000, min_pts=4)
+
+
+_Q119_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+c AS (
+  SELECT doc_id,
+         CAST(floor(lon * 1000 + 0.5) AS BIGINT) + 1048576 AS x,
+         CAST(floor(lat * 1000 + 0.5) AS BIGINT) + 1048576 AS y,
+         (CAST(floor(lon * 1000 + 0.5) AS BIGINT) + 1048576)
+             // 2000 AS cx,
+         (CAST(floor(lat * 1000 + 0.5) AS BIGINT) + 1048576)
+             // 2000 AS cy
+  FROM geo),
+cnt AS (
+  SELECT a.doc_id, CAST(count(*) AS BIGINT) AS nbr
+  FROM c a
+  JOIN c b ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+          AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+          AND (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= 4000000
+  GROUP BY 1)
+SELECT CAST(sum(CASE WHEN nbr >= 4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_core,
+       CAST(sum(CASE WHEN nbr >= 4 THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_noncore,
+       CAST(sum(nbr * (doc_id + 1)) AS BIGINT) AS chk
+FROM cnt
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6212,6 +6254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q116_late_events": _q116_late_events,
         "q117_cross_track": _q117_cross_track,
         "q118_kmeans_lloyd": _q118_kmeans_lloyd,
+        "q119_dbscan_core": _q119_dbscan_core,
     }
 
 
@@ -6335,4 +6378,5 @@ def oracle_sql() -> dict[str, str]:
         "q116_late_events": _Q116_SQL,
         "q117_cross_track": _Q117_SQL,
         "q118_kmeans_lloyd": _Q118_SQL,
+        "q119_dbscan_core": _Q119_SQL,
     }

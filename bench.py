@@ -319,6 +319,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q117_cross_track(sf_dir)))
     timed("q118_kmeans_lloyd",
           lambda: consume(E._q118_kmeans_lloyd(sf_dir)))
+    timed("q119_dbscan_core",
+          lambda: consume(E._q119_dbscan_core(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
