@@ -6129,6 +6129,51 @@ FROM cnt
 """
 
 
+def _q120_hotspots(sf_dir: str):
+    """Heat-map hotspot detection: zoom-4 tile counts, then every
+    tile that is >= 3 AND strictly greater than all 8 neighbors
+    (absent neighbor = 0) — the Getis-Ord-style local-maximum pass
+    (functions/hotspot.py local_max_cells). The compare scatter ships
+    only OCCUPIED (tile, n) rows 9x; points never re-shuffle after
+    the count."""
+    from ray.data.aggregate import Count
+
+    from proj_ray.functions.hotspot import local_max_cells
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=4)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n")))
+    return local_max_cells(counts, "tile_x", "tile_y", "n",
+                           min_count=3)
+
+
+_Q120_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo),
+c AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2)
+SELECT a.tx AS tile_x, a.ty AS tile_y, a.n
+FROM c a
+WHERE a.n >= 3 AND NOT EXISTS (
+  SELECT 1 FROM c b
+  WHERE b.tx BETWEEN a.tx - 1 AND a.tx + 1
+    AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+    AND (b.tx <> a.tx OR b.ty <> a.ty)
+    AND b.n >= a.n)
+ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6255,6 +6300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q117_cross_track": _q117_cross_track,
         "q118_kmeans_lloyd": _q118_kmeans_lloyd,
         "q119_dbscan_core": _q119_dbscan_core,
+        "q120_hotspots": _q120_hotspots,
     }
 
 
@@ -6379,4 +6425,5 @@ def oracle_sql() -> dict[str, str]:
         "q117_cross_track": _Q117_SQL,
         "q118_kmeans_lloyd": _Q118_SQL,
         "q119_dbscan_core": _Q119_SQL,
+        "q120_hotspots": _Q120_SQL,
     }

@@ -321,6 +321,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q118_kmeans_lloyd(sf_dir)))
     timed("q119_dbscan_core",
           lambda: consume(E._q119_dbscan_core(sf_dir)))
+    timed("q120_hotspots",
+          lambda: consume(E._q120_hotspots(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
