@@ -6174,6 +6174,65 @@ ORDER BY 1, 2
 """
 
 
+def _q121_ahash_neardup(sf_dir: str):
+    """Perceptual-hash image near-dup pairs (the phash-column shape of
+    the input hint, with an INTEGER-exact aHash so the oracle can
+    reproduce every bit): decode -> 64-bit average hash (images.py
+    ahash64_int) -> 8x8-bit band buckets (total recall for hamming<=7
+    by pigeonhole) -> chunked SWAR hamming verify <= 6 -> bucketed
+    pair dedup (functions/dedup.py hash_band_pairs). Bytes never
+    cross a shuffle — only (band, id, hash) triples do."""
+    from proj_ray.functions.dedup import hash_band_pairs
+    from proj_ray.images import AHasher, images_table
+
+    n = _read(sf_dir, "documents").count()
+    hashes = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        AHasher, batch_format="numpy", batch_size=256,
+        concurrency=(2, 8))
+    return hash_band_pairs(hashes, "ahash", "img", max_hamming=6,
+                           n_bands=8)
+
+
+_Q121_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, w, h, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, (y*8)//h AS br, (x*8)//w AS bc,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+dec AS (SELECT i, br, bc,
+               2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+             + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+             +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END) AS lum
+        FROM raw),
+blk AS (SELECT i, br, bc, SUM(lum) AS bs FROM dec GROUP BY 1, 2, 3),
+tot AS (SELECT i, SUM(bs) AS total FROM blk GROUP BY 1),
+hsh AS (SELECT b.i,
+          CAST(SUM(CASE WHEN bs*64 > total AND (br*8+bc) < 32
+                   THEN (CAST(1 AS BIGINT) << CAST(br*8+bc AS INT))
+                   ELSE 0 END) AS BIGINT) AS lo,
+          CAST(SUM(CASE WHEN bs*64 > total AND (br*8+bc) >= 32
+                   THEN (CAST(1 AS BIGINT) << CAST(br*8+bc-32 AS INT))
+                   ELSE 0 END) AS BIGINT) AS hi
+        FROM blk b JOIN tot USING (i) GROUP BY 1)
+SELECT a.i AS id_a, b.i AS id_b,
+       CAST(bit_count(xor(a.lo, b.lo))
+            + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+FROM hsh a JOIN hsh b ON a.i < b.i
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6301,6 +6360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_kmeans_lloyd": _q118_kmeans_lloyd,
         "q119_dbscan_core": _q119_dbscan_core,
         "q120_hotspots": _q120_hotspots,
+        "q121_ahash_neardup": _q121_ahash_neardup,
     }
 
 
@@ -6426,4 +6486,5 @@ def oracle_sql() -> dict[str, str]:
         "q118_kmeans_lloyd": _Q118_SQL,
         "q119_dbscan_core": _Q119_SQL,
         "q120_hotspots": _Q120_SQL,
+        "q121_ahash_neardup": _Q121_SQL,
     }

@@ -323,6 +323,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q119_dbscan_core(sf_dir)))
     timed("q120_hotspots",
           lambda: consume(E._q120_hotspots(sf_dir)))
+    timed("q121_ahash_neardup",
+          lambda: consume(E._q121_ahash_neardup(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

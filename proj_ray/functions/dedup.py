@@ -1274,3 +1274,64 @@ def cosine_pairs(ds, vec_col: str, id_col: str, threshold: float,
 
     return ds.map_batches(Pairer, batch_format="pandas",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+def hash_band_pairs(ds, hash_col: str, id_col: str,
+                    max_hamming: int = 6, n_bands: int = 8):
+    """Near-dup pairs over a PRECOMPUTED 64-bit hash column (pHash /
+    aHash / SimHash alike): `n_bands` equal bit-slices are the bucket
+    keys — a pair within hamming h < n_bands shares at least one exact
+    band (pigeonhole), so recall is total for max_hamming < n_bands.
+    The default 8x8-bit banding therefore guarantees hamming <= 7.
+    Verify reuses the chunked SWAR hamming matrix; pair dedup is the
+    bucketed distinct pass (dedup_simhash's plan, generalized to any
+    hash source). Returns {id_a, id_b, hamming}."""
+    import pandas as pd
+
+    assert max_hamming < n_bands, "pigeonhole recall needs h < bands"
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+
+    def sign(batch):
+        hu = np.asarray(batch[hash_col]).astype(np.int64).view(np.uint64)
+        ids = np.asarray(batch[id_col])
+        keys = np.concatenate([
+            (((hu >> np.uint64(band * width)) & mask).astype(np.int64)
+             | np.int64(band << (width + 1)))
+            for band in range(n_bands)])
+        return pd.DataFrame({"band": keys,
+                             "rid": np.tile(ids, n_bands),
+                             "simhash": np.tile(hu.view(np.int64),
+                                                n_bands)})
+
+    sigs = ds.map_batches(sign, batch_format="pandas", batch_size=4096)
+
+    def verify(group):
+        g = group.drop_duplicates("rid").sort_values("rid")
+        ids = g["rid"].to_numpy()
+        hs = g["simhash"].to_numpy()
+        n = len(ids)
+        frames = []
+        CH = 2048
+        for lo in range(0, n, CH):
+            d = hamming64(hs[lo:lo + CH, None], hs[None, :])
+            r, c = np.nonzero(d <= max_hamming)
+            keep = (lo + r) < c
+            r, c = r[keep], c[keep]
+            if len(r):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[lo + r], "id_b": ids[c],
+                    "hamming": d[r, c].astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+        return pd.concat(frames, ignore_index=True)
+
+    pairs = sigs.groupby("band").map_groups(verify,
+                                            batch_format="pandas")
+
+    def distinct(batch):
+        return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) \
+            else pd.DataFrame(columns=["id_a", "id_b", "hamming"])
+
+    return pairs.groupby("id_a").map_groups(distinct,
+                                            batch_format="pandas")

@@ -700,3 +700,36 @@ def patch_stats(ds, grid: int = 4):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def ahash64_int(px: np.ndarray) -> np.int64:
+    """Integer-exact 64-bit average hash: luminance 2r+3g+b summed per
+    8x8 block (h, w divisible by 8 so blocks are equal-size), bit j
+    (= block_row*8 + block_col) set iff block_sum * 64 > total_sum —
+    all int64 comparisons, so a SQL oracle reproduces every bit (the
+    float-mean phash64 cannot be mirrored: numpy's pairwise summation
+    is not SQL-reproducible)."""
+    p = px.astype(np.int64)  # BEFORE arithmetic: 3*uint8 wraps mod 256
+    g = 2 * p[..., 0] + 3 * p[..., 1] + p[..., 2]
+    h, w = g.shape
+    bs = g.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    total = np.int64(bs.sum())
+    bits = (bs.ravel() * 64 > total)
+    with np.errstate(over="ignore"):
+        v = (bits.astype(np.uint64)
+             << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    return v.view(np.int64)
+
+
+class AHasher:
+    """Actor-pool stage: decode -> integer aHash; emits (img, ahash)."""
+
+    def __call__(self, b: dict) -> dict:
+        n = len(b["image_id"])
+        out = np.empty(n, dtype=np.int64)
+        idx = np.empty(n, dtype=np.int64)
+        for k in range(n):
+            px = decode(b["bytes"][k], b["fmt"][k])
+            out[k] = ahash64_int(px)
+            idx[k] = int(str(b["image_id"][k])[3:])
+        return {"img": idx, "ahash": out}
