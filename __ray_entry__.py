@@ -6233,6 +6233,28 @@ WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 6
 """
 
 
+def _q122_fuzzy_join(sf_dir: str):
+    """Fuzzy string self-join (Levenshtein <= 1) over supplier names:
+    symmetric-deletion blocking (each string emits O(L) variant hashes
+    computed from shared prefix hashes — total recall for k=1 by the
+    SymSpell property) -> per-bucket exact BANDED Levenshtein DP
+    vectorized across the pair axis -> bucketed pair dedup. Only
+    (bucket, id, string) rows cross the shuffle; no all-pairs stage
+    (functions/fuzzy.py)."""
+    from proj_ray.functions.fuzzy import fuzzy_join
+
+    sup = _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+    return fuzzy_join(sup, "s_name", "s_suppkey", max_dist=1)
+
+
+_Q122_SQL = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6361,6 +6383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q119_dbscan_core": _q119_dbscan_core,
         "q120_hotspots": _q120_hotspots,
         "q121_ahash_neardup": _q121_ahash_neardup,
+        "q122_fuzzy_join": _q122_fuzzy_join,
     }
 
 
@@ -6487,4 +6510,5 @@ def oracle_sql() -> dict[str, str]:
         "q119_dbscan_core": _Q119_SQL,
         "q120_hotspots": _Q120_SQL,
         "q121_ahash_neardup": _Q121_SQL,
+        "q122_fuzzy_join": _Q122_SQL,
     }
