@@ -6255,6 +6255,36 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 """
 
 
+def _q123_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size. Per-block local skyline (one vectorized sort +
+    running-max sweep reduces each block to a superset of the global
+    answer) -> single tiny final sweep; duplicates of a frontier point
+    are all retained, matching the NOT-EXISTS dominance oracle
+    (functions/skyline.py)."""
+    from proj_ray.functions.skyline import skyline2d
+
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_size", "p_retailprice"])
+
+    def widen(batch):
+        batch["p_size"] = np.asarray(batch["p_size"]).astype(np.int64)
+        return batch
+
+    return skyline2d(part.map_batches(widen, batch_format="numpy"),
+                     "p_retailprice", "p_size", ("p_partkey",))
+
+
+_Q123_SQL = """
+SELECT a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size, a.p_partkey
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6384,6 +6414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q120_hotspots": _q120_hotspots,
         "q121_ahash_neardup": _q121_ahash_neardup,
         "q122_fuzzy_join": _q122_fuzzy_join,
+        "q123_skyline": _q123_skyline,
     }
 
 
@@ -6511,4 +6542,5 @@ def oracle_sql() -> dict[str, str]:
         "q120_hotspots": _Q120_SQL,
         "q121_ahash_neardup": _Q121_SQL,
         "q122_fuzzy_join": _Q122_SQL,
+        "q123_skyline": _Q123_SQL,
     }

@@ -327,6 +327,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q121_ahash_neardup(sf_dir)))
     timed("q122_fuzzy_join",
           lambda: consume(E._q122_fuzzy_join(sf_dir)))
+    timed("q123_skyline",
+          lambda: consume(E._q123_skyline(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
