@@ -6285,6 +6285,34 @@ WHERE NOT EXISTS (
 """
 
 
+def _q124_kmv_distinct(sf_dir: str):
+    """KMV distinct-count sketch per order priority: k smallest
+    bijective 32-bit hashes of the distinct customer keys; estimate =
+    (k-1)*2^32 // (h_k+1) in pure integer math so the SQL oracle is
+    bit-exact; groups under k distinct report the exact count. Each
+    batch ships at most k (group, hash) rows (functions/sketch.py)."""
+    from proj_ray.functions.sketch import kmv_distinct
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderpriority", "o_custkey"])
+    return kmv_distinct(orders, "o_orderpriority", "o_custkey", k=64)
+
+
+_Q124_SQL = """
+WITH d AS (SELECT DISTINCT o_orderpriority AS g, o_custkey AS v
+           FROM orders),
+h AS (SELECT g, CAST(CAST(v AS HUGEINT) % 4294967296 * 2654435761
+                     % 4294967296 AS BIGINT) AS h FROM d),
+r AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY g) AS nd FROM h)
+SELECT g AS o_orderpriority, CAST(LEAST(nd, 64) AS BIGINT) AS n_kept,
+       CAST(h AS BIGINT) AS kth_hash,
+       CAST(CASE WHEN nd < 64 THEN nd
+                 ELSE 63 * 4294967296 // (h + 1) END AS BIGINT) AS est
+FROM r WHERE rn = LEAST(nd, 64)
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6415,6 +6443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q121_ahash_neardup": _q121_ahash_neardup,
         "q122_fuzzy_join": _q122_fuzzy_join,
         "q123_skyline": _q123_skyline,
+        "q124_kmv_distinct": _q124_kmv_distinct,
     }
 
 
@@ -6543,4 +6572,5 @@ def oracle_sql() -> dict[str, str]:
         "q121_ahash_neardup": _Q121_SQL,
         "q122_fuzzy_join": _Q122_SQL,
         "q123_skyline": _Q123_SQL,
+        "q124_kmv_distinct": _Q124_SQL,
     }

@@ -329,6 +329,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q122_fuzzy_join(sf_dir)))
     timed("q123_skyline",
           lambda: consume(E._q123_skyline(sf_dir)))
+    timed("q124_kmv_distinct",
+          lambda: consume(E._q124_kmv_distinct(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -148,3 +148,53 @@ def heavy_hitters(ds, col: str, k: int = 10, m: int = 4096,
             .reset_index(drop=True)
         exact["cnt"] = exact["cnt"].astype(np.int64)
     return exact
+
+
+_KNUTH32 = np.uint64(2654435761)
+_M32 = np.uint64(4294967296)
+
+
+def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64):
+    """KMV (k-minimum-values) per-group distinct-count sketch
+    (Bar-Yossef et al. 2002): keep the k smallest hashes of the
+    distinct values; the estimator is (k-1) / theta with
+    theta = (h_k + 1) / 2^32, evaluated in INTEGER floor division so
+    a SQL oracle reproduces it bit-for-bit. Groups with fewer than k
+    distinct values report the exact count (the sketch IS the value
+    set there). The hash is the Knuth 32-bit multiplicative mix — a
+    BIJECTION mod 2^32, so distinct values < 2^32 never collide and
+    the k-th order statistic is well defined.
+
+    Scale shape: every batch reduces to at most k (group, hash) rows
+    per group before the single all-to-all; merging sketches is a
+    distinct + partial-sort of a few hundred rows per group. The
+    values themselves never cross the shuffle.
+
+    Returns rows (group, n_kept, kth_hash, est)."""
+    import pandas as pd
+
+    def local(batch):
+        df = pd.DataFrame({
+            "g": np.asarray(batch[group_col]),
+            "v": np.asarray(batch[value_col]),
+        }).drop_duplicates()
+        h = (df["v"].to_numpy().astype(np.uint64) % _M32
+             * _KNUTH32) % _M32
+        out = pd.DataFrame({"g": df["g"].to_numpy(),
+                            "h": h.astype(np.int64)})
+        out = out.sort_values(["g", "h"], kind="mergesort")
+        return out.groupby("g", sort=False).head(k)
+
+    def merge(group: "pd.DataFrame") -> "pd.DataFrame":
+        hs = np.unique(group["h"].to_numpy(np.int64))[:k]
+        n = len(hs)
+        hk = int(hs[-1])
+        est = n if n < k else (k - 1) * int(_M32) // (hk + 1)
+        return pd.DataFrame({group_col: group["g"].iloc[:1],
+                             "n_kept": np.int64(n),
+                             "kth_hash": np.int64(hk),
+                             "est": np.int64(est)})
+
+    return (ds.map_batches(local, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("g").map_groups(merge, batch_format="pandas"))
