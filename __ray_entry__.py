@@ -6313,6 +6313,38 @@ FROM r WHERE rn = LEAST(nd, 64)
 """
 
 
+def _q125_priority_sample(sf_dir: str):
+    """Weighted sample of 100 lineitems by priority sampling
+    (Duffield-Lund-Thorup): q = (quantity << 32) // (knuth_mix(id)+1)
+    in pure integer math, ties by id — bit-exact against the SQL
+    mirror. Each block prunes to its local top-100 before the single
+    tiny all-to-all (functions/sample.py)."""
+    from proj_ray.functions.sample import priority_sample
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def keyed(batch):
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        ln = np.asarray(batch["l_linenumber"], dtype=np.int64)
+        return {"id": ok * 10 + ln,
+                "w": np.asarray(batch["l_quantity"]).astype(np.int64)}
+
+    return priority_sample(li.map_batches(keyed, batch_format="numpy"),
+                           "w", "id", n=100)
+
+
+_Q125_SQL = """
+WITH t AS (SELECT l_orderkey * 10 + l_linenumber AS id,
+                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+p AS (SELECT id, w,
+             CAST(CAST(id AS HUGEINT) % 4294967296 * 2654435761
+                  % 4294967296 + 1 AS BIGINT) AS u FROM t)
+SELECT id, w, w * 4294967296 // u AS q
+FROM p ORDER BY q DESC, id ASC LIMIT 100
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6444,6 +6476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q122_fuzzy_join": _q122_fuzzy_join,
         "q123_skyline": _q123_skyline,
         "q124_kmv_distinct": _q124_kmv_distinct,
+        "q125_priority_sample": _q125_priority_sample,
     }
 
 
@@ -6573,4 +6606,5 @@ def oracle_sql() -> dict[str, str]:
         "q122_fuzzy_join": _Q122_SQL,
         "q123_skyline": _Q123_SQL,
         "q124_kmv_distinct": _Q124_SQL,
+        "q125_priority_sample": _Q125_SQL,
     }

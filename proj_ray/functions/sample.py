@@ -131,3 +131,51 @@ def hash_split_stats(ds, id_col: str, group_col: str, weight_col: str,
                            batch_size=batch_size)
     return parts.groupby([group_col, "split"]).map_groups(
         combine, batch_format="pandas")
+
+
+def priority_sample(ds, weight_col: str, id_col: str, n: int,
+                    extra_cols: tuple = ()):
+    """Weighted sample WITHOUT replacement by priority sampling
+    (Duffield-Lund-Thorup 2007): priority q_i = w_i / u_i with u_i
+    uniform on (0,1]; the n highest priorities are the sample.
+    Here u_i = (knuth_mix(id)+1) / 2^32 and q is evaluated as the
+    INTEGER (w << 32) // (mix+1), so ranking (and a SQL oracle) is
+    bit-exact — weights must stay below 2^20 for the product to fit
+    int64. Ties break by id ascending.
+
+    Scale shape: every block prunes to its local top-n before the
+    single all-to-all; the final pick sorts n x blocks rows. Returns
+    (id, weight, q) rows plus extra_cols."""
+    import pandas as pd
+
+    need = list(dict.fromkeys([id_col, weight_col, *extra_cols]))
+
+    def _q(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        u = (ids.astype(np.uint64) % np.uint64(_MOD)
+             * np.uint64(_KNUTH)) % np.uint64(_MOD) + np.uint64(1)
+        assert int(w.max(initial=0)) < (1 << 20), \
+            "weight * 2^32 must fit int64"
+        return ((w.astype(np.uint64) << np.uint64(32)) // u) \
+            .astype(np.int64)
+
+    def prune(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        ids = df[id_col].to_numpy(np.int64)
+        df["q"] = _q(ids, df[weight_col].to_numpy(np.int64))
+        top = df.nlargest(n, ["q"], keep="all")
+        # keep="all" then exact cut with the id tie-break
+        top = top.sort_values(["q", id_col],
+                              ascending=[False, True],
+                              kind="mergesort").head(n)
+        top["_one"] = np.zeros(len(top), dtype=np.int8)
+        return top
+
+    def final(group: "pd.DataFrame") -> "pd.DataFrame":
+        out = group.sort_values(["q", id_col],
+                                ascending=[False, True],
+                                kind="mergesort").head(n)
+        return out.drop(columns=["_one"])
+
+    return (ds.map_batches(prune, batch_format="pandas",
+                           batch_size=65536)
+            .groupby("_one").map_groups(final, batch_format="pandas"))
