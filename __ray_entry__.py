@@ -5306,6 +5306,64 @@ ORDER BY source
 """
 
 
+def _trade_pairs(sf_dir: str, cap: int, nb: int = 64):
+    """(o_custkey, l_suppkey) trade pairs from orders x lineitem —
+    the shared edge source of the graph queries (q104 pagerank, q126
+    BFS). Broadcast-joins the orders side below `cap` rows; above it,
+    a hash-bucket co-partition merge (no driver-side join either
+    way). Pairs are NOT deduped here — callers dedup in the shape
+    their algorithm needs."""
+    import pandas as pd
+    import ray
+
+    from proj_ray.stages import BroadcastLookup
+
+    orders_ds = _read(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    if orders_ds.count() <= cap:
+        od = orders_ds.to_pandas()
+        omap = BroadcastLookup(od["o_orderkey"].to_numpy(),
+                               {"ck": od["o_custkey"].to_numpy()})
+        oref = ray.put(omap)
+
+        def pairs(b: dict) -> dict:
+            vals, found = ray.get(oref).take(
+                np.asarray(b["l_orderkey"], dtype=np.int64))
+            return {"c": vals["ck"][found].astype(np.int64),
+                    "s": np.asarray(b["l_suppkey"],
+                                    dtype=np.int64)[found]}
+
+        return li.map_batches(pairs, batch_format="numpy")
+
+    def li_rows(b: dict) -> dict:
+        k = np.asarray(b["l_orderkey"], dtype=np.int64)
+        return {"k": k,
+                "v": np.asarray(b["l_suppkey"], dtype=np.int64),
+                "side": np.zeros(len(k), np.int8),
+                "_bk": (k % nb + nb) % nb}
+
+    def o_rows(b: dict) -> dict:
+        k = np.asarray(b["o_orderkey"], dtype=np.int64)
+        return {"k": k,
+                "v": np.asarray(b["o_custkey"], dtype=np.int64),
+                "side": np.ones(len(k), np.int8),
+                "_bk": (k % nb + nb) % nb}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        m = left.merge(right[["k", "v"]].rename(columns={"v": "c"}),
+                       on="k")
+        return pd.DataFrame({"c": m["c"].to_numpy(np.int64),
+                             "s": m["v"].to_numpy(np.int64)})
+
+    return (li.map_batches(li_rows, batch_format="numpy")
+            .union(orders_ds.map_batches(o_rows, batch_format="numpy"))
+            .groupby("_bk").map_groups(merge, batch_format="pandas"))
+
+
 def _q104_pagerank(sf_dir: str, iters: int = 5, dim_cap=None):
     """Iterative distributed PageRank over the customer<->supplier
     trade graph (distinct (o_custkey, l_suppkey) pairs from
@@ -5331,52 +5389,7 @@ def _q104_pagerank(sf_dir: str, iters: int = 5, dim_cap=None):
     cap = BROADCAST_ROW_LIMIT if dim_cap is None else dim_cap
     ns = 1_000_000
     nb = 64
-    orders_ds = _read(sf_dir, "orders",
-                      columns=["o_orderkey", "o_custkey"])
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-
-    if orders_ds.count() <= cap:
-        od = orders_ds.to_pandas()
-        omap = BroadcastLookup(od["o_orderkey"].to_numpy(),
-                               {"ck": od["o_custkey"].to_numpy()})
-        oref = ray.put(omap)
-
-        def pairs(b: dict) -> dict:
-            vals, found = ray.get(oref).take(
-                np.asarray(b["l_orderkey"], dtype=np.int64))
-            return {"c": vals["ck"][found].astype(np.int64),
-                    "s": np.asarray(b["l_suppkey"],
-                                    dtype=np.int64)[found]}
-
-        pr = li.map_batches(pairs, batch_format="numpy")
-    else:
-        def li_rows(b: dict) -> dict:
-            k = np.asarray(b["l_orderkey"], dtype=np.int64)
-            return {"k": k,
-                    "v": np.asarray(b["l_suppkey"], dtype=np.int64),
-                    "side": np.zeros(len(k), np.int8),
-                    "_bk": (k % nb + nb) % nb}
-
-        def o_rows(b: dict) -> dict:
-            k = np.asarray(b["o_orderkey"], dtype=np.int64)
-            return {"k": k,
-                    "v": np.asarray(b["o_custkey"], dtype=np.int64),
-                    "side": np.ones(len(k), np.int8),
-                    "_bk": (k % nb + nb) % nb}
-
-        def merge(g: pd.DataFrame) -> pd.DataFrame:
-            left = g[g["side"] == 0]
-            right = g[g["side"] == 1]
-            m = left.merge(right[["k", "v"]].rename(columns={"v": "c"}),
-                           on="k")
-            return pd.DataFrame({"c": m["c"].to_numpy(np.int64),
-                                 "s": m["v"].to_numpy(np.int64)})
-
-        pr = (li.map_batches(li_rows, batch_format="numpy")
-              .union(orders_ds.map_batches(o_rows, batch_format="numpy"))
-              .groupby("_bk").map_groups(merge, batch_format="pandas"))
-
-    pr = pr.materialize()
+    pr = _trade_pairs(sf_dir, cap).materialize()
     edge_cap = 5_000_000 if dim_cap is None else dim_cap
     if pr.count() <= edge_cap:
         # raw pair list fits the driver: dedup + numpy fixed-point
@@ -6345,6 +6358,56 @@ FROM p ORDER BY q DESC, id ASC LIMIT 100
 """
 
 
+def _q126_bfs_hops(sf_dir: str):
+    """Exact hop distances (BFS, <= 4 hops) from the smallest-id
+    supplier over the customer<->supplier trade graph: iterative
+    min-message dataflow — two bucketed all-to-alls per hop over
+    (node, dist) messages, never a driver-side graph
+    (functions/graph.py bfs_hops). The oracle is a recursive CTE
+    whose UNION-deduped (node, depth) state set is bounded by
+    nodes x hops."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import bfs_hops
+    from proj_ray.stages import BROADCAST_ROW_LIMIT
+
+    ns = 1_000_000
+    nb = 64
+    pr = _trade_pairs(sf_dir, BROADCAST_ROW_LIMIT)
+
+    def tag(b: dict) -> dict:
+        c = np.asarray(b["c"], dtype=np.int64)
+        s = np.asarray(b["s"], dtype=np.int64)
+        return {"c": c, "s": s, "_bk": ((c * 31 + s) % nb + nb) % nb}
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["c", "s"])
+        return pd.DataFrame({"a": u["c"].to_numpy(np.int64),
+                             "b": u["s"].to_numpy(np.int64) + ns})
+
+    edges = (pr.map_batches(tag, batch_format="numpy")
+             .groupby("_bk").map_groups(dedup, batch_format="pandas"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    src = ns + int(li.min("l_suppkey"))
+    return bfs_hops(edges, source=src, max_hops=4)
+
+
+_Q126_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM pairs
+      UNION ALL SELECT s, c FROM pairs),
+r AS (SELECT CAST(1000000 + (SELECT MIN(l_suppkey) FROM lineitem)
+             AS BIGINT) AS node, 0 AS d
+      UNION
+      SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.node
+      WHERE r.d < 4)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6477,6 +6540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_skyline": _q123_skyline,
         "q124_kmv_distinct": _q124_kmv_distinct,
         "q125_priority_sample": _q125_priority_sample,
+        "q126_bfs_hops": _q126_bfs_hops,
     }
 
 
@@ -6607,4 +6671,5 @@ def oracle_sql() -> dict[str, str]:
         "q123_skyline": _Q123_SQL,
         "q124_kmv_distinct": _Q124_SQL,
         "q125_priority_sample": _Q125_SQL,
+        "q126_bfs_hops": _Q126_SQL,
     }

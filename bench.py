@@ -333,6 +333,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q124_kmv_distinct(sf_dir)))
     timed("q125_priority_sample",
           lambda: consume(E._q125_priority_sample(sf_dir)))
+    timed("q126_bfs_hops",
+          lambda: consume(E._q126_bfs_hops(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -488,3 +488,119 @@ def triangle_count(edges, n_buckets: int = 64,
     return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
                          "n_edges": [np.int64(n_edges)],
                          "n_triangles": [np.int64(n_tri)]})
+
+
+def bfs_numpy(src: np.ndarray, dst: np.ndarray, source: int,
+              max_hops: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reference BFS on the driver (directed edge list as given).
+    Returns (nodes, dist) for nodes within max_hops of source."""
+    import pandas as pd
+
+    dist = {int(source): 0}
+    frontier = np.array([source], dtype=np.int64)
+    s = pd.Series(dst, index=src)
+    for d in range(1, max_hops + 1):
+        idx = s.index.intersection(pd.Index(frontier))
+        if not len(idx):
+            break
+        nxt = np.unique(s.loc[idx].to_numpy(np.int64))
+        new = np.array([v for v in nxt if v not in dist],
+                       dtype=np.int64)
+        for v in new:
+            dist[int(v)] = d
+        frontier = new
+    nodes = np.array(sorted(dist), dtype=np.int64)
+    return nodes, np.array([dist[int(v)] for v in nodes],
+                           dtype=np.int64)
+
+
+def bfs_hops(edges, source: int, max_hops: int = 6,
+             n_buckets: int = 32):
+    """Exact hop distances from `source` for every node within
+    `max_hops`, over an undirected edge Dataset with int64 columns
+    `a`, `b`. BFS as iterative min-message dataflow: each hop unions
+    the current (node, dist) table with (dst, dist+1) messages sent
+    along edges co-partitioned with their source node, then takes the
+    per-node min — the same two-bucketed-all-to-alls-per-iteration
+    shape as connected_components, O(max_hops) rounds, never a
+    driver-side graph. A node first reached at round t has true
+    distance t (unit weights), so after H rounds the table is exactly
+    {(v, d(v)) : d(v) <= H}. Early exit when a round adds no rows and
+    changes no sum (monotone convergence check)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    def both_dirs(b: dict) -> dict:
+        a = np.asarray(b["a"], dtype=np.int64)
+        bb = np.asarray(b["b"], dtype=np.int64)
+        src = np.concatenate([a, bb])
+        return {"src": src,
+                "dst": np.concatenate([bb, a]),
+                "_bk": _bucket(src, n_buckets)}
+
+    edb = edges.map_batches(both_dirs, batch_format="numpy",
+                            batch_size=65536).materialize()
+
+    import ray
+
+    dists = ray.data.from_pandas(pd.DataFrame({
+        "node": np.array([source], dtype=np.int64),
+        "dist": np.array([0], dtype=np.int64),
+        "_bk": _bucket(np.array([source]), n_buckets)}))
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["dst"].isna()][["node", "dist"]]
+        ed_ = g[~g["dst"].isna()][["node", "dst"]].rename(
+            columns={"node": "src"})
+        m = ed_.merge(lab, left_on="src", right_on="node")
+        out = pd.concat([
+            lab,
+            pd.DataFrame({"node": m["dst"].to_numpy(np.int64),
+                          "dist": m["dist"].to_numpy(np.int64) + 1}),
+        ], ignore_index=True)
+        out = out.groupby("node", as_index=False)["dist"].min()
+        out["dist"] = out["dist"].astype(np.int64)
+        out["_bk"] = _bucket(out["node"].to_numpy(), n_buckets)
+        return out
+
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["dist"].min()
+        out["dist"] = out["dist"].astype(np.int64)
+        return out
+
+    prev = None
+    for _ in range(max_hops):
+        def dist_rows(b: dict) -> dict:
+            return {"node": np.asarray(b["node"], dtype=np.int64),
+                    "dst": np.full(len(b["node"]), np.nan),
+                    "dist": np.asarray(b["dist"], dtype=np.int64),
+                    "_bk": np.asarray(b["_bk"], dtype=np.int64)}
+
+        def edge_rows(b: dict) -> dict:
+            return {"node": np.asarray(b["src"], dtype=np.int64),
+                    "dst": np.asarray(b["dst"], dtype=np.float64),
+                    "dist": np.zeros(len(b["src"]), dtype=np.int64),
+                    "_bk": np.asarray(b["_bk"], dtype=np.int64)}
+
+        mixed = (dists.map_batches(dist_rows, batch_format="numpy",
+                                   batch_size=65536)
+                 .union(edb.map_batches(edge_rows,
+                                        batch_format="numpy",
+                                        batch_size=65536)))
+        # propagate emits per-bucket rows keyed by DESTINATION bucket;
+        # a second bucketed min merges messages that crossed buckets
+        nxt = (mixed.groupby("_bk")
+               .map_groups(lambda g: propagate(
+                   g.drop(columns=["_bk"])), batch_format="pandas")
+               .groupby("_bk")
+               .map_groups(lambda g: min_per_node(g)
+                           .assign(_bk=g["_bk"].iloc[0]),
+                           batch_format="pandas")
+               .materialize())
+        stat = nxt.aggregate(Count(), Sum("dist", alias_name="s"))
+        cur = (stat["count()"], stat["s"])
+        dists = nxt
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+    return dists.drop_columns(["_bk"])
