@@ -6408,6 +6408,86 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
 """
 
 
+def _q127_dominant_color(sf_dir: str):
+    """Per-image dominant quantized color (4x4x4 RGB buckets, argmax
+    count with smallest-bucket tie-break) -> image counts per
+    (fmt, dominant bucket). Decode + bincount run in an actor-pool
+    stage; only 64 x 3 partial-count rows per batch cross the
+    shuffle. Oracle mirrors the pixel generator and codec
+    quantization op-for-op (images.py synth_pixels/decode)."""
+    import pandas as pd
+
+    from proj_ray.images import decode, images_table
+    from ray.data.aggregate import Sum
+
+    n = _read(sf_dir, "documents").count()
+
+    class Dominant:
+        def __call__(self, b: dict) -> dict:
+            cnt = len(b["image_id"])
+            dom = np.empty(cnt, dtype=np.int64)
+            for k in range(cnt):
+                px = decode(b["bytes"][k], b["fmt"][k]) \
+                    .astype(np.int64)
+                bk = ((px[..., 0] >> 6) * 16 + (px[..., 1] >> 6) * 4
+                      + (px[..., 2] >> 6)).ravel()
+                dom[k] = int(np.bincount(bk, minlength=64).argmax())
+            return {"fmt": b["fmt"], "dom": dom}
+
+    def partial(batch):
+        df = pd.DataFrame({"fmt": np.asarray(batch["fmt"]),
+                           "dom": np.asarray(batch["dom"])})
+        g = df.groupby(["fmt", "dom"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    per_img = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        Dominant, batch_format="numpy", batch_size=256,
+        concurrency=(2, 8))
+    out = (per_img.map_batches(partial, batch_format="pandas",
+                               batch_size=8192)
+           .groupby(["fmt", "dom"])
+           .aggregate(Sum("n", alias_name="n_images")).to_pandas())
+    out["dom"] = out["dom"].astype(np.int64)
+    out["n_images"] = out["n_images"].astype(np.int64)
+    return out
+
+
+_Q127_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+q AS (SELECT i, f,
+             CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END AS rr,
+             CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END AS gg,
+             CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END AS bb
+      FROM raw),
+cnt AS (SELECT i, f, (rr//64)*16 + (gg//64)*4 + bb//64 AS bucket,
+               COUNT(*) AS c
+        FROM q GROUP BY 1, 2, 3),
+dom AS (SELECT i, f, bucket FROM cnt
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY i
+                                   ORDER BY c DESC, bucket ASC) = 1)
+SELECT CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(bucket AS BIGINT) AS dom,
+       COUNT(*) AS n_images
+FROM dom GROUP BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6541,6 +6621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q124_kmv_distinct": _q124_kmv_distinct,
         "q125_priority_sample": _q125_priority_sample,
         "q126_bfs_hops": _q126_bfs_hops,
+        "q127_dominant_color": _q127_dominant_color,
     }
 
 
@@ -6672,4 +6753,5 @@ def oracle_sql() -> dict[str, str]:
         "q124_kmv_distinct": _Q124_SQL,
         "q125_priority_sample": _Q125_SQL,
         "q126_bfs_hops": _Q126_SQL,
+        "q127_dominant_color": _Q127_SQL,
     }

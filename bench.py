@@ -335,6 +335,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q125_priority_sample(sf_dir)))
     timed("q126_bfs_hops",
           lambda: consume(E._q126_bfs_hops(sf_dir)))
+    timed("q127_dominant_color",
+          lambda: consume(E._q127_dominant_color(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
