@@ -6488,6 +6488,37 @@ FROM dom GROUP BY 1, 2
 """
 
 
+def _q128_count_min(sf_dir: str):
+    """Count-Min sketch (depth 4 x width 256, fixed odd multiplier row
+    hashes) over lineitem supplier keys, judged against the exact
+    counts: (suppkey, n_exact, n_est) with n_est the min-of-rows
+    bucket counter — integer-exact, so the SQL oracle mirrors the
+    sketch bit-for-bit. Counter partials are O(depth*width) per block
+    regardless of row count (functions/sketch.py count_min)."""
+    from proj_ray.functions.sketch import count_min
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    return count_min(li, "l_suppkey", depth=4, width=256)
+
+
+_Q128_SQL = """
+WITH c AS (SELECT l_suppkey AS k, COUNT(*) AS n
+           FROM lineitem GROUP BY 1),
+pr AS (SELECT * FROM (VALUES (0, 2654435761), (1, 2246822519),
+                             (2, 3266489917), (3, 668265263)) t(j, p)),
+h AS (SELECT c.k, c.n, pr.j,
+             CAST(CAST(c.k AS HUGEINT) % 4294967296 * pr.p
+                  % 4294967296 % 256 AS BIGINT) AS b
+      FROM c CROSS JOIN pr),
+bs AS (SELECT j, b, SUM(n) AS s FROM h GROUP BY 1, 2),
+est AS (SELECT h.k, MIN(bs.s) AS e
+        FROM h JOIN bs ON h.j = bs.j AND h.b = bs.b GROUP BY h.k)
+SELECT c.k AS l_suppkey, CAST(c.n AS BIGINT) AS n_exact,
+       CAST(est.e AS BIGINT) AS n_est
+FROM c JOIN est ON c.k = est.k ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6622,6 +6653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q125_priority_sample": _q125_priority_sample,
         "q126_bfs_hops": _q126_bfs_hops,
         "q127_dominant_color": _q127_dominant_color,
+        "q128_count_min": _q128_count_min,
     }
 
 
@@ -6754,4 +6786,5 @@ def oracle_sql() -> dict[str, str]:
         "q125_priority_sample": _Q125_SQL,
         "q126_bfs_hops": _Q126_SQL,
         "q127_dominant_color": _Q127_SQL,
+        "q128_count_min": _Q128_SQL,
     }

@@ -337,6 +337,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q126_bfs_hops(sf_dir)))
     timed("q127_dominant_color",
           lambda: consume(E._q127_dominant_color(sf_dir)))
+    timed("q128_count_min",
+          lambda: consume(E._q128_count_min(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

@@ -154,6 +154,78 @@ _KNUTH32 = np.uint64(2654435761)
 _M32 = np.uint64(4294967296)
 
 
+# xxhash/Knuth-style odd 32-bit multipliers: one independent row hash
+# per CMS depth. Public constants (Knuth 1998; xxHash primes).
+_CMS_PRIMES = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def count_min(ds, col: str, depth: int = 4, width: int = 256):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over an int key
+    column, evaluated against the exact counts: returns pandas
+    (key, n_exact, n_est) with n_est = min over the sketch's `depth`
+    rows of the bucket counter the key hashes into — always >=
+    n_exact, equal when no colliding key shares all `depth` buckets.
+
+    Row hashes are h_j(k) = ((k mod 2^32) * P_j mod 2^32) mod width
+    with fixed odd multipliers, so a SQL oracle reproduces the sketch
+    bit-for-bit (the KMV convention in this module).
+
+    Scale shape: each block contributes ONE (depth x width) partial
+    counter frame (emitted as depth*width rows) regardless of row
+    count — the counter exchange is O(blocks x depth x width), never
+    O(rows) — and the frames sum-combine in streaming map_batches
+    passes; the driver folds <= depth*width rows. The per-key exact
+    side ships per-block pre-combined (key, n) partials, bounded by
+    the block's distinct keys. Estimates are then a vectorized lookup
+    of the final counter matrix against the distinct-key table."""
+    import pandas as pd
+
+    dw = depth * width
+    pr = np.asarray(_CMS_PRIMES[:depth], dtype=np.uint64)
+
+    def partial(b: dict) -> dict:
+        k = np.asarray(b[col]).astype(np.uint64) % _M32
+        cnt = np.zeros(dw, dtype=np.int64)
+        for j in range(depth):
+            bk = ((k * pr[j]) % _M32 % np.uint64(width)).astype(np.int64)
+            np.add.at(cnt, j * width + bk, 1)
+        nz = np.flatnonzero(cnt)
+        ek = np.asarray(b[col])
+        s = pd.Series(np.ones(len(ek), np.int64)).groupby(
+            pd.Series(ek)).sum()
+        return {"_jb": np.r_[nz, np.full(len(s), -1, np.int64)],
+                "_n": np.r_[cnt[nz], s.to_numpy(np.int64)],
+                "_k": np.r_[np.full(len(nz), -1, np.int64),
+                            s.index.to_numpy().astype(np.int64)]}
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["_jb", "_k"], as_index=False)["_n"].sum()
+
+    parts = (ds.select_columns([col])
+             .map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=65536)
+             .map_batches(combine, batch_format="pandas",
+                          batch_size=65536)
+             .to_pandas())
+    fin = parts.groupby(["_jb", "_k"], as_index=False)["_n"].sum()
+    sk = fin[fin["_jb"] >= 0]
+    cnt = np.zeros(dw, dtype=np.int64)
+    cnt[sk["_jb"].to_numpy(np.int64)] = sk["_n"].to_numpy(np.int64)
+    ex = fin[fin["_jb"] < 0]
+    keys = ex["_k"].to_numpy(np.int64)
+    ku = keys.astype(np.uint64) % _M32
+    est = np.full(len(keys), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        bk = ((ku * pr[j]) % _M32 % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, cnt[j * width + bk])
+    out = pd.DataFrame({col: keys,
+                        "n_exact": ex["_n"].to_numpy(np.int64),
+                        "n_est": est})
+    return out.sort_values(col, kind="mergesort").reset_index(drop=True)
+
+
 def kmv_distinct(ds, group_col: str, value_col: str, k: int = 64):
     """KMV (k-minimum-values) per-group distinct-count sketch
     (Bar-Yossef et al. 2002): keep the k smallest hashes of the
