@@ -6519,6 +6519,50 @@ FROM c JOIN est ON c.k = est.k ORDER BY 1
 """
 
 
+def _q129_pq_adc(sf_dir: str):
+    """Product-quantization ADC top-10 (Jegou et al. 2011): 64-dim
+    embeddings split into 4 subspaces of 16 dims, each encoded to its
+    argmax-int-dot code against the deterministic Hadamard codebook;
+    queries (vec_id 0..3) score stored vectors by per-subspace table
+    lookup — all in floor(v*1e6+0.5) int64 arithmetic, so the SQL
+    oracle mirrors codes, scores and ranks bit-for-bit
+    (functions/ann.py pq_adc_topk)."""
+    from proj_ray.functions.ann import pq_adc_topk
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return pq_adc_topk(emb, query_ids=range(4), k=10, m=4, ncode=16)
+
+
+_Q129_SQL = """
+WITH q AS (
+  SELECT vec_id, i - 1 AS i0,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)),
+cb AS (SELECT c.c AS c, d.d AS d,
+              1 - 2 * (bit_count(CAST(c.c AS BIGINT)
+                                 & CAST(d.d AS BIGINT)) % 2) AS e
+       FROM range(16) c(c) CROSS JOIN range(16) d(d)),
+dots AS (SELECT q.vec_id, q.i0 // 16 AS j, cb.c,
+                SUM(q.v * cb.e) AS dot
+         FROM q JOIN cb ON cb.d = q.i0 % 16
+         GROUP BY 1, 2, 3),
+codes AS (SELECT vec_id, j, c AS code FROM dots
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                                     ORDER BY dot DESC, c ASC) = 1),
+qt AS (SELECT vec_id AS qid, j, c, dot FROM dots WHERE vec_id < 4),
+sc AS (SELECT qt.qid AS q, codes.vec_id AS nid, SUM(qt.dot) AS score
+       FROM codes JOIN qt ON qt.j = codes.j AND qt.c = codes.code
+       GROUP BY 1, 2)
+SELECT q, nid, CAST(score AS BIGINT) AS score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q
+                               ORDER BY score DESC, nid ASC)
+            AS BIGINT) AS rk
+FROM sc
+QUALIFY rk <= 10
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6654,6 +6698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q126_bfs_hops": _q126_bfs_hops,
         "q127_dominant_color": _q127_dominant_color,
         "q128_count_min": _q128_count_min,
+        "q129_pq_adc": _q129_pq_adc,
     }
 
 
@@ -6787,4 +6832,5 @@ def oracle_sql() -> dict[str, str]:
         "q126_bfs_hops": _Q126_SQL,
         "q127_dominant_color": _Q127_SQL,
         "q128_count_min": _Q128_SQL,
+        "q129_pq_adc": _Q129_SQL,
     }

@@ -347,6 +347,81 @@ def ann_ivf_index(path: str, queries: np.ndarray, k: int = 10,
     return _merge_topk(cand, k)
 
 
+def pq_adc_topk(ds, query_ids, k: int = 10, m: int = 4, ncode: int = 16,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                scale: int = 1_000_000, batch_size: int = 8192):
+    """Product-quantization top-k by asymmetric distance computation
+    (Jegou, Douze & Schmid, PAMI 2011 — 'Product quantization for
+    nearest neighbor search'), in EXACT integer arithmetic so a SQL
+    oracle reproduces ranks bit-for-bit.
+
+    The vector splits into `m` subspaces of dim/m dims; each subspace
+    encodes to its argmax-dot code against the deterministic
+    equal-norm Hadamard codebook (`formula_centroids(ncode, dim/m)`,
+    ties -> lowest code), on the repo's floor(v*scale+0.5) int64
+    quantization. A query never touches stored vectors: its per-
+    subspace lookup tables T_j[c] = q(query_sub_j) . C[c] broadcast
+    once, and each stored vector scores as sum_j T_j[code_j(v)] — m
+    int64 gathers per row instead of a dim-wide dot. At 100 TB the
+    codes (m bytes/vector) are what an index stores; here encode+score
+    fuse into one map_batches pass with per-block top-k pruning, so
+    the exchange ships <= nq*k candidate rows per block.
+
+    `query_ids`: vectors with id_col in this list are the queries
+    (fetched in one pruned read-side filter). Returns pandas
+    (q, nid, score, rk), rk 1..k per query by score desc, id asc.
+    """
+    import pandas as pd
+    import ray
+
+    qids = sorted(int(x) for x in query_ids)
+    qset = set(qids)
+    qrows = [r for r in
+             ds.filter(expr=f"{id_col} <= {qids[-1]}").take_all()
+             if int(r[id_col]) in qset]
+    qrows.sort(key=lambda r: r[id_col])
+    Qraw = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                     for r in qrows])
+    dim = Qraw.shape[1]
+    sub = dim // m
+    C = formula_centroids(ncode, sub).astype(np.int64)  # (ncode, sub)
+    Qq = np.floor(Qraw * float(scale) + 0.5).astype(np.int64)
+    # per-query, per-subspace lookup tables: (nq, m, ncode)
+    T = np.einsum("qjd,cd->qjc", Qq.reshape(len(qids), m, sub), C)
+    tref = ray.put((np.asarray(qids, dtype=np.int64), C, T))
+
+    def score_block(b: dict) -> pd.DataFrame:
+        qid_arr, Cm, Tm = ray.get(tref)
+        Vq = np.floor(_as_matrix(b[vec_col]) * float(scale)
+                      + 0.5).astype(np.int64).reshape(-1, m, sub)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        # encode: argmax int dot per subspace (first max = lowest code)
+        codes = np.argmax(np.einsum("njd,cd->njc", Vq, Cm), axis=2)
+        acc = np.zeros((Tm.shape[0], len(ids)), dtype=np.int64)
+        for j in range(m):
+            acc += Tm[:, j, codes[:, j]]
+        nq = Tm.shape[0]
+        kk = min(k, acc.shape[1])
+        # per-block prune to k per query: score desc, id asc
+        order = np.lexsort((ids[None, :].repeat(nq, 0), -acc), axis=1)
+        pick = order[:, :kk]
+        return pd.DataFrame({
+            "q": np.repeat(qid_arr, kk),
+            "nid": ids[pick].ravel(),
+            "score": acc[np.arange(nq)[:, None], pick].ravel()})
+
+    cand = (ds.select_columns([id_col, vec_col])
+            .map_batches(score_block, batch_format="numpy",
+                         batch_size=batch_size).to_pandas())
+    out = (cand.sort_values(["q", "score", "nid"],
+                            ascending=[True, False, True], kind="stable")
+           .groupby("q").head(k).reset_index(drop=True))
+    out["rk"] = (out.groupby("q").cumcount() + 1).astype(np.int64)
+    for c in ("q", "nid", "score"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
 def kmeans_assign_stats(ds, n_centroids: int = 8,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
