@@ -6563,6 +6563,72 @@ QUALIFY rk <= 10
 """
 
 
+def _q130_staypoints(sf_dir: str):
+    """Stay-point detection (GeoLife primitive as gaps-and-islands):
+    per-user trajectories in integer micro-degrees (base position per
+    3-day bucket + per-event jitter, all modular int math mirrored in
+    the oracle), segmented where a consecutive step's exact squared
+    displacement exceeds r^2 = 1e8; a stay is a maximal run of >= 5
+    pings. One user-bucket all-to-all; vectorized diff + cumsum +
+    bincount segment pass (functions/temporal.py staypoints)."""
+    from proj_ray.functions.temporal import staypoints
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000  # 3-day bucket
+        x = (u * 2654435761 + bk * 40503) % 100_000_000 \
+            + (e * 7919 % 2001 - 1000)
+        y = (u * 2246822519 + bk * 65537) % 100_000_000 \
+            + (e * 104729 % 2001 - 1000)
+        return {"user_id": u, "ts_us": t, "event_id": e,
+                "x": x, "y": y}
+
+    return staypoints(ev.map_batches(pos, batch_format="numpy"),
+                      "user_id", "ts_us", r2=100_000_000, min_run=5,
+                      tie_col="event_id")
+
+
+_Q130_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         (user_id * 2654435761
+          + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000) AS x,
+         (user_id * 2246822519
+          + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000) AS y
+  FROM events),
+lagd AS (
+  SELECT user_id, t, event_id, x, y,
+         LAG(x) OVER w AS px, LAG(y) OVER w AS py
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+brks AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN px IS NULL
+                   OR (x - px) * (x - px) + (y - py) * (y - py)
+                      > 100000000
+              THEN 1 ELSE 0 END AS brk
+  FROM lagd),
+segd AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS seg
+  FROM brks),
+runs AS (SELECT user_id, seg, COUNT(*) AS len
+         FROM segd GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN len >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stays,
+       CAST(MAX(len) AS BIGINT) AS longest_run
+FROM runs GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6699,6 +6765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q127_dominant_color": _q127_dominant_color,
         "q128_count_min": _q128_count_min,
         "q129_pq_adc": _q129_pq_adc,
+        "q130_staypoints": _q130_staypoints,
     }
 
 
@@ -6833,4 +6900,5 @@ def oracle_sql() -> dict[str, str]:
         "q127_dominant_color": _Q127_SQL,
         "q128_count_min": _Q128_SQL,
         "q129_pq_adc": _Q129_SQL,
+        "q130_staypoints": _Q130_SQL,
     }

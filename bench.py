@@ -341,6 +341,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q128_count_min(sf_dir)))
     timed("q129_pq_adc",
           lambda: consume(E._q129_pq_adc(sf_dir)))
+    timed("q130_staypoints",
+          lambda: consume(E._q130_staypoints(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

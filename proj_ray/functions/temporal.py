@@ -886,3 +886,76 @@ def watermark_lateness(ds, order_col: str, ts_col: str, group_col: str,
     for c in ("n_events", "n_late", "max_late_us"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def staypoints(ds, key_col: str, ts_col: str,
+               x_col: str = "x", y_col: str = "y",
+               r2: int = 100_000_000, min_run: int = 5,
+               tie_col: str | None = None,
+               n_buckets: int = 64):
+    """Stay-point detection over integer-quantized trajectories (the
+    Li et al. 2008 GeoLife primitive, restated as gaps-and-islands so
+    it is windowed-SQL-exact): order each key's pings by (`ts_col`,
+    original row order) and segment at every consecutive step whose
+    squared planar displacement dx*dx + dy*dy exceeds `r2` (positions
+    are int64 micro-degree-style units, so the comparison is exact); a
+    stay-point is a maximal segment of >= `min_run` pings. `tie_col`
+    (unique within a key) pins the order of equal timestamps — without
+    it, ts ties would make the segmentation block-order-dependent.
+
+    Returns (key, n_points, n_stays, longest_run) per key.
+
+    Scale shape: one hash-bucket all-to-all co-partitions whole keys
+    (the sessionize plan); inside a bucket the multi-key segment pass
+    is one vectorized diff + boundary cumsum + bincount — no per-key
+    Python. Pings ship once; nothing is re-sorted globally.
+    """
+    import pandas as pd
+
+    need = [key_col, ts_col, x_col, y_col] + \
+        ([tie_col] if tie_col else [])
+    order = [key_col, ts_col] + ([tie_col] if tie_col else [])
+
+    def tag(batch):
+        df = pd.DataFrame({c: np.asarray(batch[c]) for c in need})
+        k = np.asarray(batch[key_col])
+        if not np.issubdtype(k.dtype, np.integer):
+            k = pd.util.hash_array(k)
+        df["_bk"] = (k.astype(np.int64) % n_buckets + n_buckets) \
+            % n_buckets
+        return df
+
+    def runs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(order, kind="stable")
+        k = g[key_col].to_numpy()
+        x = g[x_col].to_numpy(np.int64)
+        y = g[y_col].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key_col: k[:0],
+                                 "n_points": np.empty(0, np.int64),
+                                 "n_stays": np.empty(0, np.int64),
+                                 "longest_run": np.empty(0, np.int64)})
+        dx = np.diff(x)
+        dy = np.diff(y)
+        # a NEW segment starts at row 0 of each key and wherever the
+        # step from the previous ping moved farther than r2
+        brk = np.r_[True, (k[1:] != k[:-1])
+                    | (dx * dx + dy * dy > np.int64(r2))]
+        seg = np.cumsum(brk) - 1
+        seg_len = np.bincount(seg)
+        seg_key = k[brk]
+        df = pd.DataFrame({key_col: seg_key, "_len": seg_len})
+        out = df.groupby(key_col, as_index=False).agg(
+            n_points=("_len", "sum"),
+            n_stays=("_len", lambda s: int((s >= min_run).sum())),
+            longest_run=("_len", "max"))
+        for c in ("n_points", "n_stays", "longest_run"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return (ds.select_columns(need)
+            .map_batches(tag, batch_format="numpy", batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: runs(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
