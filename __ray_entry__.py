@@ -6629,6 +6629,64 @@ FROM runs GROUP BY 1
 """
 
 
+def _q131_rrf_fusion(sf_dir: str):
+    """Hybrid retrieval: BM25 top-50 (lexical, q80's fixed 3-term
+    query) fused with exact int64 MIPS top-50 (embedding query
+    vec_id=0) by reciprocal-rank fusion, scale//(60+rank) in pure
+    integer math (Cormack et al. 2009) — ranks and fused scores are
+    SQL-oracle-exact. The corpus-scale work is the two retriever
+    passes (each pre-prunes per block); the fuse itself touches only
+    the two 50-row lists (functions/ann.py mips_topk, rrf_fuse)."""
+    from proj_ray.functions.ann import mips_topk, rrf_fuse
+    from proj_ray.functions.text import bm25_topk
+
+    bm = bm25_topk(_read(sf_dir, "documents",
+                         columns=["doc_id", "text"]),
+                   _Q80_TERMS, k=50)
+    ann = mips_topk(_read(sf_dir, "embeddings",
+                          columns=["vec_id", "embedding"]),
+                    query_id=0, k=50)
+    return rrf_fuse([
+        bm.rename(columns={"doc_id": "id", "rk": "rank"}),
+        ann.rename(columns={"rk": "rank"}),
+    ], k=10, c=60)
+
+
+_Q131_SQL = f"""
+WITH bmr AS (
+  SELECT doc_id AS id, rk AS r
+  FROM ({{q80}}) bm50),
+qv AS (
+  SELECT i, CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+           AS v
+  FROM (SELECT unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0)),
+dv AS (
+  SELECT vec_id, i,
+         CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT vec_id, unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)),
+dots AS (SELECT dv.vec_id, SUM(dv.v * qv.v) AS dot
+         FROM dv JOIN qv USING (i) GROUP BY 1),
+annr AS (SELECT vec_id AS id,
+                ROW_NUMBER() OVER (ORDER BY dot DESC, vec_id) AS r
+         FROM dots QUALIFY r <= 50),
+ids AS (SELECT id FROM bmr UNION SELECT id FROM annr),
+f AS (SELECT ids.id,
+        COALESCE((SELECT 1000000000 // (60 + r) FROM bmr
+                  WHERE bmr.id = ids.id), 0)
+      + COALESCE((SELECT 1000000000 // (60 + r) FROM annr
+                  WHERE annr.id = ids.id), 0) AS rrf
+      FROM ids)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id) AS BIGINT)
+         AS rk,
+       id, CAST(rrf AS BIGINT) AS rrf
+FROM f ORDER BY rrf DESC, id LIMIT 10
+""".replace("{q80}", _Q80_SQL.replace("LIMIT 10", "LIMIT 50"))
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6766,6 +6824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q128_count_min": _q128_count_min,
         "q129_pq_adc": _q129_pq_adc,
         "q130_staypoints": _q130_staypoints,
+        "q131_rrf_fusion": _q131_rrf_fusion,
     }
 
 
@@ -6901,4 +6960,5 @@ def oracle_sql() -> dict[str, str]:
         "q128_count_min": _Q128_SQL,
         "q129_pq_adc": _Q129_SQL,
         "q130_staypoints": _Q130_SQL,
+        "q131_rrf_fusion": _Q131_SQL,
     }

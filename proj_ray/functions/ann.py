@@ -422,6 +422,71 @@ def pq_adc_topk(ds, query_ids, k: int = 10, m: int = 4, ncode: int = 16,
     return out
 
 
+def mips_topk(ds, query_id: int, k: int = 10,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              scale: int = 1_000_000, batch_size: int = 8192):
+    """Exact maximum-inner-product top-k in int64 fixed point: both
+    sides quantize with the repo's floor(v*scale+0.5) convention, so
+    scores and ranks are SQL-oracle-exact. One broadcast of the query
+    vector, one (B, dim) x dim int matmul per batch with a per-block
+    top-k prune — the combine sees <= k rows per block. Returns
+    pandas (rk, id, dot) ranked by dot desc, id asc."""
+    import pandas as pd
+    import ray
+
+    qrow = [r for r in
+            ds.filter(expr=f"{id_col} <= {int(query_id)}").take_all()
+            if int(r[id_col]) == int(query_id)]
+    Qq = np.floor(np.asarray(qrow[0][vec_col], dtype=np.float64)
+                  * float(scale) + 0.5).astype(np.int64)
+    qref = ray.put(Qq)
+
+    def score(b: dict) -> pd.DataFrame:
+        qv = ray.get(qref)
+        V = np.floor(_as_matrix(b[vec_col]) * float(scale)
+                     + 0.5).astype(np.int64)
+        ids = np.asarray(b[id_col], dtype=np.int64)
+        dots = V @ qv
+        kk = min(k, len(ids))
+        pick = np.lexsort((ids, -dots))[:kk]
+        return pd.DataFrame({"id": ids[pick], "dot": dots[pick]})
+
+    cand = (ds.select_columns([id_col, vec_col])
+            .map_batches(score, batch_format="numpy",
+                         batch_size=batch_size).to_pandas())
+    out = (cand.sort_values(["dot", "id"], ascending=[False, True],
+                            kind="stable").head(k)
+           .reset_index(drop=True))
+    out.insert(0, "rk", np.arange(1, len(out) + 1, dtype=np.int64))
+    out["id"] = out["id"].astype(np.int64)
+    out["dot"] = out["dot"].astype(np.int64)
+    return out
+
+
+def rrf_fuse(ranked_lists, k: int = 10, c: int = 60,
+             scale: int = 1_000_000_000):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) in exact integer arithmetic: each (id, rank) list
+    contributes scale // (c + rank); absent ids contribute 0.
+    Returns pandas (rk, id, rrf) — top-k by fused score desc, id asc.
+    Driver-side by design: the inputs are already top-N lists (a few
+    hundred rows), the corpus-scale work happened in the retrievers."""
+    import pandas as pd
+
+    acc: dict[int, int] = {}
+    for lst in ranked_lists:
+        for i, r in zip(lst["id"].astype(np.int64),
+                        lst["rank"].astype(np.int64)):
+            acc[int(i)] = acc.get(int(i), 0) + int(scale) // (c + int(r))
+    df = pd.DataFrame(sorted(acc.items()), columns=["id", "rrf"])
+    df = (df.sort_values(["rrf", "id"], ascending=[False, True],
+                         kind="stable").head(k).reset_index(drop=True))
+    df.insert(0, "rk", np.arange(1, len(df) + 1, dtype=np.int64))
+    for col in ("id", "rrf"):
+        df[col] = df[col].astype(np.int64)
+    return df
+
+
 def kmeans_assign_stats(ds, n_centroids: int = 8,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id",
