@@ -6687,6 +6687,96 @@ FROM f ORDER BY rrf DESC, id LIMIT 10
 """.replace("{q80}", _Q80_SQL.replace("LIMIT 10", "LIMIT 50"))
 
 
+def _q132_sharpness(sf_dir: str):
+    """Blur/sharpness curation gate: per-image integer Laplacian focus
+    measure (4p - 4-neighbour sum on the luma plane, luma =
+    (299r+587g+114b)//1000), summed as |L| over the interior; an image
+    is 'sharp' when sum|L| >= 20 * interior pixels. Decode + conv run
+    in an actor-pool stage; only (fmt, n, n_sharp, sum_absl) partial
+    counters cross the shuffle. The oracle re-synthesizes pixels and
+    codec quantization op-for-op (the q127 contract) and evaluates the
+    same Laplacian inline — bit-exact."""
+    import pandas as pd
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+    THR = 20
+
+    class Sharp:
+        def __call__(self, b: dict) -> dict:
+            cnt = len(b["image_id"])
+            sabs = np.empty(cnt, dtype=np.int64)
+            npx = np.empty(cnt, dtype=np.int64)
+            for k in range(cnt):
+                px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+                lum = (px[..., 0] * 299 + px[..., 1] * 587
+                       + px[..., 2] * 114) // 1000
+                L = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1]
+                     - lum[2:, 1:-1] - lum[1:-1, :-2] - lum[1:-1, 2:])
+                sabs[k] = int(np.abs(L).sum())
+                npx[k] = L.size
+            return {"fmt": b["fmt"], "sabs": sabs, "npx": npx}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["sharp"] = (df["sabs"] >= THR * df["npx"]).astype(np.int64)
+        g = df.groupby("fmt", as_index=False).agg(
+            n_images=("sabs", "size"), n_sharp=("sharp", "sum"),
+            total_absl=("sabs", "sum"))
+        return g
+
+    out = (images_table(n, columns=["image_id", "bytes", "fmt"])
+           .map_batches(Sharp, batch_format="numpy", batch_size=256,
+                        concurrency=(2, 8))
+           .map_batches(partial, batch_format="pandas",
+                        batch_size=8192)
+           .to_pandas())
+    fin = out.groupby("fmt", as_index=False).sum()
+    for c in ("n_images", "n_sharp", "total_absl"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin.sort_values("fmt").reset_index(drop=True)
+
+
+_Q132_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+pos AS (SELECT i, src, f, y.y AS y, x.x AS x
+        FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+        WHERE y.y >= 1 AND y.y < h - 1 AND x.x >= 1 AND x.x < w - 1),
+off(dx, dy, wt) AS (VALUES (0, 0, 4), (-1, 0, -1), (1, 0, -1),
+                           (0, -1, -1), (0, 1, -1)),
+pxo AS (SELECT i, src, f, x, y, o.wt, x + o.dx AS xx, y + o.dy AS yy
+        FROM pos CROSS JOIN off o),
+rgb AS (SELECT i, f, x, y, wt,
+               (src*37 + yy*11 + xx*7) % 256 AS r,
+               (src*53 + yy*5 + xx*13) % 256 AS g,
+               (src*97 + (yy+xx)*3) % 256 AS b
+        FROM pxo),
+q AS (SELECT i, f, x, y, wt,
+             CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END AS rr,
+             CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END AS gg,
+             CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END AS bb
+      FROM rgb),
+lum AS (SELECT i, f, x, y,
+               SUM(wt * ((rr*299 + gg*587 + bb*114) // 1000)) AS L
+        FROM q GROUP BY 1, 2, 3, 4),
+img_s AS (SELECT i, f, SUM(ABS(L)) AS sabs, COUNT(*) AS npx
+          FROM lum GROUP BY 1, 2)
+SELECT CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(CASE WHEN sabs >= 20 * npx THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sharp,
+       CAST(SUM(sabs) AS BIGINT) AS total_absl
+FROM img_s GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6825,6 +6915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q129_pq_adc": _q129_pq_adc,
         "q130_staypoints": _q130_staypoints,
         "q131_rrf_fusion": _q131_rrf_fusion,
+        "q132_sharpness": _q132_sharpness,
     }
 
 
@@ -6961,4 +7052,5 @@ def oracle_sql() -> dict[str, str]:
         "q129_pq_adc": _Q129_SQL,
         "q130_staypoints": _Q130_SQL,
         "q131_rrf_fusion": _Q131_SQL,
+        "q132_sharpness": _Q132_SQL,
     }

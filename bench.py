@@ -345,6 +345,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q130_staypoints(sf_dir)))
     timed("q131_rrf_fusion",
           lambda: consume(E._q131_rrf_fusion(sf_dir)))
+    timed("q132_sharpness",
+          lambda: consume(E._q132_sharpness(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
