@@ -6777,6 +6777,80 @@ FROM img_s GROUP BY 1 ORDER BY 1
 """
 
 
+def _q133_scene_cuts(sf_dir: str):
+    """Video scene-change detection: per video, decode consecutive
+    frames (offset-table seek, FVID container) and sum the per-pixel
+    |delta luma| (integer luma = (299r+587g+114b)//1000) over each
+    adjacent pair; a pair is a cut when the sum exceeds 15000 (~78/px
+    on the 16x12 frames). All-integer, so the oracle regenerates both
+    frames of every pair arithmetically and must match bit-for-bit.
+    Decode runs in an actor-pool stage; only per-video counter rows
+    (video_id, n_pairs, n_cuts, max_absdiff) leave the stage."""
+    import pandas as pd
+
+    from proj_ray.video import video_frame, video_header, videos_table
+
+    n = _read(sf_dir, "documents").count()
+    THR = 15000
+
+    class Cuts:
+        def __call__(self, b: dict) -> dict:
+            cnt = len(b["video_id"])
+            n_pairs = np.zeros(cnt, dtype=np.int64)
+            n_cuts = np.zeros(cnt, dtype=np.int64)
+            mx = np.zeros(cnt, dtype=np.int64)
+            for k in range(cnt):
+                data = b["bytes"][k]
+                nf = video_header(data)[0]
+                prev = None
+                for f in range(nf):
+                    px = video_frame(data, f).astype(np.int64)
+                    lum = (px[..., 0] * 299 + px[..., 1] * 587
+                           + px[..., 2] * 114) // 1000
+                    if prev is not None:
+                        d = int(np.abs(lum - prev).sum())
+                        n_pairs[k] += 1
+                        n_cuts[k] += d > THR
+                        mx[k] = max(mx[k], d)
+                    prev = lum
+            return {"video_id": b["video_id"], "n_pairs": n_pairs,
+                    "n_cuts": n_cuts, "max_absdiff": mx}
+
+    out = (videos_table(n, columns=["video_id", "bytes"])
+           .map_batches(Cuts, batch_format="numpy", batch_size=128,
+                        concurrency=(2, 8))
+           .to_pandas())
+    for c in ("n_pairs", "n_cuts", "max_absdiff"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("video_id").reset_index(drop=True)
+
+
+_Q133_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+vid AS (SELECT i, 8 + (i % 5) * 4 AS nf FROM seq),
+fr AS (SELECT i, f.f AS f FROM vid CROSS JOIN range(24) f(f)
+       WHERE f.f >= 1 AND f.f < nf),
+px AS (SELECT i, f, i*131 + f*17 AS s, i*131 + (f-1)*17 AS sp,
+              y.y AS y, x.x AS x
+       FROM fr CROSS JOIN range(12) y(y) CROSS JOIN range(16) x(x)),
+d AS (SELECT i, f,
+             SUM(ABS(
+               ((s*37 + y*11 + x*7) % 256 * 299
+                + (s*53 + y*5 + x*13) % 256 * 587
+                + (s*97 + (y+x)*3) % 256 * 114) // 1000
+               - ((sp*37 + y*11 + x*7) % 256 * 299
+                  + (sp*53 + y*5 + x*13) % 256 * 587
+                  + (sp*97 + (y+x)*3) % 256 * 114) // 1000)) AS sd
+      FROM px GROUP BY 1, 2)
+SELECT 'vid' || lpad(CAST(i AS VARCHAR), 12, '0') AS video_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN sd > 15000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cuts,
+       CAST(MAX(sd) AS BIGINT) AS max_absdiff
+FROM d GROUP BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6916,6 +6990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q130_staypoints": _q130_staypoints,
         "q131_rrf_fusion": _q131_rrf_fusion,
         "q132_sharpness": _q132_sharpness,
+        "q133_scene_cuts": _q133_scene_cuts,
     }
 
 
@@ -7053,4 +7128,5 @@ def oracle_sql() -> dict[str, str]:
         "q130_staypoints": _Q130_SQL,
         "q131_rrf_fusion": _Q131_SQL,
         "q132_sharpness": _Q132_SQL,
+        "q133_scene_cuts": _Q133_SQL,
     }

@@ -347,6 +347,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q131_rrf_fusion(sf_dir)))
     timed("q132_sharpness",
           lambda: consume(E._q132_sharpness(sf_dir)))
+    timed("q133_scene_cuts",
+          lambda: consume(E._q133_scene_cuts(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
