@@ -6422,17 +6422,15 @@ def _q127_dominant_color(sf_dir: str):
 
     n = _read(sf_dir, "documents").count()
 
-    class Dominant:
-        def __call__(self, b: dict) -> dict:
-            cnt = len(b["image_id"])
-            dom = np.empty(cnt, dtype=np.int64)
-            for k in range(cnt):
-                px = decode(b["bytes"][k], b["fmt"][k]) \
-                    .astype(np.int64)
-                bk = ((px[..., 0] >> 6) * 16 + (px[..., 1] >> 6) * 4
-                      + (px[..., 2] >> 6)).ravel()
-                dom[k] = int(np.bincount(bk, minlength=64).argmax())
-            return {"fmt": b["fmt"], "dom": dom}
+    def dominant(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        dom = np.empty(cnt, dtype=np.int64)
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            bk = ((px[..., 0] >> 6) * 16 + (px[..., 1] >> 6) * 4
+                  + (px[..., 2] >> 6)).ravel()
+            dom[k] = int(np.bincount(bk, minlength=64).argmax())
+        return {"fmt": b["fmt"], "dom": dom}
 
     def partial(batch):
         df = pd.DataFrame({"fmt": np.asarray(batch["fmt"]),
@@ -6440,10 +6438,11 @@ def _q127_dominant_color(sf_dir: str):
         g = df.groupby(["fmt", "dom"], as_index=False).size()
         return g.rename(columns={"size": "n"})
 
+    # stateless stage -> task pool: an autoscaling actor pool's ramp
+    # dominated the wall time here (the q101 lesson)
     per_img = images_table(
         n, columns=["image_id", "bytes", "fmt"]).map_batches(
-        Dominant, batch_format="numpy", batch_size=256,
-        concurrency=(2, 8))
+        dominant, batch_format="numpy", batch_size=256)
     out = (per_img.map_batches(partial, batch_format="pandas",
                                batch_size=8192)
            .groupby(["fmt", "dom"])
@@ -6703,20 +6702,19 @@ def _q132_sharpness(sf_dir: str):
     n = _read(sf_dir, "documents").count()
     THR = 20
 
-    class Sharp:
-        def __call__(self, b: dict) -> dict:
-            cnt = len(b["image_id"])
-            sabs = np.empty(cnt, dtype=np.int64)
-            npx = np.empty(cnt, dtype=np.int64)
-            for k in range(cnt):
-                px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
-                lum = (px[..., 0] * 299 + px[..., 1] * 587
-                       + px[..., 2] * 114) // 1000
-                L = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1]
-                     - lum[2:, 1:-1] - lum[1:-1, :-2] - lum[1:-1, 2:])
-                sabs[k] = int(np.abs(L).sum())
-                npx[k] = L.size
-            return {"fmt": b["fmt"], "sabs": sabs, "npx": npx}
+    def sharp(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        sabs = np.empty(cnt, dtype=np.int64)
+        npx = np.empty(cnt, dtype=np.int64)
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            lum = (px[..., 0] * 299 + px[..., 1] * 587
+                   + px[..., 2] * 114) // 1000
+            L = (4 * lum[1:-1, 1:-1] - lum[:-2, 1:-1]
+                 - lum[2:, 1:-1] - lum[1:-1, :-2] - lum[1:-1, 2:])
+            sabs[k] = int(np.abs(L).sum())
+            npx[k] = L.size
+        return {"fmt": b["fmt"], "sabs": sabs, "npx": npx}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["sharp"] = (df["sabs"] >= THR * df["npx"]).astype(np.int64)
@@ -6725,9 +6723,9 @@ def _q132_sharpness(sf_dir: str):
             total_absl=("sabs", "sum"))
         return g
 
+    # stateless stage -> task pool (the q101 lesson: pool ramp cost)
     out = (images_table(n, columns=["image_id", "bytes", "fmt"])
-           .map_batches(Sharp, batch_format="numpy", batch_size=256,
-                        concurrency=(2, 8))
+           .map_batches(sharp, batch_format="numpy", batch_size=256)
            .map_batches(partial, batch_format="pandas",
                         batch_size=8192)
            .to_pandas())
@@ -6793,32 +6791,31 @@ def _q133_scene_cuts(sf_dir: str):
     n = _read(sf_dir, "documents").count()
     THR = 15000
 
-    class Cuts:
-        def __call__(self, b: dict) -> dict:
-            cnt = len(b["video_id"])
-            n_pairs = np.zeros(cnt, dtype=np.int64)
-            n_cuts = np.zeros(cnt, dtype=np.int64)
-            mx = np.zeros(cnt, dtype=np.int64)
-            for k in range(cnt):
-                data = b["bytes"][k]
-                nf = video_header(data)[0]
-                prev = None
-                for f in range(nf):
-                    px = video_frame(data, f).astype(np.int64)
-                    lum = (px[..., 0] * 299 + px[..., 1] * 587
-                           + px[..., 2] * 114) // 1000
-                    if prev is not None:
-                        d = int(np.abs(lum - prev).sum())
-                        n_pairs[k] += 1
-                        n_cuts[k] += d > THR
-                        mx[k] = max(mx[k], d)
-                    prev = lum
-            return {"video_id": b["video_id"], "n_pairs": n_pairs,
-                    "n_cuts": n_cuts, "max_absdiff": mx}
+    def cuts(b: dict) -> dict:
+        cnt = len(b["video_id"])
+        n_pairs = np.zeros(cnt, dtype=np.int64)
+        n_cuts = np.zeros(cnt, dtype=np.int64)
+        mx = np.zeros(cnt, dtype=np.int64)
+        for k in range(cnt):
+            data = b["bytes"][k]
+            nf = video_header(data)[0]
+            prev = None
+            for f in range(nf):
+                px = video_frame(data, f).astype(np.int64)
+                lum = (px[..., 0] * 299 + px[..., 1] * 587
+                       + px[..., 2] * 114) // 1000
+                if prev is not None:
+                    d = int(np.abs(lum - prev).sum())
+                    n_pairs[k] += 1
+                    n_cuts[k] += d > THR
+                    mx[k] = max(mx[k], d)
+                prev = lum
+        return {"video_id": b["video_id"], "n_pairs": n_pairs,
+                "n_cuts": n_cuts, "max_absdiff": mx}
 
+    # stateless stage -> task pool (the q101 lesson: pool ramp cost)
     out = (videos_table(n, columns=["video_id", "bytes"])
-           .map_batches(Cuts, batch_format="numpy", batch_size=128,
-                        concurrency=(2, 8))
+           .map_batches(cuts, batch_format="numpy", batch_size=128)
            .to_pandas())
     for c in ("n_pairs", "n_cuts", "max_absdiff"):
         out[c] = out[c].astype(np.int64)
