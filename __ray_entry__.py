@@ -6848,6 +6848,94 @@ FROM d GROUP BY 1
 """
 
 
+def _q134_simplify(sf_dir: str):
+    """Per-user Douglas-Peucker trajectory simplification in exact
+    integer arithmetic (split iff cross^2 > eps^2*len^2, argmax |cross|
+    ties -> lowest seq), over the q130 position synthesis. The oracle
+    replays the SAME recursion as a recursive CTE over segment
+    intervals (HUGEINT cross*cross) and must reproduce the kept-point
+    checksum bit-for-bit (functions/simplify.py)."""
+    from proj_ray.functions.simplify import simplify_stats
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        x = (u * 2654435761 + bk * 40503) % 100_000_000 \
+            + (e * 7919 % 2001 - 1000)
+        y = (u * 2246822519 + bk * 65537) % 100_000_000 \
+            + (e * 104729 % 2001 - 1000)
+        return {"user_id": u, "ts_us": t, "event_id": e,
+                "x": x, "y": y}
+
+    return simplify_stats(ev.map_batches(pos, batch_format="numpy"),
+                          "user_id", "ts_us", eps=2000,
+                          tie_col="event_id")
+
+
+_Q134_SQL = """
+WITH RECURSIVE p AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) - 1
+           AS seq,
+         (user_id * 2654435761
+          + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000) AS x,
+         (user_id * 2246822519
+          + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000) AS y
+  FROM events),
+segs(user_id, lo, hi) AS (
+  SELECT user_id, 0, MAX(seq) FROM p GROUP BY user_id
+  UNION ALL
+  SELECT s.user_id,
+         CASE t.side WHEN 0 THEN s.lo ELSE s.sp END,
+         CASE t.side WHEN 0 THEN s.sp ELSE s.hi END
+  FROM (
+    SELECT q.user_id, q.lo, q.hi, q.sp
+    FROM (
+      SELECT r.user_id, r.lo, r.hi, m.seq AS sp,
+             (b.x - a.x) * (m.y - a.y)
+               - (b.y - a.y) * (m.x - a.x) AS cr,
+             b.x - a.x AS dx, b.y - a.y AS dy,
+             ROW_NUMBER() OVER (
+               PARTITION BY r.user_id, r.lo, r.hi
+               ORDER BY ABS((b.x - a.x) * (m.y - a.y)
+                            - (b.y - a.y) * (m.x - a.x)) DESC,
+                        m.seq ASC) AS rn
+      FROM segs r
+      JOIN p a ON a.user_id = r.user_id AND a.seq = r.lo
+      JOIN p b ON b.user_id = r.user_id AND b.seq = r.hi
+      JOIN p m ON m.user_id = r.user_id
+              AND m.seq > r.lo AND m.seq < r.hi
+    ) q
+    WHERE q.rn = 1
+      AND CAST(q.cr AS HUGEINT) * q.cr
+          > 4000000 * (CAST(q.dx AS HUGEINT) * q.dx
+                       + CAST(q.dy AS HUGEINT) * q.dy)
+  ) s CROSS JOIN (VALUES (0), (1)) t(side)),
+kept AS (
+  SELECT DISTINCT user_id, seq FROM (
+    SELECT user_id, CAST(lo AS BIGINT) AS seq FROM segs
+    UNION ALL
+    SELECT user_id, CAST(hi AS BIGINT) FROM segs)),
+kp AS (SELECT p.user_id, p.seq, p.x, p.y
+       FROM p JOIN kept ON p.user_id = kept.user_id
+                       AND p.seq = kept.seq)
+SELECT np.user_id, np.n_points, k.n_kept, k.chk
+FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM p GROUP BY 1) np
+JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(seq * 1000003 + x + y) AS BIGINT) AS chk
+      FROM kp GROUP BY 1) k
+  ON np.user_id = k.user_id
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -6988,6 +7076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q131_rrf_fusion": _q131_rrf_fusion,
         "q132_sharpness": _q132_sharpness,
         "q133_scene_cuts": _q133_scene_cuts,
+        "q134_simplify": _q134_simplify,
     }
 
 
@@ -7126,4 +7215,5 @@ def oracle_sql() -> dict[str, str]:
         "q131_rrf_fusion": _Q131_SQL,
         "q132_sharpness": _Q132_SQL,
         "q133_scene_cuts": _Q133_SQL,
+        "q134_simplify": _Q134_SQL,
     }

@@ -349,6 +349,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q132_sharpness(sf_dir)))
     timed("q133_scene_cuts",
           lambda: consume(E._q133_scene_cuts(sf_dir)))
+    timed("q134_simplify",
+          lambda: consume(E._q134_simplify(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
