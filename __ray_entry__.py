@@ -6936,6 +6936,49 @@ JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
 """
 
 
+def _q135_hex_smooth(sf_dir: str):
+    """Sparse stencil smoothing on the q78 hex grid: smoothed count =
+    (6*own + 6-neighbour sum) // 12 per OCCUPIED cell, run as a
+    scatter of 7x-replicated weighted partials through ONE hash-bucket
+    all-to-all (functions/hotspot.py hex_smooth). Partial per-block
+    counts feed the stencil directly — the weighted sums are linear,
+    so no exact pre-combine pass is needed."""
+    import pandas as pd
+
+    from proj_ray.cells import hex_axial
+    from proj_ray.functions.hotspot import hex_smooth
+
+    ds = _docs_geo(sf_dir)
+
+    def partial(b: dict) -> dict:
+        hq, hr = hex_axial(b["lon"], b["lat"], _HEX_SIZE_M)
+        g = (pd.DataFrame({"hq": hq, "hr": hr})
+             .groupby(["hq", "hr"], as_index=False).size())
+        return {"hq": g["hq"].to_numpy(np.int64),
+                "hr": g["hr"].to_numpy(np.int64),
+                "n": g["size"].to_numpy(np.int64)}
+
+    bins = ds.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+    return hex_smooth(bins)
+
+
+_Q135_SQL = """
+WITH bins AS ({q78}),
+off(dq, dr, w) AS (VALUES (0, 0, 6), (1, 0, 1), (-1, 0, 1),
+                          (0, 1, 1), (0, -1, 1), (1, -1, 1),
+                          (-1, 1, 1)),
+sc AS (SELECT hq + dq AS q, hr + dr AS r, w * n AS wn,
+              CASE WHEN dq = 0 AND dr = 0 THEN n ELSE 0 END AS own
+       FROM bins CROSS JOIN off),
+agg AS (SELECT q, r, SUM(wn) AS tot, SUM(own) AS own
+        FROM sc GROUP BY 1, 2)
+SELECT CAST(q AS BIGINT) AS hq, CAST(r AS BIGINT) AS hr,
+       CAST(own AS BIGINT) AS n, CAST(tot // 12 AS BIGINT) AS sm
+FROM agg WHERE own > 0 ORDER BY 1, 2
+""".replace("{q78}", _Q78_SQL)
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7077,6 +7120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q132_sharpness": _q132_sharpness,
         "q133_scene_cuts": _q133_scene_cuts,
         "q134_simplify": _q134_simplify,
+        "q135_hex_smooth": _q135_hex_smooth,
     }
 
 
@@ -7216,4 +7260,5 @@ def oracle_sql() -> dict[str, str]:
         "q132_sharpness": _Q132_SQL,
         "q133_scene_cuts": _Q133_SQL,
         "q134_simplify": _Q134_SQL,
+        "q135_hex_smooth": _Q135_SQL,
     }

@@ -351,6 +351,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q133_scene_cuts(sf_dir)))
     timed("q134_simplify",
           lambda: consume(E._q134_simplify(sf_dir)))
+    timed("q135_hex_smooth",
+          lambda: consume(E._q135_hex_smooth(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
