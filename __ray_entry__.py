@@ -6979,6 +6979,61 @@ FROM agg WHERE own > 0 ORDER BY 1, 2
 """.replace("{q78}", _Q78_SQL)
 
 
+def _q136_sssp(sf_dir: str):
+    """Bounded-round weighted shortest paths (Bellman-Ford as min-plus
+    message dataflow, 2 relaxation rounds) from the smallest-id
+    supplier over the customer<->supplier trade graph with
+    deterministic integer edge weights w = (c*7 + s*13) % 9 + 1 —
+    the weighted generalization of q126 (functions/graph.py
+    sssp_hops). The oracle is the min-plus semiring power as a
+    recursive CTE with an explicit hop counter."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import sssp_hops
+    from proj_ray.stages import BROADCAST_ROW_LIMIT
+
+    ns = 1_000_000
+    nb = 64
+    pr = _trade_pairs(sf_dir, BROADCAST_ROW_LIMIT)
+
+    def tag(b: dict) -> dict:
+        c = np.asarray(b["c"], dtype=np.int64)
+        s = np.asarray(b["s"], dtype=np.int64)
+        return {"c": c, "s": s, "_bk": ((c * 31 + s) % nb + nb) % nb}
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["c", "s"])
+        c = u["c"].to_numpy(np.int64)
+        s = u["s"].to_numpy(np.int64)
+        return pd.DataFrame({"a": c, "b": s + ns,
+                             "w": (c * 7 + s * 13) % 9 + 1})
+
+    edges = (pr.map_batches(tag, batch_format="numpy")
+             .groupby("_bk").map_groups(dedup, batch_format="pandas"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    src = ns + int(li.min("l_suppkey"))
+    return sssp_hops(edges, source=src, max_rounds=2)
+
+
+_Q136_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT c AS src, s + 1000000 AS dst,
+             (c * 7 + s * 13) % 9 + 1 AS w FROM pairs
+      UNION ALL
+      SELECT s + 1000000, c, (c * 7 + s * 13) % 9 + 1 FROM pairs),
+r AS (SELECT CAST(1000000 + (SELECT MIN(l_suppkey) FROM lineitem)
+             AS BIGINT) AS node, 0 AS d, 0 AS h
+      UNION
+      SELECT e.dst, r.d + e.w, r.h + 1
+      FROM r JOIN e ON e.src = r.node
+      WHERE r.h < 2)
+SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7121,6 +7176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q133_scene_cuts": _q133_scene_cuts,
         "q134_simplify": _q134_simplify,
         "q135_hex_smooth": _q135_hex_smooth,
+        "q136_sssp": _q136_sssp,
     }
 
 
@@ -7261,4 +7317,5 @@ def oracle_sql() -> dict[str, str]:
         "q133_scene_cuts": _Q133_SQL,
         "q134_simplify": _Q134_SQL,
         "q135_hex_smooth": _Q135_SQL,
+        "q136_sssp": _Q136_SQL,
     }

@@ -604,3 +604,96 @@ def bfs_hops(edges, source: int, max_hops: int = 6,
             break
         prev = cur
     return dists.drop_columns(["_bk"])
+
+
+def sssp_hops(edges, source: int, max_rounds: int = 4,
+              n_buckets: int = 32):
+    """Bounded-round single-source shortest paths over an undirected
+    weighted edge Dataset (int64 columns `a`, `b`, `w`, w >= 0):
+    Bellman-Ford as iterative min-plus message dataflow — each round
+    relaxes every edge whose source node holds a distance, takes the
+    per-node min of old distances and (dist[src] + w) messages, with
+    the same two-bucketed-all-to-alls-per-round shape as bfs_hops.
+    After H rounds the table holds exactly {(v, min over <=H-edge
+    paths of total weight)} — the bounded-hop min-plus semiring power,
+    which a recursive-CTE oracle reproduces. Early exit on monotone
+    convergence (no count/sum change)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def both_dirs(b: dict) -> dict:
+        a = np.asarray(b["a"], dtype=np.int64)
+        bb = np.asarray(b["b"], dtype=np.int64)
+        w = np.asarray(b["w"], dtype=np.int64)
+        src = np.concatenate([a, bb])
+        return {"src": src,
+                "dst": np.concatenate([bb, a]),
+                "w": np.concatenate([w, w]),
+                "_bk": _bucket(src, n_buckets)}
+
+    edb = edges.map_batches(both_dirs, batch_format="numpy",
+                            batch_size=65536).materialize()
+
+    dists = ray.data.from_pandas(pd.DataFrame({
+        "node": np.array([source], dtype=np.int64),
+        "dist": np.array([0], dtype=np.int64),
+        "_bk": _bucket(np.array([source]), n_buckets)}))
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["dst"].isna()][["node", "dist"]]
+        ed_ = g[~g["dst"].isna()][["node", "dst", "w"]].rename(
+            columns={"node": "src"})
+        m = ed_.merge(lab, left_on="src", right_on="node")
+        out = pd.concat([
+            lab,
+            pd.DataFrame({"node": m["dst"].to_numpy(np.int64),
+                          "dist": m["dist"].to_numpy(np.int64)
+                          + m["w"].to_numpy(np.int64)}),
+        ], ignore_index=True)
+        out = out.groupby("node", as_index=False)["dist"].min()
+        out["dist"] = out["dist"].astype(np.int64)
+        out["_bk"] = _bucket(out["node"].to_numpy(), n_buckets)
+        return out
+
+    def min_per_node(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["dist"].min()
+        out["dist"] = out["dist"].astype(np.int64)
+        return out
+
+    prev = None
+    for _ in range(max_rounds):
+        def dist_rows(b: dict) -> dict:
+            return {"node": np.asarray(b["node"], dtype=np.int64),
+                    "dst": np.full(len(b["node"]), np.nan),
+                    "w": np.zeros(len(b["node"]), dtype=np.int64),
+                    "dist": np.asarray(b["dist"], dtype=np.int64),
+                    "_bk": np.asarray(b["_bk"], dtype=np.int64)}
+
+        def edge_rows(b: dict) -> dict:
+            return {"node": np.asarray(b["src"], dtype=np.int64),
+                    "dst": np.asarray(b["dst"], dtype=np.float64),
+                    "w": np.asarray(b["w"], dtype=np.int64),
+                    "dist": np.zeros(len(b["src"]), dtype=np.int64),
+                    "_bk": np.asarray(b["_bk"], dtype=np.int64)}
+
+        mixed = (dists.map_batches(dist_rows, batch_format="numpy",
+                                   batch_size=65536)
+                 .union(edb.map_batches(edge_rows,
+                                        batch_format="numpy",
+                                        batch_size=65536)))
+        nxt = (mixed.groupby("_bk")
+               .map_groups(lambda g: propagate(
+                   g.drop(columns=["_bk"])), batch_format="pandas")
+               .groupby("_bk")
+               .map_groups(lambda g: min_per_node(g)
+                           .assign(_bk=g["_bk"].iloc[0]),
+                           batch_format="pandas")
+               .materialize())
+        stat = nxt.aggregate(Count(), Sum("dist", alias_name="s"))
+        cur = (stat["count()"], stat["s"])
+        dists = nxt
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+    return dists.drop_columns(["_bk"])
