@@ -7034,6 +7034,49 @@ SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM r GROUP BY node
 """
 
 
+def _q137_weighted_median(sf_dir: str):
+    """Exact lower weighted median of line quantity per (returnflag,
+    linestatus), weighted by price cents: smallest v with
+    2*cumweight >= total — all integer, window-SQL-exact. Per-block
+    (group, value) weight partials bound the exchange
+    (functions/percentile.py weighted_median)."""
+    from proj_ray.functions.percentile import weighted_median
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+
+    def keyed(b: dict) -> dict:
+        rf = np.asarray(b["l_returnflag"]).astype(object)
+        ls = np.asarray(b["l_linestatus"]).astype(object)
+        return {"grp": rf + ls,
+                "v": np.asarray(b["l_quantity"]).astype(np.int64),
+                "w": np.floor(np.asarray(b["l_extendedprice"],
+                                         dtype=np.float64) * 100
+                              + 0.5).astype(np.int64)}
+
+    return weighted_median(li.map_batches(keyed, batch_format="numpy"),
+                           "grp", "v", "w")
+
+
+_Q137_SQL = """
+WITH t AS (SELECT l_returnflag || l_linestatus AS grp,
+                  CAST(l_quantity AS BIGINT) AS v,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    AS w
+           FROM lineitem),
+a AS (SELECT grp, v, SUM(w) AS w FROM t GROUP BY 1, 2),
+c AS (SELECT grp, v,
+             SUM(w) OVER (PARTITION BY grp ORDER BY v) AS cum,
+             SUM(w) OVER (PARTITION BY grp) AS tot FROM a)
+SELECT grp, CAST(v AS BIGINT) AS wmedian, CAST(tot AS BIGINT)
+         AS total_w
+FROM c WHERE 2 * cum >= tot
+QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) = 1
+ORDER BY grp
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7177,6 +7220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_simplify": _q134_simplify,
         "q135_hex_smooth": _q135_hex_smooth,
         "q136_sssp": _q136_sssp,
+        "q137_weighted_median": _q137_weighted_median,
     }
 
 
@@ -7318,4 +7362,5 @@ def oracle_sql() -> dict[str, str]:
         "q134_simplify": _Q134_SQL,
         "q135_hex_smooth": _Q135_SQL,
         "q136_sssp": _Q136_SQL,
+        "q137_weighted_median": _Q137_SQL,
     }
