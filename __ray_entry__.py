@@ -7077,6 +7077,67 @@ ORDER BY grp
 """
 
 
+def _q138_transitions(sf_dir: str):
+    """Behavioral transition matrix: per-user event streams ordered by
+    (ts, event_id) emit consecutive event_type bigrams; counts per
+    (from_type, to_type) aggregate with per-bucket partials. One
+    user-bucket all-to-all (whole users co-locate, the staypoints
+    plan), one vectorized shift-compare per bucket, then a tiny
+    (type x type) combine — the Markov-chain estimation pass of a
+    clickstream pipeline, window-SQL-exact."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        return {"user_id": u,
+                "ts_us": np.asarray(b["ts"])
+                .astype("datetime64[us]").astype(np.int64),
+                "event_id": np.asarray(b["event_id"], dtype=np.int64),
+                "event_type": b["event_type"],
+                "_bk": (u % nb + nb) % nb}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["event_type"].to_numpy(object)
+        same = u[1:] == u[:-1]
+        df = pd.DataFrame({"from_type": t[:-1][same],
+                           "to_type": t[1:][same]})
+        out = df.groupby(["from_type", "to_type"],
+                         as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    out = (ev.map_batches(tag, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    fin = out.groupby(["from_type", "to_type"], as_index=False)["n"] \
+             .sum()
+    fin["n"] = fin["n"].astype(np.int64)
+    return fin.sort_values(["from_type", "to_type"],
+                           kind="stable", ignore_index=True)
+
+
+_Q138_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7221,6 +7282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q135_hex_smooth": _q135_hex_smooth,
         "q136_sssp": _q136_sssp,
         "q137_weighted_median": _q137_weighted_median,
+        "q138_transitions": _q138_transitions,
     }
 
 
@@ -7363,4 +7425,5 @@ def oracle_sql() -> dict[str, str]:
         "q135_hex_smooth": _Q135_SQL,
         "q136_sssp": _Q136_SQL,
         "q137_weighted_median": _Q137_SQL,
+        "q138_transitions": _Q138_SQL,
     }
