@@ -7138,6 +7138,69 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q139_trend(sf_dir: str):
+    """Grouped linear-regression trend (daily value drift per event
+    type) via MERGEABLE SUFFICIENT STATISTICS: each block contributes
+    one (type, n, Sx, Sy, Sxy, Sxx) partial — x = day offset from
+    2024-01-01 (epoch day 19723, fixture-pinned), y = value cents —
+    and the slope is reported as the exact integer pair
+    (num, den) = (n*Sxy - Sx*Sy, n*Sxx - Sx*Sx), division-free so the
+    SQL oracle matches bit-for-bit. The canonical one-pass distributed
+    regression shape: the all-to-all moves 6-counter frames, never
+    rows."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events",
+               columns=["ts", "event_type", "value"])
+
+    def partial(b: dict) -> dict:
+        x = (np.asarray(b["ts"]).astype("datetime64[us]")
+             .astype(np.int64) // 86_400_000_000) - 19723
+        y = np.floor(np.asarray(b["value"], dtype=np.float64) * 100
+                     + 0.5).astype(np.int64)
+        df = pd.DataFrame({"t": np.asarray(b["event_type"]),
+                           "n": np.ones(len(x), np.int64),
+                           "sx": x, "sy": y, "sxy": x * y,
+                           "sxx": x * x})
+        return df.groupby("t", as_index=False).sum()
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("t", as_index=False).sum()
+
+    agg = (ev.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(combine, batch_format="pandas",
+                        batch_size=65536)
+           .to_pandas())
+    agg = agg.groupby("t", as_index=False).sum()
+    n = agg["n"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "event_type": agg["t"],
+        "n": n,
+        "num": n * agg["sxy"].to_numpy(np.int64) - sx * sy,
+        "den": n * agg["sxx"].to_numpy(np.int64) - sx * sx})
+    return out.sort_values("event_type", kind="stable",
+                           ignore_index=True)
+
+
+_Q139_SQL = """
+WITH t AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 - 19723 AS x,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM t GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den
+FROM a ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7283,6 +7346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q136_sssp": _q136_sssp,
         "q137_weighted_median": _q137_weighted_median,
         "q138_transitions": _q138_transitions,
+        "q139_trend": _q139_trend,
     }
 
 
@@ -7426,4 +7490,5 @@ def oracle_sql() -> dict[str, str]:
         "q136_sssp": _Q136_SQL,
         "q137_weighted_median": _Q137_SQL,
         "q138_transitions": _Q138_SQL,
+        "q139_trend": _Q139_SQL,
     }

@@ -359,6 +359,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q137_weighted_median(sf_dir)))
     timed("q138_transitions",
           lambda: consume(E._q138_transitions(sf_dir)))
+    timed("q139_trend",
+          lambda: consume(E._q139_trend(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
