@@ -7201,6 +7201,89 @@ FROM a ORDER BY 1
 """
 
 
+def _q140_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (the Rabin-fingerprint boundary rule
+    of storage dedup / FastCDC-family systems): a cut point falls
+    after every 8-byte window whose polynomial hash
+    sum(b[i+j] * 257^j) mod 1e9+7 is divisible by 64. Per document:
+    (doc_id, n_cuts, n_chunks, cut_chk) with cut_chk the sum of
+    1-based window start positions — pinning WHERE the boundaries
+    fall, not just how many. Stateless vectorized sliding-window pass;
+    the text never crosses a shuffle. The oracle enumerates windows
+    with the q73 series machinery (ASCII fixture contract) and must
+    match bit-for-bit."""
+    import pandas as pd
+
+    M = 1_000_000_007
+    P = [pow(257, j, M) for j in range(8)]
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: dict) -> pd.DataFrame:
+        ids = np.asarray(b["doc_id"], dtype=np.int64)
+        n_cuts = np.zeros(len(ids), np.int64)
+        chk = np.zeros(len(ids), np.int64)
+        for k, txt in enumerate(np.asarray(b["text"])):
+            bs = np.frombuffer(str(txt).encode("utf-8"),
+                               dtype=np.uint8).astype(np.int64)
+            L = len(bs)
+            if L < 8:
+                continue
+            h = np.zeros(L - 7, dtype=np.int64)
+            for j in range(8):
+                h += bs[j:L - 7 + j] * P[j]
+            cut = np.flatnonzero(h % M % 64 == 0)
+            n_cuts[k] = len(cut)
+            chk[k] = int((cut + 1).sum())
+        return pd.DataFrame({"doc_id": ids, "n_cuts": n_cuts,
+                             "n_chunks": n_cuts + 1, "cut_chk": chk})
+
+    out = docs.map_batches(chunks, batch_format="numpy",
+                           batch_size=8192).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+_Q140_SQL = """
+WITH nums AS (
+  SELECT unnest(generate_series(
+      1, (SELECT COALESCE(max(length(text)), 8)
+          FROM documents))) AS i),
+pos AS (
+  SELECT doc_id, text, nums.i AS i
+  FROM documents CROSS JOIN nums
+  WHERE nums.i <= length(text) - 7),
+h AS (
+  SELECT doc_id, i,
+         (CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 1
+          + ord(substr(text, CAST(i + 1 AS INT), 1))
+            * CAST(257 AS BIGINT)
+          + ord(substr(text, CAST(i + 2 AS INT), 1))
+            * CAST(66049 AS BIGINT)
+          + ord(substr(text, CAST(i + 3 AS INT), 1))
+            * CAST(16974593 AS BIGINT)
+          + ord(substr(text, CAST(i + 4 AS INT), 1))
+            * CAST(362470373 AS BIGINT)
+          + ord(substr(text, CAST(i + 5 AS INT), 1))
+            * CAST(154885210 AS BIGINT)
+          + ord(substr(text, CAST(i + 6 AS INT), 1))
+            * CAST(805498697 AS BIGINT)
+          + ord(substr(text, CAST(i + 7 AS INT), 1))
+            * CAST(13163680 AS BIGINT))
+         % 1000000007 AS hv
+  FROM pos),
+cuts AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0),
+agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cuts,
+               CAST(SUM(i) AS BIGINT) AS cut_chk
+        FROM cuts GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.n_cuts, 0) AS n_cuts,
+       COALESCE(a.n_cuts, 0) + 1 AS n_chunks,
+       COALESCE(a.cut_chk, 0) AS cut_chk
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7347,6 +7430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q137_weighted_median": _q137_weighted_median,
         "q138_transitions": _q138_transitions,
         "q139_trend": _q139_trend,
+        "q140_cdc_chunks": _q140_cdc_chunks,
     }
 
 
@@ -7491,4 +7575,5 @@ def oracle_sql() -> dict[str, str]:
         "q137_weighted_median": _Q137_SQL,
         "q138_transitions": _Q138_SQL,
         "q139_trend": _Q139_SQL,
+        "q140_cdc_chunks": _Q140_SQL,
     }

@@ -361,6 +361,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q138_transitions(sf_dir)))
     timed("q139_trend",
           lambda: consume(E._q139_trend(sf_dir)))
+    timed("q140_cdc_chunks",
+          lambda: consume(E._q140_cdc_chunks(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
