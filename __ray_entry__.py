@@ -7284,6 +7284,35 @@ ORDER BY 1
 """
 
 
+def _q141_stratified_priority(sf_dir: str):
+    """Per-source weighted quota: 10 documents per source by priority
+    sampling (q = (n_chars << 32) // (knuth_mix(doc_id)+1), ties by
+    doc_id) — the data-mixing pass that caps each domain while
+    favouring longer documents, bit-exact against the windowed SQL
+    (functions/sample.py stratified_priority_sample)."""
+    from proj_ray.functions.sample import stratified_priority_sample
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "source", "n_chars"])
+    return stratified_priority_sample(docs, "source", "n_chars",
+                                      "doc_id", n=10)
+
+
+_Q141_SQL = """
+WITH p AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         n_chars * 4294967296
+           // (CAST(doc_id AS HUGEINT) % 4294967296 * 2654435761
+               % 4294967296 + 1) AS q
+  FROM documents)
+SELECT source, doc_id, n_chars, CAST(q AS BIGINT) AS q
+FROM p
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY q DESC, doc_id) <= 10
+ORDER BY source, q DESC, doc_id
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7431,6 +7460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_transitions": _q138_transitions,
         "q139_trend": _q139_trend,
         "q140_cdc_chunks": _q140_cdc_chunks,
+        "q141_stratified_priority": _q141_stratified_priority,
     }
 
 
@@ -7576,4 +7606,5 @@ def oracle_sql() -> dict[str, str]:
         "q138_transitions": _Q138_SQL,
         "q139_trend": _Q139_SQL,
         "q140_cdc_chunks": _Q140_SQL,
+        "q141_stratified_priority": _Q141_SQL,
     }

@@ -363,6 +363,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q139_trend(sf_dir)))
     timed("q140_cdc_chunks",
           lambda: consume(E._q140_cdc_chunks(sf_dir)))
+    timed("q141_stratified_priority",
+          lambda: consume(E._q141_stratified_priority(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {

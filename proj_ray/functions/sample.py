@@ -179,3 +179,59 @@ def priority_sample(ds, weight_col: str, id_col: str, n: int,
     return (ds.map_batches(prune, batch_format="pandas",
                            batch_size=65536)
             .groupby("_one").map_groups(final, batch_format="pandas"))
+
+
+def stratified_priority_sample(ds, stratum_col: str, weight_col: str,
+                               id_col: str, n: int,
+                               n_buckets: int = 64):
+    """Weighted sample without replacement PER STRATUM: the
+    priority-sampling rule of :func:`priority_sample` (integer
+    q = (w << 32) // (knuth_mix(id)+1), ties by id) applied within
+    each stratum — the per-domain weighted quota pass of a data-mixing
+    pipeline. Returns (stratum, id, weight, q) rows, n per stratum.
+
+    Scale shape: every block prunes to its local top-n PER STRATUM,
+    then one stratum-hash-bucket all-to-all co-locates whole strata
+    for the exact cut — the exchange moves <= n x strata x blocks
+    pre-pruned rows."""
+    import pandas as pd
+
+    from ._hash import stable_mod
+
+    def _q(ids: np.ndarray, w: np.ndarray) -> np.ndarray:
+        u = (ids.astype(np.uint64) % np.uint64(_MOD)
+             * np.uint64(_KNUTH)) % np.uint64(_MOD) + np.uint64(1)
+        assert int(w.max(initial=0)) < (1 << 20), \
+            "weight * 2^32 must fit int64"
+        return ((w.astype(np.uint64) << np.uint64(32)) // u) \
+            .astype(np.int64)
+
+    def prune(batch):
+        df = pd.DataFrame({
+            stratum_col: np.asarray(batch[stratum_col]),
+            id_col: np.asarray(batch[id_col]).astype(np.int64),
+            weight_col: np.asarray(batch[weight_col])
+            .astype(np.int64)})
+        df["q"] = _q(df[id_col].to_numpy(np.int64),
+                     df[weight_col].to_numpy(np.int64))
+        df = df.sort_values(["q", id_col], ascending=[False, True],
+                            kind="mergesort")
+        top = df.groupby(stratum_col, sort=False).head(n)
+        top["_bk"] = stable_mod(top[stratum_col].to_numpy(), n_buckets)
+        return top
+
+    def final(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["q", id_col], ascending=[False, True],
+                              kind="mergesort")
+        return g.groupby(stratum_col, sort=False).head(n)
+
+    out = (ds.select_columns([stratum_col, weight_col, id_col])
+           .map_batches(prune, batch_format="numpy",
+                        batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: final(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    return out.sort_values([stratum_col, "q", id_col],
+                           ascending=[True, False, True],
+                           kind="mergesort", ignore_index=True)
