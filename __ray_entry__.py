@@ -7313,6 +7313,94 @@ ORDER BY source, q DESC, doc_id
 """
 
 
+def _q142_hist_equalize(sf_dir: str):
+    """Per-image histogram equalization on the luma plane (the classic
+    integer CDF remap: new = (cdf(v) - cdf_min) * 255 //
+    (npx - cdf_min)), reporting (image_id, eq_chk, n_levels) with
+    eq_chk the sum of remapped values and n_levels the count of
+    distinct output levels — all integer, so the oracle replays the
+    synthesis + luma + windowed-CDF remap bit-for-bit. Stateless
+    decode+bincount task pool; per-image counter rows out."""
+    import pandas as pd
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+
+    def equalize(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        chk = np.zeros(cnt, dtype=np.int64)
+        lev = np.zeros(cnt, dtype=np.int64)
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            lum = ((px[..., 0] * 299 + px[..., 1] * 587
+                    + px[..., 2] * 114) // 1000).ravel()
+            hist = np.bincount(lum, minlength=256)
+            cdf = np.cumsum(hist)
+            npx = int(cdf[-1])
+            cmin = int(cdf[np.flatnonzero(hist)[0]])
+            if npx == cmin:
+                new = np.zeros_like(lum)
+            else:
+                table = (cdf - cmin) * 255 // (npx - cmin)
+                new = table[lum]
+            chk[k] = int(new.sum())
+            lev[k] = len(np.unique(new))
+        return {"image_id": b["image_id"], "eq_chk": chk,
+                "n_levels": lev}
+
+    out = (images_table(n, columns=["image_id", "bytes", "fmt"])
+           .map_batches(equalize, batch_format="numpy",
+                        batch_size=256)
+           .to_pandas())
+    for c in ("eq_chk", "n_levels"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("image_id", ignore_index=True)
+
+
+_Q142_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+lum AS (SELECT i,
+               ((CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END) * 299
+                + (CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END) * 587
+                + (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END) * 114)
+               // 1000 AS v
+        FROM raw),
+hist AS (SELECT i, v, COUNT(*) AS c FROM lum GROUP BY 1, 2),
+cdf AS (SELECT i, v, c,
+               SUM(c) OVER (PARTITION BY i ORDER BY v) AS cdf,
+               SUM(c) OVER (PARTITION BY i) AS npx,
+               MIN(CASE WHEN c > 0 THEN v END) OVER (PARTITION BY i)
+                 AS vmin
+        FROM hist),
+cm AS (SELECT c1.i, c1.v, c1.cdf, c1.npx, c2.cdf AS cmin
+       FROM cdf c1 JOIN cdf c2 ON c1.i = c2.i AND c2.v = c1.vmin),
+remap AS (SELECT l.i,
+                 CASE WHEN cm.npx = cm.cmin THEN 0
+                      ELSE (cm.cdf - cm.cmin) * 255
+                           // (cm.npx - cm.cmin) END AS nv
+          FROM lum l JOIN cm ON l.i = cm.i AND l.v = cm.v)
+SELECT 'img' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+       CAST(SUM(nv) AS BIGINT) AS eq_chk,
+       CAST(COUNT(DISTINCT nv) AS BIGINT) AS n_levels
+FROM remap GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7461,6 +7549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q139_trend": _q139_trend,
         "q140_cdc_chunks": _q140_cdc_chunks,
         "q141_stratified_priority": _q141_stratified_priority,
+        "q142_hist_equalize": _q142_hist_equalize,
     }
 
 
@@ -7607,4 +7696,5 @@ def oracle_sql() -> dict[str, str]:
         "q139_trend": _Q139_SQL,
         "q140_cdc_chunks": _Q140_SQL,
         "q141_stratified_priority": _Q141_SQL,
+        "q142_hist_equalize": _Q142_SQL,
     }

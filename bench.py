@@ -365,6 +365,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q140_cdc_chunks(sf_dir)))
     timed("q141_stratified_priority",
           lambda: consume(E._q141_stratified_priority(sf_dir)))
+    timed("q142_hist_equalize",
+          lambda: consume(E._q142_hist_equalize(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
