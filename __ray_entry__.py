@@ -7401,6 +7401,73 @@ FROM remap GROUP BY 1 ORDER BY 1
 """
 
 
+def _q143_hist_quantile(sf_dir: str):
+    """Mergeable fixed-bin histogram quantile sketch over price cents
+    (1024 bins of width 12,000 on [0, 12.288M), values above clamp to
+    the last bin): per-block bin-count partials sum associatively; the
+    estimator for q is the first bin where cumcount >= ceil(q*n),
+    reported as (q_ppm, bin_idx, bin_lo, cum_n) — deterministic
+    integers, SQL-window-exact. The one-pass bounded-memory quantile
+    shape: the exchange is <= 1024 counters per block regardless of
+    rows."""
+    import pandas as pd
+
+    W, NB = 12_000, 1024
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice"])
+
+    def partial(b: dict) -> dict:
+        cents = np.floor(np.asarray(b["l_extendedprice"],
+                                    dtype=np.float64) * 100
+                         + 0.5).astype(np.int64)
+        bins = np.minimum(cents // W, NB - 1)
+        cnt = np.bincount(bins, minlength=NB)
+        nz = np.flatnonzero(cnt)
+        return {"bin": nz.astype(np.int64), "n": cnt[nz]}
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bin", as_index=False)["n"].sum()
+
+    hist = (li.map_batches(partial, batch_format="numpy",
+                           batch_size=65536)
+            .map_batches(combine, batch_format="pandas",
+                         batch_size=65536)
+            .to_pandas())
+    hist = hist.groupby("bin", as_index=False)["n"].sum() \
+               .sort_values("bin")
+    bins = hist["bin"].to_numpy(np.int64)
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    n = int(cum[-1])
+    rows = []
+    for q_ppm in (500_000, 900_000, 990_000):
+        target = -(-q_ppm * n // 1_000_000)  # ceil(q*n)
+        i = int(np.searchsorted(cum, target))
+        rows.append((q_ppm, int(bins[i]), int(bins[i]) * W,
+                     int(cum[i])))
+    return pd.DataFrame(rows, columns=["q_ppm", "bin_idx", "bin_lo",
+                                       "cum_n"]).astype(np.int64)
+
+
+_Q143_SQL = """
+WITH c AS (
+  SELECT LEAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               // 12000, 1023) AS bin
+  FROM lineitem),
+h AS (SELECT bin, COUNT(*) AS n FROM c GROUP BY 1),
+cd AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+              SUM(n) OVER () AS tot FROM h),
+qs(q_ppm) AS (VALUES (500000), (900000), (990000)),
+pick AS (
+  SELECT qs.q_ppm, cd.bin, cd.cum
+  FROM qs JOIN cd ON cd.cum >= (qs.q_ppm * cd.tot + 999999) // 1000000
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY qs.q_ppm
+                             ORDER BY cd.bin) = 1)
+SELECT CAST(q_ppm AS BIGINT) AS q_ppm, CAST(bin AS BIGINT) AS bin_idx,
+       CAST(bin * 12000 AS BIGINT) AS bin_lo, CAST(cum AS BIGINT)
+         AS cum_n
+FROM pick ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7550,6 +7617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q140_cdc_chunks": _q140_cdc_chunks,
         "q141_stratified_priority": _q141_stratified_priority,
         "q142_hist_equalize": _q142_hist_equalize,
+        "q143_hist_quantile": _q143_hist_quantile,
     }
 
 
@@ -7697,4 +7765,5 @@ def oracle_sql() -> dict[str, str]:
         "q140_cdc_chunks": _Q140_SQL,
         "q141_stratified_priority": _Q141_SQL,
         "q142_hist_equalize": _Q142_SQL,
+        "q143_hist_quantile": _Q143_SQL,
     }
