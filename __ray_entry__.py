@@ -7468,6 +7468,82 @@ FROM pick ORDER BY 1
 """
 
 
+def _q144_dwell_time(sf_dir: str):
+    """Time-weighted zone occupancy: each event's dwell time is the
+    gap to the user's NEXT event (last event contributes 0),
+    attributed to the 10x10-degree-grid tile of the event's position
+    (q130 synthesis); output is exact microsecond totals + visit
+    counts per tile. One user-bucket all-to-all, vectorized
+    shift-diff per bucket, tiny (tile, sums) combine — LEAD-window-
+    SQL-exact."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        x = (u * 2654435761 + bk * 40503) % 100_000_000 \
+            + (e * 7919 % 2001 - 1000)
+        y = (u * 2246822519 + bk * 65537) % 100_000_000 \
+            + (e * 104729 % 2001 - 1000)
+        return {"user_id": u, "ts_us": t, "event_id": e,
+                "tile": (x // 10_000_000) * 16 + y // 10_000_000,
+                "_bk": (u % nb + nb) % nb}
+
+    def dwell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"],
+                          kind="stable")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts_us"].to_numpy(np.int64)
+        tile = g["tile"].to_numpy(np.int64)
+        d = np.zeros(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same = u[1:] == u[:-1]
+            d[:-1] = np.where(same, t[1:] - t[:-1], 0)
+        out = pd.DataFrame({"tile": tile, "dwell_us": d})
+        agg = out.groupby("tile", as_index=False).agg(
+            dwell_us=("dwell_us", "sum"), n_visits=("dwell_us", "size"))
+        return agg
+
+    out = (ev.map_batches(pos, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: dwell(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    fin = out.groupby("tile", as_index=False).sum()
+    for c in ("dwell_us", "n_visits"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin.sort_values("tile", ignore_index=True)
+
+
+_Q144_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         ((user_id * 2654435761
+           + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+          + (event_id * 7919 % 2001 - 1000)) // 10000000 * 16
+         + ((user_id * 2246822519
+             + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+            + (event_id * 104729 % 2001 - 1000)) // 10000000 AS tile
+  FROM events),
+d AS (
+  SELECT tile,
+         COALESCE(LEAD(t) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id) - t, 0)
+           AS dwell_us
+  FROM p)
+SELECT CAST(tile AS BIGINT) AS tile,
+       CAST(SUM(dwell_us) AS BIGINT) AS dwell_us,
+       CAST(COUNT(*) AS BIGINT) AS n_visits
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7618,6 +7694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q141_stratified_priority": _q141_stratified_priority,
         "q142_hist_equalize": _q142_hist_equalize,
         "q143_hist_quantile": _q143_hist_quantile,
+        "q144_dwell_time": _q144_dwell_time,
     }
 
 
@@ -7766,4 +7843,5 @@ def oracle_sql() -> dict[str, str]:
         "q141_stratified_priority": _Q141_SQL,
         "q142_hist_equalize": _Q142_SQL,
         "q143_hist_quantile": _Q143_SQL,
+        "q144_dwell_time": _Q144_SQL,
     }

@@ -369,6 +369,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q142_hist_equalize(sf_dir)))
     timed("q143_hist_quantile",
           lambda: consume(E._q143_hist_quantile(sf_dir)))
+    timed("q144_dwell_time",
+          lambda: consume(E._q144_dwell_time(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
