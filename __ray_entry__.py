@@ -7544,6 +7544,95 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+_Q145_COLS = ["qty", "disc", "tax", "sday"]
+
+
+def _q145_corr_matrix(sf_dir: str):
+    """Pairwise correlation structure of four bounded-int lineitem
+    signals (quantity, discount %, tax %, ship-day offset) in ONE
+    pass of mergeable sufficient statistics: each block emits the
+    upper triangle of (n, Sx, Sy, Sxy) counters; the exact integer
+    Pearson pieces num = n*Sxy - Sx*Sy and den_i = n*Sxx - Sx^2 are
+    assembled driver-side — division/sqrt-free, so the SQL oracle
+    matches bit-for-bit. The warehouse correlation-scan shape: the
+    exchange moves 6 counter rows per block."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount", "l_tax",
+                        "l_shipdate"])
+
+    def partial(b: dict) -> pd.DataFrame:
+        cols = {
+            "qty": np.asarray(b["l_quantity"]).astype(np.int64),
+            "disc": np.floor(np.asarray(b["l_discount"],
+                                        dtype=np.float64) * 100
+                             + 0.5).astype(np.int64),
+            "tax": np.floor(np.asarray(b["l_tax"], dtype=np.float64)
+                            * 100 + 0.5).astype(np.int64),
+            "sday": (np.asarray(b["l_shipdate"])
+                     .astype("datetime64[us]").astype(np.int64)
+                     // 86_400_000_000) - 19723,
+        }
+        rows = []
+        n = len(cols["qty"])
+        for i, a in enumerate(_Q145_COLS):
+            for bn in _Q145_COLS[i + 1:]:
+                ca, cb = sorted((a, bn))
+                x, y = cols[ca], cols[cb]
+                rows.append((ca, cb, n, int(x.sum()), int(y.sum()),
+                             int((x * y).sum()), int((x * x).sum()),
+                             int((y * y).sum())))
+        return pd.DataFrame(rows, columns=["ca", "cb", "n", "sx",
+                                           "sy", "sxy", "sxx", "syy"])
+
+    agg = (li.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(lambda df: df.groupby(["ca", "cb"],
+                                              as_index=False).sum(),
+                        batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    agg = agg.groupby(["ca", "cb"], as_index=False).sum()
+    n = agg["n"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "ca": agg["ca"], "cb": agg["cb"], "n": n,
+        "num": n * agg["sxy"].to_numpy(np.int64) - sx * sy,
+        "den_a": n * agg["sxx"].to_numpy(np.int64) - sx * sx,
+        "den_b": n * agg["syy"].to_numpy(np.int64) - sy * sy})
+    return out.sort_values(["ca", "cb"], kind="stable",
+                           ignore_index=True)
+
+
+_Q145_SQL = """
+WITH t AS (
+  SELECT CAST(l_quantity AS BIGINT) AS qty,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc,
+         CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax,
+         epoch_us(l_shipdate) // 86400000000 - 19723 AS sday
+  FROM lineitem),
+p(ca, cb) AS (VALUES ('disc', 'qty'), ('disc', 'sday'),
+                     ('disc', 'tax'), ('qty', 'sday'),
+                     ('qty', 'tax'), ('sday', 'tax')),
+u AS (
+  SELECT p.ca, p.cb,
+         CASE p.ca WHEN 'qty' THEN qty WHEN 'disc' THEN disc
+                   WHEN 'tax' THEN tax ELSE sday END AS x,
+         CASE p.cb WHEN 'qty' THEN qty WHEN 'disc' THEN disc
+                   WHEN 'tax' THEN tax ELSE sday END AS y
+  FROM t CROSS JOIN p),
+a AS (SELECT ca, cb, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*y) AS sxy, SUM(x*x) AS sxx, SUM(y*y) AS syy
+      FROM u GROUP BY 1, 2)
+SELECT ca, cb, CAST(n AS BIGINT) AS n,
+       CAST(n * sxy - sx * sy AS BIGINT) AS num,
+       CAST(n * sxx - sx * sx AS BIGINT) AS den_a,
+       CAST(n * syy - sy * sy AS BIGINT) AS den_b
+FROM a ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7695,6 +7784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q142_hist_equalize": _q142_hist_equalize,
         "q143_hist_quantile": _q143_hist_quantile,
         "q144_dwell_time": _q144_dwell_time,
+        "q145_corr_matrix": _q145_corr_matrix,
     }
 
 
@@ -7844,4 +7934,5 @@ def oracle_sql() -> dict[str, str]:
         "q142_hist_equalize": _Q142_SQL,
         "q143_hist_quantile": _Q143_SQL,
         "q144_dwell_time": _Q144_SQL,
+        "q145_corr_matrix": _Q145_SQL,
     }

@@ -371,6 +371,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q143_hist_quantile(sf_dir)))
     timed("q144_dwell_time",
           lambda: consume(E._q144_dwell_time(sf_dir)))
+    timed("q145_corr_matrix",
+          lambda: consume(E._q145_corr_matrix(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
