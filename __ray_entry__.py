@@ -7633,6 +7633,71 @@ FROM a ORDER BY 1, 2
 """
 
 
+def _q146_source_similarity(sf_dir: str):
+    """Domain-similarity matrix: each source's whitespace-token count
+    vector, compared pairwise by division-free integer cosine pieces
+    (dot, |a|^2, |b|^2) over the shared vocabulary — the corpus-mix
+    diagnostic a data-mixing pipeline runs. Per-block (source, term,
+    n) partials -> term-bucket combine -> the small source x source
+    int matmul driver-side; token streams never cross the shuffle
+    whole."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: dict) -> pd.DataFrame:
+        s = pd.Series(b["text"]).str.split(" ")
+        ex = s.explode()
+        src = pd.Series(b["source"]).reindex(ex.index)
+        df = pd.DataFrame({"source": src.to_numpy(object),
+                           "term": ex.to_numpy(object)})
+        return df.groupby(["source", "term"], as_index=False).size() \
+                 .rename(columns={"size": "n"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["source", "term"], as_index=False)["n"] \
+                 .sum()
+
+    tf = (docs.map_batches(partial, batch_format="numpy",
+                           batch_size=8192)
+          .map_batches(combine, batch_format="pandas",
+                       batch_size=65536)
+          .to_pandas())
+    tf = tf.groupby(["source", "term"], as_index=False)["n"].sum()
+    piv = tf.pivot_table(index="term", columns="source", values="n",
+                         fill_value=0, aggfunc="sum")
+    srcs = sorted(piv.columns)
+    M = piv[srcs].to_numpy(np.int64)
+    G = M.T @ M
+    rows = []
+    for i, a in enumerate(srcs):
+        for j in range(i + 1, len(srcs)):
+            rows.append((a, srcs[j], int(G[i, j]), int(G[i, i]),
+                         int(G[j, j])))
+    return pd.DataFrame(rows, columns=["src_a", "src_b", "dot",
+                                       "norm_a2", "norm_b2"])
+
+
+_Q146_SQL = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tf AS (SELECT source, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, SUM(a.n * b.n) AS dot
+  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2),
+norms AS (SELECT source, SUM(n * n) AS n2 FROM tf GROUP BY 1)
+SELECT p.src_a, p.src_b, CAST(p.dot AS BIGINT) AS dot,
+       CAST(na.n2 AS BIGINT) AS norm_a2, CAST(nb.n2 AS BIGINT)
+         AS norm_b2
+FROM pairs p
+JOIN norms na ON na.source = p.src_a
+JOIN norms nb ON nb.source = p.src_b
+ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7785,6 +7850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_hist_quantile": _q143_hist_quantile,
         "q144_dwell_time": _q144_dwell_time,
         "q145_corr_matrix": _q145_corr_matrix,
+        "q146_source_similarity": _q146_source_similarity,
     }
 
 
@@ -7935,4 +8001,5 @@ def oracle_sql() -> dict[str, str]:
         "q143_hist_quantile": _Q143_SQL,
         "q144_dwell_time": _Q144_SQL,
         "q145_corr_matrix": _Q145_SQL,
+        "q146_source_similarity": _Q146_SQL,
     }

@@ -373,6 +373,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q144_dwell_time(sf_dir)))
     timed("q145_corr_matrix",
           lambda: consume(E._q145_corr_matrix(sf_dir)))
+    timed("q146_source_similarity",
+          lambda: consume(E._q146_source_similarity(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
