@@ -7698,6 +7698,79 @@ ORDER BY 1, 2
 """
 
 
+def _q147_voronoi_assign(sf_dir: str):
+    """Spherical Voronoi / nearest-facility assignment: every doc
+    geotag assigns to the nearest of 20 deterministic seed points by
+    haversine distance, rounded to 0.1 mm int64 BEFORE the argmin
+    (ties -> lowest seed id) so assignment and the per-seed
+    aggregates (n, sum of distances) are SQL-exact. The seeds
+    broadcast once; each batch runs one (B, 20) vectorized distance
+    pass and ships per-seed counter partials."""
+    import pandas as pd
+
+    R = 6371000.0
+    j = np.arange(20, dtype=np.int64)
+    slon = np.radians((j * 61803 % 360000) / 1000.0 - 180.0)
+    slat = np.radians((j * 75487 % 170000) / 1000.0 - 85.0)
+
+    ds = _docs_geo(sf_dir)
+
+    def assign(b: dict) -> pd.DataFrame:
+        lam = np.radians(np.asarray(b["lon"], dtype=np.float64))
+        phi = np.radians(np.asarray(b["lat"], dtype=np.float64))
+        sp = np.sin((phi[:, None] - slat[None, :]) / 2.0)
+        sl = np.sin((lam[:, None] - slon[None, :]) / 2.0)
+        a = sp * sp + np.cos(phi)[:, None] * np.cos(slat)[None, :] \
+            * sl * sl
+        d = 2.0 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+        tmm = np.rint(d * 10000.0).astype(np.int64)
+        seed = np.argmin(tmm, axis=1)  # first min = lowest seed id
+        dmin = tmm[np.arange(len(seed)), seed]
+        g = (pd.DataFrame({"seed": seed.astype(np.int64),
+                           "n": np.ones(len(seed), np.int64),
+                           "sum_tmm": dmin})
+             .groupby("seed", as_index=False).sum())
+        return g
+
+    out = (ds.map_batches(assign, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(lambda df: df.groupby("seed",
+                                              as_index=False).sum(),
+                        batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    fin = out.groupby("seed", as_index=False).sum()
+    for c in ("n", "sum_tmm"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin.sort_values("seed", ignore_index=True)
+
+
+_Q147_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+seeds AS (
+  SELECT j.j AS seed,
+         radians((j.j * 61803 % 360000) / 1000.0 - 180.0) AS slon,
+         radians((j.j * 75487 % 170000) / 1000.0 - 85.0) AS slat
+  FROM range(20) j(j)),
+d AS (
+  SELECT g.doc_id, s.seed,
+         CAST(round(2.0 * 6371000.0 * asin(sqrt(LEAST(
+           sin((radians(g.lat) - s.slat) / 2.0)
+             * sin((radians(g.lat) - s.slat) / 2.0)
+           + cos(s.slat) * cos(radians(g.lat))
+             * sin((radians(g.lon) - s.slon) / 2.0)
+             * sin((radians(g.lon) - s.slon) / 2.0), 1.0)))
+           * 10000.0) AS BIGINT) AS tmm
+  FROM geo g CROSS JOIN seeds s),
+pick AS (
+  SELECT doc_id, seed, tmm FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY tmm, seed) = 1)
+SELECT CAST(seed AS BIGINT) AS seed, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(tmm) AS BIGINT) AS sum_tmm
+FROM pick GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7851,6 +7924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q144_dwell_time": _q144_dwell_time,
         "q145_corr_matrix": _q145_corr_matrix,
         "q146_source_similarity": _q146_source_similarity,
+        "q147_voronoi_assign": _q147_voronoi_assign,
     }
 
 
@@ -8002,4 +8076,5 @@ def oracle_sql() -> dict[str, str]:
         "q144_dwell_time": _Q144_SQL,
         "q145_corr_matrix": _Q145_SQL,
         "q146_source_similarity": _Q146_SQL,
+        "q147_voronoi_assign": _Q147_SQL,
     }

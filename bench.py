@@ -375,6 +375,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q145_corr_matrix(sf_dir)))
     timed("q146_source_similarity",
           lambda: consume(E._q146_source_similarity(sf_dir)))
+    timed("q147_voronoi_assign",
+          lambda: consume(E._q147_voronoi_assign(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
