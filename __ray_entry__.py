@@ -7771,6 +7771,75 @@ FROM pick GROUP BY 1 ORDER BY 1
 """
 
 
+def _q148_gyration(sf_dir: str):
+    """Per-user radius of gyration (the Gonzalez-Hidalgo-Barabasi
+    mobility statistic) in exact integers: centroid = per-axis
+    TRUNCATED integer mean (DuckDB `//` on the positive sums), then
+    rg2_sum = sum of exact squared displacements from it — reported
+    undivided (n_points, rg2_sum) so the oracle matches bit-for-bit.
+    One user-bucket all-to-all; both passes run inside the bucket."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        x = (u * 2654435761 + bk * 40503) % 100_000_000 \
+            + (e * 7919 % 2001 - 1000)
+        y = (u * 2246822519 + bk * 65537) % 100_000_000 \
+            + (e * 104729 % 2001 - 1000)
+        return {"user_id": u, "x": x, "y": y,
+                "_bk": (u % nb + nb) % nb}
+
+    def gyr(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for u, gg in g.groupby("user_id", sort=False):
+            x = gg["x"].to_numpy(np.int64)
+            y = gg["y"].to_numpy(np.int64)
+            n = len(x)
+            cx = int(x.sum()) // n
+            cy = int(y.sum()) // n
+            rg2 = int(((x - cx) ** 2 + (y - cy) ** 2).sum())
+            rows.append((u, n, rg2))
+        return pd.DataFrame(rows, columns=["user_id", "n_points",
+                                           "rg2_sum"])
+
+    out = (ev.map_batches(pos, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: gyr(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("n_points", "rg2_sum"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+_Q148_SQL = """
+WITH p AS (
+  SELECT user_id,
+         (user_id * 2654435761
+          + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000) AS x,
+         (user_id * 2246822519
+          + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000) AS y
+  FROM events),
+c AS (SELECT user_id, COUNT(*) AS n,
+             SUM(x) // COUNT(*) AS cx, SUM(y) // COUNT(*) AS cy
+      FROM p GROUP BY 1)
+SELECT p.user_id, CAST(c.n AS BIGINT) AS n_points,
+       CAST(SUM((p.x - c.cx) * (p.x - c.cx)
+                + (p.y - c.cy) * (p.y - c.cy)) AS BIGINT) AS rg2_sum
+FROM p JOIN c ON p.user_id = c.user_id
+GROUP BY p.user_id, c.n ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7925,6 +7994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_corr_matrix": _q145_corr_matrix,
         "q146_source_similarity": _q146_source_similarity,
         "q147_voronoi_assign": _q147_voronoi_assign,
+        "q148_gyration": _q148_gyration,
     }
 
 
@@ -8077,4 +8147,5 @@ def oracle_sql() -> dict[str, str]:
         "q145_corr_matrix": _Q145_SQL,
         "q146_source_similarity": _Q146_SQL,
         "q147_voronoi_assign": _Q147_SQL,
+        "q148_gyration": _Q148_SQL,
     }

@@ -377,6 +377,8 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q146_source_similarity(sf_dir)))
     timed("q147_voronoi_assign",
           lambda: consume(E._q147_voronoi_assign(sf_dir)))
+    timed("q148_gyration",
+          lambda: consume(E._q148_gyration(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
