@@ -7840,6 +7840,126 @@ GROUP BY p.user_id, c.n ORDER BY 1
 """
 
 
+def _q149_peak_hour(sf_dir: str):
+    """Per-user circadian profile: modal hour-of-day (UTC) of the
+    user's events, ties -> lowest hour — the activity-rhythm pass of a
+    behavioral pipeline. Per-block (user, hour) count partials bound
+    the exchange at 24 x users x blocks; the mode resolves in a
+    user-bucket combine. Output (user_id, peak_hour, n_at_peak,
+    n_events), window-SQL-exact."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    nb = 64
+
+    def partial(b: dict) -> pd.DataFrame:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        h = (np.asarray(b["ts"]).astype("datetime64[us]")
+             .astype(np.int64) // 3_600_000_000) % 24
+        g = (pd.DataFrame({"user_id": u, "hour": h})
+             .groupby(["user_id", "hour"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["_bk"] = (g["user_id"].to_numpy(np.int64) % nb + nb) % nb
+        return g
+
+    def mode(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "hour"], as_index=False)["n"].sum()
+        agg = agg.sort_values(["user_id", "n", "hour"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        tot = agg.groupby("user_id", as_index=False)["n"].sum() \
+                 .rename(columns={"n": "n_events"})
+        top = agg.groupby("user_id", sort=False).head(1).rename(
+            columns={"hour": "peak_hour", "n": "n_at_peak"})
+        out = top.merge(tot, on="user_id")
+        return out[["user_id", "peak_hour", "n_at_peak", "n_events"]]
+
+    out = (ev.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: mode(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("peak_hour", "n_at_peak", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+_Q149_SQL = """
+WITH h AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 % 24 AS hour
+  FROM events),
+c AS (SELECT user_id, hour, COUNT(*) AS n FROM h GROUP BY 1, 2),
+t AS (SELECT user_id, SUM(n) AS n_events FROM c GROUP BY 1),
+pick AS (
+  SELECT user_id, hour, n FROM c
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY n DESC, hour) = 1)
+SELECT p.user_id, CAST(p.hour AS BIGINT) AS peak_hour,
+       CAST(p.n AS BIGINT) AS n_at_peak,
+       CAST(t.n_events AS BIGINT) AS n_events
+FROM pick p JOIN t ON p.user_id = t.user_id ORDER BY 1
+"""
+
+
+def _q150_gini(sf_dir: str):
+    """Per-source Gini inequality of document lengths via the sorted-
+    rank identity: G_num = sum over ascending ranks i of
+    (2i - n - 1) * x_(i) (tie-order invariant), reported with the
+    denominator pieces (n, sum_x) undivided — exact integers, window-
+    SQL-exact. The corpus-balance diagnostic of a data-mixing
+    pipeline. One source-bucket all-to-all; per-source sort + dot
+    inside the bucket."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def tag(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({"source": np.asarray(b["source"]),
+                           "x": np.asarray(b["n_chars"])
+                           .astype(np.int64)})
+        df["_bk"] = stable_mod(df["source"].to_numpy(), 64)
+        return df
+
+    def gini(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, gg in g.groupby("source", sort=False):
+            x = np.sort(gg["x"].to_numpy(np.int64))
+            n = len(x)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            rows.append((s, n, int(((2 * i - n - 1) * x).sum()),
+                         int(x.sum())))
+        return pd.DataFrame(rows, columns=["source", "n", "g_num",
+                                           "sum_x"])
+
+    out = (docs.map_batches(tag, batch_format="numpy",
+                            batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: gini(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("n", "g_num", "sum_x"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source", kind="stable",
+                           ignore_index=True)
+
+
+_Q150_SQL = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(SUM((2 * rn - n - 1) * x) AS BIGINT) AS g_num,
+       CAST(SUM(x) AS BIGINT) AS sum_x
+FROM r GROUP BY source, n ORDER BY source
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -7995,6 +8115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q146_source_similarity": _q146_source_similarity,
         "q147_voronoi_assign": _q147_voronoi_assign,
         "q148_gyration": _q148_gyration,
+        "q149_peak_hour": _q149_peak_hour,
+        "q150_gini": _q150_gini,
     }
 
 
@@ -8148,4 +8270,6 @@ def oracle_sql() -> dict[str, str]:
         "q146_source_similarity": _Q146_SQL,
         "q147_voronoi_assign": _Q147_SQL,
         "q148_gyration": _Q148_SQL,
+        "q149_peak_hour": _Q149_SQL,
+        "q150_gini": _Q150_SQL,
     }

@@ -379,6 +379,10 @@ def run_suite(sf_dir: str) -> dict:
           lambda: consume(E._q147_voronoi_assign(sf_dir)))
     timed("q148_gyration",
           lambda: consume(E._q148_gyration(sf_dir)))
+    timed("q149_peak_hour",
+          lambda: consume(E._q149_peak_hour(sf_dir)))
+    timed("q150_gini",
+          lambda: consume(E._q150_gini(sf_dir)))
 
     total = round(sum(timings.values()), 3)
     return {
