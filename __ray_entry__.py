@@ -7960,6 +7960,256 @@ FROM r GROUP BY source, n ORDER BY source
 """
 
 
+def _q151_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of the zoom-4 tile
+    counts under rook (4-neighbor) adjacency, in exact integer
+    arithmetic: with x_i the count of tile i over the FULL 16x16
+    lattice (empty tiles = 0), n = 256 cells and S = sum x, the
+    scaled deviation d_i = n*x_i - S is an integer and
+        I = (n * i_num) / (w_pairs * i_den),
+        i_num = sum over directed rook pairs of d_i * d_j,
+        i_den = sum of d_i^2
+    after the 1/n^2 mean factors cancel — components reported
+    undivided so the oracle matches bit-for-bit. The only data pass
+    is the distributed tile count (per-block partials into one
+    bounded groupby); the lattice fold runs on 256 SF-invariant rows
+    (the q120 local-max convention). int64 bound: i_num <=
+    w_pairs * (n*S)^2 requires S < ~2e8 docs; shard the lattice
+    statistic by row-band above that."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=4)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    grid = np.zeros((16, 16), dtype=np.int64)
+    grid[counts["tile_x"].to_numpy(np.int64),
+         counts["tile_y"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    n = grid.size
+    s = int(grid.sum())
+    d = n * grid - s
+    num = int((d[:-1, :] * d[1:, :]).sum()) * 2 \
+        + int((d[:, :-1] * d[:, 1:]).sum()) * 2
+    den = int((d * d).sum())
+    w = 2 * (2 * 16 * 15)
+    return pd.DataFrame({"n_cells": [np.int64(n)],
+                         "w_pairs": [np.int64(w)],
+                         "s_total": [np.int64(s)],
+                         "i_num": [np.int64(num)],
+                         "i_den": [np.int64(den)]})
+
+
+_Q151_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo),
+c AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+lat AS (SELECT x.x AS tx, y.y AS ty
+        FROM range(16) x(x) CROSS JOIN range(16) y(y)),
+g AS (SELECT l.tx, l.ty, COALESCE(c.n, 0) AS n
+      FROM lat l LEFT JOIN c ON l.tx = c.tx AND l.ty = c.ty),
+d AS (SELECT tx, ty, 256 * n - (SELECT SUM(n) FROM g) AS d FROM g)
+SELECT CAST(256 AS BIGINT) AS n_cells,
+       CAST(960 AS BIGINT) AS w_pairs,
+       CAST((SELECT SUM(n) FROM g) AS BIGINT) AS s_total,
+       CAST((SELECT SUM(a.d * b.d) FROM d a JOIN d b
+             ON abs(a.tx - b.tx) + abs(a.ty - b.ty) = 1)
+            AS BIGINT) AS i_num,
+       CAST((SELECT SUM(d * d) FROM d) AS BIGINT) AS i_den
+"""
+
+
+def _q152_quadtree(sf_dir: str):
+    """Adaptive quadtree refinement of the doc geotags: starting from
+    the single root tile, any cell holding more than thr = max(1,
+    n_docs // 64) points splits into its 4 children, to max depth 6 —
+    the leaf set is the density-adaptive spatial partitioning a
+    skew-aware ingest would shard by. The ONE data pass is the
+    distributed zoom-6 tile count (per-block partials, one bounded
+    groupby); the pyramid (2x2 sum per level) and the reachability
+    walk (a node is a leaf iff every proper ancestor split and it
+    does not) fold <= 4096 SF-invariant lattice rows on the driver.
+    Output (z, x, y, n) per leaf, empty leaves included — exact
+    integers, recursive-CTE-free oracle via a level table + NOT
+    EXISTS ancestor check."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    total = _read(sf_dir, "documents", columns=["doc_id"]).count()
+    thr = max(1, total // 64)
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=6)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    grid = np.zeros((64, 64), dtype=np.int64)
+    grid[counts["tile_x"].to_numpy(np.int64),
+         counts["tile_y"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    levels = {6: grid}
+    for z in range(5, -1, -1):
+        g = levels[z + 1]
+        levels[z] = (g.reshape(g.shape[0] // 2, 2,
+                               g.shape[1] // 2, 2)
+                     .sum(axis=(1, 3)))
+    rows = []
+    reach = np.ones((1, 1), dtype=bool)
+    for z in range(7):
+        n = levels[z]
+        leaf = reach & ((n <= thr) | (z == 6))
+        xs, ys = np.nonzero(leaf)
+        rows.append(pd.DataFrame({
+            "z": np.full(len(xs), z, dtype=np.int64),
+            "x": xs.astype(np.int64), "y": ys.astype(np.int64),
+            "n": n[xs, ys]}))
+        if z < 6:
+            split = reach & (n > thr)
+            reach = np.kron(split, np.ones((2, 2), dtype=bool))
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["z", "x", "y"], ignore_index=True)
+
+
+_Q152_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 64), 0), 63) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 64), 0), 63) AS BIGINT) AS ty
+  FROM geo),
+c6 AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY 1, 2),
+l6 AS (SELECT x.x AS tx, y.y AS ty, COALESCE(c6.n, 0) AS n
+       FROM range(64) x(x) CROSS JOIN range(64) y(y)
+       LEFT JOIN c6 ON c6.tx = x.x AND c6.ty = y.y),
+lv AS (SELECT z.z AS z, tx >> CAST(6 - z.z AS INT) AS x,
+              ty >> CAST(6 - z.z AS INT) AS y,
+              CAST(SUM(n) AS BIGINT) AS n
+       FROM l6 CROSS JOIN range(7) z(z) GROUP BY 1, 2, 3),
+thr AS (SELECT GREATEST(1, (SELECT CAST(count(*) AS BIGINT)
+                            FROM documents) // 64) AS t)
+SELECT v.z, v.x, v.y, v.n
+FROM lv v, thr
+WHERE (v.n <= thr.t OR v.z = 6)
+  AND NOT EXISTS (
+    SELECT 1 FROM lv a, thr
+    WHERE a.z < v.z
+      AND a.x = v.x >> CAST(v.z - a.z AS INT)
+      AND a.y = v.y >> CAST(v.z - a.z AS INT)
+      AND a.n <= thr.t)
+ORDER BY 1, 2, 3
+"""
+
+
+def _q153_snap_segments(sf_dir: str):
+    """Map-matching: snap every doc geotag (milli-degree integer
+    coords) to the nearest of 24 deterministic road segments — the
+    GPS-trace-to-road-network assignment pass. The snapped point is
+    the segment's clamped projection computed ENTIRELY in int64:
+    tnum = clamp(dot, 0, len2), snapped = a + trunc(d * tnum / len2)
+    per axis (truncation toward zero on both sides — DuckDB's `//`),
+    so the squared snap distance and the argmin (ties -> lowest
+    seg_id) are SQL-exact. Segments broadcast as module constants;
+    each batch is one (B, 24) vectorized pass shipping per-segment
+    (n, sum_d2) partials."""
+    import pandas as pd
+
+    j = np.arange(24, dtype=np.int64)
+    ax = j * 92821 % 360000 - 180000
+    ay = j * 68111 % 170000 - 85000
+    dx = j * 48271 % 120000 - 60000
+    dy = j * 16807 % 60000 - 30000
+    len2 = dx * dx + dy * dy
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def trunc_div(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return (np.sign(a) * (np.abs(a) // b)).astype(np.int64)
+
+    def snap(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        px = (i * 61803 % 360000 - 180000)[:, None]
+        py = (i * 75487 % 170000 - 85000)[:, None]
+        tnum = np.clip((px - ax) * dx + (py - ay) * dy, 0, len2)
+        rx = px - (ax + trunc_div(dx * tnum, len2))
+        ry = py - (ay + trunc_div(dy * tnum, len2))
+        d2 = rx * rx + ry * ry
+        seg = np.argmin(d2, axis=1)  # first min = lowest seg_id
+        dmin = d2[np.arange(len(seg)), seg]
+        g = (pd.DataFrame({"seg_id": seg.astype(np.int64),
+                           "n": np.ones(len(seg), np.int64),
+                           "sum_d2": dmin})
+             .groupby("seg_id", as_index=False).sum())
+        return g
+
+    out = (ds.map_batches(snap, batch_format="numpy",
+                          batch_size=65536)
+           .map_batches(lambda df: df.groupby("seg_id",
+                                              as_index=False).sum(),
+                        batch_format="pandas", batch_size=65536)
+           .to_pandas())
+    fin = out.groupby("seg_id", as_index=False).sum()
+    for c in ("n", "sum_d2"):
+        fin[c] = fin[c].astype(np.int64)
+    return fin.sort_values("seg_id", ignore_index=True)
+
+
+_Q153_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id * 61803 % 360000 - 180000 AS px,
+         doc_id * 75487 % 170000 - 85000 AS py
+  FROM documents),
+seg AS (
+  SELECT j.j AS seg_id,
+         j.j * 92821 % 360000 - 180000 AS ax,
+         j.j * 68111 % 170000 - 85000 AS ay,
+         j.j * 48271 % 120000 - 60000 AS dx,
+         j.j * 16807 % 60000 - 30000 AS dy
+  FROM range(24) j(j)),
+f AS (
+  SELECT p.doc_id, s.seg_id, p.px, p.py, s.ax, s.ay, s.dx, s.dy,
+         s.dx * s.dx + s.dy * s.dy AS len2,
+         LEAST(GREATEST((p.px - s.ax) * s.dx
+                        + (p.py - s.ay) * s.dy, 0),
+               s.dx * s.dx + s.dy * s.dy) AS tnum
+  FROM p CROSS JOIN seg s),
+d AS (
+  SELECT doc_id, seg_id,
+         (px - (ax + dx * tnum // len2)) * (px - (ax + dx * tnum // len2))
+       + (py - (ay + dy * tnum // len2)) * (py - (ay + dy * tnum // len2))
+           AS d2
+  FROM f),
+pick AS (
+  SELECT doc_id, seg_id, d2 FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY d2, seg_id) = 1)
+SELECT CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2
+FROM pick GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -8117,6 +8367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_gyration": _q148_gyration,
         "q149_peak_hour": _q149_peak_hour,
         "q150_gini": _q150_gini,
+        "q151_morans_i": _q151_morans_i,
+        "q152_quadtree": _q152_quadtree,
+        "q153_snap_segments": _q153_snap_segments,
     }
 
 
@@ -8272,4 +8525,7 @@ def oracle_sql() -> dict[str, str]:
         "q148_gyration": _Q148_SQL,
         "q149_peak_hour": _Q149_SQL,
         "q150_gini": _Q150_SQL,
+        "q151_morans_i": _Q151_SQL,
+        "q152_quadtree": _Q152_SQL,
+        "q153_snap_segments": _Q153_SQL,
     }
