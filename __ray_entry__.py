@@ -8210,6 +8210,477 @@ FROM pick GROUP BY 1 ORDER BY 1
 """
 
 
+def _q154_mann_kendall(sf_dir: str):
+    """Spatiotemporal trend detection: per zoom-3 tile, the
+    Mann-Kendall S statistic (sum over ordered day pairs of
+    sign(c_j - c_i)) and the Theil-Sen slope (LOWER median of the
+    pairwise slopes trunc((c_j - c_i) * 1e6 / (d_j - d_i))) of the
+    tile's daily event counts — the emerging/fading-hotspot pass of a
+    space-time cube, fully integer-exact (sign sums, truncating
+    division, order-statistic median). Per-block (tile, day) count
+    partials bound the exchange at tiles x days x blocks; the O(d^2)
+    pair fold (d <= #days, ~30) runs vectorized inside one
+    tile-bucket combine. Tiles with a single active day report
+    (0, 0)."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    nb = 32
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        day = (np.asarray(b["ts"]).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return {"lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0,
+                "day": day}
+
+    def partial(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({"tile_x": b["tile_x"],
+                           "tile_y": b["tile_y"],
+                           "day": b["day"]})
+             .groupby(["tile_x", "tile_y", "day"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        g["_bk"] = (g["tile_x"].to_numpy(np.int64) * 8
+                    + g["tile_y"].to_numpy(np.int64)) % nb
+        return g
+
+    def trend(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["tile_x", "tile_y", "day"],
+                        as_index=False)["n"].sum()
+        rows = []
+        for (tx, ty), gg in agg.groupby(["tile_x", "tile_y"],
+                                        sort=False):
+            gg = gg.sort_values("day")
+            d = gg["day"].to_numpy(np.int64)
+            c = gg["n"].to_numpy(np.int64)
+            iu, ju = np.triu_indices(len(d), k=1)
+            if len(iu) == 0:
+                rows.append((tx, ty, len(d), 0, 0))
+                continue
+            dn = c[ju] - c[iu]
+            s = int(np.sign(dn).sum())
+            num = dn * 1_000_000
+            den = d[ju] - d[iu]
+            slopes = np.sort(np.sign(num) * (np.abs(num) // den))
+            med = int(slopes[(len(slopes) - 1) // 2])
+            rows.append((tx, ty, len(d), s, med))
+        return pd.DataFrame(rows, columns=["tile_x", "tile_y",
+                                           "n_days", "mk_s",
+                                           "ts_slope"])
+
+    out = (with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                     batch_size=65536), zoom=3)
+           .map_batches(partial, batch_format="pandas",
+                        batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: trend(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("tile_x", "tile_y", "n_days", "mk_s", "ts_slope"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["tile_x", "tile_y"], ignore_index=True)
+
+
+_Q154_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT day,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM e),
+c AS (SELECT tx, ty, day, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3),
+p AS (
+  SELECT a.tx, a.ty, sign(b.n - a.n) AS sg,
+         (b.n - a.n) * 1000000 // (b.day - a.day) AS slope
+  FROM c a JOIN c b
+    ON a.tx = b.tx AND a.ty = b.ty AND a.day < b.day),
+mk AS (SELECT tx, ty, CAST(SUM(sg) AS BIGINT) AS mk_s
+       FROM p GROUP BY 1, 2),
+med AS (
+  SELECT tx, ty, slope FROM (
+    SELECT tx, ty, slope,
+           ROW_NUMBER() OVER (PARTITION BY tx, ty
+                              ORDER BY slope) AS rn,
+           COUNT(*) OVER (PARTITION BY tx, ty) AS m
+    FROM p) WHERE rn = (m + 1) // 2),
+nd AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_days
+       FROM c GROUP BY 1, 2)
+SELECT nd.tx AS tile_x, nd.ty AS tile_y, nd.n_days,
+       CAST(COALESCE(mk.mk_s, 0) AS BIGINT) AS mk_s,
+       CAST(COALESCE(med.slope, 0) AS BIGINT) AS ts_slope
+FROM nd
+LEFT JOIN mk ON nd.tx = mk.tx AND nd.ty = mk.ty
+LEFT JOIN med ON nd.tx = med.tx AND nd.ty = med.ty
+ORDER BY 1, 2
+"""
+
+
+def _q155_glcm(sf_dir: str):
+    """Per-format GLCM (gray-level co-occurrence matrix) texture
+    statistics: each stored image decodes through the REAL codecs,
+    its pixels quantize to 8 luma levels ((2r+3g+b) // 192), and the
+    horizontal-offset (dx=1) co-occurrence histogram yields the
+    classic Haralick pieces in exact integers — contrast
+    sum(c * (la-lb)^2) and energy sum(c^2) — summed per format.
+    Decode + bincount run in the task-pool map stage (the q127
+    shape); only (fmt, 3 counters) rows per image cross the shuffle.
+    Oracle mirrors the pixel generator and codec quantization
+    op-for-op (images.py synth_pixels/decode)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+    la = np.arange(64, dtype=np.int64) // 8
+    lb = np.arange(64, dtype=np.int64) % 8
+    wt = (la - lb) ** 2
+
+    def texture(b: dict) -> dict:
+        cnt_imgs = len(b["image_id"])
+        npair = np.empty(cnt_imgs, dtype=np.int64)
+        con = np.empty(cnt_imgs, dtype=np.int64)
+        en = np.empty(cnt_imgs, dtype=np.int64)
+        for k in range(cnt_imgs):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            lev = (2 * px[..., 0] + 3 * px[..., 1]
+                   + px[..., 2]) // 192
+            a = lev[:, :-1].ravel()
+            c = lev[:, 1:].ravel()
+            h = np.bincount(a * 8 + c, minlength=64).astype(np.int64)
+            npair[k] = len(a)
+            con[k] = int((h * wt).sum())
+            en[k] = int((h * h).sum())
+        return {"fmt": np.asarray(b["fmt"]), "n_pairs": npair,
+                "contrast": con, "energy": en}
+
+    per = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        texture, batch_format="numpy", batch_size=256)
+    out = (per.groupby("fmt")
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                      Sum("contrast", alias_name="contrast"),
+                      Sum("energy", alias_name="energy"))
+           .to_pandas())
+    for c in ("n_pairs", "contrast", "energy"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt", ignore_index=True)
+
+
+_Q155_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, w, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, y, x,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+lv AS (SELECT i, f, y, x,
+              (2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+             + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+             +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END)) // 192
+                AS l
+        FROM raw),
+pr AS (SELECT a.i, a.f, a.l AS la, b.l AS lb
+       FROM lv a JOIN lv b
+         ON a.i = b.i AND a.y = b.y AND b.x = a.x + 1),
+per AS (SELECT i, f, la, lb, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pr GROUP BY 1, 2, 3, 4),
+pi AS (SELECT i, f, SUM(c) AS np_,
+              SUM(c * (la - lb) * (la - lb)) AS con,
+              SUM(c * c) AS en
+       FROM per GROUP BY 1, 2)
+SELECT CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(SUM(np_) AS BIGINT) AS n_pairs,
+       CAST(SUM(con) AS BIGINT) AS contrast,
+       CAST(SUM(en) AS BIGINT) AS energy
+FROM pi GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q156_heaps(sf_dir: str):
+    """Heaps'-law vocabulary growth: distinct-token count of the first
+    ceil(n*k/4) documents for k = 1..4 — the corpus-composition curve
+    a data-mixing pipeline tracks while ingesting. Key identity:
+    vocab(N) = #{terms whose FIRST document id < N}, so ONE
+    distributed per-term min-doc pass (per-block partial mins,
+    vocabulary-sized, through a term-hash-bucket combine — the
+    token stream itself never crosses the all-to-all) answers every
+    threshold; the 4 cutoff counts fold as per-block partials.
+    Tokenization mirrors the q59 contract (split on single space,
+    empties kept)."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nd = docs.count()
+    cutoffs = np.array([(nd * k + 3) // 4 for k in (1, 2, 3, 4)],
+                       dtype=np.int64)
+
+    def partial(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({"doc_id": np.asarray(b["doc_id"],
+                                                dtype=np.int64),
+                           "term": np.asarray(b["text"])})
+        df["term"] = df["term"].str.split(" ")
+        df = df.explode("term")
+        g = df.groupby("term", as_index=False)["doc_id"].min()
+        g["_bk"] = stable_mod(g["term"].to_numpy(), 64)
+        return g
+
+    def term_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("term", as_index=False)["doc_id"].min()
+        out["doc_id"] = out["doc_id"].astype(np.int64)
+        return out
+
+    fst = (docs.map_batches(partial, batch_format="numpy",
+                            batch_size=4096)
+           .groupby("_bk")
+           .map_groups(lambda g: term_min(g.drop(columns=["_bk"])),
+                       batch_format="pandas"))
+
+    def cnt(b: dict) -> dict:
+        fd = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"k": np.arange(1, 5, dtype=np.int64),
+                "vocab": (fd[:, None] < cutoffs[None, :])
+                .sum(axis=0).astype(np.int64)}
+
+    out = (fst.map_batches(cnt, batch_format="numpy",
+                           batch_size=65536)
+           .to_pandas().groupby("k", as_index=False)["vocab"].sum())
+    out["n_docs_prefix"] = cutoffs
+    out["k"] = out["k"].astype(np.int64)
+    out["vocab"] = out["vocab"].astype(np.int64)
+    return out[["k", "n_docs_prefix", "vocab"]]
+
+
+_Q156_SQL = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+fst AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+th AS (SELECT k.k AS k, (nd * k.k + 3) // 4 AS cutoff
+       FROM range(1, 5) k(k), n)
+SELECT CAST(th.k AS BIGINT) AS k,
+       CAST(th.cutoff AS BIGINT) AS n_docs_prefix,
+       CAST((SELECT COUNT(*) FROM fst WHERE fd < th.cutoff)
+            AS BIGINT) AS vocab
+FROM th ORDER BY 1
+"""
+
+
+def _q157_bearing_hist(sf_dir: str):
+    """Per-user movement-direction histogram: consecutive trajectory
+    displacements (the q148 integer positions, ordered by ts then
+    event_id) classify into 8 bearing octants by PURE SIGN TESTS —
+    oct = 4*[|dy| > |dx|] + 2*[dx < 0] + [dy < 0] — so the histogram
+    and the per-octant L1 step-length sums are trigonometry-free
+    exact integers (zero displacements drop). The directional-bias
+    fingerprint of a mobility pipeline. One user-bucket all-to-all;
+    sort + diff + bincount run vectorized inside the bucket."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        x = (u * 2654435761 + bk * 40503) % 100_000_000 \
+            + (e * 7919 % 2001 - 1000)
+        y = (u * 2246822519 + bk * 65537) % 100_000_000 \
+            + (e * 104729 % 2001 - 1000)
+        return {"user_id": u, "t": t, "e": e, "x": x, "y": y,
+                "_bk": (u % nb + nb) % nb}
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "e"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        uu = u[1:][same]
+        move = (dx != 0) | (dy != 0)
+        dx, dy, uu = dx[move], dy[move], uu[move]
+        oct_ = (4 * (np.abs(dy) > np.abs(dx)).astype(np.int64)
+                + 2 * (dx < 0).astype(np.int64)
+                + (dy < 0).astype(np.int64))
+        out = (pd.DataFrame({"user_id": uu, "octant": oct_,
+                             "n": np.ones(len(uu), np.int64),
+                             "sum_l1": np.abs(dx) + np.abs(dy)})
+               .groupby(["user_id", "octant"], as_index=False).sum())
+        return out
+
+    out = (ev.map_batches(pos, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: hist(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("octant", "n", "sum_l1"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_id", "octant"], ignore_index=True)
+
+
+_Q157_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (user_id * 2654435761
+          + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000) AS x,
+         (user_id * 2246822519
+          + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000) AS y
+  FROM events),
+d AS (
+  SELECT user_id,
+         x - LAG(x) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dx,
+         y - LAG(y) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dy
+  FROM p),
+m AS (SELECT user_id, dx, dy FROM d
+      WHERE dx IS NOT NULL AND (dx <> 0 OR dy <> 0))
+SELECT user_id,
+       CAST(4 * (CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END)
+          + 2 * (CASE WHEN dx < 0 THEN 1 ELSE 0 END)
+          +     (CASE WHEN dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(abs(dx) + abs(dy)) AS BIGINT) AS sum_l1
+FROM m GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q158_exploration(sf_dir: str):
+    """Exploration curve: per day, how many (user, zoom-4 tile) pairs
+    are visited for the FIRST time — the novelty-seeking metric of
+    the mobility literature (new-location discovery rate), plus the
+    day's total event count. Two-level aggregation, both bounded:
+    per-block (user, tile, min day) partials into a (user, tile)-
+    bucket min combine, then per-day count partials — raw events
+    cross no all-to-all. Exact integers; windowed-SQL oracle."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        day = (np.asarray(b["ts"]).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return {"user_id": np.asarray(b["user_id"], dtype=np.int64),
+                "day": day,
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    tiles = with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                      batch_size=65536), zoom=4)
+
+    def partial(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({"user_id": b["user_id"],
+                           "tile_x": b["tile_x"],
+                           "tile_y": b["tile_y"],
+                           "day": b["day"]})
+             .groupby(["user_id", "tile_x", "tile_y"],
+                      as_index=False)
+             .agg(fd=("day", "min"), n=("day", "size")))
+        g["_bk"] = (g["user_id"].to_numpy(np.int64) * 31
+                    + g["tile_x"].to_numpy(np.int64) * 8
+                    + g["tile_y"].to_numpy(np.int64)) % nb
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby(["user_id", "tile_x", "tile_y"],
+                         as_index=False)
+               .agg(fd=("fd", "min"), n=("n", "sum")))
+        day_new = (out.groupby("fd", as_index=False)
+                   .size().rename(columns={"fd": "day",
+                                           "size": "n_new"}))
+        day_new["n_new"] = day_new["n_new"].astype(np.int64)
+        return day_new
+
+    new_per_day = (tiles.map_batches(partial, batch_format="pandas",
+                                     batch_size=65536)
+                   .groupby("_bk")
+                   .map_groups(lambda g: combine(
+                       g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+                   .to_pandas()
+                   .groupby("day", as_index=False)["n_new"].sum())
+
+    def day_cnt(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({"day": b["day"]})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "n_events"}))
+        return g
+
+    totals = (tiles.map_batches(day_cnt, batch_format="numpy",
+                                batch_size=65536)
+              .to_pandas().groupby("day", as_index=False)
+              ["n_events"].sum())
+    out = new_per_day.merge(totals, on="day")
+    for c in ("day", "n_new", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("day", ignore_index=True)
+
+
+_Q158_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT user_id, day,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM e),
+fst AS (SELECT user_id, tx, ty, MIN(day) AS fd
+        FROM t GROUP BY 1, 2, 3),
+nw AS (SELECT fd AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+       FROM fst GROUP BY 1),
+tot AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM t GROUP BY 1)
+SELECT CAST(nw.day AS BIGINT) AS day, nw.n_new, tot.n_events
+FROM nw JOIN tot ON nw.day = tot.day ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -8370,6 +8841,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q151_morans_i": _q151_morans_i,
         "q152_quadtree": _q152_quadtree,
         "q153_snap_segments": _q153_snap_segments,
+        "q154_mann_kendall": _q154_mann_kendall,
+        "q155_glcm": _q155_glcm,
+        "q156_heaps": _q156_heaps,
+        "q157_bearing_hist": _q157_bearing_hist,
+        "q158_exploration": _q158_exploration,
     }
 
 
@@ -8528,4 +9004,9 @@ def oracle_sql() -> dict[str, str]:
         "q151_morans_i": _Q151_SQL,
         "q152_quadtree": _Q152_SQL,
         "q153_snap_segments": _Q153_SQL,
+        "q154_mann_kendall": _Q154_SQL,
+        "q155_glcm": _Q155_SQL,
+        "q156_heaps": _Q156_SQL,
+        "q157_bearing_hist": _Q157_SQL,
+        "q158_exploration": _Q158_SQL,
     }
