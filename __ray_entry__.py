@@ -8681,6 +8681,390 @@ FROM nw JOIN tot ON nw.day = tot.day ORDER BY 1
 """
 
 
+def _q159_gearys_c(sf_dir: str):
+    """Geary's C spatial autocorrelation of the zoom-4 tile counts
+    under rook adjacency — the local-contrast complement to q151's
+    Moran's I (squared neighbor DIFFERENCES instead of deviation
+    products), exact integers throughout:
+        C = (n-1) * n^2 * c_num / (2 * w_pairs * c_den),
+        c_num = sum over directed rook pairs of (x_i - x_j)^2,
+        c_den = sum of (n*x_i - S)^2
+    with components reported undivided. Same scale shape as q151:
+    one distributed tile count, then a 256-row lattice fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=4)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    grid = np.zeros((16, 16), dtype=np.int64)
+    grid[counts["tile_x"].to_numpy(np.int64),
+         counts["tile_y"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    n = grid.size
+    s = int(grid.sum())
+    d = n * grid - s
+    num = int(((grid[:-1, :] - grid[1:, :]) ** 2).sum()) * 2 \
+        + int(((grid[:, :-1] - grid[:, 1:]) ** 2).sum()) * 2
+    den = int((d * d).sum())
+    return pd.DataFrame({"n_cells": [np.int64(n)],
+                         "w_pairs": [np.int64(960)],
+                         "s_total": [np.int64(s)],
+                         "c_num": [np.int64(num)],
+                         "c_den": [np.int64(den)]})
+
+
+_Q159_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo),
+c AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+lat AS (SELECT x.x AS tx, y.y AS ty
+        FROM range(16) x(x) CROSS JOIN range(16) y(y)),
+g AS (SELECT l.tx, l.ty, COALESCE(c.n, 0) AS n
+      FROM lat l LEFT JOIN c ON l.tx = c.tx AND l.ty = c.ty),
+d AS (SELECT tx, ty, n, 256 * n - (SELECT SUM(n) FROM g) AS d FROM g)
+SELECT CAST(256 AS BIGINT) AS n_cells,
+       CAST(960 AS BIGINT) AS w_pairs,
+       CAST((SELECT SUM(n) FROM g) AS BIGINT) AS s_total,
+       CAST((SELECT SUM((a.n - b.n) * (a.n - b.n))
+             FROM d a JOIN d b
+             ON abs(a.tx - b.tx) + abs(a.ty - b.ty) = 1)
+            AS BIGINT) AS c_num,
+       CAST((SELECT SUM(d * d) FROM d) AS BIGINT) AS c_den
+"""
+
+
+def _q160_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic: the exact count of
+    unordered doc-geotag pairs within planar distance r, for r in
+    {2000, 5000, 10000} milli-degrees — the multi-scale clustering
+    curve of spatial statistics, reported undivided as (r, n_pairs)
+    plus n_points so K(r) = area * 2*n_pairs / n^2 is a driver-side
+    division. PBSM shape (the q71 overlay convention): points
+    replicate to their 3x3 neighborhood of 10000-milli-degree cells
+    (cell size = r_max, so every qualifying pair co-locates), ONE
+    hash-bucket all-to-all, and each pair counts exactly once at the
+    cell of its lexicographically-smaller endpoint (reference-point
+    rule, Patel & DeWitt SIGMOD'96). Shifted nonnegative coords keep
+    numpy/SQL floor-vs-trunc division identical."""
+    import pandas as pd
+
+    RADII = np.array([2000, 5000, 10000], dtype=np.int64)
+    C = 10000
+    nb = 64
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_points = ds.count()
+
+    def scatter(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        sx = i * 61803 % 360000
+        sy = i * 75487 % 170000
+        cx = sx // C
+        cy = sy // C
+        frames = []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                frames.append(pd.DataFrame({
+                    "doc_id": i, "sx": sx, "sy": sy,
+                    "tcx": cx + ox, "tcy": cy + oy,
+                    "home": np.full(len(i), ox == 0 and oy == 0)}))
+        out = pd.concat(frames, ignore_index=True)
+        out["_bk"] = ((out["tcx"].to_numpy(np.int64) * 31
+                       + out["tcy"].to_numpy(np.int64)) % nb
+                      + nb) % nb
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(len(RADII), dtype=np.int64)
+        for _, gg in g.groupby(["tcx", "tcy"], sort=False):
+            h = gg[gg["home"]]
+            if not len(h):
+                continue
+            hx = h["sx"].to_numpy(np.int64)[:, None]
+            hy = h["sy"].to_numpy(np.int64)[:, None]
+            hi = h["doc_id"].to_numpy(np.int64)[:, None]
+            ax = gg["sx"].to_numpy(np.int64)[None, :]
+            ay = gg["sy"].to_numpy(np.int64)[None, :]
+            ai = gg["doc_id"].to_numpy(np.int64)[None, :]
+            gt = ((ax > hx) | ((ax == hx) & (ay > hy))
+                  | ((ax == hx) & (ay == hy) & (ai > hi)))
+            d2 = (ax - hx) ** 2 + (ay - hy) ** 2
+            for k, r in enumerate(RADII):
+                acc[k] += int((gt & (d2 <= r * r)).sum())
+        return pd.DataFrame({"r": RADII, "n_pairs": acc})
+
+    out = (ds.map_batches(scatter, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas().groupby("r", as_index=False)["n_pairs"].sum())
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    out["r"] = out["r"].astype(np.int64)
+    out["n_points"] = np.int64(n_points)
+    return out.sort_values("r", ignore_index=True)
+
+
+_Q160_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id * 61803 % 360000 AS sx,
+         doc_id * 75487 % 170000 AS sy
+  FROM documents),
+c AS (SELECT doc_id, sx, sy, sx // 10000 AS cx, sy // 10000 AS cy
+      FROM p),
+a9 AS (SELECT c.doc_id, c.sx, c.sy,
+              c.cx + dx.d AS tcx, c.cy + dy.d AS tcy
+       FROM c, (VALUES (-1), (0), (1)) dx(d),
+               (VALUES (-1), (0), (1)) dy(d)),
+pr AS (
+  SELECT (a.sx - b.sx) * (a.sx - b.sx)
+       + (a.sy - b.sy) * (a.sy - b.sy) AS d2
+  FROM a9 a JOIN c b ON b.cx = a.tcx AND b.cy = a.tcy
+  WHERE b.sx > a.sx
+     OR (b.sx = a.sx AND (b.sy > a.sy
+         OR (b.sy = a.sy AND b.doc_id > a.doc_id)))),
+radii AS (SELECT * FROM (VALUES (2000), (5000), (10000)) r(r))
+SELECT CAST(radii.r AS BIGINT) AS r,
+       CAST((SELECT COUNT(*) FROM pr
+             WHERE pr.d2 <= radii.r * radii.r) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_points
+FROM radii ORDER BY 1
+"""
+
+
+def _q161_knox(sf_dir: str):
+    """Knox space-time interaction statistic over the events stream:
+    n_knox = exact count of unordered event pairs close in BOTH
+    space (planar d2 <= r^2, r = 10000 milli-degrees) and time
+    (|day_i - day_j| <= 3), with the marginals needed for the Knox
+    expectation — n_space (close in space regardless of time,
+    q160's PBSM reference-point count with the day column riding
+    along) and n_time (close in time regardless of location,
+    computed WITHOUT an all-pairs pass from the <= 31-row day
+    histogram: sum c_a*c_b over ordered close day pairs plus
+    C(c,2) within days). The disease-cluster / event-burst detector
+    of spatial epidemiology, all counts exact int64."""
+    import pandas as pd
+
+    R = 10000
+    TAU = 3
+    nb = 64
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+    n_points = ev.count()
+
+    def scatter(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        day = (np.asarray(b["ts"]).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        sx = i * 61803 % 360000
+        sy = i * 75487 % 170000
+        cx = sx // R
+        cy = sy // R
+        frames = []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                frames.append(pd.DataFrame({
+                    "event_id": i, "sx": sx, "sy": sy, "day": day,
+                    "tcx": cx + ox, "tcy": cy + oy,
+                    "home": np.full(len(i), ox == 0 and oy == 0)}))
+        out = pd.concat(frames, ignore_index=True)
+        out["_bk"] = ((out["tcx"].to_numpy(np.int64) * 31
+                       + out["tcy"].to_numpy(np.int64)) % nb
+                      + nb) % nb
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n_sp = 0
+        n_kx = 0
+        for _, gg in g.groupby(["tcx", "tcy"], sort=False):
+            h = gg[gg["home"]]
+            if not len(h):
+                continue
+            hx = h["sx"].to_numpy(np.int64)[:, None]
+            hy = h["sy"].to_numpy(np.int64)[:, None]
+            hd = h["day"].to_numpy(np.int64)[:, None]
+            hi = h["event_id"].to_numpy(np.int64)[:, None]
+            ax = gg["sx"].to_numpy(np.int64)[None, :]
+            ay = gg["sy"].to_numpy(np.int64)[None, :]
+            ad = gg["day"].to_numpy(np.int64)[None, :]
+            ai = gg["event_id"].to_numpy(np.int64)[None, :]
+            gt = ((ax > hx) | ((ax == hx) & (ay > hy))
+                  | ((ax == hx) & (ay == hy) & (ai > hi)))
+            near = gt & ((ax - hx) ** 2 + (ay - hy) ** 2 <= R * R)
+            n_sp += int(near.sum())
+            n_kx += int((near & (np.abs(ad - hd) <= TAU)).sum())
+        return pd.DataFrame({"n_space": [np.int64(n_sp)],
+                             "n_knox": [np.int64(n_kx)]})
+
+    sp = (ev.map_batches(scatter, batch_format="numpy",
+                         batch_size=65536)
+          .groupby("_bk")
+          .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                      batch_format="pandas")
+          .to_pandas().sum())
+
+    def day_hist(b: dict) -> pd.DataFrame:
+        day = (np.asarray(b["ts"]).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        g = (pd.DataFrame({"day": day})
+             .groupby("day", as_index=False).size()
+             .rename(columns={"size": "c"}))
+        return g
+
+    dc = (ev.map_batches(day_hist, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas().groupby("day", as_index=False)["c"].sum())
+    d = dc["day"].to_numpy(np.int64)
+    c = dc["c"].to_numpy(np.int64)
+    cross = (d[None, :] > d[:, None]) & (d[None, :] - d[:, None] <= TAU)
+    n_time = int((c[:, None] * c[None, :] * cross).sum()) \
+        + int((c * (c - 1) // 2).sum())
+    return pd.DataFrame({
+        "r": [np.int64(R)], "tau": [np.int64(TAU)],
+        "n_points": [np.int64(n_points)],
+        "n_space": [np.int64(sp["n_space"])],
+        "n_time": [np.int64(n_time)],
+        "n_knox": [np.int64(sp["n_knox"])]})
+
+
+_Q161_SQL = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) // 86400000000 AS day,
+         event_id * 61803 % 360000 AS sx,
+         event_id * 75487 % 170000 AS sy
+  FROM events),
+c AS (SELECT *, sx // 10000 AS cx, sy // 10000 AS cy FROM e),
+a9 AS (SELECT c.event_id, c.sx, c.sy, c.day,
+              c.cx + dx.d AS tcx, c.cy + dy.d AS tcy
+       FROM c, (VALUES (-1), (0), (1)) dx(d),
+               (VALUES (-1), (0), (1)) dy(d)),
+pr AS (
+  SELECT (a.sx - b.sx) * (a.sx - b.sx)
+       + (a.sy - b.sy) * (a.sy - b.sy) AS d2,
+         abs(a.day - b.day) AS dt
+  FROM a9 a JOIN c b ON b.cx = a.tcx AND b.cy = a.tcy
+  WHERE b.sx > a.sx
+     OR (b.sx = a.sx AND (b.sy > a.sy
+         OR (b.sy = a.sy AND b.event_id > a.event_id)))),
+dc AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+nt AS (
+  SELECT CAST(COALESCE((SELECT SUM(a.c * b.c) FROM dc a JOIN dc b
+                ON b.day > a.day AND b.day <= a.day + 3), 0)
+            + (SELECT SUM(c * (c - 1) // 2) FROM dc)
+              AS BIGINT) AS n_time)
+SELECT CAST(10000 AS BIGINT) AS r, CAST(3 AS BIGINT) AS tau,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_points,
+       CAST((SELECT COUNT(*) FROM pr
+             WHERE d2 <= 100000000) AS BIGINT) AS n_space,
+       nt.n_time,
+       CAST((SELECT COUNT(*) FROM pr
+             WHERE d2 <= 100000000 AND dt <= 3) AS BIGINT) AS n_knox
+FROM nt
+"""
+
+
+def _q162_image_moments(sf_dir: str):
+    """Raw image moments — the building blocks of centroid/Hu shape
+    descriptors — over the decoded luma channel (2r+3g+b), in exact
+    integers: per image m_pq = sum over pixels of x^p * y^q * lum for
+    (p,q) in {(0,0),(1,0),(0,1),(2,0),(1,1),(0,2)}, summed per
+    format. Decode + the six weighted reductions run in the task-pool
+    map stage; one 8-counter row per image crosses the shuffle.
+    Oracle mirrors the pixel generator + codec quantization
+    op-for-op."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+
+    def moments(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        out = {k: np.empty(cnt, dtype=np.int64)
+               for k in ("m00", "m10", "m01", "m20", "m11", "m02")}
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            lum = 2 * px[..., 0] + 3 * px[..., 1] + px[..., 2]
+            h, w = lum.shape
+            x = np.arange(w, dtype=np.int64)[None, :]
+            y = np.arange(h, dtype=np.int64)[:, None]
+            out["m00"][k] = int(lum.sum())
+            out["m10"][k] = int((lum * x).sum())
+            out["m01"][k] = int((lum * y).sum())
+            out["m20"][k] = int((lum * x * x).sum())
+            out["m11"][k] = int((lum * x * y).sum())
+            out["m02"][k] = int((lum * y * y).sum())
+        out["fmt"] = np.asarray(b["fmt"])
+        return out
+
+    per = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        moments, batch_format="numpy", batch_size=256)
+    out = (per.groupby("fmt")
+           .aggregate(Count(alias_name="n_images"),
+                      Sum("m00", alias_name="m00"),
+                      Sum("m10", alias_name="m10"),
+                      Sum("m01", alias_name="m01"),
+                      Sum("m20", alias_name="m20"),
+                      Sum("m11", alias_name="m11"),
+                      Sum("m02", alias_name="m02"))
+           .to_pandas())
+    for c in ("n_images", "m00", "m10", "m01", "m20", "m11", "m02"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt", ignore_index=True)
+
+
+_Q162_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, y, x,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+lm AS (SELECT i, f, y, x,
+              2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+            + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+            +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END) AS lum
+       FROM raw),
+pi AS (SELECT i, f, SUM(lum) AS m00, SUM(lum*x) AS m10,
+              SUM(lum*y) AS m01, SUM(lum*x*x) AS m20,
+              SUM(lum*x*y) AS m11, SUM(lum*y*y) AS m02
+       FROM lm GROUP BY 1, 2)
+SELECT CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(m00) AS BIGINT) AS m00, CAST(SUM(m10) AS BIGINT) AS m10,
+       CAST(SUM(m01) AS BIGINT) AS m01, CAST(SUM(m20) AS BIGINT) AS m20,
+       CAST(SUM(m11) AS BIGINT) AS m11, CAST(SUM(m02) AS BIGINT) AS m02
+FROM pi GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -8846,6 +9230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q156_heaps": _q156_heaps,
         "q157_bearing_hist": _q157_bearing_hist,
         "q158_exploration": _q158_exploration,
+        "q159_gearys_c": _q159_gearys_c,
+        "q160_ripley_k": _q160_ripley_k,
+        "q161_knox": _q161_knox,
+        "q162_image_moments": _q162_image_moments,
     }
 
 
@@ -9009,4 +9397,8 @@ def oracle_sql() -> dict[str, str]:
         "q156_heaps": _Q156_SQL,
         "q157_bearing_hist": _Q157_SQL,
         "q158_exploration": _Q158_SQL,
+        "q159_gearys_c": _Q159_SQL,
+        "q160_ripley_k": _Q160_SQL,
+        "q161_knox": _Q161_SQL,
+        "q162_image_moments": _Q162_SQL,
     }
