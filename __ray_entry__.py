@@ -9065,6 +9065,435 @@ FROM pi GROUP BY 1 ORDER BY 1
 """
 
 
+def _q163_od_matrix(sf_dir: str):
+    """Origin-destination matrix: per (user, day), the zoom-3 tile of
+    the user's FIRST event is the origin and of the LAST event the
+    destination (order by ts then event_id, both sides); count trips
+    per (origin, destination) tile pair — the commute-flow aggregate
+    of transport planning, complementing q138's consecutive-step
+    Markov transitions. One user-bucket all-to-all; the first/last
+    extraction is a vectorized sorted segment pass."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        return {"user_id": np.asarray(b["user_id"], dtype=np.int64),
+                "e": i, "t": t, "day": t // 86_400_000_000,
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    tiles = with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                      batch_size=65536), zoom=3)
+
+    def bucket(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({k: b[k] for k in
+                           ("user_id", "day", "t", "e",
+                            "tile_x", "tile_y")})
+        df["_bk"] = (df["user_id"].to_numpy(np.int64) % nb + nb) % nb
+        return df
+
+    def od(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "day", "t", "e"],
+                          kind="mergesort")
+        key = g[["user_id", "day"]].to_numpy(np.int64)
+        new = np.r_[True, (key[1:] != key[:-1]).any(axis=1)]
+        first = np.flatnonzero(new)
+        last = np.r_[first[1:] - 1, len(g) - 1]
+        tx = g["tile_x"].to_numpy(np.int64)
+        ty = g["tile_y"].to_numpy(np.int64)
+        out = (pd.DataFrame({"o_x": tx[first], "o_y": ty[first],
+                             "d_x": tx[last], "d_y": ty[last]})
+               .groupby(["o_x", "o_y", "d_x", "d_y"],
+                        as_index=False).size()
+               .rename(columns={"size": "n_trips"}))
+        return out
+
+    out = (tiles.map_batches(bucket, batch_format="numpy",
+                             batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: od(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas()
+           .groupby(["o_x", "o_y", "d_x", "d_y"], as_index=False)
+           ["n_trips"].sum())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["o_x", "o_y", "d_x", "d_y"],
+                           ignore_index=True)
+
+
+_Q163_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT user_id, day, ts, event_id,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM e),
+r AS (
+  SELECT user_id, day, tx, ty,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t),
+od AS (
+  SELECT o.user_id, o.day, o.tx AS o_x, o.ty AS o_y,
+         d.tx AS d_x, d.ty AS d_y
+  FROM r o JOIN r d ON o.user_id = d.user_id AND o.day = d.day
+  WHERE o.rn_a = 1 AND d.rn_d = 1)
+SELECT o_x, o_y, d_x, d_y, CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM od GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4
+"""
+
+
+def _q164_colocation(sf_dir: str):
+    """Co-location pattern mining (Shekhar & Huang, SSTD'01 support
+    counting): for every unordered pair of event TYPES, in how many
+    (zoom-3 tile, day) space-time cells do both types occur — the
+    spatial-association support table. Per-block partials reduce to
+    DISTINCT (cell, type) rows before the single cell-bucket
+    all-to-all; the per-cell pair expansion is bounded by C(5,2)
+    types. Exact integers."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts"])
+    nb = 32
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        return {"event_type": np.asarray(b["event_type"]),
+                "day": (np.asarray(b["ts"]).astype("datetime64[us]")
+                        .astype(np.int64) // 86_400_000_000),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    tiles = with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                      batch_size=65536), zoom=3)
+
+    def distinct(b: dict) -> pd.DataFrame:
+        df = (pd.DataFrame({"tile_x": b["tile_x"],
+                            "tile_y": b["tile_y"],
+                            "day": b["day"],
+                            "event_type": b["event_type"]})
+              .drop_duplicates())
+        df["_bk"] = ((df["tile_x"].to_numpy(np.int64) * 8
+                      + df["tile_y"].to_numpy(np.int64)) * 31
+                     + df["day"].to_numpy(np.int64)) % nb
+        return df
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(
+            subset=["tile_x", "tile_y", "day", "event_type"])
+        rows = []
+        for _, gg in g.groupby(["tile_x", "tile_y", "day"],
+                               sort=False):
+            ts_ = sorted(gg["event_type"].tolist())
+            for a in range(len(ts_)):
+                for bsub in range(a + 1, len(ts_)):
+                    rows.append((ts_[a], ts_[bsub]))
+        if not rows:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=str),
+                                 "type_b": pd.Series([], dtype=str),
+                                 "support": pd.Series([],
+                                                      dtype=np.int64)})
+        out = (pd.DataFrame(rows, columns=["type_a", "type_b"])
+               .groupby(["type_a", "type_b"], as_index=False).size()
+               .rename(columns={"size": "support"}))
+        return out
+
+    out = (tiles.map_batches(distinct, batch_format="numpy",
+                             batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: pair_counts(
+               g.drop(columns=["_bk"])), batch_format="pandas")
+           .to_pandas()
+           .groupby(["type_a", "type_b"], as_index=False)
+           ["support"].sum())
+    out["support"] = out["support"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+_Q164_SQL = """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT DISTINCT event_type, day,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM e)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM t a JOIN t b
+  ON a.tx = b.tx AND a.ty = b.ty AND a.day = b.day
+ AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q165_skipgrams(sf_dir: str):
+    """Global top-25 skip-gram pairs (ordered token pairs at distance
+    1 or 2 within a document) — the context-window co-occurrence
+    counts a word2vec-style embedding pipeline accumulates. Pair
+    extraction is fully vectorized: the batch's tokens concatenate
+    into one array with doc indices, and offset-1/offset-2 shifts
+    with a same-doc mask emit pairs without any per-row loop. Counts
+    combine per (pair)-hash bucket with a per-bucket top-25 prune
+    (safe: ranking is count desc then lexicographic, and every pair's
+    total lives in exactly one bucket), so the driver merges <= 25 x
+    n_buckets rows."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    nb = 32
+
+    def pairs(b: dict) -> pd.DataFrame:
+        texts = np.asarray(b["text"])
+        toks_l = [t.split(" ") for t in texts]
+        lens = np.array([len(t) for t in toks_l], dtype=np.int64)
+        toks = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks_l]) \
+            if len(toks_l) else np.empty(0, dtype=object)
+        di = np.repeat(np.arange(len(lens)), lens)
+        fr = []
+        for off in (1, 2):
+            if len(toks) <= off:
+                continue
+            m = di[off:] == di[:-off]
+            fr.append(pd.DataFrame({"term_a": toks[:-off][m],
+                                    "term_b": toks[off:][m]}))
+        if not fr:
+            return pd.DataFrame({"term_a": pd.Series([], dtype=str),
+                                 "term_b": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        g = (pd.concat(fr, ignore_index=True)
+             .groupby(["term_a", "term_b"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        g["_bk"] = stable_mod((g["term_a"] + "\x00"
+                               + g["term_b"]).to_numpy(), nb)
+        return g
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["term_a", "term_b"], as_index=False)["n"].sum()
+        out = out.sort_values(["n", "term_a", "term_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(25)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    cand = (docs.map_batches(pairs, batch_format="numpy",
+                             batch_size=4096)
+            .groupby("_bk")
+            .map_groups(lambda g: topk(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .to_pandas())
+    out = (cand.sort_values(["n", "term_a", "term_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(25)
+           .reset_index(drop=True))
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+_Q165_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents),
+pr AS (
+  SELECT a.term AS term_a, b.term AS term_b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  UNION ALL
+  SELECT a.term, b.term
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 2)
+SELECT term_a, term_b, CAST(COUNT(*) AS BIGINT) AS n
+FROM pr GROUP BY 1, 2
+ORDER BY n DESC, term_a, term_b LIMIT 25
+"""
+
+
+def _q166_benford(sf_dir: str):
+    """Benford first-digit audit of order totals: the distribution of
+    the leading significant digit of o_totalprice in integer cents —
+    the fraud/data-quality screen. The digit extracts EXACTLY by
+    repeated integer division (no float log10, whose misrounding at
+    power-of-10 boundaries would diverge from SQL's string head);
+    per-block 9-bin partials make the exchange O(blocks)."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def digits(b: dict) -> pd.DataFrame:
+        cents = np.rint(np.asarray(b["o_totalprice"], np.float64)
+                        * 100).astype(np.int64)
+        d = cents.copy()
+        while (d >= 10).any():
+            d = np.where(d >= 10, d // 10, d)
+        g = (pd.DataFrame({"digit": d})
+             .groupby("digit", as_index=False).size()
+             .rename(columns={"size": "n_orders"}))
+        return g
+
+    out = (orders.map_batches(digits, batch_format="numpy",
+                              batch_size=65536)
+           .to_pandas().groupby("digit", as_index=False)
+           ["n_orders"].sum())
+    for c in ("digit", "n_orders"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("digit", ignore_index=True)
+
+
+_Q166_SQL = """
+SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q167_dup_histogram(sf_dir: str):
+    """Duplicate-cluster size histogram: for each multiplicity k, how
+    many DISTINCT texts occur exactly k times — the dedup-planning
+    diagnostic (how much shrink will exact dedup buy). Per-block
+    (text, partial count) rows reduce in a text-hash bucket combine
+    (distinct-text-sized exchange, the q11 contract), then the
+    k-histogram folds as bounded partials."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    nb = 64
+
+    def partial(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({"text": np.asarray(b["text"])})
+             .groupby("text", as_index=False).size()
+             .rename(columns={"size": "c"}))
+        g["_bk"] = stable_mod(g["text"].to_numpy(), nb)
+        return g
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("text", as_index=False)["c"].sum()
+        out = (per.groupby("c", as_index=False).size()
+               .rename(columns={"c": "k", "size": "n_groups"}))
+        return out
+
+    out = (docs.map_batches(partial, batch_format="numpy",
+                            batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: hist(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas().groupby("k", as_index=False)
+           ["n_groups"].sum())
+    for c in ("k", "n_groups"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("k", ignore_index=True)
+
+
+_Q167_SQL = """
+WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS k
+           FROM documents GROUP BY 1)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q168_interarrival(sf_dir: str):
+    """Inter-arrival time distribution: per-user consecutive event
+    gaps (seconds, ordered by ts then event_id) bucketed into
+    power-of-2 bins — the burstiness fingerprint of an event stream.
+    The bin index is EXACT integer work (np.digitize against the
+    2^k table, mirrored in SQL by counting powers <= gap; no float
+    log2). One user-bucket all-to-all; gaps and bins vectorize inside
+    the bucket; the global histogram folds 40-bin partials."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+    powers = (1 << np.arange(40, dtype=np.int64))
+
+    def tag(b: dict) -> dict:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        return {"user_id": u,
+                "e": np.asarray(b["event_id"], dtype=np.int64),
+                "t": np.asarray(b["ts"]).astype("datetime64[us]")
+                .astype(np.int64),
+                "_bk": (u % nb + nb) % nb}
+
+    def hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "e"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        gap = ((t[1:] - t[:-1]) // 1_000_000)[same]
+        bucket = np.digitize(gap, powers).astype(np.int64)
+        out = (pd.DataFrame({"bucket": bucket, "gap": gap})
+               .groupby("bucket", as_index=False)
+               .agg(n_gaps=("gap", "size"), sum_gap_s=("gap", "sum")))
+        return out
+
+    out = (ev.map_batches(tag, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: hist(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas().groupby("bucket", as_index=False)
+           .agg(n_gaps=("n_gaps", "sum"),
+                sum_gap_s=("sum_gap_s", "sum")))
+    for c in ("bucket", "n_gaps", "sum_gap_s"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket", ignore_index=True)
+
+
+_Q168_SQL = """
+WITH g AS (
+  SELECT (epoch_us(ts)
+          - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id))
+         // 1000000 AS gap
+  FROM events),
+b AS (
+  SELECT gap,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM range(40) k(k)
+          WHERE (CAST(1 AS BIGINT) << CAST(k.k AS INT)) <= g.gap)
+           AS bucket
+  FROM g WHERE gap IS NOT NULL)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_s
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -9234,6 +9663,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q160_ripley_k": _q160_ripley_k,
         "q161_knox": _q161_knox,
         "q162_image_moments": _q162_image_moments,
+        "q163_od_matrix": _q163_od_matrix,
+        "q164_colocation": _q164_colocation,
+        "q165_skipgrams": _q165_skipgrams,
+        "q166_benford": _q166_benford,
+        "q167_dup_histogram": _q167_dup_histogram,
+        "q168_interarrival": _q168_interarrival,
     }
 
 
@@ -9401,4 +9836,10 @@ def oracle_sql() -> dict[str, str]:
         "q160_ripley_k": _Q160_SQL,
         "q161_knox": _Q161_SQL,
         "q162_image_moments": _Q162_SQL,
+        "q163_od_matrix": _Q163_SQL,
+        "q164_colocation": _Q164_SQL,
+        "q165_skipgrams": _Q165_SQL,
+        "q166_benford": _Q166_SQL,
+        "q167_dup_histogram": _Q167_SQL,
+        "q168_interarrival": _Q168_SQL,
     }
