@@ -9494,6 +9494,348 @@ FROM b GROUP BY 1 ORDER BY 1
 """
 
 
+def _copurchase_edges(sf_dir: str, nb: int = 64):
+    """Canonical deduped co-purchase edge set (parts sharing an order,
+    u < v) — the q112 construction factored for reuse by the graph-
+    statistics queries: bucketed per-order pair expansion, then a
+    canonical-pair-bucket dedup. Returns a Dataset (u, v)."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import _bucket, _pair_expand
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def tag(b: dict) -> dict:
+        o = np.asarray(b["l_orderkey"], dtype=np.int64)
+        return {"o": o, "p": np.asarray(b["l_partkey"], dtype=np.int64),
+                "_bk": _bucket(o, nb)}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["o", "p"])
+        o = d["o"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        idx = np.lexsort((p, o))
+        a, b2 = _pair_expand(o[idx], p[idx])
+        out = pd.DataFrame({"u": a, "v": b2})
+        out["_bk"] = _bucket(out["u"].to_numpy() * 31
+                             + out["v"].to_numpy(), nb)
+        return out
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["u", "v"])[["u", "v"]]
+
+    return (li.map_batches(tag, batch_format="numpy")
+            .groupby("_bk")
+            .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .groupby("_bk")
+            .map_groups(dedup, batch_format="pandas"))
+
+
+def _copurchase_degrees(edges, nb: int = 64):
+    """Per-node degree table of a canonical edge Dataset via per-block
+    partial counts + a node-bucket sum. Returns Dataset (node, deg)."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import _bucket
+
+    def partial(b: dict) -> dict:
+        n, c = np.unique(np.concatenate(
+            [np.asarray(b["u"], np.int64),
+             np.asarray(b["v"], np.int64)]), return_counts=True)
+        return {"node": n, "deg": c.astype(np.int64),
+                "_bk": _bucket(n, nb)}
+
+    def comb(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["deg"].sum()
+        out["deg"] = out["deg"].astype(np.int64)
+        return out
+
+    return (edges.map_batches(partial, batch_format="numpy",
+                              batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: comb(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
+
+
+_COPURCH_SQL = """
+pp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+  GROUP BY 1)
+"""
+
+
+def _q169_degree_hist(sf_dir: str):
+    """Degree-distribution histogram of the co-purchase graph (the
+    power-law diagnostic every graph pipeline starts with): for each
+    degree value, the number of nodes holding it. Edge dedup + degree
+    sum + histogram all run as bounded bucket partials; only (int,
+    int) rows cross any exchange."""
+    import pandas as pd
+
+    deg = _copurchase_degrees(_copurchase_edges(sf_dir))
+
+    def hist(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({"deg": b["deg"]})
+             .groupby("deg", as_index=False).size()
+             .rename(columns={"size": "n_nodes"}))
+        return g
+
+    out = (deg.map_batches(hist, batch_format="numpy",
+                           batch_size=65536)
+           .to_pandas().groupby("deg", as_index=False)
+           ["n_nodes"].sum())
+    for c in ("deg", "n_nodes"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("deg", ignore_index=True)
+
+
+_Q169_SQL = f"""
+WITH {_COPURCH_SQL}
+SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q170_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics of the co-purchase
+    graph — exact integers from which Pearson's degree correlation is
+    one driver-side division: m = |E|, s1 = sum over edges of
+    (du + dv) = sum over nodes of deg^2, s2 = sum over edges of
+    (du^2 + dv^2) = sum over nodes of deg^3 (both via the DEGREE
+    table, no edge join), and s3 = sum over edges of du*dv, the one
+    term that genuinely needs degrees attached to edges — two
+    endpoint-bucket co-partition merges (the triangle_count attach
+    shape). All exchanges ship int rows."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import _bucket
+
+    nb = 64
+    edges = _copurchase_edges(sf_dir).materialize()
+    deg = _copurchase_degrees(edges).materialize()
+
+    def node_stats(b: dict) -> pd.DataFrame:
+        d = np.asarray(b["deg"], dtype=np.int64)
+        return pd.DataFrame({"n": [np.int64(len(d))],
+                             "s1": [np.int64((d * d).sum())],
+                             "s2": [np.int64((d ** 3).sum())]})
+
+    ns = (deg.map_batches(node_stats, batch_format="numpy",
+                          batch_size=65536).to_pandas().sum())
+
+    def attach(key: str, out_col: str, ecols: list):
+        def tag_e(b: dict) -> pd.DataFrame:
+            df = pd.DataFrame({k: np.asarray(b[k], np.int64)
+                               for k in ecols})
+            df["_side"] = np.int8(1)
+            df["node"] = df[key]
+            df["deg"] = np.int64(0)
+            df["_bk"] = _bucket(df[key].to_numpy(), nb)
+            return df
+
+        def tag_d(b: dict) -> pd.DataFrame:
+            n = len(np.asarray(b["node"]))
+            df = pd.DataFrame({k: np.zeros(n, dtype=np.int64)
+                               for k in ecols})
+            df["_side"] = np.int8(0)
+            df["node"] = np.asarray(b["node"], np.int64)
+            df["deg"] = np.asarray(b["deg"], np.int64)
+            df["_bk"] = _bucket(df["node"].to_numpy(), nb)
+            return df
+
+        def join(g: pd.DataFrame) -> pd.DataFrame:
+            d = g[g["_side"] == 0][["node", "deg"]]
+            e = g[g["_side"] == 1].drop(
+                columns=["deg", "_side", "_bk"])
+            m = e.merge(d, on="node").drop(columns=["node"])
+            return m.rename(columns={"deg": out_col})
+
+        return tag_e, tag_d, join
+
+    cur = edges
+    for key, out_col, ecols in (("u", "du", ["u", "v"]),
+                                ("v", "dv", ["u", "v", "du"])):
+        tag_e, tag_d, join = attach(key, out_col, ecols)
+        cur = (cur.map_batches(tag_e, batch_format="numpy",
+                               batch_size=65536)
+               .union(deg.map_batches(tag_d, batch_format="numpy",
+                                      batch_size=65536))
+               .groupby("_bk").map_groups(join, batch_format="pandas")
+               .materialize())
+
+    def s3_partial(b: dict) -> pd.DataFrame:
+        du = np.asarray(b["du"], dtype=np.int64)
+        dv = np.asarray(b["dv"], dtype=np.int64)
+        return pd.DataFrame({"m": [np.int64(len(du))],
+                             "s3": [np.int64((du * dv).sum())]})
+
+    es = (cur.map_batches(s3_partial, batch_format="numpy",
+                          batch_size=65536).to_pandas().sum())
+    return pd.DataFrame({
+        "n_nodes": [np.int64(ns["n"])],
+        "n_edges": [np.int64(es["m"])],
+        "s1": [np.int64(ns["s1"])],
+        "s2": [np.int64(ns["s2"])],
+        "s3": [np.int64(es["s3"])]})
+
+
+_Q170_SQL = f"""
+WITH {_COPURCH_SQL},
+ej AS (
+  SELECT a.deg AS du, b.deg AS dv
+  FROM e JOIN deg a ON e.u = a.node JOIN deg b ON e.v = b.node)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(deg * deg) FROM deg) AS BIGINT) AS s1,
+       CAST((SELECT SUM(deg * deg * deg) FROM deg) AS BIGINT) AS s2,
+       CAST((SELECT SUM(du * dv) FROM ej) AS BIGINT) AS s3
+"""
+
+
+def _q171_clustering_coeff(sf_dir: str):
+    """Global clustering-coefficient pieces of the co-purchase graph:
+    n_wedges = sum over nodes of C(deg, 2) (a degree-table fold — no
+    pair expansion) and n_triangles from the degree-oriented exact
+    counter (functions/graph.py triangle_count); the coefficient
+    3T / W is one driver-side division. Reported undivided with the
+    node/edge counts."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import triangle_count
+
+    edges = _copurchase_edges(sf_dir).materialize()
+    deg = _copurchase_degrees(edges)
+
+    def wedge_partial(b: dict) -> pd.DataFrame:
+        d = np.asarray(b["deg"], dtype=np.int64)
+        return pd.DataFrame({"w": [np.int64((d * (d - 1) // 2).sum())]})
+
+    w = int(deg.map_batches(wedge_partial, batch_format="numpy",
+                            batch_size=65536).to_pandas()["w"].sum())
+    tri = triangle_count(edges)
+    return pd.DataFrame({
+        "n_nodes": tri["n_nodes"].astype(np.int64),
+        "n_edges": tri["n_edges"].astype(np.int64),
+        "n_wedges": [np.int64(w)],
+        "n_triangles": tri["n_triangles"].astype(np.int64)})
+
+
+_Q171_SQL = f"""
+WITH {_COPURCH_SQL},
+tri AS (
+  SELECT count(*) AS t
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT SUM(deg * (deg - 1) // 2) FROM deg)
+            AS BIGINT) AS n_wedges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM tri
+"""
+
+
+def _q172_attribution(sf_dir: str):
+    """Last-touch marketing attribution: every 'purchase' event
+    attributes to the user's most recent 'click' strictly before it
+    and within 7 days (ties on ts -> later event_id); purchases with
+    no qualifying click report under hour -1. Output: attributed-
+    purchase counts per click hour-of-day. One user-bucket
+    all-to-all; inside the bucket the latest-click lookup is a
+    per-user vectorized searchsorted, not a pair join."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    nb = 64
+    WINDOW = 7 * 86_400_000_000
+
+    def tag(b: dict) -> pd.DataFrame:
+        ty = np.asarray(b["event_type"])
+        keep = (ty == "click") | (ty == "purchase")
+        u = np.asarray(b["user_id"], dtype=np.int64)[keep]
+        df = pd.DataFrame({
+            "user_id": u,
+            "e": np.asarray(b["event_id"], dtype=np.int64)[keep],
+            "t": np.asarray(b["ts"]).astype("datetime64[us]")
+            .astype(np.int64)[keep],
+            "is_click": (ty[keep] == "click")})
+        df["_bk"] = (u % nb + nb) % nb
+        return df
+
+    def attribute(g: pd.DataFrame) -> pd.DataFrame:
+        hours = []
+        for _, gg in g.groupby("user_id", sort=False):
+            gg = gg.sort_values(["t", "e"], kind="mergesort")
+            ck = gg[gg["is_click"]]
+            pu = gg[~gg["is_click"]]
+            if not len(pu):
+                continue
+            tp = pu["t"].to_numpy(np.int64)
+            if len(ck):
+                tc = ck["t"].to_numpy(np.int64)
+                idx = np.searchsorted(tc, tp, side="left") - 1
+                ok = (idx >= 0)
+                tcl = np.where(ok, tc[np.maximum(idx, 0)], 0)
+                ok &= (tp - tcl) <= WINDOW
+                h = np.where(ok, (tcl // 3_600_000_000) % 24, -1)
+            else:
+                h = np.full(len(tp), -1, dtype=np.int64)
+            hours.append(h.astype(np.int64))
+        if not hours:
+            return pd.DataFrame({"click_hour": pd.Series(
+                [], dtype=np.int64), "n_purchases": pd.Series(
+                [], dtype=np.int64)})
+        out = (pd.DataFrame({"click_hour": np.concatenate(hours)})
+               .groupby("click_hour", as_index=False).size()
+               .rename(columns={"size": "n_purchases"}))
+        return out
+
+    out = (ev.map_batches(tag, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: attribute(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas().groupby("click_hour", as_index=False)
+           ["n_purchases"].sum())
+    for c in ("click_hour", "n_purchases"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("click_hour", ignore_index=True)
+
+
+_Q172_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+  WHERE event_type = 'click'),
+att AS (
+  SELECT p.event_id, c.t AS ct,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.t DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+   AND c.t < p.t AND p.t - c.t <= 604800000000),
+best AS (SELECT event_id, ct FROM att WHERE rn = 1),
+lab AS (
+  SELECT p.event_id,
+         CASE WHEN best.ct IS NULL THEN -1
+              ELSE best.ct // 3600000000 % 24 END AS click_hour
+  FROM p LEFT JOIN best ON p.event_id = best.event_id)
+SELECT CAST(click_hour AS BIGINT) AS click_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases
+FROM lab GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -9669,6 +10011,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q166_benford": _q166_benford,
         "q167_dup_histogram": _q167_dup_histogram,
         "q168_interarrival": _q168_interarrival,
+        "q169_degree_hist": _q169_degree_hist,
+        "q170_assortativity": _q170_assortativity,
+        "q171_clustering_coeff": _q171_clustering_coeff,
+        "q172_attribution": _q172_attribution,
     }
 
 
@@ -9842,4 +10188,8 @@ def oracle_sql() -> dict[str, str]:
         "q166_benford": _Q166_SQL,
         "q167_dup_histogram": _Q167_SQL,
         "q168_interarrival": _Q168_SQL,
+        "q169_degree_hist": _Q169_SQL,
+        "q170_assortativity": _Q170_SQL,
+        "q171_clustering_coeff": _Q171_SQL,
+        "q172_attribution": _Q172_SQL,
     }
