@@ -9836,6 +9836,274 @@ FROM lab GROUP BY 1 ORDER BY 1
 """
 
 
+def _q173_setdist(sf_dir: str):
+    """Point-set distances from each user's trajectory to a reference
+    facility set (the 20 q147 seeds in milli-degree integer coords):
+    chamfer_sum = sum over the user's points of the min squared
+    distance to any seed, hausdorff_max = the directed discrete
+    Hausdorff distance (max of those mins) — the shape-similarity
+    primitives of trajectory retrieval, exact int64 end to end. The
+    seed matrix is a module constant inside the kernel ((B, 20)
+    vectorized); per-user partials combine via (sum, max) in one
+    user-bucket exchange — no pairwise track join."""
+    import pandas as pd
+
+    j = np.arange(20, dtype=np.int64)
+    sx = j * 61803 % 360000 - 180000
+    sy = j * 75487 % 170000 - 85000
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def mins(b: dict) -> pd.DataFrame:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        # +360000/+170000 before the mod keeps the dividend
+        # nonnegative (the jitter can push the base below 0), so
+        # numpy's floor-mod and DuckDB's trunc-mod agree
+        x = ((u * 2654435761 + bk * 40503) % 100_000_000
+             + (e * 7919 % 2001 - 1000)
+             + 360000) % 360000 - 180000
+        y = ((u * 2246822519 + bk * 65537) % 100_000_000
+             + (e * 104729 % 2001 - 1000)
+             + 170000) % 170000 - 85000
+        d2 = (x[:, None] - sx) ** 2 + (y[:, None] - sy) ** 2
+        dmin = d2.min(axis=1)
+        g = (pd.DataFrame({"user_id": u, "dmin": dmin})
+             .groupby("user_id", as_index=False)
+             .agg(n_points=("dmin", "size"),
+                  chamfer_sum=("dmin", "sum"),
+                  hausdorff_max=("dmin", "max")))
+        g["_bk"] = (g["user_id"].to_numpy(np.int64) % nb + nb) % nb
+        return g
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.groupby("user_id", as_index=False)
+               .agg(n_points=("n_points", "sum"),
+                    chamfer_sum=("chamfer_sum", "sum"),
+                    hausdorff_max=("hausdorff_max", "max")))
+        return out
+
+    out = (ev.map_batches(mins, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: combine(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("n_points", "chamfer_sum", "hausdorff_max"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+_Q173_SQL = """
+WITH p AS (
+  SELECT user_id, event_id,
+         (((user_id * 2654435761
+            + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000))
+          + 360000) % 360000 - 180000 AS x,
+         (((user_id * 2246822519
+            + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000))
+          + 170000) % 170000 - 85000 AS y
+  FROM events),
+seeds AS (
+  SELECT j.j * 61803 % 360000 - 180000 AS sx,
+         j.j * 75487 % 170000 - 85000 AS sy
+  FROM range(20) j(j)),
+m AS (
+  SELECT user_id, event_id,
+         MIN((x - sx) * (x - sx) + (y - sy) * (y - sy)) AS dmin
+  FROM p CROSS JOIN seeds
+  GROUP BY user_id, event_id)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(dmin) AS BIGINT) AS chamfer_sum,
+       CAST(MAX(dmin) AS BIGINT) AS hausdorff_max
+FROM m GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q174_tile_turnover(sf_dir: str):
+    """Active-tile turnover: for each consecutive day pair (d, d+1),
+    the Jaccard pieces of the two days' ACTIVE zoom-4 tile sets —
+    n_inter, n_union (plus each day's set size) as exact integers;
+    the churn-rate series of a monitoring pipeline. The distinct
+    (day, tile) reduction runs as per-block partials into one
+    bucket dedup (<= 256 x days rows total); the day-pair fold is a
+    bounded driver pass over that tiny set."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        return {"day": (np.asarray(b["ts"]).astype("datetime64[us]")
+                        .astype(np.int64) // 86_400_000_000),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def distinct(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"day": b["day"], "tx": b["tile_x"],
+                              "ty": b["tile_y"]})
+                .drop_duplicates())
+
+    cells = (with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                       batch_size=65536), zoom=4)
+             .map_batches(distinct, batch_format="numpy",
+                          batch_size=65536)
+             .to_pandas().drop_duplicates())
+    days = np.sort(cells["day"].unique())
+    sets = {int(d): set(map(tuple, cells[cells["day"] == d]
+                            [["tx", "ty"]].to_numpy()))
+            for d in days}
+    rows = []
+    for d in days[:-1]:
+        if int(d) + 1 not in sets:
+            continue
+        a, b = sets[int(d)], sets[int(d) + 1]
+        rows.append((int(d), len(a), len(b), len(a & b), len(a | b)))
+    return pd.DataFrame(rows, columns=["day", "n_day", "n_next",
+                                       "n_inter", "n_union"]) \
+        .astype(np.int64)
+
+
+_Q174_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT DISTINCT day,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM e),
+d AS (SELECT DISTINCT day FROM t),
+pairs AS (
+  SELECT a.day FROM d a JOIN d b ON b.day = a.day + 1)
+SELECT CAST(p.day AS BIGINT) AS day,
+       CAST((SELECT COUNT(*) FROM t WHERE t.day = p.day)
+            AS BIGINT) AS n_day,
+       CAST((SELECT COUNT(*) FROM t WHERE t.day = p.day + 1)
+            AS BIGINT) AS n_next,
+       CAST((SELECT COUNT(*) FROM t a JOIN t b
+             ON a.tx = b.tx AND a.ty = b.ty
+            AND a.day = p.day AND b.day = p.day + 1)
+            AS BIGINT) AS n_inter,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT tx, ty FROM t WHERE day = p.day
+              UNION
+              SELECT tx, ty FROM t WHERE day = p.day + 1))
+            AS BIGINT) AS n_union
+FROM pairs p ORDER BY 1
+"""
+
+
+def _q175_assoc_rules(sf_dir: str):
+    """Market-basket association rules: the global top-25 part pairs
+    by basket co-occurrence support (ties -> lexicographic pair),
+    each with its endpoints' individual basket counts — the exact
+    integer pieces of confidence(a=>b) = support/a_n and lift. The
+    pair expansion reuses the bucketed per-order machinery
+    (functions/graph.py _pair_expand) but COUNTS duplicate pairs
+    (support), pruned per pair-hash bucket to the top 25 before a
+    bounded driver merge; the per-part basket counts for the <= 50
+    surviving parts come from one distinct-reduced count pass."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import _bucket, _pair_expand
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        o = np.asarray(b["l_orderkey"], dtype=np.int64)
+        return {"o": o, "p": np.asarray(b["l_partkey"], dtype=np.int64),
+                "_bk": _bucket(o, nb)}
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["o", "p"])
+        o = d["o"].to_numpy(np.int64)
+        p = d["p"].to_numpy(np.int64)
+        idx = np.lexsort((p, o))
+        a, b2 = _pair_expand(o[idx], p[idx])
+        out = (pd.DataFrame({"u": a, "v": b2})
+               .groupby(["u", "v"], as_index=False).size()
+               .rename(columns={"size": "support"}))
+        out["_bk"] = _bucket(out["u"].to_numpy() * 31
+                             + out["v"].to_numpy(), nb)
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u", "v"], as_index=False)["support"].sum()
+        out = out.sort_values(["support", "u", "v"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(25)
+        out["support"] = out["support"].astype(np.int64)
+        return out
+
+    cand = (li.map_batches(tag, batch_format="numpy")
+            .groupby("_bk")
+            .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .groupby("_bk")
+            .map_groups(lambda g: topk(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .to_pandas())
+    top = (cand.sort_values(["support", "u", "v"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(25)
+           .reset_index(drop=True))
+
+    # basket counts for the surviving parts: distinct-reduced partials
+    need = np.unique(np.concatenate([top["u"].to_numpy(np.int64),
+                                     top["v"].to_numpy(np.int64)]))
+
+    def part_counts(b: dict) -> pd.DataFrame:
+        df = (pd.DataFrame({"o": b["l_orderkey"], "p": b["l_partkey"]})
+              .drop_duplicates())
+        df = df[df["p"].isin(need)]
+        g = df.groupby("p", as_index=False).size() \
+              .rename(columns={"size": "n"})
+        return g
+
+    pc = (li.map_batches(part_counts, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas().groupby("p", as_index=False)["n"].sum())
+    cnt = dict(zip(pc["p"].astype(np.int64), pc["n"].astype(np.int64)))
+    top["a_n"] = top["u"].map(cnt).astype(np.int64)
+    top["b_n"] = top["v"].map(cnt).astype(np.int64)
+    for c in ("u", "v", "support"):
+        top[c] = top[c].astype(np.int64)
+    return top[["u", "v", "support", "a_n", "b_n"]]
+
+
+_Q175_SQL = """
+WITH pp AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+pairs AS (
+  SELECT a.p AS u, b.p AS v, CAST(COUNT(*) AS BIGINT) AS support
+  FROM pp a JOIN pp b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2),
+top AS (
+  SELECT u, v, support FROM pairs
+  ORDER BY support DESC, u, v LIMIT 25),
+pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM pp GROUP BY 1)
+SELECT top.u, top.v, top.support, a.n AS a_n, b.n AS b_n
+FROM top JOIN pc a ON top.u = a.p JOIN pc b ON top.v = b.p
+ORDER BY support DESC, u, v
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -10015,6 +10283,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q170_assortativity": _q170_assortativity,
         "q171_clustering_coeff": _q171_clustering_coeff,
         "q172_attribution": _q172_attribution,
+        "q173_setdist": _q173_setdist,
+        "q174_tile_turnover": _q174_tile_turnover,
+        "q175_assoc_rules": _q175_assoc_rules,
     }
 
 
@@ -10192,4 +10463,7 @@ def oracle_sql() -> dict[str, str]:
         "q170_assortativity": _Q170_SQL,
         "q171_clustering_coeff": _Q171_SQL,
         "q172_attribution": _Q172_SQL,
+        "q173_setdist": _Q173_SQL,
+        "q174_tile_turnover": _Q174_SQL,
+        "q175_assoc_rules": _Q175_SQL,
     }
