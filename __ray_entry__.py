@@ -10104,6 +10104,274 @@ ORDER BY support DESC, u, v
 """
 
 
+def _q176_haar_energy(sf_dir: str):
+    """Level-1 Haar wavelet energy signature per image format: each
+    decoded luma plane (2r+3g+b; every fixture dimension is even)
+    folds into 2x2 blocks whose four UNNORMALIZED Haar coefficients
+    ll = a+b+c+d, lh = a-b+c-d, hl = a+b-c-d, hh = a-b-c+d are exact
+    integers; the per-subband energy sums (sum of coeff^2) separate
+    smooth content from horizontal/vertical/diagonal detail — the
+    texture-vs-flat compressibility signature. One 5-counter row per
+    image crosses the shuffle; the oracle regenerates pixels + codec
+    quantization and mirrors the block fold with y//2, x//2 sign
+    aggregation."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+
+    def energy(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        out = {k: np.empty(cnt, dtype=np.int64)
+               for k in ("e_ll", "e_lh", "e_hl", "e_hh")}
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            lum = 2 * px[..., 0] + 3 * px[..., 1] + px[..., 2]
+            a = lum[0::2, 0::2]
+            bq = lum[0::2, 1::2]
+            c = lum[1::2, 0::2]
+            d = lum[1::2, 1::2]
+            ll = a + bq + c + d
+            lh = a - bq + c - d
+            hl = a + bq - c - d
+            hh = a - bq - c + d
+            out["e_ll"][k] = int((ll * ll).sum())
+            out["e_lh"][k] = int((lh * lh).sum())
+            out["e_hl"][k] = int((hl * hl).sum())
+            out["e_hh"][k] = int((hh * hh).sum())
+        out["fmt"] = np.asarray(b["fmt"])
+        return out
+
+    per = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        energy, batch_format="numpy", batch_size=256)
+    out = (per.groupby("fmt")
+           .aggregate(Count(alias_name="n_images"),
+                      Sum("e_ll", alias_name="e_ll"),
+                      Sum("e_lh", alias_name="e_lh"),
+                      Sum("e_hl", alias_name="e_hl"),
+                      Sum("e_hh", alias_name="e_hh"))
+           .to_pandas())
+    for c in ("n_images", "e_ll", "e_lh", "e_hl", "e_hh"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt", ignore_index=True)
+
+
+_Q176_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, y, x,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+lm AS (SELECT i, f, y, x,
+              2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+            + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+            +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END) AS lum
+       FROM raw),
+blk AS (
+  SELECT i, f, y // 2 AS by_, x // 2 AS bx,
+         SUM(lum) AS ll,
+         SUM(lum * (CASE WHEN x % 2 = 0 THEN 1 ELSE -1 END)) AS lh,
+         SUM(lum * (CASE WHEN y % 2 = 0 THEN 1 ELSE -1 END)) AS hl,
+         SUM(lum * (CASE WHEN (x + y) % 2 = 0 THEN 1 ELSE -1 END))
+           AS hh
+  FROM lm GROUP BY 1, 2, 3, 4),
+pi AS (SELECT i, f, SUM(ll*ll) AS e_ll, SUM(lh*lh) AS e_lh,
+              SUM(hl*hl) AS e_hl, SUM(hh*hh) AS e_hh
+       FROM blk GROUP BY 1, 2)
+SELECT CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(e_ll) AS BIGINT) AS e_ll,
+       CAST(SUM(e_lh) AS BIGINT) AS e_lh,
+       CAST(SUM(e_hl) AS BIGINT) AS e_hl,
+       CAST(SUM(e_hh) AS BIGINT) AS e_hh
+FROM pi GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q177_rle_runs(sf_dir: str):
+    """Run-length compressibility audit: each decoded image
+    thresholds to a binary mask (lum > 765 = half the 6x255 luma
+    range) and the number of horizontal RLE runs = per-row
+    transitions + rows, plus the set-pixel count — exact integers
+    predicting mask compressibility, summed per format. The oracle
+    counts transitions by joining x with x+1 on the regenerated
+    pixels."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+
+    def runs(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        n_runs = np.empty(cnt, dtype=np.int64)
+        n_set = np.empty(cnt, dtype=np.int64)
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            m = (2 * px[..., 0] + 3 * px[..., 1]
+                 + px[..., 2]) > 765
+            trans = int((m[:, 1:] != m[:, :-1]).sum())
+            n_runs[k] = trans + m.shape[0]
+            n_set[k] = int(m.sum())
+        return {"fmt": np.asarray(b["fmt"]),
+                "n_runs": n_runs, "n_set": n_set}
+
+    per = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        runs, batch_format="numpy", batch_size=256)
+    out = (per.groupby("fmt")
+           .aggregate(Count(alias_name="n_images"),
+                      Sum("n_runs", alias_name="n_runs"),
+                      Sum("n_set", alias_name="n_set"))
+           .to_pandas())
+    for c in ("n_images", "n_runs", "n_set"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt", ignore_index=True)
+
+
+_Q177_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, h, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, h, y, x,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+msk AS (SELECT i, f, h, y, x,
+               CASE WHEN 2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+                       + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+                       +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END)
+                       > 765 THEN 1 ELSE 0 END AS m
+        FROM raw),
+tr AS (SELECT a.i, a.f,
+              CAST(COUNT(*) FILTER (a.m <> b.m) AS BIGINT) AS trans
+       FROM msk a JOIN msk b
+         ON a.i = b.i AND a.y = b.y AND b.x = a.x + 1
+       GROUP BY 1, 2),
+st AS (SELECT i, f, h, CAST(SUM(m) AS BIGINT) AS n_set
+       FROM msk GROUP BY 1, 2, 3)
+SELECT CASE st.f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(tr.trans + st.h) AS BIGINT) AS n_runs,
+       CAST(SUM(st.n_set) AS BIGINT) AS n_set
+FROM st JOIN tr ON st.i = tr.i
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q178_outliers(sf_dir: str):
+    """Exact grouped z-score outlier counts over event values: per
+    event type, how many events satisfy (x - mean)^2 > 9 * variance
+    (|z| > 3) — WITHOUT floats anywhere. Pass 1 accumulates exact
+    (n, S = sum qx, Q = sum qx^2) per type on milli-quantized values;
+    the flag (n*qx - S)^2 > 9*(n*Q - S^2) would overflow int64, so
+    the driver turns it into |n*qx - S| > t with t = isqrt(9*(n*Q -
+    S^2)) in arbitrary-precision Python (exact: |d| > t <=> d^2 >
+    t^2 >= threshold), and pass 2 broadcasts the tiny (type, n, S,
+    t) table and counts with one int64 comparison per row. The SQL
+    oracle does the same predicate in HUGEINT."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def qval(col) -> np.ndarray:
+        return np.rint(np.asarray(col, np.float64) * 1000) \
+            .astype(np.int64)
+
+    def stats(b: dict) -> pd.DataFrame:
+        q = qval(b["value"])
+        g = (pd.DataFrame({"event_type": np.asarray(b["event_type"]),
+                           "n": np.ones(len(q), np.int64),
+                           "s": q, "q2": q * q})
+             .groupby("event_type", as_index=False).sum())
+        return g
+
+    st = (ev.map_batches(stats, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas().groupby("event_type", as_index=False).sum())
+    st["t"] = [int(math.isqrt(9 * (int(n) * int(q2) - int(s) ** 2)))
+               for n, s, q2 in zip(st["n"], st["s"], st["q2"])]
+    ref = ray.put({r["event_type"]: (int(r["n"]), int(r["s"]),
+                                     int(r["t"]))
+                   for _, r in st.iterrows()})
+
+    def flag(b: dict) -> pd.DataFrame:
+        tab = ray.get(ref)
+        ty = np.asarray(b["event_type"])
+        q = qval(b["value"])
+        out = np.zeros(len(q), dtype=np.int64)
+        for t, (n, s, thr) in tab.items():
+            m = ty == t
+            d = n * q[m] - s
+            out[m] = (np.abs(d) > thr)
+        g = (pd.DataFrame({"event_type": ty, "n_outliers": out,
+                           "n_events": np.ones(len(q), np.int64)})
+             .groupby("event_type", as_index=False).sum())
+        return g
+
+    out = (ev.map_batches(flag, batch_format="numpy",
+                          batch_size=65536)
+           .to_pandas().groupby("event_type", as_index=False).sum())
+    for c in ("n_outliers", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type",
+                           ignore_index=True)[["event_type",
+                                               "n_events",
+                                               "n_outliers"]]
+
+
+_Q178_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(round(value * 1000) AS BIGINT) AS x
+  FROM events),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q2
+  FROM q GROUP BY 1)
+SELECT q.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (
+         CAST(st.n AS HUGEINT) * q.x - st.s IS NOT NULL AND
+         (CAST(st.n AS HUGEINT) * q.x - st.s)
+           * (CAST(st.n AS HUGEINT) * q.x - st.s)
+           > 9 * (st.n * st.q2 - CAST(st.s AS HUGEINT) * st.s))
+            AS BIGINT) AS n_outliers
+FROM q JOIN st ON q.event_type = st.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -10286,6 +10554,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q173_setdist": _q173_setdist,
         "q174_tile_turnover": _q174_tile_turnover,
         "q175_assoc_rules": _q175_assoc_rules,
+        "q176_haar_energy": _q176_haar_energy,
+        "q177_rle_runs": _q177_rle_runs,
+        "q178_outliers": _q178_outliers,
     }
 
 
@@ -10466,4 +10737,7 @@ def oracle_sql() -> dict[str, str]:
         "q173_setdist": _Q173_SQL,
         "q174_tile_turnover": _Q174_SQL,
         "q175_assoc_rules": _Q175_SQL,
+        "q176_haar_energy": _Q176_SQL,
+        "q177_rle_runs": _Q177_SQL,
+        "q178_outliers": _Q178_SQL,
     }
