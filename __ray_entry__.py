@@ -10372,6 +10372,306 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q179_ewma_bursts(sf_dir: str):
+    """EWMA control chart over per-type daily event counts: the
+    fixed-point recurrence ewma_d = (3 * x_d * 1000 + 7 *
+    ewma_{d-1}) // 10 (alpha = 0.3, scale 1000, seeded with the
+    first day's count) flags burst days where 10 * x_d * 1000 >
+    15 * ewma_{d-1} (count > 1.5x the smoothed level) — the
+    streaming anomaly gate of an ops pipeline, bit-reproducible
+    because every step is integer. The distributed work is the
+    (type, day) count pass (bounded partials); the <= 31-step
+    sequential fold per type runs on the driver, mirrored by a
+    recursive-CTE oracle over day ranks."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "event_type": np.asarray(b["event_type"]),
+            "day": (np.asarray(b["ts"]).astype("datetime64[us]")
+                    .astype(np.int64) // 86_400_000_000)})
+            .groupby(["event_type", "day"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+        return g
+
+    dc = (ev.map_batches(partial, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas()
+          .groupby(["event_type", "day"], as_index=False)["n"].sum())
+    rows = []
+    for ty, g in dc.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        x = g["n"].to_numpy(np.int64)
+        ewma = int(x[0]) * 1000
+        bursts = 0
+        for v in x[1:]:
+            if 10 * int(v) * 1000 > 15 * ewma:
+                bursts += 1
+            ewma = (3 * int(v) * 1000 + 7 * ewma) // 10
+        rows.append((ty, len(x), bursts, ewma))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "n_bursts", "ewma_final"]) \
+        .astype({"n_days": np.int64, "n_bursts": np.int64,
+                 "ewma_final": np.int64})
+
+
+_Q179_SQL = """
+WITH RECURSIVE dc AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY day) AS rk
+  FROM dc),
+walk(event_type, rk, ewma, bursts) AS (
+  SELECT event_type, rk, n * 1000, CAST(0 AS BIGINT)
+  FROM r WHERE rk = 1
+  UNION ALL
+  SELECT r.event_type, r.rk,
+         (3 * r.n * 1000 + 7 * w.ewma) // 10,
+         w.bursts + CASE WHEN 10 * r.n * 1000 > 15 * w.ewma
+                         THEN 1 ELSE 0 END
+  FROM walk w JOIN r ON r.event_type = w.event_type
+   AND r.rk = w.rk + 1)
+SELECT w.event_type, CAST(w.rk AS BIGINT) AS n_days,
+       CAST(w.bursts AS BIGINT) AS n_bursts,
+       CAST(w.ewma AS BIGINT) AS ewma_final
+FROM walk w
+QUALIFY ROW_NUMBER() OVER (PARTITION BY w.event_type
+                           ORDER BY w.rk DESC) = 1
+ORDER BY 1
+"""
+
+
+def _q180_user_extents(sf_dir: str):
+    """Per-user spatial envelope (MBR): min/max of the integer
+    trajectory coordinates plus the exact envelope area — the
+    bounding-box statistics a spatial index bulk-load partitions by.
+    Pure (min, max) partial aggregation: per-block partials into one
+    user groupby; nothing else crosses the wire."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Min
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        return {"user_id": u,
+                "x": (u * 2654435761 + bk * 40503) % 100_000_000
+                + (e * 7919 % 2001 - 1000),
+                "y": (u * 2246822519 + bk * 65537) % 100_000_000
+                + (e * 104729 % 2001 - 1000)}
+
+    out = (ev.map_batches(pos, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("user_id")
+           .aggregate(Count(alias_name="n_points"),
+                      Min("x", alias_name="x_min"),
+                      Max("x", alias_name="x_max"),
+                      Min("y", alias_name="y_min"),
+                      Max("y", alias_name="y_max"))
+           .to_pandas())
+    out["area"] = ((out["x_max"] - out["x_min"])
+                   * (out["y_max"] - out["y_min"])).astype(np.int64)
+    for c in ("n_points", "x_min", "x_max", "y_min", "y_max"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+_Q180_SQL = """
+WITH p AS (
+  SELECT user_id,
+         (user_id * 2654435761
+          + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000) AS x,
+         (user_id * 2246822519
+          + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000) AS y
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+       CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max,
+       CAST((MAX(x) - MIN(x)) * (MAX(y) - MIN(y)) AS BIGINT) AS area
+FROM p GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q181_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration of sources per zoom-3 tile:
+    with c_s the count of source s in the tile, report n_total and
+    sum_sq = sum of c_s^2 — HHI = sum_sq / n_total^2 is one driver
+    division away, and the undivided integer pieces are SQL-exact.
+    The diversity screen of a data-mixing pipeline, one bounded
+    two-key groupby."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"source": np.asarray(b["source"]),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def partial(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"tx": b["tile_x"], "ty": b["tile_y"],
+                              "source": b["source"]})
+                .groupby(["tx", "ty", "source"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    sc = (with_tiles(docs.map_batches(add_geo, batch_format="numpy",
+                                      batch_size=65536), zoom=3)
+          .map_batches(partial, batch_format="pandas",
+                       batch_size=65536)
+          .to_pandas()
+          .groupby(["tx", "ty", "source"], as_index=False)["c"].sum())
+    out = (sc.assign(c2=sc["c"] ** 2)
+           .groupby(["tx", "ty"], as_index=False)
+           .agg(n_total=("c", "sum"), sum_sq=("c2", "sum")))
+    for c in ("tx", "ty", "n_total", "sum_sq"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["tx", "ty"], ignore_index=True)
+
+
+_Q181_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT d.source,
+    CAST(LEAST(GREATEST(floor(
+        (radians(g.lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(g.lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM geo g JOIN documents d ON g.doc_id = d.doc_id),
+c AS (SELECT tx, ty, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2, 3)
+SELECT tx, ty, CAST(SUM(c) AS BIGINT) AS n_total,
+       CAST(SUM(c * c) AS BIGINT) AS sum_sq
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q182_covisits(sf_dir: str):
+    """Contact-graph mining: the top-25 user pairs by co-visitation
+    count — the number of (zoom-4 tile, day) space-time cells where
+    BOTH users were present (each cell counts once per pair). The
+    distinct (cell, user) reduction runs as per-block partials; the
+    per-cell pair expansion reuses the vectorized wedge generator
+    (functions/graph.py _pair_expand) inside one cell-bucket
+    exchange; pair counts prune to 25 per pair-hash bucket before a
+    bounded driver merge."""
+    import pandas as pd
+
+    from proj_ray.functions.graph import _bucket, _pair_expand
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        return {"user_id": np.asarray(b["user_id"], dtype=np.int64),
+                "day": t // 86_400_000_000,
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def distinct(b: dict) -> pd.DataFrame:
+        df = (pd.DataFrame({"tx": b["tile_x"], "ty": b["tile_y"],
+                            "day": b["day"],
+                            "user_id": b["user_id"]})
+              .drop_duplicates())
+        df["cell"] = ((df["tx"].to_numpy(np.int64) * 16
+                       + df["ty"].to_numpy(np.int64)) * 1_000_000
+                      + df["day"].to_numpy(np.int64) % 1_000_000)
+        df["_bk"] = _bucket(df["cell"].to_numpy(), nb)
+        return df[["cell", "user_id", "_bk"]]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset=["cell", "user_id"])
+        c = d["cell"].to_numpy(np.int64)
+        u = d["user_id"].to_numpy(np.int64)
+        idx = np.lexsort((u, c))
+        a, b2 = _pair_expand(c[idx], u[idx])
+        out = (pd.DataFrame({"u_a": a, "u_b": b2})
+               .groupby(["u_a", "u_b"], as_index=False).size()
+               .rename(columns={"size": "n_cells"}))
+        out["_bk"] = _bucket(out["u_a"].to_numpy() * 31
+                             + out["u_b"].to_numpy(), nb)
+        return out
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["u_a", "u_b"], as_index=False)["n_cells"].sum()
+        out = out.sort_values(["n_cells", "u_a", "u_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(25)
+        out["n_cells"] = out["n_cells"].astype(np.int64)
+        return out
+
+    from proj_ray.stages import with_tiles
+
+    cand = (with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                      batch_size=65536), zoom=4)
+            .map_batches(distinct, batch_format="numpy",
+                         batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .groupby("_bk")
+            .map_groups(lambda g: topk(g.drop(columns=["_bk"])),
+                        batch_format="pandas")
+            .to_pandas())
+    if cand.empty:
+        cand = pd.DataFrame({"u_a": pd.Series([], dtype=np.int64),
+                             "u_b": pd.Series([], dtype=np.int64),
+                             "n_cells": pd.Series([],
+                                                  dtype=np.int64)})
+    out = (cand.sort_values(["n_cells", "u_a", "u_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(25)
+           .reset_index(drop=True))
+    for c in ("u_a", "u_b", "n_cells"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_Q182_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT DISTINCT user_id, day,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM e)
+SELECT a.user_id AS u_a, b.user_id AS u_b,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM t a JOIN t b
+  ON a.tx = b.tx AND a.ty = b.ty AND a.day = b.day
+ AND a.user_id < b.user_id
+GROUP BY 1, 2
+ORDER BY n_cells DESC, u_a, u_b LIMIT 25
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -10557,6 +10857,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_haar_energy": _q176_haar_energy,
         "q177_rle_runs": _q177_rle_runs,
         "q178_outliers": _q178_outliers,
+        "q179_ewma_bursts": _q179_ewma_bursts,
+        "q180_user_extents": _q180_user_extents,
+        "q181_hhi": _q181_hhi,
+        "q182_covisits": _q182_covisits,
     }
 
 
@@ -10740,4 +11044,8 @@ def oracle_sql() -> dict[str, str]:
         "q176_haar_energy": _Q176_SQL,
         "q177_rle_runs": _Q177_SQL,
         "q178_outliers": _Q178_SQL,
+        "q179_ewma_bursts": _Q179_SQL,
+        "q180_user_extents": _Q180_SQL,
+        "q181_hhi": _Q181_SQL,
+        "q182_covisits": _Q182_SQL,
     }
