@@ -10672,6 +10672,209 @@ ORDER BY n_cells DESC, u_a, u_b LIMIT 25
 """
 
 
+def _q183_adoption(sf_dir: str):
+    """Cumulative adoption curve: per day, the number of users whose
+    FIRST event falls on that day and the running total of users
+    seen so far — the q156 first-occurrence identity applied to
+    users over time. One per-user min-day pass (per-block partial
+    mins, user-bucket combine); the <= #days cumulative fold runs on
+    the driver. Window-SQL-exact."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    nb = 64
+
+    def partial(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({
+            "user_id": np.asarray(b["user_id"], dtype=np.int64),
+            "day": (np.asarray(b["ts"]).astype("datetime64[us]")
+                    .astype(np.int64) // 86_400_000_000)})
+            .groupby("user_id", as_index=False)["day"].min())
+        g["_bk"] = (g["user_id"].to_numpy(np.int64) % nb + nb) % nb
+        return g
+
+    def umin(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)["day"].min()
+        out["day"] = out["day"].astype(np.int64)
+        return out
+
+    fst = (ev.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: umin(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    per_day = (fst.groupby("day", as_index=False).size()
+               .rename(columns={"size": "n_new_users"})
+               .sort_values("day", ignore_index=True))
+    per_day["n_cum"] = per_day["n_new_users"].cumsum()
+    for c in ("day", "n_new_users", "n_cum"):
+        per_day[c] = per_day[c].astype(np.int64)
+    return per_day
+
+
+_Q183_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day
+  FROM events GROUP BY 1),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new_users
+      FROM f GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day, n_new_users,
+       CAST(SUM(n_new_users) OVER (ORDER BY day) AS BIGINT) AS n_cum
+FROM d ORDER BY 1
+"""
+
+
+def _q184_orientation_tensor(sf_dir: str):
+    """Movement-anisotropy structure tensor per user: the exact
+    integer second moments of consecutive trajectory displacements —
+    sxx = sum dx^2, sxy = sum dx*dy, syy = sum dy^2 (ordered by ts
+    then event_id) — whose eigen-decomposition (a driver-side 2x2)
+    gives the principal movement direction and anisotropy ratio; the
+    directional-bias complement of q157's octant histogram. One
+    user-bucket all-to-all, vectorized diff inside the bucket."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def pos(b: dict) -> dict:
+        e = np.asarray(b["event_id"], dtype=np.int64)
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        t = np.asarray(b["ts"]).astype("datetime64[us]").astype(np.int64)
+        bk = t // 259_200_000_000
+        return {"user_id": u, "t": t, "e": e,
+                "x": (u * 2654435761 + bk * 40503) % 100_000_000
+                + (e * 7919 % 2001 - 1000),
+                "y": (u * 2246822519 + bk * 65537) % 100_000_000
+                + (e * 104729 % 2001 - 1000),
+                "_bk": (u % nb + nb) % nb}
+
+    def tensor(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "e"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.int64)
+        y = g["y"].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        dx = (x[1:] - x[:-1])[same]
+        dy = (y[1:] - y[:-1])[same]
+        uu = u[1:][same]
+        out = (pd.DataFrame({"user_id": uu,
+                             "n_steps": np.ones(len(uu), np.int64),
+                             "sxx": dx * dx, "sxy": dx * dy,
+                             "syy": dy * dy})
+               .groupby("user_id", as_index=False).sum())
+        return out
+
+    out = (ev.map_batches(pos, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: tensor(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("n_steps", "sxx", "sxy", "syy"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+_Q184_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         (user_id * 2654435761
+          + (epoch_us(ts) // 259200000000) * 40503) % 100000000
+           + (event_id * 7919 % 2001 - 1000) AS x,
+         (user_id * 2246822519
+          + (epoch_us(ts) // 259200000000) * 65537) % 100000000
+           + (event_id * 104729 % 2001 - 1000) AS y
+  FROM events),
+d AS (
+  SELECT user_id,
+         x - LAG(x) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dx,
+         y - LAG(y) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS dy
+  FROM p)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+       CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+       CAST(SUM(dy * dy) AS BIGINT) AS syy
+FROM d WHERE dx IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q185_percolation(sf_dir: str):
+    """Percolation structure of the OCCUPIED zoom-4 tiles: connected
+    components under rook adjacency — n_clusters and the largest
+    cluster's tile count, the geospatial percolation diagnostic
+    (does the corpus footprint form one connected landmass?). The
+    data pass is the distributed tile count; the component labeling
+    runs on <= 256 lattice cells driver-side (vectorized min-label
+    sweeps to fixpoint). The oracle mirrors with a bounded-iteration
+    recursive min-label CTE over the occupied-tile adjacency."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=4)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    occ = np.zeros((16, 16), dtype=bool)
+    occ[counts["tile_x"].to_numpy(np.int64),
+        counts["tile_y"].to_numpy(np.int64)] = True
+    lab = np.where(occ, np.arange(256).reshape(16, 16), 10_000)
+    while True:
+        new = lab.copy()
+        new[1:, :] = np.minimum(new[1:, :], lab[:-1, :])
+        new[:-1, :] = np.minimum(new[:-1, :], lab[1:, :])
+        new[:, 1:] = np.minimum(new[:, 1:], lab[:, :-1])
+        new[:, :-1] = np.minimum(new[:, :-1], lab[:, 1:])
+        new = np.where(occ, new, 10_000)
+        if (new == lab).all():
+            break
+        lab = new
+    labs = lab[occ]
+    _, sizes = np.unique(labs, return_counts=True)
+    return pd.DataFrame({
+        "n_occupied": [np.int64(occ.sum())],
+        "n_clusters": [np.int64(len(sizes))],
+        "max_cluster": [np.int64(sizes.max() if len(sizes) else 0)]})
+
+
+_Q185_SQL = f"""
+WITH RECURSIVE geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo),
+occ AS (SELECT DISTINCT tx, ty FROM t),
+lbl(it, tx, ty, lab) AS (
+  SELECT 0, tx, ty, tx * 16 + ty FROM occ
+  UNION ALL
+  SELECT l.it + 1, l.tx, l.ty,
+         LEAST(l.lab,
+               (SELECT COALESCE(MIN(n.lab), l.lab) FROM lbl n
+                WHERE n.it = l.it
+                  AND abs(n.tx - l.tx) + abs(n.ty - l.ty) = 1))
+  FROM lbl l WHERE l.it < 255),
+fin AS (SELECT tx, ty, lab FROM lbl WHERE it = 255),
+cl AS (SELECT lab, CAST(COUNT(*) AS BIGINT) AS sz
+       FROM fin GROUP BY 1)
+SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
+       CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters,
+       CAST((SELECT MAX(sz) FROM cl) AS BIGINT) AS max_cluster
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -10861,6 +11064,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q180_user_extents": _q180_user_extents,
         "q181_hhi": _q181_hhi,
         "q182_covisits": _q182_covisits,
+        "q183_adoption": _q183_adoption,
+        "q184_orientation_tensor": _q184_orientation_tensor,
+        "q185_percolation": _q185_percolation,
     }
 
 
@@ -11048,4 +11254,7 @@ def oracle_sql() -> dict[str, str]:
         "q180_user_extents": _Q180_SQL,
         "q181_hhi": _Q181_SQL,
         "q182_covisits": _Q182_SQL,
+        "q183_adoption": _Q183_SQL,
+        "q184_orientation_tensor": _Q184_SQL,
+        "q185_percolation": _Q185_SQL,
     }
