@@ -8759,64 +8759,25 @@ def _q160_ripley_k(sf_dir: str):
     (cell size = r_max, so every qualifying pair co-locates), ONE
     hash-bucket all-to-all, and each pair counts exactly once at the
     cell of its lexicographically-smaller endpoint (reference-point
-    rule, Patel & DeWitt SIGMOD'96). Shifted nonnegative coords keep
-    numpy/SQL floor-vs-trunc division identical."""
-    import pandas as pd
+    rule, Patel & DeWitt SIGMOD'96; functions/pointpattern.py,
+    brute-parity-tested). Shifted nonnegative coords keep numpy/SQL
+    floor-vs-trunc division identical."""
+    from proj_ray.functions.pointpattern import pair_counts_within
 
-    RADII = np.array([2000, 5000, 10000], dtype=np.int64)
-    C = 10000
-    nb = 64
     ds = _read(sf_dir, "documents", columns=["doc_id"])
     n_points = ds.count()
 
-    def scatter(b: dict) -> pd.DataFrame:
+    def coords(b: dict) -> dict:
         i = np.asarray(b["doc_id"], dtype=np.int64)
-        sx = i * 61803 % 360000
-        sy = i * 75487 % 170000
-        cx = sx // C
-        cy = sy // C
-        frames = []
-        for ox in (-1, 0, 1):
-            for oy in (-1, 0, 1):
-                frames.append(pd.DataFrame({
-                    "doc_id": i, "sx": sx, "sy": sy,
-                    "tcx": cx + ox, "tcy": cy + oy,
-                    "home": np.full(len(i), ox == 0 and oy == 0)}))
-        out = pd.concat(frames, ignore_index=True)
-        out["_bk"] = ((out["tcx"].to_numpy(np.int64) * 31
-                       + out["tcy"].to_numpy(np.int64)) % nb
-                      + nb) % nb
-        return out
+        return {"x": i * 61803 % 360000, "y": i * 75487 % 170000,
+                "pid": i}
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(len(RADII), dtype=np.int64)
-        for _, gg in g.groupby(["tcx", "tcy"], sort=False):
-            h = gg[gg["home"]]
-            if not len(h):
-                continue
-            hx = h["sx"].to_numpy(np.int64)[:, None]
-            hy = h["sy"].to_numpy(np.int64)[:, None]
-            hi = h["doc_id"].to_numpy(np.int64)[:, None]
-            ax = gg["sx"].to_numpy(np.int64)[None, :]
-            ay = gg["sy"].to_numpy(np.int64)[None, :]
-            ai = gg["doc_id"].to_numpy(np.int64)[None, :]
-            gt = ((ax > hx) | ((ax == hx) & (ay > hy))
-                  | ((ax == hx) & (ay == hy) & (ai > hi)))
-            d2 = (ax - hx) ** 2 + (ay - hy) ** 2
-            for k, r in enumerate(RADII):
-                acc[k] += int((gt & (d2 <= r * r)).sum())
-        return pd.DataFrame({"r": RADII, "n_pairs": acc})
-
-    out = (ds.map_batches(scatter, batch_format="numpy",
-                          batch_size=65536)
-           .groupby("_bk")
-           .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
-                       batch_format="pandas")
-           .to_pandas().groupby("r", as_index=False)["n_pairs"].sum())
-    out["n_pairs"] = out["n_pairs"].astype(np.int64)
-    out["r"] = out["r"].astype(np.int64)
+    out = pair_counts_within(
+        ds.map_batches(coords, batch_format="numpy",
+                       batch_size=65536),
+        [2000, 5000, 10000], cell=10000)
     out["n_points"] = np.int64(n_points)
-    return out.sort_values("r", ignore_index=True)
+    return out
 
 
 _Q160_SQL = """
@@ -8857,65 +8818,31 @@ def _q161_knox(sf_dir: str):
     computed WITHOUT an all-pairs pass from the <= 31-row day
     histogram: sum c_a*c_b over ordered close day pairs plus
     C(c,2) within days). The disease-cluster / event-burst detector
-    of spatial epidemiology, all counts exact int64."""
+    of spatial epidemiology, all counts exact int64
+    (functions/pointpattern.py pair_counts_within, the q160 kernel
+    with the time dimension riding along)."""
     import pandas as pd
+
+    from proj_ray.functions.pointpattern import pair_counts_within
 
     R = 10000
     TAU = 3
-    nb = 64
     ev = _read(sf_dir, "events", columns=["event_id", "ts"])
     n_points = ev.count()
 
-    def scatter(b: dict) -> pd.DataFrame:
+    def coords(b: dict) -> dict:
         i = np.asarray(b["event_id"], dtype=np.int64)
-        day = (np.asarray(b["ts"]).astype("datetime64[us]")
-               .astype(np.int64) // 86_400_000_000)
-        sx = i * 61803 % 360000
-        sy = i * 75487 % 170000
-        cx = sx // R
-        cy = sy // R
-        frames = []
-        for ox in (-1, 0, 1):
-            for oy in (-1, 0, 1):
-                frames.append(pd.DataFrame({
-                    "event_id": i, "sx": sx, "sy": sy, "day": day,
-                    "tcx": cx + ox, "tcy": cy + oy,
-                    "home": np.full(len(i), ox == 0 and oy == 0)}))
-        out = pd.concat(frames, ignore_index=True)
-        out["_bk"] = ((out["tcx"].to_numpy(np.int64) * 31
-                       + out["tcy"].to_numpy(np.int64)) % nb
-                      + nb) % nb
-        return out
+        return {"x": i * 61803 % 360000, "y": i * 75487 % 170000,
+                "t": (np.asarray(b["ts"]).astype("datetime64[us]")
+                      .astype(np.int64) // 86_400_000_000),
+                "pid": i}
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        n_sp = 0
-        n_kx = 0
-        for _, gg in g.groupby(["tcx", "tcy"], sort=False):
-            h = gg[gg["home"]]
-            if not len(h):
-                continue
-            hx = h["sx"].to_numpy(np.int64)[:, None]
-            hy = h["sy"].to_numpy(np.int64)[:, None]
-            hd = h["day"].to_numpy(np.int64)[:, None]
-            hi = h["event_id"].to_numpy(np.int64)[:, None]
-            ax = gg["sx"].to_numpy(np.int64)[None, :]
-            ay = gg["sy"].to_numpy(np.int64)[None, :]
-            ad = gg["day"].to_numpy(np.int64)[None, :]
-            ai = gg["event_id"].to_numpy(np.int64)[None, :]
-            gt = ((ax > hx) | ((ax == hx) & (ay > hy))
-                  | ((ax == hx) & (ay == hy) & (ai > hi)))
-            near = gt & ((ax - hx) ** 2 + (ay - hy) ** 2 <= R * R)
-            n_sp += int(near.sum())
-            n_kx += int((near & (np.abs(ad - hd) <= TAU)).sum())
-        return pd.DataFrame({"n_space": [np.int64(n_sp)],
-                             "n_knox": [np.int64(n_kx)]})
-
-    sp = (ev.map_batches(scatter, batch_format="numpy",
-                         batch_size=65536)
-          .groupby("_bk")
-          .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
-                      batch_format="pandas")
-          .to_pandas().sum())
+    res = pair_counts_within(
+        ev.map_batches(coords, batch_format="numpy",
+                       batch_size=65536),
+        [R], cell=R, time_col="t", tau=TAU)
+    sp = {"n_space": int(res["n_pairs"].iloc[0]),
+          "n_knox": int(res["n_pairs_time"].iloc[0])}
 
     def day_hist(b: dict) -> pd.DataFrame:
         day = (np.asarray(b["ts"]).astype("datetime64[us]")
