@@ -10802,6 +10802,247 @@ SELECT CAST((SELECT COUNT(*) FROM occ) AS BIGINT) AS n_occupied,
 """
 
 
+def _q186_rhumb_length(sf_dir: str):
+    """Per-source rhumb-line (loxodrome) track length — the constant-
+    bearing counterpart of q54's great-circle legs: each consecutive
+    leg uses the meridian-parts formula d = R * sqrt(dphi^2 +
+    q^2 * dlam^2) with q = dphi/dpsi (psi the Mercator latitude,
+    q = cos(phi) on the exact-equal-latitude branch) and antimeridian
+    wrap of dlam, every trig/log call mirrored op-for-op in the
+    oracle; legs round to 0.1 mm BEFORE the int64 sum. One
+    source-bucket all-to-all, vectorized leg pass."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+
+    R = 6371000.0
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    nb = 32
+
+    def tag(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        df = pd.DataFrame({
+            "doc_id": i, "source": np.asarray(b["source"]),
+            "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+            "lat": (i * 75487 % 170000) / 1000.0 - 85.0})
+        df["_bk"] = stable_mod(df["source"].to_numpy(), nb)
+        return df
+
+    def legs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"], kind="mergesort")
+        src = g["source"].to_numpy()
+        lam = np.radians(g["lon"].to_numpy(np.float64))
+        phi = np.radians(g["lat"].to_numpy(np.float64))
+        same = src[1:] == src[:-1]
+        p1, p2 = phi[:-1][same], phi[1:][same]
+        l1, l2 = lam[:-1][same], lam[1:][same]
+        dphi = p2 - p1
+        dlam = l2 - l1
+        dlam = np.where(dlam > np.pi, dlam - 2 * np.pi,
+                        np.where(dlam < -np.pi, dlam + 2 * np.pi,
+                                 dlam))
+        dpsi = (np.log(np.tan(np.pi / 4 + p2 / 2))
+                - np.log(np.tan(np.pi / 4 + p1 / 2)))
+        q = np.where(dpsi != 0.0, np.divide(
+            dphi, np.where(dpsi == 0.0, 1.0, dpsi)), np.cos(p1))
+        d = R * np.sqrt(dphi * dphi + q * q * dlam * dlam)
+        tmm = np.rint(d * 10000.0).astype(np.int64)
+        out = (pd.DataFrame({"source": src[1:][same], "tmm": tmm})
+               .groupby("source", as_index=False)
+               .agg(rhumb_tmm=("tmm", "sum"), n_legs=("tmm", "size")))
+        return out
+
+    out = (docs.map_batches(tag, batch_format="numpy",
+                            batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: legs(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("rhumb_tmm", "n_legs"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source", ignore_index=True)
+
+
+_Q186_SQL = """
+WITH g AS (
+  SELECT source, doc_id,
+         radians((doc_id * 61803 % 360000) / 1000.0 - 180.0) AS lam,
+         radians((doc_id * 75487 % 170000) / 1000.0 - 85.0) AS phi
+  FROM documents),
+p AS (
+  SELECT source, lam, phi,
+         LAG(lam) OVER w AS plam, LAG(phi) OVER w AS pphi
+  FROM g WINDOW w AS (PARTITION BY source ORDER BY doc_id)),
+d AS (
+  SELECT source,
+         phi - pphi AS dphi,
+         CASE WHEN lam - plam > pi() THEN lam - plam - 2 * pi()
+              WHEN lam - plam < -pi() THEN lam - plam + 2 * pi()
+              ELSE lam - plam END AS dlam,
+         ln(tan(pi()/4 + phi/2)) - ln(tan(pi()/4 + pphi/2)) AS dpsi,
+         pphi
+  FROM p WHERE plam IS NOT NULL),
+leg AS (
+  SELECT source,
+         6371000.0 * sqrt(dphi * dphi
+           + (CASE WHEN dpsi <> 0.0 THEN dphi / dpsi
+                   ELSE cos(pphi) END)
+           * (CASE WHEN dpsi <> 0.0 THEN dphi / dpsi
+                   ELSE cos(pphi) END) * dlam * dlam) AS dist
+  FROM d)
+SELECT source,
+       CAST(SUM(CAST(round(dist * 10000.0) AS BIGINT)) AS BIGINT)
+         AS rhumb_tmm,
+       CAST(COUNT(*) AS BIGINT) AS n_legs
+FROM leg GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q187_lcp_stats(sf_dir: str):
+    """Neighbor longest-common-prefix statistics per source: sort the
+    source's texts, take the LCP length of each adjacent pair, and
+    report (n_docs, max_lcp, sum_lcp) — the near-duplicate-prefix
+    screen behind suffix-array dedup (adjacent-in-sorted-order pairs
+    maximize LCP). One source-bucket all-to-all; the sort + LCP walk
+    run inside the bucket. ASCII corpus assumption (shared with q73):
+    Python code-point order == DuckDB byte collation."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+
+    docs = _read(sf_dir, "documents", columns=["source", "text"])
+    nb = 32
+
+    def tag(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({"source": np.asarray(b["source"]),
+                           "text": np.asarray(b["text"])})
+        df["_bk"] = stable_mod(df["source"].to_numpy(), nb)
+        return df
+
+    def lcp(a: str, b: str) -> int:
+        n = min(len(a), len(b))
+        k = 0
+        while k < n and a[k] == b[k]:
+            k += 1
+        return k
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for s, gg in g.groupby("source", sort=False):
+            ts_ = sorted(gg["text"].tolist())
+            ls = [lcp(ts_[i], ts_[i + 1])
+                  for i in range(len(ts_) - 1)]
+            rows.append((s, len(ts_),
+                         max(ls) if ls else 0, sum(ls)))
+        return pd.DataFrame(rows, columns=["source", "n_docs",
+                                           "max_lcp", "sum_lcp"])
+
+    out = (docs.map_batches(tag, batch_format="numpy",
+                            batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: stats(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("n_docs", "max_lcp", "sum_lcp"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source", ignore_index=True)
+
+
+_Q187_SQL = """
+WITH r AS (
+  SELECT source, text,
+         LAG(text) OVER (PARTITION BY source ORDER BY text) AS prev
+  FROM documents),
+l AS (
+  SELECT source,
+         COALESCE((SELECT MAX(k.k) FROM range(1, 2001) k(k)
+                   WHERE k.k <= LEAST(length(text), length(prev))
+                     AND substr(text, 1, CAST(k.k AS INT))
+                         = substr(prev, 1, CAST(k.k AS INT))), 0)
+           AS lcp
+  FROM r WHERE prev IS NOT NULL),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1)
+SELECT n.source, n.n_docs,
+       CAST(COALESCE(MAX(l.lcp), 0) AS BIGINT) AS max_lcp,
+       CAST(COALESCE(SUM(l.lcp), 0) AS BIGINT) AS sum_lcp
+FROM n LEFT JOIN l ON n.source = l.source
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def _q188_ks_lengths(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic pieces, per source vs
+    the whole corpus, over document lengths — the drift detector of
+    a data-mixing pipeline — in exact integer arithmetic: with N
+    total docs, n_s the source's docs, and cumulative counts
+    cum_s(x) / cum_g(x) at each distinct length x, report d_num =
+    max over x of |N * cum_s(x) - n_s * cum_g(x)| (so D = d_num /
+    (N * n_s) is one driver division). The data pass is one bounded
+    (source, n_chars) histogram; the CDF grid fold runs driver-side
+    on sources x distinct-lengths rows."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def partial(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"source": np.asarray(b["source"]),
+                              "n_chars": np.asarray(b["n_chars"],
+                                                    np.int64)})
+                .groupby(["source", "n_chars"], as_index=False)
+                .size().rename(columns={"size": "c"}))
+
+    h = (docs.map_batches(partial, batch_format="numpy",
+                          batch_size=65536)
+         .to_pandas()
+         .groupby(["source", "n_chars"], as_index=False)["c"].sum())
+    vals = np.sort(h["n_chars"].unique())
+    n_total = int(h["c"].sum())
+    gl = (h.groupby("n_chars")["c"].sum()
+          .reindex(vals, fill_value=0).cumsum().to_numpy(np.int64))
+    rows = []
+    for s, g in h.groupby("source", sort=True):
+        cs = (g.set_index("n_chars")["c"]
+              .reindex(vals, fill_value=0).cumsum()
+              .to_numpy(np.int64))
+        ns = int(g["c"].sum())
+        d = int(np.abs(n_total * cs - ns * gl).max())
+        rows.append((s, ns, d))
+    return pd.DataFrame(rows, columns=["source", "n_docs",
+                                       "d_num"]) \
+        .astype({"n_docs": np.int64, "d_num": np.int64})
+
+
+_Q188_SQL = """
+WITH h AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2),
+vals AS (SELECT DISTINCT n_chars FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+grid AS (SELECT s.source, v.n_chars
+         FROM srcs s CROSS JOIN vals v),
+j AS (SELECT g.source, g.n_chars, COALESCE(h.c, 0) AS c
+      FROM grid g LEFT JOIN h
+        ON g.source = h.source AND g.n_chars = h.n_chars),
+cum AS (SELECT source, n_chars,
+               SUM(c) OVER (PARTITION BY source
+                            ORDER BY n_chars) AS cum_s
+        FROM j),
+gt AS (SELECT n_chars, SUM(c) AS c FROM h GROUP BY 1),
+gc AS (SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cum_g
+       FROM gt),
+ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+       FROM documents GROUP BY 1),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT cum.source, ns.n_docs,
+       CAST(MAX(abs(tot.n * cum.cum_s - ns.n_docs * gc.cum_g))
+            AS BIGINT) AS d_num
+FROM cum JOIN gc ON cum.n_chars = gc.n_chars
+JOIN ns ON cum.source = ns.source CROSS JOIN tot
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -10994,6 +11235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q183_adoption": _q183_adoption,
         "q184_orientation_tensor": _q184_orientation_tensor,
         "q185_percolation": _q185_percolation,
+        "q186_rhumb_length": _q186_rhumb_length,
+        "q187_lcp_stats": _q187_lcp_stats,
+        "q188_ks_lengths": _q188_ks_lengths,
     }
 
 
@@ -11184,4 +11428,7 @@ def oracle_sql() -> dict[str, str]:
         "q183_adoption": _Q183_SQL,
         "q184_orientation_tensor": _Q184_SQL,
         "q185_percolation": _Q185_SQL,
+        "q186_rhumb_length": _Q186_SQL,
+        "q187_lcp_stats": _Q187_SQL,
+        "q188_ks_lengths": _Q188_SQL,
     }
