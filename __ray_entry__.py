@@ -11043,6 +11043,221 @@ GROUP BY 1, 2 ORDER BY 1
 """
 
 
+def _q189_local_moran(sf_dir: str):
+    """Local Moran (LISA, Anselin 1995) pieces per occupied zoom-4
+    tile: with the q151 scaled deviations d_i = 256*x_i - S, each
+    tile reports d_i, the sum of its rook neighbors' deviations, the
+    local numerator d_i * neigh_sum (positive = part of a
+    cluster, negative = an outlier), and its LISA quadrant (1 = HH,
+    2 = LH, 3 = LL, 4 = HL by the signs, 0 when either side is 0) —
+    all exact integers. Same scale shape as q151: one distributed
+    count, 256-cell lattice fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=4)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    grid = np.zeros((16, 16), dtype=np.int64)
+    grid[counts["tile_x"].to_numpy(np.int64),
+         counts["tile_y"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    s = int(grid.sum())
+    d = 256 * grid - s
+    nb_sum = np.zeros_like(d)
+    nb_sum[1:, :] += d[:-1, :]
+    nb_sum[:-1, :] += d[1:, :]
+    nb_sum[:, 1:] += d[:, :-1]
+    nb_sum[:, :-1] += d[:, 1:]
+    occ = grid > 0
+    xs, ys = np.nonzero(occ)
+    di = d[xs, ys]
+    nsum = nb_sum[xs, ys]
+    quad = np.where((di > 0) & (nsum > 0), 1,
+                    np.where((di < 0) & (nsum > 0), 2,
+                             np.where((di < 0) & (nsum < 0), 3,
+                                      np.where((di > 0) & (nsum < 0),
+                                               4, 0))))
+    return pd.DataFrame({
+        "tile_x": xs.astype(np.int64), "tile_y": ys.astype(np.int64),
+        "d_i": di, "neigh_sum": nsum,
+        "local_num": di * nsum,
+        "quad": quad.astype(np.int64)})
+
+
+_Q189_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo),
+c AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+lat AS (SELECT x.x AS tx, y.y AS ty
+        FROM range(16) x(x) CROSS JOIN range(16) y(y)),
+g AS (SELECT l.tx, l.ty, COALESCE(c.n, 0) AS n
+      FROM lat l LEFT JOIN c ON l.tx = c.tx AND l.ty = c.ty),
+d AS (SELECT tx, ty, n, 256 * n - (SELECT SUM(n) FROM g) AS d FROM g),
+nbs AS (
+  SELECT a.tx, a.ty, a.n, a.d,
+         CAST(COALESCE(SUM(b.d), 0) AS BIGINT) AS neigh_sum
+  FROM d a LEFT JOIN d b
+    ON abs(a.tx - b.tx) + abs(a.ty - b.ty) = 1
+  GROUP BY 1, 2, 3, 4)
+SELECT tx AS tile_x, ty AS tile_y, CAST(d AS BIGINT) AS d_i,
+       neigh_sum, CAST(d * neigh_sum AS BIGINT) AS local_num,
+       CAST(CASE WHEN d > 0 AND neigh_sum > 0 THEN 1
+                 WHEN d < 0 AND neigh_sum > 0 THEN 2
+                 WHEN d < 0 AND neigh_sum < 0 THEN 3
+                 WHEN d > 0 AND neigh_sum < 0 THEN 4
+                 ELSE 0 END AS BIGINT) AS quad
+FROM nbs WHERE n > 0 ORDER BY 1, 2
+"""
+
+
+def _q190_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* pieces per occupied zoom-4 tile: local_sum9 =
+    the tile's own count plus its 8 queen neighbors (the Gi*
+    numerator before normalization), w_i = the number of lattice
+    cells in that window (8 at corners..9 interior), and the global
+    total — exact integers from which Gi* is driver-side float
+    algebra. The smoothing complement of q120's strict local-max
+    hotspots. One distributed count, bounded lattice fold."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=4)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    grid = np.zeros((16, 16), dtype=np.int64)
+    grid[counts["tile_x"].to_numpy(np.int64),
+         counts["tile_y"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    pad = np.zeros((18, 18), dtype=np.int64)
+    pad[1:-1, 1:-1] = grid
+    win = sum(pad[1 + dx:17 + dx, 1 + dy:17 + dy]
+              for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    ones = np.zeros((18, 18), dtype=np.int64)
+    ones[1:-1, 1:-1] = 1
+    wcnt = sum(ones[1 + dx:17 + dx, 1 + dy:17 + dy]
+               for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    occ = grid > 0
+    xs, ys = np.nonzero(occ)
+    return pd.DataFrame({
+        "tile_x": xs.astype(np.int64), "tile_y": ys.astype(np.int64),
+        "n": grid[xs, ys],
+        "local_sum9": win[xs, ys],
+        "w_i": wcnt[xs, ys],
+        "s_total": np.full(len(xs), int(grid.sum()),
+                           dtype=np.int64)})
+
+
+_Q190_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo),
+c AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2),
+lat AS (SELECT x.x AS tx, y.y AS ty
+        FROM range(16) x(x) CROSS JOIN range(16) y(y)),
+g AS (SELECT l.tx, l.ty, COALESCE(c.n, 0) AS n
+      FROM lat l LEFT JOIN c ON l.tx = c.tx AND l.ty = c.ty),
+win AS (
+  SELECT a.tx, a.ty, a.n,
+         CAST(SUM(b.n) AS BIGINT) AS local_sum9,
+         CAST(COUNT(*) AS BIGINT) AS w_i
+  FROM g a JOIN g b
+    ON b.tx BETWEEN a.tx - 1 AND a.tx + 1
+   AND b.ty BETWEEN a.ty - 1 AND a.ty + 1
+  GROUP BY 1, 2, 3)
+SELECT tx AS tile_x, ty AS tile_y, n, local_sum9, w_i,
+       CAST((SELECT SUM(n) FROM g) AS BIGINT) AS s_total
+FROM win WHERE n > 0 ORDER BY 1, 2
+"""
+
+
+def _q191_variogram(sf_dir: str):
+    """Empirical semivariogram of document length over space — the
+    geostatistics primitive behind kriging: per lag band [lo, hi)
+    milli-degrees, the exact pair count and sum of squared n_chars
+    differences (gamma(h) = sum / (2n) is one driver division).
+    PBSM reference-point pair generation with the value column
+    riding along (functions/pointpattern.py variogram_bands,
+    brute-parity-tested)."""
+    from proj_ray.functions.pointpattern import variogram_bands
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def coords(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"x": i * 61803 % 360000, "y": i * 75487 % 170000,
+                "v": np.asarray(b["n_chars"], dtype=np.int64),
+                "pid": i}
+
+    return variogram_bands(
+        ds.map_batches(coords, batch_format="numpy",
+                       batch_size=65536),
+        [(0, 2000), (2000, 5000), (5000, 10000)], cell=10000)
+
+
+_Q191_SQL = """
+WITH p AS (
+  SELECT doc_id, doc_id * 61803 % 360000 AS sx,
+         doc_id * 75487 % 170000 AS sy,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents),
+c AS (SELECT doc_id, sx, sy, v, sx // 10000 AS cx, sy // 10000 AS cy
+      FROM p),
+a9 AS (SELECT c.doc_id, c.sx, c.sy, c.v,
+              c.cx + dx.d AS tcx, c.cy + dy.d AS tcy
+       FROM c, (VALUES (-1), (0), (1)) dx(d),
+               (VALUES (-1), (0), (1)) dy(d)),
+pr AS (
+  SELECT (a.sx - b.sx) * (a.sx - b.sx)
+       + (a.sy - b.sy) * (a.sy - b.sy) AS d2,
+         (a.v - b.v) * (a.v - b.v) AS dv2
+  FROM a9 a JOIN c b ON b.cx = a.tcx AND b.cy = a.tcy
+  WHERE b.sx > a.sx
+     OR (b.sx = a.sx AND (b.sy > a.sy
+         OR (b.sy = a.sy AND b.doc_id > a.doc_id)))),
+bands AS (SELECT * FROM (VALUES (0, 2000), (2000, 5000),
+                                (5000, 10000)) b(lo, hi))
+SELECT CAST(bands.lo AS BIGINT) AS lo,
+       CAST(bands.hi AS BIGINT) AS hi,
+       CAST((SELECT COUNT(*) FROM pr
+             WHERE pr.d2 >= bands.lo * bands.lo
+               AND pr.d2 < bands.hi * bands.hi)
+            AS BIGINT) AS n_pairs,
+       CAST((SELECT COALESCE(SUM(pr.dv2), 0) FROM pr
+             WHERE pr.d2 >= bands.lo * bands.lo
+               AND pr.d2 < bands.hi * bands.hi)
+            AS BIGINT) AS sum_sq_diff
+FROM bands ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -11238,6 +11453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q186_rhumb_length": _q186_rhumb_length,
         "q187_lcp_stats": _q187_lcp_stats,
         "q188_ks_lengths": _q188_ks_lengths,
+        "q189_local_moran": _q189_local_moran,
+        "q190_getis_ord": _q190_getis_ord,
+        "q191_variogram": _q191_variogram,
     }
 
 
@@ -11431,4 +11649,7 @@ def oracle_sql() -> dict[str, str]:
         "q186_rhumb_length": _Q186_SQL,
         "q187_lcp_stats": _Q187_SQL,
         "q188_ks_lengths": _Q188_SQL,
+        "q189_local_moran": _Q189_SQL,
+        "q190_getis_ord": _Q190_SQL,
+        "q191_variogram": _Q191_SQL,
     }

@@ -108,6 +108,105 @@ def pair_counts_within(points, radii, cell: int,
     return out.sort_values("r", ignore_index=True)
 
 
+def variogram_bands(points, bands, cell: int,
+                    x_col: str = "x", y_col: str = "y",
+                    val_col: str = "v", id_col: str = "pid",
+                    n_buckets: int = 64):
+    """Empirical semivariogram pieces: for each lag band [lo, hi)
+    (all hi <= cell), the exact count of unordered point pairs whose
+    squared planar distance satisfies lo^2 <= d2 < hi^2 and the sum
+    of their squared value differences — gamma(h) = sum_sq_diff /
+    (2 * n_pairs) is one driver division. Same PBSM reference-point
+    dataflow as :func:`pair_counts_within`. Returns pandas
+    (lo, hi, n_pairs, sum_sq_diff), exact int64."""
+    import pandas as pd
+
+    B = [(int(lo), int(hi)) for lo, hi in bands]
+    if not B or any(hi > cell or lo >= hi or lo < 0
+                    for lo, hi in B):
+        raise ValueError("bands must satisfy 0 <= lo < hi <= cell")
+
+    def scatter(b: dict) -> pd.DataFrame:
+        x = np.asarray(b[x_col], dtype=np.int64)
+        y = np.asarray(b[y_col], dtype=np.int64)
+        i = np.asarray(b[id_col], dtype=np.int64)
+        v = np.asarray(b[val_col], dtype=np.int64)
+        cx = x // cell
+        cy = y // cell
+        frames = []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                frames.append(pd.DataFrame({
+                    "x": x, "y": y, "i": i, "v": v,
+                    "tcx": cx + ox, "tcy": cy + oy,
+                    "home": np.full(len(x), ox == 0 and oy == 0)}))
+        out = pd.concat(frames, ignore_index=True)
+        out["_bk"] = ((out["tcx"].to_numpy(np.int64) * 31
+                       + out["tcy"].to_numpy(np.int64)) % n_buckets
+                      + n_buckets) % n_buckets
+        return out
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        n_acc = np.zeros(len(B), dtype=np.int64)
+        s_acc = np.zeros(len(B), dtype=np.int64)
+        for _, gg in g.groupby(["tcx", "tcy"], sort=False):
+            h = gg[gg["home"]]
+            if not len(h):
+                continue
+            hx = h["x"].to_numpy(np.int64)[:, None]
+            hy = h["y"].to_numpy(np.int64)[:, None]
+            hi_ = h["i"].to_numpy(np.int64)[:, None]
+            hv = h["v"].to_numpy(np.int64)[:, None]
+            ax = gg["x"].to_numpy(np.int64)[None, :]
+            ay = gg["y"].to_numpy(np.int64)[None, :]
+            ai = gg["i"].to_numpy(np.int64)[None, :]
+            av = gg["v"].to_numpy(np.int64)[None, :]
+            gt = ((ax > hx) | ((ax == hx) & (ay > hy))
+                  | ((ax == hx) & (ay == hy) & (ai > hi_)))
+            d2 = (ax - hx) ** 2 + (ay - hy) ** 2
+            dv2 = (av - hv) ** 2
+            for k, (lo, hi) in enumerate(B):
+                m = gt & (d2 >= lo * lo) & (d2 < hi * hi)
+                n_acc[k] += int(m.sum())
+                s_acc[k] += int(dv2[m].sum())
+        return pd.DataFrame({
+            "lo": np.array([b[0] for b in B], dtype=np.int64),
+            "hi": np.array([b[1] for b in B], dtype=np.int64),
+            "n_pairs": n_acc, "sum_sq_diff": s_acc})
+
+    parts = (points.map_batches(scatter, batch_format="numpy",
+                                batch_size=65536)
+             .groupby("_bk")
+             .map_groups(lambda g: pairs(g.drop(columns=["_bk"])),
+                         batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["lo", "hi"], as_index=False)
+           .agg(n_pairs=("n_pairs", "sum"),
+                sum_sq_diff=("sum_sq_diff", "sum")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("lo", ignore_index=True)
+
+
+def variogram_brute(x, y, v, bands):
+    """O(n^2) reference for parity tests."""
+    import pandas as pd
+
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    v = np.asarray(v, dtype=np.int64)
+    iu, ju = np.triu_indices(len(x), k=1)
+    d2 = (x[iu] - x[ju]) ** 2 + (y[iu] - y[ju]) ** 2
+    dv2 = (v[iu] - v[ju]) ** 2
+    rows = []
+    for lo, hi in bands:
+        m = (d2 >= lo * lo) & (d2 < hi * hi)
+        rows.append((lo, hi, int(m.sum()), int(dv2[m].sum())))
+    return pd.DataFrame(rows, columns=["lo", "hi", "n_pairs",
+                                       "sum_sq_diff"]) \
+        .astype(np.int64).sort_values("lo", ignore_index=True)
+
+
 def pair_counts_brute(x: np.ndarray, y: np.ndarray, radii,
                       t: np.ndarray | None = None,
                       tau: int | None = None):

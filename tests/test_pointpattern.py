@@ -2,7 +2,9 @@ import numpy as np
 import pandas as pd
 
 from proj_ray.functions.pointpattern import (pair_counts_brute,
-                                             pair_counts_within)
+                                             pair_counts_within,
+                                             variogram_bands,
+                                             variogram_brute)
 
 
 def _points(n, seed=0, span=50_000):
@@ -47,6 +49,19 @@ def test_pair_counts_duplicate_points(ray_session):
         {"x": x, "y": y, "pid": np.arange(4)}))
     got = pair_counts_within(ds, [100], cell=10000)
     assert got["n_pairs"].tolist() == [3]
+
+
+def test_variogram_matches_brute(ray_session):
+    import ray.data as rd
+
+    x, y, t = _points(350, seed=2)
+    v = (x * 7 + y * 3) % 1000
+    ds = rd.from_pandas(pd.DataFrame(
+        {"x": x, "y": y, "v": v, "pid": np.arange(len(x))}))
+    bands = [(0, 2000), (2000, 6000), (6000, 10000)]
+    got = variogram_bands(ds, bands, cell=10000)
+    want = variogram_brute(x, y, v, bands)
+    pd.testing.assert_frame_equal(got, want)
 
 
 def test_pair_counts_rejects_bad_radius(ray_session):
