@@ -11258,6 +11258,267 @@ FROM bands ORDER BY 1
 """
 
 
+def _q192_box_counting(sf_dir: str):
+    """Box-counting (Minkowski) dimension pieces of the doc-geotag
+    footprint: the number of OCCUPIED tiles at every zoom 0..6 —
+    the log-log slope of N(z) vs box size estimates the fractal
+    dimension of the spatial support. ONE zoom-6 distributed count
+    pass; every coarser level folds by 2x2 OR on the <= 4096-cell
+    lattice (the q152 pyramid, occupancy instead of sums)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=6)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    occ = np.zeros((64, 64), dtype=bool)
+    occ[counts["tile_x"].to_numpy(np.int64),
+        counts["tile_y"].to_numpy(np.int64)] = True
+    rows = []
+    cur = occ
+    for z in range(6, -1, -1):
+        rows.append((z, int(cur.sum())))
+        if z:
+            cur = (cur.reshape(cur.shape[0] // 2, 2,
+                               cur.shape[1] // 2, 2)
+                   .any(axis=(1, 3)))
+    out = pd.DataFrame(sorted(rows),
+                       columns=["z", "n_occupied"])
+    return out.astype(np.int64)
+
+
+_Q192_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 64), 0), 63) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 64), 0), 63) AS BIGINT) AS ty
+  FROM geo),
+occ6 AS (SELECT DISTINCT tx, ty FROM t)
+SELECT CAST(z.z AS BIGINT) AS z,
+       CAST((SELECT COUNT(*) FROM
+             (SELECT DISTINCT tx >> CAST(6 - z.z AS INT),
+                     ty >> CAST(6 - z.z AS INT) FROM occ6))
+            AS BIGINT) AS n_occupied
+FROM range(7) z(z) ORDER BY 1
+"""
+
+
+def _q193_runner_up(sf_dir: str):
+    """Per-tile dominance margin: the most and second-most frequent
+    SOURCE in each zoom-3 tile (ties -> lexicographically smaller
+    source) with their count gap — the label-margin diagnostic of a
+    data-mixing pipeline (low margin = contested region). Per-block
+    (tile, source) partials into one tile-bucket combine; the top-2
+    pick is a per-tile sorted head. Tiles with a single source
+    report runner_up = '' and margin = n_top."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    nb = 32
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"source": np.asarray(b["source"]),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def partial(b: dict) -> pd.DataFrame:
+        g = (pd.DataFrame({"tx": b["tile_x"], "ty": b["tile_y"],
+                           "source": b["source"]})
+             .groupby(["tx", "ty", "source"], as_index=False)
+             .size().rename(columns={"size": "c"}))
+        g["_bk"] = (g["tx"].to_numpy(np.int64) * 8
+                    + g["ty"].to_numpy(np.int64)) % nb
+        return g
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["tx", "ty", "source"],
+                        as_index=False)["c"].sum()
+        agg = agg.sort_values(["tx", "ty", "c", "source"],
+                              ascending=[True, True, False, True],
+                              kind="mergesort")
+        rows = []
+        for (tx, ty), gg in agg.groupby(["tx", "ty"], sort=False):
+            top = gg.iloc[0]
+            if len(gg) > 1:
+                run = gg.iloc[1]
+                rows.append((tx, ty, top["source"], int(top["c"]),
+                             run["source"], int(run["c"]),
+                             int(top["c"]) - int(run["c"])))
+            else:
+                rows.append((tx, ty, top["source"], int(top["c"]),
+                             "", 0, int(top["c"])))
+        return pd.DataFrame(rows, columns=["tile_x", "tile_y",
+                                           "top_source", "n_top",
+                                           "runner_up", "n_second",
+                                           "margin"])
+
+    out = (with_tiles(docs.map_batches(add_geo, batch_format="numpy",
+                                       batch_size=65536), zoom=3)
+           .map_batches(partial, batch_format="pandas",
+                        batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: top2(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("tile_x", "tile_y", "n_top", "n_second", "margin"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["tile_x", "tile_y"], ignore_index=True)
+
+
+_Q193_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT d.source,
+    CAST(LEAST(GREATEST(floor(
+        (radians(g.lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(g.lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM geo g JOIN documents d ON g.doc_id = d.doc_id),
+c AS (SELECT tx, ty, source, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t GROUP BY 1, 2, 3),
+r AS (SELECT tx, ty, source, c,
+             ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                ORDER BY c DESC, source) AS rk
+      FROM c)
+SELECT a.tx AS tile_x, a.ty AS tile_y,
+       a.source AS top_source, a.c AS n_top,
+       COALESCE(b.source, '') AS runner_up,
+       CAST(COALESCE(b.c, 0) AS BIGINT) AS n_second,
+       CAST(a.c - COALESCE(b.c, 0) AS BIGINT) AS margin
+FROM r a LEFT JOIN r b
+  ON a.tx = b.tx AND a.ty = b.ty AND b.rk = 2
+WHERE a.rk = 1 ORDER BY 1, 2
+"""
+
+
+def _q194_co_coverage(sf_dir: str):
+    """Source spatial co-coverage matrix: for every source pair, the
+    number of zoom-4 tiles BOTH cover, with each side's own tile
+    count — the footprint-overlap complement of q146's term-vector
+    similarity. One distinct-(source, tile) reduction (bounded at
+    sources x 256 rows); the pair fold runs on that tiny table."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"source": np.asarray(b["source"]),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def distinct(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"source": b["source"],
+                              "tx": b["tile_x"], "ty": b["tile_y"]})
+                .drop_duplicates())
+
+    cells = (with_tiles(docs.map_batches(add_geo,
+                                         batch_format="numpy",
+                                         batch_size=65536), zoom=4)
+             .map_batches(distinct, batch_format="numpy",
+                          batch_size=65536)
+             .to_pandas().drop_duplicates())
+    sets = {s: set(map(tuple, g[["tx", "ty"]].to_numpy()))
+            for s, g in cells.groupby("source")}
+    srcs = sorted(sets)
+    rows = []
+    for a in range(len(srcs)):
+        for b in range(a + 1, len(srcs)):
+            sa, sb = srcs[a], srcs[b]
+            rows.append((sa, sb, len(sets[sa]), len(sets[sb]),
+                         len(sets[sa] & sets[sb])))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b",
+                                      "n_a", "n_b", "n_both"])
+    for c in ("n_a", "n_b", "n_both"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+_Q194_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT DISTINCT d.source,
+    CAST(LEAST(GREATEST(floor(
+        (radians(g.lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(g.lat)/2)))
+        / (2 * pi() * 6378137.0) * 16), 0), 15) AS BIGINT) AS ty
+  FROM geo g JOIN documents d ON g.doc_id = d.doc_id),
+n AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1)
+SELECT a.source AS source_a, b.source AS source_b,
+       na.n AS n_a, nb.n AS n_b,
+       CAST(COUNT(*) FILTER (x.tx IS NOT NULL) AS BIGINT) AS n_both
+FROM n na JOIN n nb ON na.source < nb.source
+JOIN (SELECT DISTINCT source FROM t) a ON a.source = na.source
+JOIN (SELECT DISTINCT source FROM t) b ON b.source = nb.source
+LEFT JOIN (
+  SELECT p.source AS sa, q.source AS sb, p.tx, p.ty
+  FROM t p JOIN t q
+    ON p.tx = q.tx AND p.ty = q.ty AND p.source < q.source) x
+  ON x.sa = a.source AND x.sb = b.source
+GROUP BY 1, 2, 3, 4 ORDER BY 1, 2
+"""
+
+
+def _q195_chi_square(sf_dir: str):
+    """Chi-square independence pieces for the (source x lang)
+    contingency table: per cell the observed count o, row total
+    r_n, column total c_n and grand total — the numerator
+    (o * N - r_n * c_n)^2 and denominator r_n * c_n * N of each
+    cell's contribution are exact-integer driver algebra. One
+    two-key count pass; totals fold from the bounded cell table."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    docs = _read(sf_dir, "documents", columns=["source", "lang"])
+    cells = (docs.groupby(["source", "lang"])
+             .aggregate(Count(alias_name="o")).to_pandas())
+    rn = cells.groupby("source")["o"].sum().rename("r_n")
+    cn = cells.groupby("lang")["o"].sum().rename("c_n")
+    out = (cells.merge(rn, left_on="source", right_index=True)
+           .merge(cn, left_on="lang", right_index=True))
+    out["n_total"] = int(cells["o"].sum())
+    for c in ("o", "r_n", "c_n", "n_total"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["source", "lang"], ignore_index=True)
+
+
+_Q195_SQL = """
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+           FROM documents GROUP BY 1, 2),
+r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r_n
+      FROM c GROUP BY 1),
+l AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c_n FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM c)
+SELECT c.source, c.lang, c.o, r.r_n, l.c_n, t.n_total
+FROM c JOIN r ON c.source = r.source
+JOIN l ON c.lang = l.lang CROSS JOIN t
+ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -11456,6 +11717,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q189_local_moran": _q189_local_moran,
         "q190_getis_ord": _q190_getis_ord,
         "q191_variogram": _q191_variogram,
+        "q192_box_counting": _q192_box_counting,
+        "q193_runner_up": _q193_runner_up,
+        "q194_co_coverage": _q194_co_coverage,
+        "q195_chi_square": _q195_chi_square,
     }
 
 
@@ -11652,4 +11917,8 @@ def oracle_sql() -> dict[str, str]:
         "q189_local_moran": _Q189_SQL,
         "q190_getis_ord": _Q190_SQL,
         "q191_variogram": _Q191_SQL,
+        "q192_box_counting": _Q192_SQL,
+        "q193_runner_up": _Q193_SQL,
+        "q194_co_coverage": _Q194_SQL,
+        "q195_chi_square": _Q195_SQL,
     }
