@@ -11519,6 +11519,118 @@ ORDER BY 1, 2
 """
 
 
+def _q196_spearman(sf_dir: str):
+    """Exact Spearman rank correlation pieces between document length
+    (n_chars) and whitespace token count, with ROW_NUMBER ranking
+    (ties broken by doc_id, mirrored in the oracle): reports n and
+    sum_d2 = sum of squared rank differences, so rho = 1 -
+    6*sum_d2/(n(n^2-1)) is one driver division. Global ranks WITHOUT
+    a global sort: a bounded key histogram gives each key its
+    exclusive prefix count (broadcast), and the intra-key order by
+    doc_id resolves inside key-bucket groups — two rank passes plus
+    one doc-bucket join, every exchange bounded."""
+    import pandas as pd
+    import ray
+
+    from proj_ray.functions.text import simple_token_count
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "n_chars", "text"])
+    nb = 64
+
+    def feats(b: dict) -> dict:
+        return {"doc_id": np.asarray(b["doc_id"], dtype=np.int64),
+                "k1": np.asarray(b["n_chars"], dtype=np.int64),
+                "k2": simple_token_count(b["text"]).astype(np.int64)}
+
+    base = docs.map_batches(feats, batch_format="numpy",
+                            batch_size=65536).materialize()
+
+    def rank_table(key: str):
+        def hist(b: dict) -> pd.DataFrame:
+            g = (pd.DataFrame({"k": b[key]})
+                 .groupby("k", as_index=False).size())
+            return g
+
+        h = (base.map_batches(hist, batch_format="numpy",
+                              batch_size=65536)
+             .to_pandas().groupby("k", as_index=False)["size"].sum()
+             .sort_values("k"))
+        keys = h["k"].to_numpy(np.int64)
+        pref = np.r_[0, h["size"].to_numpy(np.int64).cumsum()[:-1]]
+        ref = ray.put((keys, pref))
+
+        def tag(b: dict) -> pd.DataFrame:
+            df = pd.DataFrame({"doc_id": b["doc_id"], "k": b[key]})
+            df["_bk"] = (df["k"].to_numpy(np.int64) % nb + nb) % nb
+            return df
+
+        def assign(g: pd.DataFrame) -> pd.DataFrame:
+            ks, pf = ray.get(ref)
+            g = g.sort_values(["k", "doc_id"], kind="mergesort")
+            intra = g.groupby("k").cumcount().to_numpy(np.int64) + 1
+            base_r = pf[np.searchsorted(ks, g["k"].to_numpy(np.int64))]
+            return pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "rank": base_r + intra})
+
+        return (base.map_batches(tag, batch_format="numpy",
+                                 batch_size=65536)
+                .groupby("_bk")
+                .map_groups(lambda g: assign(
+                    g.drop(columns=["_bk"])),
+                    batch_format="pandas"))
+
+    r1 = rank_table("k1")
+    r2 = rank_table("k2")
+
+    def side(col):
+        def f(b: dict) -> pd.DataFrame:
+            d = np.asarray(b["doc_id"], dtype=np.int64)
+            df = pd.DataFrame({"doc_id": d,
+                               "r1": np.zeros(len(d), np.int64),
+                               "r2": np.zeros(len(d), np.int64)})
+            df[col] = np.asarray(b["rank"], dtype=np.int64)
+            df["_bk"] = (d % nb + nb) % nb
+            return df
+        return f
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("doc_id", as_index=False)[["r1", "r2"]].sum()
+        d = m["r1"].to_numpy(np.int64) - m["r2"].to_numpy(np.int64)
+        return pd.DataFrame({"n": [np.int64(len(m))],
+                             "sum_d2": [np.int64((d * d).sum())]})
+
+    parts = (r1.map_batches(side("r1"), batch_format="numpy",
+                            batch_size=65536)
+             .union(r2.map_batches(side("r2"), batch_format="numpy",
+                                   batch_size=65536))
+             .groupby("_bk")
+             .map_groups(lambda g: combine(g.drop(columns=["_bk"])),
+                         batch_format="pandas")
+             .to_pandas().sum())
+    return pd.DataFrame({"n": [np.int64(parts["n"])],
+                         "sum_d2": [np.int64(parts["sum_d2"])]})
+
+
+_Q196_SQL = """
+WITH f AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN length(text) > 0
+              THEN length(text) - length(replace(text, ' ', '')) + 1
+              ELSE 0 END AS n_tok
+  FROM documents),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r1,
+         ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS r2
+  FROM f)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+FROM r
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -11721,6 +11833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q193_runner_up": _q193_runner_up,
         "q194_co_coverage": _q194_co_coverage,
         "q195_chi_square": _q195_chi_square,
+        "q196_spearman": _q196_spearman,
     }
 
 
@@ -11921,4 +12034,5 @@ def oracle_sql() -> dict[str, str]:
         "q193_runner_up": _Q193_SQL,
         "q194_co_coverage": _Q194_SQL,
         "q195_chi_square": _Q195_SQL,
+        "q196_spearman": _Q196_SQL,
     }
