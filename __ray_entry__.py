@@ -11631,6 +11631,358 @@ FROM r
 """
 
 
+def _q197_cusum(sf_dir: str):
+    """CUSUM changepoint detection per event type: with daily counts
+    x_1..x_D and S = sum x, the scaled deviations d_i = D*x_i - S
+    sum to zero, so the maximum |partial sum| locates the strongest
+    level shift — report (n_days, max_abs_cusum, cp_day = the
+    earliest day attaining it) in exact integers. Distributed
+    (type, day) count partials; the <= 31-step scan folds
+    driver-side; window-SQL oracle."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({
+            "event_type": np.asarray(b["event_type"]),
+            "day": (np.asarray(b["ts"]).astype("datetime64[us]")
+                    .astype(np.int64) // 86_400_000_000)})
+            .groupby(["event_type", "day"], as_index=False).size()
+            .rename(columns={"size": "n"}))
+
+    dc = (ev.map_batches(partial, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas()
+          .groupby(["event_type", "day"], as_index=False)["n"].sum())
+    rows = []
+    for ty, g in dc.groupby("event_type", sort=True):
+        g = g.sort_values("day")
+        x = g["n"].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        dev = len(x) * x - int(x.sum())
+        cs = np.cumsum(dev)
+        k = int(np.argmax(np.abs(cs)))
+        rows.append((ty, len(x), int(np.abs(cs).max()), int(d[k])))
+    return pd.DataFrame(rows, columns=["event_type", "n_days",
+                                       "max_abs_cusum", "cp_day"]) \
+        .astype({"n_days": np.int64, "max_abs_cusum": np.int64,
+                 "cp_day": np.int64})
+
+
+_Q197_SQL = """
+WITH dc AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d_days,
+              CAST(SUM(n) AS BIGINT) AS s
+       FROM dc GROUP BY 1),
+cs AS (
+  SELECT dc.event_type, dc.day, st.d_days,
+         SUM(st.d_days * dc.n - st.s)
+           OVER (PARTITION BY dc.event_type ORDER BY dc.day)
+           AS cusum
+  FROM dc JOIN st ON dc.event_type = st.event_type)
+SELECT event_type, CAST(d_days AS BIGINT) AS n_days,
+       CAST(MAX(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+       CAST(MIN(day) FILTER (
+         abs(cusum) = (SELECT MAX(abs(c2.cusum)) FROM cs c2
+                       WHERE c2.event_type = cs.event_type))
+            AS BIGINT) AS cp_day
+FROM cs GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def _q198_lag_autocorr(sf_dir: str):
+    """Lag-1 temporal autocorrelation pieces of the per-(tile, day)
+    event counts, pooled over zoom-3 tiles: n_pairs, sum_x, sum_y,
+    sum_xy, sum_x2, sum_y2 over consecutive-day pairs within each
+    tile (dense day grid per tile, absent days = 0) — Pearson r of
+    (x_d, x_{d+1}) is driver algebra on the exact integer moments;
+    the persistence diagnostic of a space-time cube. Distributed
+    count partials; the dense-grid pairing folds on the bounded
+    (tile, day) table."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def tag(b: dict) -> dict:
+        i = np.asarray(b["event_id"], dtype=np.int64)
+        return {"day": (np.asarray(b["ts"]).astype("datetime64[us]")
+                        .astype(np.int64) // 86_400_000_000),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def partial(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"tx": b["tile_x"], "ty": b["tile_y"],
+                              "day": b["day"]})
+                .groupby(["tx", "ty", "day"], as_index=False).size()
+                .rename(columns={"size": "n"}))
+
+    dc = (with_tiles(ev.map_batches(tag, batch_format="numpy",
+                                    batch_size=65536), zoom=3)
+          .map_batches(partial, batch_format="pandas",
+                       batch_size=65536)
+          .to_pandas()
+          .groupby(["tx", "ty", "day"], as_index=False)["n"].sum())
+    d0 = int(dc["day"].min())
+    d1 = int(dc["day"].max())
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    acc = dict(n_pairs=0, sum_x=0, sum_y=0, sum_xy=0,
+               sum_x2=0, sum_y2=0)
+    for _, g in dc.groupby(["tx", "ty"], sort=False):
+        c = (g.set_index("day")["n"]
+             .reindex(days, fill_value=0).to_numpy(np.int64))
+        x, y = c[:-1], c[1:]
+        acc["n_pairs"] += len(x)
+        acc["sum_x"] += int(x.sum())
+        acc["sum_y"] += int(y.sum())
+        acc["sum_xy"] += int((x * y).sum())
+        acc["sum_x2"] += int((x * x).sum())
+        acc["sum_y2"] += int((y * y).sum())
+    return pd.DataFrame({k: [np.int64(v)] for k, v in acc.items()})
+
+
+_Q198_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         (event_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (event_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM events),
+t AS (
+  SELECT day,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM e),
+c AS (SELECT tx, ty, day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3),
+dr AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM c),
+tiles AS (SELECT x.x AS tx, y.y AS ty
+          FROM range(8) x(x) CROSS JOIN range(8) y(y)),
+grid AS (SELECT tiles.tx, tiles.ty, dr.d0 + dd.dd AS day
+         FROM tiles, dr, range(0, 31) dd(dd)
+         WHERE dr.d0 + dd.dd <= dr.d1),
+full_ AS (SELECT g.tx, g.ty, g.day, COALESCE(c.n, 0) AS n
+          FROM grid g LEFT JOIN c
+            ON g.tx = c.tx AND g.ty = c.ty AND g.day = c.day),
+pr AS (
+  SELECT a.n AS x, b.n AS y
+  FROM full_ a JOIN full_ b
+    ON a.tx = b.tx AND a.ty = b.ty AND b.day = a.day + 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+       CAST(SUM(y * y) AS BIGINT) AS sum_y2
+FROM pr
+"""
+
+
+def _q199_max_silence(sf_dir: str):
+    """Per-user maximum silent period: the longest gap (seconds)
+    between consecutive events (ordered by ts then event_id) and the
+    start timestamp (epoch seconds) of that gap, earliest on ties —
+    the churn-risk signal. One user-bucket all-to-all, vectorized
+    diff + argmax inside the bucket; window-SQL oracle."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    nb = 64
+
+    def tag(b: dict) -> dict:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        return {"user_id": u,
+                "e": np.asarray(b["event_id"], dtype=np.int64),
+                "t": np.asarray(b["ts"]).astype("datetime64[us]")
+                .astype(np.int64),
+                "_bk": (u % nb + nb) % nb}
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "t", "e"], kind="mergesort")
+        rows = []
+        for u, gg in g.groupby("user_id", sort=False):
+            t = gg["t"].to_numpy(np.int64)
+            if len(t) < 2:
+                continue
+            gaps = (t[1:] - t[:-1]) // 1_000_000
+            k = int(np.argmax(gaps))
+            rows.append((u, len(t) - 1, int(gaps[k]),
+                         int(t[k] // 1_000_000)))
+        return pd.DataFrame(rows, columns=["user_id", "n_gaps",
+                                           "max_gap_s",
+                                           "gap_start_s"])
+
+    out = (ev.map_batches(tag, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: scan(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in ("n_gaps", "max_gap_s", "gap_start_s"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("user_id", ignore_index=True)
+
+
+_Q199_SQL = """
+WITH g AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+          - epoch_us(ts)) // 1000000 AS gap
+  FROM events),
+v AS (SELECT user_id, t, gap FROM g WHERE gap IS NOT NULL)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_s,
+       CAST(MIN(t) FILTER (
+         gap = (SELECT MAX(v2.gap) FROM v v2
+                WHERE v2.user_id = v.user_id)) // 1000000
+            AS BIGINT) AS gap_start_s
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q200_spatial_curation(sf_dir: str):
+    """Composed spatial-curation flagship (the q97 idea on the
+    geospatial axis): geotag docs -> drop exact-duplicate texts
+    (keep min doc_id) -> drop low-quality docs (n_chars < 40) ->
+    zoom-3 tiles -> per-tile quota of the 10 LONGEST surviving docs
+    (ties -> lowest doc_id) -> per-tile (n_candidates, n_kept,
+    sum_len_kept, checksum = sum of kept doc_ids * 31). Every stage
+    is a bounded exchange the suite already uses (text-hash dedup,
+    stateless filter, tile count, per-tile head-k); one query pins
+    the whole chain's exactness."""
+    import pandas as pd
+
+    from proj_ray.functions._hash import stable_mod
+    from proj_ray.stages import with_tiles
+
+    docs = _read(sf_dir, "documents",
+                 columns=["doc_id", "text", "n_chars"])
+    nb = 64
+
+    def tag(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({"doc_id": np.asarray(b["doc_id"],
+                                                np.int64),
+                           "text": np.asarray(b["text"]),
+                           "n_chars": np.asarray(b["n_chars"],
+                                                 np.int64)})
+        df["_bk"] = stable_mod(df["text"].to_numpy(), nb)
+        return df
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values("doc_id")
+               .drop_duplicates(subset=["text"], keep="first"))
+        return out[out["n_chars"] >= 40][["doc_id", "n_chars"]]
+
+    surv = (docs.map_batches(tag, batch_format="numpy",
+                             batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: keep_min(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
+
+    def add_geo(b: dict) -> dict:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        return {"doc_id": i,
+                "n_chars": np.asarray(b["n_chars"], np.int64),
+                "lon": (i * 61803 % 360000) / 1000.0 - 180.0,
+                "lat": (i * 75487 % 170000) / 1000.0 - 85.0}
+
+    def prune(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({"doc_id": b["doc_id"],
+                           "n_chars": b["n_chars"],
+                           "tx": b["tile_x"], "ty": b["tile_y"]})
+        # per-block pre-prune: only 10 candidates per tile survive
+        # the exchange, plus the block's per-tile census
+        cen = (df.groupby(["tx", "ty"], as_index=False).size()
+               .rename(columns={"size": "n_cand"}))
+        df = df.sort_values(["tx", "ty", "n_chars", "doc_id"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        top = df.groupby(["tx", "ty"], sort=False).head(10)
+        top = top.assign(n_cand=np.int64(0))
+        cen = cen.assign(doc_id=np.int64(-1),
+                         n_chars=np.int64(0))
+        out = pd.concat([top, cen[top.columns]], ignore_index=True)
+        out["_bk"] = (out["tx"].to_numpy(np.int64) * 8
+                      + out["ty"].to_numpy(np.int64)) % nb
+        return out
+
+    def quota(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tx, ty), gg in g.groupby(["tx", "ty"], sort=False):
+            n_cand = int(gg["n_cand"].sum())
+            cand = gg[gg["doc_id"] >= 0].sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True],
+                kind="mergesort").head(10)
+            rows.append((tx, ty, n_cand, len(cand),
+                         int(cand["n_chars"].sum()),
+                         int((cand["doc_id"] * 31).sum())))
+        return pd.DataFrame(rows, columns=["tile_x", "tile_y",
+                                           "n_candidates", "n_kept",
+                                           "sum_len_kept",
+                                           "checksum"])
+
+    out = (with_tiles(surv.map_batches(add_geo,
+                                       batch_format="numpy",
+                                       batch_size=65536), zoom=3)
+           .map_batches(prune, batch_format="pandas",
+                        batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: quota(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["tile_x", "tile_y"], ignore_index=True)
+
+
+_Q200_SQL = """
+WITH dd AS (
+  SELECT MIN(doc_id) AS doc_id, MAX(n_chars) AS n_chars
+  FROM documents GROUP BY text),
+surv AS (SELECT doc_id, n_chars FROM dd WHERE n_chars >= 40),
+g AS (
+  SELECT doc_id, n_chars,
+         (doc_id * 61803 % 360000) / 1000.0 - 180.0 AS lon,
+         (doc_id * 75487 % 170000) / 1000.0 - 85.0 AS lat
+  FROM surv),
+t AS (
+  SELECT doc_id, n_chars,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM g),
+r AS (
+  SELECT tx, ty, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY tx, ty
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM t),
+cen AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_candidates
+        FROM t GROUP BY 1, 2),
+kept AS (SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                CAST(SUM(n_chars) AS BIGINT) AS sum_len_kept,
+                CAST(SUM(doc_id * 31) AS BIGINT) AS checksum
+         FROM r WHERE rk <= 10 GROUP BY 1, 2)
+SELECT cen.tx AS tile_x, cen.ty AS tile_y, cen.n_candidates,
+       kept.n_kept, kept.sum_len_kept, kept.checksum
+FROM cen JOIN kept ON cen.tx = kept.tx AND cen.ty = kept.ty
+ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -11834,6 +12186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q194_co_coverage": _q194_co_coverage,
         "q195_chi_square": _q195_chi_square,
         "q196_spearman": _q196_spearman,
+        "q197_cusum": _q197_cusum,
+        "q198_lag_autocorr": _q198_lag_autocorr,
+        "q199_max_silence": _q199_max_silence,
+        "q200_spatial_curation": _q200_spatial_curation,
     }
 
 
@@ -12035,4 +12391,8 @@ def oracle_sql() -> dict[str, str]:
         "q194_co_coverage": _Q194_SQL,
         "q195_chi_square": _Q195_SQL,
         "q196_spearman": _Q196_SQL,
+        "q197_cusum": _Q197_SQL,
+        "q198_lag_autocorr": _Q198_SQL,
+        "q199_max_silence": _Q199_SQL,
+        "q200_spatial_curation": _Q200_SQL,
     }
