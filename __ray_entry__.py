@@ -11983,6 +11983,115 @@ ORDER BY 1, 2
 """
 
 
+def _q201_utm_zones(sf_dir: str):
+    """UTM zone occupancy histogram: every doc geotag classifies to
+    its (zone 1..60, hemisphere) cell by the standard 6-degree zone
+    rule (the q16 kernel's zone logic at aggregate level) — the
+    shard-planning census a UTM-partitioned ingest runs first.
+    Integer zone arithmetic on milli-degree coords (no float
+    division); per-block 120-bin partials."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def zones(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        lon_m = i * 61803 % 360000          # [0, 360000) shifted
+        lat_m = i * 75487 % 170000 - 85000
+        zone = np.minimum(lon_m // 6000 + 1, 60)
+        hemi = np.where(lat_m >= 0, "N", "S")
+        g = (pd.DataFrame({"zone": zone, "hemi": hemi})
+             .groupby(["zone", "hemi"], as_index=False).size()
+             .rename(columns={"size": "n"}))
+        return g
+
+    out = (docs.map_batches(zones, batch_format="numpy",
+                            batch_size=65536)
+           .to_pandas().groupby(["zone", "hemi"], as_index=False)
+           ["n"].sum())
+    for c in ("zone", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["zone", "hemi"], ignore_index=True)
+
+
+_Q201_SQL = """
+WITH p AS (
+  SELECT doc_id * 61803 % 360000 AS lon_m,
+         doc_id * 75487 % 170000 - 85000 AS lat_m
+  FROM documents)
+SELECT CAST(LEAST(lon_m // 6000 + 1, 60) AS BIGINT) AS zone,
+       CASE WHEN lat_m >= 0 THEN 'N' ELSE 'S' END AS hemi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def _q202_convergence(sf_dir: str):
+    """Spherical meridian convergence per UTM zone: gamma =
+    atan2(tan(lon - lon0) * sin(lat), 1) at each doc geotag (lon0
+    the zone's central meridian), micro-radian-rounded per point
+    BEFORE the int64 sums — per zone (n, sum_gamma_urad,
+    sum_abs_urad), the grid-declination statistic a map-sheet
+    pipeline tabulates (spherical form of the proj -S factor;
+    ellipsoidal gamma is covered by the factors kernels in pytest).
+    Trig mirrored op-for-op; one 60-bin partial aggregation."""
+    import pandas as pd
+
+    docs = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def conv(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        lon_m = i * 61803 % 360000
+        lat_m = i * 75487 % 170000 - 85000
+        zone = np.minimum(lon_m // 6000 + 1, 60)
+        lon0_m = (zone - 1) * 6000 + 3000
+        dlam = (lon_m - lon0_m).astype(np.float64) / 1000.0
+        lat = lat_m.astype(np.float64) / 1000.0
+        gam = np.arctan2(np.tan(np.radians(dlam))
+                         * np.sin(np.radians(lat)), 1.0)
+        urad = np.rint(gam * 1e6).astype(np.int64)
+        g = (pd.DataFrame({"zone": zone, "u": urad})
+             .groupby("zone", as_index=False)
+             .agg(n=("u", "size"), sum_gamma_urad=("u", "sum"),
+                  sum_abs_urad=("u", lambda s: np.abs(
+                      s.to_numpy(np.int64)).sum())))
+        return g
+
+    out = (docs.map_batches(conv, batch_format="numpy",
+                            batch_size=65536)
+           .to_pandas().groupby("zone", as_index=False)
+           .agg(n=("n", "sum"),
+                sum_gamma_urad=("sum_gamma_urad", "sum"),
+                sum_abs_urad=("sum_abs_urad", "sum")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("zone", ignore_index=True)
+
+
+_Q202_SQL = """
+WITH p AS (
+  SELECT doc_id * 61803 % 360000 AS lon_m,
+         doc_id * 75487 % 170000 - 85000 AS lat_m
+  FROM documents),
+z AS (
+  SELECT LEAST(lon_m // 6000 + 1, 60) AS zone,
+         (lon_m - ((LEAST(lon_m // 6000 + 1, 60) - 1) * 6000
+                   + 3000)) / 1000.0 AS dlam,
+         lat_m / 1000.0 AS lat
+  FROM p),
+g AS (
+  SELECT zone,
+         CAST(round(atan2(tan(radians(dlam)) * sin(radians(lat)),
+                          1.0) * 1000000.0) AS BIGINT) AS u
+  FROM z)
+SELECT CAST(zone AS BIGINT) AS zone,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(u) AS BIGINT) AS sum_gamma_urad,
+       CAST(SUM(abs(u)) AS BIGINT) AS sum_abs_urad
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -12190,6 +12299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q198_lag_autocorr": _q198_lag_autocorr,
         "q199_max_silence": _q199_max_silence,
         "q200_spatial_curation": _q200_spatial_curation,
+        "q201_utm_zones": _q201_utm_zones,
+        "q202_convergence": _q202_convergence,
     }
 
 
@@ -12395,4 +12506,6 @@ def oracle_sql() -> dict[str, str]:
         "q198_lag_autocorr": _Q198_SQL,
         "q199_max_silence": _Q199_SQL,
         "q200_spatial_curation": _Q200_SQL,
+        "q201_utm_zones": _Q201_SQL,
+        "q202_convergence": _Q202_SQL,
     }
