@@ -6358,14 +6358,18 @@ FROM p ORDER BY q DESC, id ASC LIMIT 100
 """
 
 
-def _q126_bfs_hops(sf_dir: str):
+def _q126_bfs_hops(sf_dir: str, dim_cap=None):
     """Exact hop distances (BFS, <= 4 hops) from the smallest-id
     supplier over the customer<->supplier trade graph: iterative
     min-message dataflow — two bucketed all-to-alls per hop over
     (node, dist) messages, never a driver-side graph
-    (functions/graph.py bfs_hops). The oracle is a recursive CTE
-    whose UNION-deduped (node, depth) state set is bounded by
-    nodes x hops."""
+    (functions/graph.py bfs_hops). Below the edge cap the raw pair
+    list BFSes on the driver instead (bfs_numpy, bit-identical —
+    the q104 dispatch convention; an iterative dataflow pays ~12
+    exchange latencies for a graph whose edge list is a few MB);
+    dim_cap=0 in pytest drives the distributed path. The oracle is
+    a recursive CTE whose UNION-deduped (node, depth) state set is
+    bounded by nodes x hops."""
     import pandas as pd
 
     from proj_ray.functions.graph import bfs_hops
@@ -6373,7 +6377,20 @@ def _q126_bfs_hops(sf_dir: str):
 
     ns = 1_000_000
     nb = 64
-    pr = _trade_pairs(sf_dir, BROADCAST_ROW_LIMIT)
+    cap = BROADCAST_ROW_LIMIT if dim_cap is None else dim_cap
+    pr = _trade_pairs(sf_dir, cap).materialize()
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey"])
+    src = ns + int(li.min("l_suppkey"))
+    edge_cap = 5_000_000 if dim_cap is None else dim_cap
+    if pr.count() <= edge_cap:
+        from proj_ray.functions.graph import bfs_numpy
+        ep = pr.to_pandas().drop_duplicates(["c", "s"])
+        c = ep["c"].to_numpy(np.int64)
+        s = ep["s"].to_numpy(np.int64) + ns
+        nodes, dist = bfs_numpy(np.concatenate([c, s]),
+                                np.concatenate([s, c]),
+                                source=src, max_hops=4)
+        return pd.DataFrame({"node": nodes, "dist": dist})
 
     def tag(b: dict) -> dict:
         c = np.asarray(b["c"], dtype=np.int64)
@@ -6387,9 +6404,6 @@ def _q126_bfs_hops(sf_dir: str):
 
     edges = (pr.map_batches(tag, batch_format="numpy")
              .groupby("_bk").map_groups(dedup, batch_format="pandas"))
-
-    li = _read(sf_dir, "lineitem", columns=["l_suppkey"])
-    src = ns + int(li.min("l_suppkey"))
     return bfs_hops(edges, source=src, max_hops=4)
 
 
