@@ -6199,10 +6199,11 @@ def _q121_ahash_neardup(sf_dir: str):
     from proj_ray.images import AHasher, images_table
 
     n = _read(sf_dir, "documents").count()
+    # stateless stage -> task pool: an autoscaling actor pool's ramp
+    # dominated wall time here (the q101/q127 lesson)
     hashes = images_table(
         n, columns=["image_id", "bytes", "fmt"]).map_batches(
-        AHasher, batch_format="numpy", batch_size=256,
-        concurrency=(2, 8))
+        AHasher(), batch_format="numpy", batch_size=256)
     return hash_band_pairs(hashes, "ahash", "img", max_hamming=6,
                            n_bands=8)
 

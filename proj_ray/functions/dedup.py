@@ -1304,34 +1304,63 @@ def hash_band_pairs(ds, hash_col: str, id_col: str,
                              "simhash": np.tile(hu.view(np.int64),
                                                 n_bands)})
 
-    sigs = ds.map_batches(sign, batch_format="pandas", batch_size=4096)
+    # coarse hash buckets (not raw band keys / id_a) as the groupby
+    # keys: ray's sort-groupby pays per-GROUP overhead, and band keys
+    # number in the thousands — 64 buckets x an in-task pandas groupby
+    # does the same co-partitioning at block cost (the bucketed_sum
+    # lesson applied to map_groups)
+    nb = 64
+    sigs = ds.map_batches(sign, batch_format="pandas",
+                          batch_size=4096)
 
-    def verify(group):
-        g = group.drop_duplicates("rid").sort_values("rid")
-        ids = g["rid"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        n = len(ids)
+    def tag_bucket(df):
+        df["_bk"] = (df["band"].to_numpy(np.int64) % nb + nb) % nb
+        return df
+
+    def verify_bucket(group):
         frames = []
-        CH = 2048
-        for lo in range(0, n, CH):
-            d = hamming64(hs[lo:lo + CH, None], hs[None, :])
-            r, c = np.nonzero(d <= max_hamming)
-            keep = (lo + r) < c
-            r, c = r[keep], c[keep]
-            if len(r):
-                frames.append(pd.DataFrame({
-                    "id_a": ids[lo + r], "id_b": ids[c],
-                    "hamming": d[r, c].astype(np.int64)}))
+        for _, g in group.groupby("band", sort=False):
+            g = g.drop_duplicates("rid").sort_values("rid")
+            ids = g["rid"].to_numpy()
+            hs = g["simhash"].to_numpy()
+            n = len(ids)
+            CH = 2048
+            for lo in range(0, n, CH):
+                d = hamming64(hs[lo:lo + CH, None], hs[None, :])
+                r, c = np.nonzero(d <= max_hamming)
+                keep = (lo + r) < c
+                r, c = r[keep], c[keep]
+                if len(r):
+                    frames.append(pd.DataFrame({
+                        "id_a": ids[lo + r], "id_b": ids[c],
+                        "hamming": d[r, c].astype(np.int64)}))
         if not frames:
             return pd.DataFrame(columns=["id_a", "id_b", "hamming"])
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        # per-bucket pre-dedup (same band pair seen via two bands in
+        # this bucket) before the pair-bucket distinct
+        return out.drop_duplicates(["id_a", "id_b"])
 
-    pairs = sigs.groupby("band").map_groups(verify,
-                                            batch_format="pandas")
+    pairs = (sigs.map_batches(tag_bucket, batch_format="pandas",
+                              batch_size=65536)
+             .groupby("_bk")
+             .map_groups(lambda g: verify_bucket(
+                 g.drop(columns=["_bk"])), batch_format="pandas"))
+
+    def tag_pair(df):
+        if not len(df):
+            return pd.DataFrame(columns=["id_a", "id_b", "hamming",
+                                         "_bk"])
+        df["_bk"] = ((df["id_a"].astype(np.int64) * 31
+                      + df["id_b"].astype(np.int64)) % nb + nb) % nb
+        return df
 
     def distinct(batch):
         return batch.drop_duplicates(["id_a", "id_b"]) if len(batch) \
             else pd.DataFrame(columns=["id_a", "id_b", "hamming"])
 
-    return pairs.groupby("id_a").map_groups(distinct,
-                                            batch_format="pandas")
+    return (pairs.map_batches(tag_pair, batch_format="pandas",
+                              batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: distinct(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
