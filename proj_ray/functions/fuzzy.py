@@ -153,14 +153,23 @@ def fuzzy_join(ds, col: str, id_col: str, max_dist: int = 1,
         return pd.DataFrame({"bucket": vh.view(np.int64),
                              "rid": ids[row], "s": s[row]})
 
-    sigs = ds.map_batches(sign, batch_format="pandas", batch_size=4096)
+    # coarse hash buckets as the groupby keys: variant-hash buckets
+    # number in the tens of thousands and ray's sort-groupby pays
+    # per-GROUP overhead — 64 buckets + an in-task pandas groupby do
+    # the same co-partitioning at block cost (the hash_band_pairs
+    # lesson)
+    nb = 64
+    sigs = ds.map_batches(sign, batch_format="pandas",
+                          batch_size=4096)
 
-    def verify(group: "pd.DataFrame") -> "pd.DataFrame":
-        g = group.drop_duplicates("rid").sort_values("rid")
+    def tag_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        df["_bk"] = (df["bucket"].to_numpy(np.int64) % nb + nb) % nb
+        return df
+
+    def verify_one(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.drop_duplicates("rid").sort_values("rid")
         if len(g) < 2:
-            return pd.DataFrame({"id_a": np.empty(0, np.int64),
-                                 "id_b": np.empty(0, np.int64),
-                                 "dist": np.empty(0, np.int64)})
+            return None
         if len(g) > bucket_cap:
             # a bucket this hot means thousands of near-identical
             # strings; cap documents the truncation rather than OOM
@@ -178,8 +187,29 @@ def fuzzy_join(ds, col: str, id_col: str, max_dist: int = 1,
                              "id_b": ids[c[keep]].astype(np.int64),
                              "dist": d[keep]})
 
-    pairs = sigs.groupby("bucket").map_groups(verify,
-                                              batch_format="pandas")
+    def verify_bucket(group: "pd.DataFrame") -> "pd.DataFrame":
+        frames = [f for _, sub in group.groupby("bucket", sort=False)
+                  if (f := verify_one(sub)) is not None]
+        if not frames:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "dist": np.empty(0, np.int64)})
+        out = pd.concat(frames, ignore_index=True)
+        return out.drop_duplicates(["id_a", "id_b"])
+
+    pairs = (sigs.map_batches(tag_bucket, batch_format="pandas",
+                              batch_size=65536)
+             .groupby("_bk")
+             .map_groups(lambda g: verify_bucket(
+                 g.drop(columns=["_bk"])), batch_format="pandas"))
+
+    def tag_pair(df: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(df):
+            df["_bk"] = np.empty(0, np.int64)
+            return df
+        df["_bk"] = ((df["id_a"].to_numpy(np.int64) * 31
+                      + df["id_b"].to_numpy(np.int64)) % nb + nb) % nb
+        return df
 
     def distinct(batch: "pd.DataFrame") -> "pd.DataFrame":
         if not len(batch):
@@ -188,5 +218,8 @@ def fuzzy_join(ds, col: str, id_col: str, max_dist: int = 1,
                                  "dist": np.empty(0, np.int64)})
         return batch.drop_duplicates(["id_a", "id_b"])
 
-    return pairs.groupby("id_a").map_groups(distinct,
-                                            batch_format="pandas")
+    return (pairs.map_batches(tag_pair, batch_format="pandas",
+                              batch_size=65536)
+            .groupby("_bk")
+            .map_groups(lambda g: distinct(g.drop(columns=["_bk"])),
+                        batch_format="pandas"))
