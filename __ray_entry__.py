@@ -12107,6 +12107,141 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 
+def _q203_grts_sample(sf_dir: str):
+    """Spatially-balanced systematic sampling (the GRTS idea:
+    stride through a locality-preserving curve ordering): a doc is
+    sampled iff its order-8 Hilbert key satisfies h % 61 == 0 — a
+    prime stride through key space, so the sample spreads evenly
+    over the map instead of clustering like a doc_id stride would.
+    Per source: population count, sample count and an id checksum.
+    Stateless map over the existing Hilbert kernel (cells.py
+    hilbert_cell, the q115 machinery); the oracle reuses the
+    8-level bit-transform CTE chain."""
+    import pandas as pd
+
+    from proj_ray.cells import hilbert_cell
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def pick(b: dict) -> pd.DataFrame:
+        i = np.asarray(b["doc_id"], dtype=np.int64)
+        lon = (i * 61803 % 360000) / 1000.0 - 180.0
+        lat = (i * 75487 % 170000) / 1000.0 - 85.0
+        h = hilbert_cell(lon, lat, 8)
+        take = (h % 61 == 0)
+        g = (pd.DataFrame({"source": np.asarray(b["source"]),
+                           "n_docs": np.ones(len(i), np.int64),
+                           "n_sampled": take.astype(np.int64),
+                           "checksum": np.where(take, i * 31, 0)})
+             .groupby("source", as_index=False).sum())
+        return g
+
+    out = (docs.map_batches(pick, batch_format="numpy",
+                            batch_size=65536)
+           .to_pandas().groupby("source", as_index=False).sum())
+    for c in ("n_docs", "n_sampled", "checksum"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source", ignore_index=True)
+
+
+_Q203_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+h0 AS (
+  SELECT doc_id,
+         CAST(least(greatest(floor((lon + 180.0) / 360.0 * 256), 0),
+                    255) AS BIGINT) AS x,
+         CAST(least(greatest(floor((lat + 85.0) / 170.0 * 256), 0),
+                    255) AS BIGINT) AS y,
+         CAST(0 AS BIGINT) AS d
+  FROM geo),
+{_hilbert_sql_steps()},
+s AS (SELECT h8.doc_id, h8.d, dc.source
+      FROM h8 JOIN documents dc ON h8.doc_id = dc.doc_id)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (d % 61 = 0) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(doc_id * 31) FILTER (d % 61 = 0), 0)
+            AS BIGINT) AS checksum
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q204_cluster_sample(sf_dir: str):
+    """Two-stage cluster sampling (the survey-methodology design):
+    stage 1 selects primary sampling units — zoom-3 tiles with
+    (tx * 8 + ty) % 7 == 3; stage 2 takes the 5 lowest doc_ids
+    within each selected tile. Per selected tile: population size,
+    sample size, and the sampled-id sum. Per-block 5-row pre-prune
+    ahead of the tile-bucket combine (the q200 quota shape)."""
+    import pandas as pd
+
+    from proj_ray.stages import with_tiles
+
+    nb = 32
+    tiles = with_tiles(_docs_geo(sf_dir), zoom=3)
+
+    def prune(b: dict) -> pd.DataFrame:
+        df = pd.DataFrame({"doc_id": b["doc_id"],
+                           "tx": b["tile_x"], "ty": b["tile_y"]})
+        df = df[(df["tx"] * 8 + df["ty"]) % 7 == 3]
+        cen = (df.groupby(["tx", "ty"], as_index=False).size()
+               .rename(columns={"size": "n_pop"}))
+        top = (df.sort_values(["tx", "ty", "doc_id"])
+               .groupby(["tx", "ty"], sort=False).head(5)
+               .assign(n_pop=np.int64(0)))
+        cen = cen.assign(doc_id=np.int64(-1))
+        out = pd.concat([top, cen[top.columns]], ignore_index=True)
+        out["_bk"] = (out["tx"].to_numpy(np.int64) * 8
+                      + out["ty"].to_numpy(np.int64)) % nb
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for (tx, ty), gg in g.groupby(["tx", "ty"], sort=False):
+            n_pop = int(gg["n_pop"].sum())
+            cand = gg[gg["doc_id"] >= 0].sort_values(
+                "doc_id").head(5)
+            rows.append((tx, ty, n_pop, len(cand),
+                         int(cand["doc_id"].sum())))
+        return pd.DataFrame(rows, columns=["tile_x", "tile_y",
+                                           "n_pop", "n_sampled",
+                                           "sum_ids"])
+
+    out = (tiles.map_batches(prune, batch_format="pandas",
+                             batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: fold(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["tile_x", "tile_y"], ignore_index=True)
+
+
+_Q204_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT doc_id,
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 8), 0), 7) AS BIGINT) AS ty
+  FROM geo),
+sel AS (SELECT * FROM t WHERE (tx * 8 + ty) % 7 = 3),
+r AS (SELECT tx, ty, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                ORDER BY doc_id) AS rk
+      FROM sel)
+SELECT tx AS tile_x, ty AS tile_y,
+       CAST(COUNT(*) AS BIGINT) AS n_pop,
+       CAST(COUNT(*) FILTER (rk <= 5) AS BIGINT) AS n_sampled,
+       CAST(SUM(doc_id) FILTER (rk <= 5) AS BIGINT) AS sum_ids
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -12316,6 +12451,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q200_spatial_curation": _q200_spatial_curation,
         "q201_utm_zones": _q201_utm_zones,
         "q202_convergence": _q202_convergence,
+        "q203_grts_sample": _q203_grts_sample,
+        "q204_cluster_sample": _q204_cluster_sample,
     }
 
 
@@ -12523,4 +12660,6 @@ def oracle_sql() -> dict[str, str]:
         "q200_spatial_curation": _Q200_SQL,
         "q201_utm_zones": _Q201_SQL,
         "q202_convergence": _Q202_SQL,
+        "q203_grts_sample": _Q203_SQL,
+        "q204_cluster_sample": _Q204_SQL,
     }
