@@ -12242,6 +12242,219 @@ FROM r GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q205_correlogram(sf_dir: str):
+    """Spatial correlogram: Moran's I pieces at THREE lattice scales
+    (zoom 3, 4, 5) from ONE zoom-5 count pass — coarser grids fold by
+    2x2 sums (the q152 pyramid), so scale dependence costs no extra
+    data passes. Per zoom: n_cells, w_pairs (directed rook pairs of
+    the full s x s lattice), s_total, i_num, i_den — exact integers,
+    q151's scaled-deviation construction at each scale."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from proj_ray.stages import with_tiles
+
+    counts = (with_tiles(_docs_geo(sf_dir), zoom=5)
+              .groupby(["tile_x", "tile_y"])
+              .aggregate(Count(alias_name="n"))
+              .to_pandas())
+    grid = np.zeros((32, 32), dtype=np.int64)
+    grid[counts["tile_x"].to_numpy(np.int64),
+         counts["tile_y"].to_numpy(np.int64)] = \
+        counts["n"].to_numpy(np.int64)
+    grids = {5: grid}
+    for z in (4, 3):
+        g = grids[z + 1]
+        grids[z] = (g.reshape(g.shape[0] // 2, 2,
+                              g.shape[1] // 2, 2).sum(axis=(1, 3)))
+    rows = []
+    for z in (3, 4, 5):
+        g = grids[z]
+        s = g.shape[0]
+        n = s * s
+        tot = int(g.sum())
+        d = n * g - tot
+        num = int((d[:-1, :] * d[1:, :]).sum()) * 2 \
+            + int((d[:, :-1] * d[:, 1:]).sum()) * 2
+        den = int((d * d).sum())
+        rows.append((z, n, 2 * (2 * s * (s - 1)), tot, num, den))
+    return pd.DataFrame(rows, columns=["z", "n_cells", "w_pairs",
+                                       "s_total", "i_num", "i_den"]) \
+        .astype(np.int64)
+
+
+_Q205_SQL = f"""
+WITH geo AS ({_GEO_SQL}),
+t AS (
+  SELECT
+    CAST(LEAST(GREATEST(floor(
+        (radians(lon) * 6378137.0 + pi() * 6378137.0)
+        / (2 * pi() * 6378137.0) * 32), 0), 31) AS BIGINT) AS tx,
+    CAST(LEAST(GREATEST(floor(
+        (pi() * 6378137.0 - 6378137.0
+           * ln(tan(pi()/4 + radians(lat)/2)))
+        / (2 * pi() * 6378137.0) * 32), 0), 31) AS BIGINT) AS ty
+  FROM geo),
+c5 AS (SELECT tx, ty, CAST(count(*) AS BIGINT) AS n
+       FROM t GROUP BY 1, 2),
+zs AS (SELECT z.z AS z, CAST(1 << CAST(z.z AS INT) AS BIGINT) AS s
+       FROM range(3, 6) z(z)),
+lat AS (SELECT zs.z, zs.s, x.x AS tx, y.y AS ty
+        FROM zs CROSS JOIN range(32) x(x) CROSS JOIN range(32) y(y)
+        WHERE x.x < zs.s AND y.y < zs.s),
+g AS (SELECT l.z, l.s, l.tx, l.ty,
+             COALESCE((SELECT SUM(c5.n) FROM c5
+                       WHERE c5.tx >> CAST(5 - l.z AS INT) = l.tx
+                         AND c5.ty >> CAST(5 - l.z AS INT) = l.ty),
+                      0) AS n
+      FROM lat l),
+d AS (SELECT z, s, tx, ty,
+             s * s * n - (SELECT SUM(n) FROM g g2
+                          WHERE g2.z = g.z) AS d
+      FROM g)
+SELECT zs.z,
+       CAST(zs.s * zs.s AS BIGINT) AS n_cells,
+       CAST(2 * (2 * zs.s * (zs.s - 1)) AS BIGINT) AS w_pairs,
+       CAST((SELECT SUM(n) FROM g WHERE g.z = zs.z)
+            AS BIGINT) AS s_total,
+       CAST((SELECT SUM(a.d * b.d) FROM d a JOIN d b
+             ON a.z = zs.z AND b.z = zs.z
+            AND abs(a.tx - b.tx) + abs(a.ty - b.ty) = 1)
+            AS BIGINT) AS i_num,
+       CAST((SELECT SUM(d.d * d.d) FROM d WHERE d.z = zs.z)
+            AS BIGINT) AS i_den
+FROM zs ORDER BY 1
+"""
+
+
+def _q206_key_skew(sf_dir: str):
+    """Join-key skew audit: Gini inequality of the lineitem rows per
+    l_orderkey — the statistic a shuffle planner consults before
+    choosing a salted join (q150's sorted-rank identity applied to
+    KEY FREQUENCIES instead of value columns). The key-count table
+    builds with per-block partials; the rank fold runs in one
+    key-bucket exchange shipping (key, count) only."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    nb = 64
+
+    def partial(b: dict) -> pd.DataFrame:
+        k, c = np.unique(np.asarray(b["l_orderkey"], np.int64),
+                         return_counts=True)
+        df = pd.DataFrame({"k": k, "c": c.astype(np.int64)})
+        df["_bk"] = (k % nb + nb) % nb
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        cc = g.groupby("k", as_index=False)["c"].sum()
+        return cc
+
+    counts = (li.map_batches(partial, batch_format="numpy",
+                             batch_size=65536)
+              .groupby("_bk")
+              .map_groups(lambda g: fold(g.drop(columns=["_bk"])),
+                          batch_format="pandas")
+              .to_pandas())
+    x = np.sort(counts["c"].to_numpy(np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    return pd.DataFrame({
+        "n_keys": [np.int64(n)],
+        "g_num": [np.int64(((2 * i - n - 1) * x).sum())],
+        "sum_rows": [np.int64(x.sum())],
+        "max_key_rows": [np.int64(x[-1] if n else 0)]})
+
+
+_Q206_SQL = """
+WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c
+           FROM lineitem GROUP BY 1),
+r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn,
+             COUNT(*) OVER () AS n
+      FROM c)
+SELECT CAST(MAX(n) AS BIGINT) AS n_keys,
+       CAST(SUM((2 * rn - n - 1) * c) AS BIGINT) AS g_num,
+       CAST(SUM(c) AS BIGINT) AS sum_rows,
+       CAST(MAX(c) AS BIGINT) AS max_key_rows
+FROM r
+"""
+
+
+def _q207_temporal_motifs(sf_dir: str):
+    """Temporal motif counts: ordered event-type pairs (a -> b) where
+    b happens STRICTLY after a and within 1 hour, within the same
+    user — the time-windowed generalization of q138's
+    consecutive-step transitions (a pair here need not be adjacent).
+    One user-bucket all-to-all; inside the bucket the window
+    expansion is searchsorted bounds + a repeat/flat index pass, no
+    per-pair Python."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "event_type"])
+    nb = 64
+    W = 3_600_000_000
+
+    def tag(b: dict) -> pd.DataFrame:
+        u = np.asarray(b["user_id"], dtype=np.int64)
+        df = pd.DataFrame({
+            "user_id": u,
+            "e": np.asarray(b["event_id"], dtype=np.int64),
+            "t": np.asarray(b["ts"]).astype("datetime64[us]")
+            .astype(np.int64),
+            "ty": np.asarray(b["event_type"])})
+        df["_bk"] = (u % nb + nb) % nb
+        return df
+
+    def motifs(g: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, gg in g.groupby("user_id", sort=False):
+            gg = gg.sort_values(["t", "e"], kind="mergesort")
+            t = gg["t"].to_numpy(np.int64)
+            ty = gg["ty"].to_numpy()
+            lo = np.searchsorted(t, t, side="right")
+            hi = np.searchsorted(t, t + W, side="right")
+            cnt = hi - lo
+            if cnt.sum() == 0:
+                continue
+            src = np.repeat(np.arange(len(t)), cnt)
+            dst = (np.arange(len(src))
+                   - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                   + np.repeat(lo, cnt))
+            frames.append(pd.DataFrame({"type_a": ty[src],
+                                        "type_b": ty[dst]}))
+        if not frames:
+            return pd.DataFrame({"type_a": pd.Series([], dtype=str),
+                                 "type_b": pd.Series([], dtype=str),
+                                 "n": pd.Series([], dtype=np.int64)})
+        out = (pd.concat(frames, ignore_index=True)
+               .groupby(["type_a", "type_b"], as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out
+
+    out = (ev.map_batches(tag, batch_format="numpy",
+                          batch_size=65536)
+           .groupby("_bk")
+           .map_groups(lambda g: motifs(g.drop(columns=["_bk"])),
+                       batch_format="pandas")
+           .to_pandas()
+           .groupby(["type_a", "type_b"], as_index=False)["n"].sum())
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+_Q207_SQL = """
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= 3600000000
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -12453,6 +12666,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q202_convergence": _q202_convergence,
         "q203_grts_sample": _q203_grts_sample,
         "q204_cluster_sample": _q204_cluster_sample,
+        "q205_correlogram": _q205_correlogram,
+        "q206_key_skew": _q206_key_skew,
+        "q207_temporal_motifs": _q207_temporal_motifs,
     }
 
 
@@ -12662,4 +12878,7 @@ def oracle_sql() -> dict[str, str]:
         "q202_convergence": _Q202_SQL,
         "q203_grts_sample": _Q203_SQL,
         "q204_cluster_sample": _Q204_SQL,
+        "q205_correlogram": _Q205_SQL,
+        "q206_key_skew": _Q206_SQL,
+        "q207_temporal_motifs": _Q207_SQL,
     }
