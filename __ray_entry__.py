@@ -12455,6 +12455,141 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _q208_vignetting(sf_dir: str):
+    """Vignetting / border-darkening audit per format: exact luma
+    sums and pixel counts of the 2-pixel border ring vs the
+    interior of every decoded image — the lens/crop QA screen of an
+    image-ingest pipeline (border mean << center mean flags
+    vignettes; here it pins codec + geometry exactness). One
+    4-counter row per image; oracle regenerates pixels + the qjpg
+    quantization."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    from proj_ray.images import decode, images_table
+
+    n = _read(sf_dir, "documents").count()
+
+    def ring(b: dict) -> dict:
+        cnt = len(b["image_id"])
+        out = {k: np.empty(cnt, dtype=np.int64)
+               for k in ("sum_border", "n_border",
+                         "sum_center", "n_center")}
+        for k in range(cnt):
+            px = decode(b["bytes"][k], b["fmt"][k]).astype(np.int64)
+            lum = 2 * px[..., 0] + 3 * px[..., 1] + px[..., 2]
+            h, w = lum.shape
+            m = np.zeros((h, w), dtype=bool)
+            m[:2, :] = m[-2:, :] = True
+            m[:, :2] = m[:, -2:] = True
+            out["sum_border"][k] = int(lum[m].sum())
+            out["n_border"][k] = int(m.sum())
+            out["sum_center"][k] = int(lum[~m].sum())
+            out["n_center"][k] = int((~m).sum())
+        out["fmt"] = np.asarray(b["fmt"])
+        return out
+
+    per = images_table(
+        n, columns=["image_id", "bytes", "fmt"]).map_batches(
+        ring, batch_format="numpy", batch_size=256)
+    out = (per.groupby("fmt")
+           .aggregate(Count(alias_name="n_images"),
+                      Sum("sum_border", alias_name="sum_border"),
+                      Sum("n_border", alias_name="n_border"),
+                      Sum("sum_center", alias_name="sum_center"),
+                      Sum("n_center", alias_name="n_center"))
+           .to_pandas())
+    for c in out.columns:
+        if c != "fmt":
+            out[c] = out[c].astype(np.int64)
+    return out.sort_values("fmt", ignore_index=True)
+
+
+_Q208_SQL = """
+WITH seq AS (SELECT ROW_NUMBER() OVER () - 1 AS i FROM documents),
+img AS (SELECT i, CASE WHEN i > 0 AND i % 97 = 0 THEN i - 1 ELSE i END
+               AS src FROM seq),
+dim AS (SELECT i, src, src % 3 AS f,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+               CASE src % 3 WHEN 0 THEN 16 WHEN 1 THEN 24 ELSE 48 END AS h
+        FROM img),
+px AS (SELECT i, src, f, w, h, y.y AS y, x.x AS x
+       FROM dim CROSS JOIN range(48) y(y) CROSS JOIN range(64) x(x)
+       WHERE y.y < h AND x.x < w),
+raw AS (SELECT i, f, w, h, y, x,
+               (src*37 + y*11 + x*7) % 256 AS r,
+               (src*53 + y*5 + x*13) % 256 AS g,
+               (src*97 + (y+x)*3) % 256 AS b
+        FROM px),
+lm AS (SELECT i, f, y, x,
+              CASE WHEN y < 2 OR y >= h - 2 OR x < 2 OR x >= w - 2
+                   THEN 1 ELSE 0 END AS brd,
+              2*(CASE WHEN f = 1 THEN (r//4)*4+2 ELSE r END)
+            + 3*(CASE WHEN f = 1 THEN (g//4)*4+2 ELSE g END)
+            +   (CASE WHEN f = 1 THEN (b//4)*4+2 ELSE b END) AS lum
+       FROM raw)
+SELECT CASE f WHEN 0 THEN 'png' WHEN 1 THEN 'qjpg' ELSE 'bmp' END
+         AS fmt,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_images,
+       CAST(SUM(lum * brd) AS BIGINT) AS sum_border,
+       CAST(SUM(brd) AS BIGINT) AS n_border,
+       CAST(SUM(lum * (1 - brd)) AS BIGINT) AS sum_center,
+       CAST(SUM(1 - brd) AS BIGINT) AS n_center
+FROM lm GROUP BY 1 ORDER BY 1
+"""
+
+
+def _q209_time_pcf(sf_dir: str):
+    """Temporal pair-correlation function: exact unordered event-pair
+    counts within |day_i - day_j| <= tau for tau in {1, 3, 7} —
+    computed WITHOUT any pair pass from the <= 31-row day histogram
+    (cross terms over close day pairs plus C(c,2) within days, the
+    q161 n_time identity swept over lags). The burstiness-vs-lag
+    curve of an event stream; one bounded histogram pass."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def day_hist(b: dict) -> pd.DataFrame:
+        day = (np.asarray(b["ts"]).astype("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        return (pd.DataFrame({"day": day})
+                .groupby("day", as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    dc = (ev.map_batches(day_hist, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas().groupby("day", as_index=False)["c"].sum())
+    d = dc["day"].to_numpy(np.int64)
+    c = dc["c"].to_numpy(np.int64)
+    within = int((c * (c - 1) // 2).sum())
+    rows = []
+    for tau in (1, 3, 7):
+        cross = (d[None, :] > d[:, None]) \
+            & (d[None, :] - d[:, None] <= tau)
+        rows.append((tau, within
+                     + int((c[:, None] * c[None, :] * cross).sum())))
+    return pd.DataFrame(rows, columns=["tau", "n_pairs"]) \
+        .astype(np.int64)
+
+
+_Q209_SQL = """
+WITH dc AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1),
+taus AS (SELECT * FROM (VALUES (1), (3), (7)) t(tau))
+SELECT CAST(taus.tau AS BIGINT) AS tau,
+       CAST((SELECT SUM(c * (c - 1) // 2) FROM dc)
+          + COALESCE((SELECT SUM(a.c * b.c) FROM dc a JOIN dc b
+                      ON b.day > a.day
+                     AND b.day <= a.day + taus.tau), 0)
+            AS BIGINT) AS n_pairs
+FROM taus ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -12669,6 +12804,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q205_correlogram": _q205_correlogram,
         "q206_key_skew": _q206_key_skew,
         "q207_temporal_motifs": _q207_temporal_motifs,
+        "q208_vignetting": _q208_vignetting,
+        "q209_time_pcf": _q209_time_pcf,
     }
 
 
@@ -12881,4 +13018,6 @@ def oracle_sql() -> dict[str, str]:
         "q205_correlogram": _Q205_SQL,
         "q206_key_skew": _Q206_SQL,
         "q207_temporal_motifs": _Q207_SQL,
+        "q208_vignetting": _Q208_SQL,
+        "q209_time_pcf": _Q209_SQL,
     }
