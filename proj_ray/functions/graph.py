@@ -328,6 +328,67 @@ def triangle_count(edges, n_buckets: int = 64,
          .materialize())
     n_edges = E.count()
 
+    if 0 < n_edges <= broadcast_cap:
+        # broadcast path: the edge set ships to the driver ONCE
+        # anyway (as the sorted packed-key close array), so degrees
+        # and orientation come from that same pull instead of the
+        # degree-sum + two attach exchanges the distributed path
+        # needs — the only remaining all-to-all is the per-source
+        # wedge-generation bucket. (packing needs 32-bit ids; wider
+        # id spaces fall through to the exchange path)
+        import ray
+
+        ekeys = E.to_pandas()
+        eu = ekeys["u"].to_numpy(np.int64)
+        ev = ekeys["v"].to_numpy(np.int64)
+        mx = max(int(eu.max()), int(ev.max()), 0)
+        if mx < (1 << 31):
+            nodes_s, degs = np.unique(np.concatenate([eu, ev]),
+                                      return_counts=True)
+            n_nodes = len(nodes_s)
+            keys = np.sort((eu.astype(np.uint64) << np.uint64(32))
+                           | ev.astype(np.uint64))
+            ref = ray.put((keys, nodes_s, degs.astype(np.int64)))
+
+            def orient_b(b: dict) -> dict:
+                _, ns, dg = ray.get(ref)
+                u = np.asarray(b["u"], np.int64)
+                v = np.asarray(b["v"], np.int64)
+                du = dg[np.searchsorted(ns, u)]
+                dv = dg[np.searchsorted(ns, v)]
+                u_first = (du < dv) | ((du == dv) & (u < v))
+                src = np.where(u_first, u, v)
+                dst = np.where(u_first, v, u)
+                return {"src": src, "dst": dst,
+                        "_bk": _bucket(src, n_buckets)}
+
+            def close_local(g: pd.DataFrame) -> pd.DataFrame:
+                s = g["src"].to_numpy(np.int64)
+                d = g["dst"].to_numpy(np.int64)
+                o = np.lexsort((d, s))
+                a, b2 = _pair_expand(s[o], d[o])
+                if not len(a):
+                    return pd.DataFrame({"t": [np.int64(0)]})
+                wk = (a.astype(np.uint64) << np.uint64(32)) \
+                    | b2.astype(np.uint64)
+                ks = ray.get(ref)[0]
+                pos = np.searchsorted(ks, wk)
+                pos = np.minimum(pos, len(ks) - 1)
+                hits = int((ks[pos] == wk).sum())
+                return pd.DataFrame({"t": [np.int64(hits)]})
+
+            parts = (E.map_batches(orient_b, batch_format="numpy",
+                                   batch_size=65536)
+                     .groupby("_bk")
+                     .map_groups(lambda g: close_local(
+                         g.drop(columns=["_bk"])),
+                         batch_format="pandas")
+                     .to_pandas())
+            n_tri = int(parts["t"].sum()) if len(parts) else 0
+            return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
+                                 "n_edges": [np.int64(n_edges)],
+                                 "n_triangles": [np.int64(n_tri)]})
+
     # degrees: per-block partial counts -> per-node sum
     def deg_partial(b: dict) -> dict:
         n, c = np.unique(np.concatenate(
@@ -403,47 +464,6 @@ def triangle_count(edges, n_buckets: int = 64,
 
     oriented = cur.map_batches(orient, batch_format="numpy",
                                batch_size=65536)
-
-    if 0 < n_edges <= broadcast_cap:
-        # broadcast close: the canonical edge set ships ONCE as a
-        # sorted packed-key array; wedges are generated AND closed
-        # inside the same task, so the O(sum C(out,2)) wedge volume
-        # never crosses the wire — only one int per bucket does.
-        # (packing needs 32-bit ids; fall through to the exchange
-        # path for wider id spaces)
-        import ray
-
-        ekeys = E.to_pandas()
-        mx = max(int(ekeys["u"].max()), int(ekeys["v"].max()), 0)
-        if mx < (1 << 31):
-            keys = np.sort((ekeys["u"].to_numpy(np.uint64) << np.uint64(32))
-                           | ekeys["v"].to_numpy(np.uint64))
-            keys_ref = ray.put(keys)
-
-            def close_local(g: pd.DataFrame) -> pd.DataFrame:
-                s = g["src"].to_numpy(np.int64)
-                d = g["dst"].to_numpy(np.int64)
-                o = np.lexsort((d, s))
-                a, b = _pair_expand(s[o], d[o])
-                if not len(a):
-                    return pd.DataFrame({"t": [np.int64(0)]})
-                wk = (a.astype(np.uint64) << np.uint64(32)) \
-                    | b.astype(np.uint64)
-                ks = ray.get(keys_ref)
-                pos = np.searchsorted(ks, wk)
-                pos = np.minimum(pos, len(ks) - 1)
-                hits = int((ks[pos] == wk).sum())
-                return pd.DataFrame({"t": [np.int64(hits)]})
-
-            parts = (oriented.groupby("_bk")
-                     .map_groups(lambda g: close_local(
-                         g.drop(columns=["_bk"])),
-                         batch_format="pandas")
-                     .to_pandas())
-            n_tri = int(parts["t"].sum()) if len(parts) else 0
-            return pd.DataFrame({"n_nodes": [np.int64(n_nodes)],
-                                 "n_edges": [np.int64(n_edges)],
-                                 "n_triangles": [np.int64(n_tri)]})
 
     def wedges(g: pd.DataFrame) -> pd.DataFrame:
         s = g["src"].to_numpy(np.int64)
