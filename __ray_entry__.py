@@ -12590,6 +12590,103 @@ FROM taus ORDER BY 1
 """
 
 
+def _q210_winsorized(sf_dir: str):
+    """Exact winsorized aggregates per event type: values
+    milli-quantize to int64, the p5/p95 bounds are TRUE order
+    statistics (the value at rank ceil(0.05*n) / ceil(0.95*n) —
+    well-defined regardless of tie order), and the robust sum clips
+    every value into [p5, p95] — the outlier-resistant mean's exact
+    integer pieces. Pass 1 builds bounded per-(type, value)
+    histograms (per-block partials); the rank thresholds read off
+    the cumulative histogram driver-side and broadcast; pass 2 is a
+    stateless clip-sum. Mirrors q95's histogram order-statistics at
+    per-group granularity."""
+    import pandas as pd
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def qv(col) -> np.ndarray:
+        return np.rint(np.asarray(col, np.float64) * 1000) \
+            .astype(np.int64)
+
+    def hist(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"event_type": np.asarray(
+            b["event_type"]), "v": qv(b["value"])})
+            .groupby(["event_type", "v"], as_index=False).size()
+            .rename(columns={"size": "c"}))
+
+    h = (ev.map_batches(hist, batch_format="numpy",
+                        batch_size=65536)
+         .to_pandas()
+         .groupby(["event_type", "v"], as_index=False)["c"].sum())
+    bounds = {}
+    for ty, g in h.groupby("event_type", sort=True):
+        g = g.sort_values("v")
+        v = g["v"].to_numpy(np.int64)
+        cs = g["c"].to_numpy(np.int64).cumsum()
+        n = int(cs[-1])
+        k_lo = (n * 5 + 99) // 100
+        k_hi = (n * 95 + 99) // 100
+        lo = int(v[np.searchsorted(cs, k_lo)])
+        hi = int(v[np.searchsorted(cs, k_hi)])
+        bounds[ty] = (lo, hi)
+    ref = ray.put(bounds)
+
+    def clip_sum(b: dict) -> pd.DataFrame:
+        tab = ray.get(ref)
+        ty = np.asarray(b["event_type"])
+        v = qv(b["value"])
+        out = np.empty(len(v), dtype=np.int64)
+        for t, (lo, hi) in tab.items():
+            m = ty == t
+            out[m] = np.clip(v[m], lo, hi)
+        return (pd.DataFrame({"event_type": ty, "w": out,
+                              "n": np.ones(len(v), np.int64)})
+                .groupby("event_type", as_index=False).sum())
+
+    out = (ev.map_batches(clip_sum, batch_format="numpy",
+                          batch_size=65536)
+           .to_pandas().groupby("event_type", as_index=False).sum())
+    out["p5_q"] = out["event_type"].map(
+        lambda t: bounds[t][0]).astype(np.int64)
+    out["p95_q"] = out["event_type"].map(
+        lambda t: bounds[t][1]).astype(np.int64)
+    out = out.rename(columns={"w": "winsor_sum", "n": "n_events"})
+    for c in ("winsor_sum", "n_events"):
+        out[c] = out[c].astype(np.int64)
+    return out[["event_type", "n_events", "p5_q", "p95_q",
+                "winsor_sum"]].sort_values("event_type",
+                                           ignore_index=True)
+
+
+_Q210_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM q),
+lo AS (SELECT event_type, v AS p5_q FROM r
+       WHERE rn = (n * 5 + 99) // 100),
+hi AS (SELECT event_type, v AS p95_q FROM r
+       WHERE rn = (n * 95 + 99) // 100)
+SELECT q.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(lo.p5_q) AS BIGINT) AS p5_q,
+       CAST(MIN(hi.p95_q) AS BIGINT) AS p95_q,
+       CAST(SUM(LEAST(GREATEST(q.v, lo.p5_q), hi.p95_q))
+            AS BIGINT) AS winsor_sum
+FROM q JOIN lo ON q.event_type = lo.event_type
+JOIN hi ON q.event_type = hi.event_type
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -12806,6 +12903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q207_temporal_motifs": _q207_temporal_motifs,
         "q208_vignetting": _q208_vignetting,
         "q209_time_pcf": _q209_time_pcf,
+        "q210_winsorized": _q210_winsorized,
     }
 
 
@@ -13020,4 +13118,5 @@ def oracle_sql() -> dict[str, str]:
         "q207_temporal_motifs": _Q207_SQL,
         "q208_vignetting": _Q208_SQL,
         "q209_time_pcf": _Q209_SQL,
+        "q210_winsorized": _Q210_SQL,
     }
