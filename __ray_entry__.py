@@ -12687,6 +12687,102 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q211_mad(sf_dir: str):
+    """Exact median absolute deviation per event type — the robust
+    scale estimator completing q210's winsorized location: the
+    median is the order statistic at rank ceil(n/2) of the bounded
+    per-(type, value) histogram; a second histogram pass over
+    |v - median| (medians broadcast) yields MAD as ITS rank-ceil(n/2)
+    order statistic. Two bounded histogram exchanges, no sort of raw
+    rows; every quantity an exact int64."""
+    import pandas as pd
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def qv(col) -> np.ndarray:
+        return np.rint(np.asarray(col, np.float64) * 1000) \
+            .astype(np.int64)
+
+    def hist(b: dict) -> pd.DataFrame:
+        return (pd.DataFrame({"event_type": np.asarray(
+            b["event_type"]), "v": qv(b["value"])})
+            .groupby(["event_type", "v"], as_index=False).size()
+            .rename(columns={"size": "c"}))
+
+    def order_stat(h: pd.DataFrame) -> dict:
+        out = {}
+        for ty, g in h.groupby("event_type", sort=True):
+            g = g.sort_values("v")
+            v = g["v"].to_numpy(np.int64)
+            cs = g["c"].to_numpy(np.int64).cumsum()
+            n = int(cs[-1])
+            out[ty] = (int(v[np.searchsorted(cs, (n + 1) // 2)]), n)
+        return out
+
+    h1 = (ev.map_batches(hist, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas()
+          .groupby(["event_type", "v"], as_index=False)["c"].sum())
+    med = order_stat(h1)
+    ref = ray.put({t: m for t, (m, _) in med.items()})
+
+    def hist_dev(b: dict) -> pd.DataFrame:
+        tab = ray.get(ref)
+        ty = np.asarray(b["event_type"])
+        v = qv(b["value"])
+        dev = np.empty(len(v), dtype=np.int64)
+        for t, m in tab.items():
+            msk = ty == t
+            dev[msk] = np.abs(v[msk] - m)
+        return (pd.DataFrame({"event_type": ty, "v": dev})
+                .groupby(["event_type", "v"], as_index=False).size()
+                .rename(columns={"size": "c"}))
+
+    h2 = (ev.map_batches(hist_dev, batch_format="numpy",
+                         batch_size=65536)
+          .to_pandas()
+          .groupby(["event_type", "v"], as_index=False)["c"].sum())
+    mad = order_stat(h2)
+    rows = [(t, med[t][1], med[t][0], mad[t][0])
+            for t in sorted(med)]
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "median_q", "mad_q"]) \
+        .astype({"n_events": np.int64, "median_q": np.int64,
+                 "mad_q": np.int64})
+
+
+_Q211_SQL = """
+WITH q AS (
+  SELECT event_type,
+         CAST(round(value * 1000) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM q),
+med AS (SELECT event_type, v AS m, n FROM r
+        WHERE rn = (n + 1) // 2),
+d AS (
+  SELECT q.event_type, abs(q.v - med.m) AS v
+  FROM q JOIN med ON q.event_type = med.event_type),
+r2 AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM d)
+SELECT med.event_type, CAST(med.n AS BIGINT) AS n_events,
+       CAST(med.m AS BIGINT) AS median_q,
+       CAST(r2.v AS BIGINT) AS mad_q
+FROM med JOIN r2 ON med.event_type = r2.event_type
+WHERE r2.rn = (r2.n + 1) // 2
+ORDER BY 1
+"""
+
+
 def entry() -> Any:
     """Flagship: images -> cells -> tiles -> PIP join -> per-tile agg."""
     return _q21_images_tiles("/root/testdata/sf0.001")
@@ -12904,6 +13000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q208_vignetting": _q208_vignetting,
         "q209_time_pcf": _q209_time_pcf,
         "q210_winsorized": _q210_winsorized,
+        "q211_mad": _q211_mad,
     }
 
 
@@ -13119,4 +13216,5 @@ def oracle_sql() -> dict[str, str]:
         "q208_vignetting": _Q208_SQL,
         "q209_time_pcf": _Q209_SQL,
         "q210_winsorized": _Q210_SQL,
+        "q211_mad": _Q211_SQL,
     }
